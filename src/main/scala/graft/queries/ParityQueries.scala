@@ -1,0 +1,262 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.{CdcFilter, JobSpec, SqlRewrite, VoidScrub}
+
+/** Relational-parity query surface (SURVEY.md §2.3-§2.7, §6 build-plan step 6).
+  *
+  * Each query exists twice: the Spark implementation here and an equivalent
+  * DuckDB oracle in [[ParityQueries.oracleSql]] — the driver hash-compares
+  * both at sf0.01. Aggregated doubles are rounded on BOTH sides so that
+  * engine-specific summation order can't flip the last ulp.
+  *
+  * Scale notes per query are inline; the common themes: small dims are
+  * broadcast (no shuffle for the probe side), aggregations are partial
+  * (map-side combine) by construction, and every scan prunes columns +
+  * pushes filters (checked via `.explain("formatted")` in BenchSpec).
+  */
+object ParityQueries {
+
+  import Tables._
+
+  /** q01: TPC-H Q1-shaped pricing summary — wide-row scan, 6 aggregates over
+    * 2 grouping keys. At 100 TB: pure map-side-combine hash agg; the shuffle
+    * carries only |groups| × partial-agg rows, so it is scan-bound (the ideal).
+    */
+  def q01PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order")
+      )
+
+  /** q02: star-schema revenue rollup lineitem⋈orders⋈customer⋈nation⋈region.
+    * nation/region/customer are broadcast (hinted; at real scale customer
+    * might tip past the threshold — then AQE decides, and the orders⋈lineitem
+    * join shuffles on the shared orderkey).
+    */
+  def q02StarJoin(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .join(orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("line_count")
+      )
+
+  /** q03: window rank — top-3 orders per customer by totalprice (unique
+    * orderkey tiebreak keeps ranks deterministic). One shuffle on o_custkey;
+    * rank + filter happen within partitions, no second exchange.
+    */
+  def q03WindowTopOrders(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+  }
+
+  /** q04: global top-100 by price (take-ordered: per-partition top-k then a
+    * single driver merge of k×partitions rows — never a full sort at scale).
+    */
+  def q04TopK(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .limit(100)
+
+  /** q05: set operations — UNION (distinct) then EXCEPT (distinct). */
+  def q05SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val c = customer(spark, dir)
+    c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      .union(c.filter(col("c_acctbal") > 5000).select("c_custkey"))
+      .distinct()
+      .except(c.filter(col("c_nationkey") === 3).select("c_custkey"))
+  }
+
+  /** q06: rollup with a distinct aggregate — grouping-set expansion +
+    * two-phase distinct count.
+    */
+  def q06Rollup(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("line_count"),
+        countDistinct(col("l_partkey")).as("distinct_parts"),
+        round(sum("l_quantity"), 2).as("sum_qty")
+      )
+
+  /** q07: export-envelope build (canary SQL shape,
+    * `unload_databricks_data_to_s3.py:411`) — fixed timestamp instead of
+    * `current_timestamp()` so the oracle can match (SURVEY §7.3 hard part #3);
+    * the nested user_properties struct is serialized through an explicit
+    * printf-style template so both engines emit byte-identical strings.
+    */
+  def q07Envelope(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir)
+      .select(
+        lit(1704067200000L).as("time"),
+        col("c_custkey").as("user_id"),
+        lit("databricks_import_canary_test_event").as("event_type"),
+        format_string("""{"name":"%s","nation":%d,"segment":"%s"}""",
+          col("c_name"), col("c_nationkey"), col("c_mktsegment")).as("user_properties")
+      )
+
+  // Synthetic CDC decoration shared by q08/q09 — the same expression appears
+  // verbatim in the DuckDB oracle, so the CDC semantics themselves (the
+  // null-safe filter + metadata drop in CdcFilter) are what's under test.
+  private val SyntheticChangeType =
+    """CASE WHEN event_id % 10 < 6 THEN 'insert'
+      |     WHEN event_id % 10 < 8 THEN 'update_postimage'
+      |     WHEN event_id % 10 = 8 THEN 'update_preimage'
+      |     ELSE 'delete' END""".stripMargin
+
+  private def syntheticCdc(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn(CdcFilter.ChangeTypeCol, expr(SyntheticChangeType))
+      .withColumn("_commit_version", (col("event_id") % 5).cast("long"))
+      .withColumn("_commit_timestamp", col("ts"))
+
+  /** q08: CDC EVENT semantics — inserts only, metadata dropped (P1+P2). */
+  def q08CdcEvent(spark: SparkSession, dir: String): DataFrame =
+    CdcFilter
+      .filterData(syntheticCdc(spark, dir), JobSpec.Event)
+      .select("event_id", "user_id", "event_type", "value")
+
+  /** q09: CDC property semantics — inserts + update post-images (upsert). */
+  def q09CdcProperty(spark: SparkSession, dir: String): DataFrame =
+    CdcFilter
+      .filterData(syntheticCdc(spark, dir), JobSpec.UserProperty)
+      .select("event_id", "user_id", "event_type", "value")
+
+  /** q10: VOID scrub observable behavior (P3) — null-typed columns at
+    * several nesting depths are pruned; surviving struct fields are then
+    * flattened so the oracle stays plain-relational.
+    */
+  def q10VoidScrub(spark: SparkSession, dir: String): DataFrame = {
+    val decorated = lineitem(spark, dir).select(
+      col("l_orderkey"),
+      col("l_linenumber"),
+      lit(null).as("void_col"),                                  // top-level VOID → dropped
+      array(lit(null)).as("void_array"),                         // Array[Void] → dropped
+      map_from_arrays(array(lit("k")), array(lit(null))).as("void_map"), // Map[_,Void] → dropped
+      struct(col("l_quantity").as("q"), lit(null).as("v")).as("s")       // struct pruned to {q}
+    )
+    val scrubbed = VoidScrub.dropVoidFields(decorated)
+    require(scrubbed.columns.sameElements(Array("l_orderkey", "l_linenumber", "s")),
+      s"void scrub produced unexpected columns: ${scrubbed.columns.mkString(",")}")
+    scrubbed.select(col("l_orderkey"), col("l_linenumber"), col("s.q").as("s_q"))
+  }
+
+  /** q11: identifier-aware SQL rewrite (S3, reference quirk FIXED) — the
+    * customer SQL references a dotted table name that also appears inside a
+    * string literal and as a prefix of another identifier; only the real
+    * identifier occurrence is rewritten to the temp view.
+    */
+  def q11SqlRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val view = SqlRewrite.tempViewName("main.tpch.lineitem", 0L)
+    lineitem(spark, dir).createOrReplaceTempView(view)
+    val customerSql =
+      """SELECT l_returnflag, 'main.tpch.lineitem' AS src_table, count(*) AS cnt
+        |FROM main.tpch.lineitem
+        |WHERE l_quantity > 10
+        |GROUP BY l_returnflag""".stripMargin
+    val rewritten = SqlRewrite.rewrite(customerSql, Map("main.tpch.lineitem" -> view))
+    require(rewritten.contains("'main.tpch.lineitem'"), "string literal must survive the rewrite")
+    spark.sql(rewritten)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01PricingSummary _),
+    "q02_star_join" -> (q02StarJoin _),
+    "q03_window_top_orders" -> (q03WindowTopOrders _),
+    "q04_topk" -> (q04TopK _),
+    "q05_setops" -> (q05SetOps _),
+    "q06_rollup" -> (q06Rollup _),
+    "q07_envelope" -> (q07Envelope _),
+    "q08_cdc_event" -> (q08CdcEvent _),
+    "q09_cdc_property" -> (q09CdcProperty _),
+    "q10_void_scrub" -> (q10VoidScrub _),
+    "q11_sql_rewrite" -> (q11SqlRewrite _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       round(avg(l_quantity), 4) AS avg_qty,
+        |       round(avg(l_discount), 4) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_star_join" ->
+      """SELECT r_name, n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       count(*) AS line_count
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q03_window_top_orders" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+    "q04_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+        |LIMIT 100""".stripMargin,
+    "q05_setops" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |EXCEPT
+        |SELECT c_custkey FROM customer WHERE c_nationkey = 3""".stripMargin,
+    "q06_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       count(*) AS line_count,
+        |       count(DISTINCT l_partkey) AS distinct_parts,
+        |       round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q07_envelope" ->
+      """SELECT 1704067200000 AS time,
+        |       c_custkey AS user_id,
+        |       'databricks_import_canary_test_event' AS event_type,
+        |       printf('{"name":"%s","nation":%d,"segment":"%s"}',
+        |              c_name, c_nationkey, c_mktsegment) AS user_properties
+        |FROM customer""".stripMargin,
+    "q08_cdc_event" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE (CASE WHEN event_id % 10 < 6 THEN 'insert'
+        |            WHEN event_id % 10 < 8 THEN 'update_postimage'
+        |            WHEN event_id % 10 = 8 THEN 'update_preimage'
+        |            ELSE 'delete' END) = 'insert'""".stripMargin,
+    "q09_cdc_property" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE (CASE WHEN event_id % 10 < 6 THEN 'insert'
+        |            WHEN event_id % 10 < 8 THEN 'update_postimage'
+        |            WHEN event_id % 10 = 8 THEN 'update_preimage'
+        |            ELSE 'delete' END) IN ('insert', 'update_postimage')""".stripMargin,
+    "q10_void_scrub" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity AS s_q FROM lineitem",
+    "q11_sql_rewrite" ->
+      """SELECT l_returnflag, 'main.tpch.lineitem' AS src_table, count(*) AS cnt
+        |FROM lineitem WHERE l_quantity > 10 GROUP BY l_returnflag""".stripMargin
+  )
+}

@@ -1,0 +1,31 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Test-table access for the driver's TPC-H-ish fixtures (TESTDATA.md).
+  *
+  * Reads are plain Parquet scans: column pruning and predicate pushdown
+  * reach the scan untouched (verify with `.explain` → `ReadSchema` /
+  * `PushedFilters`), which is the property that matters when the same query
+  * shape runs over 100 TB instead of 60k rows.
+  */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
+    // rejects unless nanos are surfaced as long (nanos since epoch). Set
+    // defensively here because the driver may hand us a fresh session.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "region")
+  def events(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
+}

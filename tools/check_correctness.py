@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's t2 correctness gate.
+
+Usage: python3 tools/check_correctness.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs the
+matching oracle SQL from oracle_sql.json in DuckDB over the sfDir tables,
+sorts columns by name and rows by all columns, and compares values.
+Driver-side tooling only (pyarrow/duckdb/pandas) — not part of the engine.
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def values_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b or abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+    return a == b
+
+
+def main() -> int:
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    out = Path(out_dir)
+    oracle = json.loads((out / "oracle_sql.json").read_text())
+
+    con = duckdb.connect()
+    for table in ("region nation customer supplier part orders lineitem "
+                  "events documents embeddings").split():
+        con.execute(
+            f"CREATE VIEW {table} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{table}.parquet')")
+
+    failures = 0
+    for result_dir in sorted(p for p in out.iterdir() if p.is_dir()):
+        name = result_dir.name
+        try:
+            got = pd.read_parquet(result_dir)
+        except Exception as e:
+            print(f"FAIL  {name}: cannot read spark result: {e}")
+            failures += 1
+            continue
+        if name not in oracle:
+            print(f"skip  {name}: no oracle (rows-only check): rows={len(got)}")
+            if len(got) == 0:
+                print(f"WARN  {name}: zero rows")
+            continue
+        try:
+            want = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL  {name}: oracle SQL error: {e}")
+            failures += 1
+            continue
+        got_n, want_n = normalize(got), normalize(want)
+        if list(got_n.columns) != list(want_n.columns):
+            print(f"FAIL  {name}: columns differ: spark={list(got_n.columns)} "
+                  f"duckdb={list(want_n.columns)}")
+            failures += 1
+            continue
+        if len(got_n) != len(want_n):
+            print(f"FAIL  {name}: row count differs: spark={len(got_n)} duckdb={len(want_n)}")
+            failures += 1
+            continue
+        mismatch = None
+        for col in got_n.columns:
+            ga, wa = got_n[col].tolist(), want_n[col].tolist()
+            for i, (x, y) in enumerate(zip(ga, wa)):
+                if not values_equal(x, y):
+                    mismatch = (col, i, x, y)
+                    break
+            if mismatch:
+                break
+        if mismatch:
+            col, i, x, y = mismatch
+            print(f"FAIL  {name}: value mismatch col={col} row={i}: spark={x!r} duckdb={y!r}")
+            failures += 1
+        else:
+            print(f"OK    {name}: {len(got_n)} rows, {len(got_n.columns)} cols")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
