@@ -58,12 +58,15 @@ object SparkEntry {
     spark.read.json(s"$work/out")
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2, plus the
+    * LLM-data-pipeline extensions (dedup / similarity / text / multimodal)
+    * and event analytics.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ParityQueries.queries
+    ParityQueries.queries ++ graft.queries.EventQueries.queries ++ graft.ext.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ParityQueries.oracleSql
+    ParityQueries.oracleSql ++ graft.queries.EventQueries.oracleSql ++ graft.ext.ExtQueries.oracleSql
 }

@@ -1,0 +1,280 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.Tables._
+
+/** LLM-data-pipeline extension queries (dedup / similarity / text analysis /
+  * multimodal) with DuckDB oracles.
+  *
+  * The non-trivial oracles (MinHash, SimHash, rolling hash) are *generated*
+  * from the same constants as the Spark implementation, so both engines run
+  * the identical integer/md5 arithmetic — an exact cross-engine contract,
+  * not a fuzzy similarity check.
+  */
+object ExtQueries {
+
+  // DuckDB fragment: normalized text (matches TextAnalysis.normalize)
+  private val DNorm = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
+
+  // ---------------- dedup ----------------
+
+  def q20DedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(documents(spark, dir))
+
+  private val q20Oracle =
+    s"""SELECT md5($DNorm) AS fingerprint, min(doc_id) AS keeper_id, count(*)::BIGINT AS copies
+       |FROM documents GROUP BY 1""".stripMargin
+
+  def q21DedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDups(documents(spark, dir), threshold = 0.5)
+
+  /** MinHash oracle, generated from the same [[Dedup.hashParams]]. */
+  private def q21Oracle: String = {
+    val params = Dedup.hashParams(16)
+    val p = Dedup.Mersenne31
+    val mh = params.zipWithIndex.map { case (hp, j) =>
+      s"list_min(list_transform(sh, s -> (${hp.a} * (('0x' || substr(md5(s),1,15))::BIGINT % $p) + ${hp.b}) % $p)) AS mh$j"
+    }.mkString(",\n         ")
+    val bandSelects = (0 until 4).map { b =>
+      val slice = (0 until 4).map(r => s"mh${b * 4 + r}").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, md5($slice) AS bucket FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH n AS (SELECT doc_id, $DNorm AS t FROM documents),
+       |sh AS (SELECT doc_id, list_distinct([substr(t, i, 5) FOR i IN range(1, len(t)-3)]) AS sh
+       |       FROM n WHERE len(t) >= 5),
+       |sig AS (SELECT doc_id, sh,
+       |         $mh
+       |        FROM sh),
+       |bands AS (
+       |  $bandSelects
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b USING (band, bucket)
+       |  WHERE a.doc_id < b.doc_id
+       |),
+       |pairs AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |         round(len(list_intersect(s1.sh, s2.sh))::DOUBLE
+       |               / len(list_distinct(list_concat(s1.sh, s2.sh))), 4) AS jaccard
+       |  FROM cand c
+       |  JOIN sh s1 ON s1.doc_id = c.doc_a
+       |  JOIN sh s2 ON s2.doc_id = c.doc_b
+       |)
+       |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5""".stripMargin
+  }
+
+  def q22DedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir).select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+
+  /** SimHash oracle: 48 per-bit ±1 sums, generated. */
+  private def q22Oracle: String = {
+    val bits = (0 until 48).map { b =>
+      s"CASE WHEN list_sum(list_transform(th, h -> 2 * ((h >> $b) & 1) - 1)) >= 0 THEN ${1L << b} ELSE 0 END"
+    }.mkString("\n       + ")
+    s"""WITH n AS (SELECT doc_id, $DNorm AS t FROM documents),
+       |tk AS (SELECT doc_id,
+       |        list_transform(string_split(t, ' '), x -> ('0x' || substr(md5(x),1,12))::BIGINT) AS th
+       |       FROM n)
+       |SELECT doc_id,
+       |       ($bits)::BIGINT AS simhash
+       |FROM tk""".stripMargin
+  }
+
+  def q23NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(documents(spark, dir), blockCols = Seq("lang", "source"))
+
+  private val q23Oracle =
+    s"""WITH n AS (SELECT doc_id, lang, source, string_split($DNorm, ' ') AS tk FROM documents),
+       |g AS (SELECT doc_id, lang, source,
+       |        CASE WHEN len(tk) >= 3
+       |             THEN list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+       |                                 FOR i IN range(1, len(tk)-1)])
+       |             ELSE [] END AS ng
+       |      FROM n)
+       |SELECT a.lang, a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       round(len(list_intersect(a.ng, b.ng))::DOUBLE
+       |             / len(list_distinct(list_concat(a.ng, b.ng))), 4) AS jaccard
+       |FROM g a JOIN g b
+       |  ON a.lang = b.lang AND a.source = b.source
+       | AND b.doc_id - a.doc_id BETWEEN 1 AND 200""".stripMargin
+
+  def q24EmbedNearDup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(embeddings(spark, dir), blockCol = "label", threshold = 0.25)
+
+  private val DCos =
+    "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+
+  private val q24Oracle =
+    s"""WITH e AS (SELECT label, vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |p AS (SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b, $DCos AS cos
+       |      FROM e a JOIN e b ON a.label = b.label
+       |       AND b.vec_id - a.vec_id BETWEEN 1 AND 200)
+       |SELECT block, id_a, id_b, round(cos, 4) AS cos_r FROM p WHERE cos >= 0.25""".stripMargin
+
+  // ---------------- similarity search ----------------
+
+  def q30KnnBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8), k = 5)
+  }
+
+  private val q30Oracle =
+    """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
+      |c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+      |s AS (SELECT q_id, vec_id,
+      |        list_dot_product(qv, cv)
+      |          / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS score
+      |      FROM q, c WHERE vec_id <> q_id),
+      |r AS (SELECT q_id, vec_id, score,
+      |        row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank
+      |      FROM s)
+      |SELECT q_id, vec_id, rank, round(score, 4) AS score_r FROM r WHERE rank <= 5""".stripMargin
+
+  /** ANN (LSH-bucketed) — approximate by design, so no value oracle; the
+    * spec checks recall against the brute-force tier instead (rows-only in
+    * the driver gate).
+    */
+  def q31KnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+    Similarity.lshTopK(e, e.filter(col("vec_id") < 8), k = 5, planes = 6)
+  }
+
+  // ---------------- text analysis ----------------
+
+  private val dHits: Map[String, String] = TextAnalysis.LangStopwords.map { case (lang, words) =>
+    val list = words.map(w => s"'$w'").mkString(", ")
+    lang -> s"len(list_filter(string_split($DNorm, ' '), t_ -> t_ IN ($list)))::INT"
+  }.toMap
+
+  def q40LangId(spark: SparkSession, dir: String): DataFrame = {
+    val scores = TextAnalysis.langScores(col("text"))
+    documents(spark, dir).select(
+      (col("doc_id") +: scores.map { case (l, c) => c.as(s"${l}_hits") }) :+
+        TextAnalysis.langGuess(scores).as("lang_guess"): _*)
+  }
+
+  private def q40Oracle: String = {
+    val langs = TextAnalysis.LangStopwords.map(_._1)
+    val cases = langs.map { l =>
+      val conds = langs.filterNot(_ == l).map(o => s"${l}_hits >= ${o}_hits").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("\n         ")
+    s"""WITH h AS (SELECT doc_id, ${langs.map(l => s"${dHits(l)} AS ${l}_hits").mkString(",\n        ")}
+       |           FROM documents)
+       |SELECT doc_id, ${langs.map(l => s"${l}_hits").mkString(", ")},
+       |       CASE $cases
+       |            ELSE 'und' END AS lang_guess
+       |FROM h""".stripMargin
+  }
+
+  def q41Quality(spark: SparkSession, dir: String): DataFrame = {
+    val text = col("text")
+    val nTok = TextAnalysis.tokenCount(text)
+    val punct = TextAnalysis.punctCount(text)
+    val stop = TextAnalysis.stopwordHits(TextAnalysis.tokens(text), TextAnalysis.LangStopwords.head._2)
+    documents(spark, dir).select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      punct.as("punct"),
+      stop.as("stop_hits"),
+      TextAnalysis.qualityScore(nTok, punct, stop, col("n_chars")).as("quality"))
+  }
+
+  private def q41Oracle: String = {
+    val en = dHits("en")
+    s"""WITH c AS (SELECT doc_id,
+       |        len(string_split($DNorm, ' '))::INT AS n_tokens,
+       |        len(regexp_extract_all(text, '[.,!?;:]'))::INT AS punct,
+       |        $en AS stop_hits
+       |      FROM documents)
+       |SELECT doc_id, n_tokens, punct, stop_hits,
+       |       round(0.3 * least(1.0, n_tokens::DOUBLE / 100.0)
+       |           + 0.4 * (1.0 - least(1.0, punct::DOUBLE / greatest(n_tokens::DOUBLE, 1.0)))
+       |           + 0.3 * least(1.0, 4.0 * stop_hits::DOUBLE / greatest(n_tokens::DOUBLE, 1.0)), 4)
+       |         AS quality
+       |FROM c""".stripMargin
+  }
+
+  def q42TokenStats(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("ws_tokens"),
+        sum(TextAnalysis.bpeTokenCount(col("text")).cast("long")).as("bpe_tokens"),
+        sum(col("n_chars")).as("chars"))
+
+  private val q42Oracle =
+    s"""SELECT source, count(*)::BIGINT AS docs,
+       |       sum(len(string_split($DNorm, ' ')))::BIGINT AS ws_tokens,
+       |       sum(len(regexp_extract_all($DNorm, '${TextAnalysis.BpeTokenPattern}')))::BIGINT AS bpe_tokens,
+       |       sum(n_chars)::BIGINT AS chars
+       |FROM documents GROUP BY source""".stripMargin
+
+  def q43Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir).select(
+      col("doc_id"),
+      TextAnalysis.md5Fingerprint(col("text")).as("fingerprint"),
+      TextAnalysis.rollingHash(col("text")).as("rolling_hash"))
+
+  private val q43Oracle =
+    s"""WITH n AS (SELECT doc_id, $DNorm AS t FROM documents)
+       |SELECT doc_id, md5(t) AS fingerprint,
+       |       list_reduce(
+       |         list_prepend(0::BIGINT,
+       |           list_transform([substr(t, i, 1) FOR i IN range(1, len(t)+1)],
+       |                          c -> ascii(c)::BIGINT)),
+       |         (a, b) -> (a * 31 + b) % 1000000007) AS rolling_hash
+       |FROM n""".stripMargin
+
+  // ---------------- multimodal ----------------
+
+  def q50Multimodal(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(spark, Multimodal.attachMedia(documents(spark, dir))).toDF()
+
+  private val q50Oracle =
+    """WITH m AS (SELECT doc_id, substr(text, 1, 64) AS p FROM documents)
+      |SELECT doc_id,
+      |       octet_length(encode(p))::INT AS n_bytes,
+      |       ascii(substr(p, 1, 1))::INT AS first_byte,
+      |       round(list_sum(list_transform([substr(p, i, 1) FOR i IN range(1, len(p)+1)],
+      |                                     c -> ascii(c)))::DOUBLE / octet_length(encode(p)), 4)
+      |         AS mean_byte,
+      |       ((octet_length(encode(p)) + 15) // 16)::INT AS n_frames
+      |FROM m""".stripMargin
+
+  // ---------------- registry ----------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_dedup_exact" -> (q20DedupExact _),
+    "q21_dedup_minhash" -> (q21DedupMinhash _),
+    "q22_dedup_simhash" -> (q22DedupSimhash _),
+    "q23_ngram_jaccard" -> (q23NgramJaccard _),
+    "q24_embed_neardup" -> (q24EmbedNearDup _),
+    "q30_knn_brute" -> (q30KnnBruteForce _),
+    "q31_knn_lsh" -> (q31KnnLsh _),
+    "q40_lang_id" -> (q40LangId _),
+    "q41_quality" -> (q41Quality _),
+    "q42_token_stats" -> (q42TokenStats _),
+    "q43_fingerprint" -> (q43Fingerprint _),
+    "q50_multimodal" -> (q50Multimodal _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q20_dedup_exact" -> q20Oracle,
+    "q21_dedup_minhash" -> q21Oracle,
+    "q22_dedup_simhash" -> q22Oracle,
+    "q23_ngram_jaccard" -> q23Oracle,
+    "q24_embed_neardup" -> q24Oracle,
+    "q30_knn_brute" -> q30Oracle,
+    // q31_knn_lsh: approximate — rows-only check by design
+    "q40_lang_id" -> q40Oracle,
+    "q41_quality" -> q41Oracle,
+    "q42_token_stats" -> q42Oracle,
+    "q43_fingerprint" -> q43Oracle,
+    "q50_multimodal" -> q50Oracle
+  )
+}

@@ -1,0 +1,69 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: images/audio/video as opaque `binary` columns
+  * with typed metadata, plus partition-batched feature extraction.
+  *
+  * The decode step is a clearly-marked STUB (no image/audio codecs ship in
+  * this environment): `stubDecode` derives deterministic fake features from
+  * the raw bytes. Everything AROUND the stub is the real production shape:
+  *
+  *   - media rides a `binary` column + a `media_meta` struct (mime, size),
+  *     exactly how Parquet stores blobs — column pruning means relational
+  *     queries never deserialize the payload;
+  *   - extraction runs via `mapPartitions` over a typed Dataset — the Scala
+  *     analogue of `mapInPandas`: per-partition batch iteration, so a real
+  *     decoder would amortize model/codec init once per partition (per
+  *     executor-core at scale), not per row;
+  *   - output is a flat feature frame joinable back on doc_id.
+  */
+object Multimodal {
+
+  final case class MediaRow(doc_id: Long, media: Array[Byte])
+
+  final case class MediaFeatures(
+      doc_id: Long,
+      n_bytes: Int,
+      first_byte: Int,
+      mean_byte: Double,
+      n_frames: Int
+  )
+
+  /** Attach a synthetic binary media column (utf-8 bytes of a text prefix —
+    * a stand-in for real image/audio payload) plus typed metadata.
+    */
+  def attachMedia(docs: DataFrame, prefixLen: Int = 64): DataFrame =
+    docs
+      .withColumn("media", encode(substring(col("text"), 1, prefixLen), "utf-8"))
+      .withColumn("media_meta",
+        struct(lit("application/octet-stream").as("mime"),
+          octet_length(col("media")).as("size_bytes")))
+
+  /** STUB decoder — stands in for image decode / resize / frame sampling.
+    * Deterministic features straight from the bytes so tests and oracles
+    * can verify the plumbing end-to-end.
+    */
+  def stubDecode(id: Long, bytes: Array[Byte], frameSize: Int): MediaFeatures = {
+    val n = bytes.length
+    val first = if (n > 0) bytes(0) & 0xff else 0
+    val mean = if (n > 0) bytes.iterator.map(_ & 0xff).sum.toDouble / n else 0.0
+    val frames = (n + frameSize - 1) / frameSize // "frame sample": ceil(n/frameSize) chunks
+    // HALF_UP to match SQL round() semantics in the cross-engine oracle
+    val meanR = BigDecimal(mean).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    MediaFeatures(id, n, first, meanR, frames)
+  }
+
+  /** Partition-batched feature extraction over the media column. */
+  def extractFeatures(spark: SparkSession, media: DataFrame, frameSize: Int = 16): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media
+      .select(col("doc_id"), col("media"))
+      .as[MediaRow]
+      .mapPartitions { batch =>
+        // real pipeline: init codec/model once here, then stream the batch
+        batch.map(row => stubDecode(row.doc_id, row.media, frameSize))
+      }
+  }
+}

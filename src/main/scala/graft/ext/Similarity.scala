@@ -1,0 +1,140 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two tiers:
+  *   - brute-force cosine top-k: exact baseline. The QUERY side is broadcast
+  *     (it's the small side by construction), so the candidate generation is
+  *     a map-side nested loop over the corpus scan — no shuffle until the
+  *     final per-query top-k reduction;
+  *   - LSH-bucketed ANN (random hyperplane signatures): the scale path. Each
+  *     vector gets a `planes`-bit signature; candidates share a bucket (plus
+  *     optional 1-bit multiprobe for recall), so candidate count per query is
+  *     ~corpus/2^planes instead of corpus.
+  *
+  * All arithmetic is elementwise-double with a sequential fold (matching the
+  * DuckDB oracle's `list_dot_product` on `DOUBLE[]` bit-for-bit). Hyperplanes
+  * come from a fixed-seed RNG so runs are reproducible.
+  */
+object Similarity {
+
+  /** Elementwise double view of a float-array column. */
+  private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity of two float-array columns, computed in double. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = asDouble(a)
+    val bd = asDouble(b)
+    dot(ad, bd) / (norm(ad) * norm(bd))
+  }
+
+  /** Exact brute-force top-k: for each query vector, the k nearest corpus
+    * vectors by cosine (self excluded), rank ties broken by vec_id.
+    *
+    * Scale shape: `broadcast(queries)` ⇒ BroadcastNestedLoopJoin — the
+    * corpus is scanned once, partition-parallel, and only |Q|·|corpus| score
+    * rows enter the per-query top-k window. For large |Q| switch to the LSH
+    * tier.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+
+    val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")))
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec"))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
+    c.join(q, col("vec_id") =!= col("q_id"))
+      .withColumn("score", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rank"), round(col("score"), 4).as("score_r"))
+  }
+
+  /** Deterministic Gaussian hyperplanes (fixed seed). */
+  def randomPlanes(planes: Int, dim: Int, seed: Long = 7L): Seq[Seq[Double]] = {
+    val rng = new java.util.Random(seed)
+    Seq.fill(planes)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Sign-of-projection LSH signature (one bit per hyperplane). */
+  def lshSignature(vec: Column, planes: Seq[Seq[Double]]): Column = {
+    val vd = asDouble(vec)
+    planes.zipWithIndex
+      .map { case (p, i) =>
+        when(dot(vd, typedLit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
+      }
+      .reduce(_ + _)
+  }
+
+  /** ANN top-k via LSH buckets with 1-bit multiprobe on the query side.
+    * Candidates = corpus rows whose signature matches the query's signature
+    * or differs in exactly one bit; exact cosine re-ranking within
+    * candidates. Returns (q_id, vec_id, rank, score_r) like the exact tier —
+    * recall < 1 by construction, evaluated in the spec against brute force.
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      planes: Int = 12,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+
+    val ps = randomPlanes(planes, dim)
+    val c = corpus.select(
+      col(idCol).as("vec_id"), col(vecCol).as("c_vec"),
+      lshSignature(col(vecCol), ps).as("bucket"))
+
+    // query probes: own bucket + all 1-bit flips
+    val probeBuckets = (0 until planes).foldLeft(array(col("sig"))) { (acc, i) =>
+      concat(acc, array(expr(s"sig ^ ${1L << i}")))
+    }
+    val q = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        lshSignature(col(vecCol), ps).as("sig"))
+      .withColumn("bucket", explode(probeBuckets))
+      .select("q_id", "q_vec", "bucket")
+
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .dropDuplicates("q_id", "vec_id")
+      .withColumn("score", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rank"), round(col("score"), 4).as("score_r"))
+  }
+
+  /** Embedding near-duplicate pairs within a blocking key and id window —
+    * the cosine tier of the dedup ladder (see [[Dedup]]).
+    */
+  def cosineNearDupPairs(
+      vectors: DataFrame,
+      blockCol: String,
+      threshold: Double,
+      window: Long = 200L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+
+    val a = vectors.select(col(blockCol).as("block"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = vectors.select(col(blockCol).as("block"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(b, Seq("block"))
+      .filter((col("id_b") - col("id_a")).between(lit(1), lit(window)))
+      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("block"), col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_r"))
+  }
+}

@@ -1,0 +1,121 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines: normalization,
+  * language ID (stopword heuristic), quality scoring, token counting and
+  * document fingerprinting.
+  *
+  * Everything here is pure Catalyst expression composition (codegen'd
+  * higher-order functions, zero UDFs) — per-document, embarrassingly
+  * parallel, no shuffle: at 100 TB these run at scan speed and the only
+  * exchange is whatever aggregation the caller adds downstream.
+  *
+  * Determinism matters doubly: each operator is mirrored by a DuckDB oracle
+  * (ExtQueries), so all arithmetic is integer/string-based or explicit
+  * double division — identical bit-for-bit across engines.
+  */
+object TextAnalysis {
+
+  /** Whitespace-collapsed, lower-cased, trimmed text — the canonical form
+    * used by dedup and fingerprinting.
+    */
+  def normalize(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  def tokens(text: Column): Column = split(normalize(text), " ")
+
+  /** Stopword-list hit count for one language. */
+  def stopwordHits(toks: Column, stopwords: Seq[String]): Column =
+    size(filter(toks, t => t.isin(stopwords.map(s => s: Any): _*)))
+
+  /** Tiny deterministic language-ID heuristic: argmax of per-language
+    * stopword hits (ties broken in fixed language order). Real lang-ID would
+    * use char n-gram profiles; the *shape* (per-doc scoring, no shuffle) is
+    * what carries to scale.
+    */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "to", "and", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "les", "des", "et", "une", "est")
+  )
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    LangStopwords.map { case (lang, words) => lang -> stopwordHits(toks, words) }
+  }
+
+  def langGuess(scores: Seq[(String, Column)]): Column = {
+    // argmax with first-wins tie-break, as a CASE chain: a language wins if
+    // its score is >= every other score.
+    val guesses = scores.map { case (lang, s) =>
+      val others = scores.collect { case (l2, s2) if l2 != lang => s2 }
+      (others.foldLeft(lit(true))((acc, o) => acc && s >= o), lang)
+    }
+    guesses.foldRight(lit("und")) { case ((cond, lang), els) => when(cond, lang).otherwise(els) }
+  }
+
+  /** Quality-score components: token count, mean token length, punctuation
+    * ratio, stopword ratio; composite in [0,1]. All divisions are explicit
+    * double casts (mirrors the oracle exactly).
+    */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[.,!?;:]"), lit(0)))
+
+  def qualityScore(nTok: Column, punct: Column, stopHits: Column, nChars: Column): Column = {
+    val tokD = nTok.cast("double")
+    val lengthScore = least(lit(1.0), tokD / lit(100.0))
+    val punctPenalty = lit(1.0) - least(lit(1.0), punct.cast("double") / greatest(tokD, lit(1.0)))
+    val stopScore = least(lit(1.0), lit(4.0) * stopHits.cast("double") / greatest(tokD, lit(1.0)))
+    round(lit(0.3) * lengthScore + lit(0.4) * punctPenalty + lit(0.3) * stopScore, 4)
+  }
+
+  /** "BPE-ish" subword segmentation: runs of letters, runs of digits, or a
+    * single other non-space char. Counted per document.
+    */
+  val BpeTokenPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(normalize(text), lit(BpeTokenPattern), lit(0)))
+
+  /** Polynomial rolling hash over the normalized text's character codes:
+    * `acc = (acc * 31 + code) mod 1e9+7` — integer-exact in any engine.
+    * Characters are taken via `substr(i, 1)` (not `split(text, "")`, whose
+    * Java-regex trailing-empty behavior differs across engines); empty text
+    * is guarded because `sequence(1, 0)` descends.
+    */
+  def rollingHash(text: Column): Column = {
+    val norm = normalize(text)
+    when(length(norm) >= 1,
+      aggregate(
+        transform(sequence(lit(1), length(norm)), i => ascii(norm.substr(i, lit(1))).cast("long")),
+        lit(0L),
+        (acc, code) => (acc * 31 + code) % 1000000007L
+      )).otherwise(lit(0L))
+  }
+
+  /** 128-bit content fingerprint (md5 of the normalized text) — the
+    * cheap exact-dup key.
+    */
+  def md5Fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** Convenience: full per-document text profile. */
+  def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val scores = langScores(text)
+    docs
+      .withColumn("n_tokens", tokenCount(text))
+      .withColumn("n_bpe_tokens", bpeTokenCount(text))
+      .withColumn("punct", punctCount(text))
+      .withColumns(scores.map { case (l, c) => s"${l}_hits" -> c }.toMap)
+      .withColumn("lang_guess", langGuess(scores.map { case (l, _) => l -> col(s"${l}_hits") }))
+      .withColumn("quality",
+        qualityScore(col("n_tokens"), col("punct"), col("en_hits"), col("n_chars")))
+      .withColumn("fingerprint", md5Fingerprint(text))
+      .withColumn("rolling_hash", rollingHash(text))
+  }
+}

@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over the `events` table — the product-analytics
+  * shapes the reference's ecosystem consumes downstream (sessionization,
+  * funnels, JSON property extraction, date/scalar transforms).
+  *
+  * `ts` reaches Spark as a long (nanos since epoch; see Tables.t), mirrored
+  * in DuckDB by `epoch_ns(ts)` — integer-exact across engines.
+  *
+  * Scale shapes: sessionization is the canonical "one shuffle on user_id,
+  * then everything within the window partition" pattern; the funnel is two
+  * conditional aggregations over the same shuffle; nothing here collects to
+  * the driver.
+  */
+object EventQueries {
+
+  import Tables._
+
+  private val SessionGapNs = 1800L * 1000 * 1000 * 1000 // 30 min
+
+  /** q12: gap-based sessionization — lag → new-session flag → running sum
+    * (ROWS frame, both engines) → per-session aggregate.
+    */
+  def q12Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("brk",
+        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > SessionGapNs, 1).otherwise(0))
+      .withColumn("session_id", sum(col("brk")).over(running))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("ts_start"),
+        max(col("ts")).as("ts_end"))
+  }
+
+  private val q12Oracle =
+    s"""WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tsn FROM events),
+       |l AS (SELECT user_id, event_id, tsn,
+       |        lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn ASC, event_id ASC) AS prev
+       |      FROM e),
+       |f AS (SELECT user_id, event_id, tsn,
+       |        CASE WHEN prev IS NULL OR tsn - prev > ${SessionGapNs} THEN 1 ELSE 0 END AS brk
+       |      FROM l),
+       |s AS (SELECT user_id, tsn,
+       |        sum(brk) OVER (PARTITION BY user_id ORDER BY tsn ASC, event_id ASC
+       |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |      FROM f)
+       |SELECT user_id, session_id::BIGINT AS session_id, count(*)::BIGINT AS n_events,
+       |       min(tsn) AS ts_start, max(tsn) AS ts_end
+       |FROM s GROUP BY user_id, s.session_id""".stripMargin
+
+  /** q13: two-step funnel — users whose first `signup` precedes a
+    * `purchase`. Conditional min + semi-join shape.
+    */
+  def q13Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val firstSignup = e
+      .filter(col("event_type") === "signup")
+      .groupBy("user_id")
+      .agg(min(col("ts")).as("signup_ts"))
+    val converted = e
+      .filter(col("event_type") === "purchase")
+      .join(firstSignup, "user_id")
+      .filter(col("ts") > col("signup_ts"))
+      .select("user_id")
+      .distinct()
+    firstSignup
+      .agg(count(lit(1)).as("n_signup_users"))
+      .crossJoin(converted.agg(count(lit(1)).as("n_converted")))
+  }
+
+  private val q13Oracle =
+    """WITH s AS (SELECT user_id, min(epoch_ns(ts)) AS signup_ts FROM events
+      |           WHERE event_type = 'signup' GROUP BY user_id),
+      |c AS (SELECT DISTINCT e.user_id FROM events e JOIN s ON e.user_id = s.user_id
+      |      WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > s.signup_ts)
+      |SELECT (SELECT count(*) FROM s)::BIGINT AS n_signup_users,
+      |       (SELECT count(*) FROM c)::BIGINT AS n_converted""".stripMargin
+
+  /** q14: JSON property extraction + aggregation (`props` is a JSON string). */
+  def q14JsonProps(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("k")), 4).as("avg_k"),
+        max(col("k")).as("max_k"))
+
+  private val q14Oracle =
+    """SELECT event_type, count(*)::BIGINT AS n,
+      |       round(avg(json_extract_string(props, '$.k')::INT), 4) AS avg_k,
+      |       max(json_extract_string(props, '$.k')::INT)::INT AS max_k
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** q15: scalar/date function suite — string, math and date families over
+    * one pass (daily rollup keyed by a formatted date string).
+    */
+  def q15ScalarSuite(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("day", date_format(timestamp_micros((col("ts") / 1000L).cast("long")), "yyyy-MM-dd"))
+      .groupBy("day")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(sqrt(abs(col("value")))), 4).as("sum_sqrt_abs"),
+        round(avg(length(upper(col("event_type")))), 4).as("avg_type_len"),
+        sum(floor(col("value")).cast("long")).as("sum_floor"))
+
+  private val q15Oracle =
+    """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |       count(*)::BIGINT AS n,
+      |       round(sum(sqrt(abs(value))), 4) AS sum_sqrt_abs,
+      |       round(avg(length(upper(event_type))), 4) AS avg_type_len,
+      |       sum(floor(value)::BIGINT)::BIGINT AS sum_floor
+      |FROM events GROUP BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q12_sessionize" -> (q12Sessionize _),
+    "q13_funnel" -> (q13Funnel _),
+    "q14_json_props" -> (q14JsonProps _),
+    "q15_scalar_suite" -> (q15ScalarSuite _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q12_sessionize" -> q12Oracle,
+    "q13_funnel" -> q13Oracle,
+    "q14_json_props" -> q14Oracle,
+    "q15_scalar_suite" -> q15Oracle
+  )
+}
