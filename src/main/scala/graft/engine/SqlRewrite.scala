@@ -15,10 +15,17 @@ object SqlRewrite {
 
   /** Deterministic view name for a table + run epoch; mirrors the shape of
     * `build_temp_view_name` (`unload_databricks_data_to_s3.py:173-180`) but
-    * keeps it a single valid unquoted identifier.
+    * keeps it a single valid unquoted identifier. Flattening dots to
+    * underscores alone is not injective (`a.b_c` and `a_b.c` collide), so an
+    * md5 prefix of the ORIGINAL dotted name is appended — distinct tables can
+    * never bind to the same view within one attempt.
     */
-  def tempViewName(table: String, epochMs: Long): String =
-    table.replace('.', '_') + "_view_" + epochMs
+  def tempViewName(table: String, epochMs: Long): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(table.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val tag = digest.take(4).map(b => f"$b%02x").mkString
+    table.replace('.', '_') + "_" + tag + "_view_" + epochMs
+  }
 
   private final val IdentChar = (c: Char) => c.isLetterOrDigit || c == '_' || c == '.'
 

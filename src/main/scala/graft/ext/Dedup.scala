@@ -45,17 +45,29 @@ object Dedup {
 
   // ---------------- MinHash + LSH ----------------
 
-  /** Character k-shingles of the normalized text, distinct. Guarded against
-    * short strings: Spark's `sequence(1, 0)` DESCENDS ([1,0]), so the
-    * transform only runs when at least one shingle exists.
+  /** Character k-shingles over an ALREADY-NORMALIZED column reference,
+    * distinct. Guarded against short strings: Spark's `sequence(1, 0)`
+    * DESCENDS ([1,0]), so the transform only runs when at least one shingle
+    * exists.
+    *
+    * Callers must pass a cheap column (an attribute), not an expression
+    * tree: anything passed here is embedded INSIDE the per-element lambda
+    * and re-evaluated once per shingle — an inlined `normalize` turns
+    * shingling into O(len² · regex) per document. Project the normalized
+    * text first (Catalyst's CollapseProject keeps the projection because the
+    * expensive producer is referenced more than once).
     */
-  def shingles(text: Column, k: Int = 5): Column = {
-    val norm = TextAnalysis.normalize(text)
-    when(length(norm) >= k,
+  def shinglesOfNorm(t: Column, k: Int = 5): Column =
+    when(length(t) >= k,
       array_distinct(
-        transform(sequence(lit(1), length(norm) - (k - 1)), i => norm.substr(i, lit(k)))))
+        transform(sequence(lit(1), length(t) - (k - 1)), i => t.substr(i, lit(k)))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Convenience form over raw text — fine for one-off use; hot paths should
+    * project [[TextAnalysis.normalize]] first and call [[shinglesOfNorm]].
+    */
+  def shingles(text: Column, k: Int = 5): Column =
+    shinglesOfNorm(TextAnalysis.normalize(text), k)
 
   /** 60-bit base hash of a shingle via md5 (hex → bigint). */
   def baseHash(s: Column): Column =
@@ -74,16 +86,24 @@ object Dedup {
     }
   }
 
-  /** MinHash signature: for each hash fn j, min over shingles of
-    * `(a_j * (base % P) + b_j) % P`.
-    */
-  def minhashSignature(shingleArr: Column, params: Seq[HashParams]): Seq[Column] =
-    params.map { p =>
-      array_min(transform(shingleArr,
-        s => (lit(p.a) * (baseHash(s) % Mersenne31) + lit(p.b)) % Mersenne31))
-    }
-
   /** Banded LSH candidate pairs + Jaccard verification.
+    *
+    * 100 TB shape (each stage pays its cost exactly once):
+    *
+    *   1. md5 is computed ONCE per shingle (`hs = baseHash % P`), then the
+    *      bands×rows affine maps run over the cheap long array;
+    *   2. all band buckets come from ONE evaluation of the signature
+    *      pipeline, `posexplode`d into (band, bucket) rows — no per-band
+    *      union branches re-running the scan;
+    *   3. candidate generation is payload-free: only (doc_id, band, bucket)
+    *      reaches the shuffle. Pairs are enumerated inside each bucket via
+    *      groupBy + collect_list + a pair-comprehension HOF (one shuffle,
+    *      signature pipeline evaluated once); the full shingle sets are
+    *      fetched by doc_id re-join ONLY for surviving candidate pairs.
+    *
+    * A pathologically large bucket (16 agreeing minhashes) means the docs in
+    * it are near-identical, so its O(m²) pairs are inherent to the OUTPUT,
+    * not an artifact of the plan.
     *
     * @param bands       number of LSH bands
     * @param rowsPerBand signature rows hashed into each band bucket
@@ -99,35 +119,49 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
 
     val params = hashParams(bands * rowsPerBand)
-    val norm = TextAnalysis.normalize(col(textCol))
 
-    val withSig = docs
-      .filter(length(norm) >= k)
-      .select(col(idCol).as("doc_id"), shingles(col(textCol), k).as("sh"))
-      .withColumn("sig", array(minhashSignature(col("sh"), params): _*))
+    // (doc_id, sh): evaluated by the signature pipeline, and re-joined by
+    // doc_id at verify time for surviving pairs only. The normalized text is
+    // its own projection so the regex runs once per doc, not once per
+    // shingle (see [[shinglesOfNorm]]).
+    val shingled = docs
+      .select(col(idCol).as("doc_id"), TextAnalysis.normalize(col(textCol)).as("t"))
+      .filter(length(col("t")) >= k)
+      .select(col("doc_id"), shinglesOfNorm(col("t"), k).as("sh"))
 
-    // band buckets: bucket key = md5 of the band's signature slice
-    val bandRows = (0 until bands).map { b =>
-      withSig.select(
-        col("doc_id"), col("sh"),
-        lit(b).as("band"),
-        md5(concat_ws(",", (0 until rowsPerBand).map(r => col("sig")(b * rowsPerBand + r)): _*))
-          .as("bucket"))
-    }.reduce(_ unionAll _)
+    // hash once per shingle; 16 affine maps over the long array
+    val withSig = shingled
+      .select(col("doc_id"), transform(col("sh"), s => baseHash(s) % Mersenne31).as("hs"))
+      .select(
+        col("doc_id"),
+        array(params.map(p =>
+          array_min(transform(col("hs"), h => (lit(p.a) * h + lit(p.b)) % Mersenne31))): _*).as("sig"))
 
-    // candidates: same (band, bucket); dedup pairs found in several bands
-    val a = bandRows.select(col("band"), col("bucket"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = bandRows.select(col("band"), col("bucket"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    val candidates = a
-      .join(b, Seq("band", "bucket"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b")
-      .dropDuplicates("doc_a", "doc_b")
+    // one band-bucket array per doc, posexploded → (doc_id, band, bucket)
+    val bandBuckets = array((0 until bands).map { b =>
+      md5(concat_ws(",", (0 until rowsPerBand).map(r => col("sig")(b * rowsPerBand + r)): _*))
+    }: _*)
+    val bandRows = withSig.select(col("doc_id"), posexplode(bandBuckets).as(Seq("band", "bucket")))
 
-    // verify: true Jaccard on the distinct shingle sets
+    // in-bucket pair enumeration: sort ids, emit (ids(i), ids(j)) for i < j
+    val ids = array_sort(collect_list(col("doc_id")))
+    val pairList = transform(col("ids"), (a, i) =>
+      transform(slice(col("ids"), i + lit(2), size(col("ids"))), b =>
+        struct(a.as("doc_a"), b.as("doc_b"))))
+    val candidates = bandRows
+      .groupBy("band", "bucket")
+      .agg(ids.as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(pairList)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .dropDuplicates("doc_a", "doc_b") // a pair can collide in several bands
+
+    // verify: true Jaccard on the distinct shingle sets, fetched per side
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val union = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
     candidates
+      .join(shingled.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(shingled.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .withColumn("jaccard", round(inter / union, 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
@@ -135,19 +169,32 @@ object Dedup {
 
   // ---------------- SimHash ----------------
 
-  /** 48-bit SimHash over whitespace tokens: per bit b, sum ±1 weighted by
-    * token-hash bit b; bit set iff the sum is >= 0. One pass, no shuffle.
+  /** 48-bit md5-derived hash per whitespace token — project this ONCE, then
+    * feed the resulting column to [[simhashOfHashes]]: the md5 runs once per
+    * token instead of once per token per sketch bit.
     */
-  def simhash(text: Column, bits: Int = 48): Column = {
-    val toks = TextAnalysis.tokens(text)
-    val hashes = transform(toks, t => conv(substring(md5(t), 1, 12), 16, 10).cast("long"))
+  def tokenHashes(text: Column): Column =
+    transform(TextAnalysis.tokens(text), t => conv(substring(md5(t), 1, 12), 16, 10).cast("long"))
+
+  /** 48-bit SimHash from a pre-hashed token column: per bit b, sum ±1
+    * weighted by token-hash bit b; bit set iff the sum is >= 0. Per-doc,
+    * no shuffle. `th` must be a cheap column reference — the 48 per-bit
+    * aggregates each re-evaluate whatever expression is passed here.
+    */
+  def simhashOfHashes(th: Column, bits: Int = 48): Column = {
     val bitCols = (0 until bits).map { b =>
-      val bitSum = aggregate(hashes, lit(0L),
+      val bitSum = aggregate(th, lit(0L),
         (acc, h) => acc + (shiftright(h, b) % 2L) * 2L - 1L)
       when(bitSum >= 0, lit(1L << b)).otherwise(lit(0L))
     }
     bitCols.reduce(_ + _)
   }
+
+  /** Convenience form over raw text — hot paths should project
+    * [[tokenHashes]] first and call [[simhashOfHashes]] on the column.
+    */
+  def simhash(text: Column, bits: Int = 48): Column =
+    simhashOfHashes(tokenHashes(text), bits)
 
   /** SimHash near-dup pairs: docs whose sketches agree on one of the
     * quarter-blocks (standard Hamming-block LSH) and whose full Hamming
@@ -159,7 +206,9 @@ object Dedup {
       textCol: String = "text",
       maxHamming: Int = 8): DataFrame = {
 
-    val sk = docs.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("sk"))
+    val sk = docs
+      .select(col(idCol).as("doc_id"), tokenHashes(col(textCol)).as("th"))
+      .select(col("doc_id"), simhashOfHashes(col("th")).as("sk"))
     // 4 blocking keys: 12-bit slices — near-dups (<=8 differing bits over 48)
     // must agree on at least one slice by pigeonhole when distance <= 3·12/…;
     // classic simhash blocking, recall-tuned by block count.
@@ -170,9 +219,7 @@ object Dedup {
 
     val a = blocks.select(col("q"), col("key"), col("doc_id").as("doc_a"), col("sk").as("sk_a"))
     val b = blocks.select(col("q"), col("key"), col("doc_id").as("doc_b"), col("sk").as("sk_b"))
-    val hamming = (0 until 48)
-      .map(i => ((shiftright(col("sk_a"), i) + shiftright(col("sk_b"), i)) % 2L).cast("int"))
-      .reduce(_ + _)
+    val hamming = bit_count(col("sk_a").bitwiseXOR(col("sk_b"))).cast("int")
     a.join(b, Seq("q", "key"))
       .filter(col("doc_a") < col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
@@ -183,20 +230,34 @@ object Dedup {
 
   // ---------------- n-gram Jaccard ----------------
 
-  /** Word n-grams of the normalized text (guarded like [[shingles]]). */
-  def wordNgrams(text: Column, n: Int = 3): Column = {
-    val toks = TextAnalysis.tokens(text)
+  /** Word n-grams over an ALREADY-TOKENIZED column reference (guarded like
+    * [[shinglesOfNorm]], and with the same inlining caveat: pass a cheap
+    * column, or the tokenizer's regex re-runs once per n-gram).
+    */
+  def wordNgramsOfToks(toks: Column, n: Int = 3): Column =
     when(size(toks) >= n,
       array_distinct(
         transform(sequence(lit(1), size(toks) - (n - 1)),
           i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Convenience form over raw text — hot paths should project
+    * [[TextAnalysis.tokens]] first and call [[wordNgramsOfToks]].
+    */
+  def wordNgrams(text: Column, n: Int = 3): Column =
+    wordNgramsOfToks(TextAnalysis.tokens(text), n)
 
   /** Pairwise n-gram Jaccard within a deterministic blocking window:
     * candidates share `blockCols` and sit within `window` ids of each other.
-    * Blocking keeps the self-join linear (each row meets O(window) others) —
-    * the 100 TB-safe shape for a verify tier.
+    *
+    * The id window is part of the JOIN KEY, not a post-join filter: ids are
+    * bucketed at `window` granularity (`id div window`) and the left side
+    * probes its own and the next bucket — any pair with
+    * `1 <= doc_b - doc_a <= window` lands in exactly one probe (the id
+    * bucket is monotone and advances by at most one per `window` ids), so
+    * no dedup is needed and candidate generation is O(rows × bucket
+    * population), never O(block²), even when one `blockCols` value
+    * dominates the corpus.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
@@ -206,13 +267,20 @@ object Dedup {
       n: Int = 3,
       window: Long = 200L): DataFrame = {
 
-    val base = docs.select(
-      (blockCols.map(col) :+ col(idCol).as("doc_id") :+ wordNgrams(col(textCol), n).as("ng")): _*)
+    val base = docs
+      .select(
+        (blockCols.map(col) :+ col(idCol).as("doc_id") :+
+          TextAnalysis.tokens(col(textCol)).as("toks")): _*)
+      .select(
+        (blockCols.map(col) :+ col("doc_id") :+ wordNgramsOfToks(col("toks"), n).as("ng")): _*)
     val a = base.toDF(blockCols ++ Seq("doc_a", "ng_a"): _*)
+      .withColumn("id_bucket",
+        explode(array(expr(s"doc_a div $window"), expr(s"doc_a div $window + 1"))))
     val b = base.toDF(blockCols ++ Seq("doc_b", "ng_b"): _*)
+      .withColumn("id_bucket", expr(s"doc_b div $window"))
     val inter = size(array_intersect(col("ng_a"), col("ng_b"))).cast("double")
     val union = size(array_union(col("ng_a"), col("ng_b"))).cast("double")
-    a.join(b, blockCols)
+    a.join(b, blockCols :+ "id_bucket")
       .filter((col("doc_b") - col("doc_a")).between(lit(1), lit(window)))
       .withColumn("jaccard", round(inter / union, 4))
       .select((blockCols.map(col) :+ col("doc_a") :+ col("doc_b") :+ col("jaccard")): _*)

@@ -67,7 +67,9 @@ object ExtQueries {
   }
 
   def q22DedupSimhash(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir).select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+    documents(spark, dir)
+      .select(col("doc_id"), Dedup.tokenHashes(col("text")).as("th"))
+      .select(col("doc_id"), Dedup.simhashOfHashes(col("th")).as("simhash"))
 
   /** SimHash oracle: 48 per-bit ±1 sums, generated. */
   private def q22Oracle: String = {
@@ -215,10 +217,12 @@ object ExtQueries {
        |FROM documents GROUP BY source""".stripMargin
 
   def q43Fingerprint(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir).select(
-      col("doc_id"),
-      TextAnalysis.md5Fingerprint(col("text")).as("fingerprint"),
-      TextAnalysis.rollingHash(col("text")).as("rolling_hash"))
+    documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.normalize(col("text")).as("t"))
+      .select(
+        col("doc_id"),
+        md5(col("t")).as("fingerprint"),
+        TextAnalysis.rollingHashOfNorm(col("t")).as("rolling_hash"))
 
   private val q43Oracle =
     s"""WITH n AS (SELECT doc_id, $DNorm AS t FROM documents)

@@ -52,11 +52,20 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
 
-    val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")))
-    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec"))
+    // Norms are computed once per ROW before the join (each side projects
+    // its double view + norm), so the per-PAIR work is a single dot product
+    // — not the 3 array passes an inlined cosine() would cost.
+    val q = broadcast(
+      queries
+        .select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_vec"))
+        .select(col("q_id"), col("q_vec"), norm(col("q_vec")).as("q_norm")))
+    val c = corpus
+      .select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("c_vec"))
+      .select(col("vec_id"), col("c_vec"), norm(col("c_vec")).as("c_norm"))
     val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
     c.join(q, col("vec_id") =!= col("q_id"))
-      .withColumn("score", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("score", dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+      .select("q_id", "vec_id", "score")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id"), col("rank"), round(col("score"), 4).as("score_r"))
@@ -68,15 +77,16 @@ object Similarity {
     Seq.fill(planes)(Seq.fill(dim)(rng.nextGaussian()))
   }
 
-  /** Sign-of-projection LSH signature (one bit per hyperplane). */
-  def lshSignature(vec: Column, planes: Seq[Seq[Double]]): Column = {
-    val vd = asDouble(vec)
+  /** Sign-of-projection LSH signature (one bit per hyperplane). `vec` must
+    * be an `array<double>` column REFERENCE — it is evaluated once per
+    * plane, so an inlined cast/expression would be recomputed per plane.
+    */
+  def lshSignature(vec: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex
       .map { case (p, i) =>
-        when(dot(vd, typedLit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
+        when(dot(vec, typedLit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
       }
       .reduce(_ + _)
-  }
 
   /** ANN top-k via LSH buckets with 1-bit multiprobe on the query side.
     * Candidates = corpus rows whose signature matches the query's signature
@@ -94,25 +104,32 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
 
     val ps = randomPlanes(planes, dim)
-    val c = corpus.select(
-      col(idCol).as("vec_id"), col(vecCol).as("c_vec"),
-      lshSignature(col(vecCol), ps).as("bucket"))
+    val c = corpus
+      .select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("c_vec"))
+      .select(col("vec_id"), col("c_vec"), norm(col("c_vec")).as("c_norm"),
+        lshSignature(col("c_vec"), ps).as("bucket"))
 
     // query probes: own bucket + all 1-bit flips
     val probeBuckets = (0 until planes).foldLeft(array(col("sig"))) { (acc, i) =>
       concat(acc, array(expr(s"sig ^ ${1L << i}")))
     }
     val q = queries
-      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-        lshSignature(col(vecCol), ps).as("sig"))
+      .select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_vec"))
+      .select(col("q_id"), col("q_vec"), norm(col("q_vec")).as("q_norm"),
+        lshSignature(col("q_vec"), ps).as("sig"))
       .withColumn("bucket", explode(probeBuckets))
-      .select("q_id", "q_vec", "bucket")
+      .select("q_id", "q_vec", "q_norm", "bucket")
 
+    // The probe buckets of one query are pairwise distinct (sig ^ x is
+    // injective in x) and each corpus row has exactly one bucket, so a
+    // (q_id, vec_id) pair can match at most once — no dedup needed, and the
+    // only shuffle is the per-query top-k window over (q_id, vec_id, score):
+    // the vectors never leave the map side.
     val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
     c.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
-      .dropDuplicates("q_id", "vec_id")
-      .withColumn("score", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("score", dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+      .select("q_id", "vec_id", "score")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id"), col("rank"), round(col("score"), 4).as("score_r"))
@@ -120,6 +137,12 @@ object Similarity {
 
   /** Embedding near-duplicate pairs within a blocking key and id window —
     * the cosine tier of the dedup ladder (see [[Dedup]]).
+    *
+    * As in [[Dedup.ngramJaccardPairs]], the id window is part of the join
+    * key: ids are bucketed at `window` granularity and the left side probes
+    * its own and the next bucket, so a qualifying pair is generated exactly
+    * once and candidate count stays O(rows × bucket population) regardless
+    * of `blockCol` skew — never O(block²).
     */
   def cosineNearDupPairs(
       vectors: DataFrame,
@@ -129,11 +152,18 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
 
-    val a = vectors.select(col(blockCol).as("block"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val b = vectors.select(col(blockCol).as("block"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
-    a.join(b, Seq("block"))
+    val a = vectors
+      .select(col(blockCol).as("block"), col(idCol).as("id_a"), asDouble(col(vecCol)).as("v_a"))
+      .select(col("block"), col("id_a"), col("v_a"), norm(col("v_a")).as("n_a"))
+      .withColumn("id_bucket",
+        explode(array(expr(s"id_a div $window"), expr(s"id_a div $window + 1"))))
+    val b = vectors
+      .select(col(blockCol).as("block"), col(idCol).as("id_b"), asDouble(col(vecCol)).as("v_b"))
+      .select(col("block"), col("id_b"), col("v_b"), norm(col("v_b")).as("n_b"))
+      .withColumn("id_bucket", expr(s"id_b div $window"))
+    a.join(b, Seq("block", "id_bucket"))
       .filter((col("id_b") - col("id_a")).between(lit(1), lit(window)))
-      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .withColumn("cos", dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       .filter(col("cos") >= threshold)
       .select(col("block"), col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_r"))
   }

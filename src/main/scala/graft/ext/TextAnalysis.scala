@@ -82,21 +82,28 @@ object TextAnalysis {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(normalize(text), lit(BpeTokenPattern), lit(0)))
 
-  /** Polynomial rolling hash over the normalized text's character codes:
-    * `acc = (acc * 31 + code) mod 1e9+7` — integer-exact in any engine.
-    * Characters are taken via `substr(i, 1)` (not `split(text, "")`, whose
-    * Java-regex trailing-empty behavior differs across engines); empty text
-    * is guarded because `sequence(1, 0)` descends.
+  /** Polynomial rolling hash over an ALREADY-NORMALIZED column's character
+    * codes: `acc = (acc * 31 + code) mod 1e9+7` — integer-exact in any
+    * engine. Characters are taken via `substr(i, 1)` (not `split(text, "")`,
+    * whose Java-regex trailing-empty behavior differs across engines); empty
+    * text is guarded because `sequence(1, 0)` descends.
+    *
+    * `t` must be a cheap column reference: it is embedded inside the
+    * per-character lambda, so an inlined `normalize` would re-run the regex
+    * once per character (O(len²) per document).
     */
-  def rollingHash(text: Column): Column = {
-    val norm = normalize(text)
-    when(length(norm) >= 1,
+  def rollingHashOfNorm(t: Column): Column =
+    when(length(t) >= 1,
       aggregate(
-        transform(sequence(lit(1), length(norm)), i => ascii(norm.substr(i, lit(1))).cast("long")),
+        transform(sequence(lit(1), length(t)), i => ascii(t.substr(i, lit(1))).cast("long")),
         lit(0L),
         (acc, code) => (acc * 31 + code) % 1000000007L
       )).otherwise(lit(0L))
-  }
+
+  /** Convenience form over raw text — hot paths should project [[normalize]]
+    * first and call [[rollingHashOfNorm]] on the column.
+    */
+  def rollingHash(text: Column): Column = rollingHashOfNorm(normalize(text))
 
   /** 128-bit content fingerprint (md5 of the normalized text) — the
     * cheap exact-dup key.

@@ -8,8 +8,12 @@ import org.apache.spark.sql.functions._
   * shapes the reference's ecosystem consumes downstream (sessionization,
   * funnels, JSON property extraction, date/scalar transforms).
   *
-  * `ts` reaches Spark as a long (nanos since epoch; see Tables.t), mirrored
-  * in DuckDB by `epoch_ns(ts)` — integer-exact across engines.
+  * `ts` reaches Spark as a long (nanos since epoch; see Tables.t). DuckDB
+  * reads the same parquet column as a microsecond TIMESTAMP (nanos
+  * truncated), so any query that compares or OUTPUTS timestamps must
+  * normalize to epoch-microseconds on both sides: Spark `ts div 1000`,
+  * DuckDB `epoch_us(ts)` — integer-exact across engines. Guard every future
+  * ts-outputting query the same way.
   *
   * Scale shapes: sessionization is the canonical "one shuffle on user_id,
   * then everything within the window partition" pattern; the funnel is two
@@ -20,40 +24,48 @@ object EventQueries {
 
   import Tables._
 
-  private val SessionGapNs = 1800L * 1000 * 1000 * 1000 // 30 min
+  private val SessionGapUs = 1800L * 1000 * 1000 // 30 min in microseconds
 
   /** q12: gap-based sessionization — lag → new-session flag → running sum
     * (ROWS frame, both engines) → per-session aggregate.
+    *
+    * Both engines compute on **epoch-microseconds**: the raw parquet column
+    * is TIMESTAMP(NANOS), which Spark reads as a full-precision long while
+    * DuckDB truncates to its microsecond TIMESTAMP — so any ns-precision
+    * value that reaches the output (or an ordering/gap comparison) diverges.
+    * Truncating to micros on the Spark side (`ts div 1000`) makes the two
+    * engines bit-identical end-to-end.
     */
   def q12Sessionize(spark: SparkSession, dir: String): DataFrame = {
-    val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_us").asc, col("event_id").asc)
     val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events(spark, dir)
-      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(byUser))
       .withColumn("brk",
-        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > SessionGapNs, 1).otherwise(0))
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > SessionGapUs, 1).otherwise(0))
       .withColumn("session_id", sum(col("brk")).over(running))
       .groupBy("user_id", "session_id")
       .agg(
         count(lit(1)).as("n_events"),
-        min(col("ts")).as("ts_start"),
-        max(col("ts")).as("ts_end"))
+        min(col("ts_us")).as("ts_start"),
+        max(col("ts_us")).as("ts_end"))
   }
 
   private val q12Oracle =
-    s"""WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tsn FROM events),
-       |l AS (SELECT user_id, event_id, tsn,
-       |        lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn ASC, event_id ASC) AS prev
+    s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+       |l AS (SELECT user_id, event_id, tsu,
+       |        lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu ASC, event_id ASC) AS prev
        |      FROM e),
-       |f AS (SELECT user_id, event_id, tsn,
-       |        CASE WHEN prev IS NULL OR tsn - prev > ${SessionGapNs} THEN 1 ELSE 0 END AS brk
+       |f AS (SELECT user_id, event_id, tsu,
+       |        CASE WHEN prev IS NULL OR tsu - prev > ${SessionGapUs} THEN 1 ELSE 0 END AS brk
        |      FROM l),
-       |s AS (SELECT user_id, tsn,
-       |        sum(brk) OVER (PARTITION BY user_id ORDER BY tsn ASC, event_id ASC
+       |s AS (SELECT user_id, tsu,
+       |        sum(brk) OVER (PARTITION BY user_id ORDER BY tsu ASC, event_id ASC
        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
        |      FROM f)
        |SELECT user_id, session_id::BIGINT AS session_id, count(*)::BIGINT AS n_events,
-       |       min(tsn) AS ts_start, max(tsn) AS ts_end
+       |       min(tsu) AS ts_start, max(tsu) AS ts_end
        |FROM s GROUP BY user_id, s.session_id""".stripMargin
 
   /** q13: two-step funnel — users whose first `signup` precedes a

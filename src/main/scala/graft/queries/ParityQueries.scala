@@ -1,10 +1,13 @@
 package graft.queries
 
+import java.nio.file.Files
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.engine.{CdcFilter, JobSpec, SqlRewrite, VoidScrub}
+import graft.engine.{CdcFilter, JobSpec, SqlRewrite, VersionedCatalog, VoidScrub}
+import graft.engine.JobSpec.TableVersionRange
 
 /** Relational-parity query surface (SURVEY.md §2.3-§2.7, §6 build-plan step 6).
   *
@@ -177,6 +180,56 @@ object ParityQueries {
     spark.sql(rewritten)
   }
 
+  /** q16: versioned snapshot time travel (S1). Authors a two-version history
+    * from `events` through [[VersionedCatalog]] (v1 = even event_ids,
+    * v2 = all rows), then reads **v1** back via the `fetch_data` dispatch
+    * (`start == 0` ⇒ snapshot at `end`) and aggregates. The oracle
+    * recomputes the same v1 predicate from the raw table, so a wrong
+    * version resolution (e.g. reading v2) flips every group's counts.
+    */
+  def q16SnapshotTravel(spark: SparkSession, dir: String): DataFrame = {
+    val work = Files.createTempDirectory("graft-q16").toString
+    val catalog = VersionedCatalog(s"$work/catalog")
+    val table = "main.graft.events_snap"
+    val ev = events(spark, dir)
+    catalog.commitSnapshot(ev.filter(col("event_id") % 2 === 0), table, 1L)
+    catalog.commitSnapshot(ev, table, 2L)
+    catalog
+      .fetchData(spark, TableVersionRange(table, 0L, 1L))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("event_id")).as("sum_id"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+  }
+
+  /** q17: CDF range scan (S2) + CDC EVENT filter (P1/P2). Authors commits
+    * 1..3 (commit v holds the `event_id % 3 == v-1` slice, decorated with
+    * the synthetic `_change_type`), reads the **[2, 3] window** through the
+    * partition-pruned CDF path, applies EVENT semantics (inserts only,
+    * metadata dropped) and aggregates. The oracle recomputes the window +
+    * filter from the raw table: a mis-pruned commit or a wrong CDC
+    * predicate changes the numbers.
+    */
+  def q17CdfWindow(spark: SparkSession, dir: String): DataFrame = {
+    val work = Files.createTempDirectory("graft-q17").toString
+    val catalog = VersionedCatalog(s"$work/catalog")
+    val table = "main.graft.events_cdf"
+    val ev = events(spark, dir)
+    (1L to 3L).foreach { v =>
+      val changes = ev
+        .filter(col("event_id") % 3 === lit(v - 1))
+        .withColumn(CdcFilter.ChangeTypeCol, expr(SyntheticChangeType))
+        .withColumn("_commit_timestamp", col("ts"))
+      catalog.commitChanges(changes, table, v)
+    }
+    CdcFilter
+      .filterData(catalog.fetchData(spark, TableVersionRange(table, 2L, 3L)), JobSpec.Event)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_star_join" -> (q02StarJoin _),
@@ -188,7 +241,9 @@ object ParityQueries {
     "q08_cdc_event" -> (q08CdcEvent _),
     "q09_cdc_property" -> (q09CdcProperty _),
     "q10_void_scrub" -> (q10VoidScrub _),
-    "q11_sql_rewrite" -> (q11SqlRewrite _)
+    "q11_sql_rewrite" -> (q11SqlRewrite _),
+    "q16_snapshot_travel" -> (q16SnapshotTravel _),
+    "q17_cdf_window" -> (q17CdfWindow _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -257,6 +312,19 @@ object ParityQueries {
       "SELECT l_orderkey, l_linenumber, l_quantity AS s_q FROM lineitem",
     "q11_sql_rewrite" ->
       """SELECT l_returnflag, 'main.tpch.lineitem' AS src_table, count(*) AS cnt
-        |FROM lineitem WHERE l_quantity > 10 GROUP BY l_returnflag""".stripMargin
+        |FROM lineitem WHERE l_quantity > 10 GROUP BY l_returnflag""".stripMargin,
+    "q16_snapshot_travel" ->
+      """SELECT event_type, count(*)::BIGINT AS n, sum(event_id)::BIGINT AS sum_id,
+        |       min(event_id)::BIGINT AS min_id, max(event_id)::BIGINT AS max_id
+        |FROM events WHERE event_id % 2 = 0 GROUP BY event_type""".stripMargin,
+    "q17_cdf_window" ->
+      """SELECT event_type, count(*)::BIGINT AS n, sum(event_id)::BIGINT AS sum_id
+        |FROM events
+        |WHERE event_id % 3 IN (1, 2)
+        |  AND (CASE WHEN event_id % 10 < 6 THEN 'insert'
+        |            WHEN event_id % 10 < 8 THEN 'update_postimage'
+        |            WHEN event_id % 10 = 8 THEN 'update_preimage'
+        |            ELSE 'delete' END) = 'insert'
+        |GROUP BY event_type""".stripMargin
   )
 }

@@ -48,6 +48,12 @@ class SqlRewriteSpec extends AnyFunSuite {
 
   test("tempViewName is a single valid identifier") {
     val v = SqlRewrite.tempViewName("cat.sch.tbl", 123L)
-    assert(v === "cat_sch_tbl_view_123")
+    assert(v.matches("cat_sch_tbl_[0-9a-f]{8}_view_123"), v)
+  }
+
+  test("tempViewName is injective across dot/underscore-ambiguous tables") {
+    val v1 = SqlRewrite.tempViewName("a.b_c", 1L)
+    val v2 = SqlRewrite.tempViewName("a_b.c", 1L)
+    assert(v1 !== v2)
   }
 }
