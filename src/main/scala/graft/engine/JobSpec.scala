@@ -87,7 +87,10 @@ object JobSpec {
       targetPartitions: Option[Int] = None, // cluster-derived: skips the count() job entirely
       mutabilityMode: Boolean = false,       // P5: bypass CDC filter, keep CDF metadata columns
       runId: String = java.util.UUID.randomUUID().toString,
-      writeMeta: Boolean = false             // K3, wired-optional (dead code in reference)
+      // K3: when set, Unload writes the `<path>/meta` sidecar after the data
+      // write, reusing the sizing count when one was paid (dead code in the
+      // reference, wired opt-in here).
+      writeMeta: Boolean = false
   ) {
     require(
       strategy == NoResize || maxRecordsPerFile > 0,

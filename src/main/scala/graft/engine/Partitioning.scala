@@ -43,18 +43,29 @@ object Partitioning {
       maxRecordsPerFile: Long,
       targetPartitions: Option[Int],
       log: String => Unit = _ => ()): Int =
+    calculateNumPartitionsWithCount(df, maxRecordsPerFile, targetPartitions, log)._1
+
+  /** Like [[calculateNumPartitions]] but also surfaces the record count when
+    * one was paid for — so downstream consumers (the K3 meta sidecar) can
+    * reuse it instead of running a second full-scan count job.
+    */
+  def calculateNumPartitionsWithCount(
+      df: DataFrame,
+      maxRecordsPerFile: Long,
+      targetPartitions: Option[Int],
+      log: String => Unit = _ => ()): (Int, Option[Long]) =
     targetPartitions match {
       case Some(t) =>
         val n = math.max(1, t)
         log(s"Partition sizing: using target from cluster=$n")
-        n
+        (n, None)
       case None =>
         val t0 = System.nanoTime()
         val cnt = df.count()
         log(f"DataFrame count: $cnt%,d records (took ${(System.nanoTime() - t0) / 1e9}%.2fs)")
         val n = partitionCount(cnt, maxRecordsPerFile)
         log(s"Partition sizing: using $n partitions (from record count)")
-        n
+        (n, Some(cnt))
     }
 
   /** R2-R4: apply the chosen strategy. For `Coalesce` the caller must also

@@ -77,16 +77,24 @@ object Unload {
     log("Creating DataFrame with SQL transformation (execution deferred)")
     var exportData: DataFrame = spark.sql(sqlToRun)
 
+    // count paid by the sizing step, if any — reused by the meta sidecar
+    var countedRows: Option[Long] = None
+    var plannedPartitions: Option[Int] = None
+
     exportData = config.strategy match {
       case Repartition =>
-        val n = Partitioning.calculateNumPartitions(
+        val (n, cnt) = Partitioning.calculateNumPartitionsWithCount(
           exportData, config.maxRecordsPerFile, config.targetPartitions, log)
+        countedRows = cnt
+        plannedPartitions = Some(n)
         log(s"Planning repartition to $n partitions (will execute during write)")
         exportData.repartition(n)
       case Coalesce =>
         Writers.setMaxRecordsPerFile(spark, config.maxRecordsPerFile)
-        val n = Partitioning.calculateNumPartitions(
+        val (n, cnt) = Partitioning.calculateNumPartitionsWithCount(
           exportData, config.maxRecordsPerFile, config.targetPartitions, log)
+        countedRows = cnt
+        plannedPartitions = Some(n)
         log(s"Planning coalesce to $n partitions (will execute during write)")
         exportData.coalesce(n)
       case NoResize =>
@@ -98,6 +106,17 @@ object Unload {
     val t0 = System.nanoTime()
     Writers.writeData(exportData, config.format, config.outputPath)
     log(f"Write complete in ${(System.nanoTime() - t0) / 1e9}%.2f seconds")
+
+    // K3 meta sidecar (opt-in): reuse the sizing count when one was paid;
+    // otherwise pay it here (the flag's owner asked for the number). The
+    // partition count is the planned write fan-out, or the physical
+    // partition count when no strategy resized.
+    if (config.writeMeta) {
+      val eventCount = countedRows.getOrElse(exportData.count())
+      val partitions = plannedPartitions.getOrElse(exportData.rdd.getNumPartitions)
+      Writers.writeMeta(spark, config.outputPath, eventCount, partitions)
+      log(s"Meta sidecar written: event_count=$eventCount partition_count=$partitions")
+    }
   }
 
   /** Stage 1+2: per-table fetch/filter/view with O3 fallback; returns the

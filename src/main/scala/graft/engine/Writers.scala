@@ -28,12 +28,16 @@ object Writers {
     case JsonFormat =>
       df.write.mode("overwrite").json(path)
     case ParquetFormat =>
+      // The zstd level travels as a parquet-hadoop conf key: Spark copies
+      // every write option into the job's Hadoop conf
+      // (newHadoopConfWithOptions), where parquet-mr reads it. A
+      // "compressionLevel" DataFrameWriter option would be silently ignored.
       VoidScrub
         .dropVoidFields(df)
         .write
         .mode("overwrite")
         .option("compression", "zstd")
-        .option("compressionLevel", 3)
+        .option("parquet.compression.codec.zstd.level", "3")
         .parquet(path)
   }
 

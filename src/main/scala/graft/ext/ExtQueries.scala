@@ -85,6 +85,43 @@ object ExtQueries {
        |FROM tk""".stripMargin
   }
 
+  def q25SimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDups(documents(spark, dir), maxHamming = 8)
+
+  /** SimHash near-dup pair oracle: sketch (as q22) → 4 12-bit blocking keys
+    * → in-block candidates → Hamming verify. Same generated constants, so
+    * the pair set is integer-exact across engines (recall < 1 by design is
+    * fine: BOTH engines apply the identical blocking).
+    */
+  private def q25Oracle: String = {
+    val bits = (0 until 48).map { b =>
+      s"CASE WHEN list_sum(list_transform(th, h -> 2 * ((h >> $b) & 1) - 1)) >= 0 THEN ${1L << b} ELSE 0 END"
+    }.mkString("\n       + ")
+    val blockSelects = (0 until 4).map { q =>
+      s"SELECT doc_id, sk, $q AS q, (sk >> ${q * 12}) % 4096 AS key FROM sk"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH n AS (SELECT doc_id, $DNorm AS t FROM documents),
+       |tk AS (SELECT doc_id,
+       |        list_transform(string_split(t, ' '), x -> ('0x' || substr(md5(x),1,12))::BIGINT) AS th
+       |       FROM n),
+       |sk AS (SELECT doc_id, ($bits)::BIGINT AS sk FROM tk),
+       |blocks AS (
+       |  $blockSelects
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM blocks a JOIN blocks b USING (q, key)
+       |  WHERE a.doc_id < b.doc_id
+       |),
+       |pairs AS (
+       |  SELECT c.doc_a, c.doc_b, bit_count(xor(s1.sk, s2.sk))::INT AS hamming
+       |  FROM cand c
+       |  JOIN sk s1 ON s1.doc_id = c.doc_a
+       |  JOIN sk s2 ON s2.doc_id = c.doc_b
+       |)
+       |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 8""".stripMargin
+  }
+
   def q23NgramJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(documents(spark, dir), blockCols = Seq("lang", "source"))
 
@@ -141,7 +178,7 @@ object ExtQueries {
     */
   def q31KnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = embeddings(spark, dir)
-    Similarity.lshTopK(e, e.filter(col("vec_id") < 8), k = 5, planes = 6)
+    Similarity.lshTopK(e, e.filter(col("vec_id") < 8), k = 5)
   }
 
   // ---------------- text analysis ----------------
@@ -256,6 +293,7 @@ object ExtQueries {
     "q20_dedup_exact" -> (q20DedupExact _),
     "q21_dedup_minhash" -> (q21DedupMinhash _),
     "q22_dedup_simhash" -> (q22DedupSimhash _),
+    "q25_simhash_pairs" -> (q25SimhashPairs _),
     "q23_ngram_jaccard" -> (q23NgramJaccard _),
     "q24_embed_neardup" -> (q24EmbedNearDup _),
     "q30_knn_brute" -> (q30KnnBruteForce _),
@@ -271,6 +309,7 @@ object ExtQueries {
     "q20_dedup_exact" -> q20Oracle,
     "q21_dedup_minhash" -> q21Oracle,
     "q22_dedup_simhash" -> q22Oracle,
+    "q25_simhash_pairs" -> q25Oracle,
     "q23_ngram_jaccard" -> q23Oracle,
     "q24_embed_neardup" -> q24Oracle,
     "q30_knn_brute" -> q30Oracle,

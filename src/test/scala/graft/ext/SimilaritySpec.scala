@@ -1,0 +1,65 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.Tables
+
+/** Similarity-tier specs: the LSH ANN recall promise (vs the exact
+  * brute-force tier, at the q31 parameters) and equivalence of the bucketed
+  * cosine near-dup plan with the naive quadratic shape.
+  */
+class SimilaritySpec extends SparkSpec {
+
+  private def embeds: DataFrame = Tables.embeddings(spark, Sf0001)
+
+  test("LSH top-k recall@5 >= 0.8 against brute force (q31 parameters)") {
+    val queries = embeds.filter(col("vec_id") < 8)
+    val k = 5
+    val exact = Similarity.bruteForceTopK(embeds, queries, k)
+      .select("q_id", "vec_id")
+    val ann = Similarity.lshTopK(embeds, queries, k)
+      .select("q_id", "vec_id")
+    val total = exact.count()
+    val hit = exact.intersect(ann).count()
+    val recall = hit.toDouble / total
+    assert(total === 8L * k)
+    assert(recall >= 0.8, f"LSH recall@$k = $recall%.3f < 0.8 (hit=$hit of $total)")
+  }
+
+  test("brute-force top-k: k rows per query, self excluded, ranks contiguous") {
+    val res = Similarity.bruteForceTopK(embeds, embeds.filter(col("vec_id") < 4), 3).collect()
+    val byQ = res.groupBy(_.getLong(0))
+    assert(byQ.keySet === Set(0L, 1L, 2L, 3L))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length === 3)
+      assert(rows.forall(_.getLong(1) != q), s"query $q returned itself")
+      assert(rows.map(_.getInt(2)).sorted === Array(1, 2, 3))
+    }
+  }
+
+  test("cosineNearDupPairs equals the naive block-join + window filter") {
+    val e = embeds
+      .select(col("label").as("block"), col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val a = e.toDF("block", "id_a", "v_a")
+    val b = e.toDF("block", "id_b", "v_b")
+    val dotAB = aggregate(zip_with(col("v_a"), col("v_b"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val nA = sqrt(aggregate(zip_with(col("v_a"), col("v_a"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x))
+    val nB = sqrt(aggregate(zip_with(col("v_b"), col("v_b"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x))
+    val naive = a.join(b, Seq("block"))
+      .filter((col("id_b") - col("id_a")).between(lit(1), lit(200)))
+      .withColumn("cos", dotAB / (nA * nB))
+      .filter(col("cos") >= 0.25)
+      .select(col("block"), col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_r"))
+    val fast = Similarity.cosineNearDupPairs(embeds, blockCol = "label", threshold = 0.25)
+    assert(fast.count() === naive.count())
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+    val plan = fast.queryExecution.optimizedPlan.toString
+    assert(plan.contains("id_bucket"), s"expected id_bucket in the join key:\n$plan")
+  }
+}
