@@ -22,6 +22,13 @@ import org.apache.spark.sql.types._
   *     unconditionally) — an observable quirk we keep;
   *   - everything else passes through untouched.
   *
+  * One DELIBERATE divergence (a quirk fix in the SURVEY §7.4 sense): the
+  * identity fast path below returns a struct column untouched when no VOID
+  * field exists anywhere inside it, which preserves NULL struct values. The
+  * reference rebuilds every struct unconditionally, so a NULL struct comes
+  * back as a non-null struct of NULLs in its output — a lossy artifact of
+  * the rebuild, not a semantic anyone depends on. We keep the input value.
+  *
   * Implementation notes (Spark-first): this is pure Catalyst expression
   * composition — `struct`/`transform`/`filter`/`map_entries`/
   * `map_from_entries` are all codegen'd higher-order functions, so the scrub

@@ -10,9 +10,10 @@ import org.apache.spark.sql.functions._
   *   1. exact: hash-groupBy on a normalized fingerprint (one shuffle on the
   *      md5 key; map-side combine makes the exchange tiny);
   *   2. MinHash + LSH banding for near-dups: shingle → signature → band
-  *      buckets → candidate pairs via a bucket equi-join → Jaccard verify.
-  *      The join is on (band, bucket-hash), so at 100 TB candidates stay
-  *      bucket-local: no quadratic blowup, skew bounded by bucket size;
+  *      buckets → in-bucket candidate pairs (groupBy + pair enumeration,
+  *      payload-free) → Jaccard verify on shingle sets fetched per surviving
+  *      pair. At 100 TB candidates stay bucket-local: no quadratic blowup,
+  *      skew bounded by bucket size;
   *   3. SimHash: one 48-bit per-doc sketch, Hamming-adjacent pairs within
   *      blocking buckets;
   *   4. n-gram Jaccard within a deterministic blocking window (verify tier);
@@ -156,12 +157,26 @@ object Dedup {
       .select(col("p.doc_a"), col("p.doc_b"))
       .dropDuplicates("doc_a", "doc_b") // a pair can collide in several bands
 
-    // verify: true Jaccard on the distinct shingle sets, fetched per side
+    // verify: true Jaccard on the distinct shingle sets. The pair is
+    // exploded to one row per side so `shingled` is scanned ONCE (two
+    // per-side joins would each re-evaluate the shingle pipeline over the
+    // full corpus); the conditional-first regroup shuffles shingle arrays
+    // only for candidate rows, which are few by construction.
+    val sides = candidates
+      .select(col("doc_a"), col("doc_b"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+    // broadcast the candidate side: the corpus-sized `shingled` relation then
+    // never shuffles its arrays (if candidates outgrow broadcast range, the
+    // dedup output itself is corpus-scale and an exchange is inherent)
+    val paired = broadcast(sides)
+      .join(shingled, Seq("doc_id"))
+      .groupBy("doc_a", "doc_b")
+      .agg(
+        first(when(col("doc_id") === col("doc_a"), col("sh")), ignoreNulls = true).as("sh_a"),
+        first(when(col("doc_id") === col("doc_b"), col("sh")), ignoreNulls = true).as("sh_b"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val union = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
-    candidates
-      .join(shingled.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(shingled.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+    paired
       .withColumn("jaccard", round(inter / union, 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
@@ -199,6 +214,12 @@ object Dedup {
   /** SimHash near-dup pairs: docs whose sketches agree on one of the
     * quarter-blocks (standard Hamming-block LSH) and whose full Hamming
     * distance is <= maxHamming.
+    *
+    * Same 100 TB shape as [[minhashNearDups]]: the sketch pipeline is
+    * evaluated ONCE (the 4 12-bit blocking keys are posexploded from a
+    * single pass, not per-block union branches), and in-bucket pairs are
+    * enumerated via groupBy + pair HOF, carrying only (doc_id, 48-bit
+    * sketch) — so no shuffle ever sees the token arrays.
     */
   def simhashNearDups(
       docs: DataFrame,
@@ -209,21 +230,26 @@ object Dedup {
     val sk = docs
       .select(col(idCol).as("doc_id"), tokenHashes(col(textCol)).as("th"))
       .select(col("doc_id"), simhashOfHashes(col("th")).as("sk"))
-    // 4 blocking keys: 12-bit slices — near-dups (<=8 differing bits over 48)
-    // must agree on at least one slice by pigeonhole when distance <= 3·12/…;
-    // classic simhash blocking, recall-tuned by block count.
-    val blocks = (0 until 4).map { q =>
-      sk.select(col("doc_id"), col("sk"), lit(q).as("q"),
-        (shiftright(col("sk"), q * 12) % 4096L).as("key"))
-    }.reduce(_ unionAll _)
+    // 4 blocking keys: 12-bit slices — classic simhash blocking; recall is
+    // tuned by block count and both engines (Spark + oracle) apply the same
+    // blocking, so the pair set stays integer-exact.
+    val blockArr = array((0 until 4).map(q => shiftright(col("sk"), q * 12) % 4096L): _*)
+    val blocks = sk.select(col("doc_id"), col("sk"), posexplode(blockArr).as(Seq("q", "key")))
 
-    val a = blocks.select(col("q"), col("key"), col("doc_id").as("doc_a"), col("sk").as("sk_a"))
-    val b = blocks.select(col("q"), col("key"), col("doc_id").as("doc_b"), col("sk").as("sk_b"))
-    val hamming = bit_count(col("sk_a").bitwiseXOR(col("sk_b"))).cast("int")
-    a.join(b, Seq("q", "key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-      .withColumn("hamming", hamming)
+    val items = array_sort(collect_list(struct(col("doc_id"), col("sk"))))
+    val pairList = transform(col("items"), (a, i) =>
+      transform(slice(col("items"), i + lit(2), size(col("items"))), b =>
+        struct(
+          a.getField("doc_id").as("doc_a"), b.getField("doc_id").as("doc_b"),
+          a.getField("sk").as("sk_a"), b.getField("sk").as("sk_b"))))
+    blocks
+      .groupBy("q", "key")
+      .agg(items.as("items"))
+      .filter(size(col("items")) > 1)
+      .select(explode(flatten(pairList)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.sk_a"), col("p.sk_b"))
+      .dropDuplicates("doc_a", "doc_b") // a pair can collide in several blocks
+      .withColumn("hamming", bit_count(col("sk_a").bitwiseXOR(col("sk_b"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
   }

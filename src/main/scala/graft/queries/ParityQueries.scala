@@ -180,6 +180,23 @@ object ParityQueries {
     spark.sql(rewritten)
   }
 
+  /** q18: left-semi / left-anti joins (SURVEY §2.4 — reachable through the
+    * embedded SQL surface, demonstrated natively here). Per order priority:
+    * orders that DO have a big-quantity line (semi) vs orders that don't
+    * (anti). Scale shape: the probe side is the distinct-orderkey set of the
+    * filtered lineitem scan; semi/anti never materialize matched rows, so
+    * the exchange carries join keys only.
+    */
+  def q18SemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+    val big = lineitem(spark, dir).filter(col("l_quantity") > 45)
+    val semi = o.join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n_semi"))
+    val anti = o.join(big, col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n_anti"))
+    semi.join(anti, Seq("o_orderpriority"))
+  }
+
   /** q16: versioned snapshot time travel (S1). Authors a two-version history
     * from `events` through [[VersionedCatalog]] (v1 = even event_ids,
     * v2 = all rows), then reads **v1** back via the `fetch_data` dispatch
@@ -242,6 +259,7 @@ object ParityQueries {
     "q09_cdc_property" -> (q09CdcProperty _),
     "q10_void_scrub" -> (q10VoidScrub _),
     "q11_sql_rewrite" -> (q11SqlRewrite _),
+    "q18_semi_anti" -> (q18SemiAnti _),
     "q16_snapshot_travel" -> (q16SnapshotTravel _),
     "q17_cdf_window" -> (q17CdfWindow _)
   )
@@ -313,6 +331,13 @@ object ParityQueries {
     "q11_sql_rewrite" ->
       """SELECT l_returnflag, 'main.tpch.lineitem' AS src_table, count(*) AS cnt
         |FROM lineitem WHERE l_quantity > 10 GROUP BY l_returnflag""".stripMargin,
+    "q18_semi_anti" ->
+      """WITH big AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_quantity > 45),
+        |s AS (SELECT o_orderpriority, count(*)::BIGINT AS n_semi FROM orders
+        |      WHERE o_orderkey IN (SELECT l_orderkey FROM big) GROUP BY 1),
+        |a AS (SELECT o_orderpriority, count(*)::BIGINT AS n_anti FROM orders
+        |      WHERE o_orderkey NOT IN (SELECT l_orderkey FROM big) GROUP BY 1)
+        |SELECT o_orderpriority, n_semi, n_anti FROM s JOIN a USING (o_orderpriority)""".stripMargin,
     "q16_snapshot_travel" ->
       """SELECT event_type, count(*)::BIGINT AS n, sum(event_id)::BIGINT AS sum_id,
         |       min(event_id)::BIGINT AS min_id, max(event_id)::BIGINT AS max_id

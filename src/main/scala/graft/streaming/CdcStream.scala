@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.engine.{CdcFilter, VersionedCatalog}
+import graft.engine.JobSpec.DataType
+
+/** Structured-Streaming surface over the engine's CDC layout.
+  *
+  * The reference consumes CDF strictly in bounded batch windows
+  * (SURVEY §2.10: no streaming anywhere), because each Databricks run is a
+  * scheduled export. The same layout, however, is naturally streamable: new
+  * `_commit_version=N` directories appear append-only under `cdf/`, which is
+  * exactly the contract of Spark's file stream source. This module is the
+  * continuous analogue of the batch pipeline:
+  *
+  *   - [[readChanges]]: `readStream` over the CDF directory; new commits are
+  *     discovered incrementally (`maxFilesPerTrigger` bounds per-batch work);
+  *     the SAME [[CdcFilter]] semantics as the batch path, so EVENT vs
+  *     property filtering cannot drift between modes;
+  *   - [[windowedCounts]]: watermarked tumbling-window aggregation — the
+  *     canonical streaming rollup with bounded state (late rows beyond the
+  *     watermark are dropped, closed windows are finalized and emitted);
+  *   - [[sessionize]]: gap-based sessionization as explicit keyed state via
+  *     `flatMapGroupsWithState` — the streaming counterpart of the q12 batch
+  *     query (same 30-minute-gap semantics over epoch-micros).
+  *
+  * Scale notes: the file source tracks seen files in the checkpoint log (no
+  * relisting of old commits); state for sessionization is per-user O(1)
+  * (last timestamp + counter); windowed aggregation state is bounded by the
+  * watermark horizon. All transforms are the same Catalyst expressions the
+  * batch path uses — micro-batch execution reuses the whole batch plan.
+  */
+object CdcStream {
+
+  /** Streaming CDF scan: the continuous analogue of S2 + P1/P2. The schema
+    * is probed from the existing commits (a file stream needs one up front).
+    */
+  def readChanges(
+      spark: SparkSession,
+      catalog: VersionedCatalog,
+      table: String,
+      dataType: DataType,
+      mutabilityMode: Boolean = false,
+      maxFilesPerTrigger: Int = 1000): DataFrame = {
+    val root = catalog.cdfRoot(table)
+    val schema = spark.read.parquet(root).schema
+    val raw = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(root)
+    if (mutabilityMode) raw else CdcFilter.filterData(raw, dataType)
+  }
+
+  /** Watermarked tumbling-window counts by `typeCol`. `tsCol` must be a
+    * timestamp column; rows later than `watermarkDelay` behind the max seen
+    * event time are dropped, and in Append mode a window is emitted exactly
+    * once, when the watermark passes its end.
+    */
+  def windowedCounts(
+      events: DataFrame,
+      tsCol: String,
+      typeCol: String,
+      windowDuration: String,
+      watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration), col(typeCol))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col(s"window.start").as("window_start"),
+        col(s"window.end").as("window_end"),
+        col(typeCol),
+        col("n"))
+
+  final case class Ev(user_id: Long, ts_us: Long)
+  final case class SessionState(sessionId: Long, lastTsUs: Long)
+  final case class SessionAssignment(user_id: Long, ts_us: Long, session_id: Long)
+
+  /** Streaming gap-based sessionization: per-user keyed state carries
+    * (current session id, last event time); an event further than `gapUs`
+    * from the last one opens a new session. Same semantics as the batch q12
+    * (epoch-micros, 30-minute default gap). Events inside one micro-batch
+    * are sorted by time before state application, so a batch boundary can
+    * never split or reorder a session assignment.
+    */
+  def sessionize(
+      events: Dataset[Ev],
+      gapUs: Long = 1800L * 1000 * 1000): Dataset[SessionAssignment] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Ev], state: GroupState[SessionState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts_us, e.user_id))
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
+          val out = sorted.map { e =>
+            val fresh = st.lastTsUs == Long.MinValue || e.ts_us - st.lastTsUs > gapUs
+            st = SessionState(if (fresh) st.sessionId + 1 else st.sessionId, e.ts_us)
+            SessionAssignment(userId, e.ts_us, st.sessionId)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path => JPath}
+import java.sql.Timestamp
+import java.util.Comparator
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+
+import graft.SparkSpec
+import graft.engine.JobSpec.Event
+import graft.engine.VersionedCatalog
+
+/** Streaming surface: CDF file-stream ingest with CDC semantics, watermarked
+  * windows, stateful sessionization. All runs use MemoryStream or the file
+  * source with processAllAvailable, so assertions are deterministic.
+  */
+class CdcStreamSpec extends SparkSpec with BeforeAndAfterAll {
+  import spark.implicits._
+
+  private var work: JPath = _
+  override def beforeAll(): Unit = { work = Files.createTempDirectory("graft-stream") }
+  override def afterAll(): Unit =
+    Files.walk(work).sorted(Comparator.reverseOrder[JPath]()).forEach(p => Files.delete(p))
+
+  test("streaming CDF ingest applies EVENT semantics incrementally") {
+    val cat = VersionedCatalog(s"$work/cat1")
+    val table = "main.stream.items"
+    def commit(v: Long, rows: Seq[(Long, String, String)]): Unit =
+      cat.commitChanges(
+        rows.toDF("id", "name", "_change_type")
+          .withColumn("_commit_timestamp", lit(s"2024-01-0$v")),
+        table, v)
+    commit(1L, Seq((1L, "a", "insert"), (2L, "b", "update_postimage")))
+
+    val stream = CdcStream.readChanges(spark, cat, table, Event)
+    val query = stream.writeStream
+      .format("memory").queryName("cdc_stream").outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      // EVENT: inserts only; metadata columns dropped by the shared filter
+      val out1 = spark.sql("SELECT id FROM cdc_stream").as[Long].collect().sorted
+      assert(out1 === Array(1L))
+      assert(!spark.table("cdc_stream").columns.contains("_change_type"))
+
+      // a NEW commit directory is discovered incrementally
+      commit(2L, Seq((3L, "c", "insert"), (1L, "a2", "update_postimage")))
+      query.processAllAvailable()
+      val out2 = spark.sql("SELECT id FROM cdc_stream").as[Long].collect().sorted
+      assert(out2 === Array(1L, 3L))
+    } finally query.stop()
+  }
+
+  test("watermarked tumbling windows finalize once the watermark passes") {
+    val input = MemoryStream[(Timestamp, String)](spark)
+    val counts = CdcStream.windowedCounts(
+      input.toDF().toDF("ts", "etype"), "ts", "etype",
+      windowDuration = "10 minutes", watermarkDelay = "5 minutes")
+    val query = counts.writeStream
+      .format("memory").queryName("win_counts").outputMode("append").start()
+    try {
+      def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      input.addData((t(1), "click"), (t(4), "click"), (t(8), "view"))
+      query.processAllAvailable()
+      // watermark still at 10:03 → nothing finalized yet
+      assert(spark.table("win_counts").count() === 0)
+
+      // an event 30 minutes later pushes the watermark past both windows...
+      input.addData((t(38), "click"))
+      query.processAllAvailable()
+      // ...and the next batch flushes them
+      input.addData((t(59), "view"))
+      query.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT window_start, etype, n FROM win_counts ORDER BY window_start, etype")
+        .collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+      assert(rows.contains(("2024-01-01 10:00:00.0", "click", 2L)))
+      assert(rows.contains(("2024-01-01 10:00:00.0", "view", 1L)))
+    } finally query.stop()
+  }
+
+  test("stateful sessionization matches gap semantics across micro-batches") {
+    val gapUs = 1800L * 1000 * 1000 // 30 min
+    val us = 1000L * 1000
+    val input = MemoryStream[CdcStream.Ev](spark)
+    val sessions = CdcStream.sessionize(input.toDS(), gapUs)
+    val query = sessions.writeStream
+      .format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      // batch 1: user 1 has two events 10 min apart (one session)
+      input.addData(CdcStream.Ev(1L, 0L), CdcStream.Ev(1L, 600L * us))
+      query.processAllAvailable()
+      // batch 2: 31 min gap opens session 2 for user 1; user 2 starts fresh
+      input.addData(CdcStream.Ev(1L, 600L * us + gapUs + us), CdcStream.Ev(2L, 0L))
+      query.processAllAvailable()
+      val out = spark.sql("SELECT user_id, ts_us, session_id FROM sessions")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(out === Set(
+        (1L, 0L, 1L),
+        (1L, 600L * us, 1L),
+        (1L, 600L * us + gapUs + us, 2L), // state survived the batch boundary
+        (2L, 0L, 1L)
+      ))
+    } finally query.stop()
+  }
+}
