@@ -3,6 +3,8 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions
+
 /** Deduplication operators for LLM training-data pipelines.
   *
   * Five tiers, cheapest-first — the standard corpus-cleaning ladder:
@@ -23,8 +25,11 @@ import org.apache.spark.sql.functions._
   * All hashing is md5-derived (a standard algorithm available in every
   * engine) plus affine universal hashes over a 31-bit field — deterministic
   * and integer-exact, so every tier can be oracle-verified in DuckDB.
-  * Zero UDFs: shingling, hashing and signatures are Catalyst higher-order
-  * functions inside whole-stage codegen.
+  * Zero UDFs: shingling, hashing and sketches are the one-pass codegen'd
+  * Catalyst expressions in [[graft.functions]] (the equivalent higher-order
+  * function chains are interpreter-only and re-walk the array once per hash
+  * function / sketch bit — parity between the two formulations is asserted
+  * in VectorFunctionsSpec).
   */
 object Dedup {
 
@@ -46,23 +51,12 @@ object Dedup {
 
   // ---------------- MinHash + LSH ----------------
 
-  /** Character k-shingles over an ALREADY-NORMALIZED column reference,
-    * distinct. Guarded against short strings: Spark's `sequence(1, 0)`
-    * DESCENDS ([1,0]), so the transform only runs when at least one shingle
-    * exists.
-    *
-    * Callers must pass a cheap column (an attribute), not an expression
-    * tree: anything passed here is embedded INSIDE the per-element lambda
-    * and re-evaluated once per shingle — an inlined `normalize` turns
-    * shingling into O(len² · regex) per document. Project the normalized
-    * text first (Catalyst's CollapseProject keeps the projection because the
-    * expensive producer is referenced more than once).
+  /** Distinct character k-shingles over an ALREADY-NORMALIZED column
+    * (first-occurrence order; input shorter than k ⇒ empty array) — the
+    * one-pass codegen'd [[graft.functions.CharShingles]].
     */
   def shinglesOfNorm(t: Column, k: Int = 5): Column =
-    when(length(t) >= k,
-      array_distinct(
-        transform(sequence(lit(1), length(t) - (k - 1)), i => t.substr(i, lit(k)))))
-      .otherwise(array().cast("array<string>"))
+    GraftFunctions.charShingles(t, k)
 
   /** Convenience form over raw text — fine for one-off use; hot paths should
     * project [[TextAnalysis.normalize]] first and call [[shinglesOfNorm]].
@@ -70,7 +64,11 @@ object Dedup {
   def shingles(text: Column, k: Int = 5): Column =
     shinglesOfNorm(TextAnalysis.normalize(text), k)
 
-  /** 60-bit base hash of a shingle via md5 (hex → bigint). */
+  /** 60-bit base hash of a shingle via md5 (hex → bigint). Reference
+    * formulation — the hot path hashes whole arrays in one pass via
+    * [[graft.functions.Md5Longs]]; this scalar form defines the arithmetic
+    * both must match (and the DuckDB oracle mirrors).
+    */
   def baseHash(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
@@ -122,37 +120,56 @@ object Dedup {
     val params = hashParams(bands * rowsPerBand)
 
     // (doc_id, sh): evaluated by the signature pipeline, and re-joined by
-    // doc_id at verify time for surviving pairs only. The normalized text is
-    // its own projection so the regex runs once per doc, not once per
-    // shingle (see [[shinglesOfNorm]]).
+    // doc_id at verify time for surviving pairs only.
+    //
+    // The length prefilter runs on the RAW text column: it is cheap and
+    // pushes down to the scan. Filtering on normalized length instead would
+    // ALSO push down (Catalyst substitutes projections into predicates and
+    // pushes through Repartition), running the normalize regex serially
+    // below the fan-out exchange AND a second time above it. Normalization
+    // only shrinks text, so raw length >= k is a superset filter; docs whose
+    // NORMALIZED text is still shorter than k get an empty shingle set and a
+    // per-doc sentinel band bucket below — never a candidate, same output.
     val shingled = docs
+      .filter(length(col(textCol)) >= k)
       .select(col(idCol).as("doc_id"), TextAnalysis.normalize(col(textCol)).as("t"))
-      .filter(length(col("t")) >= k)
-      .select(col("doc_id"), shinglesOfNorm(col("t"), k).as("sh"))
+      .select(col("doc_id"),
+        GraftFunctions.md5Longs(shinglesOfNorm(col("t"), k), digits = 15).as("hs"))
 
-    // hash once per shingle; 16 affine maps over the long array
+    // one-pass kernels: md5 once per shingle, then all 16 affine mins in a
+    // single sweep of the long array (codegen'd — see [[graft.functions]];
+    // minhash_sig reduces the 60-bit hashes mod p internally)
     val withSig = shingled
-      .select(col("doc_id"), transform(col("sh"), s => baseHash(s) % Mersenne31).as("hs"))
-      .select(
-        col("doc_id"),
-        array(params.map(p =>
-          array_min(transform(col("hs"), h => (lit(p.a) * h + lit(p.b)) % Mersenne31))): _*).as("sig"))
+      .select(col("doc_id"),
+        GraftFunctions.minhashSig(col("hs"),
+          params.map(_.a), params.map(_.b), Mersenne31).as("sig"))
 
-    // one band-bucket array per doc, posexploded → (doc_id, band, bucket)
+    // one band-bucket array per doc, posexploded → (doc_id, band, bucket);
+    // empty-shingle docs (null sig) get per-doc sentinel buckets, which are
+    // singletons by construction and die at the size(ids) > 1 filter
     val bandBuckets = array((0 until bands).map { b =>
       md5(concat_ws(",", (0 until rowsPerBand).map(r => col("sig")(b * rowsPerBand + r)): _*))
     }: _*)
-    val bandRows = withSig.select(col("doc_id"), posexplode(bandBuckets).as(Seq("band", "bucket")))
+    val sentinelBuckets = array((0 until bands).map(b =>
+      concat(lit(s"e$b:"), col("doc_id").cast("string"))): _*)
+    val bandRows = withSig.select(col("doc_id"),
+      posexplode(when(col("sig").isNotNull, bandBuckets).otherwise(sentinelBuckets))
+        .as(Seq("band", "bucket")))
 
     // in-bucket pair enumeration: sort ids, emit (ids(i), ids(j)) for i < j
     val ids = array_sort(collect_list(col("doc_id")))
     val pairList = transform(col("ids"), (a, i) =>
       transform(slice(col("ids"), i + lit(2), size(col("ids"))), b =>
         struct(a.as("doc_a"), b.as("doc_b"))))
+    // the bucket-list relation is tiny in BYTES but the pair explosion is
+    // heavy in OUTPUT — AQE coalesces the groupBy shuffle by input size and
+    // would run the enumeration on one partition; the explicit repartition
+    // (REPARTITION_BY_NUM: AQE keeps it) spreads buckets across the cluster
     val candidates = bandRows
       .groupBy("band", "bucket")
       .agg(ids.as("ids"))
       .filter(size(col("ids")) > 1)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(explode(flatten(pairList)).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .dropDuplicates("doc_a", "doc_b") // a pair can collide in several bands
@@ -172,10 +189,12 @@ object Dedup {
       .join(shingled, Seq("doc_id"))
       .groupBy("doc_a", "doc_b")
       .agg(
-        first(when(col("doc_id") === col("doc_a"), col("sh")), ignoreNulls = true).as("sh_a"),
-        first(when(col("doc_id") === col("doc_b"), col("sh")), ignoreNulls = true).as("sh_b"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-    val union = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+        first(when(col("doc_id") === col("doc_a"), col("hs")), ignoreNulls = true).as("hs_a"),
+        first(when(col("doc_id") === col("doc_b"), col("hs")), ignoreNulls = true).as("hs_b"))
+    // Jaccard in hash space; array_intersect/array_union both return
+    // DISTINCT elements, mirroring the oracle's list_distinct formulation
+    val inter = size(array_intersect(col("hs_a"), col("hs_b"))).cast("double")
+    val union = size(array_union(col("hs_a"), col("hs_b"))).cast("double")
     paired
       .withColumn("jaccard", round(inter / union, 4))
       .filter(col("jaccard") >= threshold)
@@ -184,26 +203,20 @@ object Dedup {
 
   // ---------------- SimHash ----------------
 
-  /** 48-bit md5-derived hash per whitespace token — project this ONCE, then
-    * feed the resulting column to [[simhashOfHashes]]: the md5 runs once per
-    * token instead of once per token per sketch bit.
+  /** 48-bit md5-derived hash per whitespace token, one pass
+    * ([[graft.functions.Md5Longs]], digits=12).
     */
   def tokenHashes(text: Column): Column =
-    transform(TextAnalysis.tokens(text), t => conv(substring(md5(t), 1, 12), 16, 10).cast("long"))
+    GraftFunctions.md5Longs(TextAnalysis.tokens(text), digits = 12)
 
-  /** 48-bit SimHash from a pre-hashed token column: per bit b, sum ±1
-    * weighted by token-hash bit b; bit set iff the sum is >= 0. Per-doc,
-    * no shuffle. `th` must be a cheap column reference — the 48 per-bit
-    * aggregates each re-evaluate whatever expression is passed here.
+  /** SimHash sketch from a pre-hashed token column: per bit b, sum ±1
+    * weighted by token-hash bit b; bit set iff the sum is >= 0. Per-doc, no
+    * shuffle, one codegen'd pass over the array
+    * ([[graft.functions.SimHashPack]] — vs 48 interpreted `aggregate`
+    * passes in the HOF formulation it replaces).
     */
-  def simhashOfHashes(th: Column, bits: Int = 48): Column = {
-    val bitCols = (0 until bits).map { b =>
-      val bitSum = aggregate(th, lit(0L),
-        (acc, h) => acc + (shiftright(h, b) % 2L) * 2L - 1L)
-      when(bitSum >= 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
-  }
+  def simhashOfHashes(th: Column, bits: Int = 48): Column =
+    GraftFunctions.simhashPack(th, bits)
 
   /** Convenience form over raw text — hot paths should project
     * [[tokenHashes]] first and call [[simhashOfHashes]] on the column.
@@ -242,10 +255,13 @@ object Dedup {
         struct(
           a.getField("doc_id").as("doc_a"), b.getField("doc_id").as("doc_b"),
           a.getField("sk").as("sk_a"), b.getField("sk").as("sk_b"))))
+    // same AQE-vs-output-heavy-explosion consideration as in
+    // [[minhashNearDups]]: spread the bucket lists before enumerating pairs
     blocks
       .groupBy("q", "key")
       .agg(items.as("items"))
       .filter(size(col("items")) > 1)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(explode(flatten(pairList)).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"), col("p.sk_a"), col("p.sk_b"))
       .dropDuplicates("doc_a", "doc_b") // a pair can collide in several blocks

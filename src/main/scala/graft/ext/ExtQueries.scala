@@ -21,30 +21,37 @@ object ExtQueries {
   // ---------------- dedup ----------------
 
   def q20DedupExact(spark: SparkSession, dir: String): DataFrame =
-    Dedup.exactGroups(documents(spark, dir))
+    Dedup.exactGroups(fanOut(documents(spark, dir)))
 
   private val q20Oracle =
     s"""SELECT md5($DNorm) AS fingerprint, min(doc_id) AS keeper_id, count(*)::BIGINT AS copies
        |FROM documents GROUP BY 1""".stripMargin
 
   def q21DedupMinhash(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashNearDups(documents(spark, dir), threshold = 0.5)
+    Dedup.minhashNearDups(fanOut(documents(spark, dir)), threshold = 0.5)
 
-  /** MinHash oracle, generated from the same [[Dedup.hashParams]]. */
+  /** MinHash oracle, generated from the same [[Dedup.hashParams]]. Like the
+    * Spark plan, shingles live as 60-bit md5-prefix hashes and the verify
+    * Jaccard runs on the DISTINCT hash sets — the identical hash space on
+    * both engines keeps the pair set integer-exact.
+    */
   private def q21Oracle: String = {
     val params = Dedup.hashParams(16)
     val p = Dedup.Mersenne31
     val mh = params.zipWithIndex.map { case (hp, j) =>
-      s"list_min(list_transform(sh, s -> (${hp.a} * (('0x' || substr(md5(s),1,15))::BIGINT % $p) + ${hp.b}) % $p)) AS mh$j"
+      s"list_min(list_transform(hs, h -> (${hp.a} * (h % $p) + ${hp.b}) % $p)) AS mh$j"
     }.mkString(",\n         ")
     val bandSelects = (0 until 4).map { b =>
       val slice = (0 until 4).map(r => s"mh${b * 4 + r}").mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band, md5($slice) AS bucket FROM sig"
     }.mkString("\n  UNION ALL ")
     s"""WITH n AS (SELECT doc_id, $DNorm AS t FROM documents),
-       |sh AS (SELECT doc_id, list_distinct([substr(t, i, 5) FOR i IN range(1, len(t)-3)]) AS sh
+       |sh AS (SELECT doc_id,
+       |         list_distinct(list_transform(
+       |           list_distinct([substr(t, i, 5) FOR i IN range(1, len(t)-3)]),
+       |           s -> ('0x' || substr(md5(s),1,15))::BIGINT)) AS hs
        |       FROM n WHERE len(t) >= 5),
-       |sig AS (SELECT doc_id, sh,
+       |sig AS (SELECT doc_id, hs,
        |         $mh
        |        FROM sh),
        |bands AS (
@@ -57,8 +64,8 @@ object ExtQueries {
        |),
        |pairs AS (
        |  SELECT c.doc_a, c.doc_b,
-       |         round(len(list_intersect(s1.sh, s2.sh))::DOUBLE
-       |               / len(list_distinct(list_concat(s1.sh, s2.sh))), 4) AS jaccard
+       |         round(len(list_intersect(s1.hs, s2.hs))::DOUBLE
+       |               / len(list_distinct(list_concat(s1.hs, s2.hs))), 4) AS jaccard
        |  FROM cand c
        |  JOIN sh s1 ON s1.doc_id = c.doc_a
        |  JOIN sh s2 ON s2.doc_id = c.doc_b
@@ -67,7 +74,7 @@ object ExtQueries {
   }
 
   def q22DedupSimhash(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir)
+    fanOut(documents(spark, dir))
       .select(col("doc_id"), Dedup.tokenHashes(col("text")).as("th"))
       .select(col("doc_id"), Dedup.simhashOfHashes(col("th")).as("simhash"))
 
@@ -86,7 +93,7 @@ object ExtQueries {
   }
 
   def q25SimhashPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashNearDups(documents(spark, dir), maxHamming = 8)
+    Dedup.simhashNearDups(fanOut(documents(spark, dir)), maxHamming = 8)
 
   /** SimHash near-dup pair oracle: sketch (as q22) → 4 12-bit blocking keys
     * → in-block candidates → Hamming verify. Same generated constants, so
@@ -123,7 +130,7 @@ object ExtQueries {
   }
 
   def q23NgramJaccard(spark: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(documents(spark, dir), blockCols = Seq("lang", "source"))
+    Dedup.ngramJaccardPairs(fanOut(documents(spark, dir)), blockCols = Seq("lang", "source"))
 
   private val q23Oracle =
     s"""WITH n AS (SELECT doc_id, lang, source, string_split($DNorm, ' ') AS tk FROM documents),
@@ -141,7 +148,7 @@ object ExtQueries {
        | AND b.doc_id - a.doc_id BETWEEN 1 AND 200""".stripMargin
 
   def q24EmbedNearDup(spark: SparkSession, dir: String): DataFrame =
-    Similarity.cosineNearDupPairs(embeddings(spark, dir), blockCol = "label", threshold = 0.25)
+    Similarity.cosineNearDupPairs(fanOut(embeddings(spark, dir)), blockCol = "label", threshold = 0.25)
 
   private val DCos =
     "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
@@ -156,7 +163,7 @@ object ExtQueries {
   // ---------------- similarity search ----------------
 
   def q30KnnBruteForce(spark: SparkSession, dir: String): DataFrame = {
-    val e = embeddings(spark, dir)
+    val e = fanOut(embeddings(spark, dir))
     Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8), k = 5)
   }
 
@@ -177,7 +184,7 @@ object ExtQueries {
     * the driver gate).
     */
   def q31KnnLsh(spark: SparkSession, dir: String): DataFrame = {
-    val e = embeddings(spark, dir)
+    val e = fanOut(embeddings(spark, dir))
     Similarity.lshTopK(e, e.filter(col("vec_id") < 8), k = 5)
   }
 
@@ -190,7 +197,7 @@ object ExtQueries {
 
   def q40LangId(spark: SparkSession, dir: String): DataFrame = {
     val scores = TextAnalysis.langScores(col("text"))
-    documents(spark, dir).select(
+    fanOut(documents(spark, dir)).select(
       (col("doc_id") +: scores.map { case (l, c) => c.as(s"${l}_hits") }) :+
         TextAnalysis.langGuess(scores).as("lang_guess"): _*)
   }
@@ -214,7 +221,7 @@ object ExtQueries {
     val nTok = TextAnalysis.tokenCount(text)
     val punct = TextAnalysis.punctCount(text)
     val stop = TextAnalysis.stopwordHits(TextAnalysis.tokens(text), TextAnalysis.LangStopwords.head._2)
-    documents(spark, dir).select(
+    fanOut(documents(spark, dir)).select(
       col("doc_id"),
       nTok.as("n_tokens"),
       punct.as("punct"),
@@ -238,7 +245,7 @@ object ExtQueries {
   }
 
   def q42TokenStats(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir)
+    fanOut(documents(spark, dir))
       .groupBy("source")
       .agg(
         count(lit(1)).as("docs"),
@@ -254,7 +261,7 @@ object ExtQueries {
        |FROM documents GROUP BY source""".stripMargin
 
   def q43Fingerprint(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir)
+    fanOut(documents(spark, dir))
       .select(col("doc_id"), TextAnalysis.normalize(col("text")).as("t"))
       .select(
         col("doc_id"),
@@ -274,7 +281,7 @@ object ExtQueries {
   // ---------------- multimodal ----------------
 
   def q50Multimodal(spark: SparkSession, dir: String): DataFrame =
-    Multimodal.extractFeatures(spark, Multimodal.attachMedia(documents(spark, dir))).toDF()
+    Multimodal.extractFeatures(spark, Multimodal.attachMedia(fanOut(documents(spark, dir)))).toDF()
 
   private val q50Oracle =
     """WITH m AS (SELECT doc_id, substr(text, 1, 64) AS p FROM documents)

@@ -16,26 +16,26 @@ import org.apache.spark.sql.functions._
   *     optional 1-bit multiprobe for recall), so candidate count per query is
   *     ~corpus/2^planes instead of corpus.
   *
-  * All arithmetic is elementwise-double with a sequential fold (matching the
-  * DuckDB oracle's `list_dot_product` on `DOUBLE[]` bit-for-bit). Hyperplanes
-  * come from a fixed-seed RNG so runs are reproducible.
+  * Per-pair arithmetic is the codegen'd [[graft.functions.VecDot]] /
+  * [[graft.functions.VecNorm]] — one primitive loop per pair inside
+  * whole-stage codegen, replacing the interpreter-only `aggregate(zip_with)`
+  * HOF chain (CodegenFallback, ~128 boxed lambda calls per 64-dim pair).
+  * The numeric contract is unchanged: elements widen to double and
+  * accumulate sequentially, matching the DuckDB oracle's
+  * `list_dot_product` on `DOUBLE[]` bit-for-bit (asserted against the HOF
+  * formulation in VectorFunctionsSpec). Float arrays feed the expressions
+  * directly — no materialized `array<double>` copy rides the broadcast.
+  * Hyperplanes come from a fixed-seed RNG so runs are reproducible.
   */
 object Similarity {
+  import graft.functions.GraftFunctions.{vecDot, vecNorm}
 
-  /** Elementwise double view of a float-array column. */
-  private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+  def dot(a: Column, b: Column): Column = vecDot(a, b)
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  def norm(a: Column): Column = vecNorm(a)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
-
-  /** Cosine similarity of two float-array columns, computed in double. */
-  def cosine(a: Column, b: Column): Column = {
-    val ad = asDouble(a)
-    val bd = asDouble(b)
-    dot(ad, bd) / (norm(ad) * norm(bd))
-  }
+  /** Cosine similarity of two float/double-array columns, in double. */
+  def cosine(a: Column, b: Column): Column = vecDot(a, b) / (vecNorm(a) * vecNorm(b))
 
   /** Exact brute-force top-k: for each query vector, the k nearest corpus
     * vectors by cosine (self excluded), rank ties broken by vec_id.
@@ -52,16 +52,14 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
 
-    // Norms are computed once per ROW before the join (each side projects
-    // its double view + norm), so the per-PAIR work is a single dot product
-    // — not the 3 array passes an inlined cosine() would cost.
+    // Norms are computed once per ROW before the join, so the per-PAIR work
+    // is a single codegen'd dot product — not the 3 array passes an inlined
+    // cosine() would cost.
     val q = broadcast(
-      queries
-        .select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_vec"))
-        .select(col("q_id"), col("q_vec"), norm(col("q_vec")).as("q_norm")))
-    val c = corpus
-      .select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("c_vec"))
-      .select(col("vec_id"), col("c_vec"), norm(col("c_vec")).as("c_norm"))
+      queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        norm(col(vecCol)).as("q_norm")))
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec"),
+      norm(col(vecCol)).as("c_norm"))
     val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
     c.join(q, col("vec_id") =!= col("q_id"))
       .withColumn("score", dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
@@ -77,9 +75,8 @@ object Similarity {
     Seq.fill(planes)(Seq.fill(dim)(rng.nextGaussian()))
   }
 
-  /** Sign-of-projection LSH signature (one bit per hyperplane). `vec` must
-    * be an `array<double>` column REFERENCE — it is evaluated once per
-    * plane, so an inlined cast/expression would be recomputed per plane.
+  /** Sign-of-projection LSH signature (one bit per hyperplane); `vec` may
+    * be float or double.
     */
   def lshSignature(vec: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex
@@ -125,17 +122,17 @@ object Similarity {
       array((0 until tables).map(t => lshSignature(vec, tablePlanes(t))): _*)
 
     val c = corpus
-      .select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("c_vec"))
-      .select(col("vec_id"), col("c_vec"), norm(col("c_vec")).as("c_norm"),
-        posexplode(sigArray(col("c_vec"))).as(Seq("table", "bucket")))
+      .select(col(idCol).as("vec_id"), col(vecCol).as("c_vec"),
+        norm(col(vecCol)).as("c_norm"),
+        posexplode(sigArray(col(vecCol))).as(Seq("table", "bucket")))
 
     // query probes per table: own bucket + optional 1-bit flips
     val flips: Seq[Column] =
       if (probeBits >= 1) (0 until planesPerTable).map(b => lit(1L << b)) else Seq.empty
     val q = queries
-      .select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_vec"))
-      .select(col("q_id"), col("q_vec"), norm(col("q_vec")).as("q_norm"),
-        posexplode(sigArray(col("q_vec"))).as(Seq("table", "sig")))
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        norm(col(vecCol)).as("q_norm"),
+        posexplode(sigArray(col(vecCol))).as(Seq("table", "sig")))
       .withColumn("bucket",
         explode(array((lit(0L) +: flips).map(f => col("sig").bitwiseXOR(f)): _*)))
       .select("q_id", "q_vec", "q_norm", "table", "bucket")
@@ -171,13 +168,13 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
 
     val a = vectors
-      .select(col(blockCol).as("block"), col(idCol).as("id_a"), asDouble(col(vecCol)).as("v_a"))
-      .select(col("block"), col("id_a"), col("v_a"), norm(col("v_a")).as("n_a"))
+      .select(col(blockCol).as("block"), col(idCol).as("id_a"), col(vecCol).as("v_a"),
+        norm(col(vecCol)).as("n_a"))
       .withColumn("id_bucket",
         explode(array(expr(s"id_a div $window"), expr(s"id_a div $window + 1"))))
     val b = vectors
-      .select(col(blockCol).as("block"), col(idCol).as("id_b"), asDouble(col(vecCol)).as("v_b"))
-      .select(col("block"), col("id_b"), col("v_b"), norm(col("v_b")).as("n_b"))
+      .select(col(blockCol).as("block"), col(idCol).as("id_b"), col(vecCol).as("v_b"),
+        norm(col(vecCol)).as("n_b"))
       .withColumn("id_bucket", expr(s"id_b div $window"))
     a.join(b, Seq("block", "id_bucket"))
       .filter((col("id_b") - col("id_a")).between(lit(1), lit(window)))

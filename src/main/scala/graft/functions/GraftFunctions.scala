@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Column-level API over the graft custom Catalyst expressions, plus SQL
+  * registration (both as a [[SparkSessionExtensions]] hook for
+  * `spark.sql.extensions=graft.functions.GraftExtensions` and as an
+  * imperative `register(spark)` for sessions that already exist).
+  */
+object GraftFunctions {
+
+  private def expr(c: Column): Expression = GraftColumnBridge.expression(c)
+  private def col(e: Expression): Column = GraftColumnBridge.column(e)
+
+  /** Σᵢ aᵢ·bᵢ in double — codegen'd; accepts array<float|double>. */
+  def vecDot(a: Column, b: Column): Column = col(VecDot(expr(a), expr(b)))
+
+  /** L2 norm √(Σᵢ aᵢ²) — codegen'd; accepts array<float|double>. */
+  def vecNorm(a: Column): Column = col(VecNorm(expr(a)))
+
+  /** Per-element `conv(substring(md5(s),1,digits),16,10) % mod` in one pass. */
+  def md5Longs(arr: Column, digits: Int, mod: Long = 0L): Column =
+    col(Md5Longs(expr(arr), digits, mod))
+
+  /** One-pass SimHash sketch over pre-hashed tokens. */
+  def simhashPack(th: Column, bits: Int = 48): Column = col(SimHashPack(expr(th), bits))
+
+  /** One-pass MinHash signature (affine family over field p). */
+  def minhashSig(hs: Column, as: Seq[Long], bs: Seq[Long], p: Long): Column =
+    col(MinHashSig(expr(hs), as, bs, p))
+
+  /** Distinct character k-shingles, first-occurrence order, one pass. */
+  def charShingles(t: Column, k: Int): Column = col(CharShingles(expr(t), k))
+
+  /** (name, info, builder) triples for every graft SQL function. */
+  private[graft] def registry: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {
+    def info(name: String, usage: String, clazz: Class[_]) =
+      new ExpressionInfo(clazz.getName, null, name, usage, "")
+    def intArg(e: Expression, what: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+    }
+    Seq(
+      (FunctionIdentifier("vec_dot"),
+        info("vec_dot", "vec_dot(a, b) - dot product of two float/double arrays", classOf[VecDot]),
+        (es: Seq[Expression]) => VecDot(es(0), es(1))),
+      (FunctionIdentifier("vec_norm"),
+        info("vec_norm", "vec_norm(a) - L2 norm of a float/double array", classOf[VecNorm]),
+        (es: Seq[Expression]) => VecNorm(es(0))),
+      (FunctionIdentifier("vec_cosine"),
+        info("vec_cosine", "vec_cosine(a, b) - cosine similarity of two float/double arrays",
+          classOf[VecDot]),
+        (es: Seq[Expression]) =>
+          org.apache.spark.sql.catalyst.expressions.Divide(
+            VecDot(es(0), es(1)),
+            org.apache.spark.sql.catalyst.expressions.Multiply(VecNorm(es(0)), VecNorm(es(1))))),
+      (FunctionIdentifier("simhash_pack"),
+        info("simhash_pack", "simhash_pack(hashes, bits) - pack a SimHash sketch from token hashes",
+          classOf[SimHashPack]),
+        (es: Seq[Expression]) => SimHashPack(es(0), intArg(es(1), "bits"))),
+      (FunctionIdentifier("char_shingles"),
+        info("char_shingles", "char_shingles(text, k) - distinct character k-shingles",
+          classOf[CharShingles]),
+        (es: Seq[Expression]) => CharShingles(es(0), intArg(es(1), "k")))
+    )
+  }
+
+  /** Register the SQL surface on an already-built session. */
+  def register(spark: SparkSession): Unit = registry.foreach { case (ident, inf, builder) =>
+    spark.sessionState.functionRegistry.registerFunction(ident, inf, builder)
+  }
+}
+
+/** `--conf spark.sql.extensions=graft.functions.GraftExtensions` injects the
+  * graft SQL function surface at session build time.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.registry.foreach(ext.injectFunction)
+}

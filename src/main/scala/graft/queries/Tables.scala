@@ -28,4 +28,18 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "events")
   def documents(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
+
+  /** Spread a narrow scan across the cluster before CPU-heavy per-row work
+    * (md5 shingling, 48-bit sketches, per-pair dot products).
+    *
+    * A small parquet file arrives as ONE input partition, serializing every
+    * downstream expression onto a single core regardless of `local[n]` /
+    * executor count. At real scale the input already has ≥ parallelism
+    * splits and this is a no-op — the condition makes the shuffle a
+    * small-corpus-only cost, never a 100 TB one.
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

@@ -1,0 +1,43 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc profiling entry: times one or more `SparkEntry.queries` by name
+  * (args) against `SPARK_GRAFT_SF_DIR`, printing per-query wall seconds and,
+  * with `SPARK_GRAFT_EXPLAIN=1`, the formatted physical plan. Dev tool only —
+  * not part of the driver contract.
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val explain = sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.get("SPARK_GRAFT_STAGES").contains("1")) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = sc.stageInfo
+          val secs = (for {s <- i.submissionTime; c <- i.completionTime} yield (c - s) / 1e3)
+            .getOrElse(-1.0)
+          println(f"  stage ${i.stageId}%3d ${i.numTasks}%4d tasks ${secs}%7.2f s  ${i.name.takeWhile(_ != '\n').take(90)}")
+        }
+      })
+    }
+    val names = if (args.nonEmpty) args.toSeq else graft.SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      val df = fn(spark, sfDir)
+      if (explain) { println(s"==== $name plan ===="); df.explain("formatted") }
+      val t0 = System.nanoTime()
+      val n = df.count()
+      println(f"$name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+    }
+    spark.stop()
+  }
+}

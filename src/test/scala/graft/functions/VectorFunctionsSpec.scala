@@ -1,0 +1,167 @@
+package graft.functions
+
+import org.apache.spark.sql.{GraftColumnBridge, Row}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateMutableProjection
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.SparkSpec
+import graft.ext.{Dedup, TextAnalysis}
+
+/** The codegen'd expressions in graft.functions replace interpreter-only HOF
+  * chains inside already-oracle-pinned queries — so their contract is exact
+  * equivalence with the HOF formulation, asserted here on real data plus
+  * synthetic edge cases, through BOTH the interpreted eval path and compiled
+  * codegen (GenerateMutableProjection forces doGenCode).
+  */
+class VectorFunctionsSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // ---- HOF reference formulations (what the engine used before) ----
+  private def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  private def hofNorm(a: org.apache.spark.sql.Column) = sqrt(hofDot(a, a))
+  private def asDouble(v: org.apache.spark.sql.Column) = transform(v, _.cast("double"))
+
+  test("vec_dot / vec_norm equal the HOF formulation on real embeddings") {
+    import graft.functions.GraftFunctions.{vecDot, vecNorm}
+    val e = graft.queries.Tables.embeddings(spark, sfDir).limit(200)
+    val joined = e.select(col("vec_id").as("ia"), col("embedding").as("va"))
+      .crossJoin(e.select(col("vec_id").as("ib"), col("embedding").as("vb")).limit(20))
+    val mismatches = joined.select(
+      vecDot(col("va"), col("vb")).as("cg"),
+      hofDot(asDouble(col("va")), asDouble(col("vb"))).as("hof"),
+      vecNorm(col("va")).as("cgn"),
+      hofNorm(asDouble(col("va"))).as("hofn"))
+      .filter(!(col("cg") === col("hof")) || !(col("cgn") === col("hofn")))
+      .count()
+    assert(mismatches === 0L)
+  }
+
+  test("vec_dot null semantics: null input, length mismatch, null element") {
+    import graft.functions.GraftFunctions.vecDot
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(DoubleType, containsNull = true)),
+      StructField("b", ArrayType(DoubleType, containsNull = true))))
+    val rows = java.util.Arrays.asList(
+      Row(Seq(1.0, 2.0), Seq(3.0, 4.0)),   // 11.0
+      Row(null, Seq(1.0)),                  // null input
+      Row(Seq(1.0, 2.0), Seq(1.0)),         // length mismatch
+      Row(Seq(1.0, null), Seq(1.0, 2.0)))   // null element
+    val df = spark.createDataFrame(rows, schema)
+    val got = df.select(vecDot(col("a"), col("b"))).collect().map(r =>
+      if (r.isNullAt(0)) null else r.getDouble(0))
+    assert(got.toSeq === Seq(11.0, null, null, null))
+  }
+
+  test("expressions survive compiled codegen (GenerateMutableProjection)") {
+    val emb = ArrayData.toArrayData(Array(1.0f, 2.0f, 3.0f))
+    val emb2 = ArrayData.toArrayData(Array(2.0f, 0.5f, -1.0f))
+    val toks = new GenericArrayData(Array[Any](
+      UTF8String.fromString("the"), UTF8String.fromString("cat")))
+
+    val floatArr = ArrayType(FloatType, containsNull = true)
+    val dot = VecDot(
+      BoundReference(0, floatArr, nullable = true),
+      BoundReference(1, floatArr, nullable = true))
+    val norm = VecNorm(BoundReference(0, floatArr, nullable = true))
+    val strArr = ArrayType(StringType, containsNull = true)
+    val m5 = Md5Longs(BoundReference(2, strArr, nullable = true), 12, 0L)
+    val sim = SimHashPack(m5, 48)
+    val params = Dedup.hashParams(16)
+    val mh = MinHashSig(
+      Md5Longs(BoundReference(2, strArr, nullable = true), 15, Dedup.Mersenne31),
+      params.map(_.a), params.map(_.b), Dedup.Mersenne31)
+    val shingle = CharShingles(Literal(UTF8String.fromString("abcdef"), StringType), 5)
+
+    val proj = GenerateMutableProjection.generate(Seq(dot, norm, m5, sim, mh, shingle))
+    val out = proj(InternalRow(emb, emb2, toks))
+
+    assert(out.getDouble(0) === (1.0 * 2.0 + 2.0 * 0.5 + 3.0 * -1.0))
+    assert(out.getDouble(1) === math.sqrt(1.0 + 4.0 + 9.0))
+    // interpreted eval must agree with codegen output
+    assert(out.getArray(2).toLongArray().toSeq ===
+      HashOps.md5Longs(toks, 12, 0L).toLongArray().toSeq)
+    assert(out.getLong(3) === HashOps.simhashPack(out.getArray(2), 48))
+    assert(out.getArray(4).toLongArray().toSeq ===
+      HashOps.minhashSig(HashOps.md5Longs(toks, 15, Dedup.Mersenne31),
+        params.map(_.a).toArray, params.map(_.b).toArray, Dedup.Mersenne31)
+        .toLongArray().toSeq)
+    assert(out.getArray(5).numElements() === 2) // "abcde", "bcdef"
+  }
+
+  test("md5_longs / simhash_pack / minhash_sig equal the HOF chain on documents") {
+    import graft.functions.GraftFunctions.{md5Longs, minhashSig, simhashPack}
+    val docs = graft.queries.Tables.documents(spark, sfDir).limit(100)
+    val toks = docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+
+    val hofTokenHashes =
+      transform(col("tk"), t => conv(substring(md5(t), 1, 12), 16, 10).cast("long"))
+    val tokenMismatch = toks
+      .select(md5Longs(col("tk"), 12).as("cg"), hofTokenHashes.as("hof"))
+      .filter(!(col("cg") === col("hof"))).count()
+    assert(tokenMismatch === 0L)
+
+    val hashed = toks.select(col("doc_id"), md5Longs(col("tk"), 12).as("th"))
+    val hofSim = (0 until 48).map { b =>
+      val bitSum = aggregate(col("th"), lit(0L),
+        (acc, h) => acc + (shiftright(h, b) % 2L) * 2L - 1L)
+      when(bitSum >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val simMismatch = hashed
+      .select(simhashPack(col("th")).as("cg"), hofSim.as("hof"))
+      .filter(!(col("cg") === col("hof"))).count()
+    assert(simMismatch === 0L)
+
+    val params = Dedup.hashParams(16)
+    val norm = docs.select(col("doc_id"), TextAnalysis.normalize(col("text")).as("t"))
+      .filter(length(col("t")) >= 5)
+      .select(col("doc_id"), Dedup.shinglesOfNorm(col("t"), 5).as("sh"))
+    val hofSig = array(params.map(p =>
+      array_min(transform(
+        transform(col("sh"), s => Dedup.baseHash(s) % Dedup.Mersenne31),
+        h => (lit(p.a) * h + lit(p.b)) % Dedup.Mersenne31))): _*)
+    val sigMismatch = norm.select(
+      minhashSig(md5Longs(col("sh"), 15, Dedup.Mersenne31),
+        params.map(_.a), params.map(_.b), Dedup.Mersenne31).as("cg"),
+      hofSig.as("hof"))
+      .filter(!(col("cg") === col("hof"))).count()
+    assert(sigMismatch === 0L)
+  }
+
+  test("char_shingles equals distinct-transform HOF incl. short-string guard") {
+    import graft.functions.GraftFunctions.charShingles
+    val docs = graft.queries.Tables.documents(spark, sfDir).limit(100)
+      .select(TextAnalysis.normalize(col("text")).as("t"))
+      .union(spark.sql("SELECT 'abc' AS t")) // shorter than k
+      .union(spark.sql("SELECT 'aaaaaaa' AS t")) // heavy duplicate shingles
+    val hof = when(length(col("t")) >= 5,
+      array_distinct(transform(
+        sequence(lit(1), length(col("t")) - 4), i => col("t").substr(i, lit(5)))))
+      .otherwise(array().cast("array<string>"))
+    val mismatch = docs.select(charShingles(col("t"), 5).as("cg"), hof.as("hof"))
+      .filter(!(col("cg") === col("hof"))).count()
+    assert(mismatch === 0L)
+  }
+
+  test("SQL surface registers via GraftFunctions.register (same registry GraftExtensions injects)") {
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |       vec_norm(array(3.0D, 4.0D)) AS n,
+        |       vec_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
+        |       simhash_pack(array(5L), 48) AS s,
+        |       char_shingles('abcdef', 5) AS sh
+        |""".stripMargin).head()
+    assert(row.getDouble(0) === 11.0)
+    assert(row.getDouble(1) === 5.0)
+    assert(row.getDouble(2) === 1.0)
+    // single token 5 = 0b101: bits 0,2 have sum +1 (set), all others -1 (unset)
+    assert(row.getLong(3) === 5L)
+    assert(row.getSeq[String](4) === Seq("abcde", "bcdef"))
+  }
+}
