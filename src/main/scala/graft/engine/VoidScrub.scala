@@ -52,7 +52,17 @@ object VoidScrub {
     case _                     => false
   }
 
-  /** Recursively rebuild `col` of type `dt`, pruning VOID fields. */
+  /** Recursively rebuild `col` of type `dt`, pruning VOID fields.
+    *
+    * DELIBERATE QUIRK FIX (SURVEY §7.4 decision log): for a struct with no
+    * VOID field anywhere below, the identity fast path returns the column
+    * untouched, so a NULL struct value stays NULL. The reference rebuilds
+    * every struct unconditionally via `F.struct(fields…)`, which turns a
+    * NULL struct into a non-null struct of NULL fields — data corruption we
+    * choose not to reproduce (same class of fix as the §7.4 "str.replace
+    * rewrite" and "repartition(0)" entries). Structs that DO need a rebuild
+    * keep the reference behavior on the rebuilt path.
+    */
   private[engine] def scrubColumn(c: Column, dt: DataType): Column = dt match {
     case s: StructType =>
       val valid = s.fields.filterNot(_.dataType.isInstanceOf[NullType])

@@ -188,6 +188,15 @@ object ExtQueries {
     Similarity.lshTopK(e, e.filter(col("vec_id") < 8), k = 5)
   }
 
+  /** ANN (IVF inverted-file index) — approximate by design like q31, so
+    * rows-only in the driver gate; recall vs brute force is asserted in
+    * SimilaritySpec.
+    */
+  def q32KnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = fanOut(embeddings(spark, dir))
+    Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), k = 5)
+  }
+
   // ---------------- text analysis ----------------
 
   private val dHits: Map[String, String] = TextAnalysis.LangStopwords.map { case (lang, words) =>
@@ -305,6 +314,7 @@ object ExtQueries {
     "q24_embed_neardup" -> (q24EmbedNearDup _),
     "q30_knn_brute" -> (q30KnnBruteForce _),
     "q31_knn_lsh" -> (q31KnnLsh _),
+    "q32_knn_ivf" -> (q32KnnIvf _),
     "q40_lang_id" -> (q40LangId _),
     "q41_quality" -> (q41Quality _),
     "q42_token_stats" -> (q42TokenStats _),

@@ -28,6 +28,32 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, f"LSH recall@$k = $recall%.3f < 0.8 (hit=$hit of $total)")
   }
 
+  test("IVF top-k recall@5 >= 0.8 against brute force (q32 parameters)") {
+    val queries = embeds.filter(col("vec_id") < 8)
+    val k = 5
+    val exact = Similarity.bruteForceTopK(embeds, queries, k)
+      .select("q_id", "vec_id")
+    val ann = Similarity.ivfTopK(embeds, queries, k)
+      .select("q_id", "vec_id")
+    val total = exact.count()
+    val hit = exact.intersect(ann).count()
+    val recall = hit.toDouble / total
+    assert(recall >= 0.8, f"IVF recall@$k = $recall%.3f < 0.8 (hit=$hit of $total)")
+  }
+
+  test("IVF inverted file covers the corpus: every vector lands in one cell") {
+    val e = embeds
+    val centroids = Similarity.ivfCentroids(e, cells = 8, iters = 1)
+    assert(centroids.length === 8)
+    assert(centroids.forall(_.length === centroids.head.length))
+    // every centroid is a finite vector (no NaN from an empty cell)
+    assert(centroids.forall(_.forall(x => !x.isNaN && !x.isInfinite)))
+    val res = Similarity.ivfTopK(e, e.filter(col("vec_id") < 4), k = 3, cells = 8, nprobe = 8)
+    // probing ALL cells makes IVF exhaustive: it must equal brute force
+    val exact = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 4), 3)
+    assert(res.exceptAll(exact).isEmpty && exact.exceptAll(res).isEmpty)
+  }
+
   test("brute-force top-k: k rows per query, self excluded, ranks contiguous") {
     val res = Similarity.bruteForceTopK(embeds, embeds.filter(col("vec_id") < 4), 3).collect()
     val byQ = res.groupBy(_.getLong(0))
