@@ -27,6 +27,18 @@ object ExtQueries {
     s"""SELECT md5($DNorm) AS fingerprint, min(doc_id) AS keeper_id, count(*)::BIGINT AS copies
        |FROM documents GROUP BY 1""".stripMargin
 
+  /** Exact dedup applied (keeper rows survive) — covers [[Dedup.exactDedup]],
+    * the operator users actually run after inspecting [[Dedup.exactGroups]].
+    */
+  def q26DedupKeep(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(fanOut(documents(spark, dir)))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+
+  private val q26Oracle =
+    s"""WITH k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5($DNorm))
+       |SELECT d.doc_id, d.lang, d.source, d.n_chars
+       |FROM documents d JOIN k USING (doc_id)""".stripMargin
+
   def q21DedupMinhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDups(fanOut(documents(spark, dir)), threshold = 0.5)
 
@@ -287,6 +299,28 @@ object ExtQueries {
        |         (a, b) -> (a * 31 + b) % 1000000007) AS rolling_hash
        |FROM n""".stripMargin
 
+  // ---------------- deterministic sampling ----------------
+
+  def q44HashSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.hashSample(documents(spark, dir), fraction = 0.25)
+      .select(col("doc_id"), col("lang"), col("source"))
+
+  private val q44Oracle = {
+    val threshold = (0.25 * (1L << 60).toDouble).toLong
+    s"""SELECT doc_id, lang, source FROM documents
+       |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT < $threshold""".stripMargin
+  }
+
+  def q45StratifiedQuota(spark: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedQuota(documents(spark, dir), strataCols = Seq("lang"), perStratum = 50)
+      .select(col("doc_id"), col("lang"))
+
+  private val q45Oracle =
+    """SELECT doc_id, lang FROM documents
+      |QUALIFY row_number() OVER (
+      |  PARTITION BY lang
+      |  ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT ASC, doc_id ASC) <= 50""".stripMargin
+
   // ---------------- multimodal ----------------
 
   def q50Multimodal(spark: SparkSession, dir: String): DataFrame =
@@ -307,6 +341,7 @@ object ExtQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact" -> (q20DedupExact _),
+    "q26_dedup_keep" -> (q26DedupKeep _),
     "q21_dedup_minhash" -> (q21DedupMinhash _),
     "q22_dedup_simhash" -> (q22DedupSimhash _),
     "q25_simhash_pairs" -> (q25SimhashPairs _),
@@ -319,11 +354,14 @@ object ExtQueries {
     "q41_quality" -> (q41Quality _),
     "q42_token_stats" -> (q42TokenStats _),
     "q43_fingerprint" -> (q43Fingerprint _),
+    "q44_hash_sample" -> (q44HashSample _),
+    "q45_stratified_quota" -> (q45StratifiedQuota _),
     "q50_multimodal" -> (q50Multimodal _)
   )
 
   val oracleSql: Map[String, String] = Map(
     "q20_dedup_exact" -> q20Oracle,
+    "q26_dedup_keep" -> q26Oracle,
     "q21_dedup_minhash" -> q21Oracle,
     "q22_dedup_simhash" -> q22Oracle,
     "q25_simhash_pairs" -> q25Oracle,
@@ -335,6 +373,8 @@ object ExtQueries {
     "q41_quality" -> q41Oracle,
     "q42_token_stats" -> q42Oracle,
     "q43_fingerprint" -> q43Oracle,
+    "q44_hash_sample" -> q44Oracle,
+    "q45_stratified_quota" -> q45Oracle,
     "q50_multimodal" -> q50Oracle
   )
 }

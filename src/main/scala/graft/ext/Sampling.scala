@@ -1,0 +1,55 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data curation.
+  *
+  * Corpus curation needs samples that are REPRODUCIBLE (the same subset on
+  * every run, every engine, any partitioning) and CHEAP (no global shuffle
+  * just to pick rows). Both operators key off the md5 hash of the row id —
+  * the same 60-bit-prefix arithmetic as [[Dedup.baseHash]] — so membership
+  * is a pure per-row predicate any engine can replay, and both are
+  * oracle-verified in DuckDB (unlike `df.sample`, whose RNG is
+  * partitioning-dependent and engine-private).
+  *
+  * 100 TB shape: [[hashSample]] is a pushable-shape filter (scan-time, no
+  * shuffle, no state). [[stratifiedQuota]] shuffles only (strata, hash, id)
+  * triples through a per-stratum top-k window; at extreme stratum skew the
+  * standard two-level trick (pre-filter with a generous [[hashSample]],
+  * then the exact window) bounds the window input.
+  */
+object Sampling {
+
+  /** 60-bit hash gate: keep rows whose `md5(id)` prefix falls below
+    * `fraction` of the hash space. Deterministic, order- and
+    * partitioning-independent; expected (not exact) fraction.
+    */
+  def hashGate(id: Column, fraction: Double): Column = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0,1]")
+    val threshold = (fraction * (1L << 60).toDouble).toLong
+    Dedup.baseHash(id.cast("string")) < lit(threshold)
+  }
+
+  /** Deterministic ~`fraction` sample of `df` keyed on `idCol`. */
+  def hashSample(df: DataFrame, fraction: Double, idCol: String = "doc_id"): DataFrame =
+    df.filter(hashGate(col(idCol), fraction))
+
+  /** Exactly `perStratum` rows per stratum (fewer if the stratum is
+    * smaller), chosen deterministically by hash order with id tiebreak —
+    * a reproducible stratified quota, not a probabilistic one.
+    */
+  def stratifiedQuota(
+      df: DataFrame,
+      strataCols: Seq[String],
+      perStratum: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(perStratum > 0, "perStratum must be positive")
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(Dedup.baseHash(col(idCol).cast("string")).asc, col(idCol).asc)
+    df.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= perStratum)
+      .drop("__rank")
+  }
+}

@@ -75,6 +75,24 @@ object CdcStream {
         col(typeCol),
         col("n"))
 
+  /** Streaming exact dedup: first-seen wins on the normalized-text
+    * fingerprint (same [[graft.ext.TextAnalysis.md5Fingerprint]] key as the
+    * batch tier, so batch and streaming dedup cannot drift). State is
+    * bounded by the watermark horizon via `dropDuplicatesWithinWatermark`:
+    * a duplicate arriving within `watermarkDelay` of the original's event
+    * time is dropped, and fingerprint state older than the watermark is
+    * evicted — the standard unbounded-stream dedup contract.
+    */
+  def dedupStream(
+      docs: DataFrame,
+      tsCol: String,
+      watermarkDelay: String,
+      textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("fingerprint", graft.ext.TextAnalysis.md5Fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("fingerprint")
+
   final case class Ev(user_id: Long, ts_us: Long)
   final case class SessionState(sessionId: Long, lastTsUs: Long)
   final case class SessionAssignment(user_id: Long, ts_us: Long, session_id: Long)

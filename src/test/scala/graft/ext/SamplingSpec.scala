@@ -1,0 +1,47 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.Tables
+
+/** Deterministic-sampling contracts: run-to-run stability (the whole point
+  * vs `df.sample`), membership independence from partitioning, and exact
+  * per-stratum quotas.
+  */
+class SamplingSpec extends SparkSpec {
+
+  private def docs = Tables.documents(spark, Sf0001)
+
+  test("hashSample is deterministic and partitioning-independent") {
+    val a = Sampling.hashSample(docs, 0.25).select("doc_id").collect().map(_.getLong(0)).sorted
+    val b = Sampling.hashSample(docs.repartition(7, col("lang")), 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(a.nonEmpty && a.sameElements(b))
+    // expected fraction, loose tolerance (hash gate is expected-not-exact)
+    val frac = a.length.toDouble / docs.count()
+    assert(frac > 0.15 && frac < 0.35, s"fraction $frac far from 0.25")
+  }
+
+  test("hashSample(1.0) keeps everything, hashSample(0.0) keeps nothing") {
+    assert(Sampling.hashSample(docs, 1.0).count() === docs.count())
+    assert(Sampling.hashSample(docs, 0.0).count() === 0L)
+  }
+
+  test("stratifiedQuota returns exactly min(quota, stratum size) per stratum") {
+    val quota = 5
+    val got = Sampling.stratifiedQuota(docs, Seq("lang"), quota)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet === sizes.keySet)
+    got.foreach { case (lang, n) => assert(n === math.min(quota.toLong, sizes(lang))) }
+    // deterministic across runs
+    val again = Sampling.stratifiedQuota(docs, Seq("lang"), quota)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val first = Sampling.stratifiedQuota(docs, Seq("lang"), quota)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(again.sameElements(first))
+  }
+}

@@ -52,6 +52,29 @@ class CdcStreamSpec extends SparkSpec with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("streaming dedup drops within-watermark duplicates, first-seen wins") {
+    val input = MemoryStream[(Timestamp, Long, String)](spark)
+    val deduped = CdcStream.dedupStream(
+      input.toDF().toDF("ts", "doc_id", "text"), tsCol = "ts", watermarkDelay = "10 minutes")
+    val query = deduped.writeStream
+      .format("memory").queryName("dedup_stream").outputMode("append").start()
+    try {
+      def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      input.addData((t(0), 1L, "same  text"), (t(1), 2L, "Same Text"), (t(2), 3L, "other"))
+      query.processAllAvailable()
+      // normalization collapses case/whitespace: docs 1 and 2 share a
+      // fingerprint; the first seen survives
+      val out1 = spark.sql("SELECT doc_id FROM dedup_stream").as[Long].collect().sorted
+      assert(out1 === Array(1L, 3L))
+
+      // a duplicate in a LATER micro-batch, still within the watermark
+      input.addData((t(3), 4L, "same text"), (t(4), 5L, "fresh"))
+      query.processAllAvailable()
+      val out2 = spark.sql("SELECT doc_id FROM dedup_stream").as[Long].collect().sorted
+      assert(out2 === Array(1L, 3L, 5L))
+    } finally query.stop()
+  }
+
   test("watermarked tumbling windows finalize once the watermark passes") {
     val input = MemoryStream[(Timestamp, String)](spark)
     val counts = CdcStream.windowedCounts(
