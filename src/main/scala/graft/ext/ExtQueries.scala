@@ -337,6 +337,21 @@ object ExtQueries {
       |       ((octet_length(encode(p)) + 15) // 16)::INT AS n_frames
       |FROM m""".stripMargin
 
+  /** Frame-sampling plumbing over the synthetic media column (every 2nd
+    * 16-byte frame); head_byte/n_bytes derived per frame so the oracle can
+    * verify the slicing exactly.
+    */
+  def q51FrameSample(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(Multimodal.attachMedia(fanOut(documents(spark, dir))))
+
+  private val q51Oracle =
+    """WITH m AS (SELECT doc_id, substr(text, 1, 64) AS p FROM documents),
+      |u AS (SELECT doc_id, p, unnest(range(0, (len(p)+15)//16))::INT AS frame_id FROM m)
+      |SELECT doc_id, frame_id,
+      |       octet_length(encode(substr(p, frame_id*16+1, 16)))::INT AS n_bytes,
+      |       ascii(substr(p, frame_id*16+1, 1))::INT AS head_byte
+      |FROM u WHERE frame_id % 2 = 0""".stripMargin
+
   // ---------------- registry ----------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -356,7 +371,8 @@ object ExtQueries {
     "q43_fingerprint" -> (q43Fingerprint _),
     "q44_hash_sample" -> (q44HashSample _),
     "q45_stratified_quota" -> (q45StratifiedQuota _),
-    "q50_multimodal" -> (q50Multimodal _)
+    "q50_multimodal" -> (q50Multimodal _),
+    "q51_frame_sample" -> (q51FrameSample _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -375,6 +391,7 @@ object ExtQueries {
     "q43_fingerprint" -> q43Oracle,
     "q44_hash_sample" -> q44Oracle,
     "q45_stratified_quota" -> q45Oracle,
-    "q50_multimodal" -> q50Oracle
+    "q50_multimodal" -> q50Oracle,
+    "q51_frame_sample" -> q51Oracle
   )
 }

@@ -55,6 +55,29 @@ object Multimodal {
     MediaFeatures(id, n, first, meanR, frames)
   }
 
+  /** Frame sampling: slice the media blob into fixed-size frames and keep
+    * every `stride`-th one — (doc_id, frame_id, n_bytes, head_byte). This is
+    * the explode side of a video pipeline as pure Catalyst (binary substr +
+    * posexplode): at scale the payload column is pruned unless a downstream
+    * operator actually consumes frame bytes, and the explode runs map-side
+    * with no shuffle. A real decoder replaces the byte slicing, not the
+    * plumbing.
+    */
+  def sampleFrames(media: DataFrame, frameSize: Int = 16, stride: Int = 2): DataFrame = {
+    require(frameSize > 0 && stride > 0, "frameSize and stride must be positive")
+    val nBytes = octet_length(col("media"))
+    val frames = when(nBytes > 0,
+      transform(sequence(lit(0), expr(s"(octet_length(media) - 1) div $frameSize")),
+        i => col("media").substr(i * frameSize + 1, lit(frameSize))))
+      .otherwise(array().cast("array<binary>"))
+    media
+      .select(col("doc_id"), posexplode(frames).as(Seq("frame_id", "frame")))
+      .filter(col("frame_id") % stride === 0)
+      .select(col("doc_id"), col("frame_id"),
+        octet_length(col("frame")).as("n_bytes"),
+        ascii(substring(decode(col("frame"), "utf-8"), 1, 1)).as("head_byte"))
+  }
+
   /** Partition-batched feature extraction over the media column. */
   def extractFeatures(spark: SparkSession, media: DataFrame, frameSize: Int = 16): Dataset[MediaFeatures] = {
     import spark.implicits._

@@ -180,6 +180,21 @@ object ParityQueries {
     spark.sql(rewritten)
   }
 
+  /** q19: CUBE with grouping() indicators — completes the grouping-set
+    * family next to q06's ROLLUP (SURVEY §2.5): all four grouping sets are
+    * produced in one pass, and `grouping()` disambiguates genuine NULL keys
+    * from subtotal rows.
+    */
+  def q19Cube(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .cube("o_orderpriority", "o_orderstatus")
+      .agg(
+        grouping(col("o_orderpriority")).cast("int").as("g_pri"),
+        grouping(col("o_orderstatus")).cast("int").as("g_st"),
+        count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 2).as("total")
+      )
+
   /** q18: left-semi / left-anti joins (SURVEY §2.4 — reachable through the
     * embedded SQL surface, demonstrated natively here). Per order priority:
     * orders that DO have a big-quantity line (semi) vs orders that don't
@@ -260,6 +275,7 @@ object ParityQueries {
     "q10_void_scrub" -> (q10VoidScrub _),
     "q11_sql_rewrite" -> (q11SqlRewrite _),
     "q18_semi_anti" -> (q18SemiAnti _),
+    "q19_cube" -> (q19Cube _),
     "q16_snapshot_travel" -> (q16SnapshotTravel _),
     "q17_cdf_window" -> (q17CdfWindow _)
   )
@@ -331,6 +347,13 @@ object ParityQueries {
     "q11_sql_rewrite" ->
       """SELECT l_returnflag, 'main.tpch.lineitem' AS src_table, count(*) AS cnt
         |FROM lineitem WHERE l_quantity > 10 GROUP BY l_returnflag""".stripMargin,
+    "q19_cube" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |       grouping(o_orderpriority)::INT AS g_pri,
+        |       grouping(o_orderstatus)::INT AS g_st,
+        |       count(*) AS n,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin,
     "q18_semi_anti" ->
       """WITH big AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_quantity > 45),
         |s AS (SELECT o_orderpriority, count(*)::BIGINT AS n_semi FROM orders
