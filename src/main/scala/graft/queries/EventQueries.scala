@@ -133,7 +133,40 @@ object EventQueries {
       |       sum(floor(value)::BIGINT)::BIGINT AS sum_floor
       |FROM events GROUP BY 1""".stripMargin
 
+  /** q60: cohort retention — users cohorted by first-seen day; for each
+    * day offset, the distinct users from that cohort active again. The
+    * canonical product-analytics rollup downstream of the reference's
+    * exports. Day arithmetic runs on epoch-micros // µs-per-day (integer,
+    * engine-exact; see the ts note above).
+    *
+    * Scale shape: one shuffle on user_id builds the cohort map, the join
+    * back is user_id-partitioned on both sides (exchange reuse applies),
+    * and the distinct count shuffles only (cohort_day, offset, user_id).
+    */
+  def q60Retention(spark: SparkSession, dir: String): DataFrame = {
+    val usPerDay = 86400000000L
+    val e = events(spark, dir)
+      .withColumn("day", expr(s"ts div 1000 div $usPerDay"))
+      .select("user_id", "day")
+    val cohort = e.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    e.join(cohort, "user_id")
+      .withColumn("day_offset", (col("day") - col("cohort_day")).cast("int"))
+      .filter(col("day_offset") <= 7)
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct(col("user_id")).as("active_users"))
+  }
+
+  private val q60Oracle =
+    """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id)
+      |SELECT cohort_day, (e.day - cohort_day)::INT AS day_offset,
+      |       count(DISTINCT e.user_id)::BIGINT AS active_users
+      |FROM e JOIN c USING (user_id)
+      |WHERE e.day - cohort_day <= 7
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_retention" -> (q60Retention _),
     "q12_sessionize" -> (q12Sessionize _),
     "q13_funnel" -> (q13Funnel _),
     "q14_json_props" -> (q14JsonProps _),
@@ -141,6 +174,7 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q60_retention" -> q60Oracle,
     "q12_sessionize" -> q12Oracle,
     "q13_funnel" -> q13Oracle,
     "q14_json_props" -> q14Oracle,
