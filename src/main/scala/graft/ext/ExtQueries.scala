@@ -321,6 +321,56 @@ object ExtQueries {
       |  PARTITION BY lang
       |  ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT ASC, doc_id ASC) <= 50""".stripMargin
 
+  // ---------------- as-of / range joins ----------------
+
+  /** As-of join: each purchase event enriched with the signup value that was
+    * current at purchase time (per user, epoch-micros — see the ts note in
+    * EventQueries). DuckDB verifies with its NATIVE ASOF LEFT JOIN, so the
+    * union-and-fill composition is pinned to a reference implementation.
+    */
+  def q61AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).withColumn("tsu", expr("ts div 1000"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "tsu")
+    val signups = e.filter(col("event_type") === "signup")
+      .groupBy("user_id", "tsu").agg(round(max("value"), 4).as("sig_value"))
+    AsOfJoin.asOf(purchases, signups, keys = Seq("user_id"),
+      leftTs = "tsu", rightTs = "tsu", valueCols = Seq("sig_value"))
+  }
+
+  private val q61Oracle =
+    """WITH e AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS tsu FROM events),
+      |p AS (SELECT event_id, user_id, tsu FROM e WHERE event_type = 'purchase'),
+      |s AS (SELECT user_id, tsu, round(max(value), 4) AS sig_value FROM e
+      |      WHERE event_type = 'signup' GROUP BY 1, 2)
+      |SELECT p.event_id, p.user_id, p.tsu, s.sig_value
+      |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.tsu >= s.tsu""".stripMargin
+
+  /** Bucketed range join: lineitem unit prices matched into ±0.1 bands
+    * around part retail prices — an equi-join on quantized buckets instead
+    * of the nested-loop BETWEEN Spark would otherwise plan.
+    */
+  def q62RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val points = lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") / col("l_quantity")).as("unit_price"))
+    val bands = part(spark, dir)
+      .select(col("p_partkey"),
+        (col("p_retailprice") - 0.1).as("lo"), (col("p_retailprice") + 0.1).as("hi"))
+    // floor-scaling, not round(): a half-tie double rounds differently in
+    // Spark (BigDecimal HALF_UP) vs DuckDB (C double rounding); floor of the
+    // identical IEEE product is integer-exact in both
+    RangeJoin.pointInInterval(points, bands, "unit_price", "lo", "hi", bucketWidth = 1.0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("p_partkey"),
+        floor(col("unit_price") * 10000).cast("long").as("unit_price_4"))
+  }
+
+  private val q62Oracle =
+    """SELECT l_orderkey, l_linenumber, p_partkey,
+      |       floor(l_extendedprice / l_quantity * 10000)::BIGINT AS unit_price_4
+      |FROM lineitem JOIN part
+      |  ON l_extendedprice / l_quantity BETWEEN p_retailprice - 0.1 AND p_retailprice + 0.1""".stripMargin
+
   // ---------------- multimodal ----------------
 
   def q50Multimodal(spark: SparkSession, dir: String): DataFrame =
@@ -371,6 +421,8 @@ object ExtQueries {
     "q43_fingerprint" -> (q43Fingerprint _),
     "q44_hash_sample" -> (q44HashSample _),
     "q45_stratified_quota" -> (q45StratifiedQuota _),
+    "q61_asof_join" -> (q61AsofJoin _),
+    "q62_range_join" -> (q62RangeJoin _),
     "q50_multimodal" -> (q50Multimodal _),
     "q51_frame_sample" -> (q51FrameSample _)
   )
@@ -391,6 +443,8 @@ object ExtQueries {
     "q43_fingerprint" -> q43Oracle,
     "q44_hash_sample" -> q44Oracle,
     "q45_stratified_quota" -> q45Oracle,
+    "q61_asof_join" -> q61Oracle,
+    "q62_range_join" -> q62Oracle,
     "q50_multimodal" -> q50Oracle,
     "q51_frame_sample" -> q51Oracle
   )

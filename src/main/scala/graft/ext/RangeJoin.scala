@@ -1,0 +1,46 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bucketed range (interval) join — point ∈ [lo, hi] as an EQUI-join.
+  *
+  * Spark plans a raw `p BETWEEN lo AND hi` predicate as a broadcast
+  * nested-loop join: O(|points|·|intervals|) comparisons, a wall at scale.
+  * The standard fix (same trick as the id-window dedup joins in [[Dedup]] /
+  * [[Similarity]]): quantize the number line into fixed-width buckets,
+  * explode each interval to the buckets it overlaps, bucket each point once,
+  * equi-join on the bucket id, then apply the exact BETWEEN as a post-join
+  * filter. Candidates per point are the intervals overlapping its bucket —
+  * O(rows × bucket occupancy), shuffle-partitioned on the bucket id.
+  *
+  * A qualifying (point, interval) pair shares exactly one point-bucket, so
+  * no dedup pass is needed. `bucketWidth` tunes the candidate factor: about
+  * the typical interval width is right — much wider inflates candidates per
+  * bucket, much narrower inflates the interval explosion.
+  */
+object RangeJoin {
+
+  /** Join `points` to every row of `intervals` whose `[loCol, hiCol]`
+    * contains `pointCol`. Column sets must be disjoint apart from the
+    * payload you select afterwards.
+    */
+  def pointInInterval(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointCol: String,
+      loCol: String,
+      hiCol: String,
+      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val p = points.withColumn("__bucket", floor(col(pointCol) / bucketWidth).cast("long"))
+    val iv = intervals
+      .withColumn("__bucket",
+        explode(sequence(
+          floor(col(loCol) / bucketWidth).cast("long"),
+          floor(col(hiCol) / bucketWidth).cast("long"))))
+    p.join(iv, Seq("__bucket"))
+      .filter(col(pointCol).between(col(loCol), col(hiCol)))
+      .drop("__bucket")
+  }
+}
