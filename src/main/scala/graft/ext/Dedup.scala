@@ -272,16 +272,12 @@ object Dedup {
 
   // ---------------- n-gram Jaccard ----------------
 
-  /** Word n-grams over an ALREADY-TOKENIZED column reference (guarded like
-    * [[shinglesOfNorm]], and with the same inlining caveat: pass a cheap
-    * column, or the tokenizer's regex re-runs once per n-gram).
+  /** Distinct word n-grams over an ALREADY-TOKENIZED column (space-joined,
+    * first-occurrence order; fewer than n tokens ⇒ empty) — the one-pass
+    * codegen'd [[graft.functions.WordNgrams]].
     */
   def wordNgramsOfToks(toks: Column, n: Int = 3): Column =
-    when(size(toks) >= n,
-      array_distinct(
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*))))
-      .otherwise(array().cast("array<string>"))
+    GraftFunctions.wordNgrams(toks, n)
 
   /** Convenience form over raw text — hot paths should project
     * [[TextAnalysis.tokens]] first and call [[wordNgramsOfToks]].

@@ -26,9 +26,12 @@ object TextAnalysis {
 
   def tokens(text: Column): Column = split(normalize(text), " ")
 
-  /** Stopword-list hit count for one language. */
+  /** Stopword-list hit count for one language — one codegen'd pass
+    * ([[graft.functions.StopwordCount]]; the `size(filter(isin))` HOF chain
+    * it replaces is interpreter-only and rebuilds the filtered array).
+    */
   def stopwordHits(toks: Column, stopwords: Seq[String]): Column =
-    size(filter(toks, t => t.isin(stopwords.map(s => s: Any): _*)))
+    graft.functions.GraftFunctions.stopwordCount(toks, stopwords)
 
   /** Tiny deterministic language-ID heuristic: argmax of per-language
     * stopword hits (ties broken in fixed language order). Real lang-ID would
@@ -82,23 +85,14 @@ object TextAnalysis {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(normalize(text), lit(BpeTokenPattern), lit(0)))
 
-  /** Polynomial rolling hash over an ALREADY-NORMALIZED column's character
-    * codes: `acc = (acc * 31 + code) mod 1e9+7` — integer-exact in any
-    * engine. Characters are taken via `substr(i, 1)` (not `split(text, "")`,
-    * whose Java-regex trailing-empty behavior differs across engines); empty
-    * text is guarded because `sequence(1, 0)` descends.
-    *
-    * `t` must be a cheap column reference: it is embedded inside the
-    * per-character lambda, so an inlined `normalize` would re-run the regex
-    * once per character (O(len²) per document).
+  /** Polynomial rolling hash over an ALREADY-NORMALIZED column's codepoints:
+    * `acc = (acc * 31 + code) mod 1e9+7` — integer-exact in any engine, one
+    * codegen'd pass ([[graft.functions.PolyRollingHash]]; the per-character
+    * `ascii(substr(i,1))` HOF chain it replaces was O(len) interpreted
+    * allocations per doc).
     */
   def rollingHashOfNorm(t: Column): Column =
-    when(length(t) >= 1,
-      aggregate(
-        transform(sequence(lit(1), length(t)), i => ascii(t.substr(i, lit(1))).cast("long")),
-        lit(0L),
-        (acc, code) => (acc * 31 + code) % 1000000007L
-      )).otherwise(lit(0L))
+    graft.functions.GraftFunctions.polyRollingHash(t)
 
   /** Convenience form over raw text — hot paths should project [[normalize]]
     * first and call [[rollingHashOfNorm]] on the column.

@@ -34,6 +34,17 @@ object GraftFunctions {
   /** Distinct character k-shingles, first-occurrence order, one pass. */
   def charShingles(t: Column, k: Int): Column = col(CharShingles(expr(t), k))
 
+  /** Distinct word n-grams (space-joined), one pass. */
+  def wordNgrams(toks: Column, n: Int): Column = col(WordNgrams(expr(toks), n))
+
+  /** Stopword-hit count against a fixed word list, one pass. */
+  def stopwordCount(toks: Column, words: Seq[String]): Column =
+    col(StopwordCount(expr(toks), words))
+
+  /** Polynomial rolling hash over codepoints, one pass. */
+  def polyRollingHash(t: Column, mult: Long = 31L, mod: Long = 1000000007L): Column =
+    col(PolyRollingHash(expr(t), mult, mod))
+
   /** (name, info, builder) triples for every graft SQL function. */
   private[graft] def registry: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {
     def info(name: String, usage: String, clazz: Class[_]) =

@@ -146,6 +146,91 @@ case class CharShingles(child: Expression, k: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): CharShingles = copy(child = c)
 }
 
+/** One-pass distinct word n-grams (tokens joined by single spaces),
+  * first-occurrence order — parity with
+  * `array_distinct(transform(sequence(1, size-n+1), i => concat_ws(" ",
+  * element_at(toks, i)...element_at(toks, i+n-1))))` guarded by
+  * `size(toks) >= n` (fewer tokens → empty array). Null tokens are skipped
+  * inside an n-gram exactly like concat_ws.
+  */
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "n-gram size must be positive")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<string>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    HashOps.wordNgrams(v.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.HashOps.wordNgrams($a, $n);")
+
+  override protected def withNewChildInternal(c: Expression): WordNgrams = copy(child = c)
+}
+
+/** One-pass stopword-hit count — parity with
+  * `size(filter(toks, t => t.isin(words)))` (null tokens don't count).
+  */
+case class StopwordCount(child: Expression, words: Seq[String]) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "stopword_count"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<string>, got ${t.simpleString}")
+  }
+
+  @transient private lazy val wordSet: java.util.HashSet[UTF8String] = {
+    val set = new java.util.HashSet[UTF8String]()
+    words.foreach(w => set.add(UTF8String.fromString(w)))
+    set
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    HashOps.stopwordCount(v.asInstanceOf[ArrayData], wordSet)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("stopwords", wordSet, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.HashOps.stopwordCount($a, $setRef);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): StopwordCount = copy(child = c)
+}
+
+/** One-pass polynomial rolling hash over codepoints:
+  * `acc = (acc * mult + codepoint) mod m` — parity with the
+  * `aggregate(transform(sequence(1, len), i => ascii(substr(t, i, 1))), ...)`
+  * HOF chain (Spark's `ascii` = first codepoint, as DuckDB's). Empty → 0.
+  */
+case class PolyRollingHash(child: Expression, mult: Long, mod: Long) extends UnaryExpression {
+  require(mod > 1 && mult > 0, "need positive multiplier and modulus > 1")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_rolling_hash"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects string, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    HashOps.polyRollingHash(v.asInstanceOf[UTF8String], mult, mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.HashOps.polyRollingHash($t, ${mult}L, ${mod}L);")
+
+  override protected def withNewChildInternal(c: Expression): PolyRollingHash = copy(child = c)
+}
+
 /** Static kernels shared by interpreted eval and generated code. Called from
   * whole-stage-codegen'd Java via the Scala static forwarders.
   */
@@ -228,6 +313,53 @@ object HashOps {
       i += 1
     }
     if (!any) null else ArrayData.toArrayData(mins)
+  }
+
+  def wordNgrams(toks: ArrayData, n: Int): ArrayData = {
+    val m = toks.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val sep = UTF8String.fromString(" ")
+    var i = 0
+    while (i <= m - n) {
+      // concat_ws semantics: skip null tokens, join the rest with " "
+      val parts = new java.util.ArrayList[UTF8String](n)
+      var j = 0
+      while (j < n) {
+        if (!toks.isNullAt(i + j)) parts.add(toks.getUTF8String(i + j))
+        j += 1
+      }
+      seen.add(UTF8String.concatWs(sep, parts.toArray(new Array[UTF8String](parts.size())): _*))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  def stopwordCount(toks: ArrayData, words: java.util.HashSet[UTF8String]): Int = {
+    val m = toks.numElements()
+    var c = 0
+    var i = 0
+    while (i < m) {
+      if (!toks.isNullAt(i) && words.contains(toks.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  def polyRollingHash(t: UTF8String, mult: Long, mod: Long): Long = {
+    val s = t.toString
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * mult + cp) % mod
+      i += Character.charCount(cp)
+    }
+    acc
   }
 
   def charShingles(t: UTF8String, k: Int): ArrayData = {

@@ -148,6 +148,35 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(mismatch === 0L)
   }
 
+  test("word_ngrams / stopword_count / poly_rolling_hash equal their HOF chains") {
+    import graft.functions.GraftFunctions.{polyRollingHash, stopwordCount, wordNgrams}
+    val docs = graft.queries.Tables.documents(spark, sfDir).limit(100)
+    val toks = docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+
+    val hofNg = when(size(col("tk")) >= 3,
+      array_distinct(transform(sequence(lit(1), size(col("tk")) - 2),
+        i => concat_ws(" ", (0 until 3).map(j => element_at(col("tk"), i + lit(j))): _*))))
+      .otherwise(array().cast("array<string>"))
+    assert(toks.select(wordNgrams(col("tk"), 3).as("cg"), hofNg.as("hof"))
+      .filter(!(col("cg") === col("hof"))).count() === 0L)
+
+    val words = TextAnalysis.LangStopwords.head._2
+    val hofStop = size(filter(col("tk"), t => t.isin(words.map(w => w: Any): _*)))
+    assert(toks.select(stopwordCount(col("tk"), words).as("cg"), hofStop.as("hof"))
+      .filter(!(col("cg") === col("hof"))).count() === 0L)
+
+    val norm = docs.select(TextAnalysis.normalize(col("text")).as("t"))
+      .union(spark.sql("SELECT '' AS t"))
+    val hofRoll = when(length(col("t")) >= 1,
+      aggregate(
+        transform(sequence(lit(1), length(col("t"))),
+          i => ascii(col("t").substr(i, lit(1))).cast("long")),
+        lit(0L), (acc, code) => (acc * 31 + code) % 1000000007L))
+      .otherwise(lit(0L))
+    assert(norm.select(polyRollingHash(col("t")).as("cg"), hofRoll.as("hof"))
+      .filter(!(col("cg") === col("hof"))).count() === 0L)
+  }
+
   test("SQL surface registers via GraftFunctions.register (same registry GraftExtensions injects)") {
     GraftFunctions.register(spark)
     val row = spark.sql(
