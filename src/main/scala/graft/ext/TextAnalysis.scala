@@ -7,10 +7,11 @@ import org.apache.spark.sql.functions._
   * language ID (stopword heuristic), quality scoring, token counting and
   * document fingerprinting.
   *
-  * Everything here is pure Catalyst expression composition (codegen'd
-  * higher-order functions, zero UDFs) — per-document, embarrassingly
-  * parallel, no shuffle: at 100 TB these run at scan speed and the only
-  * exchange is whatever aggregation the caller adds downstream.
+  * Everything here is pure Catalyst expression composition (built-ins plus
+  * the one-pass codegen'd kernels in [[graft.functions]], zero UDFs) —
+  * per-document, embarrassingly parallel, no shuffle: at 100 TB these run
+  * at scan speed and the only exchange is whatever aggregation the caller
+  * adds downstream.
   *
   * Determinism matters doubly: each operator is mirrored by a DuckDB oracle
   * (ExtQueries), so all arithmetic is integer/string-based or explicit
