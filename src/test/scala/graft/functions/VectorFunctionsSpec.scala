@@ -177,6 +177,50 @@ class VectorFunctionsSpec extends SparkSpec {
       .filter(!(col("cg") === col("hof"))).count() === 0L)
   }
 
+  test("string kernels match HOF chains on randomized unicode input") {
+    import graft.functions.GraftFunctions.{charShingles, md5Longs, polyRollingHash, wordNgrams}
+    // fixed-seed generator: ascii, multibyte (é, 中, emoji incl. surrogate
+    // pairs), whitespace runs, empties, shorter-than-k strings
+    val rng = new scala.util.Random(123)
+    val alphabet = "ab c\tde中文é€\u00df\ud83d\ude00 "
+    val strings = (0 until 300).map { _ =>
+      val len = rng.nextInt(12)
+      (0 until len).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+    } :+ "" :+ "中中中中中中" :+ "a b  c   d"
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(strings.map(org.apache.spark.sql.Row(_)): _*),
+      StructType(Seq(StructField("t", StringType))))
+
+    val hofShingle = when(length(col("t")) >= 3,
+      array_distinct(transform(
+        sequence(lit(1), length(col("t")) - 2), i => col("t").substr(i, lit(3)))))
+      .otherwise(array().cast("array<string>"))
+    assert(df.select(charShingles(col("t"), 3).as("cg"), hofShingle.as("hof"))
+      .filter(!(col("cg") === col("hof"))).count() === 0L)
+
+    val toks = split(col("t"), " ")
+    val hofNg = when(size(toks) >= 2,
+      array_distinct(transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + lit(1))))))
+      .otherwise(array().cast("array<string>"))
+    assert(df.select(wordNgrams(toks, 2).as("cg"), hofNg.as("hof"))
+      .filter(!(col("cg") === col("hof"))).count() === 0L)
+
+    val hofRoll = when(length(col("t")) >= 1,
+      aggregate(
+        transform(sequence(lit(1), length(col("t"))),
+          i => ascii(col("t").substr(i, lit(1))).cast("long")),
+        lit(0L), (acc, code) => (acc * 31 + code) % 1000000007L))
+      .otherwise(lit(0L))
+    assert(df.select(polyRollingHash(col("t")).as("cg"), hofRoll.as("hof"))
+      .filter(!(col("cg") === col("hof"))).count() === 0L)
+
+    val hofMd5 = transform(split(col("t"), " "),
+      x => conv(substring(md5(x), 1, 12), 16, 10).cast("long"))
+    assert(df.select(md5Longs(split(col("t"), " "), 12).as("cg"), hofMd5.as("hof"))
+      .filter(!(col("cg") === col("hof"))).count() === 0L)
+  }
+
   test("SQL surface registers via GraftFunctions.register (same registry GraftExtensions injects)") {
     GraftFunctions.register(spark)
     val row = spark.sql(
