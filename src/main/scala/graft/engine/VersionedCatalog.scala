@@ -105,6 +105,57 @@ final case class VersionedCatalog(root: String) {
     if (range.isSnapshot) snapshot(spark, range.table, range.end)
     else changes(spark, range.table, range.start, range.end)
 
+  /** `TIMESTAMP AS OF` analogue (Delta's second time-travel axis; the
+    * reference only pins by version): resolve `ts` to the greatest commit
+    * version whose commit timestamp is <= `ts` ([[versionAsOf]]), then read
+    * the greatest MATERIALIZED snapshot at or before that version —
+    * checkpoint-granularity time travel. Callers needing the exact state
+    * between checkpoints layer a CDF window `[snapVersion+1, resolved]` on
+    * top, which is precisely the unload pipeline's range contract.
+    * Throws the catalog's missing-file signature when `ts` predates every
+    * commit/snapshot, so the recovery protocol treats it like any other
+    * missing read.
+    */
+  def snapshotAsOf(spark: SparkSession, table: String, ts: java.sql.Timestamp): DataFrame = {
+    val resolved = versionAsOf(spark, table, ts)
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snapRoot = new Path(tablePath(table), "snap")
+    val snaps =
+      if (fs.exists(snapRoot))
+        fs.listStatus(snapRoot).toSeq.map(_.getPath.getName)
+          .collect { case VersionDir(v) => v.toLong }
+      else Seq.empty
+    snaps.filter(_ <= resolved).sorted.lastOption match {
+      case Some(v) => snapshot(spark, table, v)
+      case None =>
+        throw new MissingCdfFilesException(
+          s"$MissingCdfFileSignature: $table has no snapshot at or before version $resolved")
+    }
+  }
+
+  /** Greatest commit version with max(_commit_timestamp) <= ts. The commit
+    * times come from the CDF layer's `_commit_timestamp` — a scan of two
+    * small columns, never the table data.
+    */
+  def versionAsOf(spark: SparkSession, table: String, ts: java.sql.Timestamp): Long = {
+    val rootPath = cdfRoot(table)
+    if (!exists(spark, rootPath))
+      throw new MissingCdfFilesException(
+        s"$MissingCdfFileSignature: no commit history for $table ($rootPath)")
+    // the Hive-style partition column discovers as INT for small versions —
+    // normalize to long before the max
+    val commits = spark.read.parquet(rootPath)
+      .groupBy(col("_commit_version").cast("long").as("v"))
+      .agg(max(col("_commit_timestamp").cast("timestamp")).as("committed_at"))
+      .filter(col("committed_at") <= lit(ts))
+      .agg(max(col("v")))
+      .head()
+    if (commits.isNullAt(0))
+      throw new MissingCdfFilesException(
+        s"$MissingCdfFileSignature: $table has no commit at or before $ts")
+    commits.getLong(0)
+  }
+
   private def exists(spark: SparkSession, path: String): Boolean = {
     val p = new Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)

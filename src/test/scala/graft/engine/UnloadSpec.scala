@@ -41,6 +41,22 @@ class UnloadSpec extends SparkSpec with BeforeAndAfterAll {
     assert(cat.snapshot(spark, table, 1L).count() === 10)
   }
 
+  test("timestamp time travel resolves versions and snapshots (TIMESTAMP AS OF analogue)") {
+    val cat = freshCatalog("cts")
+    def ts(d: String) = java.sql.Timestamp.valueOf(s"2024-01-0$d 12:00:00")
+    // commits 2 and 3 are stamped 2024-01-02 / 2024-01-03 00:00
+    assert(cat.versionAsOf(spark, table, ts("2")) === 2L)
+    assert(cat.versionAsOf(spark, table, ts("3")) === 3L)
+    assert(cat.versionAsOf(spark, table, ts("9")) === 3L) // after everything
+    // only v1 is materialized as a snapshot → checkpoint-granularity read
+    assert(cat.snapshotAsOf(spark, table, ts("3")).count() === 10)
+    // ts before any commit → classified missing-read signature
+    val e = intercept[VersionedCatalog.MissingCdfFilesException] {
+      cat.versionAsOf(spark, table, java.sql.Timestamp.valueOf("2023-01-01 00:00:00"))
+    }
+    assert(e.getMessage.contains(VersionedCatalog.MissingCdfFileSignature))
+  }
+
   test("CDF range read (S2) prunes to the requested window") {
     val cat = freshCatalog("c2")
     val win = cat.changes(spark, table, 2L, 2L)
