@@ -236,6 +236,31 @@ object ParityQueries {
         max(col("event_id")).as("max_id"))
   }
 
+  /** q63: timestamp-based time travel (TIMESTAMP AS OF analogue). Authors
+    * snapshots v1/v2 plus commits carrying commit timestamps, resolves a
+    * timestamp between commit 1 and 2 → version 1 → the v1 snapshot. The
+    * oracle recomputes the same v1 membership (even event ids) directly.
+    */
+  def q63TimestampTravel(spark: SparkSession, dir: String): DataFrame = {
+    val work = Files.createTempDirectory("graft-q63").toString
+    val catalog = VersionedCatalog(s"$work/catalog")
+    val table = "main.graft.events_ts"
+    val ev = events(spark, dir)
+    catalog.commitSnapshot(ev.filter(col("event_id") % 2 === 0), table, 1L)
+    catalog.commitSnapshot(ev, table, 2L)
+    Seq(1L, 2L).foreach { v =>
+      catalog.commitChanges(
+        ev.filter(col("event_id") % 2 === lit(v % 2))
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_timestamp", lit(s"2024-06-0$v 00:00:00")),
+        table, v)
+    }
+    catalog
+      .snapshotAsOf(spark, table, java.sql.Timestamp.valueOf("2024-06-01 12:00:00"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"))
+  }
+
   /** q17: CDF range scan (S2) + CDC EVENT filter (P1/P2). Authors commits
     * 1..3 (commit v holds the `event_id % 3 == v-1` slice, decorated with
     * the synthetic `_change_type`), reads the **[2, 3] window** through the
@@ -277,7 +302,8 @@ object ParityQueries {
     "q18_semi_anti" -> (q18SemiAnti _),
     "q19_cube" -> (q19Cube _),
     "q16_snapshot_travel" -> (q16SnapshotTravel _),
-    "q17_cdf_window" -> (q17CdfWindow _)
+    "q17_cdf_window" -> (q17CdfWindow _),
+    "q63_timestamp_travel" -> (q63TimestampTravel _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -361,6 +387,9 @@ object ParityQueries {
         |a AS (SELECT o_orderpriority, count(*)::BIGINT AS n_anti FROM orders
         |      WHERE o_orderkey NOT IN (SELECT l_orderkey FROM big) GROUP BY 1)
         |SELECT o_orderpriority, n_semi, n_anti FROM s JOIN a USING (o_orderpriority)""".stripMargin,
+    "q63_timestamp_travel" ->
+      """SELECT event_type, count(*)::BIGINT AS n, sum(event_id)::BIGINT AS sum_id
+        |FROM events WHERE event_id % 2 = 0 GROUP BY event_type""".stripMargin,
     "q16_snapshot_travel" ->
       """SELECT event_type, count(*)::BIGINT AS n, sum(event_id)::BIGINT AS sum_id,
         |       min(event_id)::BIGINT AS min_id, max(event_id)::BIGINT AS max_id
