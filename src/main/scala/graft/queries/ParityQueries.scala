@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.engine.{CdcFilter, JobSpec, SqlRewrite, VersionedCatalog, VoidScrub}
+import graft.engine.{CdcFilter, CdcMaterialize, JobSpec, SqlRewrite, VersionedCatalog, VoidScrub}
 import graft.engine.JobSpec.TableVersionRange
 
 /** Relational-parity query surface (SURVEY.md §2.3-§2.7, §6 build-plan step 6).
@@ -261,6 +261,40 @@ object ParityQueries {
       .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"))
   }
 
+  /** q64: CDC state materialization — snapshot + change window compacted to
+    * current state, last-writer-wins with deletes (the consumer half of the
+    * upsert data-type contract; see [[graft.engine.CdcMaterialize]]).
+    * Fixture: base = ids ≡ 0 (mod 3); commit 2 inserts ids ≡ 1 (mod 3);
+    * commit 3 post-images ids ≡ 0 (mod 6) with value+1000 and deletes even
+    * ids ≡ 1 (mod 3). The oracle replays the same arithmetic relationally.
+    */
+  def q64CdcMaterialize(spark: SparkSession, dir: String): DataFrame = {
+    val work = Files.createTempDirectory("graft-q64").toString
+    val catalog = VersionedCatalog(s"$work/catalog")
+    val table = "main.graft.props"
+    val ev = events(spark, dir).select("event_id", "event_type", "value")
+    catalog.commitSnapshot(ev.filter(col("event_id") % 3 === 0), table, 1L)
+    catalog.commitChanges(
+      ev.filter(col("event_id") % 3 === 1)
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_timestamp", lit("2024-06-02 00:00:00")),
+      table, 2L)
+    catalog.commitChanges(
+      ev.filter(col("event_id") % 6 === 0)
+        .withColumn("value", col("value") + 1000)
+        .withColumn("_change_type", lit("update_postimage"))
+        .union(
+          ev.filter(col("event_id") % 3 === 1 && col("event_id") % 2 === 0)
+            .withColumn("_change_type", lit("delete")))
+        .withColumn("_commit_timestamp", lit("2024-06-03 00:00:00")),
+      table, 3L)
+    CdcMaterialize.currentState(
+      catalog.snapshot(spark, table, 1L),
+      catalog.changes(spark, table, 2L, 3L),
+      keyCols = Seq("event_id"),
+      snapshotVersion = 1L)
+  }
+
   /** q17: CDF range scan (S2) + CDC EVENT filter (P1/P2). Authors commits
     * 1..3 (commit v holds the `event_id % 3 == v-1` slice, decorated with
     * the synthetic `_change_type`), reads the **[2, 3] window** through the
@@ -303,7 +337,8 @@ object ParityQueries {
     "q19_cube" -> (q19Cube _),
     "q16_snapshot_travel" -> (q16SnapshotTravel _),
     "q17_cdf_window" -> (q17CdfWindow _),
-    "q63_timestamp_travel" -> (q63TimestampTravel _)
+    "q63_timestamp_travel" -> (q63TimestampTravel _),
+    "q64_cdc_materialize" -> (q64CdcMaterialize _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -390,6 +425,24 @@ object ParityQueries {
     "q63_timestamp_travel" ->
       """SELECT event_type, count(*)::BIGINT AS n, sum(event_id)::BIGINT AS sum_id
         |FROM events WHERE event_id % 2 = 0 GROUP BY event_type""".stripMargin,
+    "q64_cdc_materialize" ->
+      """WITH rows_ AS (
+        |  SELECT event_id, event_type, value, 1 AS v, 'insert' AS ct
+        |  FROM events WHERE event_id % 3 = 0
+        |  UNION ALL
+        |  SELECT event_id, event_type, value, 2, 'insert'
+        |  FROM events WHERE event_id % 3 = 1
+        |  UNION ALL
+        |  SELECT event_id, event_type, value + 1000, 3, 'update_postimage'
+        |  FROM events WHERE event_id % 6 = 0
+        |  UNION ALL
+        |  SELECT event_id, event_type, value, 3, 'delete'
+        |  FROM events WHERE event_id % 3 = 1 AND event_id % 2 = 0),
+        |latest AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY v DESC) AS rn
+        |  FROM rows_)
+        |SELECT event_id, event_type, value FROM latest
+        |WHERE rn = 1 AND ct <> 'delete'""".stripMargin,
     "q16_snapshot_travel" ->
       """SELECT event_type, count(*)::BIGINT AS n, sum(event_id)::BIGINT AS sum_id,
         |       min(event_id)::BIGINT AS min_id, max(event_id)::BIGINT AS max_id
