@@ -256,15 +256,25 @@ object Dedup {
           a.getField("doc_id").as("doc_a"), b.getField("doc_id").as("doc_b"),
           a.getField("sk").as("sk_a"), b.getField("sk").as("sk_b"))))
     // same AQE-vs-output-heavy-explosion consideration as in
-    // [[minhashNearDups]]: spread the bucket lists before enumerating pairs
+    // [[minhashNearDups]]: spread the bucket lists before enumerating pairs.
+    //
+    // De-duplication of pairs colliding in SEVERAL blocks is a map-side
+    // FILTER, not a shuffle: both sketches ride the pair, so "keep the pair
+    // only in its first colliding block" (no block q' < q also matches) is
+    // a cheap expression — near-identical docs collide in all 4 blocks and
+    // a dropDuplicates would shuffle ~4x the distinct-pair volume.
+    val firstCollidingBlock = (0 until 3).map { qq =>
+      (col("q") <= qq) ||
+        (shiftright(col("sk_a"), qq * 12) % 4096L =!= shiftright(col("sk_b"), qq * 12) % 4096L)
+    }.reduce(_ && _)
     blocks
       .groupBy("q", "key")
       .agg(items.as("items"))
       .filter(size(col("items")) > 1)
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .select(explode(flatten(pairList)).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"), col("p.sk_a"), col("p.sk_b"))
-      .dropDuplicates("doc_a", "doc_b") // a pair can collide in several blocks
+      .select(col("q"), explode(flatten(pairList)).as("p"))
+      .select(col("q"), col("p.doc_a"), col("p.doc_b"), col("p.sk_a"), col("p.sk_b"))
+      .filter(firstCollidingBlock)
       .withColumn("hamming", bit_count(col("sk_a").bitwiseXOR(col("sk_b"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
