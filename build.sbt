@@ -30,4 +30,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // embeddings) GC-thrashes in small heaps and corrupts bench timings; the
   // machine has 128 GiB, so default generously.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 42 queries x whole-stage-codegen classes overflow the default 240 MB
+  // JIT code cache mid-bench; once full the compiler shuts off and later
+  // queries run interpreted with wild run-to-run variance.
+  "-XX:ReservedCodeCacheSize=1g",
 )
