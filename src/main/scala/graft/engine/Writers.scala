@@ -41,6 +41,28 @@ object Writers {
         .parquet(path)
   }
 
+  /** Bucketed parquet table for co-located joins: both relations written
+    * with the same bucket count/columns hash-partition AT REST, so a join
+    * on the bucket columns reads bucket-aligned splits and plans with NO
+    * shuffle exchange on either side (asserted in WritersSpec). This is the
+    * 100 TB answer to repeated large-fact ⋈ large-fact joins — the shuffle
+    * is paid once at write time instead of per query. Requires a table
+    * catalog (`saveAsTable`); plain `.parquet(path)` cannot carry bucket
+    * metadata.
+    */
+  def writeBucketedTable(
+      df: DataFrame,
+      tableName: String,
+      bucketCols: Seq[String],
+      numBuckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty, "need at least one bucket column")
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(tableName)
+  }
+
   /** K5: conf-level file size guard used with the coalesce strategy. */
   def setMaxRecordsPerFile(spark: SparkSession, maxRecordsPerFile: Long): Unit =
     spark.conf.set("spark.sql.files.maxRecordsPerFile", maxRecordsPerFile.toString)

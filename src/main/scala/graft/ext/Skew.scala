@@ -1,0 +1,38 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Manual skew mitigation for equi-joins — the salting counterpart to AQE's
+  * runtime skew-join splitting.
+  *
+  * AQE only splits skewed partitions of sort-merge joins it can observe at
+  * a shuffle boundary; salting is the deterministic, planner-independent
+  * fix: the skewed (probe) side scatters each hot key across `salts`
+  * sub-keys, the build side replicates each row `salts` times, and the join
+  * key becomes (key, salt) — a hot key's rows now land on `salts` reducers
+  * instead of one. Cost: build side inflates ×`salts`; use a salts value
+  * around the observed skew factor, and only when the build side is too big
+  * to broadcast outright (broadcasting sidesteps skew entirely).
+  *
+  * The salt on the probe side is `pmod(hash(payload), salts)` — derived
+  * from row content, deterministic, and uniform; result rows are exactly
+  * those of the unsalted join (asserted in SkewSpec).
+  */
+object Skew {
+
+  def saltedJoin(
+      probe: DataFrame,
+      build: DataFrame,
+      keys: Seq[String],
+      salts: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(salts >= 1, "salts must be >= 1")
+    require(keys.nonEmpty, "need at least one key column")
+    val payload = probe.columns.filterNot(keys.contains)
+    val saltSrc = if (payload.nonEmpty) payload.map(col).toSeq else keys.map(col)
+    val p = probe.withColumn("__salt", pmod(hash(saltSrc: _*), lit(salts)))
+    val b = build.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+    p.join(b, keys :+ "__salt", joinType).drop("__salt")
+  }
+}
