@@ -371,6 +371,36 @@ object ExtQueries {
       |FROM lineitem JOIN part
       |  ON l_extendedprice / l_quantity BETWEEN p_retailprice - 0.1 AND p_retailprice + 0.1""".stripMargin
 
+  /** Salted skew join (result-identical to the plain join — the oracle IS
+    * the plain join) aggregated per market segment.
+    */
+  def q65SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir).select("o_orderkey", "o_custkey", "o_totalprice")
+    val c = customer(spark, dir).select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    Skew.saltedJoin(o, c, Seq("o_custkey"), salts = 8)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+  }
+
+  private val q65Oracle =
+    """SELECT c_mktsegment, count(*)::BIGINT AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment""".stripMargin
+
+  /** Exact interpolated percentiles per event type — Spark `percentile`
+    * vs DuckDB `quantile_cont` (both type-7 linear interpolation).
+    */
+  def q66Percentiles(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        expr("percentile(value, 0.5)").as("med"),
+        expr("percentile(value, 0.9)").as("p90"))
+
+  private val q66Oracle =
+    """SELECT event_type, quantile_cont(value, 0.5) AS med, quantile_cont(value, 0.9) AS p90
+      |FROM events GROUP BY event_type""".stripMargin
+
   // ---------------- multimodal ----------------
 
   def q50Multimodal(spark: SparkSession, dir: String): DataFrame =
@@ -422,6 +452,8 @@ object ExtQueries {
     "q44_hash_sample" -> (q44HashSample _),
     "q45_stratified_quota" -> (q45StratifiedQuota _),
     "q61_asof_join" -> (q61AsofJoin _),
+    "q65_salted_join" -> (q65SaltedJoin _),
+    "q66_percentiles" -> (q66Percentiles _),
     "q62_range_join" -> (q62RangeJoin _),
     "q50_multimodal" -> (q50Multimodal _),
     "q51_frame_sample" -> (q51FrameSample _)
@@ -444,6 +476,8 @@ object ExtQueries {
     "q44_hash_sample" -> q44Oracle,
     "q45_stratified_quota" -> q45Oracle,
     "q61_asof_join" -> q61Oracle,
+    "q65_salted_join" -> q65Oracle,
+    "q66_percentiles" -> q66Oracle,
     "q62_range_join" -> q62Oracle,
     "q50_multimodal" -> q50Oracle,
     "q51_frame_sample" -> q51Oracle
