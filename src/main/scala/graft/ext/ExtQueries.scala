@@ -432,6 +432,29 @@ object ExtQueries {
       |       ascii(substr(p, frame_id*16+1, 1))::INT AS head_byte
       |FROM u WHERE frame_id % 2 = 0""".stripMargin
 
+  /** Resize (byte-stride downsample) composed with feature extraction:
+    * media → every-4th-byte blob → per-blob features. Verifies the resize
+    * stage byte-exactly via the derived feature columns.
+    */
+  def q52ResizeExtract(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(spark,
+      Multimodal.resizeMedia(Multimodal.attachMedia(fanOut(documents(spark, dir)))),
+      frameSize = 16).toDF()
+
+  private val q52Oracle =
+    """WITH m AS (SELECT doc_id, substr(text, 1, 64) AS p FROM documents),
+      |r AS (SELECT doc_id,
+      |        array_to_string([substr(p, i, 1) FOR i IN range(1, len(p)+1) IF (i-1) % 4 = 0], '') AS q
+      |      FROM m)
+      |SELECT doc_id,
+      |       octet_length(encode(q))::INT AS n_bytes,
+      |       ascii(substr(q, 1, 1))::INT AS first_byte,
+      |       round(list_sum(list_transform([substr(q, i, 1) FOR i IN range(1, len(q)+1)],
+      |                                     c -> ascii(c)))::DOUBLE / octet_length(encode(q)), 4)
+      |         AS mean_byte,
+      |       ((octet_length(encode(q)) + 15) // 16)::INT AS n_frames
+      |FROM r""".stripMargin
+
   // ---------------- registry ----------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -456,7 +479,8 @@ object ExtQueries {
     "q66_percentiles" -> (q66Percentiles _),
     "q62_range_join" -> (q62RangeJoin _),
     "q50_multimodal" -> (q50Multimodal _),
-    "q51_frame_sample" -> (q51FrameSample _)
+    "q51_frame_sample" -> (q51FrameSample _),
+    "q52_resize_extract" -> (q52ResizeExtract _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -480,6 +504,7 @@ object ExtQueries {
     "q66_percentiles" -> q66Oracle,
     "q62_range_join" -> q62Oracle,
     "q50_multimodal" -> q50Oracle,
-    "q51_frame_sample" -> q51Oracle
+    "q51_frame_sample" -> q51Oracle,
+    "q52_resize_extract" -> q52Oracle
   )
 }

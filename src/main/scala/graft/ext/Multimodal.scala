@@ -78,6 +78,20 @@ object Multimodal {
         ascii(substring(decode(col("frame"), "utf-8"), 1, 1)).as("head_byte"))
   }
 
+  /** Resize/downsample stage: every `factor`-th byte of each media blob —
+    * the deterministic stand-in for an image/audio resample, as a codegen'd
+    * per-row expression ([[graft.functions.ByteStride]]). Output schema
+    * mirrors the input (`media` replaced, metadata updated), so resize
+    * composes with [[sampleFrames]]/[[extractFeatures]] like a real codec
+    * stage would.
+    */
+  def resizeMedia(media: DataFrame, factor: Int = 4): DataFrame =
+    media
+      .withColumn("media", graft.functions.GraftFunctions.byteStride(col("media"), factor))
+      .withColumn("media_meta",
+        struct(lit("application/octet-stream").as("mime"),
+          octet_length(col("media")).as("size_bytes")))
+
   /** Partition-batched feature extraction over the media column. */
   def extractFeatures(spark: SparkSession, media: DataFrame, frameSize: Int = 16): Dataset[MediaFeatures] = {
     import spark.implicits._

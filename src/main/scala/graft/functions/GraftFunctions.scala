@@ -41,6 +41,9 @@ object GraftFunctions {
   def stopwordCount(toks: Column, words: Seq[String]): Column =
     col(StopwordCount(expr(toks), words))
 
+  /** Every stride-th byte of a binary column (media downsample stub). */
+  def byteStride(bin: Column, stride: Int): Column = col(ByteStride(expr(bin), stride))
+
   /** Polynomial rolling hash over codepoints, one pass. */
   def polyRollingHash(t: Column, mult: Long = 31L, mod: Long = 1000000007L): Column =
     col(PolyRollingHash(expr(t), mult, mod))

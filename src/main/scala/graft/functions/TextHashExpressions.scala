@@ -231,6 +231,32 @@ case class PolyRollingHash(child: Expression, mult: Long, mod: Long) extends Una
   override protected def withNewChildInternal(c: Expression): PolyRollingHash = copy(child = c)
 }
 
+/** Every `stride`-th byte of a binary column, one pass — the deterministic
+  * stand-in for a media RESIZE/downsample stage (real codecs replace the
+  * kernel, not the plumbing: per-row binary in, smaller binary out, inside
+  * whole-stage codegen).
+  */
+case class ByteStride(child: Expression, stride: Int) extends UnaryExpression {
+  require(stride >= 1, "stride must be positive")
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "byte_stride"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects binary, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    HashOps.byteStride(v.asInstanceOf[Array[Byte]], stride)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"${ev.value} = graft.functions.HashOps.byteStride($b, $stride);")
+
+  override protected def withNewChildInternal(c: Expression): ByteStride = copy(child = c)
+}
+
 /** Static kernels shared by interpreted eval and generated code. Called from
   * whole-stage-codegen'd Java via the Scala static forwarders.
   */
@@ -348,6 +374,15 @@ object HashOps {
       i += 1
     }
     c
+  }
+
+  def byteStride(bytes: Array[Byte], stride: Int): Array[Byte] = {
+    if (stride == 1) return bytes
+    val out = new Array[Byte]((bytes.length + stride - 1) / stride)
+    var i = 0
+    var j = 0
+    while (i < bytes.length) { out(j) = bytes(i); i += stride; j += 1 }
+    out
   }
 
   def polyRollingHash(t: UTF8String, mult: Long, mod: Long): Long = {

@@ -165,8 +165,30 @@ object EventQueries {
       |WHERE e.day - cohort_day <= 7
       |GROUP BY 1, 2""".stripMargin
 
+  /** q67: pivot (explicit value list for a deterministic schema) — daily
+    * per-type value totals as columns. The oracle expresses the same thing
+    * as conditional aggregation, which is exactly what Catalyst lowers
+    * `pivot` to (one pass, no extra shuffle versus the groupBy).
+    */
+  def q67Pivot(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("day", date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd"))
+      .groupBy("day")
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(round(sum("value"), 4))
+
+  private val q67Oracle =
+    """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |       round(sum(CASE WHEN event_type = 'click' THEN value END), 4) AS click,
+      |       round(sum(CASE WHEN event_type = 'view' THEN value END), 4) AS view,
+      |       round(sum(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase,
+      |       round(sum(CASE WHEN event_type = 'signup' THEN value END), 4) AS signup,
+      |       round(sum(CASE WHEN event_type = 'error' THEN value END), 4) AS error
+      |FROM events GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_retention" -> (q60Retention _),
+    "q67_pivot" -> (q67Pivot _),
     "q12_sessionize" -> (q12Sessionize _),
     "q13_funnel" -> (q13Funnel _),
     "q14_json_props" -> (q14JsonProps _),
@@ -175,6 +197,7 @@ object EventQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q60_retention" -> q60Oracle,
+    "q67_pivot" -> q67Oracle,
     "q12_sessionize" -> q12Oracle,
     "q13_funnel" -> q13Oracle,
     "q14_json_props" -> q14Oracle,
