@@ -201,6 +201,47 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Near-dup PAIRS → duplicate CLUSTERS: connected components by min-label
+    * propagation, the step that turns any pair-emitting tier (MinHash,
+    * SimHash, n-gram, cosine) into dedup groups. Returns one row per node:
+    * (doc_id, cluster_id) where cluster_id is the smallest doc id in the
+    * component (singletons cluster as themselves).
+    *
+    * Scale shape: the classic DataFrame fixpoint — per iteration one join
+    * (edges ⋈ labels) and one min-aggregate, both shuffle-partitioned on
+    * the id; the driver only orchestrates (a convergence COUNT per round,
+    * no data collected). Label state is cached per round and the previous
+    * round unpersisted, so peak storage is two label tables. Converges in
+    * O(component diameter) rounds — near-dup clusters are shallow, so the
+    * practical bound is a handful of rounds (`maxIters` guards pathologies).
+    */
+  def duplicateClusters(
+      nodes: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id",
+      maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("lab"))
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val prev = labels
+      val viaEdges = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("lab"))
+      val next = labels.union(viaEdges)
+        .groupBy("id").agg(min(col("lab")).as("lab"))
+        .persist()
+      val changed = next.join(prev.withColumnRenamed("lab", "prev_lab"), "id")
+        .filter(col("lab") =!= col("prev_lab")).count()
+      prev.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("id").as(idCol), col("lab").as("cluster_id"))
+  }
+
   // ---------------- SimHash ----------------
 
   /** 48-bit md5-derived hash per whitespace token, one pass

@@ -47,7 +47,15 @@ object ExtQueries {
     * Jaccard runs on the DISTINCT hash sets — the identical hash space on
     * both engines keeps the pair set integer-exact.
     */
-  private def q21Oracle: String = {
+  private def q21Oracle: String =
+    s"""WITH $minhashPairsCte
+       |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5""".stripMargin
+
+  /** Shared CTE chain: normalize → hashed shingles → signatures → band
+    * buckets → candidates → verified Jaccard pairs. Used by the q21 pair
+    * oracle and the q27 cluster oracle.
+    */
+  private def minhashPairsCte: String = {
     val params = Dedup.hashParams(16)
     val p = Dedup.Mersenne31
     val mh = params.zipWithIndex.map { case (hp, j) =>
@@ -57,7 +65,7 @@ object ExtQueries {
       val slice = (0 until 4).map(r => s"mh${b * 4 + r}").mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band, md5($slice) AS bucket FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""WITH n AS (SELECT doc_id, $DNorm AS t FROM documents),
+    s"""n AS (SELECT doc_id, $DNorm AS t FROM documents),
        |sh AS (SELECT doc_id,
        |         list_distinct(list_transform(
        |           list_distinct([substr(t, i, 5) FOR i IN range(1, len(t)-3)]),
@@ -81,9 +89,29 @@ object ExtQueries {
        |  FROM cand c
        |  JOIN sh s1 ON s1.doc_id = c.doc_a
        |  JOIN sh s2 ON s2.doc_id = c.doc_b
-       |)
-       |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5""".stripMargin
+       |)""".stripMargin
   }
+
+  /** Near-dup pairs → duplicate clusters (connected components, min-label).
+    * The oracle computes the same components with a recursive CTE over the
+    * identical generated pair set.
+    */
+  def q27DupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = fanOut(documents(spark, dir))
+    Dedup.duplicateClusters(docs, Dedup.minhashNearDups(docs, threshold = 0.5))
+  }
+
+  private def q27Oracle: String =
+    s"""WITH RECURSIVE $minhashPairsCte,
+       |pr AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+       |      UNION ALL SELECT doc_b, doc_a FROM pr),
+       |reach(id, lab) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, reach.lab FROM reach JOIN e ON e.src = reach.id
+       |)
+       |SELECT id AS doc_id, min(lab)::BIGINT AS cluster_id FROM reach GROUP BY id""".stripMargin
 
   def q22DedupSimhash(spark: SparkSession, dir: String): DataFrame =
     fanOut(documents(spark, dir))
@@ -460,6 +488,7 @@ object ExtQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact" -> (q20DedupExact _),
     "q26_dedup_keep" -> (q26DedupKeep _),
+    "q27_dup_clusters" -> (q27DupClusters _),
     "q21_dedup_minhash" -> (q21DedupMinhash _),
     "q22_dedup_simhash" -> (q22DedupSimhash _),
     "q25_simhash_pairs" -> (q25SimhashPairs _),
@@ -486,6 +515,7 @@ object ExtQueries {
   val oracleSql: Map[String, String] = Map(
     "q20_dedup_exact" -> q20Oracle,
     "q26_dedup_keep" -> q26Oracle,
+    "q27_dup_clusters" -> q27Oracle,
     "q21_dedup_minhash" -> q21Oracle,
     "q22_dedup_simhash" -> q22Oracle,
     "q25_simhash_pairs" -> q25Oracle,

@@ -41,6 +41,20 @@ class DedupSpec extends SparkSpec {
     assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
   }
 
+  test("duplicateClusters: chain needs multiple rounds; components + singletons exact") {
+    import spark.implicits._
+    val nodes = (1L to 9L).toDF("doc_id")
+    // chain 1-2-3-4-5 (diameter forces >1 propagation round), pair 7-8,
+    // singletons 6 and 9
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (7L, 8L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.duplicateClusters(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      6L -> 6L, 7L -> 7L, 8L -> 7L, 9L -> 9L))
+  }
+
   test("minhashNearDups emits each pair once, ordered, above threshold") {
     val pairs = Dedup.minhashNearDups(docs, threshold = 0.5).collect()
     assert(pairs.nonEmpty)
