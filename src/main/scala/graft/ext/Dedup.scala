@@ -242,6 +242,26 @@ object Dedup {
     labels.select(col("id").as(idCol), col("lab").as("cluster_id"))
   }
 
+  /** One-call corpus dedup: exact dedup, then MinHash near-dup pairs over
+    * the exact keepers, then connected components, keeping the minimum-id
+    * document per cluster. The composed form of the ladder a training-data
+    * pipeline actually runs; every stage is the operator verified
+    * individually (q20/q21/q27), and the composition has its own oracle
+    * (q28).
+    */
+  def dedupCorpus(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      threshold: Double = 0.5): DataFrame = {
+    val exact = exactDedup(docs, idCol, textCol)
+    val pairs = minhashNearDups(exact, idCol, textCol, threshold = threshold)
+    val clusters = duplicateClusters(exact, pairs, idCol)
+    exact.join(
+      clusters.filter(col("cluster_id") === col(idCol)).select(col(idCol)),
+      idCol)
+  }
+
   // ---------------- SimHash ----------------
 
   /** 48-bit md5-derived hash per whitespace token, one pass

@@ -55,7 +55,12 @@ object ExtQueries {
     * buckets → candidates → verified Jaccard pairs. Used by the q21 pair
     * oracle and the q27 cluster oracle.
     */
-  private def minhashPairsCte: String = {
+  private def minhashPairsCte: String = minhashPairsCte("SELECT doc_id, text FROM documents")
+
+  /** As [[minhashPairsCte]] but shingling an arbitrary (doc_id, text)
+    * relation — lets composed oracles (q28) run the chain over a subset.
+    */
+  private def minhashPairsCte(docSource: String): String = {
     val params = Dedup.hashParams(16)
     val p = Dedup.Mersenne31
     val mh = params.zipWithIndex.map { case (hp, j) =>
@@ -65,7 +70,7 @@ object ExtQueries {
       val slice = (0 until 4).map(r => s"mh${b * 4 + r}").mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band, md5($slice) AS bucket FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""n AS (SELECT doc_id, $DNorm AS t FROM documents),
+    s"""n AS (SELECT doc_id, $DNorm AS t FROM ($docSource) dsrc),
        |sh AS (SELECT doc_id,
        |         list_distinct(list_transform(
        |           list_distinct([substr(t, i, 5) FOR i IN range(1, len(t)-3)]),
@@ -91,6 +96,28 @@ object ExtQueries {
        |  JOIN sh s2 ON s2.doc_id = c.doc_b
        |)""".stripMargin
   }
+
+  /** The composed ladder: exact dedup → MinHash pairs over keepers →
+    * clusters → one survivor per cluster.
+    */
+  def q28DedupPipeline(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupCorpus(fanOut(documents(spark, dir)))
+      .select(col("doc_id"), col("lang"), col("source"))
+
+  private def q28Oracle: String =
+    s"""WITH RECURSIVE ek AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5($DNorm)),
+       |${minhashPairsCte("SELECT d.doc_id, d.text FROM documents d JOIN ek USING (doc_id)")},
+       |pr AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+       |      UNION ALL SELECT doc_b, doc_a FROM pr),
+       |reach(id, lab) AS (
+       |  SELECT doc_id, doc_id FROM ek
+       |  UNION
+       |  SELECT e.dst, reach.lab FROM reach JOIN e ON e.src = reach.id
+       |),
+       |keep AS (SELECT id FROM reach GROUP BY id HAVING min(lab) = id)
+       |SELECT d.doc_id, d.lang, d.source
+       |FROM documents d JOIN keep ON keep.id = d.doc_id""".stripMargin
 
   /** Near-dup pairs → duplicate clusters (connected components, min-label).
     * The oracle computes the same components with a recursive CTE over the
@@ -489,6 +516,7 @@ object ExtQueries {
     "q20_dedup_exact" -> (q20DedupExact _),
     "q26_dedup_keep" -> (q26DedupKeep _),
     "q27_dup_clusters" -> (q27DupClusters _),
+    "q28_dedup_pipeline" -> (q28DedupPipeline _),
     "q21_dedup_minhash" -> (q21DedupMinhash _),
     "q22_dedup_simhash" -> (q22DedupSimhash _),
     "q25_simhash_pairs" -> (q25SimhashPairs _),
@@ -516,6 +544,7 @@ object ExtQueries {
     "q20_dedup_exact" -> q20Oracle,
     "q26_dedup_keep" -> q26Oracle,
     "q27_dup_clusters" -> q27Oracle,
+    "q28_dedup_pipeline" -> q28Oracle,
     "q21_dedup_minhash" -> q21Oracle,
     "q22_dedup_simhash" -> q22Oracle,
     "q25_simhash_pairs" -> q25Oracle,
