@@ -264,6 +264,34 @@ object ExtQueries {
     Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), k = 5)
   }
 
+  /** SQ8 embedding quantization: per-vector model summarized with exact
+    * integer/floored outputs so both engines hash-match.
+    */
+  def q33Sq8(spark: SparkSession, dir: String): DataFrame =
+    fanOut(embeddings(spark, dir))
+      .select(col("vec_id"), Similarity.sq8(col("embedding")).as("q"))
+      .select(
+        col("vec_id"),
+        floor(col("q.mn") * 10000).cast("long").as("mn_4"),
+        floor(col("q.mx") * 10000).cast("long").as("mx_4"),
+        expr("aggregate(q.codes, 0L, (a, x) -> a + x)").as("code_sum"),
+        array_max(col("q.codes")).as("code_max"),
+        array_min(col("q.codes")).as("code_min"))
+
+  private val q33Oracle =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |m AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e),
+      |q AS (SELECT vec_id, mn, mx,
+      |        list_transform(v, x -> least(floor((x - mn) * 255.0 / (mx - mn)), 255.0)::INT) AS codes
+      |      FROM m)
+      |SELECT vec_id,
+      |       floor(mn * 10000)::BIGINT AS mn_4,
+      |       floor(mx * 10000)::BIGINT AS mx_4,
+      |       list_sum(codes)::BIGINT AS code_sum,
+      |       list_max(codes)::INT AS code_max,
+      |       list_min(codes)::INT AS code_min
+      |FROM q""".stripMargin
+
   // ---------------- text analysis ----------------
 
   private val dHits: Map[String, String] = TextAnalysis.LangStopwords.map { case (lang, words) =>
@@ -525,6 +553,7 @@ object ExtQueries {
     "q30_knn_brute" -> (q30KnnBruteForce _),
     "q31_knn_lsh" -> (q31KnnLsh _),
     "q32_knn_ivf" -> (q32KnnIvf _),
+    "q33_sq8" -> (q33Sq8 _),
     "q40_lang_id" -> (q40LangId _),
     "q41_quality" -> (q41Quality _),
     "q42_token_stats" -> (q42TokenStats _),
@@ -551,6 +580,7 @@ object ExtQueries {
     "q23_ngram_jaccard" -> q23Oracle,
     "q24_embed_neardup" -> q24Oracle,
     "q30_knn_brute" -> q30Oracle,
+    "q33_sq8" -> q33Oracle,
     // q31_knn_lsh: approximate — rows-only check by design
     "q40_lang_id" -> q40Oracle,
     "q41_quality" -> q41Oracle,

@@ -150,6 +150,22 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("rank"), round(col("score"), 4).as("score_r"))
   }
 
+  // ---------------- scalar quantization ----------------
+
+  /** Per-vector SQ8 model: (mn, mx, codes) — 8-bit scalar quantization, the
+    * standard 4x storage cut for embedding columns at rest (FAISS "SQ8").
+    * Codes come from the codegen'd [[graft.functions.VecSq8]] (floor
+    * arithmetic — integer-exact across engines); reconstruction is
+    * `mn + code · (mx − mn) / 255`, worst-case error (mx − mn) / 510 per
+    * element. Per-row, shuffle-free.
+    */
+  def sq8(vec: Column): Column = {
+    val mn = array_min(vec).cast("double")
+    val mx = array_max(vec).cast("double")
+    struct(mn.as("mn"), mx.as("mx"),
+      graft.functions.GraftFunctions.vecSq8(vec, mn, mx).as("codes"))
+  }
+
   // ---------------- IVF (inverted-file) ANN ----------------
 
   /** Train IVF centroids with Lloyd iterations over (optionally sampled)

@@ -41,6 +41,10 @@ object GraftFunctions {
   def stopwordCount(toks: Column, words: Seq[String]): Column =
     col(StopwordCount(expr(toks), words))
 
+  /** 8-bit scalar-quantization codes for (vec, mn, mx). */
+  def vecSq8(v: Column, mn: Column, mx: Column): Column =
+    col(VecSq8(expr(v), expr(mn), expr(mx)))
+
   /** Every stride-th byte of a binary column (media downsample stub). */
   def byteStride(bin: Column, stride: Int): Column = col(ByteStride(expr(bin), stride))
 

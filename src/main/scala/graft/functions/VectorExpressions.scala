@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -155,4 +155,84 @@ case class VecNorm(child: Expression) extends UnaryExpression with VecArrayArg {
     })
 
   override protected def withNewChildInternal(c: Expression): VecNorm = copy(child = c)
+}
+
+/** `vec_sq8(vec, mn, mx)` — scalar 8-bit quantization codes:
+  * `min(floor((xᵢ − mn) · 255 / (mx − mn)), 255)` per element (all zeros
+  * when the range collapses). floor keeps the arithmetic integer-exact
+  * across engines (round() half-ties differ between Spark and DuckDB).
+  * The (mn, mx) pair is the per-vector reconstruction model the caller
+  * stores next to the codes — 4× smaller embedding storage with one
+  * codegen'd pass.
+  */
+case class VecSq8(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with VecArrayArg {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_sq8"
+
+  private def vt = first.dataType.asInstanceOf[ArrayType]
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(e, _), DoubleType, DoubleType) if okElem(e) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects (array<float|double>, double, double), got " +
+            s"(${first.dataType.simpleString}, ${second.dataType.simpleString}, " +
+            s"${third.dataType.simpleString})")
+    }
+
+  override def nullSafeEval(v: Any, mnA: Any, mxA: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val mn = mnA.asInstanceOf[Double]
+    val mx = mxA.asInstanceOf[Double]
+    val n = a.numElements()
+    val out = new Array[Int](n)
+    val range = mx - mn
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      if (range != 0.0) {
+        val c = math.floor((elemAt(a, vt.elementType, i) - mn) * 255.0 / range)
+        out(i) = math.min(c, 255.0).toInt
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, mn, mx) =>
+      s"""
+         |${ev.value} = graft.functions.VecOps.sq8($v, $mn, $mx,
+         |  ${vt.elementType == FloatType});
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): VecSq8 =
+    copy(first = f, second = s, third = t)
+}
+
+/** Static kernels for the vector expressions (codegen call targets). */
+object VecOps {
+  def sq8(a: ArrayData, mn: Double, mx: Double, isFloat: Boolean): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Int](n)
+    val range = mx - mn
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      if (range != 0.0) {
+        val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        val c = math.floor((x - mn) * 255.0 / range)
+        out(i) = math.min(c, 255.0).toInt
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
 }

@@ -78,7 +78,10 @@ class VectorFunctionsSpec extends SparkSpec {
       params.map(_.a), params.map(_.b), Dedup.Mersenne31)
     val shingle = CharShingles(Literal(UTF8String.fromString("abcdef"), StringType), 5)
 
-    val proj = GenerateMutableProjection.generate(Seq(dot, norm, m5, sim, mh, shingle))
+    val sq8 = VecSq8(
+      BoundReference(0, floatArr, nullable = true),
+      Literal(1.0, DoubleType), Literal(3.0, DoubleType))
+    val proj = GenerateMutableProjection.generate(Seq(dot, norm, m5, sim, mh, shingle, sq8))
     val out = proj(InternalRow(emb, emb2, toks))
 
     assert(out.getDouble(0) === (1.0 * 2.0 + 2.0 * 0.5 + 3.0 * -1.0))
@@ -92,6 +95,8 @@ class VectorFunctionsSpec extends SparkSpec {
         params.map(_.a).toArray, params.map(_.b).toArray, Dedup.Mersenne31)
         .toLongArray().toSeq)
     assert(out.getArray(5).numElements() === 2) // "abcde", "bcdef"
+    // vec [1,2,3] with mn=1 mx=3: floor((x-1)*255/2) = 0, 127, 255
+    assert(out.getArray(6).toIntArray().toSeq === Seq(0, 127, 255))
   }
 
   test("md5_longs / simhash_pack / minhash_sig equal the HOF chain on documents") {
