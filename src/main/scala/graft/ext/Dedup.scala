@@ -220,9 +220,19 @@ object Dedup {
       pairs: DataFrame,
       idCol: String = "doc_id",
       maxIters: Int = 20): DataFrame = {
+    // materialize the edge list once: every propagation round joins against
+    // it, and without the persist each round would re-run the entire
+    // pair-producing pipeline (e.g. the full MinHash chain) per union branch
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("lab"))
+      .persist()
+    // iterate ONLY over nodes that touch an edge: near-dup components are a
+    // small fraction of a corpus, and every node absent from the edge list
+    // is trivially its own cluster — joined back after the fixpoint. At
+    // corpus scale this bounds per-round work by the pair-touched subset,
+    // not the table.
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lab", col("id"))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -239,7 +249,10 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
-    labels.select(col("id").as(idCol), col("lab").as("cluster_id"))
+    edges.unpersist()
+    nodes.select(col(idCol))
+      .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("lab"), col(idCol)).as("cluster_id"))
   }
 
   /** One-call corpus dedup: exact dedup, then MinHash near-dup pairs over
@@ -254,7 +267,12 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       threshold: Double = 0.5): DataFrame = {
-    val exact = exactDedup(docs, idCol, textCol)
+    // materialize the stage boundary: the exact-dedup result feeds the
+    // MinHash chain (twice: signatures + verify), the cluster fixpoint's
+    // node set, and the final keeper join — five lazy re-evaluations
+    // without it. At cluster scale this persist is the standard
+    // between-stages checkpoint of a multi-stage pipeline.
+    val exact = exactDedup(docs, idCol, textCol).persist()
     val pairs = minhashNearDups(exact, idCol, textCol, threshold = threshold)
     val clusters = duplicateClusters(exact, pairs, idCol)
     exact.join(
