@@ -235,17 +235,21 @@ object Dedup {
       .withColumn("lab", col("id"))
     var iter = 0
     var converged = false
+    var roundCache: Option[DataFrame] = None // the persisted frame of the last round
     while (!converged && iter < maxIters) {
-      val prev = labels
       val viaEdges = edges.join(labels.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), col("lab"))
-      val next = labels.union(viaEdges)
-        .groupBy("id").agg(min(col("lab")).as("lab"))
+        .select(col("dst").as("id"), col("lab"), lit(null).cast("long").as("prev"))
+      // each id contributes exactly one current-label row, so min(prev)
+      // recovers it post-aggregate — the convergence check then needs no
+      // join against the previous round
+      val next = labels.select(col("id"), col("lab"), col("lab").as("prev"))
+        .unionByName(viaEdges)
+        .groupBy("id").agg(min(col("lab")).as("lab"), min(col("prev")).as("prev"))
         .persist()
-      val changed = next.join(prev.withColumnRenamed("lab", "prev_lab"), "id")
-        .filter(col("lab") =!= col("prev_lab")).count()
-      prev.unpersist()
-      labels = next
+      val changed = next.filter(col("lab") < col("prev")).count()
+      roundCache.foreach(_.unpersist())
+      roundCache = Some(next)
+      labels = next.select(col("id"), col("lab"))
       converged = changed == 0
       iter += 1
     }
