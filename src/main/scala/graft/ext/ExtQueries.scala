@@ -320,6 +320,42 @@ object ExtQueries {
        |FROM h""".stripMargin
   }
 
+  /** Char-trigram language ID (n-gram heuristic variant of q40). */
+  def q46NgramLang(spark: SparkSession, dir: String): DataFrame = {
+    val docs = fanOut(documents(spark, dir))
+      .select(col("doc_id"),
+        Dedup.shinglesOfNorm(TextAnalysis.normalize(col("text")), 3).as("tg"))
+    val scores = TextAnalysis.ngramLangScores(col("tg"))
+    docs.select(
+      (col("doc_id") +: scores.map { case (l, c) => c.as(s"${l}_tg_hits") }) :+
+        TextAnalysis.langGuess(scores).as("lang_guess"): _*)
+  }
+
+  private def q46Oracle: String = {
+    val langs = TextAnalysis.LangStopwords.map(_._1)
+    def profile(l: String) = TextAnalysis.ngramProfile(
+      TextAnalysis.LangStopwords.toMap.apply(l))
+      .map(t => s"'$t'").mkString(", ")
+    val hitCols = langs.map { l =>
+      s"len(list_filter(tg, x -> x IN (${profile(l)})))::INT AS ${l}_tg_hits"
+    }
+    val cases = langs.map { l =>
+      val conds = langs.filterNot(_ == l).map(o => s"${l}_tg_hits >= ${o}_tg_hits").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("\n         ")
+    s"""WITH n AS (SELECT doc_id, $DNorm AS t FROM documents),
+       |g AS (SELECT doc_id,
+       |        CASE WHEN len(t) >= 3
+       |             THEN list_distinct([substr(t, i, 3) FOR i IN range(1, len(t)-1)])
+       |             ELSE [] END AS tg
+       |      FROM n),
+       |h AS (SELECT doc_id, ${hitCols.mkString(",\n        ")} FROM g)
+       |SELECT doc_id, ${langs.map(l => s"${l}_tg_hits").mkString(", ")},
+       |       CASE $cases
+       |            ELSE 'und' END AS lang_guess
+       |FROM h""".stripMargin
+  }
+
   def q41Quality(spark: SparkSession, dir: String): DataFrame = {
     val text = col("text")
     val nTok = TextAnalysis.tokenCount(text)
@@ -556,6 +592,7 @@ object ExtQueries {
     "q33_sq8" -> (q33Sq8 _),
     "q40_lang_id" -> (q40LangId _),
     "q41_quality" -> (q41Quality _),
+    "q46_ngram_lang" -> (q46NgramLang _),
     "q42_token_stats" -> (q42TokenStats _),
     "q43_fingerprint" -> (q43Fingerprint _),
     "q44_hash_sample" -> (q44HashSample _),
@@ -584,6 +621,7 @@ object ExtQueries {
     // q31_knn_lsh: approximate — rows-only check by design
     "q40_lang_id" -> q40Oracle,
     "q41_quality" -> q41Oracle,
+    "q46_ngram_lang" -> q46Oracle,
     "q42_token_stats" -> q42Oracle,
     "q43_fingerprint" -> q43Oracle,
     "q44_hash_sample" -> q44Oracle,

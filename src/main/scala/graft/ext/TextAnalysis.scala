@@ -46,6 +46,26 @@ object TextAnalysis {
     "fr" -> Seq("le", "les", "des", "et", "une", "est")
   )
 
+  /** Deterministic char-trigram profile for a language: the distinct
+    * 3-shingles of its space-joined stopword list (same shingling kernel as
+    * the dedup tier, so Spark and the generated oracle share the constants).
+    */
+  def ngramProfile(words: Seq[String], k: Int = 3): Seq[String] = {
+    val joined = words.mkString(" ")
+    (0 to joined.length - k).map(i => joined.substring(i, i + k)).distinct
+  }
+
+  /** Char-n-gram language ID: per language, how many of the document's
+    * distinct trigrams appear in that language's profile — the n-gram
+    * heuristic counterpart to the stopword scores, same argmax/`langGuess`
+    * downstream. `trigrams` must be the distinct-shingle column
+    * ([[graft.ext.Dedup.shinglesOfNorm]] with k=3).
+    */
+  def ngramLangScores(trigrams: Column): Seq[(String, Column)] =
+    LangStopwords.map { case (lang, words) =>
+      lang -> graft.functions.GraftFunctions.stopwordCount(trigrams, ngramProfile(words))
+    }
+
   def langScores(text: Column): Seq[(String, Column)] = {
     val toks = tokens(text)
     LangStopwords.map { case (lang, words) => lang -> stopwordHits(toks, words) }
