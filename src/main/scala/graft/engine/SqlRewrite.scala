@@ -42,14 +42,21 @@ object SqlRewrite {
     while (i < n) {
       val c = sql.charAt(i)
       if (c == '\'' || c == '"' || c == '`') {
-        // copy quoted region verbatim (with '' / "" / `` escape doubling)
+        // copy quoted region verbatim. Escapes recognized: '' / "" / ``
+        // doubling AND backslash escapes (\' \" \\ ...), which Spark SQL
+        // string literals use by default — without the backslash case a
+        // literal like 'it\'s' would close early and swallow the rest of the
+        // statement into a phantom quoted region, silently disabling
+        // substitution. Backticked identifiers have no backslash escapes.
         val quote = c
         out.append(c); i += 1
         var done = false
         while (i < n && !done) {
           val ch = sql.charAt(i)
           out.append(ch); i += 1
-          if (ch == quote) {
+          if (ch == '\\' && quote != '`' && i < n) {
+            out.append(sql.charAt(i)); i += 1 // escaped char, incl. \' \" \\
+          } else if (ch == quote) {
             if (i < n && sql.charAt(i) == quote) { out.append(quote); i += 1 }
             else done = true
           }

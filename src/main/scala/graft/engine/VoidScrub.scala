@@ -40,6 +40,20 @@ import org.apache.spark.sql.types._
   */
 object VoidScrub {
 
+  /** True when a subtree carries NO representable data at all: VOID itself,
+    * or a struct whose every field is effectively void. Such shapes cannot
+    * survive a Parquet write under ANY rewrite (the reference turns them
+    * into an untyped NULL literal, which still fails the write with
+    * "Parquet data source does not support void data type"), so the scrub
+    * DROPS them like the other void shapes — a documented quirk fix, not a
+    * port of the reference's crash.
+    */
+  private[engine] def effectivelyVoid(dt: DataType): Boolean = dt match {
+    case _: NullType   => true
+    case s: StructType => s.fields.forall(f => effectivelyVoid(f.dataType))
+    case _             => false
+  }
+
   /** True if scrubbing could change values/schema anywhere in this subtree.
     * Arrays always count because the reference drops null elements from every
     * array it touches.
@@ -65,8 +79,8 @@ object VoidScrub {
     */
   private[engine] def scrubColumn(c: Column, dt: DataType): Column = dt match {
     case s: StructType =>
-      val valid = s.fields.filterNot(_.dataType.isInstanceOf[NullType])
-      if (valid.isEmpty) lit(null) // empty struct ⇒ null (Spark can't write empty structs)
+      val valid = s.fields.filterNot(f => effectivelyVoid(f.dataType))
+      if (valid.isEmpty) lit(null) // unreachable from dropVoidFields (effectively-void structs are dropped); kept as a safe fallback for direct calls
       else if (!valid.exists(f => needsRebuild(f.dataType)) && valid.length == s.fields.length) c
       else struct(valid.map(f => scrubColumn(c.getField(f.name), f.dataType).as(f.name)).toIndexedSeq: _*)
 
@@ -102,7 +116,7 @@ object VoidScrub {
     */
   def dropVoidFields(df: DataFrame): DataFrame = {
     val kept = df.schema.fields.iterator.filter {
-      case StructField(_, _: NullType, _, _)                                  => false
+      case StructField(_, dt, _, _) if effectivelyVoid(dt)                    => false
       case StructField(_, ArrayType(_: NullType, _), _, _)                    => false
       case StructField(_, MapType(_, _: NullType, _), _, _)                   => false
       case _                                                                  => true

@@ -219,7 +219,7 @@ object Dedup {
       nodes: DataFrame,
       pairs: DataFrame,
       idCol: String = "doc_id",
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 50): DataFrame = {
     // materialize the edge list once: every propagation round joins against
     // it, and without the persist each round would re-run the entire
     // pair-producing pipeline (e.g. the full MinHash chain) per union branch
@@ -254,6 +254,12 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // silent non-convergence would return plausible-but-split clusters; the
+    // caller bounds the rounds, so failing loudly is the only safe contract
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClusters did not converge within $maxIters rounds — " +
+          "a component's diameter exceeds maxIters; raise it")
     nodes.select(col(idCol))
       .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("lab"), col(idCol)).as("cluster_id"))
@@ -275,7 +281,9 @@ object Dedup {
     // MinHash chain (twice: signatures + verify), the cluster fixpoint's
     // node set, and the final keeper join — five lazy re-evaluations
     // without it. At cluster scale this persist is the standard
-    // between-stages checkpoint of a multi-stage pipeline.
+    // between-stages checkpoint of a multi-stage pipeline. Lifecycle: the
+    // blocks are released by Spark's ContextCleaner once the returned frame
+    // is unreferenced (same contract as the fixpoint's final round cache).
     val exact = exactDedup(docs, idCol, textCol).persist()
     val pairs = minhashNearDups(exact, idCol, textCol, threshold = threshold)
     val clusters = duplicateClusters(exact, pairs, idCol)

@@ -282,7 +282,8 @@ object ExtQueries {
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |m AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e),
       |q AS (SELECT vec_id, mn, mx,
-      |        list_transform(v, x -> least(floor((x - mn) * 255.0 / (mx - mn)), 255.0)::INT) AS codes
+      |        list_transform(v, x -> CASE WHEN mx = mn THEN 0
+      |          ELSE least(floor((x - mn) * 255.0 / (mx - mn)), 255.0)::INT END) AS codes
       |      FROM m)
       |SELECT vec_id,
       |       floor(mn * 10000)::BIGINT AS mn_4,

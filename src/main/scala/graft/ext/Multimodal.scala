@@ -33,6 +33,12 @@ object Multimodal {
 
   /** Attach a synthetic binary media column (utf-8 bytes of a text prefix —
     * a stand-in for real image/audio payload) plus typed metadata.
+    *
+    * Oracle note: the q50/q51/q52 DuckDB oracles slice the TEXT by
+    * characters while the Spark side slices the BLOB by bytes — equivalent
+    * only because the driver fixtures are pure ASCII (verified). Real
+    * binary payloads have no SQL-text oracle at all; the byte-side plumbing
+    * is the part that carries.
     */
   def attachMedia(docs: DataFrame, prefixLen: Int = 64): DataFrame =
     docs

@@ -126,9 +126,12 @@ object Similarity {
         norm(col(vecCol)).as("c_norm"),
         posexplode(sigArray(col(vecCol))).as(Seq("table", "bucket")))
 
-    // query probes per table: own bucket + optional 1-bit flips
+    // query probes per table: own bucket + every non-empty flip mask of at
+    // most probeBits bits (true t-bit multiprobe; probeBits=0 disables)
     val flips: Seq[Column] =
-      if (probeBits >= 1) (0 until planesPerTable).map(b => lit(1L << b)) else Seq.empty
+      (1 until (1 << planesPerTable))
+        .filter(m => java.lang.Integer.bitCount(m) <= probeBits)
+        .map(m => lit(m.toLong))
     val q = queries
       .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
         norm(col(vecCol)).as("q_norm"),

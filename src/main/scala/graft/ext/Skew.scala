@@ -29,6 +29,13 @@ object Skew {
       joinType: String = "inner"): DataFrame = {
     require(salts >= 1, "salts must be >= 1")
     require(keys.nonEmpty, "need at least one key column")
+    // the build side is replicated x salts, so join types that emit
+    // UNMATCHED build rows would duplicate them salts times
+    val supported = Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti", "cross")
+    require(supported.contains(joinType.toLowerCase.replace(" ", "_")),
+      s"saltedJoin supports probe-preserving join types only, got '$joinType' " +
+        "(an outer build side would replicate unmatched rows per salt)")
     val payload = probe.columns.filterNot(keys.contains)
     val saltSrc = if (payload.nonEmpty) payload.map(col).toSeq else keys.map(col)
     val p = probe.withColumn("__salt", pmod(hash(saltSrc: _*), lit(salts)))

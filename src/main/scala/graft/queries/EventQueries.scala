@@ -72,15 +72,18 @@ object EventQueries {
     * `purchase`. Conditional min + semi-join shape.
     */
   def q13Funnel(spark: SparkSession, dir: String): DataFrame = {
-    val e = events(spark, dir)
+    // epoch-micros on both engines (see the ts note above): comparing raw
+    // nanos here against DuckDB's micro-truncated TIMESTAMP could flip a
+    // conversion whose purchase and signup share the same microsecond
+    val e = events(spark, dir).withColumn("ts_us", expr("ts div 1000"))
     val firstSignup = e
       .filter(col("event_type") === "signup")
       .groupBy("user_id")
-      .agg(min(col("ts")).as("signup_ts"))
+      .agg(min(col("ts_us")).as("signup_ts"))
     val converted = e
       .filter(col("event_type") === "purchase")
       .join(firstSignup, "user_id")
-      .filter(col("ts") > col("signup_ts"))
+      .filter(col("ts_us") > col("signup_ts"))
       .select("user_id")
       .distinct()
     firstSignup
@@ -89,10 +92,10 @@ object EventQueries {
   }
 
   private val q13Oracle =
-    """WITH s AS (SELECT user_id, min(epoch_ns(ts)) AS signup_ts FROM events
+    """WITH s AS (SELECT user_id, min(epoch_us(ts)) AS signup_ts FROM events
       |           WHERE event_type = 'signup' GROUP BY user_id),
       |c AS (SELECT DISTINCT e.user_id FROM events e JOIN s ON e.user_id = s.user_id
-      |      WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > s.signup_ts)
+      |      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s.signup_ts)
       |SELECT (SELECT count(*) FROM s)::BIGINT AS n_signup_users,
       |       (SELECT count(*) FROM c)::BIGINT AS n_converted""".stripMargin
 
@@ -117,7 +120,10 @@ object EventQueries {
     */
   def q15ScalarSuite(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
-      .withColumn("day", date_format(timestamp_micros((col("ts") / 1000L).cast("long")), "yyyy-MM-dd"))
+      // integer `div`, not `/`: long / long is DOUBLE division in Spark, and
+      // nanos ~1.7e18 exceed double's 2^53 mantissa (ulp 256 ns) — an event
+      // within an ulp of midnight could land on the wrong day
+      .withColumn("day", date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd"))
       .groupBy("day")
       .agg(
         count(lit(1)).as("n"),

@@ -56,4 +56,11 @@ class SqlRewriteSpec extends AnyFunSuite {
     val v2 = SqlRewrite.tempViewName("a_b.c", 1L)
     assert(v1 !== v2)
   }
+
+  test("backslash-escaped quotes inside literals do not derail the scanner") {
+    val sql = """SELECT 'it\'s fine' AS x, * FROM cat.sch.t WHERE note = 'a\\' AND id > 0"""
+    val out = SqlRewrite.substituteIdentifier(sql, "cat.sch.t", "v1")
+    assert(out ===
+      """SELECT 'it\'s fine' AS x, * FROM v1 WHERE note = 'a\\' AND id > 0""")
+  }
 }

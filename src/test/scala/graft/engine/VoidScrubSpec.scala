@@ -45,8 +45,9 @@ class VoidScrubSpec extends SparkSpec {
     assert(!names.contains("void_field"))
     assert(!names.contains("void_array"))
     assert(!names.contains("void_map"))
-    assert(names.contains("empty_struct")) // all-void struct → null literal column
-    assert(cleaned.schema("empty_struct").dataType === NullType)
+    // all-void struct DROPPED (quirk fix: the reference's untyped NULL
+    // literal would still crash the Parquet write this scrub exists for)
+    assert(!names.contains("empty_struct"))
     val mixed = cleaned.schema("mixed_struct").dataType.asInstanceOf[StructType]
     assert(mixed.fieldNames.toSeq === Seq("valid_field"))
     assert(names.contains("valid_array") && names.contains("valid_map"))
@@ -100,17 +101,25 @@ class VoidScrubSpec extends SparkSpec {
           StructType(ts.zipWithIndex.map { case (t, i) => StructField(s"f$i", t) })))
       )
 
-  /** Independent schema-level model of the reference's scrub rules
-    * (`unload_databricks_data_to_s3.py:90-153`). Faithful residue: an
-    * all-void struct collapses to a null literal (NullType) even when
-    * nested, a nested `Array[Void]` keeps its `array<void>` type (emptied at
+  /** Independent schema-level model of the scrub rules
+    * (`unload_databricks_data_to_s3.py:90-153`, with the documented quirk
+    * fix: effectively-void structs — all fields void, recursively — are
+    * DROPPED rather than collapsed to an untyped NULL, because that NULL
+    * still cannot be written to Parquet). Faithful residue otherwise: a
+    * nested `Array[Void]` keeps its `array<void>` type (emptied at
     * runtime), and a nested `Map[_,Void]` becomes `map<void,void>` (the
     * `map_from_arrays(array(), array())` shape) — the reference leaves the
     * same residue.
     */
+  private def effectivelyVoid(dt: DataType): Boolean = dt match {
+    case _: NullType   => true
+    case s: StructType => s.fields.forall(f => effectivelyVoid(f.dataType))
+    case _             => false
+  }
+
   private def model(dt: DataType): DataType = dt match {
     case s: StructType =>
-      val valid = s.fields.filterNot(_.dataType.isInstanceOf[NullType])
+      val valid = s.fields.filterNot(f => effectivelyVoid(f.dataType))
       if (valid.isEmpty) NullType
       else StructType(valid.map(f => f.copy(dataType = model(f.dataType))))
     case a: ArrayType                                  => ArrayType(model(a.elementType))
@@ -121,7 +130,7 @@ class VoidScrubSpec extends SparkSpec {
 
   private def modelTop(schema: StructType): Seq[(String, DataType)] =
     schema.fields.toSeq.collect {
-      case f if !f.dataType.isInstanceOf[NullType] &&
+      case f if !effectivelyVoid(f.dataType) &&
         !f.dataType.matchesPattern { case ArrayType(_: NullType, _) => () } &&
         !f.dataType.matchesPattern { case MapType(_, _: NullType, _) => () } =>
         f.name -> model(f.dataType)
