@@ -93,6 +93,24 @@ object CdcStream {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  /** Continuous export: the streaming counterpart of the batch unload sink
+    * (K1) — newline-delimited JSON via Spark's native file sink, which gives
+    * exactly-once file output through the checkpoint's file-commit log (the
+    * batch path's idempotence contract, `mode("overwrite")` + full-job
+    * retry, is replaced by the sink's transactional manifest). The returned
+    * query streams until stopped.
+    */
+  def exportStream(
+      df: DataFrame,
+      outputPath: String,
+      checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .format("json")
+      .option("path", outputPath)
+      .option("checkpointLocation", checkpointPath)
+      .outputMode(OutputMode.Append)
+      .start()
+
   final case class Ev(user_id: Long, ts_us: Long)
   final case class SessionState(sessionId: Long, lastTsUs: Long)
   final case class SessionAssignment(user_id: Long, ts_us: Long, session_id: Long)

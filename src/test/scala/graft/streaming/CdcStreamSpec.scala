@@ -75,6 +75,27 @@ class CdcStreamSpec extends SparkSpec with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("exportStream writes exactly-once JSON through the file-sink commit log") {
+    val cat = VersionedCatalog(s"$work/cat2")
+    val table = "main.stream.export"
+    def commit(v: Long, ids: Seq[Long]): Unit =
+      cat.commitChanges(
+        ids.map(i => (i, s"n$i", "insert")).toDF("id", "name", "_change_type")
+          .withColumn("_commit_timestamp", lit(s"2024-02-0$v")),
+        table, v)
+    commit(1L, Seq(1L, 2L))
+    val stream = CdcStream.readChanges(spark, cat, table, Event)
+    val query = CdcStream.exportStream(stream, s"$work/export_out", s"$work/export_ckpt")
+    try {
+      query.processAllAvailable()
+      commit(2L, Seq(3L))
+      query.processAllAvailable()
+      val out = spark.read.json(s"$work/export_out")
+        .select("id").as[Long].collect().sorted
+      assert(out === Array(1L, 2L, 3L))
+    } finally query.stop()
+  }
+
   test("watermarked tumbling windows finalize once the watermark passes") {
     val input = MemoryStream[(Timestamp, String)](spark)
     val counts = CdcStream.windowedCounts(
