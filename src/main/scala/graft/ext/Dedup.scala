@@ -235,20 +235,22 @@ object Dedup {
       .withColumn("lab", col("id"))
     var iter = 0
     var converged = false
-    var roundCache: Option[DataFrame] = None // the persisted frame of the last round
     while (!converged && iter < maxIters) {
       val viaEdges = edges.join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("lab"), lit(null).cast("long").as("prev"))
       // each id contributes exactly one current-label row, so min(prev)
       // recovers it post-aggregate — the convergence check then needs no
-      // join against the previous round
+      // join against the previous round. localCheckpoint (not persist)
+      // TRUNCATES the lineage: without it every round's plan contains all
+      // previous rounds', so analysis/codegen work grows quadratically with
+      // the round count.
       val next = labels.select(col("id"), col("lab"), col("lab").as("prev"))
         .unionByName(viaEdges)
         .groupBy("id").agg(min(col("lab")).as("lab"), min(col("prev")).as("prev"))
-        .persist()
+        .localCheckpoint()
+      // previous rounds' checkpoint blocks are RDD-owned and released by the
+      // ContextCleaner as soon as the superseded frames become unreachable
       val changed = next.filter(col("lab") < col("prev")).count()
-      roundCache.foreach(_.unpersist())
-      roundCache = Some(next)
       labels = next.select(col("id"), col("lab"))
       converged = changed == 0
       iter += 1
