@@ -294,6 +294,79 @@ object Dedup {
       idCol)
   }
 
+  /** Incremental dedup: clean a NEW batch against an EXISTING corpus — the
+    * production shape (each crawl dedups against everything already kept,
+    * not against itself from scratch). Two tiers, mirroring the batch
+    * ladder:
+    *
+    *   1. exact: anti-join on the normalized fingerprint — new docs whose
+    *      text already exists are dropped (one shuffle on the md5 key);
+    *   2. near-dup: MinHash band buckets of the surviving new docs joined
+    *      against the band buckets of the existing corpus; candidates are
+    *      verified with hash-space Jaccard, and a new doc with ANY
+    *      at-or-above-threshold match in the existing corpus is dropped.
+    *
+    * At scale the existing side's signatures/bands are a precomputable
+    * INDEX (persist or write them once per corpus version); here they are
+    * derived inline from `existing`. Near-dups WITHIN the new batch are
+    * out of scope by design — run [[dedupCorpus]] on the batch first.
+    */
+  def dedupAgainst(
+      newDocs: DataFrame,
+      existing: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 5,
+      bands: Int = 4,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+
+    // tier 1: exact fingerprint anti-join
+    val existingFp = existing
+      .select(TextAnalysis.md5Fingerprint(col(textCol)).as("__fp")).distinct()
+    val exactSurvivors = newDocs
+      .withColumn("__fp", TextAnalysis.md5Fingerprint(col(textCol)))
+      .join(existingFp, Seq("__fp"), "left_anti")
+      .drop("__fp")
+
+    // tier 2: MinHash bands of survivors vs bands of the existing corpus
+    val params = hashParams(bands * rowsPerBand)
+    def shingled(docs: DataFrame) = docs
+      .filter(length(col(textCol)) >= k)
+      .select(col(idCol).as("doc_id"), TextAnalysis.normalize(col(textCol)).as("t"))
+      .select(col("doc_id"),
+        GraftFunctions.md5Longs(shinglesOfNorm(col("t"), k), digits = 15).as("hs"))
+    def bandRows(sh: DataFrame) = {
+      val withSig = sh.select(col("doc_id"),
+        GraftFunctions.minhashSig(col("hs"),
+          params.map(_.a), params.map(_.b), Mersenne31).as("sig"))
+      val buckets = array((0 until bands).map { b =>
+        md5(concat_ws(",", (0 until rowsPerBand).map(r => col("sig")(b * rowsPerBand + r)): _*))
+      }: _*)
+      val sentinel = array((0 until bands).map(b =>
+        concat(lit(s"e$b:"), col("doc_id").cast("string"))): _*)
+      withSig.select(col("doc_id"),
+        posexplode(when(col("sig").isNotNull, buckets).otherwise(sentinel))
+          .as(Seq("band", "bucket")))
+    }
+    val shNew = shingled(exactSurvivors)
+    val shOld = shingled(existing)
+    val candidates = bandRows(shNew).withColumnRenamed("doc_id", "new_id")
+      .join(bandRows(shOld).withColumnRenamed("doc_id", "old_id"), Seq("band", "bucket"))
+      .select("new_id", "old_id")
+      .dropDuplicates("new_id", "old_id")
+    val verified = candidates
+      .join(shNew.select(col("doc_id").as("new_id"), col("hs").as("hs_new")), Seq("new_id"))
+      .join(shOld.select(col("doc_id").as("old_id"), col("hs").as("hs_old")), Seq("old_id"))
+      .withColumn("jaccard",
+        round(size(array_intersect(col("hs_new"), col("hs_old"))).cast("double")
+          / size(array_union(col("hs_new"), col("hs_old"))).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id").as(idCol)).distinct()
+
+    exactSurvivors.join(verified, Seq(idCol), "left_anti")
+  }
+
   // ---------------- SimHash ----------------
 
   /** 48-bit md5-derived hash per whitespace token, one pass

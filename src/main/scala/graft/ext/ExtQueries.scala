@@ -119,6 +119,35 @@ object ExtQueries {
        |SELECT d.doc_id, d.lang, d.source
        |FROM documents d JOIN keep ON keep.id = d.doc_id""".stripMargin
 
+  /** Incremental dedup: the new half of the corpus (doc_id >= 250 at this
+    * sf) cleaned against the existing half — exact anti-join then MinHash
+    * near-dup matches across the boundary. Oracle composes the same chain
+    * with the parameterized MinHash CTE over (exact survivors ∪ existing),
+    * keeping only boundary-crossing pairs (old ids sort below new ids).
+    */
+  def q29DedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = fanOut(documents(spark, dir))
+    Dedup.dedupAgainst(
+      docs.filter(col("doc_id") >= 250),
+      docs.filter(col("doc_id") < 250))
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  private def q29Oracle: String =
+    s"""WITH old_ AS (SELECT * FROM documents WHERE doc_id < 250),
+       |new_ AS (SELECT * FROM documents WHERE doc_id >= 250),
+       |es AS (SELECT n.* FROM new_ n
+       |       WHERE md5(regexp_replace(lower(trim(n.text)), '\\s+', ' ', 'g')) NOT IN
+       |             (SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) FROM old_)),
+       |${minhashPairsCte(
+            "SELECT doc_id, text FROM es UNION ALL SELECT doc_id, text FROM old_")},
+       |dropped AS (
+       |  SELECT DISTINCT doc_b AS doc_id FROM pairs
+       |  WHERE jaccard >= 0.5 AND doc_a < 250 AND doc_b >= 250
+       |)
+       |SELECT doc_id, lang, source FROM es
+       |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin
+
   /** Near-dup pairs → duplicate clusters (connected components, min-label).
     * The oracle computes the same components with a recursive CTE over the
     * identical generated pair set.
@@ -582,6 +611,7 @@ object ExtQueries {
     "q26_dedup_keep" -> (q26DedupKeep _),
     "q27_dup_clusters" -> (q27DupClusters _),
     "q28_dedup_pipeline" -> (q28DedupPipeline _),
+    "q29_dedup_incremental" -> (q29DedupIncremental _),
     "q21_dedup_minhash" -> (q21DedupMinhash _),
     "q22_dedup_simhash" -> (q22DedupSimhash _),
     "q25_simhash_pairs" -> (q25SimhashPairs _),
@@ -612,6 +642,7 @@ object ExtQueries {
     "q26_dedup_keep" -> q26Oracle,
     "q27_dup_clusters" -> q27Oracle,
     "q28_dedup_pipeline" -> q28Oracle,
+    "q29_dedup_incremental" -> q29Oracle,
     "q21_dedup_minhash" -> q21Oracle,
     "q22_dedup_simhash" -> q22Oracle,
     "q25_simhash_pairs" -> q25Oracle,
