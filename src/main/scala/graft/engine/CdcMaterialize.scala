@@ -37,17 +37,23 @@ object CdcMaterialize {
     val base = snapshot
       .withColumn("__v", lit(snapshotVersion))
       .withColumn("__ct", lit("insert"))
+    // null-safe comparisons throughout: CdcFilter treats a NULL _change_type
+    // as an insert, and `=!=` would silently DROP such rows (NULL predicate)
     val delta = changes
-      .filter(col(CdcFilter.ChangeTypeCol) =!= lit("update_preimage"))
+      .filter(!(col(CdcFilter.ChangeTypeCol) <=> lit("update_preimage")))
       .withColumn("__v", col("_commit_version").cast("long"))
       .withColumn("__ct", col(CdcFilter.ChangeTypeCol))
-      .select((dataCols.map(col) :+ col("__v")) :+ col("__ct"): _*)
+      .withColumn("__side", lit(1))
+      .select(dataCols.map(col) :+ col("__v") :+ col("__ct") :+ col("__side"): _*)
 
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__v").desc)
-    base.select((dataCols.map(col) :+ col("__v")) :+ col("__ct"): _*)
+    // changes deterministically beat the snapshot when a commit shares the
+    // snapshot's version number (same device as AsOfJoin's side tiebreak)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__v").desc, col("__side").desc)
+    base.select(dataCols.map(col) :+ col("__v") :+ col("__ct") :+ lit(0).as("__side"): _*)
       .unionByName(delta)
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1 && col("__ct") =!= lit("delete"))
+      .filter(col("__rn") === 1 && !(col("__ct") <=> lit("delete")))
       .select(dataCols.map(col): _*)
   }
 }

@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
 
 /** Point-in-time (as-of) join — an operator Spark's join zoo lacks natively.
   *
@@ -13,24 +14,32 @@ import org.apache.spark.sql.functions._
   *
   * Implementation is the scale-canonical union-and-fill composition, not a
   * theta join: both sides are tagged and unioned, ONE shuffle partitions by
-  * key, and a running `last(value, ignoreNulls)` over (ts, side) fills each
-  * left row with the most recent right value. Right rows sort BEFORE left
-  * rows at equal ts, so the match is inclusive (`<=`). Cost is O(n log n)
-  * per key partition — never the O(|L|·|R|) a naive inequality join
-  * materializes, and no per-key state collects anywhere.
+  * key, and a running `last(…, ignoreNulls)` over (ts, side) fills each left
+  * row with the most recent right ROW. The right row's event time and value
+  * columns travel together in a single struct, so the match is always one
+  * whole right row — a NULL value field rides inside a non-null struct and
+  * is faithfully attached (a per-column fill would skip it and resurrect an
+  * older value, and could even mix columns from different right rows).
+  * Right rows sort BEFORE left rows at equal ts, so the match is inclusive
+  * (`<=`). Cost is O(n log n) per key partition — never the O(|L|·|R|) a
+  * naive inequality join materializes, and no per-key state collects
+  * anywhere.
   *
-  * Requirement: `right` must be unique per (keys, ts) — pre-aggregate if
-  * not (the match would otherwise be nondeterministic in ANY engine;
-  * DuckDB's native ASOF JOIN has the same contract).
+  * Contracts: `right` must be unique per (keys, ts) — pre-aggregate if not
+  * (the match would otherwise be nondeterministic in ANY engine; DuckDB's
+  * native ASOF JOIN has the same caveat). The ts columns must be NUMERIC
+  * (e.g. epoch-micros): tolerance arithmetic runs on the native type with
+  * no lossy casts; convert timestamps with `unix_micros` first.
   */
 object AsOfJoin {
 
   /** @param left       probe side
     * @param right      build side — unique per (keys, rightTs)
     * @param keys       equi-join key columns (present on both sides)
-    * @param leftTs     event-time column on `left` (numeric or timestamp)
-    * @param rightTs    event-time column on `right`
-    * @param valueCols  right columns to attach (null when nothing matches)
+    * @param leftTs     numeric event-time column on `left`
+    * @param rightTs    numeric event-time column on `right`
+    * @param valueCols  right columns to attach (null when nothing matches);
+    *                   must not collide with `left`'s column names
     * @param tolerance  max allowed `leftTs - rightTs` (same unit as ts)
     */
   def asOf(
@@ -42,18 +51,26 @@ object AsOfJoin {
       valueCols: Seq[String],
       tolerance: Option[Long] = None): DataFrame = {
     require(keys.nonEmpty, "as-of join needs at least one key column")
+    val overlap = valueCols.toSet.intersect(left.columns.toSet)
+    require(overlap.isEmpty,
+      s"valueCols collide with left-side columns: ${overlap.mkString(", ")} — " +
+        "rename them on one side first (duplicate output names would be ambiguous)")
+    require(left.schema(leftTs).dataType.isInstanceOf[NumericType] &&
+      right.schema(rightTs).dataType.isInstanceOf[NumericType],
+      "as-of ts columns must be numeric (epoch-micros); convert timestamps with unix_micros")
     val leftCols = left.columns.toSeq
+
+    // one struct per right row: its ts + all value columns travel together
+    val packed = struct(col(rightTs).as("__rts") +: valueCols.map(col): _*)
+    val packedType = right.select(packed.as("__vs")).schema.head.dataType
 
     val l = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
-      .withColumns(valueCols.map(v => s"__v_$v" -> lit(null)).toMap)
-      .withColumn("__rts", lit(null).cast("long"))
+      .withColumn("__vs", lit(null).cast(packedType))
     val r = right
-      .select((keys.map(col) :+ col(rightTs).as("__ts")) ++ valueCols.map(col): _*)
+      .select(keys.map(col) :+ col(rightTs).as("__ts") :+ packed.as("__vs"): _*)
       .withColumn("__side", lit(0))
-      .withColumns(valueCols.map(v => s"__v_$v" -> col(v)).toMap)
-      .withColumn("__rts", col("__ts").cast("long"))
       // align to the left schema: left payload columns are null on right rows
       .withColumns(leftCols.filterNot(keys.contains).map(c => c -> lit(null)).toMap)
       .select(l.columns.map(col): _*)
@@ -63,16 +80,16 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val filled = l.unionByName(r)
-      .withColumns(valueCols.map(v => s"__f_$v" -> last(col(s"__v_$v"), ignoreNulls = true).over(w)).toMap)
-      .withColumn("__fts", last(col("__rts"), ignoreNulls = true).over(w))
+      .withColumn("__f", last(col("__vs"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
 
     val inTol: Column = tolerance match {
-      case Some(t) => col("__fts").isNotNull && (col("__ts").cast("long") - col("__fts")) <= t
-      case None => col("__fts").isNotNull
+      case Some(t) =>
+        col("__f").isNotNull && (col("__ts") - col("__f.__rts")) <= lit(t)
+      case None => col("__f").isNotNull
     }
     filled.select(
       leftCols.map(col) ++
-        valueCols.map(v => when(inTol, col(s"__f_$v")).otherwise(lit(null)).as(v)): _*)
+        valueCols.map(v => when(inTol, col(s"__f.$v")).otherwise(lit(null)).as(v)): _*)
   }
 }

@@ -24,6 +24,12 @@ object RangeJoin {
   /** Join `points` to every row of `intervals` whose `[loCol, hiCol]`
     * contains `pointCol`. Column sets must be disjoint apart from the
     * payload you select afterwards.
+    *
+    * An interval spanning more than `maxBucketsPerInterval` buckets raises
+    * a descriptive error instead of letting Spark's `sequence()` element
+    * cap kill the job opaquely (one open-ended outlier interval would
+    * otherwise try to materialize billions of bucket ids); widen
+    * `bucketWidth` or raise the cap for legitimately huge intervals.
     */
   def pointInInterval(
       points: DataFrame,
@@ -31,14 +37,21 @@ object RangeJoin {
       pointCol: String,
       loCol: String,
       hiCol: String,
-      bucketWidth: Double): DataFrame = {
+      bucketWidth: Double,
+      maxBucketsPerInterval: Long = 100000L): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    require(maxBucketsPerInterval > 0, "maxBucketsPerInterval must be positive")
     val p = points.withColumn("__bucket", floor(col(pointCol) / bucketWidth).cast("long"))
+    val loB = floor(col(loCol) / bucketWidth).cast("long")
+    val hiB = floor(col(hiCol) / bucketWidth).cast("long")
     val iv = intervals
       .withColumn("__bucket",
-        explode(sequence(
-          floor(col(loCol) / bucketWidth).cast("long"),
-          floor(col(hiCol) / bucketWidth).cast("long"))))
+        explode(
+          when(hiB - loB < lit(maxBucketsPerInterval), sequence(loB, hiB))
+            .otherwise(raise_error(concat(
+              lit(s"pointInInterval: interval spans more than $maxBucketsPerInterval " +
+                s"buckets of width $bucketWidth: ["),
+              col(loCol).cast("string"), lit(", "), col(hiCol).cast("string"), lit("]"))))))
     p.join(iv, Seq("__bucket"))
       .filter(col(pointCol).between(col(loCol), col(hiCol)))
       .drop("__bucket")

@@ -23,6 +23,24 @@ class CdcMaterializeSpec extends SparkSpec {
     assert(got === Map(1L -> "a2", 2L -> "b2", 3L -> "c", 4L -> "d2"))
   }
 
+  test("NULL _change_type rows are kept as inserts (CdcFilter consistency)") {
+    val snapshot = Seq((1L, "a")).toDF("id", "v")
+    val changes = Seq((2L, "b", null.asInstanceOf[String], 2L))
+      .toDF("id", "v", "_change_type", "_commit_version")
+    val got = CdcMaterialize.currentState(snapshot, changes, Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "a", 2L -> "b"))
+  }
+
+  test("a change at the snapshot's version number deterministically wins") {
+    val snapshot = Seq((1L, "old")).toDF("id", "v")
+    val changes = Seq((1L, "new", "update_postimage", 0L))
+      .toDF("id", "v", "_change_type", "_commit_version")
+    val got = CdcMaterialize.currentState(snapshot, changes, Seq("id"), snapshotVersion = 0L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "new"))
+  }
+
   test("currentState keeps the snapshot when the change window is empty") {
     val snapshot = Seq((1L, "a")).toDF("id", "v")
     val empty = Seq.empty[(Long, String, String, Long)]

@@ -28,6 +28,25 @@ class JoinsSpec extends SparkSpec {
     ))
   }
 
+  test("asOf attaches the true latest right row even when its value is NULL") {
+    val left = Seq((1L, 3L)).toDF("k", "ts")
+    val right = Seq((1L, 1L, Some("a")), (1L, 2L, None))
+      .toDF("k", "rts", "v")
+    // the as-of match is the ts=2 row whose v IS NULL — a per-column
+    // ignoreNulls fill would resurrect the stale ts=1 'a'
+    val got = AsOfJoin.asOf(left, right, Seq("k"), "ts", "rts", Seq("v")).collect()
+    assert(got.length === 1 && got.head.isNullAt(2))
+  }
+
+  test("asOf rejects valueCols colliding with left columns") {
+    val left = Seq((1L, 3L, "x")).toDF("k", "ts", "v")
+    val right = Seq((1L, 1L, "a")).toDF("k", "rts", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(left, right, Seq("k"), "ts", "rts", Seq("v"))
+    }
+    assert(e.getMessage.contains("collide"))
+  }
+
   test("asOf tolerance nullifies matches older than the bound") {
     val left = Seq((1L, 100L), (1L, 200L)).toDF("k", "ts")
     val right = Seq((1L, 90L, "x")).toDF("k", "rts", "v")
@@ -51,6 +70,17 @@ class JoinsSpec extends SparkSpec {
       .agg(max_by(col("s.v"), col("s.tsu")).as("v"))
       .select(col("event_id"), col("user_id"), col("tsu"), col("v"))
     assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+  }
+
+  test("pointInInterval raises a descriptive error for absurdly wide intervals") {
+    import spark.implicits._
+    val points = Seq((1L, 5.0)).toDF("id", "p")
+    val wide = Seq((9L, 0.0, 1.0e9)).toDF("iv", "lo", "hi")
+    val e = intercept[Exception] {
+      RangeJoin.pointInInterval(points, wide, "p", "lo", "hi", bucketWidth = 1.0).count()
+    }
+    assert(e.getMessage.contains("pointInInterval") ||
+      Option(e.getCause).exists(_.getMessage.contains("pointInInterval")))
   }
 
   test("pointInInterval equals the naive BETWEEN join") {
