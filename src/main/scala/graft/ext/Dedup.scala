@@ -85,6 +85,46 @@ object Dedup {
     }
   }
 
+  /** Shared stage: (doc_id, hs) — distinct-shingle 60-bit md5 hashes of the
+    * normalized text, shared by the batch MinHash ladder and the
+    * incremental path so the two can never drift.
+    *
+    * The length prefilter runs on the RAW text column: it is cheap and
+    * pushes down to the scan, while a filter on the normalized length would
+    * ALSO push down (Catalyst substitutes projections into predicates and
+    * pushes through Repartition) and run the normalize regex serially below
+    * the fan-out exchange. The 3x slack covers the rare case-mapping
+    * expansions of `lower()` (e.g. İ → i + combining dot), so the filter is
+    * a strict superset of the normalized-length guard; docs whose
+    * NORMALIZED text is still shorter than k get an empty shingle set and a
+    * per-doc sentinel band bucket downstream — never a candidate.
+    */
+  private[ext] def shingleHashes(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = docs
+    .filter(length(col(textCol)) * 3 >= k)
+    .select(col(idCol).as("doc_id"), TextAnalysis.normalize(col(textCol)).as("t"))
+    .select(col("doc_id"),
+      GraftFunctions.md5Longs(shinglesOfNorm(col("t"), k), digits = 15).as("hs"))
+
+  /** Shared stage: (doc_id, band, bucket) MinHash band rows from a
+    * [[shingleHashes]] frame; empty/null signatures get per-doc sentinel
+    * buckets (singletons — they can never become candidates).
+    */
+  private[ext] def minhashBandRows(
+      sh: DataFrame, params: Seq[HashParams], bands: Int, rowsPerBand: Int): DataFrame = {
+    val withSig = sh.select(col("doc_id"),
+      GraftFunctions.minhashSig(col("hs"),
+        params.map(_.a), params.map(_.b), Mersenne31).as("sig"))
+    val buckets = array((0 until bands).map { b =>
+      md5(concat_ws(",", (0 until rowsPerBand).map(r => col("sig")(b * rowsPerBand + r)): _*))
+    }: _*)
+    val sentinel = array((0 until bands).map(b =>
+      concat(lit(s"e$b:"), col("doc_id").cast("string"))): _*)
+    withSig.select(col("doc_id"),
+      posexplode(when(col("sig").isNotNull, buckets).otherwise(sentinel))
+        .as(Seq("band", "bucket")))
+  }
+
   /** Banded LSH candidate pairs + Jaccard verification.
     *
     * 100 TB shape (each stage pays its cost exactly once):
@@ -122,39 +162,12 @@ object Dedup {
     // (doc_id, sh): evaluated by the signature pipeline, and re-joined by
     // doc_id at verify time for surviving pairs only.
     //
-    // The length prefilter runs on the RAW text column: it is cheap and
-    // pushes down to the scan. Filtering on normalized length instead would
-    // ALSO push down (Catalyst substitutes projections into predicates and
-    // pushes through Repartition), running the normalize regex serially
-    // below the fan-out exchange AND a second time above it. Normalization
-    // only shrinks text, so raw length >= k is a superset filter; docs whose
-    // NORMALIZED text is still shorter than k get an empty shingle set and a
-    // per-doc sentinel band bucket below — never a candidate, same output.
-    val shingled = docs
-      .filter(length(col(textCol)) >= k)
-      .select(col(idCol).as("doc_id"), TextAnalysis.normalize(col(textCol)).as("t"))
-      .select(col("doc_id"),
-        GraftFunctions.md5Longs(shinglesOfNorm(col("t"), k), digits = 15).as("hs"))
+    val shingled = shingleHashes(docs, idCol, textCol, k)
 
     // one-pass kernels: md5 once per shingle, then all 16 affine mins in a
     // single sweep of the long array (codegen'd — see [[graft.functions]];
-    // minhash_sig reduces the 60-bit hashes mod p internally)
-    val withSig = shingled
-      .select(col("doc_id"),
-        GraftFunctions.minhashSig(col("hs"),
-          params.map(_.a), params.map(_.b), Mersenne31).as("sig"))
-
-    // one band-bucket array per doc, posexploded → (doc_id, band, bucket);
-    // empty-shingle docs (null sig) get per-doc sentinel buckets, which are
-    // singletons by construction and die at the size(ids) > 1 filter
-    val bandBuckets = array((0 until bands).map { b =>
-      md5(concat_ws(",", (0 until rowsPerBand).map(r => col("sig")(b * rowsPerBand + r)): _*))
-    }: _*)
-    val sentinelBuckets = array((0 until bands).map(b =>
-      concat(lit(s"e$b:"), col("doc_id").cast("string"))): _*)
-    val bandRows = withSig.select(col("doc_id"),
-      posexplode(when(col("sig").isNotNull, bandBuckets).otherwise(sentinelBuckets))
-        .as(Seq("band", "bucket")))
+    // shared with the incremental path via [[minhashBandRows]])
+    val bandRows = minhashBandRows(shingled, params, bands, rowsPerBand)
 
     // in-bucket pair enumeration: sort ids, emit (ids(i), ids(j)) for i < j
     val ids = array_sort(collect_list(col("doc_id")))
@@ -329,30 +342,16 @@ object Dedup {
       .join(existingFp, Seq("__fp"), "left_anti")
       .drop("__fp")
 
-    // tier 2: MinHash bands of survivors vs bands of the existing corpus
+    // tier 2: MinHash bands of survivors vs bands of the existing corpus —
+    // the same shingleHashes/minhashBandRows pipeline as the batch ladder,
+    // so the two paths cannot drift
     val params = hashParams(bands * rowsPerBand)
-    def shingled(docs: DataFrame) = docs
-      .filter(length(col(textCol)) >= k)
-      .select(col(idCol).as("doc_id"), TextAnalysis.normalize(col(textCol)).as("t"))
-      .select(col("doc_id"),
-        GraftFunctions.md5Longs(shinglesOfNorm(col("t"), k), digits = 15).as("hs"))
-    def bandRows(sh: DataFrame) = {
-      val withSig = sh.select(col("doc_id"),
-        GraftFunctions.minhashSig(col("hs"),
-          params.map(_.a), params.map(_.b), Mersenne31).as("sig"))
-      val buckets = array((0 until bands).map { b =>
-        md5(concat_ws(",", (0 until rowsPerBand).map(r => col("sig")(b * rowsPerBand + r)): _*))
-      }: _*)
-      val sentinel = array((0 until bands).map(b =>
-        concat(lit(s"e$b:"), col("doc_id").cast("string"))): _*)
-      withSig.select(col("doc_id"),
-        posexplode(when(col("sig").isNotNull, buckets).otherwise(sentinel))
-          .as(Seq("band", "bucket")))
-    }
-    val shNew = shingled(exactSurvivors)
-    val shOld = shingled(existing)
-    val candidates = bandRows(shNew).withColumnRenamed("doc_id", "new_id")
-      .join(bandRows(shOld).withColumnRenamed("doc_id", "old_id"), Seq("band", "bucket"))
+    val shNew = shingleHashes(exactSurvivors, idCol, textCol, k)
+    val shOld = shingleHashes(existing, idCol, textCol, k)
+    val candidates = minhashBandRows(shNew, params, bands, rowsPerBand)
+      .withColumnRenamed("doc_id", "new_id")
+      .join(minhashBandRows(shOld, params, bands, rowsPerBand)
+        .withColumnRenamed("doc_id", "old_id"), Seq("band", "bucket"))
       .select("new_id", "old_id")
       .dropDuplicates("new_id", "old_id")
     val verified = candidates
@@ -411,9 +410,16 @@ object Dedup {
       .select(col("doc_id"), simhashOfHashes(col("th")).as("sk"))
     // 4 blocking keys: 12-bit slices — classic simhash blocking; recall is
     // tuned by block count and both engines (Spark + oracle) apply the same
-    // blocking, so the pair set stays integer-exact.
+    // blocking, so the pair set stays integer-exact. NULL sketches (null
+    // text) get per-doc sentinel keys: groupBy groups nulls TOGETHER, so a
+    // corpus with many null-text rows would otherwise pair them O(m²) in
+    // the key=null bucket (same guard as the minhash sentinel buckets).
     val blockArr = array((0 until 4).map(q => shiftright(col("sk"), q * 12) % 4096L): _*)
-    val blocks = sk.select(col("doc_id"), col("sk"), posexplode(blockArr).as(Seq("q", "key")))
+    val sentinelArr = array((0 until 4).map(q =>
+      -(col("doc_id") * 4 + lit(q)) - 1): _*)
+    val blocks = sk.select(col("doc_id"), col("sk"),
+      posexplode(when(col("sk").isNotNull, blockArr).otherwise(sentinelArr))
+        .as(Seq("q", "key")))
 
     val items = array_sort(collect_list(struct(col("doc_id"), col("sk"))))
     val pairList = transform(col("items"), (a, i) =>

@@ -46,12 +46,17 @@ object CdcStream {
       mutabilityMode: Boolean = false,
       maxFilesPerTrigger: Int = 1000): DataFrame = {
     val root = catalog.cdfRoot(table)
-    val schema = spark.read.parquet(root).schema
+    // probe via the catalog so a commit-less table raises the typed
+    // missing-CDF signature the recovery protocol classifies on, not a raw
+    // schema-inference AnalysisException
+    val schema = catalog.changes(spark, table, start = 1L, end = 0L).schema
     val raw = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(root)
-    if (mutabilityMode) raw else CdcFilter.filterData(raw, dataType)
+    // single source of truth for P1/P5 semantics — the same call the batch
+    // path makes, so the two modes cannot drift
+    CdcFilter.filterData(raw, dataType, mutabilityMode)
   }
 
   /** Watermarked tumbling-window counts by `typeCol`. `tsCol` must be a
@@ -87,11 +92,14 @@ object CdcStream {
       docs: DataFrame,
       tsCol: String,
       watermarkDelay: String,
-      textCol: String = "text"): DataFrame =
+      textCol: String = "text"): DataFrame = {
+    require(!docs.columns.contains("__fp"), "input already has the working column __fp")
     docs
-      .withColumn("fingerprint", graft.ext.TextAnalysis.md5Fingerprint(col(textCol)))
+      .withColumn("__fp", graft.ext.TextAnalysis.md5Fingerprint(col(textCol)))
       .withWatermark(tsCol, watermarkDelay)
-      .dropDuplicatesWithinWatermark("fingerprint")
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp") // output schema matches the input (and the batch tier)
+  }
 
   /** Continuous export: the streaming counterpart of the batch unload sink
     * (K1) — newline-delimited JSON via Spark's native file sink, which gives
@@ -118,27 +126,43 @@ object CdcStream {
   /** Streaming gap-based sessionization: per-user keyed state carries
     * (current session id, last event time); an event further than `gapUs`
     * from the last one opens a new session. Same semantics as the batch q12
-    * (epoch-micros, 30-minute default gap). Events inside one micro-batch
-    * are sorted by time before state application, so a batch boundary can
-    * never split or reorder a session assignment.
+    * (epoch-micros, 30-minute default gap) for a per-user IN-ORDER stream:
+    * events inside one micro-batch are sorted by time before state
+    * application, but an event arriving in a LATER micro-batch with an
+    * EARLIER timestamp is applied in arrival order — cross-batch late data
+    * needs an upstream watermark+sort stage (or the batch q12 as backfill),
+    * the standard contract for keyed-state sessionizers.
+    *
+    * State is bounded two ways: per-user O(1) payload, and an idle-user
+    * processing-time timeout (`idleTimeout`) that evicts state for users
+    * not seen recently — without it the store grows with every user ever
+    * seen. A user returning after eviction simply starts a fresh session
+    * numbering (session ids are per-user, not global).
     */
   def sessionize(
       events: Dataset[Ev],
-      gapUs: Long = 1800L * 1000 * 1000): Dataset[SessionAssignment] = {
+      gapUs: Long = 1800L * 1000 * 1000,
+      idleTimeout: String = "1 hour"): Dataset[SessionAssignment] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
         (userId: Long, batch: Iterator[Ev], state: GroupState[SessionState]) =>
-          val sorted = batch.toSeq.sortBy(e => (e.ts_us, e.user_id))
-          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
-          val out = sorted.map { e =>
-            val fresh = st.lastTsUs == Long.MinValue || e.ts_us - st.lastTsUs > gapUs
-            st = SessionState(if (fresh) st.sessionId + 1 else st.sessionId, e.ts_us)
-            SessionAssignment(userId, e.ts_us, st.sessionId)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts_us, e.user_id))
+            var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
+            val out = sorted.map { e =>
+              val fresh = st.lastTsUs == Long.MinValue || e.ts_us - st.lastTsUs > gapUs
+              st = SessionState(if (fresh) st.sessionId + 1 else st.sessionId, e.ts_us)
+              SessionAssignment(userId, e.ts_us, st.sessionId)
+            }
+            state.update(st)
+            state.setTimeoutDuration(idleTimeout)
+            out.iterator
           }
-          state.update(st)
-          out.iterator
       }
   }
 }
