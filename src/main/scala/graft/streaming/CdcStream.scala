@@ -120,6 +120,10 @@ object CdcStream {
       .start()
 
   final case class Ev(user_id: Long, ts_us: Long)
+  /** [[Ev]] plus the derived watermark column (public: codegen'd encoder
+    * projections cannot access private classes).
+    */
+  final case class EvT(user_id: Long, ts_us: Long, ts: java.sql.Timestamp)
   final case class SessionState(sessionId: Long, lastTsUs: Long)
   final case class SessionAssignment(user_id: Long, ts_us: Long, session_id: Long)
 
@@ -128,31 +132,40 @@ object CdcStream {
     * from the last one opens a new session. Same semantics as the batch q12
     * (epoch-micros, 30-minute default gap) for a per-user IN-ORDER stream:
     * events inside one micro-batch are sorted by time before state
-    * application, but an event arriving in a LATER micro-batch with an
-    * EARLIER timestamp is applied in arrival order — cross-batch late data
-    * needs an upstream watermark+sort stage (or the batch q12 as backfill),
-    * the standard contract for keyed-state sessionizers.
+    * application; rows older than the watermark (derived from `ts_us` with
+    * `watermarkDelay` slack) are dropped before they reach state — the
+    * standard late-data contract for keyed-state sessionizers (the batch
+    * q12 is the backfill path for older data).
     *
-    * State is bounded two ways: per-user O(1) payload, and an idle-user
-    * processing-time timeout (`idleTimeout`) that evicts state for users
-    * not seen recently — without it the store grows with every user ever
-    * seen. A user returning after eviction simply starts a fresh session
-    * numbering (session ids are per-user, not global).
+    * State is bounded two ways: per-user O(1) payload, and an EVENT-time
+    * timeout that evicts a user's state once the watermark passes
+    * `lastTs + gap` — the exact moment the session can no longer be
+    * extended, so eviction is semantically free: any later event would have
+    * opened a new session anyway (session ids restart at 1 after eviction;
+    * they are per-user, not global). Event-time timeouts fire only when the
+    * watermark ADVANCES, so the engine quiesces between data arrivals and
+    * `processAllAvailable()` terminates — a processing-time timeout here
+    * would make `shouldRunAnotherBatch` true forever and busy-loop empty
+    * micro-batches.
     */
   def sessionize(
       events: Dataset[Ev],
       gapUs: Long = 1800L * 1000 * 1000,
-      idleTimeout: String = "1 hour"): Dataset[SessionAssignment] = {
+      watermarkDelay: String = "1 hour"): Dataset[SessionAssignment] = {
     import events.sparkSession.implicits._
+    val gapMs = gapUs / 1000L
     events
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", watermarkDelay)
+      .as[EvT]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
-        (userId: Long, batch: Iterator[Ev], state: GroupState[SessionState]) =>
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[EvT], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
-            val sorted = batch.toSeq.sortBy(e => (e.ts_us, e.user_id))
+            val sorted = batch.toSeq.sortBy(_.ts_us)
             var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
             val out = sorted.map { e =>
               val fresh = st.lastTsUs == Long.MinValue || e.ts_us - st.lastTsUs > gapUs
@@ -160,7 +173,10 @@ object CdcStream {
               SessionAssignment(userId, e.ts_us, st.sessionId)
             }
             state.update(st)
-            state.setTimeoutDuration(idleTimeout)
+            // evict when the session can no longer be extended; Spark rejects
+            // timeout timestamps at or before the current watermark, so clamp
+            val target = st.lastTsUs / 1000L + gapMs
+            state.setTimeoutTimestamp(math.max(target, state.getCurrentWatermarkMs + 1L))
             out.iterator
           }
       }

@@ -7,6 +7,8 @@ import java.util.Comparator
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
+import org.scalatest.concurrent.{Signaler, ThreadSignaler, TimeLimits}
+import org.scalatest.time.{Seconds, Span}
 
 import graft.SparkSpec
 import graft.engine.JobSpec.Event
@@ -14,17 +16,26 @@ import graft.engine.VersionedCatalog
 
 /** Streaming surface: CDF file-stream ingest with CDC semantics, watermarked
   * windows, stateful sessionization. All runs use MemoryStream or the file
-  * source with processAllAvailable, so assertions are deterministic.
+  * source with processAllAvailable, so assertions are deterministic. Every
+  * test is wrapped in `failAfter` — a stream that never quiesces (e.g. a
+  * timeout mode whose `shouldRunAnotherBatch` is always true) must FAIL the
+  * suite, not stall it.
   */
-class CdcStreamSpec extends SparkSpec with BeforeAndAfterAll {
+class CdcStreamSpec extends SparkSpec with BeforeAndAfterAll with TimeLimits {
   import spark.implicits._
+
+  private implicit val signaler: Signaler = ThreadSignaler
+
+  /** `test` with a hang guard; 120 s is ~30× the slowest green run. */
+  private def stest(name: String)(body: => Unit): Unit =
+    test(name)(failAfter(Span(120, Seconds))(body))
 
   private var work: JPath = _
   override def beforeAll(): Unit = { work = Files.createTempDirectory("graft-stream") }
   override def afterAll(): Unit =
     Files.walk(work).sorted(Comparator.reverseOrder[JPath]()).forEach(p => Files.delete(p))
 
-  test("streaming CDF ingest applies EVENT semantics incrementally") {
+  stest("streaming CDF ingest applies EVENT semantics incrementally") {
     val cat = VersionedCatalog(s"$work/cat1")
     val table = "main.stream.items"
     def commit(v: Long, rows: Seq[(Long, String, String)]): Unit =
@@ -52,7 +63,7 @@ class CdcStreamSpec extends SparkSpec with BeforeAndAfterAll {
     } finally query.stop()
   }
 
-  test("streaming dedup drops within-watermark duplicates, first-seen wins") {
+  stest("streaming dedup drops within-watermark duplicates, first-seen wins") {
     val input = MemoryStream[(Timestamp, Long, String)](spark)
     val deduped = CdcStream.dedupStream(
       input.toDF().toDF("ts", "doc_id", "text"), tsCol = "ts", watermarkDelay = "10 minutes")
@@ -75,7 +86,7 @@ class CdcStreamSpec extends SparkSpec with BeforeAndAfterAll {
     } finally query.stop()
   }
 
-  test("exportStream writes exactly-once JSON through the file-sink commit log") {
+  stest("exportStream writes exactly-once JSON through the file-sink commit log") {
     val cat = VersionedCatalog(s"$work/cat2")
     val table = "main.stream.export"
     def commit(v: Long, ids: Seq[Long]): Unit =
@@ -96,7 +107,7 @@ class CdcStreamSpec extends SparkSpec with BeforeAndAfterAll {
     } finally query.stop()
   }
 
-  test("watermarked tumbling windows finalize once the watermark passes") {
+  stest("watermarked tumbling windows finalize once the watermark passes") {
     val input = MemoryStream[(Timestamp, String)](spark)
     val counts = CdcStream.windowedCounts(
       input.toDF().toDF("ts", "etype"), "ts", "etype",
@@ -125,27 +136,60 @@ class CdcStreamSpec extends SparkSpec with BeforeAndAfterAll {
     } finally query.stop()
   }
 
-  test("stateful sessionization matches gap semantics across micro-batches") {
+  stest("stateful sessionization matches gap semantics across micro-batches") {
     val gapUs = 1800L * 1000 * 1000 // 30 min
     val us = 1000L * 1000
+    // off epoch 0: the initial watermark is 0 and Spark drops rows with
+    // eventTime <= watermark, so a ts_us=0 fixture row would vanish
+    val base = 1_700_000_000L * us
     val input = MemoryStream[CdcStream.Ev](spark)
     val sessions = CdcStream.sessionize(input.toDS(), gapUs)
     val query = sessions.writeStream
       .format("memory").queryName("sessions").outputMode("append").start()
     try {
       // batch 1: user 1 has two events 10 min apart (one session)
-      input.addData(CdcStream.Ev(1L, 0L), CdcStream.Ev(1L, 600L * us))
+      input.addData(CdcStream.Ev(1L, base), CdcStream.Ev(1L, base + 600L * us))
       query.processAllAvailable()
       // batch 2: 31 min gap opens session 2 for user 1; user 2 starts fresh
-      input.addData(CdcStream.Ev(1L, 600L * us + gapUs + us), CdcStream.Ev(2L, 0L))
+      input.addData(CdcStream.Ev(1L, base + 600L * us + gapUs + us), CdcStream.Ev(2L, base))
       query.processAllAvailable()
       val out = spark.sql("SELECT user_id, ts_us, session_id FROM sessions")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(out === Set(
-        (1L, 0L, 1L),
-        (1L, 600L * us, 1L),
-        (1L, 600L * us + gapUs + us, 2L), // state survived the batch boundary
-        (2L, 0L, 1L)
+        (1L, base, 1L),
+        (1L, base + 600L * us, 1L),
+        (1L, base + 600L * us + gapUs + us, 2L), // state survived the batch boundary
+        (2L, base, 1L)
+      ))
+    } finally query.stop()
+  }
+
+  stest("sessionize evicts state once the watermark passes last_ts + gap") {
+    val gapUs = 1800L * 1000 * 1000
+    val us = 1000L * 1000
+    val base = 1_700_000_000L * us
+    val input = MemoryStream[CdcStream.Ev](spark)
+    // tight 1-minute watermark delay so the fixture can push it forward
+    val sessions = CdcStream.sessionize(input.toDS(), gapUs, watermarkDelay = "1 minute")
+    val query = sessions.writeStream
+      .format("memory").queryName("sessions_evict").outputMode("append").start()
+    try {
+      input.addData(CdcStream.Ev(1L, base))
+      query.processAllAvailable()
+      // user 2 three hours later pushes the watermark far past user 1's
+      // (last_ts + gap) timeout → user 1's state is evicted
+      input.addData(CdcStream.Ev(2L, base + 10800L * us))
+      query.processAllAvailable()
+      // user 1 returns: numbering restarts at 1 (fresh state), proving the
+      // old state is gone rather than carried forever
+      input.addData(CdcStream.Ev(1L, base + 10801L * us))
+      query.processAllAvailable()
+      val out = spark.sql("SELECT user_id, ts_us, session_id FROM sessions_evict")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(out === Set(
+        (1L, base, 1L),
+        (2L, base + 10800L * us, 1L),
+        (1L, base + 10801L * us, 1L) // would be session 2 had state survived
       ))
     } finally query.stop()
   }
