@@ -195,10 +195,12 @@ object Dedup {
     val sides = candidates
       .select(col("doc_a"), col("doc_b"),
         explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-    // broadcast the candidate side: the corpus-sized `shingled` relation then
-    // never shuffles its arrays (if candidates outgrow broadcast range, the
-    // dedup output itself is corpus-scale and an exchange is inherent)
-    val paired = broadcast(sides)
+    // candidate side is usually tiny (bucket-local near-dups) but its size
+    // is DATA-dependent — a low threshold or duplicate-heavy corpus can blow
+    // it up, so no forced broadcast hint: AQE converts the exchange to a
+    // broadcast join at runtime when the side fits and degrades to a shuffle
+    // join when it doesn't (a forced hint would OOM the driver instead)
+    val paired = sides
       .join(shingled, Seq("doc_id"))
       .groupBy("doc_a", "doc_b")
       .agg(
@@ -214,69 +216,96 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** Near-dup PAIRS → duplicate CLUSTERS: connected components by min-label
-    * propagation, the step that turns any pair-emitting tier (MinHash,
-    * SimHash, n-gram, cosine) into dedup groups. Returns one row per node:
-    * (doc_id, cluster_id) where cluster_id is the smallest doc id in the
-    * component (singletons cluster as themselves).
+  /** Near-dup PAIRS → duplicate CLUSTERS: connected components by
+    * alternating large-star / small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14), the step
+    * that turns any pair-emitting tier (MinHash, SimHash, n-gram, cosine)
+    * into dedup groups. Returns one row per node: (doc_id, cluster_id)
+    * where cluster_id is the smallest doc id in the component (singletons
+    * cluster as themselves).
     *
-    * Scale shape: the classic DataFrame fixpoint — per iteration one join
-    * (edges ⋈ labels) and one min-aggregate, both shuffle-partitioned on
-    * the id; the driver only orchestrates (a convergence COUNT per round,
-    * no data collected). Label state is cached per round and the previous
-    * round unpersisted, so peak storage is two label tables. Converges in
-    * O(component diameter) rounds — near-dup clusters are shallow, so the
-    * practical bound is a handful of rounds (`maxIters` guards pathologies).
+    * Scale shape: each round is two groupBy-min + two joins, all
+    * shuffle-partitioned on the node id — no adjacency lists, no
+    * collect_list, the driver only orchestrates (one convergence COUNT per
+    * round, no data collected). Unlike one-hop min-label propagation
+    * (O(component diameter) rounds — a 10k-doc duplicate CHAIN needs 10k
+    * rounds), star contraction halves tree heights every round and
+    * converges in O(log n) rounds regardless of component shape, so
+    * `maxIters` = 50 covers any corpus that fits in storage. Only the
+    * pair-touched subset of the corpus enters the fixpoint; every node
+    * absent from the edge list is trivially its own cluster and is joined
+    * back after.
+    *
+    * Each round is snapshotted to truncate lineage (otherwise analysis +
+    * codegen grow quadratically with rounds): `localCheckpoint` by default
+    * (executor-local blocks — right for local mode, lost-executor risk on a
+    * real cluster), or a reliable `checkpoint` when `checkpointDir` is set
+    * (the 100 TB default: a lost executor mid-fixpoint replays from the
+    * checkpoint store instead of killing the job).
     */
   def duplicateClusters(
       nodes: DataFrame,
       pairs: DataFrame,
       idCol: String = "doc_id",
-      maxIters: Int = 50): DataFrame = {
-    // materialize the edge list once: every propagation round joins against
-    // it, and without the persist each round would re-run the entire
-    // pair-producing pipeline (e.g. the full MinHash chain) per union branch
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist()
-    // iterate ONLY over nodes that touch an edge: near-dup components are a
-    // small fraction of a corpus, and every node absent from the edge list
-    // is trivially its own cluster — joined back after the fixpoint. At
-    // corpus scale this bounds per-round work by the pair-touched subset,
-    // not the table.
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lab", col("id"))
+      maxIters: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val sc = nodes.sparkSession.sparkContext
+    checkpointDir.foreach(sc.setCheckpointDir)
+    def snap(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+
+    // canonical directed edges, larger id → smaller id; materialized once so
+    // the rounds never re-run the pair-producing pipeline (e.g. the full
+    // MinHash chain)
+    var edges = snap(pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct())
+
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
-      val viaEdges = edges.join(labels.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), col("lab"), lit(null).cast("long").as("prev"))
-      // each id contributes exactly one current-label row, so min(prev)
-      // recovers it post-aggregate — the convergence check then needs no
-      // join against the previous round. localCheckpoint (not persist)
-      // TRUNCATES the lineage: without it every round's plan contains all
-      // previous rounds', so analysis/codegen work grows quadratically with
-      // the round count.
-      val next = labels.select(col("id"), col("lab"), col("lab").as("prev"))
-        .unionByName(viaEdges)
-        .groupBy("id").agg(min(col("lab")).as("lab"), min(col("prev")).as("prev"))
-        .localCheckpoint()
-      // previous rounds' checkpoint blocks are RDD-owned and released by the
-      // ContextCleaner as soon as the superseded frames become unreachable
-      val changed = next.filter(col("lab") < col("prev")).count()
-      labels = next.select(col("id"), col("lab"))
-      converged = changed == 0
+      // large-star: every node links its LARGER neighbors to the minimum of
+      // its closed neighborhood. Directionality invariant: emitted (v, m)
+      // always has m <= u < v.
+      val sym = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val afterLarge = sym.filter(col("v") > col("u"))
+        .join(lsMin, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star: every node re-links its smaller neighbors (and itself)
+      // to the minimum among them — on (big → small) edges that is one
+      // groupBy-min + one relink join
+      val ssMin = afterLarge.groupBy("u").agg(min(col("v")).as("m"))
+      val next = snap(afterLarge.join(ssMin, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(ssMin.select(col("u"), col("m").as("v")))
+        .distinct())
+      // fixed point = identical edge set; both sides are distinct, so rows
+      // seen once in the bag union are the symmetric difference (one action)
+      val diff = next.unionByName(edges).groupBy("u", "v").count()
+        .filter(col("count") === 1).count()
+      // superseded rounds' checkpoint blocks are RDD-owned and reclaimed by
+      // the ContextCleaner once the frames become unreachable
+      converged = diff == 0
+      edges = next
       iter += 1
     }
-    edges.unpersist()
     // silent non-convergence would return plausible-but-split clusters; the
     // caller bounds the rounds, so failing loudly is the only safe contract
     if (!converged)
       throw new IllegalStateException(
         s"duplicateClusters did not converge within $maxIters rounds — " +
-          "a component's diameter exceeds maxIters; raise it")
+          "star contraction needs O(log n) rounds, so this is a bug or a " +
+          "pathological input; raise maxIters only after inspecting the pairs")
+    // at the fixed point every component is a star centered at its minimum:
+    // non-center nodes appear exactly once as u, centers only as v
     nodes.select(col(idCol))
-      .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .join(edges.select(col("u").as(idCol), col("v").as("lab")), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("lab"), col(idCol)).as("cluster_id"))
   }
 

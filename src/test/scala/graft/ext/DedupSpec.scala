@@ -55,6 +55,46 @@ class DedupSpec extends SparkSpec {
       6L -> 6L, 7L -> 7L, 8L -> 7L, 9L -> 9L))
   }
 
+  test("duplicateClusters: 300-node chain (diameter >> maxIters) still converges") {
+    import spark.implicits._
+    // one-hop min-label propagation needs diameter rounds and would throw at
+    // maxIters=50 here; star contraction needs O(log n)
+    val nodes = (1L to 300L).toDF("doc_id")
+    val pairs = (1L until 300L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.duplicateClusters(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length === 300)
+    assert(got.forall(_._2 == 1L), "all chain nodes must label to the component min")
+  }
+
+  test("duplicateClusters: reliable checkpointDir path matches localCheckpoint path") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    try {
+      val nodes = (1L to 9L).toDF("doc_id")
+      val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")
+      val got = Dedup.duplicateClusters(nodes, pairs, checkpointDir = Some(dir.toString))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === Map(
+        1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L,
+        6L -> 6L, 7L -> 7L, 8L -> 7L, 9L -> 9L))
+    } finally {
+      import java.util.Comparator
+      java.nio.file.Files.walk(dir).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+  }
+
+  test("minhashNearDups at threshold 0 (candidate explosion) completes unforced") {
+    // every banded candidate survives verification at threshold 0 — the
+    // data-dependent blow-up case the forced-broadcast hint used to risk;
+    // AQE must be free to pick a shuffle join here
+    val pairs = Dedup.minhashNearDups(docs, threshold = 0.0).collect()
+    assert(pairs.nonEmpty)
+    val keys = pairs.map(r => (r.getLong(0), r.getLong(1)))
+    assert(keys.distinct.length === keys.length)
+  }
+
   test("minhashNearDups emits each pair once, ordered, above threshold") {
     val pairs = Dedup.minhashNearDups(docs, threshold = 0.5).collect()
     assert(pairs.nonEmpty)
