@@ -44,10 +44,16 @@ object RangeJoin {
     val p = points.withColumn("__bucket", floor(col(pointCol) / bucketWidth).cast("long"))
     val loB = floor(col(loCol) / bucketWidth).cast("long")
     val hiB = floor(col(hiCol) / bucketWidth).cast("long")
+    // ordering matters: an INVERTED interval (lo > hi) must not reach the
+    // width guard — hiB - loB is negative there, which passes `< cap`, and
+    // sequence() DESCENDS for start > stop, materializing ~|loB - hiB|
+    // spurious bucket ids. BETWEEN matches nothing for lo > hi, so the
+    // faithful translation is an empty bucket set (explode drops the row).
     val iv = intervals
       .withColumn("__bucket",
         explode(
-          when(hiB - loB < lit(maxBucketsPerInterval), sequence(loB, hiB))
+          when(hiB < loB, array().cast("array<long>"))
+            .when(hiB - loB < lit(maxBucketsPerInterval), sequence(loB, hiB))
             .otherwise(raise_error(concat(
               lit(s"pointInInterval: interval spans more than $maxBucketsPerInterval " +
                 s"buckets of width $bucketWidth: ["),

@@ -15,9 +15,13 @@ import org.apache.spark.sql.functions._
   * around the observed skew factor, and only when the build side is too big
   * to broadcast outright (broadcasting sidesteps skew entirely).
   *
-  * The salt on the probe side is `pmod(hash(payload), salts)` — derived
-  * from row content, deterministic, and uniform; result rows are exactly
-  * those of the unsalted join (asserted in SkewSpec).
+  * The probe-side salt is row-local (`monotonically_increasing_id mod
+  * salts` — consecutive within a partition, so hot-key rows round-robin
+  * across all salts) rather than content-derived: a content hash collapses
+  * to ONE salt when the hot key's rows are identical (the common
+  * duplicate-row skew case), defeating the mitigation exactly when it is
+  * needed. The salt only routes — result rows are exactly those of the
+  * unsalted join regardless of salt assignment (asserted in SkewSpec).
   */
 object Skew {
 
@@ -36,9 +40,8 @@ object Skew {
     require(supported.contains(joinType.toLowerCase.replace(" ", "_")),
       s"saltedJoin supports probe-preserving join types only, got '$joinType' " +
         "(an outer build side would replicate unmatched rows per salt)")
-    val payload = probe.columns.filterNot(keys.contains)
-    val saltSrc = if (payload.nonEmpty) payload.map(col).toSeq else keys.map(col)
-    val p = probe.withColumn("__salt", pmod(hash(saltSrc: _*), lit(salts)))
+    val p = probe.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(salts.toLong)))
     val b = build.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
     p.join(b, keys :+ "__salt", joinType).drop("__salt")
   }

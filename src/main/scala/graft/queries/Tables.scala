@@ -37,9 +37,21 @@ object Tables {
     * executor count. At real scale the input already has ≥ parallelism
     * splits and this is a no-op — the condition makes the shuffle a
     * small-corpus-only cost, never a 100 TB one.
+    *
+    * The check is planner-side only: estimated split count = leaf-relation
+    * statistics bytes / `spark.sql.files.maxPartitionBytes` — the same
+    * sizing the file source itself uses — compared against the default
+    * parallelism. (The earlier `df.rdd.getNumPartitions` probe forced
+    * physical planning of the sub-plan at query-BUILD time and would
+    * de-optimize composition under further SQL.)
     */
   def fanOut(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    val inputBytes = df.queryExecution.analyzed.collectLeaves()
+      .map(_.stats.sizeInBytes).sum
+    if (inputBytes < BigInt(maxSplit) * target) df.repartition(target) else df
   }
 }

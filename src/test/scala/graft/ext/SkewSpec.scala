@@ -23,6 +23,32 @@ class SkewSpec extends SparkSpec {
     assert(plan.contains("__salt"), s"expected __salt in the join key:\n$plan")
   }
 
+  test("saltedJoin spreads a hot key with CONSTANT payload across salts") {
+    import spark.implicits._
+    // identical rows (the common duplicate-row skew case): a content-derived
+    // salt would collapse them onto one reducer; the row-local salt must not
+    val probe = Seq.fill(512)((7L, "same")).toDF("k", "p")
+    val build = Seq((7L, "m")).toDF("k", "b")
+    val salts = Skew.saltedJoin(probe, build, Seq("k"), salts = 8)
+    assert(salts.count() === 512L)
+    val distinctSalts = probe
+      .withColumn("__salt", pmod(monotonically_increasing_id(), lit(8L)))
+      .select("__salt").distinct().count()
+    assert(distinctSalts > 1, "constant-payload hot key still landed on one salt")
+  }
+
+  test("pointInInterval treats an inverted interval (lo > hi) as empty") {
+    import spark.implicits._
+    // hiB - loB is negative for inverted intervals: it must not pass the
+    // width guard into a DESCENDING sequence() of ~1e9 bucket ids, and it
+    // must match nothing (BETWEEN semantics)
+    val points = Seq((1L, 5.0)).toDF("id", "p")
+    val ivs = Seq((9L, 1.0e9, 0.0), (10L, 4.0, 6.0)).toDF("iv", "lo", "hi")
+    val got = RangeJoin.pointInInterval(points, ivs, "p", "lo", "hi", bucketWidth = 1.0)
+      .select("iv").as[Long].collect()
+    assert(got.toSeq === Seq(10L))
+  }
+
   test("saltedJoin preserves left-join semantics for unmatched keys") {
     import spark.implicits._
     val probe = Seq((1L, "x"), (2L, "y")).toDF("k", "p")
