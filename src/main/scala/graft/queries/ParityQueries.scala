@@ -6,8 +6,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.engine.{CdcFilter, CdcMaterialize, JobSpec, SqlRewrite, VersionedCatalog, VoidScrub}
-import graft.engine.JobSpec.TableVersionRange
+import graft.engine.{CdcFilter, CdcMaterialize, JobSpec, SqlRewrite, Unload, VersionedCatalog, VoidScrub}
+import graft.engine.JobSpec.{JobConfig, ParquetFormat, TableVersionRange}
 
 /** Relational-parity query surface (SURVEY.md §2.3-§2.7, §6 build-plan step 6).
   *
@@ -321,6 +321,42 @@ object ParityQueries {
       .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"))
   }
 
+  /** q68: mutability-mode bypass (P5, `unload_databricks_data_to_s3.py:301-302,
+    * 434-438`). Runs the FULL unload pipeline — view build, SQL rewrite,
+    * partition sizing, parquet write — with `mutabilityMode = true` over a
+    * synthetic CDF window, then reads the written files back. The bypass
+    * must skip the CDC filter entirely even though `dataType = Event`:
+    * preimage/delete rows and the `_change_type` / `_commit_version`
+    * metadata columns all reach the output. The oracle recomputes the raw
+    * window rows + metadata from the base table, so a regression that
+    * re-applies EVENT semantics (dropping non-inserts or metadata) is a
+    * hash mismatch, not just a row-count change.
+    */
+  def q68MutabilityBypass(spark: SparkSession, dir: String): DataFrame = {
+    val work = Files.createTempDirectory("graft-q68").toString
+    val catalog = VersionedCatalog(s"$work/catalog")
+    val table = "main.graft.events_mut"
+    val ev = events(spark, dir)
+    (1L to 3L).foreach { v =>
+      catalog.commitChanges(
+        ev.filter(col("event_id") % 3 === lit(v - 1))
+          .withColumn(CdcFilter.ChangeTypeCol, expr(SyntheticChangeType))
+          .withColumn("_commit_timestamp", lit(s"2024-07-0$v 00:00:00")),
+        table, v)
+    }
+    val cfg = JobConfig(
+      tables = Seq(TableVersionRange(table, 2L, 3L)),
+      dataType = JobSpec.Event, // would drop preimages/deletes — the bypass must win
+      sql = s"""SELECT event_id, user_id, event_type, value, _change_type,
+               |       CAST(_commit_version AS BIGINT) AS _commit_version
+               |FROM $table""".stripMargin,
+      outputPath = s"$work/out",
+      format = ParquetFormat,
+      mutabilityMode = true)
+    Unload.run(spark, catalog, cfg)
+    spark.read.parquet(s"$work/out")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_star_join" -> (q02StarJoin _),
@@ -338,6 +374,7 @@ object ParityQueries {
     "q16_snapshot_travel" -> (q16SnapshotTravel _),
     "q17_cdf_window" -> (q17CdfWindow _),
     "q63_timestamp_travel" -> (q63TimestampTravel _),
+    "q68_mutability_bypass" -> (q68MutabilityBypass _),
     "q64_cdc_materialize" -> (q64CdcMaterialize _)
   )
 
@@ -455,6 +492,14 @@ object ParityQueries {
         |            WHEN event_id % 10 < 8 THEN 'update_postimage'
         |            WHEN event_id % 10 = 8 THEN 'update_preimage'
         |            ELSE 'delete' END) = 'insert'
-        |GROUP BY event_type""".stripMargin
+        |GROUP BY event_type""".stripMargin,
+    "q68_mutability_bypass" ->
+      """SELECT event_id, user_id, event_type, value,
+        |       CASE WHEN event_id % 10 < 6 THEN 'insert'
+        |            WHEN event_id % 10 < 8 THEN 'update_postimage'
+        |            WHEN event_id % 10 = 8 THEN 'update_preimage'
+        |            ELSE 'delete' END AS _change_type,
+        |       (event_id % 3 + 1)::BIGINT AS _commit_version
+        |FROM events WHERE event_id % 3 IN (1, 2)""".stripMargin
   )
 }
