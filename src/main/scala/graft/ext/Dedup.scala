@@ -348,10 +348,12 @@ object Dedup {
     *      verified with hash-space Jaccard, and a new doc with ANY
     *      at-or-above-threshold match in the existing corpus is dropped.
     *
-    * At scale the existing side's signatures/bands are a precomputable
-    * INDEX (persist or write them once per corpus version); here they are
-    * derived inline from `existing`. Near-dups WITHIN the new batch are
-    * out of scope by design — run [[dedupCorpus]] on the batch first.
+    * This form derives the existing side's relations inline; at 100 TB
+    * recomputing the corpus fingerprints/bands per batch is the dominant
+    * cost, so write them ONCE per corpus version with [[writeIndex]] and
+    * probe with [[dedupAgainstIndex]] — both funnel into the same core, so
+    * the paths cannot drift. Near-dups WITHIN the new batch are out of
+    * scope by design — run [[dedupCorpus]] on the batch first.
     */
   def dedupAgainst(
       newDocs: DataFrame,
@@ -362,10 +364,92 @@ object Dedup {
       bands: Int = 4,
       rowsPerBand: Int = 4,
       threshold: Double = 0.5): DataFrame = {
-
-    // tier 1: exact fingerprint anti-join
     val existingFp = existing
       .select(TextAnalysis.md5Fingerprint(col(textCol)).as("__fp")).distinct()
+    val shOld = shingleHashes(existing, idCol, textCol, k)
+    val oldBands = minhashBandRows(shOld, hashParams(bands * rowsPerBand), bands, rowsPerBand)
+    dedupAgainstRelations(
+      newDocs, existingFp, oldBands, shOld, idCol, textCol, k, bands, rowsPerBand, threshold)
+  }
+
+  /** Write the dedup INDEX of a corpus version: the three relations the
+    * incremental probe needs — distinct exact fingerprints, MinHash band
+    * rows, and per-doc shingle-hash sets — plus a `meta` sidecar pinning
+    * the sketch parameters (a probe with different knobs would silently
+    * find nothing; the sidecar makes it fail loudly instead).
+    *
+    * Written once per corpus version, read by every subsequent batch: the
+    * per-batch cost becomes proportional to the BATCH (its own shingling +
+    * a bucket equi-join against parquet), not the corpus. All three
+    * relations are plain columnar parquet — bucket-join pushdown and column
+    * pruning apply as usual.
+    */
+  def writeIndex(
+      existing: DataFrame,
+      path: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 5,
+      bands: Int = 4,
+      rowsPerBand: Int = 4): Unit = {
+    val spark = existing.sparkSession
+    import spark.implicits._
+    existing
+      .select(TextAnalysis.md5Fingerprint(col(textCol)).as("__fp")).distinct()
+      .write.mode("overwrite").parquet(s"$path/fingerprints")
+    // shingles feed both their own relation and the band rows — persist so
+    // the shingling pipeline runs once, not per sink
+    val sh = shingleHashes(existing, idCol, textCol, k).persist()
+    sh.write.mode("overwrite").parquet(s"$path/shingles")
+    minhashBandRows(sh, hashParams(bands * rowsPerBand), bands, rowsPerBand)
+      .write.mode("overwrite").parquet(s"$path/bands")
+    sh.unpersist()
+    Seq((k, bands, rowsPerBand)).toDF("k", "bands", "rows_per_band")
+      .coalesce(1).write.mode("overwrite").json(s"$path/meta")
+  }
+
+  /** Incremental dedup probing a [[writeIndex]]-persisted corpus index —
+    * identical semantics to [[dedupAgainst]] (asserted in DedupSpec), with
+    * the existing side read from parquet instead of recomputed. Sketch
+    * parameters come from the index's own meta sidecar.
+    */
+  def dedupAgainstIndex(
+      newDocs: DataFrame,
+      indexPath: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      threshold: Double = 0.5): DataFrame = {
+    val spark = newDocs.sparkSession
+    val meta = spark.read.json(s"$indexPath/meta").collect().head
+    val (k, bands, rowsPerBand) = (
+      meta.getAs[Long]("k").toInt,
+      meta.getAs[Long]("bands").toInt,
+      meta.getAs[Long]("rows_per_band").toInt)
+    dedupAgainstRelations(
+      newDocs,
+      spark.read.parquet(s"$indexPath/fingerprints"),
+      spark.read.parquet(s"$indexPath/bands"),
+      spark.read.parquet(s"$indexPath/shingles"),
+      idCol, textCol, k, bands, rowsPerBand, threshold)
+  }
+
+  /** Shared core of [[dedupAgainst]] / [[dedupAgainstIndex]]: tier-1 exact
+    * anti-join + tier-2 banded candidates + hash-space Jaccard verify, with
+    * the existing side abstracted to its three relations.
+    */
+  private def dedupAgainstRelations(
+      newDocs: DataFrame,
+      existingFp: DataFrame,
+      oldBands: DataFrame,
+      oldShingles: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      bands: Int,
+      rowsPerBand: Int,
+      threshold: Double): DataFrame = {
+
+    // tier 1: exact fingerprint anti-join
     val exactSurvivors = newDocs
       .withColumn("__fp", TextAnalysis.md5Fingerprint(col(textCol)))
       .join(existingFp, Seq("__fp"), "left_anti")
@@ -376,16 +460,14 @@ object Dedup {
     // so the two paths cannot drift
     val params = hashParams(bands * rowsPerBand)
     val shNew = shingleHashes(exactSurvivors, idCol, textCol, k)
-    val shOld = shingleHashes(existing, idCol, textCol, k)
     val candidates = minhashBandRows(shNew, params, bands, rowsPerBand)
       .withColumnRenamed("doc_id", "new_id")
-      .join(minhashBandRows(shOld, params, bands, rowsPerBand)
-        .withColumnRenamed("doc_id", "old_id"), Seq("band", "bucket"))
+      .join(oldBands.withColumnRenamed("doc_id", "old_id"), Seq("band", "bucket"))
       .select("new_id", "old_id")
       .dropDuplicates("new_id", "old_id")
     val verified = candidates
       .join(shNew.select(col("doc_id").as("new_id"), col("hs").as("hs_new")), Seq("new_id"))
-      .join(shOld.select(col("doc_id").as("old_id"), col("hs").as("hs_old")), Seq("old_id"))
+      .join(oldShingles.select(col("doc_id").as("old_id"), col("hs").as("hs_old")), Seq("old_id"))
       .withColumn("jaccard",
         round(size(array_intersect(col("hs_new"), col("hs_old"))).cast("double")
           / size(array_union(col("hs_new"), col("hs_old"))).cast("double"), 4))

@@ -121,15 +121,20 @@ object ExtQueries {
 
   /** Incremental dedup: the new half of the corpus (doc_id >= 250 at this
     * sf) cleaned against the existing half — exact anti-join then MinHash
-    * near-dup matches across the boundary. Oracle composes the same chain
-    * with the parameterized MinHash CTE over (exact survivors ∪ existing),
-    * keeping only boundary-crossing pairs (old ids sort below new ids).
+    * near-dup matches across the boundary. Runs the PRODUCTION shape: the
+    * existing corpus's index is written once ([[Dedup.writeIndex]]) and the
+    * batch probes the persisted parquet relations — so the driver gate
+    * covers the index round-trip, not just the inline derivation (their
+    * equivalence is additionally asserted in DedupSpec). Oracle composes
+    * the same chain with the parameterized MinHash CTE over (exact
+    * survivors ∪ existing), keeping only boundary-crossing pairs (old ids
+    * sort below new ids).
     */
   def q29DedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val docs = fanOut(documents(spark, dir))
-    Dedup.dedupAgainst(
-      docs.filter(col("doc_id") >= 250),
-      docs.filter(col("doc_id") < 250))
+    val idx = java.nio.file.Files.createTempDirectory("graft-q29-idx").toString
+    Dedup.writeIndex(docs.filter(col("doc_id") < 250), idx)
+    Dedup.dedupAgainstIndex(docs.filter(col("doc_id") >= 250), idx)
       .select(col("doc_id"), col("lang"), col("source"))
   }
 

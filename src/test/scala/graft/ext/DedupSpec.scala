@@ -85,6 +85,23 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedupAgainstIndex over a persisted index equals the inline dedupAgainst") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx")
+    try {
+      val existing = docs.filter(col("doc_id") < 250)
+      val batch = docs.filter(col("doc_id") >= 250)
+      Dedup.writeIndex(existing, dir.toString)
+      val viaIndex = Dedup.dedupAgainstIndex(batch, dir.toString)
+      val inline = Dedup.dedupAgainst(batch, existing)
+      assert(viaIndex.count() > 0)
+      assert(viaIndex.exceptAll(inline).isEmpty && inline.exceptAll(viaIndex).isEmpty)
+    } finally {
+      import java.util.Comparator
+      java.nio.file.Files.walk(dir).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+  }
+
   test("minhashNearDups at threshold 0 (candidate explosion) completes unforced") {
     // every banded candidate survives verification at threshold 0 — the
     // data-dependent blow-up case the forced-broadcast hint used to risk;
