@@ -291,11 +291,16 @@ object ExtQueries {
 
   /** ANN (IVF inverted-file index) — approximate by design like q31, so
     * rows-only in the driver gate; recall vs brute force is asserted in
-    * SimilaritySpec.
+    * SimilaritySpec. Runs the PRODUCTION shape: the index (centroid model +
+    * cell-partitioned inverted file) is written once and the query batch
+    * probes the persisted parquet — covering the build/probe split under
+    * the driver gate (equivalence to the in-memory path is spec-asserted).
     */
   def q32KnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = fanOut(embeddings(spark, dir))
-    Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), k = 5)
+    val idx = java.nio.file.Files.createTempDirectory("graft-q32-idx").toString
+    Similarity.writeIvfIndex(e, idx)
+    Similarity.ivfTopKIndexed(e.filter(col("vec_id") < 8), idx, k = 5)
   }
 
   /** SQ8 embedding quantization: per-vector model summarized with exact

@@ -267,14 +267,77 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
 
     val centroids = ivfCentroids(corpus, cells, iters, trainFraction, idCol, vecCol)
-
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec"),
       norm(col(vecCol)).as("c_norm"),
       assignCell(col(vecCol), centroids).as("cell"))
+    probeIvf(c, queries, centroids, k, nprobe, idCol, vecCol)
+  }
+
+  /** Build and persist the IVF index of a corpus version: the centroid
+    * MODEL (cells × dim, a parquet table of (cell, ctr)) and the INVERTED
+    * FILE — every corpus vector with its precomputed norm, written
+    * cell-PARTITIONED parquet. Probing with [[ivfTopKIndexed]] then reads
+    * only the probed cells (a broadcast equi-join on the partition column —
+    * dynamic partition pruning skips the rest of the corpus at the SCAN,
+    * the property that makes IVF pay at 100 TB), and the k-means training
+    * plus assignment cost is paid once per corpus version instead of per
+    * query batch.
+    */
+  def writeIvfIndex(
+      corpus: DataFrame,
+      path: String,
+      cells: Int = 16,
+      iters: Int = 2,
+      trainFraction: Double = 1.0,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = ivfCentroids(corpus, cells, iters, trainFraction, idCol, vecCol)
+    centroids.zipWithIndex.map { case (ctr, c) => (c, ctr.toSeq) }.toSeq
+      .toDF("cell", "ctr")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    corpus.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec"),
+        norm(col(vecCol)).as("c_norm"),
+        assignCell(col(vecCol), centroids).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/invfile")
+  }
+
+  /** ANN top-k probing a [[writeIvfIndex]]-persisted index — identical
+    * semantics to [[ivfTopK]] with the same training parameters (asserted
+    * in SimilaritySpec; centroid training is seeded, so the two paths
+    * produce the same model), with corpus assignment read from the
+    * inverted file instead of recomputed.
+    */
+  def ivfTopKIndexed(
+      queries: DataFrame,
+      indexPath: String,
+      k: Int,
+      nprobe: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids = spark.read.parquet(s"$indexPath/centroids")
+      .orderBy("cell").collect()
+      .map(_.getSeq[Double](1).toArray)
+    val c = spark.read.parquet(s"$indexPath/invfile")
+    probeIvf(c, queries, centroids, k, nprobe, idCol, vecCol)
+  }
+
+  /** Shared probe core of [[ivfTopK]] / [[ivfTopKIndexed]]: `c` is the
+    * inverted file (vec_id, c_vec, c_norm, cell), inline or from parquet.
+    */
+  private def probeIvf(
+      c: DataFrame,
+      queries: DataFrame,
+      centroids: Array[Array[Double]],
+      k: Int,
+      nprobe: Int,
+      idCol: String,
+      vecCol: String): DataFrame = {
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
       norm(col(vecCol)).as("q_norm"),
       explode(probeCells(col(vecCol), centroids, nprobe)).as("cell"))
-
     val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
     c.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))

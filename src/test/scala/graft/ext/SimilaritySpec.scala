@@ -41,6 +41,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, f"IVF recall@$k = $recall%.3f < 0.8 (hit=$hit of $total)")
   }
 
+  test("ivfTopKIndexed over a persisted index equals the in-memory ivfTopK") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-idx")
+    try {
+      val queries = embeds.filter(col("vec_id") < 8)
+      // centroid training is seeded, so build-then-probe must reproduce the
+      // in-memory path exactly (same model, same inverted file, same ranks)
+      Similarity.writeIvfIndex(embeds, dir.toString)
+      val viaIndex = Similarity.ivfTopKIndexed(queries, dir.toString, k = 5)
+      val inMem = Similarity.ivfTopK(embeds, queries, k = 5)
+      assert(viaIndex.count() > 0)
+      assert(viaIndex.exceptAll(inMem).isEmpty && inMem.exceptAll(viaIndex).isEmpty)
+    } finally {
+      import java.util.Comparator
+      java.nio.file.Files.walk(dir).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+  }
+
   test("IVF inverted file covers the corpus: every vector lands in one cell") {
     val e = embeds
     val centroids = Similarity.ivfCentroids(e, cells = 8, iters = 1)
