@@ -458,6 +458,48 @@ object ExtQueries {
        |         (a, b) -> (a * 31 + b) % 1000000007) AS rolling_hash
        |FROM n""".stripMargin
 
+  /** Composed per-document text profile ([[TextAnalysis.profile]]) — the
+    * one-pass "everything" projection a curation pipeline actually runs
+    * (token counts, per-language stopword hits, language guess, quality,
+    * fingerprints). Every component has its own q-row (q40-q43); this row
+    * pins the COMPOSITION, whose oracle is assembled from the same
+    * generated fragments so the constants cannot drift.
+    */
+  def q47Profile(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.profile(fanOut(documents(spark, dir)))
+      .select("doc_id", "n_tokens", "n_bpe_tokens", "punct",
+        "en_hits", "es_hits", "de_hits", "fr_hits", "lang_guess", "quality",
+        "fingerprint", "rolling_hash")
+
+  private def q47Oracle: String = {
+    val langs = TextAnalysis.LangStopwords.map(_._1)
+    val cases = langs.map { l =>
+      val conds = langs.filterNot(_ == l).map(o => s"${l}_hits >= ${o}_hits").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("\n         ")
+    s"""WITH h AS (SELECT doc_id, $DNorm AS t, text,
+       |        len(string_split($DNorm, ' '))::INT AS n_tokens,
+       |        len(regexp_extract_all($DNorm, '${TextAnalysis.BpeTokenPattern}'))::INT AS n_bpe_tokens,
+       |        len(regexp_extract_all(text, '[.,!?;:]'))::INT AS punct,
+       |        ${langs.map(l => s"${dHits(l)} AS ${l}_hits").mkString(",\n        ")}
+       |      FROM documents)
+       |SELECT doc_id, n_tokens, n_bpe_tokens, punct,
+       |       ${langs.map(l => s"${l}_hits").mkString(", ")},
+       |       CASE $cases
+       |            ELSE 'und' END AS lang_guess,
+       |       round(0.3 * least(1.0, n_tokens::DOUBLE / 100.0)
+       |           + 0.4 * (1.0 - least(1.0, punct::DOUBLE / greatest(n_tokens::DOUBLE, 1.0)))
+       |           + 0.3 * least(1.0, 4.0 * en_hits::DOUBLE / greatest(n_tokens::DOUBLE, 1.0)), 4)
+       |         AS quality,
+       |       md5(t) AS fingerprint,
+       |       list_reduce(
+       |         list_prepend(0::BIGINT,
+       |           list_transform([substr(t, i, 1) FOR i IN range(1, len(t)+1)],
+       |                          c -> ascii(c)::BIGINT)),
+       |         (a, b) -> (a * 31 + b) % 1000000007) AS rolling_hash
+       |FROM h""".stripMargin
+  }
+
   // ---------------- deterministic sampling ----------------
 
   def q44HashSample(spark: SparkSession, dir: String): DataFrame =
@@ -638,6 +680,7 @@ object ExtQueries {
     "q43_fingerprint" -> (q43Fingerprint _),
     "q44_hash_sample" -> (q44HashSample _),
     "q45_stratified_quota" -> (q45StratifiedQuota _),
+    "q47_profile" -> (q47Profile _),
     "q61_asof_join" -> (q61AsofJoin _),
     "q65_salted_join" -> (q65SaltedJoin _),
     "q66_percentiles" -> (q66Percentiles _),
@@ -668,6 +711,7 @@ object ExtQueries {
     "q43_fingerprint" -> q43Oracle,
     "q44_hash_sample" -> q44Oracle,
     "q45_stratified_quota" -> q45Oracle,
+    "q47_profile" -> q47Oracle,
     "q61_asof_join" -> q61Oracle,
     "q65_salted_join" -> q65Oracle,
     "q66_percentiles" -> q66Oracle,

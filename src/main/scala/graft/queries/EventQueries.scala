@@ -192,13 +192,57 @@ object EventQueries {
       |       round(sum(CASE WHEN event_type = 'error' THEN value END), 4) AS error
       |FROM events GROUP BY 1""".stripMargin
 
+  /** q69: STREAMING sessionization under the driver gate. The events table
+    * is consumed as a bounded file stream (`Trigger.AvailableNow`), run
+    * through the stateful keyed sessionizer
+    * ([[graft.streaming.CdcStream.sessionize]] —
+    * `flatMapGroupsWithState` with event-time state eviction), exported
+    * through the exactly-once file sink, read back, and aggregated to
+    * per-session rows. All files fit one micro-batch, so per-user in-batch
+    * ordering makes the assignment deterministic and IDENTICAL to the
+    * batch window formulation — the oracle is q12's, verbatim: streaming
+    * correctness is machine-checked against the batch semantics, not just
+    * spec-asserted. (Events tied on ts_us get the same session id either
+    * way, so the batch tie-break column is immaterial.)
+    */
+  def q69StreamSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-q69").toString
+    // the file stream source needs a DIRECTORY to monitor; stage the fixture
+    // file into one (at real scale the ingest dir is the natural layout)
+    val inDir = java.nio.file.Paths.get(work, "in")
+    java.nio.file.Files.createDirectory(inDir)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"), inDir.resolve("events.parquet"))
+    val schema = events(spark, dir).schema
+    val stream = spark.readStream.schema(schema).parquet(inDir.toString)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+      .as[graft.streaming.CdcStream.Ev]
+    val query = graft.streaming.CdcStream.sessionize(stream, gapUs = SessionGapUs)
+      .writeStream
+      .format("parquet")
+      .option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.read.parquet(s"$work/out")
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("ts_start"),
+        max(col("ts_us")).as("ts_end"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_retention" -> (q60Retention _),
     "q67_pivot" -> (q67Pivot _),
     "q12_sessionize" -> (q12Sessionize _),
     "q13_funnel" -> (q13Funnel _),
     "q14_json_props" -> (q14JsonProps _),
-    "q15_scalar_suite" -> (q15ScalarSuite _)
+    "q15_scalar_suite" -> (q15ScalarSuite _),
+    "q69_stream_sessionize" -> (q69StreamSessionize _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -207,6 +251,8 @@ object EventQueries {
     "q12_sessionize" -> q12Oracle,
     "q13_funnel" -> q13Oracle,
     "q14_json_props" -> q14Oracle,
-    "q15_scalar_suite" -> q15Oracle
+    "q15_scalar_suite" -> q15Oracle,
+    // streaming must reproduce the batch gap semantics exactly
+    "q69_stream_sessionize" -> q12Oracle
   )
 }
