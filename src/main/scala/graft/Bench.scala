@@ -32,8 +32,11 @@ object Bench {
         .agg(sum("n"), sum("d")).count()
     } catch { case _: Throwable => () }
     // optional comma-separated name filter for local iteration; the driver
-    // sets no filter and benches everything
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // sets no filter and benches everything (an empty/blank value means
+    // unfiltered too — "exported but empty" must not silently bench nothing)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

@@ -1,6 +1,5 @@
 package graft
 
-import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -20,7 +19,7 @@ object SparkEntry {
     */
   def entry(spark: SparkSession): DataFrame = {
     val sfDir = "/root/testdata/sf0.001"
-    val work = Files.createTempDirectory("graft-entry").toString
+    val work = graft.queries.Scratch.dir("entry")
     val catalog = VersionedCatalog(s"$work/catalog")
     val table = "main.graft.events"
 

@@ -239,9 +239,16 @@ object Dedup {
     * Each round is snapshotted to truncate lineage (otherwise analysis +
     * codegen grow quadratically with rounds): `localCheckpoint` by default
     * (executor-local blocks — right for local mode, lost-executor risk on a
-    * real cluster), or a reliable `checkpoint` when `checkpointDir` is set
-    * (the 100 TB default: a lost executor mid-fixpoint replays from the
-    * checkpoint store instead of killing the job).
+    * real cluster), or, when `checkpointDir` is set (the 100 TB default),
+    * each round is written as PARQUET under it and read back — a reliable
+    * store-backed snapshot a lost executor replays from. Parquet rounds
+    * rather than `df.checkpoint()` deliberately: reliable RDD checkpoints
+    * are never reclaimed by the ContextCleaner (up to `maxIters`
+    * corpus-scale snapshots would accumulate) and `setCheckpointDir`
+    * mutates global SparkContext state. Superseded rounds are deleted as
+    * soon as the next lands; the FINAL round's files back the returned
+    * (lazy) frame, so the caller owns the directory's lifecycle and cleans
+    * it after consuming the result.
     */
   def duplicateClusters(
       nodes: DataFrame,
@@ -249,15 +256,26 @@ object Dedup {
       idCol: String = "doc_id",
       maxIters: Int = 50,
       checkpointDir: Option[String] = None): DataFrame = {
-    val sc = nodes.sparkSession.sparkContext
-    checkpointDir.foreach(sc.setCheckpointDir)
-    def snap(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val spark = nodes.sparkSession
+
+    var roundId = 0
+    def snap(df: DataFrame): (DataFrame, Option[String]) = checkpointDir match {
+      case None => (df.localCheckpoint(), None)
+      case Some(dir) =>
+        val path = s"${dir.stripSuffix("/")}/cc_round_$roundId"
+        roundId += 1
+        df.write.mode("overwrite").parquet(path)
+        (spark.read.parquet(path), Some(path))
+    }
+    def drop(path: Option[String]): Unit = path.foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    }
 
     // canonical directed edges, larger id → smaller id; materialized once so
     // the rounds never re-run the pair-producing pipeline (e.g. the full
     // MinHash chain)
-    var edges = snap(pairs
+    var (edges, edgesPath) = snap(pairs
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
       .filter(col("u") =!= col("v"))
@@ -280,7 +298,7 @@ object Dedup {
       // to the minimum among them — on (big → small) edges that is one
       // groupBy-min + one relink join
       val ssMin = afterLarge.groupBy("u").agg(min(col("v")).as("m"))
-      val next = snap(afterLarge.join(ssMin, "u")
+      val (next, nextPath) = snap(afterLarge.join(ssMin, "u")
         .filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .unionByName(ssMin.select(col("u"), col("m").as("v")))
@@ -289,10 +307,14 @@ object Dedup {
       // seen once in the bag union are the symmetric difference (one action)
       val diff = next.unionByName(edges).groupBy("u", "v").count()
         .filter(col("count") === 1).count()
-      // superseded rounds' checkpoint blocks are RDD-owned and reclaimed by
-      // the ContextCleaner once the frames become unreachable
+      // the superseded round is dead once the diff has read it: parquet
+      // rounds are deleted here (reliable checkpoints would accumulate);
+      // localCheckpoint blocks are RDD-owned and reclaimed by the
+      // ContextCleaner once unreachable
+      drop(edgesPath)
       converged = diff == 0
       edges = next
+      edgesPath = nextPath
       iter += 1
     }
     // silent non-convergence would return plausible-but-split clusters; the

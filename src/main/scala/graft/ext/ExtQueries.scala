@@ -132,7 +132,7 @@ object ExtQueries {
     */
   def q29DedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val docs = fanOut(documents(spark, dir))
-    val idx = java.nio.file.Files.createTempDirectory("graft-q29-idx").toString
+    val idx = graft.queries.Scratch.dir("q29-idx")
     Dedup.writeIndex(docs.filter(col("doc_id") < 250), idx)
     Dedup.dedupAgainstIndex(docs.filter(col("doc_id") >= 250), idx)
       .select(col("doc_id"), col("lang"), col("source"))
@@ -298,7 +298,7 @@ object ExtQueries {
     */
   def q32KnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = fanOut(embeddings(spark, dir))
-    val idx = java.nio.file.Files.createTempDirectory("graft-q32-idx").toString
+    val idx = graft.queries.Scratch.dir("q32-idx")
     Similarity.writeIvfIndex(e, idx)
     Similarity.ivfTopKIndexed(e.filter(col("vec_id") < 8), idx, k = 5)
   }

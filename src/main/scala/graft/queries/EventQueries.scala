@@ -207,7 +207,7 @@ object EventQueries {
     */
   def q69StreamSessionize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val work = java.nio.file.Files.createTempDirectory("graft-q69").toString
+    val work = Scratch.dir("q69")
     // the file stream source needs a DIRECTORY to monitor; stage the fixture
     // file into one (at real scale the ingest dir is the natural layout)
     val inDir = java.nio.file.Paths.get(work, "in")

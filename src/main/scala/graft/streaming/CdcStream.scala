@@ -124,8 +124,9 @@ object CdcStream {
     * projections cannot access private classes).
     */
   final case class EvT(user_id: Long, ts_us: Long, ts: java.sql.Timestamp)
-  final case class SessionState(sessionId: Long, lastTsUs: Long)
-  final case class SessionAssignment(user_id: Long, ts_us: Long, session_id: Long)
+  final case class SessionState(sessionId: Long, lastTsUs: Long, startTsUs: Long)
+  final case class SessionAssignment(
+      user_id: Long, ts_us: Long, session_id: Long, session_start_us: Long)
 
   /** Streaming gap-based sessionization: per-user keyed state carries
     * (current session id, last event time); an event further than `gapUs`
@@ -140,13 +141,22 @@ object CdcStream {
     * State is bounded two ways: per-user O(1) payload, and an EVENT-time
     * timeout that evicts a user's state once the watermark passes
     * `lastTs + gap` — the exact moment the session can no longer be
-    * extended, so eviction is semantically free: any later event would have
-    * opened a new session anyway (session ids restart at 1 after eviction;
-    * they are per-user, not global). Event-time timeouts fire only when the
-    * watermark ADVANCES, so the engine quiesces between data arrivals and
-    * `processAllAvailable()` terminates — a processing-time timeout here
-    * would make `shouldRunAnotherBatch` true forever and busy-loop empty
-    * micro-batches.
+    * extended, so eviction never splits or merges a session: any later
+    * surviving event would have opened a new session anyway. Event-time
+    * timeouts fire only when the watermark ADVANCES, so the engine
+    * quiesces between data arrivals and `processAllAvailable()` terminates
+    * — a processing-time timeout here would make `shouldRunAnotherBatch`
+    * true forever and busy-loop empty micro-batches.
+    *
+    * Session identity: `session_id` is a per-user counter that restarts at
+    * 1 when state is evicted, and WHETHER eviction fired between two
+    * far-apart events depends on micro-batch boundaries (timeouts only
+    * fire for groups without data in that batch) — so the counter is
+    * stable only within one state lifetime. `session_start_us` is the
+    * batch-timing-INVARIANT identity: an event more than `gapUs` after its
+    * predecessor starts a session stamped with its own ts whether or not
+    * the old state was evicted first, so downstream joins should key on
+    * (user_id, session_start_us).
     */
   def sessionize(
       events: Dataset[Ev],
@@ -166,11 +176,14 @@ object CdcStream {
             Iterator.empty
           } else {
             val sorted = batch.toSeq.sortBy(_.ts_us)
-            var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
+            var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, Long.MinValue))
             val out = sorted.map { e =>
               val fresh = st.lastTsUs == Long.MinValue || e.ts_us - st.lastTsUs > gapUs
-              st = SessionState(if (fresh) st.sessionId + 1 else st.sessionId, e.ts_us)
-              SessionAssignment(userId, e.ts_us, st.sessionId)
+              st = SessionState(
+                if (fresh) st.sessionId + 1 else st.sessionId,
+                e.ts_us,
+                if (fresh) e.ts_us else st.startTsUs)
+              SessionAssignment(userId, e.ts_us, st.sessionId, st.startTsUs)
             }
             state.update(st)
             // evict when the session can no longer be extended; Spark rejects

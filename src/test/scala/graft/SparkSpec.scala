@@ -25,4 +25,17 @@ object SparkSpec {
 abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.spark
   val Sf0001 = "/root/testdata/sf0.001"
+
+  /** Recursive temp-dir teardown shared by every spec that stages files. */
+  def rmTree(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+
+  /** Create a temp dir, run the body, delete the dir afterwards. */
+  def withTempDir[T](prefix: String)(body: java.nio.file.Path => T): T = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    try body(dir) finally rmTree(dir)
+  }
 }

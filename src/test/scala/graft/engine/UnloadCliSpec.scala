@@ -1,7 +1,6 @@
 package graft.engine
 
 import java.nio.file.{Files, Path => JPath, Paths}
-import java.util.Comparator
 
 import org.scalatest.BeforeAndAfterAll
 
@@ -25,8 +24,7 @@ class UnloadCliSpec extends SparkSpec with BeforeAndAfterAll {
         .withColumn("_commit_timestamp", org.apache.spark.sql.functions.lit("2024-01-02")),
       table, 2L)
   }
-  override def afterAll(): Unit =
-    Files.walk(work).sorted(Comparator.reverseOrder[JPath]()).forEach(p => Files.delete(p))
+  override def afterAll(): Unit = rmTree(work)
 
   test("parseArgs binds the reference's 12-arg surface to JobConfig") {
     val job = UnloadCli.parseArgs(Array(

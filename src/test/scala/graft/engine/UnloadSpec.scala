@@ -1,7 +1,6 @@
 package graft.engine
 
 import java.nio.file.{Files, Path => JPath, Paths}
-import java.util.Comparator
 
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
@@ -20,8 +19,7 @@ class UnloadSpec extends SparkSpec with BeforeAndAfterAll {
   private val table = "main.test.items"
 
   override def beforeAll(): Unit = { work = Files.createTempDirectory("graft-unload") }
-  override def afterAll(): Unit =
-    Files.walk(work).sorted(Comparator.reverseOrder[JPath]()).forEach(p => Files.delete(p))
+  override def afterAll(): Unit = rmTree(work)
 
   private def freshCatalog(dir: String): VersionedCatalog = {
     val cat = VersionedCatalog(s"$work/$dir")

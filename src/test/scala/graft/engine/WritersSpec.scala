@@ -1,7 +1,6 @@
 package graft.engine
 
 import java.nio.file.{Files, Path => JPath}
-import java.util.Comparator
 
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.parquet.hadoop.ParquetFileReader
@@ -21,8 +20,7 @@ class WritersSpec extends SparkSpec with BeforeAndAfterAll {
 
   private var work: JPath = _
   override def beforeAll(): Unit = { work = Files.createTempDirectory("graft-writers") }
-  override def afterAll(): Unit =
-    Files.walk(work).sorted(Comparator.reverseOrder[JPath]()).forEach(p => Files.delete(p))
+  override def afterAll(): Unit = rmTree(work)
 
   test("K2: parquet footer records the ZSTD codec") {
     val out = s"$work/parq"

@@ -78,11 +78,13 @@ class DedupSpec extends SparkSpec {
       assert(got === Map(
         1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L,
         6L -> 6L, 7L -> 7L, 8L -> 7L, 9L -> 9L))
-    } finally {
-      import java.util.Comparator
-      java.nio.file.Files.walk(dir).sorted(Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => java.nio.file.Files.delete(p))
-    }
+      // superseded round snapshots must be deleted as the fixpoint advances —
+      // only the final round (backing the returned frame) may remain
+      import scala.jdk.CollectionConverters._
+      val rounds = java.nio.file.Files.list(dir).iterator().asScala
+        .map(_.getFileName.toString).filter(_.startsWith("cc_round_")).toSeq
+      assert(rounds.size === 1, s"superseded rounds not cleaned: $rounds")
+    } finally rmTree(dir)
   }
 
   test("dedupAgainstIndex over a persisted index equals the inline dedupAgainst") {
@@ -95,11 +97,7 @@ class DedupSpec extends SparkSpec {
       val inline = Dedup.dedupAgainst(batch, existing)
       assert(viaIndex.count() > 0)
       assert(viaIndex.exceptAll(inline).isEmpty && inline.exceptAll(viaIndex).isEmpty)
-    } finally {
-      import java.util.Comparator
-      java.nio.file.Files.walk(dir).sorted(Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => java.nio.file.Files.delete(p))
-    }
+    } finally rmTree(dir)
   }
 
   test("minhashNearDups at threshold 0 (candidate explosion) completes unforced") {

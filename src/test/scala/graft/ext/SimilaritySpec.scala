@@ -52,11 +52,7 @@ class SimilaritySpec extends SparkSpec {
       val inMem = Similarity.ivfTopK(embeds, queries, k = 5)
       assert(viaIndex.count() > 0)
       assert(viaIndex.exceptAll(inMem).isEmpty && inMem.exceptAll(viaIndex).isEmpty)
-    } finally {
-      import java.util.Comparator
-      java.nio.file.Files.walk(dir).sorted(Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => java.nio.file.Files.delete(p))
-    }
+    } finally rmTree(dir)
   }
 
   test("IVF inverted file covers the corpus: every vector lands in one cell") {

@@ -23,18 +23,35 @@ class SkewSpec extends SparkSpec {
     assert(plan.contains("__salt"), s"expected __salt in the join key:\n$plan")
   }
 
-  test("saltedJoin spreads a hot key with CONSTANT payload across salts") {
+  test("probe salt: content mode spreads distinct payloads deterministically") {
     import spark.implicits._
-    // identical rows (the common duplicate-row skew case): a content-derived
-    // salt would collapse them onto one reducer; the row-local salt must not
+    val probe = (1 to 512).map(i => (7L, s"p$i")).toDF("k", "p")
+    // the ACTUAL expression saltedJoin uses, both evaluations identical
+    // (retry-stability is exactly re-evaluation giving the same assignment)
+    val salt = Skew.probeSalt(probe, Seq("k"), 8, spreadIdenticalRows = false).cast("long")
+    val once = probe.withColumn("__salt", salt).collect().map(r => r.getString(1) -> r.getLong(2))
+    val again = probe.withColumn("__salt", salt).collect().map(r => r.getString(1) -> r.getLong(2))
+    assert(once.sorted.sameElements(again.sorted), "content salt must be recompute-stable")
+    assert(once.map(_._2).distinct.length > 1, "distinct payloads must spread across salts")
+  }
+
+  test("probe salt: spreadIdenticalRows mode spreads a constant-payload hot key") {
+    import spark.implicits._
+    // identical rows (the common duplicate-row skew case): the content hash
+    // collapses them onto ONE salt; the row-local mode must not
     val probe = Seq.fill(512)((7L, "same")).toDF("k", "p")
-    val build = Seq((7L, "m")).toDF("k", "b")
-    val salts = Skew.saltedJoin(probe, build, Seq("k"), salts = 8)
-    assert(salts.count() === 512L)
-    val distinctSalts = probe
-      .withColumn("__salt", pmod(monotonically_increasing_id(), lit(8L)))
+    val contentSalts = probe
+      .withColumn("__salt", Skew.probeSalt(probe, Seq("k"), 8, spreadIdenticalRows = false))
       .select("__salt").distinct().count()
-    assert(distinctSalts > 1, "constant-payload hot key still landed on one salt")
+    assert(contentSalts === 1L, "identical rows hash to one salt by construction")
+    val spreadSalts = probe
+      .withColumn("__salt", Skew.probeSalt(probe, Seq("k"), 8, spreadIdenticalRows = true))
+      .select("__salt").distinct().count()
+    assert(spreadSalts > 1, "constant-payload hot key still landed on one salt")
+    // and the join result is unchanged in either mode
+    val build = Seq((7L, "m")).toDF("k", "b")
+    assert(Skew.saltedJoin(probe, build, Seq("k"), 8, spreadIdenticalRows = true).count() === 512L)
+    assert(Skew.saltedJoin(probe, build, Seq("k"), 8).count() === 512L)
   }
 
   test("pointInInterval treats an inverted interval (lo > hi) as empty") {

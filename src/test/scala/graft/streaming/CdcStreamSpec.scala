@@ -2,7 +2,6 @@ package graft.streaming
 
 import java.nio.file.{Files, Path => JPath}
 import java.sql.Timestamp
-import java.util.Comparator
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -32,8 +31,7 @@ class CdcStreamSpec extends SparkSpec with BeforeAndAfterAll with TimeLimits {
 
   private var work: JPath = _
   override def beforeAll(): Unit = { work = Files.createTempDirectory("graft-stream") }
-  override def afterAll(): Unit =
-    Files.walk(work).sorted(Comparator.reverseOrder[JPath]()).forEach(p => Files.delete(p))
+  override def afterAll(): Unit = rmTree(work)
 
   stest("streaming CDF ingest applies EVENT semantics incrementally") {
     val cat = VersionedCatalog(s"$work/cat1")
@@ -153,13 +151,15 @@ class CdcStreamSpec extends SparkSpec with BeforeAndAfterAll with TimeLimits {
       // batch 2: 31 min gap opens session 2 for user 1; user 2 starts fresh
       input.addData(CdcStream.Ev(1L, base + 600L * us + gapUs + us), CdcStream.Ev(2L, base))
       query.processAllAvailable()
-      val out = spark.sql("SELECT user_id, ts_us, session_id FROM sessions")
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val out = spark
+        .sql("SELECT user_id, ts_us, session_id, session_start_us FROM sessions")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
       assert(out === Set(
-        (1L, base, 1L),
-        (1L, base + 600L * us, 1L),
-        (1L, base + 600L * us + gapUs + us, 2L), // state survived the batch boundary
-        (2L, base, 1L)
+        (1L, base, 1L, base),
+        (1L, base + 600L * us, 1L, base), // same session → same start stamp
+        // state survived the batch boundary; new session starts at its own ts
+        (1L, base + 600L * us + gapUs + us, 2L, base + 600L * us + gapUs + us),
+        (2L, base, 1L, base)
       ))
     } finally query.stop()
   }
@@ -184,12 +184,16 @@ class CdcStreamSpec extends SparkSpec with BeforeAndAfterAll with TimeLimits {
       // old state is gone rather than carried forever
       input.addData(CdcStream.Ev(1L, base + 10801L * us))
       query.processAllAvailable()
-      val out = spark.sql("SELECT user_id, ts_us, session_id FROM sessions_evict")
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val out = spark
+        .sql("SELECT user_id, ts_us, session_id, session_start_us FROM sessions_evict")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
       assert(out === Set(
-        (1L, base, 1L),
-        (2L, base + 10800L * us, 1L),
-        (1L, base + 10801L * us, 1L) // would be session 2 had state survived
+        (1L, base, 1L, base),
+        (2L, base + 10800L * us, 1L, base + 10800L * us),
+        // counter restarts post-eviction (would be 2 had state survived), but
+        // session_start_us is the same own-ts stamp EITHER way — the
+        // batch-timing-invariant session identity
+        (1L, base + 10801L * us, 1L, base + 10801L * us)
       ))
     } finally query.stop()
   }
