@@ -18,7 +18,7 @@ import graft.engine.JobSpec.{JobConfig, ParquetFormat, TableVersionRange}
   * Scale notes per query are inline; the common themes: small dims are
   * broadcast (no shuffle for the probe side), aggregations are partial
   * (map-side combine) by construction, and every scan prunes columns +
-  * pushes filters (checked via `.explain("formatted")` in BenchSpec).
+  * pushes filters (asserted on the physical plans in PlanSpec).
   */
 object ParityQueries {
 

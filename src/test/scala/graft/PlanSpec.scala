@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Similarity}
+import graft.queries.{ParityQueries, Tables}
+
+/** Plan-shape audits: the properties that matter at 100 TB, asserted on the
+  * actual physical plans rather than trusted from scaladoc — column pruning
+  * and predicate pushdown reaching the parquet scan, broadcast joins on
+  * dimension sides, two-phase (map-side combine) aggregation, whole-stage
+  * codegen coverage, and the absence of cartesian / nested-loop joins in
+  * the bucketed candidate-pair plans.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q01: unused wide columns are pruned at the scan; aggregation is two-phase") {
+    val plan = planOf(ParityQueries.q01PricingSummary(spark, Sf0001))
+    assert(plan.contains("ReadSchema"), plan)
+    assert(!plan.contains("l_comment"), s"unused wide column not pruned:\n$plan")
+    // partial + final HashAggregate = the shuffle carries combined partials,
+    // not raw rows
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("q02: all three dimension joins broadcast (no dim-side shuffle)") {
+    val plan = planOf(ParityQueries.q02StarJoin(spark, Sf0001))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3, plan)
+  }
+
+  test("a predicate on a scan column is pushed into the parquet reader") {
+    val plan = planOf(
+      Tables.events(spark, Sf0001)
+        .filter(col("event_type") === "signup")
+        .select("event_id"))
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(event_type,signup)"),
+      s"filter did not reach the scan:\n$plan")
+  }
+
+  test("q01 executes inside whole-stage codegen") {
+    // AQE finalizes the physical plan at execution, so run the query first;
+    // generated stages are then starred in the plan string: "*(n) HashAggregate"
+    val df = ParityQueries.q01PricingSummary(spark, Sf0001)
+    df.collect() // count() would execute a DIFFERENT (re-planned) query
+    val plan = planOf(df)
+    assert(plan.contains("*("), s"no whole-stage codegen spans:\n$plan")
+  }
+
+  test("bucketed pair plans never degrade to cartesian / nested-loop joins") {
+    val docs = Tables.documents(spark, Sf0001)
+    Seq(
+      Dedup.minhashNearDups(docs),
+      Dedup.simhashNearDups(docs),
+      Dedup.ngramJaccardPairs(docs, blockCols = Seq("lang"))
+    ).foreach { df =>
+      val plan = planOf(df)
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+        s"candidate generation fell back to an all-pairs join:\n$plan")
+    }
+  }
+
+  test("q30: the query side broadcasts so the corpus is scored map-side") {
+    val e = Tables.embeddings(spark, Sf0001)
+    val plan = planOf(Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 4), 3))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}
