@@ -68,4 +68,18 @@ class PlanSpec extends SparkSpec {
     val plan = planOf(Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 4), 3))
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("IVF indexed probe plans dynamic partition pruning on the inverted file") {
+    withTempDir("plan-ivf") { dir =>
+      val e = Tables.embeddings(spark, Sf0001)
+      Similarity.writeIvfIndex(e, dir.toString)
+      val q = Similarity.ivfTopKIndexed(e.filter(col("vec_id") < 4), dir.toString, k = 3)
+      val plan = planOf(q)
+      // the cell equi-join against the broadcast query side must reach the
+      // cell-partitioned scan as a runtime partition filter — the property
+      // that lets a probe skip unprobed cells of a 100 TB inverted file
+      assert(plan.toLowerCase.contains("dynamicpruning"),
+        s"no dynamic partition pruning on the inverted-file scan:\n$plan")
+    }
+  }
 }
