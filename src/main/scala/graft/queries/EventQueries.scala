@@ -235,6 +235,58 @@ object EventQueries {
         max(col("ts_us")).as("ts_end"))
   }
 
+  /** q70: STREAMING watermarked window aggregation under the driver gate —
+    * the stateful-aggregation counterpart to q69. The events table streams
+    * in as micro-batch 1; a single far-future SENTINEL row (staged as a
+    * second, later file with `maxFilesPerTrigger=1`) forms micro-batch 2,
+    * pushing the watermark past every real window so Append mode flushes
+    * them all deterministically. The sentinel's own window never emits (the
+    * watermark never passes it), so the oracle is simply the batch
+    * tumbling-window counts over events.
+    */
+  def q70StreamWindows(spark: SparkSession, dir: String): DataFrame = {
+    val work = Scratch.dir("q70")
+    val inDir = java.nio.file.Paths.get(work, "in")
+    java.nio.file.Files.createDirectory(inDir)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"), inDir.resolve("a_events.parquet"))
+    val ev = events(spark, dir)
+    val schema = ev.schema
+    // sentinel: one row a year past the max event ts, same schema; written
+    // AFTER the copy so the file source (ordered by mod time) batches it last
+    val maxTs = ev.agg(max(col("ts"))).head.getLong(0)
+    val sentDir = s"$work/sentinel"
+    ev.limit(1).withColumn("ts", lit(maxTs + 365L * 86400L * 1000000000L))
+      .coalesce(1).write.parquet(sentDir)
+    val part = new java.io.File(sentDir).listFiles()
+      .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+    java.nio.file.Files.copy(part.toPath, inDir.resolve("b_sentinel.parquet"))
+
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+      .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+    val counts = graft.streaming.CdcStream.windowedCounts(
+      stream, tsCol = "tsm", typeCol = "event_type",
+      windowDuration = "1 hour", watermarkDelay = "30 minutes")
+    val query = counts.writeStream
+      .format("parquet")
+      .option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.read.parquet(s"$work/out")
+      .select(
+        unix_micros(col("window_start")).as("window_start_us"),
+        col("event_type"), col("n"))
+  }
+
+  private val q70Oracle =
+    """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+      |       event_type, count(*)::BIGINT AS n
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_retention" -> (q60Retention _),
     "q67_pivot" -> (q67Pivot _),
@@ -242,7 +294,8 @@ object EventQueries {
     "q13_funnel" -> (q13Funnel _),
     "q14_json_props" -> (q14JsonProps _),
     "q15_scalar_suite" -> (q15ScalarSuite _),
-    "q69_stream_sessionize" -> (q69StreamSessionize _)
+    "q69_stream_sessionize" -> (q69StreamSessionize _),
+    "q70_stream_windows" -> (q70StreamWindows _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -253,6 +306,8 @@ object EventQueries {
     "q14_json_props" -> q14Oracle,
     "q15_scalar_suite" -> q15Oracle,
     // streaming must reproduce the batch gap semantics exactly
-    "q69_stream_sessionize" -> q12Oracle
+    "q69_stream_sessionize" -> q12Oracle,
+    // and watermarked windows must reproduce the batch tumbling counts
+    "q70_stream_windows" -> q70Oracle
   )
 }
