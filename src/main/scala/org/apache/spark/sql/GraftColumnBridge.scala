@@ -15,4 +15,17 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Test hook: run a session-extensions injector and flush its function
+    * registrations into `registry` — `SparkSessionExtensions
+    * .registerFunctions` is `private[sql]`, so the only other way to observe
+    * injection is building a whole new SparkSession in a fresh JVM.
+    */
+  def applyExtensions(
+      f: SparkSessionExtensions => Unit,
+      registry: org.apache.spark.sql.catalyst.analysis.FunctionRegistry): Unit = {
+    val ext = new SparkSessionExtensions
+    f(ext)
+    ext.registerFunctions(registry)
+  }
 }

@@ -242,4 +242,17 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(row.getLong(3) === 5L)
     assert(row.getSeq[String](4) === Seq("abcde", "bcdef"))
   }
+
+  test("GraftExtensions injects every registry function at session build time") {
+    // exercised without a fresh JVM via the package-bridge test hook: apply
+    // the injector to a registry copy and check each function landed
+    val reg = org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin.clone()
+    GraftFunctions.registry.foreach { case (ident, _, _) =>
+      assert(!reg.functionExists(ident), s"$ident unexpectedly built-in")
+    }
+    org.apache.spark.sql.GraftColumnBridge.applyExtensions(new GraftExtensions, reg)
+    GraftFunctions.registry.foreach { case (ident, _, _) =>
+      assert(reg.functionExists(ident), s"$ident not injected by GraftExtensions")
+    }
+  }
 }
