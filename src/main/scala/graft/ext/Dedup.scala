@@ -499,6 +499,64 @@ object Dedup {
     exactSurvivors.join(verified, Seq(idCol), "left_anti")
   }
 
+  // ---------------- benchmark decontamination ----------------
+
+  /** Benchmark decontamination: drop training docs sharing at least
+    * `minHits` DISTINCT word n-grams with ANY document of an evaluation /
+    * benchmark set — the standard guard against test-set leakage into
+    * training corpora (the n-gram-overlap method used by public LLM data
+    * pipelines), distinct from dedup: one benchmark doc may contaminate
+    * thousands of training docs that are no near-duplicates of each other.
+    *
+    * 100 TB shape: the benchmark side collapses to its DISTINCT n-gram set
+    * — eval suites are tiny relative to a training corpus, so AQE
+    * broadcasts it and the contaminated-id scan is map-side over the
+    * training n-gram explode; only (t_id, matched-ngram) pairs — hits, not
+    * the corpus — reach the count-distinct shuffle, and the final drop is a
+    * left-anti join on ids.
+    */
+  def decontaminate(
+      train: DataFrame,
+      benchmark: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3,
+      minHits: Int = 2): DataFrame = {
+    val contaminated = contaminatedIds(train, benchmark, idCol, textCol, n, minHits)
+    train.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /** The flag form of [[decontaminate]]: (id, hits) per contaminated
+    * training doc — for auditing what would be dropped and why.
+    */
+  def contaminationReport(
+      train: DataFrame,
+      benchmark: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3,
+      minHits: Int = 2): DataFrame =
+    contaminatedHits(train, benchmark, idCol, textCol, n)
+      .filter(col("hits") >= minHits)
+
+  private def contaminatedIds(
+      train: DataFrame, benchmark: DataFrame, idCol: String, textCol: String,
+      n: Int, minHits: Int): DataFrame =
+    contaminatedHits(train, benchmark, idCol, textCol, n)
+      .filter(col("hits") >= minHits)
+      .select(col(idCol))
+
+  private def contaminatedHits(
+      train: DataFrame, benchmark: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val tN = train.select(col(idCol),
+        explode(wordNgrams(col(textCol), n)).as("__ng"))
+    val bN = benchmark.select(explode(wordNgrams(col(textCol), n)).as("__ng")).distinct()
+    tN.join(bN, "__ng")
+      .groupBy(idCol)
+      .agg(countDistinct(col("__ng")).as("hits"))
+  }
+
   // ---------------- SimHash ----------------
 
   /** 48-bit md5-derived hash per whitespace token, one pass

@@ -500,6 +500,34 @@ object ExtQueries {
        |FROM h""".stripMargin
   }
 
+  /** Benchmark decontamination: training half (doc_id >= 50) cleaned of
+    * docs sharing >= 2 distinct word trigrams with the "benchmark" half
+    * (doc_id < 50) — the test-set-leakage guard. Oracle replays the same
+    * n-gram overlap with DuckDB list arithmetic.
+    */
+  def q48Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = fanOut(documents(spark, dir))
+    Dedup.decontaminate(
+      docs.filter(col("doc_id") >= 50),
+      docs.filter(col("doc_id") < 50))
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  private val q48Oracle =
+    s"""WITH n AS (SELECT doc_id, string_split($DNorm, ' ') AS tk FROM documents),
+       |g AS (SELECT doc_id,
+       |        CASE WHEN len(tk) >= 3
+       |             THEN list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+       |                                 FOR i IN range(1, len(tk)-1)])
+       |             ELSE [] END AS ng
+       |      FROM n),
+       |bn AS (SELECT DISTINCT unnest(ng) AS ng FROM g WHERE doc_id < 50),
+       |tn AS (SELECT doc_id, unnest(ng) AS ng FROM g WHERE doc_id >= 50),
+       |bad AS (SELECT doc_id FROM tn JOIN bn USING (ng)
+       |        GROUP BY doc_id HAVING count(DISTINCT ng) >= 2)
+       |SELECT doc_id, lang, source FROM documents
+       |WHERE doc_id >= 50 AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin
+
   // ---------------- deterministic sampling ----------------
 
   def q44HashSample(spark: SparkSession, dir: String): DataFrame =
@@ -681,6 +709,7 @@ object ExtQueries {
     "q44_hash_sample" -> (q44HashSample _),
     "q45_stratified_quota" -> (q45StratifiedQuota _),
     "q47_profile" -> (q47Profile _),
+    "q48_decontaminate" -> (q48Decontaminate _),
     "q61_asof_join" -> (q61AsofJoin _),
     "q65_salted_join" -> (q65SaltedJoin _),
     "q66_percentiles" -> (q66Percentiles _),
@@ -712,6 +741,7 @@ object ExtQueries {
     "q44_hash_sample" -> q44Oracle,
     "q45_stratified_quota" -> q45Oracle,
     "q47_profile" -> q47Oracle,
+    "q48_decontaminate" -> q48Oracle,
     "q61_asof_join" -> q61Oracle,
     "q65_salted_join" -> q65Oracle,
     "q66_percentiles" -> q66Oracle,

@@ -100,6 +100,28 @@ class DedupSpec extends SparkSpec {
     } finally rmTree(dir)
   }
 
+  test("decontaminate equals the naive distinct-ngram-overlap formulation") {
+    import spark.implicits._
+    val train = docs.filter(col("doc_id") >= 50)
+    val bench = docs.filter(col("doc_id") < 50)
+    val got = Dedup.decontaminate(train, bench).select("doc_id")
+    val tN = train.select(col("doc_id"),
+      explode(Dedup.wordNgrams(col("text"), 3)).as("ng"))
+    val bGrams = bench.select(explode(Dedup.wordNgrams(col("text"), 3)).as("ng"))
+      .distinct().as[String].collect().toSet
+    val bad = tN.filter(col("ng").isin(bGrams.toSeq: _*))
+      .groupBy("doc_id").agg(countDistinct("ng").as("h"))
+      .filter(col("h") >= 2).select("doc_id")
+    val expected = train.select("doc_id").exceptAll(bad)
+    assert(got.count() > 0 && got.count() < train.count(),
+      "fixture must actually drop some contaminated docs")
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+    // and the report names only dropped docs, with hit counts >= threshold
+    val report = Dedup.contaminationReport(train, bench)
+    assert(report.select(min(col("hits"))).head.getLong(0) >= 2L)
+    assert(report.count() === train.count() - got.count())
+  }
+
   test("minhashNearDups at threshold 0 (candidate explosion) completes unforced") {
     // every banded candidate survives verification at threshold 0 — the
     // data-dependent blow-up case the forced-broadcast hint used to risk;
