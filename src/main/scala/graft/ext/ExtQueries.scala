@@ -132,7 +132,7 @@ object ExtQueries {
     */
   def q29DedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val docs = fanOut(documents(spark, dir))
-    val idx = graft.queries.Scratch.dir("q29-idx")
+    val idx = graft.queries.Scratch.stableDir("q29-idx")
     Dedup.writeIndex(docs.filter(col("doc_id") < 250), idx)
     Dedup.dedupAgainstIndex(docs.filter(col("doc_id") >= 250), idx)
       .select(col("doc_id"), col("lang"), col("source"))
@@ -298,9 +298,39 @@ object ExtQueries {
     */
   def q32KnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = fanOut(embeddings(spark, dir))
-    val idx = graft.queries.Scratch.dir("q32-idx")
+    val idx = graft.queries.Scratch.stableDir("q32-idx")
     Similarity.writeIvfIndex(e, idx)
     Similarity.ivfTopKIndexed(e.filter(col("vec_id") < 8), idx, k = 5)
+  }
+
+  /** IVF index built ONCE per JVM per sf dir — backs the probe-only row so
+    * its bench number reads as what an ANN service actually serves.
+    */
+  private val ivfIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def prebuiltIvfIndex(spark: SparkSession, dir: String): String =
+    ivfIndexCache.computeIfAbsent(dir, _ => {
+      val idx = graft.queries.Scratch.keepDir(
+        "ivf-prebuilt-" + Integer.toHexString(dir.hashCode))
+      Similarity.writeIvfIndex(fanOut(embeddings(spark, dir)), idx)
+      idx
+    })
+
+  /** ANN probe latency against a PREBUILT IVF index — the number that
+    * matters for an ANN service, where the index is authored once per
+    * corpus version and probed millions of times. q32 deliberately keeps
+    * the one-time build inside its timed path (gating the build/probe
+    * round-trip); this row times only the probe: centroid scoring, dynamic
+    * partition pruning into the probed cells, top-k. Approximate like
+    * q31/q32, so rows-only in the driver gate; SimilaritySpec asserts its
+    * recall against the exact tier (it shares q32's probe core, but its
+    * index is an independent k-means training, so bit-identity to q32 is
+    * not promised — float summation order can perturb centroids).
+    */
+  def q34IvfProbe(spark: SparkSession, dir: String): DataFrame = {
+    val idx = prebuiltIvfIndex(spark, dir)
+    Similarity.ivfTopKIndexed(
+      fanOut(embeddings(spark, dir)).filter(col("vec_id") < 8), idx, k = 5)
   }
 
   /** SQ8 embedding quantization: per-vector model summarized with exact
@@ -700,6 +730,7 @@ object ExtQueries {
     "q30_knn_brute" -> (q30KnnBruteForce _),
     "q31_knn_lsh" -> (q31KnnLsh _),
     "q32_knn_ivf" -> (q32KnnIvf _),
+    "q34_ivf_probe" -> (q34IvfProbe _),
     "q33_sq8" -> (q33Sq8 _),
     "q40_lang_id" -> (q40LangId _),
     "q41_quality" -> (q41Quality _),

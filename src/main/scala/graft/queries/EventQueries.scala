@@ -207,7 +207,7 @@ object EventQueries {
     */
   def q69StreamSessionize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val work = Scratch.dir("q69")
+    val work = Scratch.stableDir("q69")
     // the file stream source needs a DIRECTORY to monitor; stage the fixture
     // file into one (at real scale the ingest dir is the natural layout)
     val inDir = java.nio.file.Paths.get(work, "in")
@@ -245,7 +245,7 @@ object EventQueries {
     * tumbling-window counts over events.
     */
   def q70StreamWindows(spark: SparkSession, dir: String): DataFrame = {
-    val work = Scratch.dir("q70")
+    val work = Scratch.stableDir("q70")
     val inDir = java.nio.file.Paths.get(work, "in")
     java.nio.file.Files.createDirectory(inDir)
     java.nio.file.Files.copy(

@@ -219,7 +219,7 @@ object ParityQueries {
     * version resolution (e.g. reading v2) flips every group's counts.
     */
   def q16SnapshotTravel(spark: SparkSession, dir: String): DataFrame = {
-    val work = Scratch.dir("q16")
+    val work = Scratch.stableDir("q16")
     val catalog = VersionedCatalog(s"$work/catalog")
     val table = "main.graft.events_snap"
     val ev = events(spark, dir)
@@ -241,7 +241,7 @@ object ParityQueries {
     * oracle recomputes the same v1 membership (even event ids) directly.
     */
   def q63TimestampTravel(spark: SparkSession, dir: String): DataFrame = {
-    val work = Scratch.dir("q63")
+    val work = Scratch.stableDir("q63")
     val catalog = VersionedCatalog(s"$work/catalog")
     val table = "main.graft.events_ts"
     val ev = events(spark, dir)
@@ -268,7 +268,7 @@ object ParityQueries {
     * ids ≡ 1 (mod 3). The oracle replays the same arithmetic relationally.
     */
   def q64CdcMaterialize(spark: SparkSession, dir: String): DataFrame = {
-    val work = Scratch.dir("q64")
+    val work = Scratch.stableDir("q64")
     val catalog = VersionedCatalog(s"$work/catalog")
     val table = "main.graft.props"
     val ev = events(spark, dir).select("event_id", "event_type", "value")
@@ -303,7 +303,7 @@ object ParityQueries {
     * predicate changes the numbers.
     */
   def q17CdfWindow(spark: SparkSession, dir: String): DataFrame = {
-    val work = Scratch.dir("q17")
+    val work = Scratch.stableDir("q17")
     val catalog = VersionedCatalog(s"$work/catalog")
     val table = "main.graft.events_cdf"
     val ev = events(spark, dir)
@@ -332,7 +332,7 @@ object ParityQueries {
     * hash mismatch, not just a row-count change.
     */
   def q68MutabilityBypass(spark: SparkSession, dir: String): DataFrame = {
-    val work = Scratch.dir("q68")
+    val work = Scratch.stableDir("q68")
     val catalog = VersionedCatalog(s"$work/catalog")
     val table = "main.graft.events_mut"
     val ev = events(spark, dir)

@@ -100,6 +100,23 @@ class DedupSpec extends SparkSpec {
     } finally rmTree(dir)
   }
 
+  test("dedupCorpus: composition matches hand-built ladder; no pinned cache survives") {
+    spark.catalog.clearCache()
+    val got = Dedup.dedupCorpus(docs)
+    assert(got.count() > 0)
+    // the staged exact-dedup persist must be released by the time the
+    // caller has materialized the result — a long bench/verify JVM must not
+    // carry a corpus-sized InMemoryRelation from one query into the next
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "dedupCorpus leaked a cached plan past its own lifecycle")
+    val exact = Dedup.exactDedup(docs)
+    val clusters =
+      Dedup.duplicateClusters(exact, Dedup.minhashNearDups(exact, threshold = 0.5))
+    val expected = exact.join(
+      clusters.filter(col("cluster_id") === col("doc_id")).select("doc_id"), "doc_id")
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
   test("decontaminate equals the naive distinct-ngram-overlap formulation") {
     import spark.implicits._
     val train = docs.filter(col("doc_id") >= 50)

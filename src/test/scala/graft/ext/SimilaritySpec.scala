@@ -55,6 +55,24 @@ class SimilaritySpec extends SparkSpec {
     } finally rmTree(dir)
   }
 
+  test("q34 prebuilt-index probe: recall@5 >= 0.8, memoized build reused") {
+    val k = 5
+    val q34a = graft.ext.ExtQueries.q34IvfProbe(spark, Sf0001)
+      .select("q_id", "vec_id")
+    // second invocation probes the SAME memoized index — identical output
+    // (no retraining, so no float-order perturbation between calls)
+    val q34b = graft.ext.ExtQueries.q34IvfProbe(spark, Sf0001)
+      .select("q_id", "vec_id")
+    assert(q34a.exceptAll(q34b).isEmpty && q34b.exceptAll(q34a).isEmpty)
+    val exact = Similarity
+      .bruteForceTopK(embeds, embeds.filter(col("vec_id") < 8), k)
+      .select("q_id", "vec_id")
+    val total = exact.count()
+    val hit = exact.intersect(q34a).count()
+    val recall = hit.toDouble / total
+    assert(recall >= 0.8, f"probe recall@$k = $recall%.3f < 0.8 (hit=$hit of $total)")
+  }
+
   test("IVF inverted file covers the corpus: every vector lands in one cell") {
     val e = embeds
     val centroids = Similarity.ivfCentroids(e, cells = 8, iters = 1)
