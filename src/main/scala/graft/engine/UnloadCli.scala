@@ -35,10 +35,12 @@ object UnloadCli {
   final case class CliJob(
       config: JobConfig,
       catalogRoot: String,
-      s3Creds: Option[S3Conf.S3Credentials]
+      s3Creds: Option[S3Conf.S3Credentials],
+      streaming: Boolean = false,
+      checkpoint: Option[String] = None
   )
 
-  private val Flags = Set("--ingestion_in_mutability_mode", "--write_meta")
+  private val Flags = Set("--ingestion_in_mutability_mode", "--write_meta", "--streaming")
 
   private def tokenize(args: Array[String]): Map[String, String] = {
     val out = Map.newBuilder[String, String]
@@ -98,7 +100,13 @@ object UnloadCli {
       endpoint <- m.get("--s3_endpoint")
     } yield S3Conf.S3Credentials(access, secret, token, endpoint)
 
-    CliJob(config, required("--catalog_root"), s3Creds)
+    val streaming = m.contains("--streaming")
+    val checkpoint = m.get("--checkpoint")
+    if (streaming)
+      require(checkpoint.isDefined,
+        "--streaming requires --checkpoint <dir> (the checkpoint owns the export position)")
+
+    CliJob(config, required("--catalog_root"), s3Creds, streaming, checkpoint)
   }
 
   /** Runs one unload job end-to-end and returns the report (separated from
@@ -107,7 +115,20 @@ object UnloadCli {
   def run(spark: SparkSession, args: Array[String], env: Map[String, String]): Unload.UnloadReport = {
     val job = parseArgs(args, env)
     job.s3Creds.foreach(S3Conf.configure(spark, _))
-    Unload.run(spark, VersionedCatalog(job.catalogRoot), job.config)
+    if (job.streaming) {
+      // continuous analogue: drain new commits since the checkpoint, stop,
+      // write the same K4 audit sidecars (no per-table version results —
+      // the checkpoint, not the map, owns positions in this mode)
+      val log = new RunLog
+      log.info("Starting streaming unload (AvailableNow)")
+      graft.streaming.CdcStream.unloadAvailableNow(
+        spark, VersionedCatalog(job.catalogRoot), job.config,
+        job.checkpoint.get, log.info)
+      val auditPath = Writers.writeAudit(
+        spark, job.config.outputPath, job.config.runId, Seq.empty, log.lines)
+      Unload.UnloadReport(Seq.empty, retriedLatestOnly = false, auditPath)
+    } else
+      Unload.run(spark, VersionedCatalog(job.catalogRoot), job.config)
   }
 
   def main(args: Array[String]): Unit = {

@@ -260,7 +260,15 @@ object EventQueries {
       .coalesce(1).write.parquet(sentDir)
     val part = new java.io.File(sentDir).listFiles()
       .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
-    java.nio.file.Files.copy(part.toPath, inDir.resolve("b_sentinel.parquet"))
+    val staged = java.nio.file.Files.copy(part.toPath, inDir.resolve("b_sentinel.parquet"))
+    // the file source orders by MODIFICATION time: pin the sentinel's mtime
+    // explicitly past the events file so the two can never tie on a
+    // coarse-granularity filesystem (a tie could batch the sentinel FIRST,
+    // advancing the watermark past every real row — an empty result)
+    java.nio.file.Files.setLastModifiedTime(staged,
+      java.nio.file.attribute.FileTime.fromMillis(
+        java.nio.file.Files.getLastModifiedTime(inDir.resolve("a_events.parquet"))
+          .toMillis + 10000))
 
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(inDir.toString)

@@ -119,6 +119,65 @@ object CdcStream {
       .outputMode(OutputMode.Append)
       .start()
 
+  /** The OPERABLE streaming analogue of the batch [[graft.engine.Unload]]
+    * pipeline, drained with `Trigger.AvailableNow`: each invocation picks
+    * up where the checkpoint left off, exports every commit that has
+    * landed since, and stops — the scheduled-export contract of the
+    * reference (`unload_databricks_data_to_s3.py`'s per-run version
+    * windows) with the version BOOKKEEPING replaced by the checkpoint's
+    * file-source log. Consequently the `table_versions_map` ranges carry
+    * table NAMES only here; position is owned by `checkpointRoot` (one
+    * subdirectory per run id would restart from scratch — reuse one
+    * checkpoint per continuous export).
+    *
+    * Stage parity with the batch path, same single sources of truth:
+    * [[readChanges]] (CDC filter semantics), `SqlRewrite` (identifier-aware
+    * view rewrite), the K2 zstd(3) parquet / K1 raw-JSON sink contracts,
+    * and the K5 `maxRecordsPerFile` governor. Exactly-once output comes
+    * from the file sink's transactional commit log rather than the batch
+    * path's overwrite-idempotence. Multi-table SQL is supported to the
+    * extent Structured Streaming supports it (stream-stream joins need
+    * watermarks on both sides; plain projections/filters/unions always
+    * work — the reference's transformation SQL is of that shape).
+    */
+  def unloadAvailableNow(
+      spark: SparkSession,
+      catalog: VersionedCatalog,
+      config: graft.engine.JobSpec.JobConfig,
+      checkpointRoot: String,
+      log: String => Unit = _ => ()): Unit = {
+    import graft.engine.{SqlRewrite, VoidScrub, Writers}
+    import graft.engine.JobSpec.{JsonFormat, ParquetFormat}
+    val epoch = System.currentTimeMillis()
+    val bindings = config.tables.map { range =>
+      val table = range.table
+      log(s"Streaming table $table (position tracked by the checkpoint; " +
+        s"the map's version range ${range.start}-${range.end} does not apply)")
+      val df = readChanges(spark, catalog, table, config.dataType, config.mutabilityMode)
+      val view = SqlRewrite.tempViewName(table, epoch)
+      df.createOrReplaceTempView(view)
+      table -> view
+    }.toMap
+    val out = spark.sql(SqlRewrite.rewrite(config.sql, bindings))
+    Writers.setMaxRecordsPerFile(spark, config.maxRecordsPerFile)
+    val sink = config.format match {
+      case JsonFormat => out.writeStream.format("json")
+      case ParquetFormat =>
+        VoidScrub.dropVoidFields(out).writeStream.format("parquet")
+          .option("compression", "zstd")
+          .option("parquet.compression.codec.zstd.level", "3")
+    }
+    log(s"Starting available-now streaming export to ${config.outputPath}")
+    val query = sink
+      .option("path", config.outputPath)
+      .option("checkpointLocation", checkpointRoot)
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    log("Streaming export drained (AvailableNow) and stopped")
+  }
+
   final case class Ev(user_id: Long, ts_us: Long)
   /** [[Ev]] plus the derived watermark column (public: codegen'd encoder
     * projections cannot access private classes).
@@ -157,6 +216,18 @@ object CdcStream {
     * predecessor starts a session stamped with its own ts whether or not
     * the old state was evicted first, so downstream joins should key on
     * (user_id, session_start_us).
+    *
+    * Memory contract: one user's events WITHIN one micro-batch are
+    * buffered on the owning executor to be time-sorted (the state shuffle
+    * does not deliver them in event order), so peak per-task memory is
+    * O(hottest key × micro-batch volume) — the output streams lazily from
+    * that one buffer, never materializing a second copy. A hot key is
+    * bounded by bounding the micro-batch, not the operator: size
+    * `maxFilesPerTrigger` (file sources, as [[readChanges]] does) or
+    * `maxOffsetsPerTrigger` so one batch's share of any single key fits an
+    * executor. CDF commit-sized batches are far inside that envelope;
+    * CdcStreamSpec drives a deliberately hot key (one user, whole batch)
+    * at volume as the regression guard.
     */
   def sessionize(
       events: Dataset[Ev],
@@ -175,22 +246,32 @@ object CdcStream {
             state.remove()
             Iterator.empty
           } else {
-            val sorted = batch.toSeq.sortBy(_.ts_us)
-            var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, Long.MinValue))
-            val out = sorted.map { e =>
+            // ONE buffer: the group's rows, sorted in place. The state
+            // transition is a 3-scalar fold, so the final state is computed
+            // eagerly here (state methods must not be called after return)
+            // while the per-event output replays the same fold LAZILY from
+            // the sorted buffer as the downstream consumes it.
+            val sorted = batch.toArray
+            java.util.Arrays.sort(sorted, Ordering.by((_: EvT).ts_us))
+            def step(st: SessionState, e: EvT): SessionState = {
               val fresh = st.lastTsUs == Long.MinValue || e.ts_us - st.lastTsUs > gapUs
-              st = SessionState(
+              SessionState(
                 if (fresh) st.sessionId + 1 else st.sessionId,
                 e.ts_us,
                 if (fresh) e.ts_us else st.startTsUs)
-              SessionAssignment(userId, e.ts_us, st.sessionId, st.startTsUs)
             }
-            state.update(st)
+            val st0 = state.getOption.getOrElse(SessionState(0L, Long.MinValue, Long.MinValue))
+            val stFinal = sorted.foldLeft(st0)(step)
+            state.update(stFinal)
             // evict when the session can no longer be extended; Spark rejects
             // timeout timestamps at or before the current watermark, so clamp
-            val target = st.lastTsUs / 1000L + gapMs
+            val target = stFinal.lastTsUs / 1000L + gapMs
             state.setTimeoutTimestamp(math.max(target, state.getCurrentWatermarkMs + 1L))
-            out.iterator
+            var st = st0
+            sorted.iterator.map { e =>
+              st = step(st, e)
+              SessionAssignment(userId, e.ts_us, st.sessionId, st.startTsUs)
+            }
           }
       }
   }

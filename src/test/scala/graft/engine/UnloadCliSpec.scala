@@ -125,6 +125,43 @@ class UnloadCliSpec extends SparkSpec with BeforeAndAfterAll {
     assert(!Files.exists(Paths.get(out, "meta")))
   }
 
+  test("CLI streaming: AvailableNow drain matches batch; rerun exports only new commits") {
+    val out = s"$work/out_stream"
+    val ckpt = s"$work/ckpt_stream"
+    def runOnce(runId: String) = UnloadCli.run(spark, Array(
+      "--table_versions_map", s"$table=1-2",
+      "--data_type", "EVENT",
+      "--sql", s"SELECT id, name FROM $table",
+      "--s3_path", out,
+      "--catalog_root", s"$work/catalog",
+      "--run_id", runId,
+      "--streaming",
+      "--checkpoint", ckpt
+    ), env = Map.empty)
+    val report = runOnce("cli_stream1")
+    // EVENT semantics over every committed change: insert id=7 only — the
+    // same rows the batch path exported from the same catalog
+    assert(spark.read.json(out).select("id").as[Long].collect().sorted === Array(7L))
+    assert(Files.exists(Paths.get(out, "logs", "run_cli_stream1", "logs.txt")))
+    assert(report.tableResults.isEmpty) // positions live in the checkpoint
+    // a new commit lands; the SAME checkpoint drains only the delta
+    VersionedCatalog(s"$work/catalog").commitChanges(
+      Seq((8L, "n8", "insert"), (2L, "n2b", "update_postimage"))
+        .toDF("id", "name", "_change_type")
+        .withColumn("_commit_timestamp", org.apache.spark.sql.functions.lit("2024-01-03")),
+      table, 3L)
+    runOnce("cli_stream2")
+    assert(spark.read.json(out).select("id").as[Long].collect().sorted === Array(7L, 8L))
+  }
+
+  test("--streaming without --checkpoint fails fast") {
+    val e = intercept[IllegalArgumentException](UnloadCli.parseArgs(Array(
+      "--table_versions_map", s"$table=1-2", "--data_type", "EVENT",
+      "--sql", "SELECT 1", "--s3_path", "/tmp/o", "--catalog_root", "/tmp/c",
+      "--streaming"), env = Map.empty))
+    assert(e.getMessage.contains("--checkpoint"))
+  }
+
   test("K6: S3Conf sets the reference's five conf keys on both conf layers") {
     val creds = S3Conf.S3Credentials("AKID", "SECRET", "TOKEN", "s3.eu-west-1.amazonaws.com")
     S3Conf.configure(spark, creds)

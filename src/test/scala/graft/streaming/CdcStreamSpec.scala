@@ -164,6 +164,39 @@ class CdcStreamSpec extends SparkSpec with BeforeAndAfterAll with TimeLimits {
     } finally query.stop()
   }
 
+  stest("sessionize hot key: one user owning a whole 200k-event batch sessionizes correctly") {
+    // the memory-contract regression guard: peak per-task memory is the one
+    // sorted buffer of the hottest key's batch share — a single user holding
+    // the entire micro-batch must stream through without a second
+    // output-sized materialization biting (see sessionize scaladoc)
+    val gapUs = 1800L * 1000 * 1000
+    val us = 1000L * 1000
+    val base = 1_700_000_000L * us
+    val n = 200000
+    val input = MemoryStream[CdcStream.Ev](spark)
+    val sessions = CdcStream.sessionize(input.toDS(), gapUs)
+    val query = sessions.writeStream
+      .format("memory").queryName("sessions_hot").outputMode("append").start()
+    try {
+      // every 1000th event jumps past the gap → 200 sessions, deterministic;
+      // added unsorted (reverse) to exercise the in-place sort path
+      val evs = (0 until n).reverseIterator.map { i =>
+        // block stride exceeds (gap + intra-block span) so each 1000-event
+        // block is its own session
+        CdcStream.Ev(1L, base + (i / 1000L) * (gapUs + 2000L * us) + (i % 1000L) * us)
+      }.toSeq
+      input.addData(evs)
+      query.processAllAvailable()
+      val out = spark.sql(
+        """SELECT count(*) AS n, count(DISTINCT session_id) AS s,
+          |       count(DISTINCT session_start_us) AS st FROM sessions_hot""".stripMargin)
+        .head()
+      assert(out.getLong(0) === n.toLong)
+      assert(out.getLong(1) === 200L)
+      assert(out.getLong(2) === 200L)
+    } finally query.stop()
+  }
+
   stest("sessionize evicts state once the watermark passes last_ts + gap") {
     val gapUs = 1800L * 1000 * 1000
     val us = 1000L * 1000
