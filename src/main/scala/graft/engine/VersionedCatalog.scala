@@ -44,10 +44,60 @@ final case class VersionedCatalog(root: String) {
 
   /** Persist one commit's change rows. `df` must carry `_change_type` and
     * `_commit_timestamp`; `_commit_version` is materialized by the layout.
+    *
+    * Also upserts the table's [[manifestPath commit manifest]]: the commit
+    * time is read back from the just-written directory (ONE commit's
+    * footers, partition-local — never the table history), mirroring how
+    * Delta appends a log entry per commit.
     */
   def commitChanges(df: DataFrame, table: String, version: Long): Unit = {
     require(df.columns.contains(CdcFilter.ChangeTypeCol), "change frame needs _change_type")
-    df.write.mode("overwrite").parquet(s"${cdfRoot(table)}/_commit_version=$version")
+    val dir = s"${cdfRoot(table)}/_commit_version=$version"
+    df.write.mode("overwrite").parquet(dir)
+    val spark = df.sparkSession
+    val maxTs = spark.read.parquet(dir)
+      .agg(max(unix_micros(col("_commit_timestamp").cast("timestamp"))))
+      .head()
+    val tsUs = if (maxTs.isNullAt(0)) Long.MinValue else maxTs.getLong(0)
+    upsertManifest(spark, table, version, tsUs)
+  }
+
+  /** Tiny per-table commit manifest (JSONL: one `{"version":v,
+    * "committed_at_us":t}` line per commit, rewritten on each commit —
+    * tens of bytes per entry). [[versionAsOf]] resolves from this single
+    * small file; without it, resolution must LIST the whole `cdf/` tree
+    * and read a footer per commit — O(history) driver-side metadata work
+    * on a 10k-commit table.
+    */
+  private def manifestPath(table: String): String = s"${tablePath(table)}/_commits.json"
+
+  private def upsertManifest(spark: SparkSession, table: String, version: Long, tsUs: Long): Unit = {
+    val entries = readManifest(spark, table).getOrElse(Seq.empty)
+      .filterNot(_._1 == version) :+ (version -> tsUs)
+    val body = entries.sortBy(_._1)
+      .map { case (v, t) => s"""{"version":$v,"committed_at_us":$t}""" }
+      .mkString("\n")
+    val p = new Path(manifestPath(table))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readManifest(spark: SparkSession, table: String): Option[Seq[(Long, Long)]] = {
+    val p = new Path(manifestPath(table))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val body =
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      Some(body.linesIterator.flatMap {
+        case ManifestLine(v, t) => Some(v.toLong -> t.toLong)
+        case _ => None
+      }.toSeq)
+    }
   }
 
   // ---- read side ----
@@ -133,27 +183,35 @@ final case class VersionedCatalog(root: String) {
     }
   }
 
-  /** Greatest commit version with max(_commit_timestamp) <= ts. The commit
-    * times come from the CDF layer's `_commit_timestamp` — a scan of two
-    * small columns, never the table data.
+  /** Greatest commit version with max(_commit_timestamp) <= ts. Resolves
+    * from the per-table commit MANIFEST when present — one small file read,
+    * O(1) in the table's data and O(#commits) only in manifest bytes — and
+    * falls back to scanning the CDF layer's two metadata columns for
+    * catalogs authored before the manifest existed (still never the table
+    * data, but it lists the whole `cdf/` tree).
     */
   def versionAsOf(spark: SparkSession, table: String, ts: java.sql.Timestamp): Long = {
     val rootPath = cdfRoot(table)
     if (!exists(spark, rootPath))
       throw new MissingCdfFilesException(
         s"$MissingCdfFileSignature: no commit history for $table ($rootPath)")
-    // the Hive-style partition column discovers as INT for small versions —
-    // normalize to long before the max
-    val commits = spark.read.parquet(rootPath)
-      .groupBy(col("_commit_version").cast("long").as("v"))
-      .agg(max(col("_commit_timestamp").cast("timestamp")).as("committed_at"))
-      .filter(col("committed_at") <= lit(ts))
-      .agg(max(col("v")))
-      .head()
-    if (commits.isNullAt(0))
-      throw new MissingCdfFilesException(
-        s"$MissingCdfFileSignature: $table has no commit at or before $ts")
-    commits.getLong(0)
+    val tsUs = ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+    val resolved = readManifest(spark, table) match {
+      case Some(entries) if entries.nonEmpty =>
+        entries.filter(_._2 <= tsUs).map(_._1).maxOption
+      case _ =>
+        // the Hive-style partition column discovers as INT for small
+        // versions — normalize to long before the max
+        val commits = spark.read.parquet(rootPath)
+          .groupBy(col("_commit_version").cast("long").as("v"))
+          .agg(max(unix_micros(col("_commit_timestamp").cast("timestamp"))).as("committed_us"))
+          .filter(col("committed_us") <= tsUs)
+          .agg(max(col("v")))
+          .head()
+        if (commits.isNullAt(0)) None else Some(commits.getLong(0))
+    }
+    resolved.getOrElse(throw new MissingCdfFilesException(
+      s"$MissingCdfFileSignature: $table has no commit at or before $ts"))
   }
 
   private def exists(spark: SparkSession, path: String): Boolean = {
@@ -180,4 +238,5 @@ object VersionedCatalog {
 
   private val VersionDir = "v=(\\d+)".r
   private val CommitDir = "_commit_version=(\\d+)".r
+  private val ManifestLine = """\{"version":(\d+),"committed_at_us":(-?\d+)\}""".r
 }

@@ -558,6 +558,34 @@ object ExtQueries {
        |SELECT doc_id, lang, source FROM documents
        |WHERE doc_id >= 50 AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin
 
+  /** Audit half of the decontamination API (q48 is the drop half): which
+    * training docs are contaminated, and by how many distinct benchmark
+    * trigrams — the report a curation run files before deleting anything.
+    * Oracle shares q48's n-gram CTE chain, keeping the two rows provably
+    * two views of one computation.
+    */
+  def q49ContaminationReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = fanOut(documents(spark, dir))
+    Dedup.contaminationReport(
+      docs.filter(col("doc_id") >= 50),
+      docs.filter(col("doc_id") < 50))
+      .select(col("doc_id"), col("hits"))
+  }
+
+  private val q49Oracle =
+    s"""WITH n AS (SELECT doc_id, string_split($DNorm, ' ') AS tk FROM documents),
+       |g AS (SELECT doc_id,
+       |        CASE WHEN len(tk) >= 3
+       |             THEN list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+       |                                 FOR i IN range(1, len(tk)-1)])
+       |             ELSE [] END AS ng
+       |      FROM n),
+       |bn AS (SELECT DISTINCT unnest(ng) AS ng FROM g WHERE doc_id < 50),
+       |tn AS (SELECT doc_id, unnest(ng) AS ng FROM g WHERE doc_id >= 50)
+       |SELECT doc_id, count(DISTINCT ng)::BIGINT AS hits
+       |FROM tn JOIN bn USING (ng)
+       |GROUP BY doc_id HAVING count(DISTINCT ng) >= 2""".stripMargin
+
   // ---------------- deterministic sampling ----------------
 
   def q44HashSample(spark: SparkSession, dir: String): DataFrame =
@@ -714,6 +742,36 @@ object ExtQueries {
       |       ((octet_length(encode(q)) + 15) // 16)::INT AS n_frames
       |FROM r""".stripMargin
 
+  /** q53: REAL image decode under the driver gate. Each doc gets a tiny
+    * closed-form PNG ([[Multimodal.encodeTestImage]]: width/height/pixels
+    * are pure functions of doc_id); `javax.imageio` decodes the actual PNG
+    * bytes back and the oracle predicts, in SQL, what a correct decoder
+    * must have read — dimensions and the floor-scaled mean pixel value.
+    * An identity stub would fail this gate: the values only match if the
+    * PNG round trip really ran.
+    */
+  def q53ImageDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = fanOut(documents(spark, dir)).select(col("doc_id")).as[Long]
+    val media = ids
+      .mapPartitions(_.map(id => Multimodal.MediaRow(id, Multimodal.encodeTestImage(id))))
+      .toDF()
+    Multimodal.extractImageFeatures(spark, media)
+      .toDF()
+      .filter(col("decoded"))
+      .select("doc_id", "width", "height", "mean_pixel_4")
+  }
+
+  private val q53Oracle =
+    """SELECT doc_id,
+      |       (doc_id % 8 + 1)::INT AS width,
+      |       (doc_id % 4 + 2)::INT AS height,
+      |       floor(list_sum(list_transform(
+      |                range(0, (doc_id % 8 + 1) * (doc_id % 4 + 2)),
+      |                i -> (doc_id + (i % (doc_id % 8 + 1)) + (i // (doc_id % 8 + 1))) % 256))::DOUBLE
+      |             / ((doc_id % 8 + 1) * (doc_id % 4 + 2)) * 10000)::BIGINT AS mean_pixel_4
+      |FROM documents""".stripMargin
+
   // ---------------- registry ----------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -741,13 +799,15 @@ object ExtQueries {
     "q45_stratified_quota" -> (q45StratifiedQuota _),
     "q47_profile" -> (q47Profile _),
     "q48_decontaminate" -> (q48Decontaminate _),
+    "q49_contamination_report" -> (q49ContaminationReport _),
     "q61_asof_join" -> (q61AsofJoin _),
     "q65_salted_join" -> (q65SaltedJoin _),
     "q66_percentiles" -> (q66Percentiles _),
     "q62_range_join" -> (q62RangeJoin _),
     "q50_multimodal" -> (q50Multimodal _),
     "q51_frame_sample" -> (q51FrameSample _),
-    "q52_resize_extract" -> (q52ResizeExtract _)
+    "q52_resize_extract" -> (q52ResizeExtract _),
+    "q53_image_decode" -> (q53ImageDecode _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -773,12 +833,14 @@ object ExtQueries {
     "q45_stratified_quota" -> q45Oracle,
     "q47_profile" -> q47Oracle,
     "q48_decontaminate" -> q48Oracle,
+    "q49_contamination_report" -> q49Oracle,
     "q61_asof_join" -> q61Oracle,
     "q65_salted_join" -> q65Oracle,
     "q66_percentiles" -> q66Oracle,
     "q62_range_join" -> q62Oracle,
     "q50_multimodal" -> q50Oracle,
     "q51_frame_sample" -> q51Oracle,
-    "q52_resize_extract" -> q52Oracle
+    "q52_resize_extract" -> q52Oracle,
+    "q53_image_decode" -> q53Oracle
   )
 }

@@ -6,9 +6,13 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: images/audio/video as opaque `binary` columns
   * with typed metadata, plus partition-batched feature extraction.
   *
-  * The decode step is a clearly-marked STUB (no image/audio codecs ship in
-  * this environment): `stubDecode` derives deterministic fake features from
-  * the raw bytes. Everything AROUND the stub is the real production shape:
+  * IMAGE decode is REAL: [[decodeImage]] runs `javax.imageio` (PNG / BMP /
+  * GIF / JPEG — the codecs the JDK itself ships) and q53 machine-checks a
+  * full encode→decode round trip against a closed-form oracle. Audio/video
+  * decode remains a clearly-marked STUB (`stubDecode` — no such codecs in
+  * this environment) deriving deterministic fake features from raw bytes;
+  * an undecodable image payload falls back to the same stub-derived
+  * numbers. Everything AROUND the decoders is the real production shape:
   *
   *   - media rides a `binary` column + a `media_meta` struct (mime, size),
   *     exactly how Parquet stores blobs — column pruning means relational
@@ -59,6 +63,88 @@ object Multimodal {
     // HALF_UP to match SQL round() semantics in the cross-engine oracle
     val meanR = BigDecimal(mean).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     MediaFeatures(id, n, first, meanR, frames)
+  }
+
+  final case class ImageFeatures(
+      doc_id: Long,
+      decoded: Boolean,
+      width: Int,
+      height: Int,
+      mean_pixel_4: Long // floor(mean-gray-value * 10000): exact cross-engine
+  )
+
+  /** Deterministic tiny grayscale-in-RGB test image for doc `id`:
+    * width = id%8+1, height = id%4+2, pixel (x,y) = (id+x+y)%256 on all
+    * three channels — closed-form, so a SQL oracle can predict what a REAL
+    * decoder must read back from the PNG bytes.
+    */
+  def encodeTestImage(id: Long, format: String = "png"): Array[Byte] = {
+    val w = (id % 8 + 1).toInt
+    val h = (id % 4 + 2).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((id + x + y) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, bos)
+    bos.toByteArray
+  }
+
+  /** REAL image decode via `javax.imageio`: dimensions and mean pixel value
+    * (red channel — identical to gray for the gray-in-RGB fixtures, and a
+    * deterministic projection for arbitrary RGB) from the actual decoded
+    * raster. Returns None when no installed codec recognizes the payload.
+    * The mean is floor-scaled (×10000) with the division done in double
+    * exactly as the oracle writes it, so the value hash-matches DuckDB.
+    */
+  def decodeImage(id: Long, bytes: Array[Byte]): Option[ImageFeatures] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    Option(img).map { im =>
+      val w = im.getWidth
+      val h = im.getHeight
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { sum += (im.getRGB(x, y) >> 16) & 0xff; x += 1 }
+        y += 1
+      }
+      val mean4 = math.floor(sum.toDouble / (w * h) * 10000).toLong
+      ImageFeatures(id, decoded = true, w, h, mean4)
+    }
+  }
+
+  /** Partition-batched image feature extraction: real decode where a codec
+    * exists, the stub's byte-derived numbers (flagged `decoded=false`,
+    * zero dimensions) where none does — so a mixed corpus never loses rows
+    * to a missing codec, and downstream can filter on the flag.
+    */
+  def extractImageFeatures(spark: SparkSession, media: DataFrame): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    media
+      .select(col("doc_id"), col("media"))
+      .as[MediaRow]
+      .mapPartitions { batch =>
+        // ImageIO codec registry init happens once per JVM; per-partition
+        // iteration is where a heavier model/codec would init once
+        batch.map { row =>
+          decodeImage(row.doc_id, row.media).getOrElse {
+            val stub = stubDecode(row.doc_id, row.media, frameSize = 16)
+            ImageFeatures(row.doc_id, decoded = false, 0, 0,
+              math.floor(stub.mean_byte * 10000).toLong)
+          }
+        }
+      }
   }
 
   /** Frame sampling: slice the media blob into fixed-size frames and keep

@@ -55,6 +55,26 @@ class UnloadSpec extends SparkSpec with BeforeAndAfterAll {
     assert(e.getMessage.contains(VersionedCatalog.MissingCdfFileSignature))
   }
 
+  test("commit manifest backs versionAsOf; scan fallback agrees when it is absent") {
+    val cat = freshCatalog("cman")
+    val manifest = Paths.get(s"$work/cman/${table.replace('.', '/')}/_commits.json")
+    assert(Files.exists(manifest), "commitChanges must write the manifest")
+    val lines = Files.readAllLines(manifest)
+    assert(lines.size === 2 && lines.get(0).contains("\"version\":2"))
+    def ts(d: String) = java.sql.Timestamp.valueOf(s"2024-01-0$d 12:00:00")
+    val viaManifest = cat.versionAsOf(spark, table, ts("2"))
+    // pre-manifest catalogs resolve identically via the cdf-tree scan
+    Files.delete(manifest)
+    assert(cat.versionAsOf(spark, table, ts("2")) === viaManifest)
+    assert(cat.versionAsOf(spark, table, ts("9")) === 3L)
+    // recommitting a version upserts (no duplicate manifest entries)
+    cat.commitChanges(
+      Seq((99L, "x", "insert")).toDF("id", "name", "_change_type")
+        .withColumn("_commit_timestamp", lit("2024-01-03")), table, 3L)
+    val after = Files.readAllLines(Paths.get(manifest.toString))
+    assert(after.size === 1 && after.get(0).contains("\"version\":3"))
+  }
+
   test("CDF range read (S2) prunes to the requested window") {
     val cat = freshCatalog("c2")
     val win = cat.changes(spark, table, 2L, 2L)

@@ -1,0 +1,55 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Real-image-decode specs: the javax.imageio round trip (PNG and BMP),
+  * closed-form feature values, and the stub fallback for payloads no
+  * installed codec recognizes.
+  */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decodeImage reads back the closed-form PNG fixture exactly") {
+    val id = 13L // w = 13%8+1 = 6, h = 13%4+2 = 3
+    val f = Multimodal.decodeImage(id, Multimodal.encodeTestImage(id)).get
+    assert(f.decoded && f.width === 6 && f.height === 3)
+    val expected = {
+      val vals = for (y <- 0 until 3; x <- 0 until 6) yield (id + x + y) % 256
+      math.floor(vals.sum.toDouble / vals.size * 10000).toLong
+    }
+    assert(f.mean_pixel_4 === expected)
+  }
+
+  test("decodeImage handles BMP via the same JDK codec registry") {
+    val id = 42L
+    val png = Multimodal.decodeImage(id, Multimodal.encodeTestImage(id, "png")).get
+    val bmp = Multimodal.decodeImage(id, Multimodal.encodeTestImage(id, "bmp")).get
+    // both formats are lossless 8-bit RGB → identical decoded features
+    assert(bmp === png)
+  }
+
+  test("extractImageFeatures: undecodable payloads fall back to the stub, flagged") {
+    val media = Seq(
+      Multimodal.MediaRow(1L, Multimodal.encodeTestImage(1L)),
+      Multimodal.MediaRow(2L, "not an image at all".getBytes("UTF-8"))
+    ).toDF()
+    val out = Multimodal.extractImageFeatures(spark, media).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(out(1L).decoded && out(1L).width === 2 && out(1L).height === 3)
+    assert(!out(2L).decoded && out(2L).width === 0 && out(2L).height === 0)
+    // stub-derived mean over the raw bytes, floor-scaled like the real path
+    val bytes = "not an image at all".getBytes("UTF-8").map(_ & 0xff)
+    val stubMean = BigDecimal(bytes.sum.toDouble / bytes.length)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(2L).mean_pixel_4 === math.floor(stubMean * 10000).toLong)
+  }
+
+  test("q53 query shape: one row per doc, all decoded") {
+    val got = ExtQueries.q53ImageDecode(spark, Sf0001)
+    val docs = graft.queries.Tables.documents(spark, Sf0001).count()
+    assert(got.count() === docs)
+    assert(got.filter(col("width") <= 0 || col("height") <= 0).count() === 0L)
+  }
+}
