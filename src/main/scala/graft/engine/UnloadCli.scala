@@ -102,9 +102,18 @@ object UnloadCli {
 
     val streaming = m.contains("--streaming")
     val checkpoint = m.get("--checkpoint")
-    if (streaming)
+    if (streaming) {
       require(checkpoint.isDefined,
         "--streaming requires --checkpoint <dir> (the checkpoint owns the export position)")
+      // fail fast instead of silently dropping batch-only behaviors: the
+      // file sink controls its own fan-out and writes no K3 sidecar
+      require(config.strategy == NoResize && config.targetPartitions.isEmpty,
+        "--streaming does not support a partitioning strategy / --target_partitions " +
+          "(the streaming file sink controls partitioning)")
+      require(!config.writeMeta,
+        "--streaming does not support --write_meta (no bounded count exists; " +
+          "use the audit log under <s3_path>/logs instead)")
+    }
 
     CliJob(config, required("--catalog_root"), s3Creds, streaming, checkpoint)
   }

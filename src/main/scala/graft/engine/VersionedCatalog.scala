@@ -58,7 +58,10 @@ final case class VersionedCatalog(root: String) {
     val maxTs = spark.read.parquet(dir)
       .agg(max(unix_micros(col("_commit_timestamp").cast("timestamp"))))
       .head()
-    val tsUs = if (maxTs.isNullAt(0)) Long.MinValue else maxTs.getLong(0)
+    // a commit whose timestamps are all null/uncastable gets NO manifest
+    // entry — the scan path excludes such commits from as-of resolution via
+    // SQL null comparison, and the manifest must agree with it
+    val tsUs = if (maxTs.isNullAt(0)) None else Some(maxTs.getLong(0))
     upsertManifest(spark, table, version, tsUs)
   }
 
@@ -71,9 +74,14 @@ final case class VersionedCatalog(root: String) {
     */
   private def manifestPath(table: String): String = s"${tablePath(table)}/_commits.json"
 
-  private def upsertManifest(spark: SparkSession, table: String, version: Long, tsUs: Long): Unit = {
-    val entries = readManifest(spark, table).getOrElse(Seq.empty)
-      .filterNot(_._1 == version) :+ (version -> tsUs)
+  private def upsertManifest(
+      spark: SparkSession, table: String, version: Long, tsUs: Option[Long]): Unit = {
+    // first manifest write on a PRE-manifest catalog: backfill the older
+    // commits from the cdf tree (one-time migration scan of the two
+    // metadata columns) — a partial manifest would otherwise shadow the
+    // tree and as-of resolution would lose the history
+    val existing = readManifest(spark, table).getOrElse(backfillFromTree(spark, table, version))
+    val entries = existing.filterNot(_._1 == version) ++ tsUs.map(version -> _)
     val body = entries.sortBy(_._1)
       .map { case (v, t) => s"""{"version":$v,"committed_at_us":$t}""" }
       .mkString("\n")
@@ -82,6 +90,26 @@ final case class VersionedCatalog(root: String) {
     val out = fs.create(p, true)
     try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  /** Per-version max commit micros of every ALREADY-written commit except
+    * `excludeVersion` (the one being committed right now — its entry is
+    * supplied by the caller). Null-timestamp versions are dropped, matching
+    * the scan path's null comparison.
+    */
+  private def backfillFromTree(
+      spark: SparkSession, table: String, excludeVersion: Long): Seq[(Long, Long)] = {
+    val rootPath = cdfRoot(table)
+    val others = if (exists(spark, rootPath))
+      listCommitVersions(spark, rootPath) - excludeVersion else Set.empty[Long]
+    if (others.isEmpty) Seq.empty
+    else spark.read.parquet(rootPath)
+      .filter(col("_commit_version").cast("long") =!= excludeVersion)
+      .groupBy(col("_commit_version").cast("long").as("v"))
+      .agg(max(unix_micros(col("_commit_timestamp").cast("timestamp"))).as("t"))
+      .filter(col("t").isNotNull)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
   }
 
   private def readManifest(spark: SparkSession, table: String): Option[Seq[(Long, Long)]] = {

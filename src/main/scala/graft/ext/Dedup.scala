@@ -274,7 +274,10 @@ object Dedup {
     * mutates global SparkContext state. Superseded rounds are deleted as
     * soon as the next lands; the FINAL round's files back the returned
     * (lazy) frame, so the caller owns the directory's lifecycle and cleans
-    * it after consuming the result.
+    * it after consuming the result. Standalone callers should therefore
+    * pass an EXPLICIT `checkpointDir` they can clean; the context-derived
+    * default mainly serves [[dedupCorpus]], which materializes the keeper
+    * ids and then deletes the surviving round itself.
     */
   def duplicateClusters(
       nodes: DataFrame,
@@ -402,6 +405,14 @@ object Dedup {
         case Some(dir) =>
           val p = s"${dir.stripSuffix("/")}/keepers"
           keeperIds.write.mode("overwrite").parquet(p)
+          // the fixpoint's surviving round is dead once the keeper ids are
+          // materialized — delete it here so a checkpoint location retains
+          // only the id-sized keepers file, not a corpus-sized edge set
+          val hp = new org.apache.hadoop.fs.Path(dir)
+          val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(hp))
+            fs.listStatus(hp).filter(_.getPath.getName.startsWith("cc_round_"))
+              .foreach(s => fs.delete(s.getPath, true))
           exact.join(spark.read.parquet(p), idCol)
       }
     } finally exact.unpersist()

@@ -310,8 +310,11 @@ object ExtQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def prebuiltIvfIndex(spark: SparkSession, dir: String): String =
     ivfIndexCache.computeIfAbsent(dir, _ => {
-      val idx = graft.queries.Scratch.keepDir(
-        "ivf-prebuilt-" + Integer.toHexString(dir.hashCode))
+      // full md5 of the dir string, not String.hashCode: a 32-bit collision
+      // between two sf dirs would silently cross their indexes
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val idx = graft.queries.Scratch.keepDir("ivf-prebuilt-" + digest)
       Similarity.writeIvfIndex(fanOut(embeddings(spark, dir)), idx)
       idx
     })

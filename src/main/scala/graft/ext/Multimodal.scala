@@ -106,9 +106,12 @@ object Multimodal {
     * exactly as the oracle writes it, so the value hash-matches DuckDB.
     */
   def decodeImage(id: Long, bytes: Array[Byte]): Option[ImageFeatures] = {
+    // NonFatal, not just IOException: JDK codecs throw RuntimeExceptions
+    // (ArrayIndexOutOfBounds, CMMException, ...) on malformed-but-recognized
+    // payloads, and one bad blob must fall back to the stub, not fail the task
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     Option(img).map { im =>
       val w = im.getWidth
       val h = im.getHeight

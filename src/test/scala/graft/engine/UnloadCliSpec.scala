@@ -154,12 +154,21 @@ class UnloadCliSpec extends SparkSpec with BeforeAndAfterAll {
     assert(spark.read.json(out).select("id").as[Long].collect().sorted === Array(7L, 8L))
   }
 
-  test("--streaming without --checkpoint fails fast") {
-    val e = intercept[IllegalArgumentException](UnloadCli.parseArgs(Array(
+  test("--streaming without --checkpoint fails fast; batch-only flags rejected") {
+    def parse(extra: String*) = UnloadCli.parseArgs(Array(
       "--table_versions_map", s"$table=1-2", "--data_type", "EVENT",
       "--sql", "SELECT 1", "--s3_path", "/tmp/o", "--catalog_root", "/tmp/c",
-      "--streaming"), env = Map.empty))
-    assert(e.getMessage.contains("--checkpoint"))
+      "--streaming") ++ extra, env = Map.empty)
+    assert(intercept[IllegalArgumentException](parse())
+      .getMessage.contains("--checkpoint"))
+    // silently dropping batch-only behavior would break consumers relying
+    // on it — the combinations must fail loudly instead
+    assert(intercept[IllegalArgumentException](
+      parse("--checkpoint", "/tmp/ck", "--partitioning-strategy", "repartition"))
+      .getMessage.contains("partitioning"))
+    assert(intercept[IllegalArgumentException](
+      parse("--checkpoint", "/tmp/ck", "--write_meta"))
+      .getMessage.contains("--write_meta"))
   }
 
   test("K6: S3Conf sets the reference's five conf keys on both conf layers") {

@@ -67,12 +67,15 @@ class UnloadSpec extends SparkSpec with BeforeAndAfterAll {
     Files.delete(manifest)
     assert(cat.versionAsOf(spark, table, ts("2")) === viaManifest)
     assert(cat.versionAsOf(spark, table, ts("9")) === 3L)
-    // recommitting a version upserts (no duplicate manifest entries)
+    // first manifest write on a pre-manifest catalog BACKFILLS the older
+    // commits from the tree — a partial manifest must never shadow history
     cat.commitChanges(
       Seq((99L, "x", "insert")).toDF("id", "name", "_change_type")
         .withColumn("_commit_timestamp", lit("2024-01-03")), table, 3L)
     val after = Files.readAllLines(Paths.get(manifest.toString))
-    assert(after.size === 1 && after.get(0).contains("\"version\":3"))
+    assert(after.size === 2, s"expected backfilled v2 + recommitted v3, got $after")
+    assert(cat.versionAsOf(spark, table, ts("2")) === 2L)
+    assert(cat.versionAsOf(spark, table, ts("9")) === 3L)
   }
 
   test("CDF range read (S2) prunes to the requested window") {

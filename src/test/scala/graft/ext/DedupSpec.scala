@@ -117,6 +117,19 @@ class DedupSpec extends SparkSpec {
     assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
   }
 
+  test("dedupCorpus with a checkpoint dir keeps only the keeper snapshot") {
+    withTempDir("graft-dcorp") { dir =>
+      import scala.jdk.CollectionConverters._
+      val got = Dedup.dedupCorpus(docs, checkpointDir = Some(dir.toString))
+      assert(got.count() > 0)
+      val names = java.nio.file.Files.list(dir).iterator().asScala
+        .map(_.getFileName.toString).toSeq
+      assert(names.contains("keepers"), s"keeper snapshot missing: $names")
+      assert(!names.exists(_.startsWith("cc_round_")),
+        s"dead fixpoint rounds not cleaned: $names")
+    }
+  }
+
   test("decontaminate equals the naive distinct-ngram-overlap formulation") {
     import spark.implicits._
     val train = docs.filter(col("doc_id") >= 50)
