@@ -589,6 +589,68 @@ object ExtQueries {
        |FROM tn JOIN bn USING (ng)
        |GROUP BY doc_id HAVING count(DISTINCT ng) >= 2""".stripMargin
 
+  /** PII scrub: each doc gets deterministic synthetic PII (email, phone,
+    * IPv4 built from doc_id — the fixture corpus is PII-free word salad),
+    * then [[TextAnalysis.redactPii]] scrubs it. The oracle rebuilds the
+    * same augmented text and runs the SAME regex constants through
+    * DuckDB's RE2, so the md5 of the redacted text only matches if both
+    * engines agree on every match boundary.
+    */
+  def q54PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val t = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com at +1 555-00"), (col("doc_id") % 100).cast("string"),
+      lit("-12 34 or 10.0."), (col("doc_id") % 256).cast("string"), lit(".7"))
+    fanOut(documents(spark, dir))
+      .select(col("doc_id"), t.as("t"))
+      .select(col("doc_id"),
+        md5(TextAnalysis.redactPii(col("t"))).as("red_md5"),
+        regexp_count(col("t"), lit(TextAnalysis.EmailRe)).as("n_email"),
+        regexp_count(col("t"), lit(TextAnalysis.PhoneRe)).as("n_phone"),
+        regexp_count(col("t"), lit(TextAnalysis.Ipv4Re)).as("n_ip"))
+  }
+
+  private def q54Oracle: String = {
+    import TextAnalysis.{EmailRe, Ipv4Re, PhoneRe}
+    s"""WITH p AS (SELECT doc_id,
+       |  text || ' contact user' || doc_id::VARCHAR || '@example.com at +1 555-00' ||
+       |  (doc_id % 100)::VARCHAR || '-12 34 or 10.0.' || (doc_id % 256)::VARCHAR || '.7' AS t
+       |FROM documents)
+       |SELECT doc_id,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+       |      '$EmailRe', '<EMAIL>', 'g'),
+       |      '$PhoneRe', '<PHONE>', 'g'),
+       |      '$Ipv4Re', '<IP>', 'g')) AS red_md5,
+       |  len(regexp_extract_all(t, '$EmailRe'))::INT AS n_email,
+       |  len(regexp_extract_all(t, '$PhoneRe'))::INT AS n_phone,
+       |  len(regexp_extract_all(t, '$Ipv4Re'))::INT AS n_ip
+       |FROM p""".stripMargin
+  }
+
+  /** Intra-document repetition metrics (Gopher-style boilerplate filters)
+    * over the documents table — see [[TextAnalysis.repetitionStats]].
+    */
+  def q55Repetition(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionStats(fanOut(documents(spark, dir)))
+
+  private def q55Oracle: String =
+    s"""WITH n AS (SELECT doc_id, string_split($DNorm, ' ') AS tk FROM documents),
+       |w AS (SELECT doc_id, len(tk)::INT AS n_words,
+       |             len(list_distinct(tk))::INT AS n_distinct FROM n),
+       |g AS (SELECT doc_id,
+       |        unnest(CASE WHEN len(tk) >= 2
+       |               THEN [tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]
+       |               ELSE [] END) AS bg
+       |      FROM n),
+       |c AS (SELECT doc_id, bg, count(*) AS c FROM g GROUP BY doc_id, bg),
+       |t AS (SELECT doc_id, max(c) AS topn FROM c GROUP BY doc_id)
+       |SELECT doc_id, n_words, n_distinct,
+       |  floor((n_words - n_distinct)::DOUBLE / n_words * 10000)::BIGINT AS dup_word_frac_4,
+       |  coalesce(topn, 0)::BIGINT AS top_bigram_n,
+       |  floor(coalesce(topn, 0)::DOUBLE / greatest(n_words - 1, 1) * 10000)::BIGINT
+       |    AS top_bigram_frac_4
+       |FROM w LEFT JOIN t USING (doc_id)""".stripMargin
+
   // ---------------- deterministic sampling ----------------
 
   def q44HashSample(spark: SparkSession, dir: String): DataFrame =
@@ -803,6 +865,8 @@ object ExtQueries {
     "q47_profile" -> (q47Profile _),
     "q48_decontaminate" -> (q48Decontaminate _),
     "q49_contamination_report" -> (q49ContaminationReport _),
+    "q54_pii_redact" -> (q54PiiRedact _),
+    "q55_repetition" -> (q55Repetition _),
     "q61_asof_join" -> (q61AsofJoin _),
     "q65_salted_join" -> (q65SaltedJoin _),
     "q66_percentiles" -> (q66Percentiles _),
@@ -837,6 +901,8 @@ object ExtQueries {
     "q47_profile" -> q47Oracle,
     "q48_decontaminate" -> q48Oracle,
     "q49_contamination_report" -> q49Oracle,
+    "q54_pii_redact" -> q54Oracle,
+    "q55_repetition" -> q55Oracle,
     "q61_asof_join" -> q61Oracle,
     "q65_salted_join" -> q65Oracle,
     "q66_percentiles" -> q66Oracle,

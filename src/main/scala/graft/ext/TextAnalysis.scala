@@ -125,6 +125,69 @@ object TextAnalysis {
     */
   def md5Fingerprint(text: Column): Column = md5(normalize(text))
 
+  // ---------------- PII redaction ----------------
+
+  /** Shared PII patterns, emitted VERBATIM into the DuckDB oracle —
+    * restricted to the regex subset where Java's engine and RE2 agree (no
+    * lookaround, no backreferences). Deliberately simple: a production
+    * scrubber layers more patterns, but each stays a codegen'd
+    * `regexp_replace`, so the shape — per-row, scan-speed, zero shuffle —
+    * is what carries to 100 TB.
+    */
+  val EmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe: String = "\\+[0-9][0-9 -]{7,}[0-9]"
+  val Ipv4Re: String = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** Typed-token PII scrub: emails → `<EMAIL>`, then `+`-prefixed phone
+    * runs → `<PHONE>`, then dotted quads → `<IP>`. Order matters — emails
+    * contain dots and digits, so they must leave the text first.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+
+  // ---------------- repetition metrics ----------------
+
+  /** Gopher-style intra-document repetition metrics: duplicate-word
+    * fraction and the share of the single most frequent word bigram —
+    * the filters that catch boilerplate/spam documents whose token counts
+    * look normal. Fractions are floor-scaled (×10000) with the division
+    * done in double exactly as the oracle writes it.
+    *
+    * Scale shape: the per-doc word stats are map-side; the top-bigram pass
+    * is explode → two partial-aggregated shuffles keyed by (doc, bigram)
+    * then doc — never a per-document map in executor memory, so a
+    * pathological 1 GB document costs its share of rows, not a hash map.
+    * Bigrams come from the multiplicity-preserving codegen'd kernel
+    * ([[graft.functions.GraftFunctions.wordNgramsAll]]), not the
+    * interpreter-only HOF chain.
+    */
+  def repetitionStats(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("tk"))
+    val words = base.select(col(idCol),
+      size(col("tk")).as("n_words"),
+      size(array_distinct(col("tk"))).as("n_distinct"))
+    val top = base
+      .select(col(idCol),
+        explode(graft.functions.GraftFunctions.wordNgramsAll(col("tk"), 2)).as("bg"))
+      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(max(col("c")).as("top_bigram_n"))
+    words.join(top, Seq(idCol), "left")
+      .select(col(idCol), col("n_words"), col("n_distinct"),
+        floor((col("n_words") - col("n_distinct")).cast("double")
+            / col("n_words") * 10000).cast("long").as("dup_word_frac_4"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+        floor(coalesce(col("top_bigram_n"), lit(0L)).cast("double")
+            / greatest(col("n_words") - 1, lit(1)) * 10000)
+          .cast("long").as("top_bigram_frac_4"))
+  }
+
   /** Convenience: full per-document text profile. */
   def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val text = col(textCol)

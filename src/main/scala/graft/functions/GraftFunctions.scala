@@ -36,6 +36,8 @@ object GraftFunctions {
 
   /** Distinct word n-grams (space-joined), one pass. */
   def wordNgrams(toks: Column, n: Int): Column = col(WordNgrams(expr(toks), n))
+  def wordNgramsAll(toks: Column, n: Int): Column =
+    col(WordNgrams(expr(toks), n, distinct = false))
 
   /** Stopword-hit count against a fixed word list, one pass. */
   def stopwordCount(toks: Column, words: Seq[String]): Column =

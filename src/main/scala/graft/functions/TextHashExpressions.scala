@@ -153,23 +153,27 @@ case class CharShingles(child: Expression, k: Int) extends UnaryExpression {
   * `size(toks) >= n` (fewer tokens → empty array). Null tokens are skipped
   * inside an n-gram exactly like concat_ws.
   */
-case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+case class WordNgrams(child: Expression, n: Int, distinct: Boolean = true)
+  extends UnaryExpression {
   require(n >= 1, "n-gram size must be positive")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def prettyName: String = "word_ngrams"
+  override def prettyName: String = if (distinct) "word_ngrams" else "word_ngrams_all"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<string>, got ${t.simpleString}")
   }
 
+  private def op: String = if (distinct) "wordNgrams" else "wordNgramsAll"
+
   override def nullSafeEval(v: Any): Any =
-    HashOps.wordNgrams(v.asInstanceOf[ArrayData], n)
+    if (distinct) HashOps.wordNgrams(v.asInstanceOf[ArrayData], n)
+    else HashOps.wordNgramsAll(v.asInstanceOf[ArrayData], n)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.functions.HashOps.wordNgrams($a, $n);")
+      s"${ev.value} = graft.functions.HashOps.$op($a, $n);")
 
   override protected def withNewChildInternal(c: Expression): WordNgrams = copy(child = c)
 }
@@ -362,6 +366,28 @@ object HashOps {
     val it = seen.iterator()
     var k = 0
     while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** All word n-grams in window order WITH multiplicity — the counting form
+    * behind repetition metrics (the distinct form above serves set overlap).
+    */
+  def wordNgramsAll(toks: ArrayData, n: Int): ArrayData = {
+    val m = toks.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val sep = UTF8String.fromString(" ")
+    val out = new Array[Any](m - n + 1)
+    var i = 0
+    while (i <= m - n) {
+      val parts = new java.util.ArrayList[UTF8String](n)
+      var j = 0
+      while (j < n) {
+        if (!toks.isNullAt(i + j)) parts.add(toks.getUTF8String(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.concatWs(sep, parts.toArray(new Array[UTF8String](parts.size())): _*)
+      i += 1
+    }
     new GenericArrayData(out)
   }
 

@@ -226,6 +226,43 @@ class VectorFunctionsSpec extends SparkSpec {
       .filter(!(col("cg") === col("hof"))).count() === 0L)
   }
 
+  test("wordNgramsAll keeps multiplicity and window order (HOF parity)") {
+    import graft.functions.GraftFunctions.wordNgramsAll
+    val rng = new scala.util.Random(321)
+    val words = Seq("a", "b", "ab", "中", "x")
+    val strings = (0 until 200).map { _ =>
+      (0 until rng.nextInt(8)).map(_ => words(rng.nextInt(words.length))).mkString(" ")
+    } :+ "" :+ "a a a a"
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(strings.map(org.apache.spark.sql.Row(_)): _*),
+      StructType(Seq(StructField("t", StringType))))
+    val toks = split(col("t"), " ")
+    // the non-distinct HOF formulation: every adjacent pair, in order
+    val hofAll = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + lit(1)))))
+      .otherwise(array().cast("array<string>"))
+    assert(df.select(wordNgramsAll(toks, 2).as("cg"), hofAll.as("hof"))
+      .filter(!(col("cg") === col("hof"))).count() === 0L)
+    // "a a a a" → 3 identical bigrams survive (the distinct form keeps 1)
+    import spark.implicits._
+    val rep = Seq("a a a a").toDF("t")
+    assert(rep.select(size(wordNgramsAll(split(col("t"), " "), 2))).head.getInt(0) === 3)
+  }
+
+  test("redactPii scrubs emails, phones, IPs with typed tokens") {
+    import spark.implicits._
+    val df = Seq(
+      "mail bob.smith+x@corp.example.org now",
+      "call +1 555-123-4567 or visit 192.168.0.1 ok",
+      "no pii here at all").toDF("t")
+    val got = df.select(graft.ext.TextAnalysis.redactPii(col("t")).as("r"))
+      .as[String].collect()
+    assert(got(0) === "mail <EMAIL> now")
+    assert(got(1) === "call <PHONE> or visit <IP> ok")
+    assert(got(2) === "no pii here at all")
+  }
+
   test("SQL surface registers via GraftFunctions.register (same registry GraftExtensions injects)") {
     GraftFunctions.register(spark)
     val row = spark.sql(
