@@ -69,6 +69,25 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q55 repetition: pruned scan, two-phase aggregation at both levels") {
+    val plan = planOf(graft.ext.TextAnalysis.repetitionStats(
+      Tables.documents(spark, Sf0001)))
+    // only (doc_id, text) leave the scan
+    assert(plan.contains("ReadSchema"), plan)
+    assert(!plan.contains("source") && !plan.contains("lang"),
+      s"unused columns not pruned:\n$plan")
+    // (doc,bigram) counts and the per-doc max both combine map-side before
+    // their shuffles — at 100 TB the exchange carries partials, not bigrams
+    assert("HashAggregate".r.findAllIn(plan).size >= 4, plan)
+  }
+
+  test("q54 redaction executes inside whole-stage codegen (no interpreted regex stage)") {
+    val df = graft.ext.ExtQueries.q54PiiRedact(spark, Sf0001)
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("*("), s"no whole-stage codegen spans:\n$plan")
+  }
+
   test("IVF indexed probe plans dynamic partition pruning on the inverted file") {
     withTempDir("plan-ivf") { dir =>
       val e = Tables.embeddings(spark, Sf0001)
