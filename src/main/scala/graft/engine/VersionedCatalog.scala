@@ -87,9 +87,17 @@ final case class VersionedCatalog(root: String) {
       .mkString("\n")
     val p = new Path(manifestPath(table))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
+    // write-to-temp + rename: a crash mid-write must not leave a truncated
+    // manifest in place (readManifest additionally treats an entry-less
+    // file as absent, so even a torn rename degrades to backfill/scan,
+    // never to a partial manifest shadowing the tree)
+    val tmp = new Path(manifestPath(table) + ".tmp")
+    val out = fs.create(tmp, true)
     try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"could not move $tmp into place at $p")
   }
 
   /** Per-version max commit micros of every ALREADY-written commit except
@@ -121,10 +129,19 @@ final case class VersionedCatalog(root: String) {
       val body =
         try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
         finally in.close()
-      Some(body.linesIterator.flatMap {
+      val entries = body.linesIterator.flatMap {
         case ManifestLine(v, t) => Some(v.toLong -> t.toLong)
         case _ => None
-      }.toSeq)
+      }.toSeq
+        // drop legacy Long.MinValue sentinels (written by an earlier
+        // manifest format for all-null-timestamp commits): the scan path
+        // excludes such commits from as-of resolution, and a sentinel
+        // entry would match ANY timestamp
+        .filterNot(_._2 == Long.MinValue)
+      // an exists-but-entry-less file (torn write, all-sentinel legacy) is
+      // NOT a manifest: callers must fall back to backfill/scan rather
+      // than let it shadow the commit tree
+      if (entries.isEmpty) None else Some(entries)
     }
   }
 

@@ -394,10 +394,17 @@ object Dedup {
     try {
       val snapDir = resolveCheckpointDir(spark, checkpointDir)
       val pairs = minhashNearDups(exact, idCol, textCol, threshold = threshold)
+      // the fixpoint rounds go into a PER-INVOCATION subdirectory: the
+      // post-materialization sweep below must only ever delete rounds THIS
+      // call created — a sibling duplicateClusters/dedupCorpus sharing the
+      // same explicit checkpoint dir may still be backing an unconsumed
+      // result with its own final round
+      val ccDir = snapDir.map(d =>
+        s"${d.stripSuffix("/")}/cc-${java.util.UUID.randomUUID().toString.take(8)}")
       // eager: every fixpoint round materializes, so `clusters` scans the
       // final round's snapshot, not the pair pipeline
       val clusters =
-        duplicateClusters(exact, pairs, idCol, checkpointDir = snapDir)
+        duplicateClusters(exact, pairs, idCol, checkpointDir = ccDir)
       val keeperIds = clusters
         .filter(col("cluster_id") === col(idCol)).select(col(idCol))
       snapDir match {
@@ -405,14 +412,13 @@ object Dedup {
         case Some(dir) =>
           val p = s"${dir.stripSuffix("/")}/keepers"
           keeperIds.write.mode("overwrite").parquet(p)
-          // the fixpoint's surviving round is dead once the keeper ids are
-          // materialized — delete it here so a checkpoint location retains
+          // this invocation's rounds are dead once the keeper ids are
+          // materialized — delete them so a checkpoint location retains
           // only the id-sized keepers file, not a corpus-sized edge set
-          val hp = new org.apache.hadoop.fs.Path(dir)
-          val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (fs.exists(hp))
-            fs.listStatus(hp).filter(_.getPath.getName.startsWith("cc_round_"))
-              .foreach(s => fs.delete(s.getPath, true))
+          ccDir.foreach { cc =>
+            val hp = new org.apache.hadoop.fs.Path(cc)
+            hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+          }
           exact.join(spark.read.parquet(p), idCol)
       }
     } finally exact.unpersist()

@@ -310,11 +310,11 @@ object ExtQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def prebuiltIvfIndex(spark: SparkSession, dir: String): String =
     ivfIndexCache.computeIfAbsent(dir, _ => {
-      // full md5 of the dir string, not String.hashCode: a 32-bit collision
-      // between two sf dirs would silently cross their indexes
-      val digest = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      val idx = graft.queries.Scratch.keepDir("ivf-prebuilt-" + digest)
+      // stableDir: emptied on (re)build, so a failed build retries clean;
+      // md5Hex key (not String.hashCode — a 32-bit collision between two
+      // sf dirs would silently cross their indexes)
+      val idx = graft.queries.Scratch.stableDir(
+        "ivf-prebuilt-" + graft.queries.Scratch.md5Hex(dir))
       Similarity.writeIvfIndex(fanOut(embeddings(spark, dir)), idx)
       idx
     })

@@ -215,9 +215,11 @@ object EventQueries {
   private def stagedInput(name: String, dir: String)(
       build: java.nio.file.Path => Unit): java.nio.file.Path =
     stagedInputs.computeIfAbsent(s"$name|$dir", _ => {
-      val digest = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      val in = java.nio.file.Paths.get(Scratch.keepDir(s"$name-in-$digest"))
+      // stableDir EMPTIES the target first: if a previous build failed
+      // mid-way (nothing memoized), the retry starts from a clean dir
+      // instead of tripping on the partial files
+      val in = java.nio.file.Paths.get(
+        Scratch.stableDir(s"$name-in-${Scratch.md5Hex(dir)}"))
       build(in)
       in
     })

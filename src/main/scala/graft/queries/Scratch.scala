@@ -36,14 +36,12 @@ object Scratch {
     p.toString
   }
 
-  /** A stable per-name directory that is created once and KEPT across
-    * calls — for per-JVM memoized artifacts (e.g. a prebuilt ANN index
-    * probed by many bench trials). */
-  def keepDir(name: String): String = {
-    val p = root.resolve(name)
-    Files.createDirectories(p)
-    p.toString
-  }
+  /** md5 hex of a string — the stable key for per-JVM memoized artifact
+    * dirs (full digest, not `String.hashCode`: a 32-bit collision between
+    * two sf dirs would silently cross their artifacts). */
+  def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
   def rmTree(p: Path): Unit =
     if (Files.exists(p))

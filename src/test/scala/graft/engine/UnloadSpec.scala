@@ -76,6 +76,20 @@ class UnloadSpec extends SparkSpec with BeforeAndAfterAll {
     assert(after.size === 2, s"expected backfilled v2 + recommitted v3, got $after")
     assert(cat.versionAsOf(spark, table, ts("2")) === 2L)
     assert(cat.versionAsOf(spark, table, ts("9")) === 3L)
+    // mutating the manifest behind Hadoop's LocalFileSystem invalidates its
+    // .crc sidecar — drop it alongside, as real corruption would
+    def corrupt(body: String): Unit = {
+      Files.deleteIfExists(manifest.resolveSibling("._commits.json.crc"))
+      Files.writeString(manifest, body)
+    }
+    // a torn write (exists-but-empty manifest) must degrade to the scan,
+    // never shadow the commit tree
+    corrupt("")
+    assert(cat.versionAsOf(spark, table, ts("2")) === 2L)
+    // legacy all-null-timestamp sentinel entries are ignored on read: the
+    // scan path excludes such commits, and MinValue would match any ts
+    corrupt(s"""{"version":9,"committed_at_us":${Long.MinValue}}""")
+    assert(cat.versionAsOf(spark, table, ts("2")) === 2L)
   }
 
   test("CDF range read (S2) prunes to the requested window") {

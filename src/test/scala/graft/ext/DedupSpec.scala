@@ -125,7 +125,7 @@ class DedupSpec extends SparkSpec {
       val names = java.nio.file.Files.list(dir).iterator().asScala
         .map(_.getFileName.toString).toSeq
       assert(names.contains("keepers"), s"keeper snapshot missing: $names")
-      assert(!names.exists(_.startsWith("cc_round_")),
+      assert(!names.exists(_.startsWith("cc")),
         s"dead fixpoint rounds not cleaned: $names")
     }
   }
