@@ -837,6 +837,35 @@ object ExtQueries {
       |             / ((doc_id % 8 + 1) * (doc_id % 4 + 2)) * 10000)::BIGINT AS mean_pixel_4
       |FROM documents""".stripMargin
 
+  /** q56: REAL audio decode under the driver gate — the WAV counterpart of
+    * q53. Each doc gets a closed-form mono 16-bit PCM WAV
+    * ([[Multimodal.encodeTestWav]]); the JDK's `javax.sound.sampled`
+    * reader parses the container and the oracle predicts, in SQL, the
+    * sample count, rate, channels, and floor-scaled mean |sample| a
+    * correct decoder must recover from the PCM frames.
+    */
+  def q56AudioDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = fanOut(documents(spark, dir)).select(col("doc_id")).as[Long]
+    val media = ids
+      .mapPartitions(_.map(id => Multimodal.MediaRow(id, Multimodal.encodeTestWav(id))))
+      .toDF()
+    Multimodal.extractAudioFeatures(spark, media)
+      .toDF()
+      .filter(col("decoded"))
+      .select("doc_id", "n_samples", "sample_rate", "channels", "mean_abs_4")
+  }
+
+  private val q56Oracle =
+    """SELECT doc_id,
+      |       (400 + doc_id % 100)::INT AS n_samples,
+      |       8000::INT AS sample_rate,
+      |       1::INT AS channels,
+      |       floor(list_sum(list_transform(range(0, 400 + doc_id % 100),
+      |                i -> abs((doc_id * 31 + i * 7) % 65536 - 32768)))::DOUBLE
+      |             / (400 + doc_id % 100) * 10000)::BIGINT AS mean_abs_4
+      |FROM documents""".stripMargin
+
   // ---------------- registry ----------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -874,7 +903,8 @@ object ExtQueries {
     "q50_multimodal" -> (q50Multimodal _),
     "q51_frame_sample" -> (q51FrameSample _),
     "q52_resize_extract" -> (q52ResizeExtract _),
-    "q53_image_decode" -> (q53ImageDecode _)
+    "q53_image_decode" -> (q53ImageDecode _),
+    "q56_audio_decode" -> (q56AudioDecode _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -910,6 +940,7 @@ object ExtQueries {
     "q50_multimodal" -> q50Oracle,
     "q51_frame_sample" -> q51Oracle,
     "q52_resize_extract" -> q52Oracle,
-    "q53_image_decode" -> q53Oracle
+    "q53_image_decode" -> q53Oracle,
+    "q56_audio_decode" -> q56Oracle
   )
 }

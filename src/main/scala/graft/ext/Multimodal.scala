@@ -150,6 +150,103 @@ object Multimodal {
       }
   }
 
+  final case class AudioFeatures(
+      doc_id: Long,
+      decoded: Boolean,
+      n_samples: Int,
+      sample_rate: Int,
+      channels: Int,
+      mean_abs_4: Long // floor(mean |sample| * 10000): exact cross-engine
+  )
+
+  /** Deterministic mono 16-bit PCM WAV for doc `id`: `400 + id%100`
+    * samples at 8 kHz, sample i = `(id*31 + i*7) % 65536 - 32768` —
+    * closed-form, so a SQL oracle can predict what a REAL container
+    * parser + PCM decoder must read back.
+    */
+  def encodeTestWav(id: Long): Array[Byte] = {
+    val n = (400 + id % 100).toInt
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(8000) // sample rate
+      .putInt(8000 * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      bb.putShort((((id * 31 + i * 7) % 65536) - 32768).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** REAL audio decode via `javax.sound.sampled` (the WAV/AIFF/AU readers
+    * the JDK itself ships): container parsing + PCM frame extraction from
+    * the actual decoded stream. Mean |sample| is computed over 16-bit
+    * signed little-endian frames and floor-scaled (×10000) with the
+    * division done in double exactly as the oracle writes it. Returns
+    * None when no installed reader recognizes the payload or the format
+    * is not 16-bit PCM.
+    */
+  def decodeAudio(id: Long, bytes: Array[Byte]): Option[AudioFeatures] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val pcm16 = fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16
+        if (!pcm16) None
+        else {
+          val data = in.readAllBytes()
+          val bb = java.nio.ByteBuffer.wrap(data).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          val n = data.length / 2
+          var sum = 0L
+          var i = 0
+          while (i < n) { sum += math.abs(bb.getShort(i * 2).toLong); i += 1 }
+          val samplesPerChannel = n / fmt.getChannels
+          val mean4 =
+            if (n == 0) 0L else math.floor(sum.toDouble / n * 10000).toLong
+          Some(AudioFeatures(id, decoded = true, samplesPerChannel,
+            fmt.getSampleRate.toInt, fmt.getChannels, mean4))
+        }
+      } finally in.close()
+    } catch {
+      // UnsupportedAudioFileException on unrecognized payloads, plus the
+      // same malformed-input RuntimeException caveat as image decode
+      case scala.util.control.NonFatal(_) => None
+    }
+
+  /** Partition-batched audio feature extraction with the stub fallback for
+    * payloads no installed reader recognizes (flagged, zero dimensions) —
+    * the audio counterpart of [[extractImageFeatures]].
+    */
+  def extractAudioFeatures(spark: SparkSession, media: DataFrame): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media
+      .select(col("doc_id"), col("media"))
+      .as[MediaRow]
+      .mapPartitions { batch =>
+        batch.map { row =>
+          decodeAudio(row.doc_id, row.media).getOrElse {
+            val stub = stubDecode(row.doc_id, row.media, frameSize = 16)
+            AudioFeatures(row.doc_id, decoded = false, 0, 0, 0,
+              math.floor(stub.mean_byte * 10000).toLong)
+          }
+        }
+      }
+  }
+
   /** Frame sampling: slice the media blob into fixed-size frames and keep
     * every `stride`-th one — (doc_id, frame_id, n_bytes, head_byte). This is
     * the explode side of a video pipeline as pure Catalyst (binary substr +

@@ -46,6 +46,28 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L).mean_pixel_4 === math.floor(stubMean * 10000).toLong)
   }
 
+  test("decodeAudio reads back the closed-form WAV fixture exactly") {
+    val id = 7L // n = 400 + 7 = 407 samples
+    val f = Multimodal.decodeAudio(id, Multimodal.encodeTestWav(id)).get
+    assert(f.decoded && f.n_samples === 407 && f.sample_rate === 8000 && f.channels === 1)
+    val expected = {
+      val abses = (0 until 407).map(i => math.abs((id * 31 + i * 7) % 65536 - 32768))
+      math.floor(abses.sum.toDouble / abses.size * 10000).toLong
+    }
+    assert(f.mean_abs_4 === expected)
+  }
+
+  test("extractAudioFeatures: non-audio payloads fall back to the stub, flagged") {
+    val media = Seq(
+      Multimodal.MediaRow(1L, Multimodal.encodeTestWav(1L)),
+      Multimodal.MediaRow(2L, "definitely not audio".getBytes("UTF-8"))
+    ).toDF()
+    val out = Multimodal.extractAudioFeatures(spark, media).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(out(1L).decoded && out(1L).n_samples === 401)
+    assert(!out(2L).decoded && out(2L).n_samples === 0 && out(2L).sample_rate === 0)
+  }
+
   test("q53 query shape: one row per doc, all decoded") {
     val got = ExtQueries.q53ImageDecode(spark, Sf0001)
     val docs = graft.queries.Tables.documents(spark, Sf0001).count()
