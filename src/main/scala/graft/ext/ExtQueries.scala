@@ -663,6 +663,28 @@ object ExtQueries {
        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT < $threshold""".stripMargin
   }
 
+  /** Weighted corpus mix: per-source keep fractions with a default trickle
+    * for unlisted sources — oracle thresholds generated from the same
+    * constants ([[Sampling.hashGate]]'s 60-bit md5-prefix space).
+    */
+  def q57WeightedMix(spark: SparkSession, dir: String): DataFrame =
+    Sampling.weightedMix(documents(spark, dir),
+      Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1),
+      defaultFraction = 0.02)
+      .select(col("doc_id"), col("source"), col("lang"))
+
+  private def q57Oracle: String = {
+    def th(f: Double) = (f * (1L << 60).toDouble).toLong
+    s"""SELECT doc_id, source, lang FROM documents
+       |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT <
+       |  CASE source
+       |    WHEN 'src0' THEN ${th(1.0)}
+       |    WHEN 'src1' THEN ${th(0.5)}
+       |    WHEN 'src2' THEN ${th(0.25)}
+       |    WHEN 'src3' THEN ${th(0.1)}
+       |    ELSE ${th(0.02)} END""".stripMargin
+  }
+
   def q45StratifiedQuota(spark: SparkSession, dir: String): DataFrame =
     Sampling.stratifiedQuota(documents(spark, dir), strataCols = Seq("lang"), perStratum = 50)
       .select(col("doc_id"), col("lang"))
@@ -891,6 +913,7 @@ object ExtQueries {
     "q43_fingerprint" -> (q43Fingerprint _),
     "q44_hash_sample" -> (q44HashSample _),
     "q45_stratified_quota" -> (q45StratifiedQuota _),
+    "q57_weighted_mix" -> (q57WeightedMix _),
     "q47_profile" -> (q47Profile _),
     "q48_decontaminate" -> (q48Decontaminate _),
     "q49_contamination_report" -> (q49ContaminationReport _),
@@ -928,6 +951,7 @@ object ExtQueries {
     "q43_fingerprint" -> q43Oracle,
     "q44_hash_sample" -> q44Oracle,
     "q45_stratified_quota" -> q45Oracle,
+    "q57_weighted_mix" -> q57Oracle,
     "q47_profile" -> q47Oracle,
     "q48_decontaminate" -> q48Oracle,
     "q49_contamination_report" -> q49Oracle,

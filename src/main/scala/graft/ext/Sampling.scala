@@ -36,6 +36,31 @@ object Sampling {
   def hashSample(df: DataFrame, fraction: Double, idCol: String = "doc_id"): DataFrame =
     df.filter(hashGate(col(idCol), fraction))
 
+  /** Weighted corpus MIXING: per-source sampling fractions — the ratios
+    * knob of a pretraining data pipeline ("keep 100% of wiki, 35% of
+    * common-crawl, 5% of forums"). Each row passes its source's
+    * [[hashGate]]; sources absent from `weights` get `defaultFraction`
+    * (0.0 = drop unknown sources, the safe default for a curated mix).
+    *
+    * Same 100 TB shape as [[hashSample]]: a pure per-row predicate (the
+    * weight lookup compiles to a CASE chain over the source column), no
+    * shuffle, no state, deterministic across runs/engines/partitionings.
+    */
+  def weightedMix(
+      df: DataFrame,
+      weights: Map[String, Double],
+      sourceCol: String = "source",
+      idCol: String = "doc_id",
+      defaultFraction: Double = 0.0): DataFrame = {
+    require(weights.nonEmpty, "weights must name at least one source")
+    // deterministic CASE order (sorted by source) so plans are stable
+    val gate = weights.toSeq.sortBy(_._1).foldRight(
+      hashGate(col(idCol), defaultFraction)) { case ((src, frac), rest) =>
+      when(col(sourceCol) === lit(src), hashGate(col(idCol), frac)).otherwise(rest)
+    }
+    df.filter(gate)
+  }
+
   /** Exactly `perStratum` rows per stratum (fewer if the stratum is
     * smaller), chosen deterministically by hash order with id tiebreak —
     * a reproducible stratified quota, not a probabilistic one.

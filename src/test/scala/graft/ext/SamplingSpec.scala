@@ -28,6 +28,20 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.hashSample(docs, 0.0).count() === 0L)
   }
 
+  test("weightedMix equals the per-source union of hashSamples; default drops the rest") {
+    val weights = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.1)
+    val got = Sampling.weightedMix(docs, weights).select("doc_id")
+    val expected = weights.map { case (s, f) =>
+      Sampling.hashSample(docs.filter(col("source") === s), f).select("doc_id")
+    }.reduce(_ unionByName _)
+    assert(got.count() > 0)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+    // all of src0 kept (fraction 1.0); unlisted sources fully dropped
+    assert(Sampling.weightedMix(docs, weights).filter(col("source") === "src0").count()
+      === docs.filter(col("source") === "src0").count())
+    assert(Sampling.weightedMix(docs, weights).filter(col("source") === "src9").count() === 0L)
+  }
+
   test("stratifiedQuota returns exactly min(quota, stratum size) per stratum") {
     val quota = 5
     val got = Sampling.stratifiedQuota(docs, Seq("lang"), quota)
