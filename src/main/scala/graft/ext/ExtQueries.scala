@@ -651,6 +651,25 @@ object ExtQueries {
        |    AS top_bigram_frac_4
        |FROM w LEFT JOIN t USING (doc_id)""".stripMargin
 
+  /** Token-budget sequence packing (concat-and-chunk, budget 512) — see
+    * [[Packing.packByBudget]]. The oracle is the definitional single
+    * running sum; the Spark side computes the identical integers through
+    * the two-level distributed prefix sum, so the hash match proves the
+    * scalable formulation equals the sequential definition.
+    */
+  def q58TokenPack(spark: SparkSession, dir: String): DataFrame =
+    Packing.packByBudget(fanOut(documents(spark, dir)), budget = 512L)
+
+  private def q58Oracle: String =
+    s"""WITH n AS (SELECT doc_id, len(string_split($DNorm, ' '))::INT AS n_tokens
+       |           FROM documents),
+       |c AS (SELECT doc_id, n_tokens,
+       |        sum(n_tokens) OVER (ORDER BY doc_id) AS cum FROM n)
+       |SELECT doc_id, n_tokens,
+       |       ((cum - n_tokens) // 512)::BIGINT AS pack_id,
+       |       ((cum - n_tokens) % 512)::BIGINT AS pack_offset
+       |FROM c""".stripMargin
+
   // ---------------- deterministic sampling ----------------
 
   def q44HashSample(spark: SparkSession, dir: String): DataFrame =
@@ -914,6 +933,7 @@ object ExtQueries {
     "q44_hash_sample" -> (q44HashSample _),
     "q45_stratified_quota" -> (q45StratifiedQuota _),
     "q57_weighted_mix" -> (q57WeightedMix _),
+    "q58_token_pack" -> (q58TokenPack _),
     "q47_profile" -> (q47Profile _),
     "q48_decontaminate" -> (q48Decontaminate _),
     "q49_contamination_report" -> (q49ContaminationReport _),
@@ -952,6 +972,7 @@ object ExtQueries {
     "q44_hash_sample" -> q44Oracle,
     "q45_stratified_quota" -> q45Oracle,
     "q57_weighted_mix" -> q57Oracle,
+    "q58_token_pack" -> q58Oracle,
     "q47_profile" -> q47Oracle,
     "q48_decontaminate" -> q48Oracle,
     "q49_contamination_report" -> q49Oracle,

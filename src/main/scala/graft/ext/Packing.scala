@@ -1,0 +1,58 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Token-budget sequence packing for pretraining pipelines — the
+  * concat-and-chunk form: documents are laid end to end in id order and the
+  * token stream is cut into fixed-`budget` packs; each document is stamped
+  * with the pack its first token lands in and its offset inside that pack.
+  * (The alternative greedy whole-doc bin fill is a sequential fold with no
+  * parallel formulation; concat-and-chunk is what large-scale pipelines
+  * actually run, and it is exactly a prefix sum.)
+  *
+  * Scale shape: the global running token count is a TWO-LEVEL distributed
+  * prefix sum, never a single global-order window (a `Window.orderBy` with
+  * no partition moves the whole corpus through one task):
+  *
+  *   1. within-group cumulative sum, windowed per `idCol div groupSize` —
+  *      shuffle-partitioned by group, parallel;
+  *   2. group totals (one row per group) get the same cumulative sum over
+  *      the tiny group axis, then broadcast-join back as per-group prefix
+  *      offsets.
+  *
+  * With `groupSize` ≈ 4096, a trillion-doc corpus has ~250M group rows for
+  * step 2 — still a window over rows-per-group ≈ 1, so if even that is too
+  * large the same construction nests once more. All arithmetic is integer,
+  * so the DuckDB oracle (`sum() OVER (ORDER BY id)`) matches exactly.
+  */
+object Packing {
+
+  def packByBudget(
+      docs: DataFrame,
+      budget: Long,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      groupSize: Long = 4096L): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    require(groupSize > 0, "groupSize must be positive")
+    val t = docs.select(col(idCol),
+      TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("__g", expr(s"$idCol div $groupSize"))
+    val within = t.withColumn("__cum_in",
+      sum(col("n_tokens")).over(Window.partitionBy("__g").orderBy(idCol)))
+    // one row per group: the global-order window below runs over the GROUP
+    // axis (corpus_size / groupSize rows), not the corpus
+    val prefixes = t.groupBy("__g").agg(sum("n_tokens").as("__gt"))
+      .withColumn("__prefix", coalesce(
+        sum(col("__gt")).over(Window.orderBy("__g")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__g", "__prefix")
+    within.join(broadcast(prefixes), "__g")
+      .withColumn("__start", col("__prefix") + col("__cum_in") - col("n_tokens"))
+      .select(col(idCol), col("n_tokens"),
+        expr(s"__start div $budget").as("pack_id"),
+        (col("__start") % budget).as("pack_offset"))
+  }
+}
