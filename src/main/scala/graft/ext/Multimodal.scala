@@ -6,13 +6,16 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: images/audio/video as opaque `binary` columns
   * with typed metadata, plus partition-batched feature extraction.
   *
-  * IMAGE decode is REAL: [[decodeImage]] runs `javax.imageio` (PNG / BMP /
-  * GIF / JPEG — the codecs the JDK itself ships) and q53 machine-checks a
-  * full encode→decode round trip against a closed-form oracle. Audio/video
-  * decode remains a clearly-marked STUB (`stubDecode` — no such codecs in
-  * this environment) deriving deterministic fake features from raw bytes;
-  * an undecodable image payload falls back to the same stub-derived
-  * numbers. Everything AROUND the decoders is the real production shape:
+  * IMAGE decode is REAL ([[decodeImage]] runs `javax.imageio` — PNG / BMP /
+  * GIF / JPEG, the codecs the JDK itself ships; q53 machine-checks a full
+  * encode→decode round trip against a closed-form oracle) and so is AUDIO
+  * decode ([[decodeAudio]] parses WAV / AIFF / AU containers and extracts
+  * PCM frames via `javax.sound.sampled`; q56 gates it the same way). Only
+  * VIDEO decode remains a clearly-marked STUB (`stubDecode` — no such
+  * codec in the JDK) deriving deterministic fake features from raw bytes;
+  * an unrecognized or corrupt image/audio payload falls back to the same
+  * stub-derived numbers, flagged `decoded=false`. Everything AROUND the
+  * decoders is the real production shape:
   *
   *   - media rides a `binary` column + a `media_meta` struct (mime, size),
   *     exactly how Parquet stores blobs — column pruning means relational

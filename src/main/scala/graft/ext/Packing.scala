@@ -18,14 +18,18 @@ import org.apache.spark.sql.functions._
   *
   *   1. within-group cumulative sum, windowed per `idCol div groupSize` —
   *      shuffle-partitioned by group, parallel;
-  *   2. group totals (one row per group) get the same cumulative sum over
-  *      the tiny group axis, then broadcast-join back as per-group prefix
-  *      offsets.
+  *   2. group totals — the LAST cumulative value per group, derived from
+  *      step 1's own output so the corpus is scanned and tokenized exactly
+  *      once (the groupBy shares step 1's exchange) — get the same
+  *      cumulative sum over the tiny group axis and join back as per-group
+  *      prefix offsets. No forced broadcast: both sides already hash on
+  *      the group key, and AQE broadcasts the prefix side only when it
+  *      actually fits (at ~250M groups for a trillion-doc corpus it must
+  *      not reach the driver).
   *
-  * With `groupSize` ≈ 4096, a trillion-doc corpus has ~250M group rows for
-  * step 2 — still a window over rows-per-group ≈ 1, so if even that is too
-  * large the same construction nests once more. All arithmetic is integer,
-  * so the DuckDB oracle (`sum() OVER (ORDER BY id)`) matches exactly.
+  * If even the group axis outgrows one window task, the same construction
+  * nests once more. All arithmetic is integer, so the DuckDB oracle
+  * (`sum() OVER (ORDER BY id)`) matches exactly.
   */
 object Packing {
 
@@ -42,14 +46,16 @@ object Packing {
       .withColumn("__g", expr(s"$idCol div $groupSize"))
     val within = t.withColumn("__cum_in",
       sum(col("n_tokens")).over(Window.partitionBy("__g").orderBy(idCol)))
-    // one row per group: the global-order window below runs over the GROUP
-    // axis (corpus_size / groupSize rows), not the corpus
-    val prefixes = t.groupBy("__g").agg(sum("n_tokens").as("__gt"))
+    // group total = the group's LAST cumulative value (cumsum of
+    // non-negative counts is non-decreasing), taken from `within` itself so
+    // the tokenizing scan runs once; one row per group feeds the
+    // global-order window over the GROUP axis, not the corpus
+    val prefixes = within.groupBy("__g").agg(max("__cum_in").as("__gt"))
       .withColumn("__prefix", coalesce(
         sum(col("__gt")).over(Window.orderBy("__g")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("__g", "__prefix")
-    within.join(broadcast(prefixes), "__g")
+    within.join(prefixes, "__g")
       .withColumn("__start", col("__prefix") + col("__cum_in") - col("n_tokens"))
       .select(col(idCol), col("n_tokens"),
         expr(s"__start div $budget").as("pack_id"),
