@@ -709,6 +709,50 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  // ---------------- cross-document line dedup ----------------
+
+  /** C4-style cross-document LINE dedup: every duplicate occurrence of a
+    * line across the whole corpus is removed except the first (ordered by
+    * (id, line position)), and each document is reassembled from its
+    * surviving lines in original order. The classic boilerplate killer —
+    * repeated headers/footers/navigation chrome vanish corpus-wide while
+    * each document keeps its unique content. Documents whose every line
+    * was seen earlier disappear from the output (C4 drops empty docs).
+    *
+    * Scale shape: the keeper per line value is `groupBy(line).min(doc,
+    * pos)` — partial aggregation collapses a boilerplate line's millions
+    * of occurrences map-side BEFORE the shuffle, so a hot line costs one
+    * row per input partition, not one reducer-bound row per occurrence (a
+    * `row_number` window over the line key would ship every occurrence to
+    * one task). The join back is a same-key equi-join; payloads are the
+    * line text plus two longs. Reassembly sorts each doc's surviving
+    * (pos, line) pairs per row — per-document work, no extra shuffle
+    * beyond the groupBy on the id.
+    *
+    * Returns (idCol, n_lines_kept, rebuilt) — rebuilt is the surviving
+    * text joined with `lineSep`.
+    */
+  def dedupLinesAcross(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      lineSep: String = "\n"): DataFrame = {
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(lineSep)))
+        .as(Seq("__ln", "line")))
+    val keepers = lines
+      .groupBy("line")
+      .agg(min(struct(col(idCol), col("__ln"))).as("__k"))
+    val kept = lines.join(keepers, "line")
+      .filter(col(idCol) === col(s"__k.$idCol") && col("__ln") === col("__k.__ln"))
+    kept.groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lines_kept"),
+        concat_ws(lineSep,
+          transform(array_sort(collect_list(struct(col("__ln"), col("line")))),
+            s => s.getField("line"))).as("rebuilt"))
+  }
+
   // ---------------- n-gram Jaccard ----------------
 
   /** Distinct word n-grams over an ALREADY-TOKENIZED column (space-joined,

@@ -670,6 +670,41 @@ object ExtQueries {
        |       ((cum - n_tokens) % 512)::BIGINT AS pack_offset
        |FROM c""".stripMargin
 
+  /** Cross-document line dedup (C4-style boilerplate removal). The fixture
+    * corpus is single-line word salad, so each doc is first re-lined into
+    * 3-token chunks (identically in both engines); with the small
+    * vocabulary, chunk collisions across docs are common, so the operator
+    * genuinely removes lines. Output keeps rows small: per-doc surviving
+    * line count + md5 of the reassembled text (order-sensitive — a wrong
+    * reassembly order cannot pass).
+    */
+  def q59LineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val tk = TextAnalysis.tokens(col("text"))
+    val nChunks = (size(tk) + lit(2)).divide(lit(3)).cast("int") // ceil(n/3), n >= 1
+    val chunks = transform(sequence(lit(0), nChunks - 1),
+      i => concat_ws(" ", slice(tk, i * 3 + 1, lit(3))))
+    val relined = fanOut(documents(spark, dir))
+      .select(col("doc_id"), concat_ws("\n", chunks).as("text"))
+    Dedup.dedupLinesAcross(relined)
+      .select(col("doc_id"), col("n_lines_kept"),
+        md5(col("rebuilt")).as("rebuilt_md5"))
+  }
+
+  private def q59Oracle: String =
+    s"""WITH n AS (SELECT doc_id, string_split($DNorm, ' ') AS tk FROM documents),
+       |p AS (SELECT doc_id,
+       |        [array_to_string(tk[i*3+1 : i*3+3], ' ')
+       |         FOR i IN range(0, ((len(tk)+2)//3))] AS lines
+       |      FROM n),
+       |l AS (SELECT doc_id, i AS line_no, lines[i] AS line
+       |      FROM p, unnest(range(1, len(lines)+1)) AS t(i)),
+       |k AS (SELECT doc_id, line_no, line,
+       |        row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+       |      FROM l)
+       |SELECT doc_id, count(*)::BIGINT AS n_lines_kept,
+       |       md5(string_agg(line, chr(10) ORDER BY line_no)) AS rebuilt_md5
+       |FROM k WHERE rn = 1 GROUP BY doc_id""".stripMargin
+
   // ---------------- deterministic sampling ----------------
 
   def q44HashSample(spark: SparkSession, dir: String): DataFrame =
@@ -934,6 +969,7 @@ object ExtQueries {
     "q45_stratified_quota" -> (q45StratifiedQuota _),
     "q57_weighted_mix" -> (q57WeightedMix _),
     "q58_token_pack" -> (q58TokenPack _),
+    "q59_line_dedup" -> (q59LineDedup _),
     "q47_profile" -> (q47Profile _),
     "q48_decontaminate" -> (q48Decontaminate _),
     "q49_contamination_report" -> (q49ContaminationReport _),
@@ -973,6 +1009,7 @@ object ExtQueries {
     "q45_stratified_quota" -> q45Oracle,
     "q57_weighted_mix" -> q57Oracle,
     "q58_token_pack" -> q58Oracle,
+    "q59_line_dedup" -> q59Oracle,
     "q47_profile" -> q47Oracle,
     "q48_decontaminate" -> q48Oracle,
     "q49_contamination_report" -> q49Oracle,

@@ -117,6 +117,21 @@ class DedupSpec extends SparkSpec {
     assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
   }
 
+  test("dedupLinesAcross: first occurrence wins corpus-wide, docs reassemble in order") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "alpha\nboiler\nbeta"),
+      (2L, "boiler\ngamma\nalpha"), // boiler+alpha already seen → only gamma survives
+      (3L, "boiler")                // fully duplicate doc → dropped entirely
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupLinesAcross(fixture)
+      .select("doc_id", "n_lines_kept", "rebuilt")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(got === Array(
+      (1L, 3L, "alpha\nboiler\nbeta"),
+      (2L, 1L, "gamma")))
+  }
+
   test("dedupCorpus with a checkpoint dir keeps only the keeper snapshot") {
     withTempDir("graft-dcorp") { dir =>
       import scala.jdk.CollectionConverters._
