@@ -651,6 +651,45 @@ object ExtQueries {
        |    AS top_bigram_frac_4
        |FROM w LEFT JOIN t USING (doc_id)""".stripMargin
 
+  /** TF-IDF keyword extraction (top 3 per document) — see
+    * [[TextAnalysis.tfidfKeywords]] for why the idf factor is rational
+    * rather than logarithmic (cross-engine bit-exactness) and why the rank
+    * is integer-only.
+    */
+  def q71Tfidf(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfKeywords(fanOut(documents(spark, dir)), k = 3)
+
+  private def q71Oracle: String =
+    s"""WITH tk AS (SELECT doc_id, unnest(string_split($DNorm, ' ')) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf_n FROM tk
+       |       WHERE term <> '' GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, sum(tf_n)::BIGINT AS n_tok FROM tf GROUP BY 1),
+       |df AS (SELECT term, count(*)::BIGINT AS df_n FROM tf GROUP BY 1),
+       |nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+       |s AS (SELECT tf.doc_id, tf.term, tf.tf_n, df.df_n,
+       |        floor(tf.tf_n * 10000.0 * nd.n_docs / (dl.n_tok * df.df_n))::BIGINT AS score_4,
+       |        row_number() OVER (PARTITION BY tf.doc_id
+       |          ORDER BY tf.tf_n DESC, df.df_n ASC, tf.term ASC) AS rnk
+       |      FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN nd)
+       |SELECT doc_id, term, tf_n, df_n, score_4, rnk::BIGINT AS rnk
+       |FROM s WHERE rnk <= 3""".stripMargin
+
+  /** Corpus bigram vocabulary (top 200 by count, ties by n-gram) — the
+    * tokenizer-training / BPE-merge-round shape. See
+    * [[TextAnalysis.vocabNgrams]] for the `TakeOrderedAndProject` scale
+    * argument.
+    */
+  def q72Vocab(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabNgrams(fanOut(documents(spark, dir)), n = 2, topN = 200)
+
+  private def q72Oracle: String =
+    s"""WITH n AS (SELECT string_split($DNorm, ' ') AS tk FROM documents),
+       |g AS (SELECT unnest(CASE WHEN len(tk) >= 2
+       |              THEN [tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]
+       |              ELSE [] END) AS ngram FROM n)
+       |SELECT ngram, count(*)::BIGINT AS n FROM g GROUP BY 1
+       |ORDER BY n DESC, ngram LIMIT 200""".stripMargin
+
   /** Token-budget sequence packing (concat-and-chunk, budget 512) — see
     * [[Packing.packByBudget]]. The oracle is the definitional single
     * running sum; the Spark side computes the identical integers through
@@ -975,6 +1014,8 @@ object ExtQueries {
     "q49_contamination_report" -> (q49ContaminationReport _),
     "q54_pii_redact" -> (q54PiiRedact _),
     "q55_repetition" -> (q55Repetition _),
+    "q71_tfidf" -> (q71Tfidf _),
+    "q72_vocab" -> (q72Vocab _),
     "q61_asof_join" -> (q61AsofJoin _),
     "q65_salted_join" -> (q65SaltedJoin _),
     "q66_percentiles" -> (q66Percentiles _),
@@ -1014,6 +1055,8 @@ object ExtQueries {
     "q48_decontaminate" -> q48Oracle,
     "q49_contamination_report" -> q49Oracle,
     "q54_pii_redact" -> q54Oracle,
+    "q71_tfidf" -> q71Oracle,
+    "q72_vocab" -> q72Oracle,
     "q55_repetition" -> q55Oracle,
     "q61_asof_join" -> q61Oracle,
     "q65_salted_join" -> q65Oracle,

@@ -188,6 +188,79 @@ object TextAnalysis {
           .cast("long").as("top_bigram_frac_4"))
   }
 
+  // ---------------- TF-IDF keyword extraction ----------------
+
+  /** Per-document top-`k` keyword extraction by TF-IDF.
+    *
+    * Cross-engine exactness dictates two deviations from the textbook
+    * formula, both order-preserving:
+    *   - the idf factor is the RATIONAL `n_docs / df` instead of
+    *     `log(n_docs / df)` — `log` is libm-dependent and not bit-identical
+    *     across engines, while one double division of exact integers is
+    *     IEEE-defined on both. The score is floor-scaled (×10000) like every
+    *     other fraction in this file;
+    *   - the rank itself never touches a double: `(tf desc, df asc, term
+    *     asc)` is integer/string-only, so the top-k SET is deterministic
+    *     even if two scores are within an ulp.
+    *
+    * Scale shape: the token stream aggregates on (doc, term) with map-side
+    * combine — the one corpus-sized shuffle. Per-doc lengths and the term
+    * dictionary are second-level aggregates orders of magnitude smaller
+    * (AQE broadcasts them back), and `n_docs` is a 1-row broadcast. The
+    * final window repartitions by doc only the (doc, term) aggregate, never
+    * raw tokens.
+    */
+  def tfidfKeywords(
+      docs: DataFrame,
+      k: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf_n"))
+    val docLen = tf.groupBy(col(idCol)).agg(sum("tf_n").as("n_tok"))
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df_n"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tf_n").desc, col("df_n").asc, col("term").asc)
+    tf.join(docLen, idCol).join(docFreq, "term").crossJoin(broadcast(nDocs))
+      .withColumn("score_4",
+        floor(col("tf_n") * lit(10000.0) * col("n_docs")
+            / (col("n_tok") * col("df_n"))).cast("long"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("term"), col("tf_n"), col("df_n"),
+        col("score_4"), col("rnk"))
+  }
+
+  // ---------------- vocabulary induction ----------------
+
+  /** Corpus-level n-gram vocabulary: the `topN` word n-grams by global
+    * count with a deterministic tie-break (`count desc, ngram asc`) — the
+    * shape of one BPE merge round / tokenizer-vocab induction over a
+    * training corpus.
+    *
+    * Scale shape: explode → one partial-aggregated shuffle on the n-gram →
+    * `TakeOrderedAndProject` (per-partition partial top-N, single-reduce
+    * merge) — the global "sort" never shuffles more than `topN` rows per
+    * partition. N-grams come from the multiplicity-preserving codegen'd
+    * kernel, as in [[repetitionStats]].
+    */
+  def vocabNgrams(
+      docs: DataFrame,
+      n: Int = 2,
+      topN: Int = 200,
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(
+        graft.functions.GraftFunctions.wordNgramsAll(tokens(col(textCol)), n))
+        .as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram").asc)
+      .limit(topN)
+
   /** Convenience: full per-document text profile. */
   def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val text = col(textCol)

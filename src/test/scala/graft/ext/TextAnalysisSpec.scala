@@ -1,0 +1,77 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.Tables
+
+/** TF-IDF keyword extraction and vocabulary-induction contracts: the ranks
+  * and scores on a hand-computable fixture, the integer-only determinism of
+  * the top-k set, and the top-N boundary tie-break of the vocabulary.
+  */
+class TextAnalysisSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def fixture = Seq(
+    (1L, "apple banana apple cherry"),
+    (2L, "banana banana durian"),
+    (3L, "apple fig fig fig")
+  ).toDF("doc_id", "text")
+
+  test("tfidfKeywords: ranks, scores and df on a hand-computed fixture") {
+    val got = TextAnalysis.tfidfKeywords(fixture, k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getInt(5)))
+      .sortBy(t => (t._1, t._6))
+    // doc 1: apple tf=2 (df 2), banana tf=1 (df 2), cherry tf=1 (df 1).
+    //   rank1 apple (tf 2), rank2 cherry (tf 1, df 1 < banana's df 2).
+    //   score(apple) = floor(2*10000*3 / (4*2)) = 7500
+    //   score(cherry) = floor(1*10000*3 / (4*1)) = 7500
+    // doc 2: banana tf=2, durian tf=1 df=1: score(banana)=floor(2e4*3/(3*2))=10000
+    // doc 3: fig tf=3 df=1: score = floor(3*10000*3/(4*1)) = 22500
+    val expected = Seq(
+      (1L, "apple", 2L, 2L, 7500L, 1),
+      (1L, "cherry", 1L, 1L, 7500L, 2),
+      (2L, "banana", 2L, 2L, 10000L, 1),
+      (2L, "durian", 1L, 1L, 10000L, 2),
+      (3L, "fig", 3L, 1L, 22500L, 1),
+      (3L, "apple", 1L, 2L, 3750L, 2)
+    ).sortBy(t => (t._1, t._6))
+    assert(got.toSeq === expected)
+  }
+
+  test("tfidfKeywords: exactly k rows per doc on real docs, rank contiguous") {
+    val docs = Tables.documents(spark, Sf0001)
+    val got = TextAnalysis.tfidfKeywords(docs, k = 3)
+    val perDoc = got.groupBy("doc_id").agg(count(lit(1)).as("n"),
+      max("rnk").as("mx"), min("rnk").as("mn")).collect()
+    assert(perDoc.nonEmpty)
+    perDoc.foreach { r =>
+      assert(r.getLong(1) <= 3 && r.getInt(3) === 1 && r.getInt(2) === r.getLong(1))
+    }
+    // partitioning-independent: same result from a differently-sharded input
+    val again = TextAnalysis.tfidfKeywords(docs.repartition(7, col("lang")), k = 3)
+    assert(got.exceptAll(again).isEmpty && again.exceptAll(got).isEmpty)
+  }
+
+  test("vocabNgrams: counts and boundary tie-break on a fixture") {
+    val got = TextAnalysis.vocabNgrams(fixture, n = 2, topN = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // bigrams: doc1: "apple banana","banana apple","apple cherry";
+    // doc2: "banana banana","banana durian"; doc3: "apple fig","fig fig" x2
+    // counts: "fig fig"=2, everything else 1 → top3 = fig fig, then the
+    // lexicographically first two of the 1-count ties.
+    assert(got.head === ("fig fig", 2L))
+    assert(got.map(_._1).toSeq === Seq("fig fig", "apple banana", "apple cherry"))
+  }
+
+  test("vocabNgrams: topN bound respected and deterministic on real docs") {
+    val docs = Tables.documents(spark, Sf0001)
+    val a = TextAnalysis.vocabNgrams(docs, 2, 50).collect().map(r => (r.getString(0), r.getLong(1)))
+    val b = TextAnalysis.vocabNgrams(docs.repartition(5), 2, 50)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(a.length === 50 && a.sameElements(b))
+  }
+}
