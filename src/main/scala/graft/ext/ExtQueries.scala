@@ -15,8 +15,10 @@ import graft.queries.Tables._
   */
 object ExtQueries {
 
-  // DuckDB fragment: normalized text (matches TextAnalysis.normalize)
-  private val DNorm = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
+  // DuckDB fragment: normalized text (matches TextAnalysis.normalize);
+  // private[graft] so the streaming gates in graft.queries share the one
+  // definition instead of drifting on a copy
+  private[graft] val DNorm = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
 
   // ---------------- dedup ----------------
 
@@ -365,6 +367,78 @@ object ExtQueries {
       |       list_min(codes)::INT AS code_min
       |FROM q""".stripMargin
 
+  /** SemDeDup-style semantic dedup: survivors after dropping every vector
+    * with a lower-id cosine near-duplicate inside its cluster (the `label`
+    * column stands in for the k-means cluster id) — see
+    * [[Similarity.semanticDedup]]. Same candidate constants as q24, so the
+    * oracle's NOT EXISTS replays the identical pair set.
+    */
+  def q74SemanticDedup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(fanOut(embeddings(spark, dir)),
+      blockCol = "label", threshold = 0.25)
+      .select(col("vec_id"), col("label"))
+
+  private val q74Oracle =
+    s"""WITH e AS (SELECT label, vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+       |SELECT b.vec_id, b.label FROM e b
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM e a
+       |  WHERE a.label = b.label
+       |    AND b.vec_id - a.vec_id BETWEEN 1 AND 200
+       |    AND $DCos >= 0.25)""".stripMargin
+
+  /** k-NN label classification over the exact tier (majority vote of the
+    * 10 nearest neighbors, integer tie-breaks) — see
+    * [[Similarity.knnClassify]].
+    */
+  def q77KnnClassify(spark: SparkSession, dir: String): DataFrame = {
+    val e = fanOut(embeddings(spark, dir))
+    Similarity.knnClassify(e, e.filter(col("vec_id") < 32), k = 10)
+  }
+
+  private val q77Oracle =
+    """WITH q AS (SELECT vec_id AS q_id, label AS true_label, embedding::DOUBLE[] AS qv
+      |           FROM embeddings WHERE vec_id < 32),
+      |c AS (SELECT vec_id, label, embedding::DOUBLE[] AS cv FROM embeddings),
+      |s AS (SELECT q_id, true_label, vec_id, label,
+      |        list_dot_product(qv, cv)
+      |          / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS score
+      |      FROM q, c WHERE vec_id <> q_id),
+      |nn AS (SELECT q_id, true_label, label FROM (
+      |         SELECT q_id, true_label, label,
+      |           row_number() OVER (PARTITION BY q_id
+      |             ORDER BY score DESC, vec_id ASC) AS rank
+      |         FROM s) r WHERE rank <= 10),
+      |v AS (SELECT q_id, true_label, label AS pred_label, count(*)::BIGINT AS votes
+      |      FROM nn GROUP BY 1, 2, 3),
+      |p AS (SELECT q_id, true_label, pred_label, votes,
+      |        row_number() OVER (PARTITION BY q_id
+      |          ORDER BY votes DESC, pred_label ASC) AS rn
+      |      FROM v)
+      |SELECT q_id, true_label, pred_label, votes,
+      |       (pred_label = true_label)::INT AS correct
+      |FROM p WHERE rn = 1""".stripMargin
+
+  /** Per-label SQ8-space centroids (exact integer means over the quantized
+    * codes) — see [[Similarity.sq8Centroids]].
+    */
+  def q78Sq8Centroids(spark: SparkSession, dir: String): DataFrame =
+    Similarity.sq8Centroids(fanOut(embeddings(spark, dir)))
+
+  private val q78Oracle =
+    """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+      |m AS (SELECT label, v, list_min(v) AS mn, list_max(v) AS mx FROM e),
+      |q AS (SELECT label,
+      |        list_transform(v, x -> CASE WHEN mx = mn THEN 0
+      |          ELSE least(floor((x - mn) * 255.0 / (mx - mn)), 255.0)::BIGINT END) AS codes
+      |      FROM m),
+      |x AS (SELECT label, i - 1 AS dim, codes[i] AS code
+      |      FROM q, unnest(range(1, len(codes) + 1)) AS t(i))
+      |SELECT label, dim::INT AS dim, count(*)::BIGINT AS n,
+      |       sum(code)::BIGINT AS code_sum,
+      |       ((10000 * sum(code)) // count(*))::BIGINT AS code_mean_4
+      |FROM x GROUP BY 1, 2""".stripMargin
+
   // ---------------- text analysis ----------------
 
   private val dHits: Map[String, String] = TextAnalysis.LangStopwords.map { case (lang, words) =>
@@ -690,6 +764,50 @@ object ExtQueries {
        |SELECT ngram, count(*)::BIGINT AS n FROM g GROUP BY 1
        |ORDER BY n DESC, ngram LIMIT 200""".stripMargin
 
+  /** Per-document unigram-commonness score (the integer-exact perplexity
+    * proxy) — see [[TextAnalysis.commonnessScore]] for the rational
+    * arithmetic that keeps both engines identical.
+    */
+  def q75Commonness(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.commonnessScore(fanOut(documents(spark, dir)))
+
+  private def q75Oracle: String =
+    s"""WITH tk AS (SELECT doc_id, unnest(string_split($DNorm, ' ')) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf_n FROM tk
+       |       WHERE term <> '' GROUP BY 1, 2),
+       |c AS (SELECT term, sum(tf_n)::BIGINT AS cnt FROM tf GROUP BY 1),
+       |t AS (SELECT sum(cnt)::BIGINT AS n_total FROM c),
+       |d AS (SELECT tf.doc_id, sum(tf.tf_n)::BIGINT AS n_tok,
+       |        sum(tf.tf_n * c.cnt)::BIGINT AS cnt_sum
+       |      FROM tf JOIN c USING (term) GROUP BY 1)
+       |SELECT doc_id, n_tok,
+       |       ((1000000 * cnt_sum) // (n_tok * t.n_total))::BIGINT AS score_ppm
+       |FROM d CROSS JOIN t""".stripMargin
+
+  /** Corpus bigram collocations by integer lift (rational PMI) — see
+    * [[TextAnalysis.collocations]].
+    */
+  def q76Collocations(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.collocations(fanOut(documents(spark, dir)), minCount = 5L, topN = 100)
+
+  private def q76Oracle: String =
+    s"""WITH n AS (SELECT string_split($DNorm, ' ') AS tk FROM documents),
+       |uni AS (SELECT w, count(*)::BIGINT AS c_w
+       |        FROM (SELECT unnest(tk) AS w FROM n) u WHERE w <> '' GROUP BY 1),
+       |bi AS (SELECT ngram, count(*)::BIGINT AS c_ab FROM (
+       |         SELECT unnest(CASE WHEN len(tk) >= 2
+       |                  THEN [tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]
+       |                  ELSE [] END) AS ngram FROM n) g
+       |       GROUP BY 1),
+       |t AS (SELECT sum(c_ab)::BIGINT AS n_bi FROM bi)
+       |SELECT ngram, c_ab, a.c_w AS c_a, b.c_w AS c_b,
+       |       ((10000 * t.n_bi * c_ab) // (a.c_w * b.c_w))::BIGINT AS lift_4
+       |FROM bi CROSS JOIN t
+       |JOIN uni a ON a.w = string_split(ngram, ' ')[1]
+       |JOIN uni b ON b.w = string_split(ngram, ' ')[2]
+       |WHERE c_ab >= 5
+       |ORDER BY lift_4 DESC, ngram ASC LIMIT 100""".stripMargin
+
   /** Token-budget sequence packing (concat-and-chunk, budget 512) — see
     * [[Packing.packByBudget]]. The oracle is the definitional single
     * running sum; the Spark side computes the identical integers through
@@ -776,6 +894,30 @@ object ExtQueries {
        |    WHEN 'src2' THEN ${th(0.25)}
        |    WHEN 'src3' THEN ${th(0.1)}
        |    ELSE ${th(0.02)} END""".stripMargin
+  }
+
+  /** Deterministic 80/10/10 train/val/test split — growth-stable hash
+    * assignment, oracle thresholds generated from the same cumulative
+    * constants ([[Sampling.splitAssign]]).
+    */
+  private val q80Splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  def q80SplitAssign(spark: SparkSession, dir: String): DataFrame =
+    Sampling.splitAssign(documents(spark, dir), q80Splits)
+      .select(col("doc_id"), col("source"), col("split"))
+
+  private def q80Oracle: String = {
+    // thresholds via the SAME scanLeft accumulation as Sampling.splitAssign:
+    // 0.8 + 0.1 is not 0.9 in doubles, and a hash landing in the ~1-ulp gap
+    // between the two formulations would split differently across engines
+    val cum = q80Splits.scanLeft(0.0) { case (a, (_, f)) => a + f }.tail
+    def th(c: Double) = (c * (1L << 60).toDouble).toLong
+    val h = "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT"
+    s"""SELECT doc_id, source,
+       |  CASE WHEN $h < ${th(cum(0))} THEN 'train'
+       |       WHEN $h < ${th(cum(1))} THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM documents""".stripMargin
   }
 
   def q45StratifiedQuota(spark: SparkSession, dir: String): DataFrame =
@@ -994,6 +1136,9 @@ object ExtQueries {
     "q25_simhash_pairs" -> (q25SimhashPairs _),
     "q23_ngram_jaccard" -> (q23NgramJaccard _),
     "q24_embed_neardup" -> (q24EmbedNearDup _),
+    "q74_semantic_dedup" -> (q74SemanticDedup _),
+    "q77_knn_classify" -> (q77KnnClassify _),
+    "q78_sq8_centroids" -> (q78Sq8Centroids _),
     "q30_knn_brute" -> (q30KnnBruteForce _),
     "q31_knn_lsh" -> (q31KnnLsh _),
     "q32_knn_ivf" -> (q32KnnIvf _),
@@ -1007,8 +1152,11 @@ object ExtQueries {
     "q44_hash_sample" -> (q44HashSample _),
     "q45_stratified_quota" -> (q45StratifiedQuota _),
     "q57_weighted_mix" -> (q57WeightedMix _),
+    "q80_split_assign" -> (q80SplitAssign _),
     "q58_token_pack" -> (q58TokenPack _),
     "q59_line_dedup" -> (q59LineDedup _),
+    "q75_commonness" -> (q75Commonness _),
+    "q76_collocations" -> (q76Collocations _),
     "q47_profile" -> (q47Profile _),
     "q48_decontaminate" -> (q48Decontaminate _),
     "q49_contamination_report" -> (q49ContaminationReport _),
@@ -1038,6 +1186,9 @@ object ExtQueries {
     "q25_simhash_pairs" -> q25Oracle,
     "q23_ngram_jaccard" -> q23Oracle,
     "q24_embed_neardup" -> q24Oracle,
+    "q74_semantic_dedup" -> q74Oracle,
+    "q77_knn_classify" -> q77Oracle,
+    "q78_sq8_centroids" -> q78Oracle,
     "q30_knn_brute" -> q30Oracle,
     "q33_sq8" -> q33Oracle,
     // q31_knn_lsh: approximate — rows-only check by design
@@ -1049,8 +1200,11 @@ object ExtQueries {
     "q44_hash_sample" -> q44Oracle,
     "q45_stratified_quota" -> q45Oracle,
     "q57_weighted_mix" -> q57Oracle,
+    "q80_split_assign" -> q80Oracle,
     "q58_token_pack" -> q58Oracle,
     "q59_line_dedup" -> q59Oracle,
+    "q75_commonness" -> q75Oracle,
+    "q76_collocations" -> q76Oracle,
     "q47_profile" -> q47Oracle,
     "q48_decontaminate" -> q48Oracle,
     "q49_contamination_report" -> q49Oracle,

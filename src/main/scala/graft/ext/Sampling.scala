@@ -61,6 +61,35 @@ object Sampling {
     df.filter(gate)
   }
 
+  /** Deterministic train/validation/test split assignment: each row's
+    * 60-bit md5 hash position selects its split by cumulative fraction
+    * (e.g. 0.8/0.1/0.1). The assignment is a pure per-row function of the
+    * id — reproducible across runs, engines and partitionings, and STABLE
+    * UNDER CORPUS GROWTH: adding documents never moves an existing
+    * document between splits (the property a training pipeline needs so
+    * yesterday's eval set is not contaminated by today's resplit).
+    * Fractions must sum to 1 (±1e-9); expected, not exact, sizes.
+    *
+    * Same 100 TB shape as [[hashSample]]: no shuffle, no state, a scan-time
+    * projection.
+    */
+  def splitAssign(
+      df: DataFrame,
+      fractions: Seq[(String, Double)],
+      idCol: String = "doc_id"): DataFrame = {
+    require(fractions.nonEmpty, "at least one split")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")
+    val thresholds = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val h = Dedup.baseHash(col(idCol).cast("string"))
+    // last split is the unconditional else-branch: every row gets a split
+    // even if float rounding leaves the top threshold a hair under 2^60
+    val gate = fractions.init.zip(thresholds.init).foldRight(
+      lit(fractions.last._1): Column) { case (((name, _), cum), rest) =>
+      when(h < lit((cum * (1L << 60).toDouble).toLong), lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", gate)
+  }
+
   /** Exactly `perStratum` rows per stratum (fewer if the stratum is
     * smaller), chosen deterministically by hash order with id tiebreak —
     * a reproducible stratified quota, not a probabilistic one.

@@ -348,6 +348,86 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("rank"), round(col("score"), 4).as("score_r"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): within each
+    * embedding cluster, drop every vector that has a near-duplicate
+    * (cosine >= `threshold`) with a smaller id, keeping the cluster's
+    * lowest-id representative of each near-dup relation. `blockCol` is the
+    * cluster id (here the corpus ships one; in production it comes from
+    * [[ivfCentroids]]-style k-means over the same embeddings).
+    *
+    * Scale shape: candidate generation is [[cosineNearDupPairs]] — bucketed
+    * on (cluster, id-window), never O(cluster²) — and the removal set is a
+    * LEFT ANTI join on the id, so full vectors never shuffle twice: the
+    * pair join moves (id, vec) once, the anti join moves ids only.
+    */
+  def semanticDedup(
+      vectors: DataFrame,
+      blockCol: String,
+      threshold: Double,
+      window: Long = 200L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val removed = cosineNearDupPairs(vectors, blockCol, threshold, window, idCol, vecCol)
+      .select(col("id_b").as(idCol)).distinct()
+    vectors.join(removed, Seq(idCol), "left_anti")
+  }
+
+  /** k-NN label classification: each query vector is classified by the
+    * majority label of its `k` nearest corpus neighbors (exact cosine tier;
+    * self excluded). Vote ties break to the smaller label — integer-only,
+    * so the prediction is deterministic across engines. The standard
+    * embedding-quality probe a data pipeline runs after (re)training an
+    * encoder.
+    *
+    * Scale shape: inherits [[bruteForceTopK]]'s broadcast-query plan, then
+    * two label-sized aggregations; for large query sets substitute the LSH
+    * or IVF tier as the neighbor source — the vote logic is unchanged.
+    */
+  def knnClassify(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      labelCol: String = "label",
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val labels = corpus.select(col(idCol).as("vec_id"), col(labelCol).as("n_label"))
+    val votes = bruteForceTopK(corpus, queries, k, idCol, vecCol)
+      .join(labels, "vec_id")
+      .groupBy("q_id", "n_label")
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("q_id").orderBy(col("votes").desc, col("n_label").asc)
+    val pred = votes
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("n_label").as("pred_label"), col("votes"))
+    pred
+      .join(queries.select(col(idCol).as("q_id"), col(labelCol).as("true_label")), "q_id")
+      .select(col("q_id"), col("true_label"), col("pred_label"), col("votes"),
+        (col("pred_label") === col("true_label")).cast("int").as("correct"))
+  }
+
+  /** Per-label centroids in SQ8 code space: vectors are quantized row-local
+    * (bit-exact integer codes, see [[sq8]]), then averaged per (label, dim)
+    * in exact integer arithmetic — `(10000·Σcode) div n` — so the centroid
+    * summary is engine-exact where a float mean would be summation-order
+    * dependent. The cluster-profile / class-prototype shape over an
+    * embedding corpus.
+    *
+    * Scale shape: one shuffle on (label, dim) with map-side combine; output
+    * is labels × dim rows — a model-sized result regardless of corpus size.
+    */
+  def sq8Centroids(
+      vectors: DataFrame,
+      labelCol: String = "label",
+      vecCol: String = "embedding"): DataFrame =
+    vectors
+      .select(col(labelCol).as("label"),
+        posexplode(sq8(col(vecCol)).getField("codes")).as(Seq("dim", "code")))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n"), sum("code").as("code_sum"))
+      .select(col("label"), col("dim"), col("n"), col("code_sum"),
+        expr("(10000 * code_sum) div n").as("code_mean_4"))
+
   /** Embedding near-duplicate pairs within a blocking key and id window —
     * the cosine tier of the dedup ladder (see [[Dedup]]).
     *

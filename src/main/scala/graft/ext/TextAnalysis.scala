@@ -235,6 +235,80 @@ object TextAnalysis {
         col("score_4"), col("rnk"))
   }
 
+  /** Per-document token-commonness score — the integer-exact stand-in for a
+    * unigram-LM perplexity filter (a doc whose tokens are corpus-rare
+    * scores low; boilerplate made of the corpus's most common tokens scores
+    * high). For each document: Σ_tokens count(token) over the whole corpus,
+    * scaled to parts-per-million of the maximum possible (`n_tok · N`):
+    * `score_ppm = (1_000_000 · Σcnt) div (n_tok · N)` — all-BIGINT rational
+    * arithmetic, so both engines produce identical integers (a real log-prob
+    * would be transcendental and only ulp-comparable). Headroom: the
+    * numerator is ≤ 1e6 · n_tok · N; with 64-bit longs that bounds
+    * `n_tok · N` at ~9e12 — beyond that, swap the literals for DECIMAL(38)
+    * columns (the shape is unchanged).
+    *
+    * Scale shape: one corpus-sized shuffle on (doc, term) with map-side
+    * combine; the term-count dictionary is a vocabulary-sized second
+    * aggregate (AQE broadcasts it back); `N` is a 1-row broadcast.
+    */
+  def commonnessScore(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf_n"))
+    val termCount = tf.groupBy("term").agg(sum("tf_n").as("cnt"))
+    val total = termCount.agg(sum("cnt").as("n_total"))
+    tf.join(termCount, "term")
+      .groupBy(col(idCol))
+      .agg(sum("tf_n").as("n_tok"), sum(col("tf_n") * col("cnt")).as("cnt_sum"))
+      .crossJoin(broadcast(total))
+      .select(col(idCol), col("n_tok"),
+        expr("(1000000 * cnt_sum) div (n_tok * n_total)").as("score_ppm"))
+  }
+
+  /** Corpus bigram collocations by LIFT — the rational form of PMI
+    * (`lift = P(ab) / (P(a)·P(b))`, PMI = log lift), kept integer-exact:
+    * `lift_4 = (10000 · N_bi · c_ab) div (c_a · c_b)` where `c_a`/`c_b` are
+    * corpus unigram counts and `N_bi` the total bigram count. Bigrams below
+    * `minCount` are noise-filtered (the standard collocation-mining guard —
+    * a 2-occurrence pair of rare words otherwise tops any lift ranking).
+    * Ordering and tie-break (`lift desc, ngram asc`) are integer/string
+    * only. The phrase-mining / tokenizer-merge-candidate shape.
+    *
+    * Scale shape: two corpus-sized exploded aggregations (unigrams,
+    * bigrams) with map-side combine; the joins run on the vocabulary-sized
+    * aggregates (AQE broadcast), and the top-N is `TakeOrderedAndProject`,
+    * never a full sort.
+    */
+  def collocations(
+      docs: DataFrame,
+      minCount: Long = 5L,
+      topN: Int = 100,
+      textCol: String = "text"): DataFrame = {
+    val tk = docs.select(tokens(col(textCol)).as("tk"))
+    val uni = tk.select(explode(col("tk")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c_w"))
+    val bi = tk
+      .select(explode(
+        graft.functions.GraftFunctions.wordNgramsAll(col("tk"), 2)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("c_ab"))
+    val nBi = bi.agg(sum("c_ab").as("n_bi"))
+    bi.filter(col("c_ab") >= minCount)
+      .withColumn("w1", split(col("ngram"), " ").getItem(0))
+      .withColumn("w2", split(col("ngram"), " ").getItem(1))
+      .join(uni.select(col("w").as("w1"), col("c_w").as("c_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c_w").as("c_b")), "w2")
+      .crossJoin(broadcast(nBi))
+      .select(col("ngram"), col("c_ab"), col("c_a"), col("c_b"),
+        expr("(10000 * n_bi * c_ab) div (c_a * c_b)").as("lift_4"))
+      .orderBy(col("lift_4").desc, col("ngram").asc)
+      .limit(topN)
+  }
+
   // ---------------- vocabulary induction ----------------
 
   /** Corpus-level n-gram vocabulary: the `topN` word n-grams by global

@@ -314,6 +314,86 @@ object EventQueries {
       |       event_type, count(*)::BIGINT AS n
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** q73: STREAMING exact dedup under the driver gate — the third streaming
+    * gate alongside q69 (stateful sessions) and q70 (watermarked windows),
+    * covering [[graft.streaming.CdcStream.dedupStream]]
+    * (`dropDuplicatesWithinWatermark` on the batch tier's md5 fingerprint).
+    * The documents table streams in as one bounded micro-batch with a
+    * synthetic event time (doc_id micros — the fixture has no timestamp;
+    * any monotone stand-in works because all rows land in one batch, well
+    * inside the watermark horizon). WHICH row of a duplicate set survives
+    * depends on partition arrival order, so the gated output is the
+    * deterministic part of the contract: the surviving fingerprint SET —
+    * exactly one row per distinct normalized text, which the oracle states
+    * as `SELECT DISTINCT md5(...)`. (A dropped-too-many bug shrinks the
+    * set; a kept-duplicate bug duplicates a fingerprint and fails the
+    * rows/hash match.)
+    */
+  def q73StreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val work = Scratch.stableDir("q73")
+    val inDir = stagedInput("q73", dir) { in =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/documents.parquet"), in.resolve("documents.parquet"))
+    }
+    val schema = documents(spark, dir).schema
+    // offset the synthetic event time away from the epoch: the engine's
+    // initial watermark is 0, and a row AT the epoch (doc_id 0) would be
+    // filtered as late before the dedup state ever sees it
+    val stream = spark.readStream.schema(schema).parquet(inDir.toString)
+      .withColumn("tsm", timestamp_micros(col("doc_id") + lit(1000000000000L)))
+    val deduped = graft.streaming.CdcStream.dedupStream(
+      stream, tsCol = "tsm", watermarkDelay = "1 hour")
+    val query = deduped.writeStream
+      .format("parquet")
+      .option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.read.parquet(s"$work/out")
+      .select(graft.ext.TextAnalysis.md5Fingerprint(col("text")).as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(count(lit(1)).as("n_rows"))
+  }
+
+  private val q73Oracle =
+    s"""SELECT md5(${graft.ext.ExtQueries.DNorm}) AS fingerprint, 1::BIGINT AS n_rows
+       |FROM documents GROUP BY 1""".stripMargin
+
+  /** q79: trailing-window user features — for every event, the count and
+    * integer value-sum (`floor(value·100)` cents) of the same user's events
+    * in the trailing hour, via a RANGE frame over epoch-micros. The online
+    * feature-engineering shape (fraud velocity checks, rate limits,
+    * session-weight features) that a training pipeline materializes
+    * point-in-time-correctly for every example.
+    *
+    * Scale shape: one shuffle on user_id; the RANGE frame is evaluated with
+    * a sliding two-pointer pass inside each sorted partition — no
+    * self-join, no per-row rescan. Ties on ts are frame-peers in BOTH
+    * engines (RANGE semantics), so the outputs agree even where ROWS
+    * framing would be arrival-order-dependent; cents arithmetic is
+    * integer-exact (same double multiply then floor on both sides).
+    */
+  def q79RollingFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+      .rangeBetween(-3600000000L, 0L)
+    events(spark, dir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("cents", floor(col("value") * 100).cast("long"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("cents")).over(w).as("cents_1h"))
+  }
+
+  private val q79Oracle =
+    """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      |  count(*) OVER w AS n_1h,
+      |  sum(floor(value * 100)::BIGINT) OVER w AS cents_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_retention" -> (q60Retention _),
     "q67_pivot" -> (q67Pivot _),
@@ -322,7 +402,9 @@ object EventQueries {
     "q14_json_props" -> (q14JsonProps _),
     "q15_scalar_suite" -> (q15ScalarSuite _),
     "q69_stream_sessionize" -> (q69StreamSessionize _),
-    "q70_stream_windows" -> (q70StreamWindows _)
+    "q70_stream_windows" -> (q70StreamWindows _),
+    "q73_stream_dedup" -> (q73StreamDedup _),
+    "q79_rolling_features" -> (q79RollingFeatures _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -335,6 +417,9 @@ object EventQueries {
     // streaming must reproduce the batch gap semantics exactly
     "q69_stream_sessionize" -> q12Oracle,
     // and watermarked windows must reproduce the batch tumbling counts
-    "q70_stream_windows" -> q70Oracle
+    "q70_stream_windows" -> q70Oracle,
+    // streaming dedup must keep exactly one row per batch-tier fingerprint
+    "q73_stream_dedup" -> q73Oracle,
+    "q79_rolling_features" -> q79Oracle
   )
 }

@@ -88,6 +88,37 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("*("), s"no whole-stage codegen spans:\n$plan")
   }
 
+  test("q75 commonness: corpus shuffle carries (doc,term) partials, not raw tokens") {
+    val plan = planOf(graft.ext.TextAnalysis.commonnessScore(
+      Tables.documents(spark, Sf0001)))
+    // tf, term-dictionary, per-doc and total aggregates all two-phase
+    assert("HashAggregate".r.findAllIn(plan).size >= 6, plan)
+    assert(!plan.contains("CartesianProduct"),
+      s"scalar total should broadcast, not cartesian:\n$plan")
+  }
+
+  test("q76 collocations: global top-N is TakeOrderedAndProject, never a full sort") {
+    val plan = planOf(graft.ext.TextAnalysis.collocations(
+      Tables.documents(spark, Sf0001), minCount = 2L, topN = 50))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-N fell back to a global sort:\n$plan")
+  }
+
+  test("q74 semantic dedup: bucketed pair join, removal via shuffle-free-id anti join") {
+    val e = Tables.embeddings(spark, Sf0001)
+    val plan = planOf(Similarity.semanticDedup(e, blockCol = "label", threshold = 0.25))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"candidate generation fell back to an all-pairs join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"removal set should anti-join:\n$plan")
+  }
+
+  test("q79 rolling features: one window pass, no self-join") {
+    val plan = planOf(graft.queries.EventQueries.q79RollingFeatures(spark, Sf0001))
+    assert(plan.contains("RunningWindowFunction") || plan.contains("Window"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"trailing-window features must not plan a self-join:\n$plan")
+  }
+
   test("IVF indexed probe plans dynamic partition pruning on the inverted file") {
     withTempDir("plan-ivf") { dir =>
       val e = Tables.embeddings(spark, Sf0001)

@@ -42,6 +42,27 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.weightedMix(docs, weights).filter(col("source") === "src9").count() === 0L)
   }
 
+  test("splitAssign: total partition, sane fractions, growth-stable") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val assigned = Sampling.splitAssign(docs, splits)
+    val counts = assigned.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = docs.count()
+    // every row gets exactly one split; no fourth value appears
+    assert(counts.keySet.subsetOf(Set("train", "val", "test")))
+    assert(counts.values.sum === total)
+    assert(counts("train").toDouble / total > 0.6, s"train far from 0.8: $counts")
+    // growth stability: assignments on a subset equal the full assignment
+    // restricted to that subset (adding docs never moves existing ones)
+    val sub = Sampling.splitAssign(docs.filter(col("doc_id") < 20), splits)
+      .select("doc_id", "split")
+    val full = assigned.filter(col("doc_id") < 20).select("doc_id", "split")
+    assert(sub.exceptAll(full).isEmpty && full.exceptAll(sub).isEmpty)
+    // degenerate one-split spec assigns everything to it
+    assert(Sampling.splitAssign(docs, Seq("all" -> 1.0))
+      .filter(col("split") === "all").count() === total)
+  }
+
   test("stratifiedQuota returns exactly min(quota, stratum size) per stratum") {
     val quota = 5
     val got = Sampling.stratifiedQuota(docs, Seq("lang"), quota)

@@ -97,6 +97,59 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semanticDedup: survivors = corpus minus rows with a lower-id near-dup") {
+    val pairs = Similarity.cosineNearDupPairs(embeds, blockCol = "label", threshold = 0.25)
+    val removedIds = pairs.select(col("id_b")).distinct().collect().map(_.getLong(0)).toSet
+    val kept = Similarity.semanticDedup(embeds, blockCol = "label", threshold = 0.25)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val all = embeds.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept === all -- removedIds)
+    // every removed row really has a lower-id near-dup; no survivor does
+    assert(removedIds.subsetOf(all))
+    assert(kept.intersect(removedIds).isEmpty)
+  }
+
+  test("knnClassify: one prediction per query, votes bounded by k, correct flag consistent") {
+    val k = 10
+    val res = Similarity.knnClassify(embeds, embeds.filter(col("vec_id") < 8), k).collect()
+    assert(res.length === 8)
+    res.foreach { r =>
+      val votes = r.getLong(3)
+      assert(votes >= 1L && votes <= k.toLong)
+      val correct = r.getInt(4)
+      assert((correct == 1) === (r.getInt(1) == r.getInt(2)))
+    }
+    // the prediction is the plurality label of the exact top-k neighbors
+    val nn = Similarity.bruteForceTopK(embeds, embeds.filter(col("vec_id") < 8), k)
+      .join(embeds.select(col("vec_id"), col("label")), "vec_id")
+      .select("q_id", "label").collect()
+      .groupBy(_.getLong(0))
+    res.foreach { r =>
+      val counts = nn(r.getLong(0)).groupBy(_.getInt(1)).view.mapValues(_.size)
+      val best = counts.toSeq.minBy { case (label, n) => (-n, label) }
+      assert(r.getInt(2) === best._1, s"query ${r.getLong(0)}: expected plurality ${best._1}")
+      assert(r.getLong(3) === best._2.toLong)
+    }
+  }
+
+  test("sq8Centroids: exact integer means of the per-row SQ8 codes") {
+    val res = Similarity.sq8Centroids(embeds).collect()
+    val dims = embeds.select(size(col("embedding"))).head.getInt(0)
+    val labels = embeds.select(countDistinct(col("label"))).head.getLong(0)
+    assert(res.length === labels * dims)
+    // recompute one (label, dim) cell row-by-row and compare exactly
+    val byRow = embeds
+      .select(col("label"), Similarity.sq8(col("embedding")).getField("codes").as("codes"))
+      .collect()
+      .filter(_.getInt(0) == 0)
+      .map(_.getSeq[Int](1))
+    val cell = res.find(r => r.getInt(0) == 0 && r.getInt(1) == 0).get
+    val codes0 = byRow.map(_.head.toLong)
+    assert(cell.getLong(2) === codes0.length.toLong)
+    assert(cell.getLong(3) === codes0.sum)
+    assert(cell.getLong(4) === (10000L * codes0.sum) / codes0.length)
+  }
+
   test("cosineNearDupPairs equals the naive block-join + window filter") {
     val e = embeds
       .select(col("label").as("block"), col("vec_id"),

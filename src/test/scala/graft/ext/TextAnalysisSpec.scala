@@ -19,6 +19,31 @@ class TextAnalysisSpec extends SparkSpec {
     (3L, "apple fig fig fig")
   ).toDF("doc_id", "text")
 
+  test("commonnessScore: exact rational scores on a hand-computed fixture") {
+    val docs = Seq((0L, "a a b"), (1L, "c")).toDF("doc_id", "text")
+    // counts: a=2, b=1, c=1; N=4
+    // d0: n_tok=3, cnt_sum=2+2+1=5 -> (1e6*5) div (3*4) = 416666
+    // d1: n_tok=1, cnt_sum=1      -> (1e6*1) div (1*4) = 250000
+    val got = TextAnalysis.commonnessScore(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got === Seq((0L, 3L, 416666L), (1L, 1L, 250000L)))
+    // a common-token doc outscores a rare-token doc (the filter's point)
+    assert(got(0)._3 > got(1)._3)
+  }
+
+  test("collocations: exact lift and ordering on a hand-computed fixture") {
+    val docs = Seq((0L, "x y x y x")).toDF("doc_id", "text")
+    // bigrams: "x y"×2, "y x"×2; N_bi=4; c_x=3, c_y=2
+    // lift both = (1e4*4*2) div (3*2) = 13333; tie breaks on ngram asc
+    val got = TextAnalysis.collocations(docs, minCount = 1L, topN = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got === Seq(
+      ("x y", 2L, 3L, 2L, 13333L),
+      ("y x", 2L, 2L, 3L, 13333L)))
+    // minCount prunes: nothing repeats 3+ times
+    assert(TextAnalysis.collocations(docs, minCount = 3L, topN = 10).count() === 0L)
+  }
+
   test("tfidfKeywords: ranks, scores and df on a hand-computed fixture") {
     val got = TextAnalysis.tfidfKeywords(fixture, k = 2)
       .collect()
