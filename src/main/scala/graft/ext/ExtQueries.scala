@@ -784,6 +784,31 @@ object ExtQueries {
        |       ((1000000 * cnt_sum) // (n_tok * t.n_total))::BIGINT AS score_ppm
        |FROM d CROSS JOIN t""".stripMargin
 
+  /** Gopher-style hard quality rules with the composite keep flag — see
+    * [[TextAnalysis.gopherRules]]; the oracle replays the stopword list and
+    * thresholds from the same constants.
+    */
+  def q85GopherRules(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherRules(fanOut(documents(spark, dir)))
+
+  private def q85Oracle: String = {
+    val stops = TextAnalysis.LangStopwords.toMap.apply("en")
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH n AS (SELECT doc_id, $DNorm AS t, string_split($DNorm, ' ') AS tk
+       |           FROM documents),
+       |m AS (SELECT doc_id,
+       |        len(tk)::BIGINT AS n_words,
+       |        ((100 * (len(t) - (len(tk) - 1))) // len(tk))::BIGINT AS mean_wl_2,
+       |        ((10000 * (len(t) - len(regexp_replace(t, '[0-9]', '', 'g'))))
+       |          // greatest(len(t), 1))::BIGINT AS digit_frac_4,
+       |        len(list_filter(tk, w -> w IN ($stops)))::BIGINT AS stop_hits
+       |      FROM n)
+       |SELECT doc_id, n_words, mean_wl_2, digit_frac_4, stop_hits,
+       |       (n_words BETWEEN 5 AND 100000 AND mean_wl_2 BETWEEN 150 AND 1000
+       |        AND digit_frac_4 <= 2000 AND stop_hits >= 1)::INT AS keep
+       |FROM m""".stripMargin
+  }
+
   /** Corpus bigram collocations by integer lift (rational PMI) — see
     * [[TextAnalysis.collocations]].
     */
@@ -1157,6 +1182,7 @@ object ExtQueries {
     "q59_line_dedup" -> (q59LineDedup _),
     "q75_commonness" -> (q75Commonness _),
     "q76_collocations" -> (q76Collocations _),
+    "q85_gopher_rules" -> (q85GopherRules _),
     "q47_profile" -> (q47Profile _),
     "q48_decontaminate" -> (q48Decontaminate _),
     "q49_contamination_report" -> (q49ContaminationReport _),
@@ -1205,6 +1231,7 @@ object ExtQueries {
     "q59_line_dedup" -> q59Oracle,
     "q75_commonness" -> q75Oracle,
     "q76_collocations" -> q76Oracle,
+    "q85_gopher_rules" -> q85Oracle,
     "q47_profile" -> q47Oracle,
     "q48_decontaminate" -> q48Oracle,
     "q49_contamination_report" -> q49Oracle,

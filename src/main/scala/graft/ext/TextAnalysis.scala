@@ -235,6 +235,46 @@ object TextAnalysis {
         col("score_4"), col("rnk"))
   }
 
+  /** Gopher-style hard quality rules (Rae et al. 2021 §A1.1, adapted to the
+    * metrics this corpus can express): per-document word count, mean word
+    * length, digit fraction and English-stopword hits, plus the composite
+    * `keep` flag a curation pipeline filters on. Every metric is
+    * integer-exact (`div` rationals — mean word length derives from the
+    * normalized length, `len - (n_words - 1)` spaces, no per-token pass),
+    * so the flag is engine-exact, not ulp-dependent.
+    *
+    * Scale shape: per-row, shuffle-free, all codegen'd (regexp_replace +
+    * the StopwordCount kernel — no higher-order functions).
+    */
+  def gopherRules(
+      docs: DataFrame,
+      minWords: Long = 5L,
+      maxWords: Long = 100000L,
+      minMeanWl2: Long = 150L,
+      maxMeanWl2: Long = 1000L,
+      maxDigitFrac4: Long = 2000L,
+      minStopHits: Long = 1L,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val norm = normalize(col(textCol))
+    val enStops = LangStopwords.toMap.apply("en")
+    docs
+      .select(col(idCol), norm.as("t"), tokens(col(textCol)).as("tk"))
+      .select(col(idCol), col("t"), col("tk"),
+        size(col("tk")).cast("long").as("n_words"),
+        (length(col("t")) - length(regexp_replace(col("t"), "[0-9]", "")))
+          .cast("long").as("digits"))
+      .select(col(idCol), col("n_words"),
+        expr("(100 * (length(t) - (n_words - 1))) div n_words").as("mean_wl_2"),
+        expr("(10000 * digits) div greatest(length(t), 1)").as("digit_frac_4"),
+        stopwordHits(col("tk"), enStops).cast("long").as("stop_hits"))
+      .withColumn("keep",
+        (col("n_words").between(minWords, maxWords) &&
+          col("mean_wl_2").between(minMeanWl2, maxMeanWl2) &&
+          col("digit_frac_4") <= maxDigitFrac4 &&
+          col("stop_hits") >= minStopHits).cast("int"))
+  }
+
   /** Per-document token-commonness score — the integer-exact stand-in for a
     * unigram-LM perplexity filter (a doc whose tokens are corpus-rare
     * scores low; boilerplate made of the corpus's most common tokens scores

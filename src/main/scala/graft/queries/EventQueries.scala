@@ -361,6 +361,78 @@ object EventQueries {
     s"""SELECT md5(${graft.ext.ExtQueries.DNorm}) AS fingerprint, 1::BIGINT AS n_rows
        |FROM documents GROUP BY 1""".stripMargin
 
+  /** q81: STREAMING stream-static enrichment under the driver gate — the
+    * fourth streaming gate: a static dimension (event-type weights, the
+    * broadcast-sized lookup every event pipeline carries) joined onto the
+    * event stream INSIDE the streaming query, exported exactly-once, then
+    * aggregated in batch. The oracle replays the join as a VALUES list, so
+    * a dropped or duplicated stream-static match cannot hash-match. (The
+    * aggregation happens post-sink: the file sink is append-only and the
+    * operator under test is the join, not a watermarked agg — q70 gates
+    * that.)
+    */
+  private val q81Weights =
+    Seq(("click", 1L), ("view", 2L), ("purchase", 5L), ("signup", 3L), ("error", 0L))
+
+  def q81StreamEnrich(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val work = Scratch.stableDir("q81")
+    val inDir = stagedInput("q81", dir) { in =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"), in.resolve("events.parquet"))
+    }
+    val dim = q81Weights.toDF("event_type", "w")
+    val schema = events(spark, dir).schema
+    val enriched = spark.readStream.schema(schema).parquet(inDir.toString)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .join(broadcast(dim), "event_type")
+    val query = enriched.writeStream
+      .format("parquet")
+      .option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.read.parquet(s"$work/out")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        max(col("w")).as("w"),
+        round(sum(col("value") * col("w")), 4).as("weighted_sum"))
+  }
+
+  private def q81Oracle: String = {
+    val values = q81Weights.map { case (t, w) => s"('$t', $w)" }.mkString(", ")
+    s"""SELECT event_type, count(*)::BIGINT AS n, max(w)::BIGINT AS w,
+       |       round(sum(value * w), 4) AS weighted_sum
+       |FROM events JOIN (VALUES $values) AS dim(event_type, w) USING (event_type)
+       |GROUP BY event_type""".stripMargin
+  }
+
+  /** q83: HLL++ approximate distinct counting — THE cardinality sketch of
+    * 100 TB analytics (exact distincts shuffle every key; the sketch merges
+    * in fixed space). An approximate value cannot hash-match a foreign
+    * engine, so the gate is split: the exact distinct count matches DuckDB
+    * value-for-value, and the sketch is gated through its ERROR BOUND — a
+    * `within_5pct` flag the oracle pins to TRUE (rsd=0.01, so a 5% miss
+    * means the sketch is broken, not unlucky; Spark's HLL++ is
+    * deterministic for a given input set, making the flag stable).
+    */
+  def q83ApproxUsers(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), rsd = 0.01).as("approx_users"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users"))
+          <= lit(0.05) * col("exact_users")).cast("int").as("within_5pct"))
+
+  private val q83Oracle =
+    """SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_users,
+      |       1::INT AS within_5pct
+      |FROM events GROUP BY event_type""".stripMargin
+
   /** q79: trailing-window user features — for every event, the count and
     * integer value-sum (`floor(value·100)` cents) of the same user's events
     * in the trailing hour, via a RANGE frame over epoch-micros. The online
@@ -404,7 +476,9 @@ object EventQueries {
     "q69_stream_sessionize" -> (q69StreamSessionize _),
     "q70_stream_windows" -> (q70StreamWindows _),
     "q73_stream_dedup" -> (q73StreamDedup _),
-    "q79_rolling_features" -> (q79RollingFeatures _)
+    "q79_rolling_features" -> (q79RollingFeatures _),
+    "q81_stream_enrich" -> (q81StreamEnrich _),
+    "q83_approx_users" -> (q83ApproxUsers _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -420,6 +494,9 @@ object EventQueries {
     "q70_stream_windows" -> q70Oracle,
     // streaming dedup must keep exactly one row per batch-tier fingerprint
     "q73_stream_dedup" -> q73Oracle,
-    "q79_rolling_features" -> q79Oracle
+    "q79_rolling_features" -> q79Oracle,
+    // stream-static join gated value-for-value against the batch join
+    "q81_stream_enrich" -> q81Oracle,
+    "q83_approx_users" -> q83Oracle
   )
 }

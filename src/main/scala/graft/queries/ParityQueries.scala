@@ -194,6 +194,59 @@ object ParityQueries {
         round(sum("o_totalprice"), 2).as("total")
       )
 
+  /** q82: explicit GROUPING SETS — the third member of the grouping-set
+    * family next to q06's ROLLUP and q19's CUBE (SURVEY §2.5), with an
+    * ASYMMETRIC set list ((priority, status), (status), ()) that neither
+    * rollup nor cube can express. Same one-pass Expand shape: the scan is
+    * read once and each row fans out to its grouping sets before the single
+    * aggregation shuffle.
+    */
+  def q82GroupingSets(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+          Seq(col("o_orderstatus")), Seq()),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(
+        grouping(col("o_orderpriority")).cast("int").as("g_pri"),
+        grouping(col("o_orderstatus")).cast("int").as("g_st"),
+        count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 2).as("total"))
+
+  private val q82Oracle =
+    """SELECT o_orderpriority, o_orderstatus,
+      |       grouping(o_orderpriority)::INT AS g_pri,
+      |       grouping(o_orderstatus)::INT AS g_st,
+      |       count(*)::BIGINT AS n,
+      |       round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+      |                        (o_orderstatus), ())""".stripMargin
+
+  /** q84: correlated scalar subquery — orders priced above twice their own
+    * customer's average (SURVEY §2.5's embedded-SQL surface exercising
+    * Catalyst's subquery DECORRELATION: the correlated aggregate rewrites
+    * to one per-customer aggregation joined back, not a per-row re-scan —
+    * the only plan that survives at 100 TB). Runs through `spark.sql` like
+    * the reference's customer SQL would.
+    */
+  def q84AboveCustomerAvg(spark: SparkSession, dir: String): DataFrame = {
+    orders(spark, dir).createOrReplaceTempView("orders_q84")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+        |FROM orders_q84 o
+        |WHERE o_totalprice > 2 * (SELECT avg(o2.o_totalprice)
+        |                          FROM orders_q84 o2
+        |                          WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
+  }
+
+  private val q84Oracle =
+    """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+      |FROM orders o
+      |WHERE o_totalprice > 2 * (SELECT avg(o2.o_totalprice)
+      |                          FROM orders o2
+      |                          WHERE o2.o_custkey = o.o_custkey)""".stripMargin
+
   /** q18: left-semi / left-anti joins (SURVEY §2.4 — reachable through the
     * embedded SQL surface, demonstrated natively here). Per order priority:
     * orders that DO have a big-quantity line (semi) vs orders that don't
@@ -239,22 +292,36 @@ object ParityQueries {
     * snapshots v1/v2 plus commits carrying commit timestamps, resolves a
     * timestamp between commit 1 and 2 → version 1 → the v1 snapshot. The
     * oracle recomputes the same v1 membership (even event ids) directly.
+    *
+    * The authored history is IMMUTABLE per sf dir, so it is built once per
+    * JVM (same memoization shape as the streaming-gate staging and the q34
+    * prebuilt index): bench trials then time what time travel costs a user
+    * — manifest resolution + snapshot read + aggregate — not four rewrites
+    * of the events table per trial.
     */
+  private val q63Fixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def q63TimestampTravel(spark: SparkSession, dir: String): DataFrame = {
-    val work = Scratch.stableDir("q63")
-    val catalog = VersionedCatalog(s"$work/catalog")
     val table = "main.graft.events_ts"
-    val ev = events(spark, dir)
-    catalog.commitSnapshot(ev.filter(col("event_id") % 2 === 0), table, 1L)
-    catalog.commitSnapshot(ev, table, 2L)
-    Seq(1L, 2L).foreach { v =>
-      catalog.commitChanges(
-        ev.filter(col("event_id") % 2 === lit(v % 2))
-          .withColumn("_change_type", lit("insert"))
-          .withColumn("_commit_timestamp", lit(s"2024-06-0$v 00:00:00")),
-        table, v)
-    }
-    catalog
+    val root = q63Fixtures.computeIfAbsent(dir, _ => {
+      // stableDir empties on (re)build: a failed half-written history (not
+      // memoized) retries from a clean dir
+      val work = Scratch.stableDir("q63-" + Scratch.md5Hex(dir))
+      val catalog = VersionedCatalog(s"$work/catalog")
+      val ev = events(spark, dir)
+      catalog.commitSnapshot(ev.filter(col("event_id") % 2 === 0), table, 1L)
+      catalog.commitSnapshot(ev, table, 2L)
+      Seq(1L, 2L).foreach { v =>
+        catalog.commitChanges(
+          ev.filter(col("event_id") % 2 === lit(v % 2))
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_timestamp", lit(s"2024-06-0$v 00:00:00")),
+          table, v)
+      }
+      s"$work/catalog"
+    })
+    VersionedCatalog(root)
       .snapshotAsOf(spark, table, java.sql.Timestamp.valueOf("2024-06-01 12:00:00"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"))
@@ -370,6 +437,8 @@ object ParityQueries {
     "q11_sql_rewrite" -> (q11SqlRewrite _),
     "q18_semi_anti" -> (q18SemiAnti _),
     "q19_cube" -> (q19Cube _),
+    "q82_grouping_sets" -> (q82GroupingSets _),
+    "q84_above_cust_avg" -> (q84AboveCustomerAvg _),
     "q16_snapshot_travel" -> (q16SnapshotTravel _),
     "q17_cdf_window" -> (q17CdfWindow _),
     "q63_timestamp_travel" -> (q63TimestampTravel _),
@@ -451,6 +520,8 @@ object ParityQueries {
         |       count(*) AS n,
         |       round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin,
+    "q82_grouping_sets" -> q82Oracle,
+    "q84_above_cust_avg" -> q84Oracle,
     "q18_semi_anti" ->
       """WITH big AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_quantity > 45),
         |s AS (SELECT o_orderpriority, count(*)::BIGINT AS n_semi FROM orders

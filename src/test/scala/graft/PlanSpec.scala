@@ -119,6 +119,23 @@ class PlanSpec extends SparkSpec {
       s"trailing-window features must not plan a self-join:\n$plan")
   }
 
+  test("q82 grouping sets: one scan + Expand, not one aggregation per set") {
+    val plan = planOf(ParityQueries.q82GroupingSets(spark, Sf0001))
+    assert(plan.contains("Expand"), s"grouping sets should plan Expand:\n$plan")
+    // a per-set union would scan orders three times
+    assert("Scan parquet".r.findAllIn(plan).size <= 1,
+      s"grouping sets re-scanned the table:\n$plan")
+  }
+
+  test("q84 correlated scalar subquery decorrelates to an aggregate join") {
+    val plan = planOf(ParityQueries.q84AboveCustomerAvg(spark, Sf0001))
+    // Catalyst must rewrite the per-row subquery to a per-customer aggregate
+    // joined back — a correlated re-scan per row cannot survive at scale
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("Join") || plan.contains("join"), plan)
+    assert(!plan.contains("CartesianProduct"), s"subquery fell back to cartesian:\n$plan")
+  }
+
   test("IVF indexed probe plans dynamic partition pruning on the inverted file") {
     withTempDir("plan-ivf") { dir =>
       val e = Tables.embeddings(spark, Sf0001)
