@@ -1035,6 +1035,38 @@ object ExtQueries {
     """SELECT event_type, quantile_cont(value, 0.5) AS med, quantile_cont(value, 0.9) AS p90
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** q87: APPROXIMATE percentiles (GK sketch, `percentile_approx`) — the
+    * quantile companion of q83's HLL gate, same split contract: the exact
+    * interpolated percentiles hash-match DuckDB value-for-value, and the
+    * sketch is gated through its RANK-ERROR bound — with accuracy 10000 the
+    * approx value's rank is within 1/10000 of the target, so it must lie
+    * inside the [q−0.01, q+0.01] exact-quantile band; the oracle pins that
+    * flag TRUE. At 100 TB the sketch is what runs (fixed-size mergeable
+    * state per group vs a full sort); the gate proves it is wired, not
+    * broken, wherever exactness is checkable.
+    */
+  def q87ApproxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        expr("percentile(value, 0.49)").as("lo50"),
+        expr("percentile(value, 0.5)").as("med"),
+        expr("percentile(value, 0.51)").as("hi50"),
+        expr("percentile(value, 0.89)").as("lo90"),
+        expr("percentile(value, 0.9)").as("p90"),
+        expr("percentile(value, 0.91)").as("hi90"),
+        expr("percentile_approx(value, 0.5, 10000)").as("a50"),
+        expr("percentile_approx(value, 0.9, 10000)").as("a90"))
+      .select(col("event_type"), col("med"), col("p90"),
+        (col("a50").between(col("lo50"), col("hi50")) &&
+          col("a90").between(col("lo90"), col("hi90")))
+          .cast("int").as("within_rank_eps"))
+
+  private val q87Oracle =
+    """SELECT event_type, quantile_cont(value, 0.5) AS med,
+      |       quantile_cont(value, 0.9) AS p90, 1::INT AS within_rank_eps
+      |FROM events GROUP BY event_type""".stripMargin
+
   // ---------------- multimodal ----------------
 
   def q50Multimodal(spark: SparkSession, dir: String): DataFrame =
@@ -1193,6 +1225,7 @@ object ExtQueries {
     "q61_asof_join" -> (q61AsofJoin _),
     "q65_salted_join" -> (q65SaltedJoin _),
     "q66_percentiles" -> (q66Percentiles _),
+    "q87_approx_percentiles" -> (q87ApproxPercentiles _),
     "q62_range_join" -> (q62RangeJoin _),
     "q50_multimodal" -> (q50Multimodal _),
     "q51_frame_sample" -> (q51FrameSample _),
@@ -1242,6 +1275,7 @@ object ExtQueries {
     "q61_asof_join" -> q61Oracle,
     "q65_salted_join" -> q65Oracle,
     "q66_percentiles" -> q66Oracle,
+    "q87_approx_percentiles" -> q87Oracle,
     "q62_range_join" -> q62Oracle,
     "q50_multimodal" -> q50Oracle,
     "q51_frame_sample" -> q51Oracle,

@@ -192,6 +192,57 @@ object EventQueries {
       |       round(sum(CASE WHEN event_type = 'error' THEN value END), 4) AS error
       |FROM events GROUP BY 1""".stripMargin
 
+  /** q86: UNPIVOT (melt) — the inverse of q67's pivot, completing the
+    * reshape pair (SURVEY §2.5): the wide per-day × per-type grid back to
+    * long (day, event_type, total) rows. Null cells are dropped on both
+    * sides (DuckDB UNPIVOT's default; Spark keeps them, so the filter is
+    * explicit). One Expand over the already-aggregated grid — rows × 5,
+    * never a re-scan of events.
+    */
+  def q86Unpivot(spark: SparkSession, dir: String): DataFrame =
+    q67Pivot(spark, dir)
+      .unpivot(
+        Array(col("day")),
+        Array(col("click"), col("view"), col("purchase"), col("signup"), col("error")),
+        "event_type", "total")
+      .filter(col("total").isNotNull)
+
+  private val q86Oracle =
+    """UNPIVOT (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |       round(sum(CASE WHEN event_type = 'click' THEN value END), 4) AS click,
+      |       round(sum(CASE WHEN event_type = 'view' THEN value END), 4) AS view,
+      |       round(sum(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase,
+      |       round(sum(CASE WHEN event_type = 'signup' THEN value END), 4) AS signup,
+      |       round(sum(CASE WHEN event_type = 'error' THEN value END), 4) AS error
+      |FROM events GROUP BY 1)
+      |ON click, view, purchase, signup, error
+      |INTO NAME event_type VALUE total""".stripMargin
+
+  /** q88: FULL OUTER join — the last §2.4 join type without a gate. Two
+    * deliberately SPARSE daily aggregates (high-value clicks vs high-value
+    * purchases) so both unmatched sides genuinely occur; the USING-style
+    * join coalesces the day key, unmatched counts stay NULL (value-compared
+    * by the driver, so a wrong null-fill cannot pass).
+    */
+  def q88FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .withColumn("day", expr("ts div 1000 div 86400000000"))
+      .filter(col("value") > 99)
+    val clicks = e.filter(col("event_type") === "click")
+      .groupBy("day").agg(count(lit(1)).as("n_click"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .groupBy("day").agg(count(lit(1)).as("n_purchase"))
+    clicks.join(purchases, Seq("day"), "full_outer")
+  }
+
+  private val q88Oracle =
+    """WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS n_click
+      |           FROM events WHERE value > 99 AND event_type = 'click' GROUP BY 1),
+      |p AS (SELECT epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS n_purchase
+      |      FROM events WHERE value > 99 AND event_type = 'purchase' GROUP BY 1)
+      |SELECT coalesce(c.day, p.day) AS day, n_click, n_purchase
+      |FROM c FULL JOIN p ON c.day = p.day""".stripMargin
+
   /** q69: STREAMING sessionization under the driver gate. The events table
     * is consumed as a bounded file stream (`Trigger.AvailableNow`), run
     * through the stateful keyed sessionizer
@@ -478,7 +529,9 @@ object EventQueries {
     "q73_stream_dedup" -> (q73StreamDedup _),
     "q79_rolling_features" -> (q79RollingFeatures _),
     "q81_stream_enrich" -> (q81StreamEnrich _),
-    "q83_approx_users" -> (q83ApproxUsers _)
+    "q83_approx_users" -> (q83ApproxUsers _),
+    "q86_unpivot" -> (q86Unpivot _),
+    "q88_full_outer" -> (q88FullOuter _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -497,6 +550,8 @@ object EventQueries {
     "q79_rolling_features" -> q79Oracle,
     // stream-static join gated value-for-value against the batch join
     "q81_stream_enrich" -> q81Oracle,
-    "q83_approx_users" -> q83Oracle
+    "q83_approx_users" -> q83Oracle,
+    "q86_unpivot" -> q86Oracle,
+    "q88_full_outer" -> q88Oracle
   )
 }
