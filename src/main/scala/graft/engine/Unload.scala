@@ -102,6 +102,13 @@ object Unload {
         exportData
     }
 
+    // Physical-plan capture into the audit log: the first thing an on-call
+    // engineer asks of a slow or wrong export is "what plan did it run?" —
+    // recorded per attempt (a latest-only retry plans a different scan), at
+    // plan time (an execution failure still leaves the plan in logs.txt).
+    log("Physical plan (pre-execution):\n" +
+      exportData.queryExecution.executedPlan.toString.trim)
+
     log(s"Starting write operation to ${config.outputPath} (${config.format})")
     val t0 = System.nanoTime()
     Writers.writeData(exportData, config.format, config.outputPath)

@@ -484,6 +484,63 @@ object EventQueries {
       |       1::INT AS within_5pct
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** q89: STREAMING stream-stream interval join under the driver gate — the
+    * fifth streaming gate and the hardest streaming operator: high-value
+    * clicks joined to the same user's high-value purchases within the next
+    * 10 minutes, BOTH sides unbounded streams. Watermarks on both sides
+    * plus the two-sided time constraint give the state store its eviction
+    * bound (the production contract — without them join state grows
+    * forever); the inner join emits matches as they arrive, so a bounded
+    * AvailableNow drain emits exactly the batch interval-join result, which
+    * is the oracle. Both streams read the same staged directory with
+    * different filters — the standard one-topic-two-consumers shape.
+    */
+  def q89StreamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val work = Scratch.stableDir("q89")
+    val inDir = stagedInput("q89", dir) { in =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"), in.resolve("events.parquet"))
+    }
+    val schema = events(spark, dir).schema
+    // 6h window against the fixture's ~month span / sparse per-user activity
+    // keeps the pair set non-trivial at every sf (a 0-row gate proves
+    // nothing); watermark 12h > window bounds both state stores
+    def side(eventType: String, prefix: String) =
+      spark.readStream.schema(schema).parquet(inDir.toString)
+        .filter(col("event_type") === eventType)
+        .select(
+          col("event_id").as(s"${prefix}_id"),
+          col("user_id").as(s"${prefix}_user"),
+          timestamp_micros(expr("ts div 1000")).as(s"${prefix}_tsm"))
+        .withWatermark(s"${prefix}_tsm", "12 hours")
+    val joined = side("click", "c").join(
+      side("purchase", "p"),
+      col("c_user") === col("p_user") &&
+        col("p_tsm") >= col("c_tsm") &&
+        col("p_tsm") <= col("c_tsm") + expr("INTERVAL 6 HOURS"))
+    val query = joined.writeStream
+      .format("parquet")
+      .option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.read.parquet(s"$work/out")
+      .select(col("c_id").as("click_id"), col("p_id").as("purchase_id"),
+        col("c_user").as("user_id"),
+        (unix_micros(col("p_tsm")) - unix_micros(col("c_tsm"))).as("lag_us"))
+  }
+
+  private val q89Oracle =
+    """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+      |       c.user_id, epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+      |FROM events c JOIN events p
+      |  ON c.user_id = p.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND epoch_us(p.ts) >= epoch_us(c.ts)
+      | AND epoch_us(p.ts) <= epoch_us(c.ts) + 21600000000""".stripMargin
+
   /** q79: trailing-window user features — for every event, the count and
     * integer value-sum (`floor(value·100)` cents) of the same user's events
     * in the trailing hour, via a RANGE frame over epoch-micros. The online
@@ -531,7 +588,8 @@ object EventQueries {
     "q81_stream_enrich" -> (q81StreamEnrich _),
     "q83_approx_users" -> (q83ApproxUsers _),
     "q86_unpivot" -> (q86Unpivot _),
-    "q88_full_outer" -> (q88FullOuter _)
+    "q88_full_outer" -> (q88FullOuter _),
+    "q89_stream_stream_join" -> (q89StreamStreamJoin _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -552,6 +610,8 @@ object EventQueries {
     "q81_stream_enrich" -> q81Oracle,
     "q83_approx_users" -> q83Oracle,
     "q86_unpivot" -> q86Oracle,
-    "q88_full_outer" -> q88Oracle
+    "q88_full_outer" -> q88Oracle,
+    // stream-stream interval join must emit exactly the batch join result
+    "q89_stream_stream_join" -> q89Oracle
   )
 }

@@ -140,7 +140,11 @@ class UnloadSpec extends SparkSpec with BeforeAndAfterAll {
     val auditDir = Paths.get(out, "logs", "run_testrun1")
     val tr = Files.readString(auditDir.resolve("table_results.json"))
     assert(tr.contains("\"initialFetchError\": null") && tr.contains(table))
-    assert(Files.readString(auditDir.resolve("logs.txt")).contains("Starting unload job"))
+    val logs = Files.readString(auditDir.resolve("logs.txt"))
+    assert(logs.contains("Starting unload job"))
+    // plan capture: the executed physical plan is part of the audit trail
+    assert(logs.contains("Physical plan (pre-execution):"), logs)
+    assert(logs.contains("Exchange") || logs.contains("Scan"), logs)
   }
 
   test("property data type keeps post-images through the pipeline") {
