@@ -574,6 +574,91 @@ object EventQueries {
       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
       |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** q90: quantile discretization — per-type decile assignment of `value`
+    * via `ntile(10)` (the feature-binning step before training; equal-count
+    * bins, deterministic under the unique event_id tie-break). One shuffle
+    * on event_type; at extreme type skew the two-level trick (bucket by
+    * approx quantiles map-side, refine per bucket) bounds the window input,
+    * same as stratifiedQuota's note.
+    */
+  def q90Deciles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value").asc, col("event_id").asc)
+    events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"),
+        ntile(10).over(w).as("decile"))
+      .select(col("event_id"), col("event_type"), col("decile"))
+  }
+
+  private val q90Oracle =
+    """SELECT event_id, event_type,
+      |       ntile(10) OVER (PARTITION BY event_type
+      |                       ORDER BY value ASC, event_id ASC)::INT AS decile
+      |FROM events""".stripMargin
+
+  /** q91: fixed-width histogram — per-type bin counts (`floor(value/10)`
+    * clamped to 10 bins). The one-pass, map-side-combinable alternative to
+    * exact quantiles for distribution monitoring; integer bins, engine-exact.
+    */
+  def q91Histogram(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_type"),
+        least(floor(col("value") / 10), lit(9)).cast("int").as("bin"))
+      .groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("n"))
+
+  private val q91Oracle =
+    """SELECT event_type, least(floor(value / 10), 9)::INT AS bin, count(*)::BIGINT AS n
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** q92: per-user behavioral diversity as GINI IMPURITY of the event-type
+    * distribution — `1 − Σ pᵢ²`, the rational stand-in for Shannon entropy
+    * (log-free, so `(10000·(n² − Σcᵢ²)) div n²` is integer-exact across
+    * engines where an entropy would be ulp-comparable). Two-level
+    * aggregation: (user, type) counts, then per-user sum of squares —
+    * both map-side combinable.
+    */
+  def q92UserGini(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("user_id")
+      .agg(sum("c").as("n"), sum(col("c") * col("c")).as("ss"))
+      .select(col("user_id"), col("n"),
+        expr("(10000 * (n * n - ss)) div (n * n)").as("gini_4"))
+
+  private val q92Oracle =
+    """WITH c AS (SELECT user_id, event_type, count(*)::BIGINT AS c
+      |           FROM events GROUP BY 1, 2),
+      |u AS (SELECT user_id, sum(c)::BIGINT AS n, sum(c * c)::BIGINT AS ss
+      |      FROM c GROUP BY 1)
+      |SELECT user_id, n, ((10000 * (n * n - ss)) // (n * n))::BIGINT AS gini_4
+      |FROM u""".stripMargin
+
+  /** q93: the ranking-function family — `row_number` / `rank` / `dense_rank`
+    * over one window (top 20 per type by value), completing §2.6 beyond
+    * q03's row_number-only shape; under double ties rank/dense_rank agree
+    * across engines while row_number needs the event_id tie-break.
+    */
+  def q93RankFamily(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value").desc, col("event_id").asc)
+    events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"))
+      .filter(col("rn") <= 20)
+  }
+
+  private val q93Oracle =
+    """SELECT event_type, event_id, rn::INT AS rn, rnk::INT AS rnk, drnk::INT AS drnk
+      |FROM (SELECT event_type, event_id,
+      |        row_number() OVER w AS rn, rank() OVER w AS rnk, dense_rank() OVER w AS drnk
+      |      FROM events
+      |      WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id ASC))
+      |WHERE rn <= 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_retention" -> (q60Retention _),
     "q67_pivot" -> (q67Pivot _),
@@ -589,7 +674,11 @@ object EventQueries {
     "q83_approx_users" -> (q83ApproxUsers _),
     "q86_unpivot" -> (q86Unpivot _),
     "q88_full_outer" -> (q88FullOuter _),
-    "q89_stream_stream_join" -> (q89StreamStreamJoin _)
+    "q89_stream_stream_join" -> (q89StreamStreamJoin _),
+    "q90_deciles" -> (q90Deciles _),
+    "q91_histogram" -> (q91Histogram _),
+    "q92_user_gini" -> (q92UserGini _),
+    "q93_rank_family" -> (q93RankFamily _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -612,6 +701,10 @@ object EventQueries {
     "q86_unpivot" -> q86Oracle,
     "q88_full_outer" -> q88Oracle,
     // stream-stream interval join must emit exactly the batch join result
-    "q89_stream_stream_join" -> q89Oracle
+    "q89_stream_stream_join" -> q89Oracle,
+    "q90_deciles" -> q90Oracle,
+    "q91_histogram" -> q91Oracle,
+    "q92_user_gini" -> q92Oracle,
+    "q93_rank_family" -> q93Oracle
   )
 }

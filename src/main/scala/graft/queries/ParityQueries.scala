@@ -247,6 +247,40 @@ object ParityQueries {
       |                          FROM orders o2
       |                          WHERE o2.o_custkey = o.o_custkey)""".stripMargin
 
+  /** q94: exact DECIMAL money arithmetic — prices quantized to
+    * DECIMAL(18,2) per row, then summed EXACTLY (decimal aggregation is
+    * associative-exact, so no per-engine summation-order rounding and no
+    * `round()` crutch on the output — the financial-reporting contract a
+    * double sum cannot give). Same two-phase hash-agg shape as q01.
+    */
+  def q94DecimalMoney(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        col("l_extendedprice").cast("decimal(18,2)").as("price"),
+        col("l_discount").cast("decimal(18,4)").as("disc"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum("price").as("tp"),
+        sum(col("price") * (lit(java.math.BigDecimal.ONE).cast("decimal(18,4)") - col("disc")))
+          .as("td"),
+        count(lit(1)).as("n"))
+      // the AGGREGATION is exact decimal; the final cast to double is one
+      // identical rounding of the same exact value on both engines (the
+      // driver's comparator reads parquet decimals and DuckDB decimals
+      // through different dtypes, so the exact types can't cross directly)
+      .select(col("l_returnflag"),
+        col("tp").cast("double").as("total_price"),
+        col("td").cast("double").as("total_discounted"),
+        col("n"))
+
+  private val q94Oracle =
+    """SELECT l_returnflag,
+      |       sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS total_price,
+      |       sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,4)))::DOUBLE
+      |         AS total_discounted,
+      |       count(*)::BIGINT AS n
+      |FROM lineitem GROUP BY 1""".stripMargin
+
   /** q18: left-semi / left-anti joins (SURVEY §2.4 — reachable through the
     * embedded SQL surface, demonstrated natively here). Per order priority:
     * orders that DO have a big-quantity line (semi) vs orders that don't
@@ -439,6 +473,7 @@ object ParityQueries {
     "q19_cube" -> (q19Cube _),
     "q82_grouping_sets" -> (q82GroupingSets _),
     "q84_above_cust_avg" -> (q84AboveCustomerAvg _),
+    "q94_decimal_money" -> (q94DecimalMoney _),
     "q16_snapshot_travel" -> (q16SnapshotTravel _),
     "q17_cdf_window" -> (q17CdfWindow _),
     "q63_timestamp_travel" -> (q63TimestampTravel _),
@@ -522,6 +557,7 @@ object ParityQueries {
         |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin,
     "q82_grouping_sets" -> q82Oracle,
     "q84_above_cust_avg" -> q84Oracle,
+    "q94_decimal_money" -> q94Oracle,
     "q18_semi_anti" ->
       """WITH big AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_quantity > 45),
         |s AS (SELECT o_orderpriority, count(*)::BIGINT AS n_semi FROM orders
