@@ -780,6 +780,41 @@ object Dedup {
     * population), never O(block²), even when one `blockCols` value
     * dominates the corpus.
     */
+  /** Bounded EDIT-DISTANCE near-dup pairs — the character-level fuzzy tier
+    * below n-gram Jaccard (catches transpositions/typos that shingle sets
+    * blur). Same (block, id-window) bucketing as every pair tier, so
+    * candidates stay O(rows × window), and the predicate is the 2-arg
+    * `levenshtein(a,b) <= maxDist` form that the
+    * [[graft.plans.LevenshteinPrefilter]] optimizer rule guards with the
+    * constant-time `abs(length(a)-length(b)) <= maxDist` lower bound —
+    * length-implausible pairs never run the O(|a|·|b|) dynamic program.
+    * (The rule is installed via
+    * [[graft.functions.GraftFunctions.registerOptimizations]] here, or the
+    * `GraftExtensions` session extension in a configured deployment.)
+    */
+  def editDistancePairs(
+      docs: DataFrame,
+      blockCols: Seq[String],
+      maxDist: Int = 50,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      window: Long = 200L): DataFrame = {
+    graft.functions.GraftFunctions.registerOptimizations(docs.sparkSession)
+    val base = docs.select(
+      (blockCols.map(col) :+ col(idCol).as("doc_id") :+
+        TextAnalysis.normalize(col(textCol)).as("t")): _*)
+    val a = base.toDF(blockCols ++ Seq("doc_a", "t_a"): _*)
+      .withColumn("id_bucket",
+        explode(array(expr(s"doc_a div $window"), expr(s"doc_a div $window + 1"))))
+    val b = base.toDF(blockCols ++ Seq("doc_b", "t_b"): _*)
+      .withColumn("id_bucket", expr(s"doc_b div $window"))
+    a.join(b, blockCols :+ "id_bucket")
+      .filter((col("doc_b") - col("doc_a")).between(lit(1), lit(window)))
+      .filter(levenshtein(col("t_a"), col("t_b")) <= maxDist)
+      .select((blockCols.map(col) :+ col("doc_a") :+ col("doc_b") :+
+        levenshtein(col("t_a"), col("t_b")).as("dist")): _*)
+  }
+
   def ngramJaccardPairs(
       docs: DataFrame,
       blockCols: Seq[String],

@@ -250,6 +250,23 @@ object ExtQueries {
        |  ON a.lang = b.lang AND a.source = b.source
        | AND b.doc_id - a.doc_id BETWEEN 1 AND 200""".stripMargin
 
+  /** Bounded edit-distance fuzzy pairs (char-level dedup tier) — see
+    * [[Dedup.editDistancePairs]]; the plan carries the
+    * [[graft.plans.LevenshteinPrefilter]] length-difference guard
+    * (PlanSpec-asserted), the oracle recomputes the full distances.
+    */
+  def q95EditDistance(spark: SparkSession, dir: String): DataFrame =
+    Dedup.editDistancePairs(fanOut(documents(spark, dir)),
+      blockCols = Seq("lang"), maxDist = 50)
+
+  private val q95Oracle =
+    s"""WITH n AS (SELECT doc_id, lang, $DNorm AS t FROM documents)
+       |SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       levenshtein(a.t, b.t)::INT AS dist
+       |FROM n a JOIN n b
+       |  ON a.lang = b.lang AND b.doc_id - a.doc_id BETWEEN 1 AND 200
+       |WHERE levenshtein(a.t, b.t) <= 50""".stripMargin
+
   def q24EmbedNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(fanOut(embeddings(spark, dir)), blockCol = "label", threshold = 0.25)
 
@@ -1192,6 +1209,7 @@ object ExtQueries {
     "q22_dedup_simhash" -> (q22DedupSimhash _),
     "q25_simhash_pairs" -> (q25SimhashPairs _),
     "q23_ngram_jaccard" -> (q23NgramJaccard _),
+    "q95_edit_distance" -> (q95EditDistance _),
     "q24_embed_neardup" -> (q24EmbedNearDup _),
     "q74_semantic_dedup" -> (q74SemanticDedup _),
     "q77_knn_classify" -> (q77KnnClassify _),
@@ -1244,6 +1262,7 @@ object ExtQueries {
     "q22_dedup_simhash" -> q22Oracle,
     "q25_simhash_pairs" -> q25Oracle,
     "q23_ngram_jaccard" -> q23Oracle,
+    "q95_edit_distance" -> q95Oracle,
     "q24_embed_neardup" -> q24Oracle,
     "q74_semantic_dedup" -> q74Oracle,
     "q77_knn_classify" -> q77Oracle,

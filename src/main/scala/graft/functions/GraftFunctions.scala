@@ -91,12 +91,26 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = registry.foreach { case (ident, inf, builder) =>
     spark.sessionState.functionRegistry.registerFunction(ident, inf, builder)
   }
+
+  /** Install the graft optimizer rules on an already-built session (the
+    * extensions path does this at build time; `experimental` is the
+    * documented session-mutable hook for existing sessions). Idempotent.
+    */
+  def registerOptimizations(spark: SparkSession): Unit = {
+    val rules = Seq(graft.plans.LevenshteinPrefilter)
+    val missing = rules.filterNot(spark.experimental.extraOptimizations.contains)
+    if (missing.nonEmpty)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations ++ missing
+  }
 }
 
 /** `--conf spark.sql.extensions=graft.functions.GraftExtensions` injects the
-  * graft SQL function surface at session build time.
+  * graft SQL function surface and optimizer rules at session build time.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.registry.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinPrefilter)
+  }
 }

@@ -136,6 +136,18 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"subquery fell back to cartesian:\n$plan")
   }
 
+  test("q95 edit distance: bucketed pair join with the injected length guard") {
+    val plan = planOf(Dedup.editDistancePairs(
+      Tables.documents(spark, Sf0001), blockCols = Seq("lang"), maxDist = 25))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"pair generation fell back to an all-pairs join:\n$plan")
+    // the LevenshteinPrefilter rule's constant-time lower bound must gate
+    // the O(n^2) dynamic program in the physical predicate
+    assert(plan.contains("levenshtein"), plan)
+    assert(plan.contains("abs(") && plan.contains("length("),
+      s"length-difference guard missing:\n$plan")
+  }
+
   test("IVF indexed probe plans dynamic partition pruning on the inverted file") {
     withTempDir("plan-ivf") { dir =>
       val e = Tables.embeddings(spark, Sf0001)
