@@ -355,6 +355,36 @@ object ExtQueries {
       fanOut(embeddings(spark, dir)).filter(col("vec_id") < 8), idx, k = 5)
   }
 
+  /** q98: the SQL surface of the custom Catalyst kernels under the driver
+    * gate — `GraftFunctions.register` puts `vec_dot`/`vec_norm`/
+    * `vec_cosine` in the session's function registry and the query runs as
+    * plain `spark.sql` text (the deployment mode of
+    * `spark.sql.extensions=graft.functions.GraftExtensions`). Same numeric
+    * contract as the Column API (sequential double accumulation), so the
+    * floored outputs hash-match `list_dot_product` exactly — proving the
+    * SQL path routes to the same codegen'd expressions.
+    */
+  def q98SqlKernels(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    fanOut(embeddings(spark, dir)).createOrReplaceTempView("embeddings_q98")
+    spark.sql(
+      """SELECT vec_id,
+        |       floor(vec_dot(embedding, embedding) * 10000) AS self_dot_4,
+        |       floor(vec_norm(embedding) * 10000) AS norm_4,
+        |       floor(vec_cosine(embedding, embedding) * 10000) AS self_cos_4
+        |FROM embeddings_q98""".stripMargin)
+  }
+
+  private val q98Oracle =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      |SELECT vec_id,
+      |       floor(list_dot_product(v, v) * 10000)::BIGINT AS self_dot_4,
+      |       floor(sqrt(list_dot_product(v, v)) * 10000)::BIGINT AS norm_4,
+      |       floor(list_dot_product(v, v)
+      |             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(v, v)))
+      |             * 10000)::BIGINT AS self_cos_4
+      |FROM e""".stripMargin
+
   /** SQ8 embedding quantization: per-vector model summarized with exact
     * integer/floored outputs so both engines hash-match.
     */
@@ -1219,6 +1249,7 @@ object ExtQueries {
     "q32_knn_ivf" -> (q32KnnIvf _),
     "q34_ivf_probe" -> (q34IvfProbe _),
     "q33_sq8" -> (q33Sq8 _),
+    "q98_sql_kernels" -> (q98SqlKernels _),
     "q40_lang_id" -> (q40LangId _),
     "q41_quality" -> (q41Quality _),
     "q46_ngram_lang" -> (q46NgramLang _),
@@ -1269,6 +1300,7 @@ object ExtQueries {
     "q78_sq8_centroids" -> q78Oracle,
     "q30_knn_brute" -> q30Oracle,
     "q33_sq8" -> q33Oracle,
+    "q98_sql_kernels" -> q98Oracle,
     // q31_knn_lsh: approximate — rows-only check by design
     "q40_lang_id" -> q40Oracle,
     "q41_quality" -> q41Oracle,

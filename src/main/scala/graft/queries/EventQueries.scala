@@ -659,6 +659,55 @@ object EventQueries {
       |      WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id ASC))
       |WHERE rn <= 20""".stripMargin
 
+  /** q96: schema-evolution union — `unionByName(allowMissingColumns)` over
+    * two batches whose schemas diverged (one carries `value`, the other the
+    * later-added `props`), the long-lived-pipeline reality the reference's
+    * per-run exports hit whenever a source table gains a column. Missing
+    * columns null-fill BY NAME (a positional union would silently misalign);
+    * the count(col) aggregates pin exactly which side contributed which
+    * column.
+    */
+  def q96SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val batch1 = e.filter(col("event_id") % 2 === 0)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val batch2 = e.filter(col("event_id") % 2 === 1)
+      .select(col("event_id"), col("event_type"), col("props"))
+    batch1.unionByName(batch2, allowMissingColumns = true)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        count(col("value")).as("n_value"),
+        count(col("props")).as("n_props"),
+        round(sum("value"), 4).as("sum_value"))
+  }
+
+  private val q96Oracle =
+    """WITH u AS (
+      |  SELECT event_id, event_type, value FROM events WHERE event_id % 2 = 0
+      |  UNION ALL BY NAME
+      |  SELECT event_id, event_type, props FROM events WHERE event_id % 2 = 1)
+      |SELECT event_type, count(*)::BIGINT AS n,
+      |       count(value)::BIGINT AS n_value, count(props)::BIGINT AS n_props,
+      |       round(sum(value), 4) AS sum_value
+      |FROM u GROUP BY 1""".stripMargin
+
+  /** q97: deterministic collection — per-user sorted distinct event types
+    * as one string. `collect_set` order is partition-dependent, so the sort
+    * before the join is what makes the output an engine-exact VALUE (the
+    * trap every "collect to array" pipeline hits under repartitioning).
+    */
+  def q97CollectTypes(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        countDistinct(col("event_type")).as("n_types"),
+        array_join(array_sort(collect_set(col("event_type"))), ",").as("types"))
+
+  private val q97Oracle =
+    """SELECT user_id, count(DISTINCT event_type)::BIGINT AS n_types,
+      |       string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types
+      |FROM events GROUP BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_retention" -> (q60Retention _),
     "q67_pivot" -> (q67Pivot _),
@@ -678,7 +727,9 @@ object EventQueries {
     "q90_deciles" -> (q90Deciles _),
     "q91_histogram" -> (q91Histogram _),
     "q92_user_gini" -> (q92UserGini _),
-    "q93_rank_family" -> (q93RankFamily _)
+    "q93_rank_family" -> (q93RankFamily _),
+    "q96_schema_evolution" -> (q96SchemaEvolution _),
+    "q97_collect_types" -> (q97CollectTypes _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -705,6 +756,8 @@ object EventQueries {
     "q90_deciles" -> q90Oracle,
     "q91_histogram" -> q91Oracle,
     "q92_user_gini" -> q92Oracle,
-    "q93_rank_family" -> q93Oracle
+    "q93_rank_family" -> q93Oracle,
+    "q96_schema_evolution" -> q96Oracle,
+    "q97_collect_types" -> q97Oracle
   )
 }
