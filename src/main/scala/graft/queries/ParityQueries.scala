@@ -368,32 +368,114 @@ object ParityQueries {
     * commit 3 post-images ids ≡ 0 (mod 6) with value+1000 and deletes even
     * ids ≡ 1 (mod 3). The oracle replays the same arithmetic relationally.
     */
+  private val CdcPropsTable = "main.graft.props"
+  private val q64Fixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Author the q64/q99 upsert history once per JVM per sf dir (immutable
+    * fixture; same memo shape as q63): snapshot v1 = ids ≡ 0 (mod 3),
+    * commit 2 inserts ids ≡ 1 (mod 3), commit 3 updates ids ≡ 0 (mod 6)
+    * (+1000) and deletes even ids ≡ 1 (mod 3).
+    */
+  private def q64CatalogRoot(spark: SparkSession, dir: String): String =
+    q64Fixtures.computeIfAbsent(dir, _ => {
+      val work = Scratch.stableDir("q64-" + Scratch.md5Hex(dir))
+      val catalog = VersionedCatalog(s"$work/catalog")
+      val ev = events(spark, dir).select("event_id", "event_type", "value")
+      catalog.commitSnapshot(ev.filter(col("event_id") % 3 === 0), CdcPropsTable, 1L)
+      catalog.commitChanges(
+        ev.filter(col("event_id") % 3 === 1)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_timestamp", lit("2024-06-02 00:00:00")),
+        CdcPropsTable, 2L)
+      catalog.commitChanges(
+        ev.filter(col("event_id") % 6 === 0)
+          .withColumn("value", col("value") + 1000)
+          .withColumn("_change_type", lit("update_postimage"))
+          .union(
+            ev.filter(col("event_id") % 3 === 1 && col("event_id") % 2 === 0)
+              .withColumn("_change_type", lit("delete")))
+          .withColumn("_commit_timestamp", lit("2024-06-03 00:00:00")),
+        CdcPropsTable, 3L)
+      s"$work/catalog"
+    })
+
   def q64CdcMaterialize(spark: SparkSession, dir: String): DataFrame = {
-    val work = Scratch.stableDir("q64")
-    val catalog = VersionedCatalog(s"$work/catalog")
-    val table = "main.graft.props"
-    val ev = events(spark, dir).select("event_id", "event_type", "value")
-    catalog.commitSnapshot(ev.filter(col("event_id") % 3 === 0), table, 1L)
-    catalog.commitChanges(
-      ev.filter(col("event_id") % 3 === 1)
-        .withColumn("_change_type", lit("insert"))
-        .withColumn("_commit_timestamp", lit("2024-06-02 00:00:00")),
-      table, 2L)
-    catalog.commitChanges(
-      ev.filter(col("event_id") % 6 === 0)
-        .withColumn("value", col("value") + 1000)
-        .withColumn("_change_type", lit("update_postimage"))
-        .union(
-          ev.filter(col("event_id") % 3 === 1 && col("event_id") % 2 === 0)
-            .withColumn("_change_type", lit("delete")))
-        .withColumn("_commit_timestamp", lit("2024-06-03 00:00:00")),
-      table, 3L)
+    val catalog = VersionedCatalog(q64CatalogRoot(spark, dir))
     CdcMaterialize.currentState(
-      catalog.snapshot(spark, table, 1L),
-      catalog.changes(spark, table, 2L, 3L),
+      catalog.snapshot(spark, CdcPropsTable, 1L),
+      catalog.changes(spark, CdcPropsTable, 2L, 3L),
       keyCols = Seq("event_id"),
       snapshotVersion = 1L)
   }
+
+  /** q99: STREAMING incremental materialization via `foreachBatch` — the
+    * sixth streaming gate, covering the one streaming API the others don't
+    * ([[graft.streaming.CdcStream.materializeStream]]). Commits 2 and 3 are
+    * staged as mtime-ordered files, consumed one per micro-batch
+    * (`maxFilesPerTrigger=1`), each folded into the parquet state snapshot
+    * with the SAME last-writer-wins compaction as batch q64 — so the final
+    * state is gated by q64's oracle verbatim: the per-commit fold must
+    * reach exactly what one batch compaction of the full history reaches.
+    */
+  def q99StreamMaterialize(spark: SparkSession, dir: String): DataFrame = {
+    val catalog = VersionedCatalog(q64CatalogRoot(spark, dir))
+    val inDir = q99Staged.computeIfAbsent(dir, _ => {
+      val in = Scratch.stableDir("q99-in-" + Scratch.md5Hex(dir))
+      def stage(v: Long, name: String): java.nio.file.Path = {
+        val tmp = Scratch.stableDir(s"q99-tmp-" + Scratch.md5Hex(s"$dir|$v"))
+        catalog.changes(spark, CdcPropsTable, v, v)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+        java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(in, name))
+      }
+      val first = stage(2L, "a_commit2.parquet")
+      val second = stage(3L, "b_commit3.parquet")
+      // the file source orders by modification time: pin commit 3 strictly
+      // after commit 2 (same coarse-mtime hazard as the q70 sentinel)
+      java.nio.file.Files.setLastModifiedTime(second,
+        java.nio.file.attribute.FileTime.fromMillis(
+          java.nio.file.Files.getLastModifiedTime(first).toMillis + 10000))
+      in
+    })
+    val work = Scratch.stableDir("q99")
+    val schema = catalog.changes(spark, CdcPropsTable, 2L, 3L).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val query = graft.streaming.CdcStream.materializeStream(
+      stream,
+      initialState = catalog.snapshot(spark, CdcPropsTable, 1L),
+      stateDir = s"$work/state",
+      keyCols = Seq("event_id"))
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    graft.streaming.CdcStream.currentMaterializedState(spark, s"$work/state")
+  }
+
+  private val q99Staged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val q64Oracle =
+    """WITH rows_ AS (
+      |  SELECT event_id, event_type, value, 1 AS v, 'insert' AS ct
+      |  FROM events WHERE event_id % 3 = 0
+      |  UNION ALL
+      |  SELECT event_id, event_type, value, 2, 'insert'
+      |  FROM events WHERE event_id % 3 = 1
+      |  UNION ALL
+      |  SELECT event_id, event_type, value + 1000, 3, 'update_postimage'
+      |  FROM events WHERE event_id % 6 = 0
+      |  UNION ALL
+      |  SELECT event_id, event_type, value, 3, 'delete'
+      |  FROM events WHERE event_id % 3 = 1 AND event_id % 2 = 0),
+      |latest AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY v DESC) AS rn
+      |  FROM rows_)
+      |SELECT event_id, event_type, value FROM latest
+      |WHERE rn = 1 AND ct <> 'delete'""".stripMargin
 
   /** q17: CDF range scan (S2) + CDC EVENT filter (P1/P2). Authors commits
     * 1..3 (commit v holds the `event_id % 3 == v-1` slice, decorated with
@@ -478,7 +560,8 @@ object ParityQueries {
     "q17_cdf_window" -> (q17CdfWindow _),
     "q63_timestamp_travel" -> (q63TimestampTravel _),
     "q68_mutability_bypass" -> (q68MutabilityBypass _),
-    "q64_cdc_materialize" -> (q64CdcMaterialize _)
+    "q64_cdc_materialize" -> (q64CdcMaterialize _),
+    "q99_stream_materialize" -> (q99StreamMaterialize _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -568,24 +651,9 @@ object ParityQueries {
     "q63_timestamp_travel" ->
       """SELECT event_type, count(*)::BIGINT AS n, sum(event_id)::BIGINT AS sum_id
         |FROM events WHERE event_id % 2 = 0 GROUP BY event_type""".stripMargin,
-    "q64_cdc_materialize" ->
-      """WITH rows_ AS (
-        |  SELECT event_id, event_type, value, 1 AS v, 'insert' AS ct
-        |  FROM events WHERE event_id % 3 = 0
-        |  UNION ALL
-        |  SELECT event_id, event_type, value, 2, 'insert'
-        |  FROM events WHERE event_id % 3 = 1
-        |  UNION ALL
-        |  SELECT event_id, event_type, value + 1000, 3, 'update_postimage'
-        |  FROM events WHERE event_id % 6 = 0
-        |  UNION ALL
-        |  SELECT event_id, event_type, value, 3, 'delete'
-        |  FROM events WHERE event_id % 3 = 1 AND event_id % 2 = 0),
-        |latest AS (
-        |  SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY v DESC) AS rn
-        |  FROM rows_)
-        |SELECT event_id, event_type, value FROM latest
-        |WHERE rn = 1 AND ct <> 'delete'""".stripMargin,
+    "q64_cdc_materialize" -> q64Oracle,
+    // the per-commit streaming fold must reach the batch compaction exactly
+    "q99_stream_materialize" -> q64Oracle,
     "q16_snapshot_travel" ->
       """SELECT event_type, count(*)::BIGINT AS n, sum(event_id)::BIGINT AS sum_id,
         |       min(event_id)::BIGINT AS min_id, max(event_id)::BIGINT AS max_id

@@ -101,6 +101,55 @@ object CdcStream {
       .drop("__fp") // output schema matches the input (and the batch tier)
   }
 
+  /** Streaming incremental CDC MATERIALIZATION via `foreachBatch` — the
+    * continuous consumer of the upsert contract: each micro-batch of change
+    * rows is folded into a parquet state snapshot with
+    * [[graft.engine.CdcMaterialize.currentState]] (last-writer-wins,
+    * deletes applied), so `<stateDir>/<pointer>` always holds the current
+    * table state. The streaming counterpart of the batch q64 shape.
+    *
+    * Mechanics: state lives in versioned dirs `state_<batchId>` with a
+    * `_latest` pointer swapped after each successful write — a reprocessed
+    * micro-batch (foreachBatch is at-least-once) rewrites its own dir and
+    * re-points, which is idempotent BECAUSE the file source replays batches
+    * in checkpoint order; production would swap the pointer file for a
+    * transactional table commit. Within-state rows carry no version, so
+    * each fold treats the accumulated state as version 0 and the batch's
+    * real `_commit_version`s (> 0) win — correct as long as batches arrive
+    * in commit order, which the mtime-ordered file source guarantees.
+    *
+    * Scale shape: each fold is one key-partitioned window over
+    * state ∪ batch — the same one-shuffle compaction as batch
+    * materialization, paid per commit instead of per full history.
+    */
+  def materializeStream(
+      changes: DataFrame,
+      initialState: DataFrame,
+      stateDir: String,
+      keyCols: Seq[String]): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val spark = changes.sparkSession
+    val pointer = java.nio.file.Paths.get(stateDir, "_latest")
+    def readState(): DataFrame =
+      if (java.nio.file.Files.exists(pointer))
+        spark.read.parquet(s"$stateDir/${java.nio.file.Files.readString(pointer).trim}")
+      else initialState
+    changes.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val next = graft.engine.CdcMaterialize.currentState(
+        readState(), batch, keyCols, snapshotVersion = 0L)
+      val target = s"state_$batchId"
+      next.write.mode("overwrite").parquet(s"$stateDir/$target")
+      java.nio.file.Files.writeString(pointer, target)
+      ()
+    }
+  }
+
+  /** Read the current materialized state written by [[materializeStream]]. */
+  def currentMaterializedState(spark: SparkSession, stateDir: String): DataFrame = {
+    val pointer = java.nio.file.Paths.get(stateDir, "_latest")
+    require(java.nio.file.Files.exists(pointer), s"no materialized state under $stateDir")
+    spark.read.parquet(s"$stateDir/${java.nio.file.Files.readString(pointer).trim}")
+  }
+
   /** Continuous export: the streaming counterpart of the batch unload sink
     * (K1) — newline-delimited JSON via Spark's native file sink, which gives
     * exactly-once file output through the checkpoint's file-commit log (the
