@@ -119,6 +119,15 @@ class PlanSpec extends SparkSpec {
       s"trailing-window features must not plan a self-join:\n$plan")
   }
 
+  test("q03 rank filter pushes down to WindowGroupLimit (partial top-k per partition)") {
+    val plan = planOf(ParityQueries.q03WindowTopOrders(spark, Sf0001))
+    // rn <= 3 must become a pre-shuffle group limit: each map task forwards
+    // at most k rows per customer instead of the whole partition — the
+    // difference between shuffling top-k and shuffling everything at 100 TB
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank limit not pushed below the window sort:\n$plan")
+  }
+
   test("q82 grouping sets: one scan + Expand, not one aggregation per set") {
     val plan = planOf(ParityQueries.q82GroupingSets(spark, Sf0001))
     assert(plan.contains("Expand"), s"grouping sets should plan Expand:\n$plan")
