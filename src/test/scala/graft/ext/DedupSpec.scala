@@ -41,6 +41,21 @@ class DedupSpec extends SparkSpec {
     assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
   }
 
+  test("editDistancePairs equals the naive block-join + bounded levenshtein") {
+    val base = docs.select(col("lang"), col("doc_id"),
+      TextAnalysis.normalize(col("text")).as("t"))
+    val a = base.toDF("lang", "doc_a", "t_a")
+    val b = base.toDF("lang", "doc_b", "t_b")
+    val naive = a.join(b, Seq("lang"))
+      .filter((col("doc_b") - col("doc_a")).between(lit(1), lit(200)))
+      .withColumn("dist", levenshtein(col("t_a"), col("t_b")))
+      .filter(col("dist") <= 60)
+      .select("lang", "doc_a", "doc_b", "dist")
+    val fast = Dedup.editDistancePairs(docs, blockCols = Seq("lang"), maxDist = 60)
+    assert(fast.count() > 0, "threshold too tight for the fixture — vacuous test")
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+  }
+
   test("duplicateClusters: chain needs multiple rounds; components + singletons exact") {
     import spark.implicits._
     val nodes = (1L to 9L).toDF("doc_id")

@@ -230,4 +230,51 @@ class CdcStreamSpec extends SparkSpec with BeforeAndAfterAll with TimeLimits {
       ))
     } finally query.stop()
   }
+
+  stest("materializeStream folds per commit and restarts from the checkpoint") {
+    val dir = s"$work/mat"
+    val in = Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    val snapshot = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    def changes(v: Long, rows: Seq[(Long, String, String)]) =
+      rows.toDF("id", "name", "_change_type")
+        .withColumn("_commit_version", lit(v))
+        .withColumn("_commit_timestamp", lit(s"2024-01-0$v"))
+    var mtime = 1700000000000L
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$dir/tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+      val staged = Files.copy(part.toPath, in.resolve(name))
+      mtime += 10000 // strictly ascending: the file source orders by mtime
+      Files.setLastModifiedTime(staged,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val schema = changes(2L, Seq((2L, "x", "insert"))).schema
+    def drain(): Unit = {
+      val q = CdcStream.materializeStream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(in.toString),
+        initialState = snapshot, stateDir = s"$dir/state", keyCols = Seq("id"))
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def state(): Set[(Long, String)] =
+      CdcStream.currentMaterializedState(spark, s"$dir/state")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+    stage(changes(2L, Seq((2L, "b2", "update_postimage"), (3L, "c", "insert"))), "a.parquet")
+    stage(changes(3L, Seq((1L, "a", "delete"))), "b.parquet")
+    drain()
+    assert(state() === Set((2L, "b2"), (3L, "c"))) // 1 deleted, 2 updated, 3 inserted
+    // restart with nothing new: the checkpoint replays no batch, state holds
+    drain()
+    assert(state() === Set((2L, "b2"), (3L, "c")))
+    // a NEW commit after restart folds incrementally on top of prior state
+    stage(changes(4L, Seq((1L, "back", "insert"))), "c.parquet")
+    drain()
+    assert(state() === Set((1L, "back"), (2L, "b2"), (3L, "c")))
+  }
 }
