@@ -576,10 +576,17 @@ object EventQueries {
 
   /** q90: quantile discretization — per-type decile assignment of `value`
     * via `ntile(10)` (the feature-binning step before training; equal-count
-    * bins, deterministic under the unique event_id tie-break). One shuffle
-    * on event_type; at extreme type skew the two-level trick (bucket by
-    * approx quantiles map-side, refine per bucket) bounds the window input,
-    * same as stratifiedQuota's note.
+    * bins, deterministic under the unique event_id tie-break).
+    *
+    * SCALE LIMIT, stated plainly: `partitionBy(event_type)` has 5 distinct
+    * values, so exact ntile serializes onto 5 tasks no matter the cluster —
+    * correct at any size but not parallel. The 100 TB formulation computes
+    * per-type decile BOUNDARIES first (`percentile_approx`, one partial-
+    * combinable aggregate — q87's machinery), broadcasts the ~types×9
+    * boundary table, and bins map-side; it trades exact equal-count
+    * semantics at boundary ties for full parallelism. This row keeps the
+    * exact form because the gate's job is pinning ntile semantics
+    * cross-engine.
     */
   def q90Deciles(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("event_type")

@@ -458,6 +458,62 @@ object ParityQueries {
   private val q99Staged =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q100/q101: sink→source ROUND TRIPS for the two other columnar/text
+    * formats in the image (the reference exports JSON + parquet — K1/K2;
+    * CSV and ORC complete the portability story). Each writes the events
+    * table once per JVM per sf dir (memoized like every immutable fixture),
+    * reads it back through the corresponding source, and aggregates; the
+    * oracle aggregates the ORIGINAL parquet — so a row lost, duplicated or
+    * mangled in either direction of the round trip cannot hash-match.
+    * CSV carries integer/string columns only (float→text→float is not
+    * bit-stable); ORC is binary columnar, so doubles ride along.
+    */
+  private val q100Staged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q100CsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = q100Staged.computeIfAbsent(dir, _ => {
+      val p = Scratch.stableDir("q100-csv-" + Scratch.md5Hex(dir))
+      events(spark, dir).select(col("event_id"), col("user_id"), col("event_type"))
+        .write.mode("overwrite").option("header", "true").csv(p)
+      p
+    })
+    spark.read.option("header", "true")
+      .schema("event_id LONG, user_id LONG, event_type STRING")
+      .csv(path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("event_id")).as("sum_id"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  private val q100Oracle =
+    """SELECT event_type, count(*)::BIGINT AS n, sum(event_id)::BIGINT AS sum_id,
+      |       count(DISTINCT user_id)::BIGINT AS n_users
+      |FROM events GROUP BY 1""".stripMargin
+
+  private val q101Staged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q101OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = q101Staged.computeIfAbsent(dir, _ => {
+      val p = Scratch.stableDir("q101-orc-" + Scratch.md5Hex(dir))
+      events(spark, dir).select(col("event_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").orc(p)
+      p
+    })
+    spark.read.orc(path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("event_id")).as("sum_id"),
+        round(sum(col("value")), 4).as("sum_value"))
+  }
+
+  private val q101Oracle =
+    """SELECT event_type, count(*)::BIGINT AS n, sum(event_id)::BIGINT AS sum_id,
+      |       round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY 1""".stripMargin
+
   private val q64Oracle =
     """WITH rows_ AS (
       |  SELECT event_id, event_type, value, 1 AS v, 'insert' AS ct
@@ -561,7 +617,9 @@ object ParityQueries {
     "q63_timestamp_travel" -> (q63TimestampTravel _),
     "q68_mutability_bypass" -> (q68MutabilityBypass _),
     "q64_cdc_materialize" -> (q64CdcMaterialize _),
-    "q99_stream_materialize" -> (q99StreamMaterialize _)
+    "q99_stream_materialize" -> (q99StreamMaterialize _),
+    "q100_csv_roundtrip" -> (q100CsvRoundtrip _),
+    "q101_orc_roundtrip" -> (q101OrcRoundtrip _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -654,6 +712,8 @@ object ParityQueries {
     "q64_cdc_materialize" -> q64Oracle,
     // the per-commit streaming fold must reach the batch compaction exactly
     "q99_stream_materialize" -> q64Oracle,
+    "q100_csv_roundtrip" -> q100Oracle,
+    "q101_orc_roundtrip" -> q101Oracle,
     "q16_snapshot_travel" ->
       """SELECT event_type, count(*)::BIGINT AS n, sum(event_id)::BIGINT AS sum_id,
         |       min(event_id)::BIGINT AS min_id, max(event_id)::BIGINT AS max_id
