@@ -121,6 +121,74 @@ object ExtQueries {
        |SELECT d.doc_id, d.lang, d.source
        |FROM documents d JOIN keep ON keep.id = d.doc_id""".stripMargin
 
+  /** q102: the FLAGSHIP end-to-end curation pipeline — what a user actually
+    * runs to turn a raw corpus into trainer-ready input, as ONE composition
+    * of the library's stages: Gopher hard-quality filter → full dedup
+    * ladder (exact + MinHash clusters, [[Dedup.dedupCorpus]]) → growth-
+    * stable train/val/test split → token-budget sequence packing of the
+    * train split. The oracle replays every stage from the same generated
+    * constants (q85's rule thresholds, q28's MinHash + connected-components
+    * chain, q80's hash thresholds, q58's definitional running sum), so a
+    * drift ANYWHERE in the composition — a filter flipping a doc, a dedup
+    * keeping a duplicate, a split moving, a pack boundary off by one
+    * token — breaks the hash match.
+    */
+  def q102CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = fanOut(documents(spark, dir))
+    val kept = TextAnalysis.gopherRules(docs)
+      .filter(col("keep") === 1).select("doc_id")
+    val quality = docs.join(kept, "doc_id")
+    val deduped = Dedup.dedupCorpus(quality)
+    val train = Sampling
+      .splitAssign(deduped, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .filter(col("split") === "train")
+    Packing.packByBudget(train, budget = 512L)
+  }
+
+  private def q102Oracle: String = {
+    val stops = TextAnalysis.LangStopwords.toMap.apply("en")
+      .map(w => s"'$w'").mkString(", ")
+    val trainTh = (0.8 * (1L << 60).toDouble).toLong
+    s"""WITH RECURSIVE gm AS (
+       |  SELECT doc_id,
+       |    len(string_split($DNorm, ' '))::BIGINT AS n_words,
+       |    ((100 * (len($DNorm) - (len(string_split($DNorm, ' ')) - 1)))
+       |      // len(string_split($DNorm, ' ')))::BIGINT AS mean_wl_2,
+       |    ((10000 * (len($DNorm) - len(regexp_replace($DNorm, '[0-9]', '', 'g'))))
+       |      // greatest(len($DNorm), 1))::BIGINT AS digit_frac_4,
+       |    len(list_filter(string_split($DNorm, ' '), w -> w IN ($stops)))::BIGINT
+       |      AS stop_hits
+       |  FROM documents),
+       |qd AS (
+       |  SELECT d.* FROM documents d JOIN gm USING (doc_id)
+       |  WHERE gm.n_words BETWEEN 5 AND 100000 AND gm.mean_wl_2 BETWEEN 150 AND 1000
+       |    AND gm.digit_frac_4 <= 2000 AND gm.stop_hits >= 1),
+       |ek AS (SELECT min(doc_id) AS doc_id FROM qd
+       |       GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
+       |${minhashPairsCte("SELECT d.doc_id, d.text FROM qd d JOIN ek USING (doc_id)")},
+       |pr AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+       |      UNION ALL SELECT doc_b, doc_a FROM pr),
+       |reach(id, lab) AS (
+       |  SELECT doc_id, doc_id FROM ek
+       |  UNION
+       |  SELECT e.dst, reach.lab FROM reach JOIN e ON e.src = reach.id
+       |),
+       |keep AS (SELECT id FROM reach GROUP BY id HAVING min(lab) = id),
+       |tr AS (
+       |  SELECT d.doc_id, d.text FROM qd d JOIN keep ON keep.id = d.doc_id
+       |  WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT < $trainTh),
+       |tok AS (SELECT doc_id,
+       |          len(string_split($DNorm, ' '))::INT AS n_tokens
+       |        FROM tr),
+       |c AS (SELECT doc_id, n_tokens,
+       |        sum(n_tokens) OVER (ORDER BY doc_id) AS cum FROM tok)
+       |SELECT doc_id, n_tokens,
+       |       ((cum - n_tokens) // 512)::BIGINT AS pack_id,
+       |       ((cum - n_tokens) % 512)::BIGINT AS pack_offset
+       |FROM c""".stripMargin
+  }
+
   /** Incremental dedup: the new half of the corpus (doc_id >= 250 at this
     * sf) cleaned against the existing half — exact anti-join then MinHash
     * near-dup matches across the boundary. Runs the PRODUCTION shape: the
@@ -1234,6 +1302,7 @@ object ExtQueries {
     "q26_dedup_keep" -> (q26DedupKeep _),
     "q27_dup_clusters" -> (q27DupClusters _),
     "q28_dedup_pipeline" -> (q28DedupPipeline _),
+    "q102_curation_pipeline" -> (q102CurationPipeline _),
     "q29_dedup_incremental" -> (q29DedupIncremental _),
     "q21_dedup_minhash" -> (q21DedupMinhash _),
     "q22_dedup_simhash" -> (q22DedupSimhash _),
@@ -1288,6 +1357,7 @@ object ExtQueries {
     "q26_dedup_keep" -> q26Oracle,
     "q27_dup_clusters" -> q27Oracle,
     "q28_dedup_pipeline" -> q28Oracle,
+    "q102_curation_pipeline" -> q102Oracle,
     "q29_dedup_incremental" -> q29Oracle,
     "q21_dedup_minhash" -> q21Oracle,
     "q22_dedup_simhash" -> q22Oracle,
