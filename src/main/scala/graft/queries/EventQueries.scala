@@ -666,6 +666,35 @@ object EventQueries {
       |      WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id ASC))
       |WHERE rn <= 20""".stripMargin
 
+  /** q103: SCALABLE quantile binning — the 100 TB formulation q90's scaladoc
+    * promises: per-type exact decile BOUNDARIES via one partial-combinable
+    * `percentile` aggregate (types × 9 rows — model-sized), broadcast back,
+    * and each row binned map-side by counting boundaries below its value.
+    * No per-group window, no 5-task serialization; the whole plan is two
+    * scans + a broadcast join. Bin semantics differ from ntile only at
+    * boundary TIES (count-of-boundaries vs positional split), which is the
+    * documented trade — and both engines compute interpolated percentiles
+    * identically (q66), so even the boundary comparisons are engine-exact.
+    */
+  def q103QuantileBins(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val bounds = e.groupBy("event_type")
+      .agg(expr(
+        "percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("bs"))
+    e.join(broadcast(bounds), "event_type")
+      .select(col("event_id"), col("event_type"),
+        (lit(1) + expr("aggregate(bs, 0, (a, b) -> a + IF(value > b, 1, 0))"))
+          .cast("int").as("bin"))
+  }
+
+  private val q103Oracle =
+    """WITH b AS (SELECT event_type,
+      |             quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs
+      |           FROM events GROUP BY 1)
+      |SELECT event_id, e.event_type,
+      |       (1 + len(list_filter(bs, x -> e.value > x)))::INT AS bin
+      |FROM events e JOIN b ON e.event_type = b.event_type""".stripMargin
+
   /** q96: schema-evolution union — `unionByName(allowMissingColumns)` over
     * two batches whose schemas diverged (one carries `value`, the other the
     * later-added `props`), the long-lived-pipeline reality the reference's
@@ -736,7 +765,8 @@ object EventQueries {
     "q92_user_gini" -> (q92UserGini _),
     "q93_rank_family" -> (q93RankFamily _),
     "q96_schema_evolution" -> (q96SchemaEvolution _),
-    "q97_collect_types" -> (q97CollectTypes _)
+    "q97_collect_types" -> (q97CollectTypes _),
+    "q103_quantile_bins" -> (q103QuantileBins _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -765,6 +795,7 @@ object EventQueries {
     "q92_user_gini" -> q92Oracle,
     "q93_rank_family" -> q93Oracle,
     "q96_schema_evolution" -> q96Oracle,
-    "q97_collect_types" -> q97Oracle
+    "q97_collect_types" -> q97Oracle,
+    "q103_quantile_bins" -> q103Oracle
   )
 }
