@@ -157,6 +157,18 @@ class PlanSpec extends SparkSpec {
       s"length-difference guard missing:\n$plan")
   }
 
+  test("q102 composed pipeline keeps every stage's plan contract") {
+    val plan = planOf(graft.ext.ExtQueries.q102CurationPipeline(spark, Sf0001))
+    // composition must not reintroduce what the stages individually avoid
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"composition degraded to an all-pairs join:\n$plan")
+    // packing's two-level prefix sum: the only global-order window runs on
+    // the per-GROUP totals, so a GLOBAL row sort never appears (join-local
+    // SMJ sorts carry `, false` — only `, true` is a corpus-wide sort)
+    assert(!"Sort \\[doc_id[^\\]]*\\], true".r.findFirstIn(plan).isDefined,
+      s"corpus-wide sort leaked in:\n$plan")
+  }
+
   test("IVF indexed probe plans dynamic partition pruning on the inverted file") {
     withTempDir("plan-ivf") { dir =>
       val e = Tables.embeddings(spark, Sf0001)
