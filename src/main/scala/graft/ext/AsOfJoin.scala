@@ -73,7 +73,7 @@ object AsOfJoin {
       .withColumn("__side", lit(0))
       // align to the left schema: left payload columns are null on right rows
       .withColumns(leftCols.filterNot(keys.contains).map(c => c -> lit(null)).toMap)
-      .select(l.columns.map(col): _*)
+      .select(l.columns.toIndexedSeq.map(col): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts").asc, col("__side").asc)

@@ -225,7 +225,7 @@ object Similarity {
       val lit_c = typedLit(ctr.toSeq)
       struct((-dot(vec, lit_c) / (norm(vec) * norm(lit_c))).as("d"), lit(c).as("c"))
     }
-    array_min(array(scored: _*)).getField("c")
+    array_min(array(scored.toIndexedSeq: _*)).getField("c")
   }
 
   /** Per-row array of the `nprobe` nearest cell ids, best first. */
@@ -234,7 +234,7 @@ object Similarity {
       val lit_c = typedLit(ctr.toSeq)
       struct((-dot(vec, lit_c) / (norm(vec) * norm(lit_c))).as("d"), lit(c).as("c"))
     }
-    slice(transform(array_sort(array(scored: _*)), s => s.getField("c")), 1, nprobe)
+    slice(transform(array_sort(array(scored.toIndexedSeq: _*)), s => s.getField("c")), 1, nprobe)
   }
 
   /** ANN top-k via an inverted-file index: corpus rows live in the cell of

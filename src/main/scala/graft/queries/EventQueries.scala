@@ -323,7 +323,7 @@ object EventQueries {
         java.nio.file.Paths.get(s"$dir/events.parquet"), in.resolve("a_events.parquet"))
       // sentinel: one row a year past the max event ts, same schema; staged
       // AFTER the copy so the file source (ordered by mod time) batches it last
-      val maxTs = ev.agg(max(col("ts"))).head.getLong(0)
+      val maxTs = ev.agg(max(col("ts"))).head().getLong(0)
       val sentDir = s"$work/sentinel"
       ev.limit(1).withColumn("ts", lit(maxTs + 365L * 86400L * 1000000000L))
         .coalesce(1).write.parquet(sentDir)
@@ -673,14 +673,23 @@ object EventQueries {
     * No per-group window, no 5-task serialization; the whole plan is two
     * scans + a broadcast join. Bin semantics differ from ntile only at
     * boundary TIES (count-of-boundaries vs positional split), which is the
-    * documented trade — and both engines compute interpolated percentiles
-    * identically (q66), so even the boundary comparisons are engine-exact.
+    * documented trade.
+    *
+    * Boundaries are DISCRETE percentiles (`percentile_disc` — the smallest
+    * element whose cumulative distribution ≥ q): actual data values, picked
+    * by rank, so the boundary a row is compared against is the identical
+    * parquet double in both engines. An INTERPOLATED boundary
+    * (`percentile`/`quantile_cont`) agrees only to ~1e-9 across engines —
+    * fine when the percentile IS the output (q66's tolerance), but as a
+    * comparison threshold a last-ulp difference flips an integer bin, which
+    * the sf0.1 validation caught (one flipped row in 10⁵).
     */
   def q103QuantileBins(spark: SparkSession, dir: String): DataFrame = {
     val e = events(spark, dir)
+    val qs = (1 to 9).map(_ / 10.0)
     val bounds = e.groupBy("event_type")
-      .agg(expr(
-        "percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("bs"))
+      .agg(array(qs.map(q =>
+        expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY value)")): _*).as("bs"))
     e.join(broadcast(bounds), "event_type")
       .select(col("event_id"), col("event_type"),
         (lit(1) + expr("aggregate(bs, 0, (a, b) -> a + IF(value > b, 1, 0))"))
@@ -689,7 +698,7 @@ object EventQueries {
 
   private val q103Oracle =
     """WITH b AS (SELECT event_type,
-      |             quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs
+      |             quantile_disc(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs
       |           FROM events GROUP BY 1)
       |SELECT event_id, e.event_type,
       |       (1 + len(list_filter(bs, x -> e.value > x)))::INT AS bin

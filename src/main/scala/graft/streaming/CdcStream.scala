@@ -315,7 +315,7 @@ object CdcStream {
             // evict when the session can no longer be extended; Spark rejects
             // timeout timestamps at or before the current watermark, so clamp
             val target = stFinal.lastTsUs / 1000L + gapMs
-            state.setTimeoutTimestamp(math.max(target, state.getCurrentWatermarkMs + 1L))
+            state.setTimeoutTimestamp(math.max(target, state.getCurrentWatermarkMs() + 1L))
             var st = st0
             sorted.iterator.map { e =>
               st = step(st, e)
