@@ -967,6 +967,40 @@ object ExtQueries {
        |       ((cum - n_tokens) % 512)::BIGINT AS pack_offset
        |FROM c""".stripMargin
 
+  /** q104: overlapping token-window CHUNKING — the embedding/RAG prep step
+    * (and the long-document split a context-bounded trainer needs): each
+    * document becomes ⌈n/stride⌉ windows of `width` tokens at `stride`
+    * offsets (the final windows are shorter; empty tails are dropped by the
+    * ceil bound). Output keeps rows small — chunk ordinal, token count and
+    * the md5 of the reassembled chunk text, so a wrong window boundary or
+    * token order cannot hash-match. Per-row explode, shuffle-free; at
+    * 100 TB this is the map-side stage feeding the embedding UDF batch.
+    */
+  def q104ChunkOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val width = 50
+    val stride = 25
+    val tk = TextAnalysis.tokens(col("text"))
+    val nChunks = (size(tk) + lit(stride - 1)).divide(lit(stride)).cast("int")
+    fanOut(documents(spark, dir))
+      .select(col("doc_id"), tk.as("tk"), nChunks.as("nc"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("nc") - 1),
+          i => slice(col("tk"), i * stride + 1, lit(width)))).as(Seq("chunk_id", "ctk")))
+      .filter(size(col("ctk")) > 0)
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("ctk")).as("n_tokens"),
+        md5(concat_ws(" ", col("ctk"))).as("chunk_md5"))
+  }
+
+  private val q104Oracle =
+    s"""WITH n AS (SELECT doc_id, string_split($DNorm, ' ') AS tk FROM documents),
+       |c AS (SELECT doc_id, i AS chunk_id, tk[i*25+1 : i*25+50] AS ctk
+       |      FROM n, unnest(range(0, (len(tk) + 24) // 25)) AS t(i)),
+       |f AS (SELECT * FROM c WHERE len(ctk) > 0)
+       |SELECT doc_id, chunk_id::INT AS chunk_id, len(ctk)::INT AS n_tokens,
+       |       md5(array_to_string(ctk, ' ')) AS chunk_md5
+       |FROM f""".stripMargin
+
   /** Cross-document line dedup (C4-style boilerplate removal). The fixture
     * corpus is single-line word salad, so each doc is first re-lined into
     * 3-token chunks (identically in both engines); with the small
@@ -1330,6 +1364,7 @@ object ExtQueries {
     "q80_split_assign" -> (q80SplitAssign _),
     "q58_token_pack" -> (q58TokenPack _),
     "q59_line_dedup" -> (q59LineDedup _),
+    "q104_chunk_overlap" -> (q104ChunkOverlap _),
     "q75_commonness" -> (q75Commonness _),
     "q76_collocations" -> (q76Collocations _),
     "q85_gopher_rules" -> (q85GopherRules _),
@@ -1383,6 +1418,7 @@ object ExtQueries {
     "q80_split_assign" -> q80Oracle,
     "q58_token_pack" -> q58Oracle,
     "q59_line_dedup" -> q59Oracle,
+    "q104_chunk_overlap" -> q104Oracle,
     "q75_commonness" -> q75Oracle,
     "q76_collocations" -> q76Oracle,
     "q85_gopher_rules" -> q85Oracle,

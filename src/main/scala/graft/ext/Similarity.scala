@@ -303,6 +303,32 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/invfile")
   }
 
+  /** Incremental INSERT into a persisted IVF index: new vectors are
+    * assigned to cells with the SAVED centroid model (no retrain) and
+    * appended to the inverted file's cell partitions — the standard ANN
+    * index lifecycle (FAISS `add` after `train`): per-batch cost is
+    * proportional to the batch, and concurrent probes keep working because
+    * parquet appends are new files in existing partitions. Centroids go
+    * stale as the distribution drifts — recall degrades gracefully, and the
+    * periodic full [[writeIvfIndex]] rebuild is the production answer, not
+    * per-batch retraining (which would invalidate every existing cell
+    * assignment).
+    */
+  def appendToIvfIndex(
+      newVectors: DataFrame,
+      indexPath: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val spark = newVectors.sparkSession
+    val centroids = spark.read.parquet(s"$indexPath/centroids")
+      .orderBy("cell").collect()
+      .map(_.getSeq[Double](1).toArray)
+    newVectors.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec"),
+        norm(col(vecCol)).as("c_norm"),
+        assignCell(col(vecCol), centroids).as("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$indexPath/invfile")
+  }
+
   /** ANN top-k probing a [[writeIvfIndex]]-persisted index — identical
     * semantics to [[ivfTopK]] with the same training parameters (asserted
     * in SimilaritySpec; centroid training is seeded, so the two paths

@@ -73,6 +73,27 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, f"probe recall@$k = $recall%.3f < 0.8 (hit=$hit of $total)")
   }
 
+  test("appendToIvfIndex: appended vectors are probed without a rebuild") {
+    withTempDir("graft-ivf-append") { dir =>
+      val half = embeds.filter(col("vec_id") % 2 === 0)
+      val rest = embeds.filter(col("vec_id") % 2 === 1)
+      Similarity.writeIvfIndex(half, dir.toString)
+      Similarity.appendToIvfIndex(rest, dir.toString)
+      val queries = embeds.filter(col("vec_id") < 8)
+      val ann = Similarity.ivfTopKIndexed(queries, dir.toString, k = 5)
+        .select("q_id", "vec_id")
+      val hits = ann.collect().map(r => (r.getLong(0), r.getLong(1)))
+      // both halves reachable: appended (odd) ids appear among neighbors
+      assert(hits.exists(_._2 % 2 == 1), "appended vectors never probed")
+      assert(hits.exists(_._2 % 2 == 0))
+      // recall vs brute force over the FULL corpus stays useful even though
+      // the centroids were trained on half (the documented staleness trade)
+      val exact = Similarity.bruteForceTopK(embeds, queries, 5).select("q_id", "vec_id")
+      val recall = exact.intersect(ann).count().toDouble / exact.count()
+      assert(recall >= 0.7, f"post-append recall $recall%.3f < 0.7")
+    }
+  }
+
   test("IVF inverted file covers the corpus: every vector lands in one cell") {
     val e = embeds
     val centroids = Similarity.ivfCentroids(e, cells = 8, iters = 1)
