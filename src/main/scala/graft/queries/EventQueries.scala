@@ -666,6 +666,55 @@ object EventQueries {
       |      WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id ASC))
       |WHERE rn <= 20""".stripMargin
 
+  /** q105: per-SESSION training features — the feature-extraction shape a
+    * behavioral model trains on: q12's gap sessionization carried through
+    * to one feature row per session (duration, size, value stats, pivoted
+    * per-type counts, a conversion flag). Composes on the SAME shuffle as
+    * q12: everything after the session_id assignment is one more aggregate
+    * over the already-user-partitioned rows.
+    */
+  def q105SessionFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_us").asc, col("event_id").asc)
+    val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(spark, dir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("brk",
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > SessionGapUs, 1).otherwise(0))
+      .withColumn("session_id", sum(col("brk")).over(running))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"),
+        round(sum("value"), 4).as("sum_value"),
+        sum(when(col("event_type") === "click", 1).otherwise(0)).as("n_click"),
+        sum(when(col("event_type") === "view", 1).otherwise(0)).as("n_view"),
+        sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("n_purchase"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("converted"))
+  }
+
+  private val q105Oracle =
+    s"""WITH e AS (SELECT user_id, event_id, event_type, value, epoch_us(ts) AS tsu
+       |           FROM events),
+       |l AS (SELECT *, lag(tsu) OVER (PARTITION BY user_id
+       |                               ORDER BY tsu ASC, event_id ASC) AS prev
+       |      FROM e),
+       |f AS (SELECT *, CASE WHEN prev IS NULL OR tsu - prev > ${SessionGapUs}
+       |                     THEN 1 ELSE 0 END AS brk FROM l),
+       |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+       |        ORDER BY tsu ASC, event_id ASC
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |      FROM f)
+       |SELECT user_id, session_id::BIGINT AS session_id,
+       |       count(*)::BIGINT AS n_events,
+       |       (max(tsu) - min(tsu))::BIGINT AS duration_us,
+       |       round(sum(value), 4) AS sum_value,
+       |       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+       |       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view,
+       |       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+       |       max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::INT AS converted
+       |FROM s GROUP BY user_id, session_id""".stripMargin
+
   /** q103: SCALABLE quantile binning — the 100 TB formulation q90's scaladoc
     * promises: per-type exact decile BOUNDARIES via one partial-combinable
     * `percentile` aggregate (types × 9 rows — model-sized), broadcast back,
@@ -775,7 +824,8 @@ object EventQueries {
     "q93_rank_family" -> (q93RankFamily _),
     "q96_schema_evolution" -> (q96SchemaEvolution _),
     "q97_collect_types" -> (q97CollectTypes _),
-    "q103_quantile_bins" -> (q103QuantileBins _)
+    "q103_quantile_bins" -> (q103QuantileBins _),
+    "q105_session_features" -> (q105SessionFeatures _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -805,6 +855,7 @@ object EventQueries {
     "q93_rank_family" -> q93Oracle,
     "q96_schema_evolution" -> q96Oracle,
     "q97_collect_types" -> q97Oracle,
-    "q103_quantile_bins" -> q103Oracle
+    "q103_quantile_bins" -> q103Oracle,
+    "q105_session_features" -> q105Oracle
   )
 }
