@@ -666,6 +666,41 @@ object EventQueries {
       |      WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id ASC))
       |WHERE rn <= 20""".stripMargin
 
+  /** q106: THREE-step strictly-ordered funnel — signup → later click →
+    * later purchase, each step's timestamp strictly after the previous
+    * step's FIRST occurrence (q13's two-step shape deepened to the chained
+    * per-step min-join the reference's product-analytics consumers run).
+    * Scale shape: three user_id-partitioned aggregates chained by joins on
+    * the same key — the exchange is reusable across steps — and three
+    * 1-row counts cross-joined at the end (driver-sized, like q13).
+    */
+  def q106Funnel3(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).withColumn("ts_us", expr("ts div 1000"))
+    val s1 = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts_us")).as("t1"))
+    val s2 = e.filter(col("event_type") === "click")
+      .join(s1, "user_id").filter(col("ts_us") > col("t1"))
+      .groupBy("user_id").agg(min(col("ts_us")).as("t2"))
+    val s3 = e.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("ts_us") > col("t2"))
+      .groupBy("user_id").agg(min(col("ts_us")).as("t3"))
+    s1.agg(count(lit(1)).as("n_signup"))
+      .crossJoin(s2.agg(count(lit(1)).as("n_click_after")))
+      .crossJoin(s3.agg(count(lit(1)).as("n_purchase_after")))
+  }
+
+  private val q106Oracle =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+      |s1 AS (SELECT user_id, min(tsu) AS t1 FROM e
+      |       WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(tsu) AS t2 FROM e JOIN s1 USING (user_id)
+      |       WHERE event_type = 'click' AND tsu > t1 GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(tsu) AS t3 FROM e JOIN s2 USING (user_id)
+      |       WHERE event_type = 'purchase' AND tsu > t2 GROUP BY 1)
+      |SELECT (SELECT count(*) FROM s1)::BIGINT AS n_signup,
+      |       (SELECT count(*) FROM s2)::BIGINT AS n_click_after,
+      |       (SELECT count(*) FROM s3)::BIGINT AS n_purchase_after""".stripMargin
+
   /** q105: per-SESSION training features — the feature-extraction shape a
     * behavioral model trains on: q12's gap sessionization carried through
     * to one feature row per session (duration, size, value stats, pivoted
@@ -825,7 +860,8 @@ object EventQueries {
     "q96_schema_evolution" -> (q96SchemaEvolution _),
     "q97_collect_types" -> (q97CollectTypes _),
     "q103_quantile_bins" -> (q103QuantileBins _),
-    "q105_session_features" -> (q105SessionFeatures _)
+    "q105_session_features" -> (q105SessionFeatures _),
+    "q106_funnel3" -> (q106Funnel3 _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -856,6 +892,7 @@ object EventQueries {
     "q96_schema_evolution" -> q96Oracle,
     "q97_collect_types" -> q97Oracle,
     "q103_quantile_bins" -> q103Oracle,
-    "q105_session_features" -> q105Oracle
+    "q105_session_features" -> q105Oracle,
+    "q106_funnel3" -> q106Oracle
   )
 }
