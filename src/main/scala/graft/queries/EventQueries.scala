@@ -837,6 +837,45 @@ object EventQueries {
       |       string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types
       |FROM events GROUP BY user_id""".stripMargin
 
+  /** q107: dispersion aggregates — sample stddev/variance per type (the
+    * monitoring/feature-normalization statistics), rounded like every
+    * aggregated double (both engines use numerically stable central-moment
+    * accumulation; round(4) + the driver's 1e-9 tolerance absorbs
+    * summation-order ulps exactly as q01's sums do).
+    */
+  def q107Dispersion(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        round(stddev_samp(col("value")), 4).as("sd"),
+        round(var_samp(col("value")), 4).as("vr"),
+        round(avg(col("value")), 4).as("mean"))
+
+  private val q107Oracle =
+    """SELECT event_type, round(stddev_samp(value), 4) AS sd,
+      |       round(var_samp(value), 4) AS vr, round(avg(value), 4) AS mean
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** q108: correlation / covariance aggregates — Pearson corr and sample
+    * covariance of `value` against the JSON property `k` per type (the
+    * feature-relationship screen run before training).
+    */
+  def q108Correlation(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("double"))
+      .groupBy("event_type")
+      .agg(
+        round(corr(col("value"), col("k")), 4).as("corr_vk"),
+        round(covar_samp(col("value"), col("k")), 4).as("covar_vk"),
+        count(lit(1)).as("n"))
+
+  private val q108Oracle =
+    """SELECT event_type,
+      |       round(corr(value, json_extract_string(props, '$.k')::DOUBLE), 4) AS corr_vk,
+      |       round(covar_samp(value, json_extract_string(props, '$.k')::DOUBLE), 4) AS covar_vk,
+      |       count(*)::BIGINT AS n
+      |FROM events GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_retention" -> (q60Retention _),
     "q67_pivot" -> (q67Pivot _),
@@ -861,7 +900,9 @@ object EventQueries {
     "q97_collect_types" -> (q97CollectTypes _),
     "q103_quantile_bins" -> (q103QuantileBins _),
     "q105_session_features" -> (q105SessionFeatures _),
-    "q106_funnel3" -> (q106Funnel3 _)
+    "q106_funnel3" -> (q106Funnel3 _),
+    "q107_dispersion" -> (q107Dispersion _),
+    "q108_correlation" -> (q108Correlation _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -893,6 +934,8 @@ object EventQueries {
     "q97_collect_types" -> q97Oracle,
     "q103_quantile_bins" -> q103Oracle,
     "q105_session_features" -> q105Oracle,
-    "q106_funnel3" -> q106Oracle
+    "q106_funnel3" -> q106Oracle,
+    "q107_dispersion" -> q107Oracle,
+    "q108_correlation" -> q108Oracle
   )
 }
