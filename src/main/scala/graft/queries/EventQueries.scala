@@ -146,7 +146,9 @@ object EventQueries {
     * engine-exact; see the ts note above).
     *
     * Scale shape: one shuffle on user_id builds the cohort map, the join
-    * back is user_id-partitioned on both sides (exchange reuse applies),
+    * back is user_id-partitioned on both sides (the exchanges are distinct
+    * subtrees — raw probe rows vs aggregate output — so they cannot be
+    * physically shared, but neither side shuffles more than once),
     * and the distinct count shuffles only (cohort_day, offset, user_id).
     */
   def q60Retention(spark: SparkSession, dir: String): DataFrame = {
