@@ -73,10 +73,14 @@ object Bench {
         name -> median(times)
       }
     val loadAfter = loadavg
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The driver's record keeps only the TAIL of stdout, so the layout is
+    // truncation-proof by construction: per-query detail lines stream FIRST
+    // (losing the earliest of them costs nothing that matters), and the one
+    // headline line — total + query map + load — is printed LAST so it always
+    // survives. The final line alone is a complete, parseable record.
+    results.foreach { case (k, v) => println(s"""{"query":"$k","sec":$v}""") }
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","trials":$trials,"load_before":"$loadBefore","load_after":"$loadAfter"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","trials":$trials,"load_before":"$loadBefore","load_after":"$loadAfter"}""")
     spark.stop()
   }
 }

@@ -783,14 +783,26 @@ object Dedup {
   /** Bounded EDIT-DISTANCE near-dup pairs — the character-level fuzzy tier
     * below n-gram Jaccard (catches transpositions/typos that shingle sets
     * blur). Same (block, id-window) bucketing as every pair tier, so
-    * candidates stay O(rows × window), and the predicate is the 2-arg
-    * `levenshtein(a,b) <= maxDist` form that the
-    * [[graft.plans.LevenshteinPrefilter]] optimizer rule guards with the
-    * constant-time `abs(length(a)-length(b)) <= maxDist` lower bound —
-    * length-implausible pairs never run the O(|a|·|b|) dynamic program.
-    * (The rule is installed via
+    * candidates stay O(rows × window).
+    *
+    * The O(|a|·|b|) dynamic program is evaluated EXACTLY ONCE per
+    * length-plausible candidate: the join carries only constant-time
+    * predicates (bucket equality, id window, and the
+    * `abs(length(a)-length(b)) <= maxDist` lower bound — the same guard the
+    * [[graft.plans.LevenshteinPrefilter]] rule injects when the DP sits in a
+    * predicate), and `levenshtein` itself runs inside a map-side partial
+    * aggregate keyed on the (unique) pair. Putting the DP in a filter OR a
+    * post-filter projection evaluates it twice — Catalyst's predicate
+    * pushdown re-inlines a projected alias into the join condition, so the
+    * aggregate is the barrier that makes single evaluation stick; the bound
+    * then filters on the aggregated `dist`, which cannot be pushed below the
+    * aggregate. Cost at scale: the extra exchange carries (keys, int) rows —
+    * the partial aggregate fully collapses map-side because pairs are unique
+    * — which is noise next to the DP it halves.
+    * (The rule stays installed via
     * [[graft.functions.GraftFunctions.registerOptimizations]] here, or the
-    * `GraftExtensions` session extension in a configured deployment.)
+    * `GraftExtensions` session extension in a configured deployment, and
+    * still guards ad-hoc `levenshtein <= k` predicates users write.)
     */
   def editDistancePairs(
       docs: DataFrame,
@@ -810,9 +822,10 @@ object Dedup {
       .withColumn("id_bucket", expr(s"doc_b div $window"))
     a.join(b, blockCols :+ "id_bucket")
       .filter((col("doc_b") - col("doc_a")).between(lit(1), lit(window)))
-      .filter(levenshtein(col("t_a"), col("t_b")) <= maxDist)
-      .select((blockCols.map(col) :+ col("doc_a") :+ col("doc_b") :+
-        levenshtein(col("t_a"), col("t_b")).as("dist")): _*)
+      .filter(abs(length(col("t_a")) - length(col("t_b"))) <= maxDist)
+      .groupBy((blockCols.map(col) :+ col("doc_a") :+ col("doc_b")): _*)
+      .agg(min(levenshtein(col("t_a"), col("t_b"))).as("dist"))
+      .filter(col("dist") <= maxDist)
   }
 
   def ngramJaccardPairs(

@@ -571,7 +571,7 @@ object EventQueries {
   private val q79Oracle =
     """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
       |  count(*) OVER w AS n_1h,
-      |  sum(floor(value * 100)::BIGINT) OVER w AS cents_1h
+      |  (sum(floor(value * 100)::BIGINT) OVER w)::BIGINT AS cents_1h
       |FROM events
       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
       |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin

@@ -113,7 +113,16 @@ object CdcStream {
     * micro-batch (foreachBatch is at-least-once) rewrites its own dir and
     * re-points, which is idempotent BECAUSE the file source replays batches
     * in checkpoint order; production would swap the pointer file for a
-    * transactional table commit. Within-state rows carry no version, so
+    * transactional table commit. The replay window is closed on BOTH sides
+    * of the pointer swap: a crash before it leaves the pointer on
+    * `state_<batchId-1>`, so the replay recomputes and overwrites
+    * `state_<batchId>` (not the dir being read); a crash AFTER the swap but
+    * before the checkpoint commit would make the replay read
+    * `state_<batchId>` and overwrite that same path (Spark refuses,
+    * wedging every restart) — so a batch whose pointer already names its
+    * own dir short-circuits: the prior attempt demonstrably completed the
+    * fold and the swap, and the fold is deterministic given (state, batch).
+    * Within-state rows carry no version, so
     * each fold treats the accumulated state as version 0 and the batch's
     * real `_commit_version`s (> 0) win — correct as long as batches arrive
     * in commit order, which the mtime-ordered file source guarantees.
@@ -134,11 +143,15 @@ object CdcStream {
         spark.read.parquet(s"$stateDir/${java.nio.file.Files.readString(pointer).trim}")
       else initialState
     changes.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val next = graft.engine.CdcMaterialize.currentState(
-        readState(), batch, keyCols, snapshotVersion = 0L)
       val target = s"state_$batchId"
-      next.write.mode("overwrite").parquet(s"$stateDir/$target")
-      java.nio.file.Files.writeString(pointer, target)
+      val alreadyApplied = java.nio.file.Files.exists(pointer) &&
+        java.nio.file.Files.readString(pointer).trim == target
+      if (!alreadyApplied) {
+        val next = graft.engine.CdcMaterialize.currentState(
+          readState(), batch, keyCols, snapshotVersion = 0L)
+        next.write.mode("overwrite").parquet(s"$stateDir/$target")
+        java.nio.file.Files.writeString(pointer, target)
+      }
       ()
     }
   }

@@ -146,13 +146,25 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q95 edit distance: bucketed pair join with the injected length guard") {
-    val plan = planOf(Dedup.editDistancePairs(
-      Tables.documents(spark, Sf0001), blockCols = Seq("lang"), maxDist = 25))
+    val df = Dedup.editDistancePairs(
+      Tables.documents(spark, Sf0001), blockCols = Seq("lang"), maxDist = 25)
+    val plan = planOf(df)
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
       s"pair generation fell back to an all-pairs join:\n$plan")
-    // the LevenshteinPrefilter rule's constant-time lower bound must gate
-    // the O(n^2) dynamic program in the physical predicate
-    assert(plan.contains("levenshtein"), plan)
+    // the O(n^2) dynamic program must be evaluated EXACTLY ONCE per pair —
+    // inside the aggregate — not re-inlined into a filter/join predicate by
+    // alias substitution (that would run the DP twice per surviving pair).
+    // One Aggregate node in the optimized plan carries it...
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert("levenshtein".r.findAllIn(optimized).size == 1,
+      s"levenshtein must be evaluated exactly once:\n$optimized")
+    // ...and no physical Filter/Join re-evaluates it (the two HashAggregate
+    // mentions are partial eval + final merge of the SAME per-row value)
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("levenshtein") && (l.contains("Filter") || l.contains("Join"))),
+      s"levenshtein leaked back into a predicate:\n$plan")
+    // the constant-time length lower bound still gates candidates before
+    // any DP runs
     assert(plan.contains("abs(") && plan.contains("length("),
       s"length-difference guard missing:\n$plan")
   }

@@ -277,4 +277,54 @@ class CdcStreamSpec extends SparkSpec with BeforeAndAfterAll with TimeLimits {
     drain()
     assert(state() === Set((1L, "back"), (2L, "b2"), (3L, "c")))
   }
+
+  stest("materializeStream replay after the pointer swap short-circuits") {
+    // the at-least-once crash window: a batch completes its state write AND
+    // the _latest pointer swap, then dies before the checkpoint commit. On
+    // restart the engine replays that batch — which now READS the dir named
+    // by the pointer; recomputing would overwrite the path being read
+    // (Spark refuses, wedging every restart), so the fold must short-circuit.
+    val dir = s"$work/mat-replay"
+    val in = Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    val snapshot = Seq((1L, "a")).toDF("id", "name")
+    def changes(v: Long, rows: Seq[(Long, String, String)]) =
+      rows.toDF("id", "name", "_change_type")
+        .withColumn("_commit_version", lit(v))
+        .withColumn("_commit_timestamp", lit(s"2024-01-0$v"))
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$dir/tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+      Files.copy(part.toPath, in.resolve(name))
+    }
+    val schema = changes(2L, Seq((2L, "x", "insert"))).schema
+    def drain(): Unit = {
+      val q = CdcStream.materializeStream(
+        spark.readStream.schema(schema).parquet(in.toString),
+        initialState = snapshot, stateDir = s"$dir/state", keyCols = Seq("id"))
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def state(): Set[(Long, String)] =
+      CdcStream.currentMaterializedState(spark, s"$dir/state")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+    stage(changes(2L, Seq((2L, "b", "insert"))), "a.parquet")
+    drain()
+    assert(state() === Set((1L, "a"), (2L, "b")))
+    // simulate the crash: the state write and pointer swap survived (they
+    // did — drain() finished), but the checkpoint commit record is lost
+    val commits = new java.io.File(s"$dir/ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.nonEmpty, "expected at least one checkpoint commit")
+    Files.delete(commits.last.toPath)
+    // the local FS keeps a checksum sidecar; a real crash loses both
+    Files.deleteIfExists(
+      commits.last.toPath.resolveSibling("." + commits.last.getName + ".crc"))
+    drain() // replays the last batch — must not throw, state must hold
+    assert(state() === Set((1L, "a"), (2L, "b")))
+  }
 }
