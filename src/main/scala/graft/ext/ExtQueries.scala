@@ -367,27 +367,73 @@ object ExtQueries {
       |      FROM s)
       |SELECT q_id, vec_id, rank, round(score, 4) AS score_r FROM r WHERE rank <= 5""".stripMargin
 
-  /** ANN (LSH-bucketed) — approximate by design, so no value oracle; the
-    * spec checks recall against the brute-force tier instead (rows-only in
-    * the driver gate).
+  /** Shared ANN gate (q31/q32/q34): an approximate result cannot hash-match
+    * a foreign engine, so the gate is split exactly like q83's sketch bound —
+    * the EXACT side (|queries|·k brute-force pairs) is recomputed
+    * value-for-value by the oracle, and the approximate tier is gated
+    * through its RECALL bound, an integer flag the oracle pins to TRUE.
+    * Recall is aggregated over the whole query batch (the tier's documented
+    * promise, same as SimilaritySpec asserts) — a per-query pin would turn
+    * one unlucky bucket into a red driver row. All arithmetic is integer
+    * (`hits·100 >= 80·exact`), so no float threshold can flip the flag.
+    */
+  private def annRecallGate(ann: DataFrame, exact: DataFrame): DataFrame = {
+    val ex = exact.select("q_id", "vec_id")
+    val hits = ex.intersect(ann.select("q_id", "vec_id"))
+      .agg(count(lit(1)).as("hits"))
+    ex.agg(count(lit(1)).as("exact_pairs"))
+      .crossJoin(hits)
+      .select(col("exact_pairs"),
+        (col("hits") * 100 >= lit(80) * col("exact_pairs")).cast("int")
+          .as("recall_ge_80"))
+  }
+
+  /** The exact side of the ANN gates: brute-force top-5 pair count for the
+    * vec_id < 8 query batch (the q30 ranking CTE), plus the pinned flag.
+    */
+  private val annRecallOracle =
+    """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
+      |c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+      |s AS (SELECT q_id, vec_id,
+      |        list_dot_product(qv, cv)
+      |          / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS score
+      |      FROM q, c WHERE vec_id <> q_id),
+      |r AS (SELECT q_id, vec_id,
+      |        row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank
+      |      FROM s)
+      |SELECT count(*)::BIGINT AS exact_pairs, 1::INT AS recall_ge_80
+      |FROM r WHERE rank <= 5""".stripMargin
+
+  /** ANN (LSH-bucketed) under the [[annRecallGate]]: the hyperplane tier's
+    * recall@5 against the exact tier, driver-checked (the oracle recomputes
+    * the exact pair count and pins the recall flag).
     */
   def q31KnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = fanOut(embeddings(spark, dir))
-    Similarity.lshTopK(e, e.filter(col("vec_id") < 8), k = 5)
+    val q = e.filter(col("vec_id") < 8)
+    annRecallGate(Similarity.lshTopK(e, q, k = 5),
+      Similarity.bruteForceTopK(e, q, k = 5))
   }
 
-  /** ANN (IVF inverted-file index) — approximate by design like q31, so
-    * rows-only in the driver gate; recall vs brute force is asserted in
-    * SimilaritySpec. Runs the PRODUCTION shape: the index (centroid model +
-    * cell-partitioned inverted file) is written once and the query batch
-    * probes the persisted parquet — covering the build/probe split under
-    * the driver gate (equivalence to the in-memory path is spec-asserted).
+  /** ANN (IVF inverted-file index) under the [[annRecallGate]]. Runs the
+    * PRODUCTION shape: the index (centroid model + cell-partitioned
+    * inverted file) is written once and the query batch probes the
+    * persisted parquet — covering the build/probe split under the driver
+    * gate (equivalence to the in-memory path is spec-asserted).
+    *
+    * nprobe=12/16: the driver's synthetic embeddings are near-uniform —
+    * IVF's hardest case, where cells barely separate neighborhoods — so the
+    * gate probes 3/4 of the cells to hold recall@5 well clear of the pinned
+    * bound (measured 0.90 at sf0.01, 0.975 at sf0.1; the nprobe=8 default
+    * sits at 0.75 here while fine on clustered real-world corpora).
     */
   def q32KnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = fanOut(embeddings(spark, dir))
+    val q = e.filter(col("vec_id") < 8)
     val idx = graft.queries.Scratch.stableDir("q32-idx")
     Similarity.writeIvfIndex(e, idx)
-    Similarity.ivfTopKIndexed(e.filter(col("vec_id") < 8), idx, k = 5)
+    annRecallGate(Similarity.ivfTopKIndexed(q, idx, k = 5, nprobe = 12),
+      Similarity.bruteForceTopK(e, q, k = 5))
   }
 
   /** IVF index built ONCE per JVM per sf dir — backs the probe-only row so
@@ -406,21 +452,25 @@ object ExtQueries {
       idx
     })
 
-  /** ANN probe latency against a PREBUILT IVF index — the number that
-    * matters for an ANN service, where the index is authored once per
-    * corpus version and probed millions of times. q32 deliberately keeps
-    * the one-time build inside its timed path (gating the build/probe
-    * round-trip); this row times only the probe: centroid scoring, dynamic
-    * partition pruning into the probed cells, top-k. Approximate like
-    * q31/q32, so rows-only in the driver gate; SimilaritySpec asserts its
-    * recall against the exact tier (it shares q32's probe core, but its
-    * index is an independent k-means training, so bit-identity to q32 is
-    * not promised — float summation order can perturb centroids).
+  /** ANN probe against a PREBUILT IVF index, under the [[annRecallGate]] —
+    * the shape that matters for an ANN service, where the index is authored
+    * once per corpus version and probed millions of times. q32 deliberately
+    * keeps the one-time build inside its timed path (gating the build/probe
+    * round-trip); this row's index build is memoized per JVM, so its timed
+    * path is the probe (centroid scoring, dynamic partition pruning into
+    * the probed cells, top-k) plus the gate's one exact-tier pass over the
+    * corpus — the brute-force comparison that makes the recall
+    * driver-checkable. (Its index is an independent k-means training from
+    * q32's, so bit-identity to q32 is not promised — float summation order
+    * can perturb centroids; the recall promise is what both must meet.)
     */
   def q34IvfProbe(spark: SparkSession, dir: String): DataFrame = {
     val idx = prebuiltIvfIndex(spark, dir)
-    Similarity.ivfTopKIndexed(
-      fanOut(embeddings(spark, dir)).filter(col("vec_id") < 8), idx, k = 5)
+    val e = fanOut(embeddings(spark, dir))
+    val q = e.filter(col("vec_id") < 8)
+    // nprobe=12: same near-uniform-corpus tuning as q32 (see there)
+    annRecallGate(Similarity.ivfTopKIndexed(q, idx, k = 5, nprobe = 12),
+      Similarity.bruteForceTopK(e, q, k = 5))
   }
 
   /** q98: the SQL surface of the custom Catalyst kernels under the driver
@@ -1404,9 +1454,11 @@ object ExtQueries {
     "q77_knn_classify" -> q77Oracle,
     "q78_sq8_centroids" -> q78Oracle,
     "q30_knn_brute" -> q30Oracle,
+    "q31_knn_lsh" -> annRecallOracle,
+    "q32_knn_ivf" -> annRecallOracle,
+    "q34_ivf_probe" -> annRecallOracle,
     "q33_sq8" -> q33Oracle,
     "q98_sql_kernels" -> q98Oracle,
-    // q31_knn_lsh: approximate — rows-only check by design
     "q40_lang_id" -> q40Oracle,
     "q41_quality" -> q41Oracle,
     "q46_ngram_lang" -> q46Oracle,

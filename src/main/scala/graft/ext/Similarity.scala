@@ -201,8 +201,9 @@ object Similarity {
       .map(_.getSeq[Double](0).toArray)
 
     (0 until iters).foreach { _ =>
-      val assigned = train.select(
-        assignCell(col("v"), centroids).as("cell"), col("v"))
+      val assigned = withNearestCell(
+        train.withColumn("__vn", norm(col("v"))), "v", "__vn", "id", centroids)
+        .select(col("cell"), col("v"))
       val means = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cell", "pos")
@@ -219,22 +220,55 @@ object Similarity {
     centroids
   }
 
-  /** Nearest-centroid id (argmax cosine, ties to the lowest cell id). */
-  private def assignCell(vec: Column, centroids: Array[Array[Double]]): Column = {
-    val scored = centroids.zipWithIndex.map { case (ctr, c) =>
-      val lit_c = typedLit(ctr.toSeq)
-      struct((-dot(vec, lit_c) / (norm(vec) * norm(lit_c))).as("d"), lit(c).as("c"))
-    }
-    array_min(array(scored.toIndexedSeq: _*)).getField("c")
+  /** The centroid MODEL as a broadcast relation (cell, ctr, ctr_norm) — not
+    * as literal expressions. A per-centroid `struct(dot(vec, typedLit(ctr)))`
+    * branch puts O(cells) subtrees in the plan: fine at cells≈O(100), but at
+    * the cells ≈ √N a 100 TB index wants (tens of thousands) the generated
+    * plan/codegen blows up long before the data does. A broadcast relation
+    * scales with executor memory instead of plan size, and the argmin
+    * becomes a join + aggregate that Catalyst plans normally. Centroid norms
+    * are computed HERE with the same [[norm]] expression rows use, so
+    * assignment arithmetic is bit-identical to scoring arithmetic.
+    */
+  private def centroidRelation(
+      spark: org.apache.spark.sql.SparkSession,
+      centroids: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    broadcast(
+      centroids.zipWithIndex.map { case (ctr, c) => (c, ctr.toSeq) }.toSeq
+        .toDF("__cell", "__ctr")
+        .withColumn("__ctr_norm", norm(col("__ctr"))))
   }
 
-  /** Per-row array of the `nprobe` nearest cell ids, best first. */
-  private def probeCells(vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column = {
-    val scored = centroids.zipWithIndex.map { case (ctr, c) =>
-      val lit_c = typedLit(ctr.toSeq)
-      struct((-dot(vec, lit_c) / (norm(vec) * norm(lit_c))).as("d"), lit(c).as("c"))
-    }
-    slice(transform(array_sort(array(scored.toIndexedSeq: _*)), s => s.getField("c")), 1, nprobe)
+  /** Append the nearest-centroid `cell` (argmax cosine, ties to the lowest
+    * cell id) to every row of `df`: a BroadcastNestedLoopJoin against the
+    * centroid relation scores all cells per row — the N×cells dot products
+    * ANY assignment must do, map-side and codegen'd — and a lexicographic
+    * `min(struct(d, cell))` aggregate on the unique `keyCol` takes the
+    * argmin (struct min orders by d, then cell — the deterministic
+    * tie-break). The partial aggregate collapses map-side (rows for one key
+    * are consecutive out of the nested-loop join), so the exchange carries
+    * one row per input row; at scale that shuffle is folded into the
+    * cell-clustered write/layout the inverted file wants anyway.
+    *
+    * `normCol` must hold `norm(vecCol)` (precomputed once per row, not per
+    * row×cell); `keyCol` must be unique per row — remaining columns ride
+    * through `first(...)`.
+    */
+  private def withNearestCell(
+      df: DataFrame,
+      vecCol: String,
+      normCol: String,
+      keyCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val carry = df.columns.filterNot(_ == keyCol).toSeq
+    df.crossJoin(centroidRelation(df.sparkSession, centroids))
+      .withColumn("__d",
+        -dot(col(vecCol), col("__ctr")) / (col(normCol) * col("__ctr_norm")))
+      .groupBy(col(keyCol))
+      .agg(min(struct(col("__d"), col("__cell"))).as("__m"),
+        carry.map(c => first(col(c)).as(c)): _*)
+      .select((df.columns.toSeq.map(col) :+ col("__m.__cell").as("cell")): _*)
   }
 
   /** ANN top-k via an inverted-file index: corpus rows live in the cell of
@@ -267,9 +301,10 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
 
     val centroids = ivfCentroids(corpus, cells, iters, trainFraction, idCol, vecCol)
-    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec"),
-      norm(col(vecCol)).as("c_norm"),
-      assignCell(col(vecCol), centroids).as("cell"))
+    val c = withNearestCell(
+      corpus.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec"),
+        norm(col(vecCol)).as("c_norm")),
+      "c_vec", "c_norm", "vec_id", centroids)
     probeIvf(c, queries, centroids, k, nprobe, idCol, vecCol)
   }
 
@@ -297,9 +332,10 @@ object Similarity {
     centroids.zipWithIndex.map { case (ctr, c) => (c, ctr.toSeq) }.toSeq
       .toDF("cell", "ctr")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    corpus.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec"),
-        norm(col(vecCol)).as("c_norm"),
-        assignCell(col(vecCol), centroids).as("cell"))
+    withNearestCell(
+      corpus.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec"),
+        norm(col(vecCol)).as("c_norm")),
+      "c_vec", "c_norm", "vec_id", centroids)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/invfile")
   }
 
@@ -323,9 +359,10 @@ object Similarity {
     val centroids = spark.read.parquet(s"$indexPath/centroids")
       .orderBy("cell").collect()
       .map(_.getSeq[Double](1).toArray)
-    newVectors.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec"),
-        norm(col(vecCol)).as("c_norm"),
-        assignCell(col(vecCol), centroids).as("cell"))
+    withNearestCell(
+      newVectors.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec"),
+        norm(col(vecCol)).as("c_norm")),
+      "c_vec", "c_norm", "vec_id", centroids)
       .write.mode("append").partitionBy("cell").parquet(s"$indexPath/invfile")
   }
 
@@ -361,9 +398,19 @@ object Similarity {
       nprobe: Int,
       idCol: String,
       vecCol: String): DataFrame = {
+    // per-query nprobe nearest cells: the (small) query side scores every
+    // centroid through the same broadcast relation, then rank <= nprobe —
+    // |Q|×cells intermediate rows on the broadcast-bound side, never the
+    // corpus
+    val pw = Window.partitionBy("q_id").orderBy(col("__d").asc, col("__cell").asc)
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-      norm(col(vecCol)).as("q_norm"),
-      explode(probeCells(col(vecCol), centroids, nprobe)).as("cell"))
+        norm(col(vecCol)).as("q_norm"))
+      .crossJoin(centroidRelation(queries.sparkSession, centroids))
+      .withColumn("__d",
+        -dot(col("q_vec"), col("__ctr")) / (col("q_norm") * col("__ctr_norm")))
+      .withColumn("__r", row_number().over(pw))
+      .filter(col("__r") <= nprobe)
+      .select(col("q_id"), col("q_vec"), col("q_norm"), col("__cell").as("cell"))
     val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
     c.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))

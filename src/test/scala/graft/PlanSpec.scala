@@ -192,6 +192,11 @@ class PlanSpec extends SparkSpec {
       // that lets a probe skip unprobed cells of a 100 TB inverted file
       assert(plan.toLowerCase.contains("dynamicpruning"),
         s"no dynamic partition pruning on the inverted-file scan:\n$plan")
+      // the centroid model rides a broadcast relation (a nested-loop join
+      // against the O(cells) local relation), never per-centroid literal
+      // expression branches — the form that scales cells to √N
+      assert(plan.contains("BroadcastNestedLoopJoin"),
+        s"centroid scoring should be a broadcast model join:\n$plan")
     }
   }
 }
