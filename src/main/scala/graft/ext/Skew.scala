@@ -70,4 +70,38 @@ object Skew {
     val b = build.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
     p.join(b, keys :+ "__salt", joinType).drop("__salt")
   }
+
+  /** EXACT count-distinct per key for skewed keys, in two stages.
+    *
+    * Plain `groupBy(key).agg(count_distinct(v))` plans distinct as a
+    * re-aggregation keyed on (key, v) — already two shuffles — and then the
+    * per-key merge: a hot key's entire distinct-value set converges on ONE
+    * reducer, which at 100 TB is the task that never finishes. Salting by
+    * `hash(value) % salts` splits each key's value space into `salts`
+    * DISJOINT partitions (the same value always lands on the same salt, so
+    * per-salt distinct counts ADD EXACTLY — no overlap to reconcile):
+    *
+    *   stage 1: groupBy(key, salt) → count_distinct(v)   (hot key on `salts` reducers)
+    *   stage 2: groupBy(key)       → sum(partials)       (`salts` small rows per key)
+    *
+    * The salt is content-derived, so task retries reassign identically
+    * (the SPARK-23207-safe choice, same rationale as [[probeSalt]]).
+    * Result equals the unsalted aggregate row-for-row (SkewSpec; q111 is
+    * oracled against the definitional COUNT(DISTINCT)).
+    */
+  def saltedDistinctCount(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      salts: Int,
+      outCol: String = "n_distinct"): DataFrame = {
+    require(salts >= 1, "salts must be >= 1")
+    require(keys.nonEmpty, "need at least one key column")
+    df.select((keys.map(col) :+ col(valueCol)): _*)
+      .withColumn("__salt", pmod(hash(col(valueCol)), lit(salts)))
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(count_distinct(col(valueCol)).as("__part"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum("__part").as(outCol))
+  }
 }

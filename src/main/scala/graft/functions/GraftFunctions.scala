@@ -54,6 +54,28 @@ object GraftFunctions {
   def polyRollingHash(t: Column, mult: Long = 31L, mod: Long = 1000000007L): Column =
     col(PolyRollingHash(expr(t), mult, mod))
 
+  /** Spark's own Bloom-filter aggregate (the engine's runtime-join-filter
+    * building block, not SQL-registered upstream) exposed as a Column: one
+    * `binary` sketch of the xxhash64-hashed inputs. `numBits` fixes the
+    * filter size (fpp ≈ (1-e^(-kn/m))^k); the aggregate merges partials
+    * map-side like any TypedImperativeAggregate.
+    */
+  def bloomFilterAgg(hashed: Column, expectedItems: Long, numBits: Long): Column =
+    col(new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+      expr(hashed),
+      org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
+      org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+      .toAggregateExpression())
+
+  /** Membership probe against a [[bloomFilterAgg]] sketch. The sketch side
+    * must be a constant (Spark's type check: constant or scalar subquery) —
+    * callers collect the one-row aggregate and re-embed it, the bounded
+    * model-read pattern.
+    */
+  def bloomMightContain(bloom: Column, hashed: Column): Column =
+    col(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      expr(bloom), expr(hashed)))
+
   /** (name, info, builder) triples for every graft SQL function. */
   private[graft] def registry: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {
     def info(name: String, usage: String, clazz: Class[_]) =

@@ -878,8 +878,59 @@ object EventQueries {
       |       count(*)::BIGINT AS n
       |FROM events GROUP BY 1""".stripMargin
 
+  /** q112: MERGEABLE HLL sketches (DataSketches `hll_sketch_agg` /
+    * `hll_union_agg`) — the pattern behind every 100 TB distinct-count
+    * dashboard: sketch ONCE per (type, day) partition at ingest, persist the
+    * binary, and answer any later slice (here: all days per type) by MERGING
+    * sketches — no re-scan of raw data, fixed space per cell. q83 gates the
+    * one-shot `approx_count_distinct`; this row gates the re-aggregation
+    * path: daily sketches union-merged, estimated, and bound against the
+    * exact count with the same pinned-flag contract (a 5% miss at lgK=12,
+    * rsd≈1.6%, means broken merge semantics, not bad luck; the sketch is
+    * deterministic for a given input set).
+    */
+  def q112HllMerge(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .withColumn("day", expr("ts div 1000 div 86400000000"))
+    val daily = e.groupBy("event_type", "day")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val merged = daily.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+    val exact = e.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    exact.join(merged, Seq("event_type"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users"))
+          <= lit(0.05) * col("exact_users")).cast("int").as("within_5pct"))
+  }
+
+  private val q112Oracle =
+    """SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_users,
+      |       1::INT AS within_5pct
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** q113: `approx_top_k` heavy hitters (DataSketches frequent-items) in
+    * its EXACT regime: k=10 over 5 distinct event types — the sketch
+    * guarantees exact counts while distincts fit its map, so the output
+    * hash-matches the definitional GROUP BY. This pins the sketch's
+    * exact-regime contract cross-engine; at 100 TB the same call with a
+    * high-cardinality column degrades gracefully to (item, count-range)
+    * heavy hitters without a full shuffle of the key space.
+    */
+  def q113ApproxTopK(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .agg(expr("approx_top_k(event_type, 10)").as("tk"))
+      .select(explode(col("tk")).as("t"))
+      .select(col("t.item").as("event_type"), col("t.count").as("n"))
+
+  private val q113Oracle =
+    """SELECT event_type, count(*)::BIGINT AS n
+      |FROM events GROUP BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_retention" -> (q60Retention _),
+    "q112_hll_merge" -> (q112HllMerge _),
+    "q113_approx_topk" -> (q113ApproxTopK _),
     "q67_pivot" -> (q67Pivot _),
     "q12_sessionize" -> (q12Sessionize _),
     "q13_funnel" -> (q13Funnel _),
@@ -938,6 +989,8 @@ object EventQueries {
     "q105_session_features" -> q105Oracle,
     "q106_funnel3" -> q106Oracle,
     "q107_dispersion" -> q107Oracle,
-    "q108_correlation" -> q108Oracle
+    "q108_correlation" -> q108Oracle,
+    "q112_hll_merge" -> q112Oracle,
+    "q113_approx_topk" -> q113Oracle
   )
 }

@@ -74,4 +74,17 @@ class SkewSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet
     assert(got === Set((1L, "x", Some("m")), (2L, "y", None)))
   }
+
+  test("saltedDistinctCount equals the plain COUNT(DISTINCT) per key") {
+    val e = Tables.events(spark, Sf0001)
+    val salted = Skew.saltedDistinctCount(e, Seq("event_type"), "user_id", salts = 16,
+      outCol = "n_users")
+    val plain = e.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    // salts = 1 degenerates to the plain aggregate too
+    val one = Skew.saltedDistinctCount(e, Seq("event_type"), "user_id", salts = 1,
+      outCol = "n_users")
+    assert(one.exceptAll(plain).isEmpty && plain.exceptAll(one).isEmpty)
+  }
 }
