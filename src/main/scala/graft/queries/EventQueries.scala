@@ -316,19 +316,23 @@ object EventQueries {
     * watermark never passes it), so the oracle is simply the batch
     * tumbling-window counts over events.
     */
-  def q70StreamWindows(spark: SparkSession, dir: String): DataFrame = {
-    val work = Scratch.stableDir("q70")
+  /** events + a far-future sentinel row, staged as two mtime-ordered files:
+    * micro-batch 1 = the real events, micro-batch 2 = the sentinel pushing
+    * the watermark past every real window/session so Append mode flushes
+    * them all deterministically (the sentinel's own state never emits).
+    * Shared by the q70 (tumbling) and q117 (session) window gates.
+    */
+  private def eventsPlusSentinel(spark: SparkSession, dir: String): java.nio.file.Path = {
     val ev = events(spark, dir)
-    val schema = ev.schema
-    val inDir = stagedInput("q70", dir) { in =>
+    stagedInput("evsent", dir) { in =>
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$dir/events.parquet"), in.resolve("a_events.parquet"))
       // sentinel: one row a year past the max event ts, same schema; staged
       // AFTER the copy so the file source (ordered by mod time) batches it last
       val maxTs = ev.agg(max(col("ts"))).head().getLong(0)
-      val sentDir = s"$work/sentinel"
+      val sentDir = s"${Scratch.stableDir("evsent-build")}/sentinel"
       ev.limit(1).withColumn("ts", lit(maxTs + 365L * 86400L * 1000000000L))
-        .coalesce(1).write.parquet(sentDir)
+        .coalesce(1).write.mode("overwrite").parquet(sentDir)
       val part = new java.io.File(sentDir).listFiles()
         .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
       val staged = java.nio.file.Files.copy(part.toPath, in.resolve("b_sentinel.parquet"))
@@ -341,6 +345,12 @@ object EventQueries {
           java.nio.file.Files.getLastModifiedTime(in.resolve("a_events.parquet"))
             .toMillis + 10000))
     }
+  }
+
+  def q70StreamWindows(spark: SparkSession, dir: String): DataFrame = {
+    val work = Scratch.stableDir("q70")
+    val schema = events(spark, dir).schema
+    val inDir = eventsPlusSentinel(spark, dir)
 
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
@@ -927,10 +937,158 @@ object EventQueries {
     """SELECT event_type, count(*)::BIGINT AS n
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** q114: time-DECAYED user activity score — the recency-weighted feature
+    * every ranking/fraud model carries (`Σ value·decay^age`), anchored at
+    * the corpus max day so reruns are stable.
+    *
+    * Cross-engine exactness by construction: the decay base is 1/2 and the
+    * age is integer days, so the weight is `1 / (1 << age)` — a DYADIC
+    * rational computed with an integer shift and one exact power-of-two
+    * division on BOTH engines. `pow(0.5, age)` would lean on libm
+    * agreement; the shift leans on IEEE 754 alone. Ages cap at 60 (beyond
+    * that the weight underflows any 4-decimal output anyway, and 1<<61
+    * would overflow the shift). Summation order still differs → round(4)
+    * like every aggregated double.
+    *
+    * Scale shape: the max-day anchor is a broadcast scalar (one partial-agg
+    * row per partition), then one groupBy(user) — identical to any per-user
+    * aggregate.
+    */
+  def q114DecayedScore(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .withColumn("day", expr("ts div 1000 div 86400000000"))
+    val anchor = e.agg(max(col("day")).as("max_day"))
+    e.crossJoin(broadcast(anchor))
+      .withColumn("age", least(col("max_day") - col("day"), lit(60L)).cast("int"))
+      .withColumn("w", lit(1.0) / expr("shiftleft(1L, age)"))
+      .groupBy("user_id")
+      .agg(
+        round(sum(col("value") * col("w")), 4).as("decayed_value"),
+        round(sum(col("w")), 4).as("decayed_n"),
+        count(lit(1)).as("n"))
+  }
+
+  private val q114Oracle =
+    """WITH e AS (SELECT user_id, value, epoch_us(ts) // 86400000000 AS day FROM events),
+      |a AS (SELECT max(day) AS max_day FROM e),
+      |w AS (SELECT user_id, value,
+      |        1.0 / (1::BIGINT << least(max_day - day, 60)::INT) AS w
+      |      FROM e, a)
+      |SELECT user_id, round(sum(value * w), 4) AS decayed_value,
+      |       round(sum(w), 4) AS decayed_n, count(*)::BIGINT AS n
+      |FROM w GROUP BY user_id""".stripMargin
+
+  /** q115: LAST-TOUCH attribution — for every converting user, the event
+    * that immediately precedes their FIRST purchase (the credit-assignment
+    * join of marketing/feature pipelines). `min(struct)`/`max_by(struct)`
+    * give the arg-min/arg-max with the (ts, event_id) tuple as the
+    * deterministic tie-break; the oracle states the same thing
+    * definitionally with ranked windows, so the gate pins Spark's ordered
+    * aggregates against engine-neutral SQL.
+    *
+    * Scale shape: two shuffles on user_id (conditional-min, then the
+    * pre-purchase max_by) — no self-join per event, no window over the full
+    * event set.
+    */
+  def q115LastTouch(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts_us"))
+    val firstPurchase = e.filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(min(struct(col("ts_us"), col("event_id"))).as("fp"))
+    e.join(firstPurchase, Seq("user_id"))
+      .filter(struct(col("ts_us"), col("event_id")) < col("fp"))
+      .groupBy("user_id")
+      .agg(
+        max_by(struct(col("event_type"), col("ts_us")),
+          struct(col("ts_us"), col("event_id"))).as("lt"),
+        count(lit(1)).as("n_pre"))
+      .select(col("user_id"), col("lt.event_type").as("last_touch_type"),
+        col("lt.ts_us").as("last_touch_ts"), col("n_pre"))
+  }
+
+  private val q115Oracle =
+    """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |p AS (SELECT user_id, ts_us, event_id,
+      |        row_number() OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC) AS rn
+      |      FROM e WHERE event_type = 'purchase'),
+      |fp AS (SELECT user_id, ts_us AS fp_ts, event_id AS fp_id FROM p WHERE rn = 1),
+      |pre AS (SELECT e.user_id, e.event_type, e.ts_us, e.event_id
+      |        FROM e JOIN fp ON e.user_id = fp.user_id
+      |        WHERE e.ts_us < fp.fp_ts OR (e.ts_us = fp.fp_ts AND e.event_id < fp.fp_id)),
+      |r AS (SELECT user_id, event_type, ts_us,
+      |        row_number() OVER (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn,
+      |        count(*) OVER (PARTITION BY user_id) AS n_pre
+      |      FROM pre)
+      |SELECT user_id, event_type AS last_touch_type, ts_us AS last_touch_ts,
+      |       n_pre::BIGINT AS n_pre
+      |FROM r WHERE rn = 1""".stripMargin
+
+  /** q117: STREAMING native `session_window` aggregation — the SEVENTH
+    * streaming gate: Spark's built-in merging session windows (state-store
+    * session merge + watermark eviction), complementing q69 which builds
+    * sessions imperatively with `flatMapGroupsWithState`. Same sentinel
+    * staging as q70: the far-future row pushes the watermark past every
+    * real session so Append mode flushes them all; the sentinel's own
+    * session never emits.
+    *
+    * Boundary semantics, pinned deliberately: `session_window` windows are
+    * `[start, last+gap)` and merge only when they OVERLAP, so a successor
+    * event exactly `gap` later starts a NEW session (`diff >= gap` breaks)
+    * — one strict-vs-inclusive boundary away from q12/q69's `diff > gap`
+    * rule. The oracle states the `>=` rule explicitly, making the
+    * cross-formulation difference a checked contract rather than a trap.
+    */
+  def q117StreamSessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    val work = Scratch.stableDir("q117")
+    val schema = events(spark, dir).schema
+    val inDir = eventsPlusSentinel(spark, dir)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+      .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("tsm", "30 minutes")
+    val sessions = stream
+      .groupBy(col("user_id"), session_window(col("tsm"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"))
+    val query = sessions.writeStream
+      .format("parquet")
+      .option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.read.parquet(s"$work/out")
+  }
+
+  private val q117Oracle =
+    s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+       |l AS (SELECT user_id, event_id, tsu,
+       |        lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu ASC, event_id ASC) AS prev
+       |      FROM e),
+       |f AS (SELECT user_id, event_id, tsu,
+       |        CASE WHEN prev IS NULL OR tsu - prev >= ${SessionGapUs} THEN 1 ELSE 0 END AS brk
+       |      FROM l),
+       |s AS (SELECT user_id, tsu,
+       |        sum(brk) OVER (PARTITION BY user_id ORDER BY tsu ASC, event_id ASC
+       |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |      FROM f)
+       |SELECT user_id, min(tsu) AS start_us, max(tsu) + ${SessionGapUs} AS end_us,
+       |       count(*)::BIGINT AS n_events
+       |FROM s GROUP BY user_id, sid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_retention" -> (q60Retention _),
+    "q117_stream_session_window" -> (q117StreamSessionWindow _),
     "q112_hll_merge" -> (q112HllMerge _),
     "q113_approx_topk" -> (q113ApproxTopK _),
+    "q114_decayed_score" -> (q114DecayedScore _),
+    "q115_last_touch" -> (q115LastTouch _),
     "q67_pivot" -> (q67Pivot _),
     "q12_sessionize" -> (q12Sessionize _),
     "q13_funnel" -> (q13Funnel _),
@@ -991,6 +1149,9 @@ object EventQueries {
     "q107_dispersion" -> q107Oracle,
     "q108_correlation" -> q108Oracle,
     "q112_hll_merge" -> q112Oracle,
-    "q113_approx_topk" -> q113Oracle
+    "q113_approx_topk" -> q113Oracle,
+    "q114_decayed_score" -> q114Oracle,
+    "q115_last_touch" -> q115Oracle,
+    "q117_stream_session_window" -> q117Oracle
   )
 }

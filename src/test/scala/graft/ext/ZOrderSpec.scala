@@ -1,0 +1,70 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.Tables
+
+/** Z-order clustering: interleave correctness on known bit patterns, and
+  * the PHYSICAL property the key exists for — files (range partitions of
+  * the z key) cover bounded rectangles in BOTH dimensions, where a
+  * single-key sort leaves the other dimension unclustered.
+  */
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("interleave places x bits at even and y bits at odd positions") {
+    val rows = Seq(
+      (0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 0L), (0L, 2L),
+      (0xFFFFL, 0L), (0L, 0xFFFFL), (0xFFFFL, 0xFFFFL), (12345L, 54321L))
+      .toDF("x", "y")
+    val got = rows.select(col("x"), col("y"),
+      ZOrder.interleave(col("x"), col("y")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def ref(x: Long, y: Long): Long =
+      (0 until 16).foldLeft(0L) { (acc, i) =>
+        acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }
+    got.foreach { case (x, y, z) =>
+      assert(z === ref(x, y), s"interleave($x, $y)")
+    }
+    // spot values: z(1,0)=1, z(0,1)=2, z(1,1)=3, z(2,0)=4, z(0,2)=8
+    val m = got.map { case (x, y, z) => (x, y) -> z }.toMap
+    assert(m((1L, 0L)) === 1L && m((0L, 1L)) === 2L && m((1L, 1L)) === 3L)
+    assert(m((2L, 0L)) === 4L && m((0L, 2L)) === 8L)
+  }
+
+  test("z-ordered layout bounds per-file extents in BOTH dimensions") {
+    val li = Tables.lineitem(spark, Sf0001)
+      .select(col("l_partkey").as("x"), col("l_suppkey").as("y"))
+    val ranges = li.agg(
+      (max("x") - min("x")).as("rx"), (max("y") - min("y")).as("ry"))
+      .head()
+    val (rx, ry) = (ranges.getLong(0).toDouble, ranges.getLong(1).toDouble)
+
+    def meanExtents(sorted: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val e = sorted
+        .withColumn("pid", spark_partition_id())
+        .groupBy("pid")
+        .agg((max("x") - min("x")).as("ex"), (max("y") - min("y")).as("ey"))
+        .agg(avg("ex"), avg("ey")).head()
+      (e.getDouble(0), e.getDouble(1))
+    }
+    // z layout: 16 range partitions of the NORMALIZED Morton key = ~4x4
+    // tiling even though the two domains have very different widths
+    val bounds = li.agg(min("x"), max("x"), min("y"), max("y")).head()
+    val (zx, zy) = meanExtents(
+      li.withColumn("__z", ZOrder.interleaveNormalized(col("x"), col("y"),
+          bounds.getLong(0), bounds.getLong(1), bounds.getLong(2), bounds.getLong(3)))
+        .repartitionByRange(16, col("__z")).drop("__z"))
+    // single-key layout: x is clustered, y is not
+    val (sx, sy) = meanExtents(li.repartitionByRange(16, col("x")))
+
+    // both dimensions bounded under z (tiles), vs the single-key layout
+    // where the unsorted dimension spans ~the full range in every file
+    assert(zx < 0.5 * rx, s"z layout x-extent $zx vs range $rx")
+    assert(zy < 0.5 * ry, s"z layout y-extent $zy vs range $ry")
+    assert(sy > 0.9 * ry, s"x-sorted layout should leave y unclustered, got $sy of $ry")
+    assert(zy < 0.6 * sy, s"z should beat single-key on the second dimension: $zy vs $sy")
+  }
+}
