@@ -76,6 +76,25 @@ object GraftFunctions {
     col(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
       expr(bloom), expr(hashed)))
 
+  /** BOUNDED-STATE top-k aggregate: the k largest values of `e` (any
+    * orderable type — use `struct(score, id)` for arg-ranking with a
+    * deterministic tie-break) as an array. Wraps Spark's internal
+    * `CollectTopK` (a `BoundedPriorityQueue` TypedImperativeAggregate that
+    * upstream never SQL-registers) rather than reimplementing it — the
+    * engine already has the exact machinery, it just doesn't expose it.
+    *
+    * Why it matters at scale: `row_number() OVER (PARTITION BY g ORDER BY
+    * s) <= k` SORTS every group in full; this aggregate carries k elements
+    * of state per group, merges heaps map-side, and ships k rows per
+    * (partition, group) through the shuffle — the top-N-per-key operator a
+    * 100 TB leaderboard actually wants. Output order is heap order —
+    * callers wanting ranked output sort the k-element array (O(k log k),
+    * driver-free).
+    */
+  def collectTopK(e: Column, k: Int): Column =
+    col(new org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK(
+      expr(e), k, false).toAggregateExpression())
+
   /** (name, info, builder) triples for every graft SQL function. */
   private[graft] def registry: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {
     def info(name: String, usage: String, clazz: Class[_]) =

@@ -1082,9 +1082,42 @@ object EventQueries {
        |       count(*)::BIGINT AS n_events
        |FROM s GROUP BY user_id, sid""".stripMargin
 
+  /** q118: top-k per key via the BOUNDED-STATE heap aggregate
+    * ([[graft.functions.GraftFunctions.collectTopK]]) — top-3 users per
+    * event type by integer cents. The window formulation
+    * (`row_number() <= 3`) sorts every group in full; the aggregate carries
+    * 3 struct elements of state per group and merges map-side — the top-N
+    * leaderboard shape that survives 100 TB groups. The oracle IS the
+    * window formulation, so the gate pins heap semantics (full-tuple
+    * ordering, ties to the larger user_id) against definitional SQL.
+    */
+  def q118TopKPerKey(spark: SparkSession, dir: String): DataFrame = {
+    val per = events(spark, dir)
+      .groupBy("event_type", "user_id")
+      .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+    per.groupBy("event_type")
+      .agg(graft.functions.GraftFunctions.collectTopK(
+        struct(col("cents"), col("user_id")), 3).as("tk"))
+      .select(col("event_type"),
+        posexplode(sort_array(col("tk"), asc = false)))
+      .select(col("event_type"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.cents").as("cents"), col("col.user_id").as("user_id"))
+  }
+
+  private val q118Oracle =
+    """WITH u AS (SELECT event_type, user_id,
+      |             sum(floor(value * 100)::BIGINT)::BIGINT AS cents
+      |           FROM events GROUP BY 1, 2),
+      |r AS (SELECT event_type, user_id, cents,
+      |        row_number() OVER (PARTITION BY event_type
+      |                           ORDER BY cents DESC, user_id DESC) AS rnk
+      |      FROM u)
+      |SELECT event_type, rnk, cents, user_id FROM r WHERE rnk <= 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_retention" -> (q60Retention _),
     "q117_stream_session_window" -> (q117StreamSessionWindow _),
+    "q118_topk_per_key" -> (q118TopKPerKey _),
     "q112_hll_merge" -> (q112HllMerge _),
     "q113_approx_topk" -> (q113ApproxTopK _),
     "q114_decayed_score" -> (q114DecayedScore _),
@@ -1152,6 +1185,7 @@ object EventQueries {
     "q113_approx_topk" -> q113Oracle,
     "q114_decayed_score" -> q114Oracle,
     "q115_last_touch" -> q115Oracle,
-    "q117_stream_session_window" -> q117Oracle
+    "q117_stream_session_window" -> q117Oracle,
+    "q118_topk_per_key" -> q118Oracle
   )
 }
