@@ -90,6 +90,24 @@ object Sampling {
     df.withColumn("split", gate)
   }
 
+  /** GROUP-aware k-fold assignment for cross-validation: every row of one
+    * group (user, document family, session owner) lands in the SAME fold —
+    * the leakage-prevention property row-level folding silently violates
+    * (a user's morning events training a model evaluated on their
+    * afternoon). The fold is `md5(group) % k`: a pure per-row projection
+    * (no shuffle, no state), reproducible across runs/engines/
+    * partitionings, and stable under corpus growth like [[splitAssign]].
+    */
+  def groupKFold(
+      df: DataFrame,
+      groupCol: String,
+      k: Int,
+      foldCol: String = "fold"): DataFrame = {
+    require(k >= 2, "need at least 2 folds")
+    df.withColumn(foldCol,
+      pmod(Dedup.baseHash(col(groupCol).cast("string")), lit(k.toLong)).cast("int"))
+  }
+
   /** Exactly `perStratum` rows per stratum (fewer if the stratum is
     * smaller), chosen deterministically by hash order with id tiebreak —
     * a reproducible stratified quota, not a probabilistic one.

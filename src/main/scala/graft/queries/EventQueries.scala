@@ -1114,10 +1114,119 @@ object EventQueries {
       |      FROM u)
       |SELECT event_type, rnk, cents, user_id FROM r WHERE rnk <= 3""".stripMargin
 
+  /** q119: next-action LABEL generation — for every event, the user's next
+    * event type within the session gap, or `END` (the supervised-learning
+    * label a next-event model trains on; q105's session features are the
+    * matching feature rows). One `lead` window per user — the same single
+    * shuffle as sessionization, no self-join.
+    */
+  def q119NextEventLabel(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us").asc, col("event_id").asc)
+    events(spark, dir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts_us"))
+      .withColumn("nxt_type", lead(col("event_type"), 1).over(w))
+      .withColumn("nxt_ts", lead(col("ts_us"), 1).over(w))
+      .select(col("event_id"),
+        when(col("nxt_ts") - col("ts_us") <= SessionGapUs, col("nxt_type"))
+          .otherwise("END").as("label"))
+  }
+
+  private val q119Oracle =
+    s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu FROM events),
+       |l AS (SELECT event_id, tsu,
+       |        lead(event_type) OVER w AS nt, lead(tsu) OVER w AS nts
+       |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu ASC, event_id ASC))
+       |SELECT event_id,
+       |       CASE WHEN nts - tsu <= ${SessionGapUs} THEN nt ELSE 'END' END AS label
+       |FROM l""".stripMargin
+
+  /** q120: GROUP-aware k-fold assignment ([[graft.ext.Sampling.groupKFold]])
+    * — all of a user's events share a fold (the cross-validation hygiene
+    * that prevents within-user leakage). Scan-time projection; the oracle
+    * replays the identical md5 arithmetic.
+    */
+  def q120GroupKFold(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Sampling.groupKFold(events(spark, dir), "user_id", k = 5)
+      .select(col("event_id"), col("user_id"), col("fold"))
+
+  private val q120Oracle =
+    """SELECT event_id, user_id,
+      |       ((('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT % 5))::INT AS fold
+      |FROM events""".stripMargin
+
+  /** q121: TEMPORAL train/embargo/test split — train strictly before the
+    * discrete 0.8 time quantile, a one-day embargo absorbing
+    * label-horizon leakage (rows whose outcome windows straddle the
+    * boundary), test after. `percentile_disc` is an exact data element
+    * (same cume>=q rule in both engines), so the boundary — and every
+    * assignment — is integer-exact; an interpolated quantile could differ
+    * by an ulp and flip boundary rows. The boundary is one broadcast
+    * scalar; assignment is scan-time.
+    */
+  def q121TemporalSplit(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).withColumn("ts_us", expr("ts div 1000"))
+    val b = e.agg(
+      expr("percentile_disc(0.8) WITHIN GROUP (ORDER BY ts_us)").as("b"))
+    e.crossJoin(broadcast(b))
+      .select(col("event_id"),
+        when(col("ts_us") < col("b"), "train")
+          .when(col("ts_us") < col("b") + 86400000000L, "embargo")
+          .otherwise("test").as("split"))
+  }
+
+  private val q121Oracle =
+    """WITH e AS (SELECT event_id, epoch_us(ts) AS tsu FROM events),
+      |b AS (SELECT quantile_disc(tsu, 0.8) AS b FROM e)
+      |SELECT event_id,
+      |       CASE WHEN tsu < b THEN 'train'
+      |            WHEN tsu < b + 86400000000 THEN 'embargo'
+      |            ELSE 'test' END AS split
+      |FROM e, b""".stripMargin
+
+  /** q122: key-SKEW diagnostics — the operational report run before
+    * committing to a join/aggregation key at scale: the 5 hottest keys (via
+    * the bounded-state [[graft.functions.GraftFunctions.collectTopK]] — no
+    * full key sort), each with its row count, basis-point share of the
+    * table, and hot-to-mean ratio ×100 (`cnt·n_keys/total`); a ratio ≫ 100
+    * says "salt this key or broadcast the other side". All-integer
+    * arithmetic, oracled against the definitional ranked window.
+    */
+  def q122SkewDiagnostics(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val per = e.groupBy("user_id").agg(count(lit(1)).as("cnt"))
+    val tot = per.agg(
+      sum(col("cnt")).as("total"), count(lit(1)).as("n_keys"))
+    per.agg(graft.functions.GraftFunctions.collectTopK(
+        struct(col("cnt"), col("user_id")), 5).as("tk"))
+      .crossJoin(tot)
+      .select(posexplode(sort_array(col("tk"), asc = false)),
+        col("total"), col("n_keys"))
+      .select((col("pos") + 1).cast("long").as("rnk"),
+        col("col.user_id").as("user_id"), col("col.cnt").as("cnt"),
+        expr("col.cnt * 10000 div total").as("share_bp"),
+        expr("col.cnt * 100 * n_keys div total").as("hot_to_mean_x100"))
+  }
+
+  private val q122Oracle =
+    """WITH u AS (SELECT user_id, count(*)::BIGINT AS cnt FROM events GROUP BY 1),
+      |t AS (SELECT sum(cnt)::BIGINT AS total, count(*)::BIGINT AS n_keys FROM u),
+      |r AS (SELECT user_id, cnt,
+      |        row_number() OVER (ORDER BY cnt DESC, user_id DESC) AS rnk
+      |      FROM u)
+      |SELECT rnk, user_id, cnt,
+      |       (cnt * 10000) // total AS share_bp,
+      |       (cnt * 100 * n_keys) // total AS hot_to_mean_x100
+      |FROM r, t WHERE rnk <= 5""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_retention" -> (q60Retention _),
     "q117_stream_session_window" -> (q117StreamSessionWindow _),
     "q118_topk_per_key" -> (q118TopKPerKey _),
+    "q119_next_event_label" -> (q119NextEventLabel _),
+    "q120_group_kfold" -> (q120GroupKFold _),
+    "q121_temporal_split" -> (q121TemporalSplit _),
+    "q122_skew_diagnostics" -> (q122SkewDiagnostics _),
     "q112_hll_merge" -> (q112HllMerge _),
     "q113_approx_topk" -> (q113ApproxTopK _),
     "q114_decayed_score" -> (q114DecayedScore _),
@@ -1186,6 +1295,10 @@ object EventQueries {
     "q114_decayed_score" -> q114Oracle,
     "q115_last_touch" -> q115Oracle,
     "q117_stream_session_window" -> q117Oracle,
-    "q118_topk_per_key" -> q118Oracle
+    "q118_topk_per_key" -> q118Oracle,
+    "q119_next_event_label" -> q119Oracle,
+    "q120_group_kfold" -> q120Oracle,
+    "q121_temporal_split" -> q121Oracle,
+    "q122_skew_diagnostics" -> q122Oracle
   )
 }

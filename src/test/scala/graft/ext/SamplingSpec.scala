@@ -79,4 +79,18 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).sorted
     assert(again.sameElements(first))
   }
+
+  test("groupKFold: every group lands wholly in one fold, all folds used") {
+    val e = Tables.events(spark, Sf0001)
+    val folded = Sampling.groupKFold(e, "user_id", k = 5)
+    // group coherence: one fold per user
+    val perUser = folded.groupBy("user_id")
+      .agg(countDistinct(col("fold")).as("nf"))
+      .agg(max("nf")).head().getLong(0)
+    assert(perUser === 1L, "a user's rows were split across folds")
+    // all k folds populated and valid
+    val folds = folded.select("fold").distinct()
+      .collect().map(_.getInt(0)).sorted
+    assert(folds.toSeq === Seq(0, 1, 2, 3, 4))
+  }
 }
