@@ -56,4 +56,52 @@ object CdcMaterialize {
       .filter(col("__rn") === 1 && !(col("__ct") <=> lit("delete")))
       .select(dataCols.map(col): _*)
   }
+
+  /** INCREMENTAL aggregate maintenance: fold one CDC change window into a
+    * persisted per-group aggregate (count + sum) at DELTA cost — the
+    * materialized-view-maintenance pattern that keeps a 100 TB dashboard
+    * aggregate current without rescanning history: per commit, work ∝ the
+    * change batch plus one join against the (group-sized, not row-sized)
+    * aggregate.
+    *
+    * Requires FULL CDF deltas — pre-images included: each change row
+    * contributes `sign · (1, value)` with sign +1 for `insert`/
+    * `update_postimage` and −1 for `delete`/`update_preimage`, so an
+    * update's net row-count is 0 while its value moves by (post − pre), and
+    * a delete retracts exactly the image it removes. (This is the dual of
+    * [[currentState]], which IGNORES pre-images because it replaces whole
+    * rows; sums are not last-writer-wins, so here the pre-image is
+    * load-bearing.) count/sum are the self-maintainable aggregates; min/max
+    * are NOT maintainable under deletes without the full state — use
+    * [[currentState]] + re-aggregate for those.
+    *
+    * Groups whose maintained count reaches 0 are dropped (the aggregate of
+    * an empty group is no row, matching what re-aggregation would produce).
+    * Integer-valued `valueCol` keeps maintenance drift-free; float sums
+    * accumulate fold-order ulps exactly like any float aggregation.
+    */
+  def incrementalAgg(
+      prevAgg: DataFrame,
+      changes: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      nCol: String = "n",
+      sumCol: String = "sum_v"): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val sign = when(
+      col(CdcFilter.ChangeTypeCol).isNull ||
+        col(CdcFilter.ChangeTypeCol).isin("insert", "update_postimage"), 1L)
+      .when(col(CdcFilter.ChangeTypeCol).isin("delete", "update_preimage"), -1L)
+      .otherwise(0L)
+    val delta = changes
+      .withColumn("__s", sign)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__s")).as("__dn"),
+        sum(col(valueCol) * col("__s")).as("__dv"))
+    prevAgg.join(delta, groupCols, "full_outer")
+      .select((groupCols.map(col) :+
+        (coalesce(col(nCol), lit(0L)) + coalesce(col("__dn"), lit(0L))).as(nCol) :+
+        (coalesce(col(sumCol), lit(0L)) + coalesce(col("__dv"), lit(0L))).as(sumCol)): _*)
+      .filter(col(nCol) > 0)
+  }
 }

@@ -458,6 +458,72 @@ object ParityQueries {
   private val q99Staged =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q123: INCREMENTAL aggregate maintenance
+    * ([[graft.engine.CdcMaterialize.incrementalAgg]]) — a per-type
+    * (count, integer-cents sum) aggregate kept current by folding each CDC
+    * commit at delta cost, never rescanning history. Own fixture (the
+    * q64 history carries no pre-images — [[CdcMaterialize.currentState]]
+    * ignores them, but sums cannot): commit 3 ships update_preimage +
+    * update_postimage PAIRS, so an update nets 0 rows and (post − pre)
+    * value. The oracle reconstructs the final state relationally and
+    * aggregates it — the folded aggregate must land exactly there.
+    */
+  private val Q123Table = "main.graft.ivm"
+  private val q123Fixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q123CatalogRoot(spark: SparkSession, dir: String): String =
+    q123Fixtures.computeIfAbsent(dir, _ => {
+      val work = Scratch.stableDir("q123-" + Scratch.md5Hex(dir))
+      val catalog = VersionedCatalog(s"$work/catalog")
+      val ev = events(spark, dir).select("event_id", "event_type", "value")
+      catalog.commitSnapshot(ev.filter(col("event_id") % 3 === 0), Q123Table, 1L)
+      catalog.commitChanges(
+        ev.filter(col("event_id") % 3 === 1)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_timestamp", lit("2024-06-02 00:00:00")),
+        Q123Table, 2L)
+      catalog.commitChanges(
+        ev.filter(col("event_id") % 6 === 0)
+          .withColumn("_change_type", lit("update_preimage"))
+          .union(
+            ev.filter(col("event_id") % 6 === 0)
+              .withColumn("value", col("value") + 1000)
+              .withColumn("_change_type", lit("update_postimage")))
+          .union(
+            ev.filter(col("event_id") % 3 === 1 && col("event_id") % 2 === 0)
+              .withColumn("_change_type", lit("delete")))
+          .withColumn("_commit_timestamp", lit("2024-06-03 00:00:00")),
+        Q123Table, 3L)
+      s"$work/catalog"
+    })
+
+  def q123IncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val catalog = VersionedCatalog(q123CatalogRoot(spark, dir))
+    def cents(df: DataFrame): DataFrame =
+      df.withColumn("cents", floor(col("value") * 100).cast("long"))
+    val agg0 = cents(catalog.snapshot(spark, Q123Table, 1L))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+    // one fold per commit — each at delta cost, the IVM contract
+    Seq(2L, 3L).foldLeft(agg0) { (acc, v) =>
+      CdcMaterialize.incrementalAgg(acc,
+        cents(catalog.changes(spark, Q123Table, v, v)),
+        groupCols = Seq("event_type"), valueCol = "cents",
+        nCol = "n", sumCol = "sum_cents")
+    }
+  }
+
+  private val q123Oracle =
+    """WITH e AS (SELECT event_id, event_type, value FROM events),
+      |state AS (
+      |  SELECT event_type,
+      |         CASE WHEN event_id % 6 = 0 THEN value + 1000 ELSE value END AS v
+      |  FROM e
+      |  WHERE event_id % 3 = 0 OR (event_id % 3 = 1 AND event_id % 2 = 1))
+      |SELECT event_type, count(*)::BIGINT AS n,
+      |       sum(floor(v * 100)::BIGINT)::BIGINT AS sum_cents
+      |FROM state GROUP BY event_type""".stripMargin
+
   /** q100/q101: sink→source ROUND TRIPS for the two other columnar/text
     * formats in the image (the reference exports JSON + parquet — K1/K2;
     * CSV and ORC complete the portability story). Each writes the events
@@ -618,6 +684,7 @@ object ParityQueries {
     "q68_mutability_bypass" -> (q68MutabilityBypass _),
     "q64_cdc_materialize" -> (q64CdcMaterialize _),
     "q99_stream_materialize" -> (q99StreamMaterialize _),
+    "q123_incremental_agg" -> (q123IncrementalAgg _),
     "q100_csv_roundtrip" -> (q100CsvRoundtrip _),
     "q101_orc_roundtrip" -> (q101OrcRoundtrip _)
   )
@@ -712,6 +779,7 @@ object ParityQueries {
     "q64_cdc_materialize" -> q64Oracle,
     // the per-commit streaming fold must reach the batch compaction exactly
     "q99_stream_materialize" -> q64Oracle,
+    "q123_incremental_agg" -> q123Oracle,
     "q100_csv_roundtrip" -> q100Oracle,
     "q101_orc_roundtrip" -> q101Oracle,
     "q16_snapshot_travel" ->

@@ -48,4 +48,35 @@ class CdcMaterializeSpec extends SparkSpec {
     val got = CdcMaterialize.currentState(snapshot, empty, Seq("id"))
     assert(got.collect().map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((1L, "a")))
   }
+
+  test("incrementalAgg folded per commit equals re-aggregating the state") {
+    val snapshot = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L))
+      .toDF("id", "g", "v")
+    def commit(ver: Long, rows: Seq[(Long, String, Long, String)]) =
+      rows.toDF("id", "g", "v", "_change_type")
+        .withColumn("_commit_version", lit(ver))
+        .withColumn("_commit_timestamp", lit(s"2024-01-0$ver"))
+    // commit 2: insert 4, update 1 (10 -> 15, pre+post pair)
+    val c2 = commit(2L, Seq(
+      (4L, "b", 40L, "insert"),
+      (1L, "a", 10L, "update_preimage"), (1L, "a", 15L, "update_postimage")))
+    // commit 3: delete BOTH "a" rows -> group a disappears entirely
+    val c3 = commit(3L, Seq(
+      (1L, "a", 15L, "delete"), (2L, "a", 20L, "delete")))
+
+    val agg0 = snapshot.groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("v").as("sum_v"))
+    val folded = Seq(c2, c3).foldLeft(agg0)(
+      CdcMaterialize.incrementalAgg(_, _, Seq("g"), "v"))
+
+    val state = CdcMaterialize.currentState(
+      snapshot, c2.unionByName(c3), keyCols = Seq("id"), snapshotVersion = 1L)
+    val direct = state.groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("v").as("sum_v"))
+    assert(folded.exceptAll(direct).isEmpty && direct.exceptAll(folded).isEmpty)
+    // the emptied group is GONE, not a zero row
+    assert(folded.filter(col("g") === "a").count() === 0L)
+    assert(folded.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet === Set(("b", 2L, 70L)))
+  }
 }
