@@ -181,6 +181,24 @@ class PlanSpec extends SparkSpec {
       s"corpus-wide sort leaked in:\n$plan")
   }
 
+  test("q111 salted distinct: both stages two-phase, no single-reducer distinct") {
+    val plan = planOf(graft.ext.Skew.saltedDistinctCount(
+      Tables.events(spark, Sf0001), Seq("event_type"), "user_id", salts = 16))
+    // stage 1 (key, salt) count-distinct + stage 2 per-key sum, each with
+    // map-side partials = 4+ HashAggregates; the hot key's distinct merge
+    // spreads over the salt space instead of one reducer
+    assert("HashAggregate".r.findAllIn(plan).size >= 4, plan)
+  }
+
+  test("q114/q121 scalar anchors broadcast — no shuffle to attach one row") {
+    val p114 = planOf(graft.queries.EventQueries.q114DecayedScore(spark, Sf0001))
+    assert(p114.contains("BroadcastNestedLoopJoin") || p114.contains("BroadcastExchange"),
+      s"max-day anchor should broadcast:\n$p114")
+    val p121 = planOf(graft.queries.EventQueries.q121TemporalSplit(spark, Sf0001))
+    assert(p121.contains("BroadcastNestedLoopJoin") || p121.contains("BroadcastExchange"),
+      s"quantile boundary should broadcast:\n$p121")
+  }
+
   test("IVF indexed probe plans dynamic partition pruning on the inverted file") {
     withTempDir("plan-ivf") { dir =>
       val e = Tables.embeddings(spark, Sf0001)
