@@ -38,12 +38,20 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = vecDot(a, b) / (vecNorm(a) * vecNorm(b))
 
   /** Exact brute-force top-k: for each query vector, the k nearest corpus
-    * vectors by cosine (self excluded), rank ties broken by vec_id.
+    * vectors by cosine (self excluded), rank ties broken by vec_id
+    * ascending.
     *
     * Scale shape: `broadcast(queries)` ⇒ BroadcastNestedLoopJoin — the
-    * corpus is scanned once, partition-parallel, and only |Q|·|corpus| score
-    * rows enter the per-query top-k window. For large |Q| switch to the LSH
-    * tier.
+    * corpus is scanned once, partition-parallel — and the per-query top-k
+    * reduction is the BOUNDED-STATE heap aggregate
+    * ([[graft.functions.GraftFunctions.collectTopK]]): k struct elements of
+    * state per (partition, query), heap-merged map-side, so only |Q|·k rows
+    * cross the shuffle instead of the whole |Q|·|corpus| scored cross
+    * product a `row_number()` window would sort. Ranked output comes from
+    * sorting the k-element array (O(k log k), row-local). The heap keeps
+    * the k LARGEST structs, so the vec_id tie-break is negated going in and
+    * negated back coming out. For large |Q| switch to the LSH/IVF tiers —
+    * same output contract.
     */
   def bruteForceTopK(
       corpus: DataFrame,
@@ -60,13 +68,15 @@ object Similarity {
         norm(col(vecCol)).as("q_norm")))
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec"),
       norm(col(vecCol)).as("c_norm"))
-    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
     c.join(q, col("vec_id") =!= col("q_id"))
       .withColumn("score", dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
-      .select("q_id", "vec_id", "score")
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("vec_id"), col("rank"), round(col("score"), 4).as("score_r"))
+      .groupBy("q_id")
+      .agg(graft.functions.GraftFunctions.collectTopK(
+        struct(col("score"), (-col("vec_id")).as("neg_id")), k).as("tk"))
+      .select(col("q_id"), posexplode(sort_array(col("tk"), asc = false)))
+      .select(col("q_id"), (-col("col.neg_id")).as("vec_id"),
+        (col("pos") + 1).as("rank"),
+        round(col("col.score"), 4).as("score_r"))
   }
 
   /** Deterministic Gaussian hyperplanes (fixed seed). */

@@ -69,6 +69,20 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q30: top-k reduction is the bounded-state heap aggregate, not a window sort") {
+    // row_number() OVER (PARTITION BY q_id ...) would shuffle+sort the whole
+    // |Q|·|corpus| scored cross product; collectTopK ships k rows per
+    // (partition, query). ObjectHashAggregate = the TypedImperativeAggregate
+    // path; no Window and no Sort node may appear anywhere in the plan
+    // (sort_array on the k-element output array is an expression, not a node).
+    val e = Tables.embeddings(spark, Sf0001)
+    val plan = planOf(Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 4), 3))
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("Window"), s"window sort crept back into the exact tier:\n$plan")
+    assert(!"(?m)^\\s*[*+:-]*\\(?\\d*\\)?\\s*Sort ".r.findFirstIn(plan).isDefined,
+      s"full sort in the exact tier plan:\n$plan")
+  }
+
   test("q55 repetition: pruned scan, two-phase aggregation at both levels") {
     val plan = planOf(graft.ext.TextAnalysis.repetitionStats(
       Tables.documents(spark, Sf0001)))
