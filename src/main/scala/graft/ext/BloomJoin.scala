@@ -23,12 +23,17 @@ import graft.functions.GraftFunctions
   *
   * Scale accounting (per 100 TB probe, 10⁸-row build, 1% fpp ≈ 120 MB of
   * bits): the sketch is built in one pass over the build side (partials
-  * merge map-side — it is a TypedImperativeAggregate), collected once as a
-  * bounded model (same contract as the IVF centroid read), and evaluated
-  * map-side on the probe scan; the downstream shuffle then carries only
-  * `selectivity + fpp` of the probe. When the build side fits a broadcast
-  * hash join outright, use that instead — this operator pays one extra
-  * build-side pass to avoid shuffling an unbroadcastable relation.
+  * merge map-side — it is a TypedImperativeAggregate) and reaches the probe
+  * tasks as a SCALAR SUBQUERY — the same conveyance Spark's
+  * `InjectRuntimeFilter` uses — so the bits ride the subquery result
+  * channel, NEVER a `lit(bytes)` embedded in the plan tree (a 120 MB
+  * literal would bloat every plan copy, the UI string, and task
+  * serialization — the same literal-expression wall the IVF centroid path
+  * removed). The probe filter then runs map-side on the scan; the
+  * downstream shuffle carries only `selectivity + fpp` of the probe. When
+  * the build side fits a broadcast hash join outright, use that instead —
+  * this operator pays one extra build-side pass to avoid shuffling an
+  * unbroadcastable relation.
   */
 object BloomJoin {
 
@@ -66,12 +71,17 @@ object BloomJoin {
       numBits: Long,
       anti: Boolean): DataFrame = {
     val keys = build.select(col(buildKey)).na.drop()
-    // one row, <= numBits/8 bytes: the bounded model read (null if the
-    // build side is empty — then nothing might-match)
+    // the one-row sketch as a scalar subquery: built lazily inside the same
+    // query (no driver round trip at operator-construction time) and shipped
+    // to probe tasks by the subquery machinery, not as a plan literal
     val sketch = keys
       .agg(GraftFunctions.bloomFilterAgg(
         xxhash64(col(buildKey)), expectedItems, numBits).as("bf"))
-      .head().getAs[Array[Byte]]("bf")
+      .scalar()
+    // empty build side → null sketch → might-contain evaluates null; treat
+    // as "definitely absent", which is exact for both join flavors
+    val hit = coalesce(
+      GraftFunctions.bloomMightContain(sketch, xxhash64(col(probeKey))), lit(false))
 
     if (anti) {
       // anti join: the Bloom filter can only prove absence ("definitely not
@@ -79,19 +89,14 @@ object BloomJoin {
       // not the join RESULT — they are exactly the anti-join keepers; only
       // might-contain rows need the exact join to sort false positives from
       // real matches.
-      if (sketch == null) probe
-      else {
-        val hit = GraftFunctions.bloomMightContain(lit(sketch), xxhash64(col(probeKey)))
-        val definitelyAbsent = probe.filter(col(probeKey).isNotNull && !hit)
-        val maybe = probe.filter(col(probeKey).isNull || hit)
-          .join(build.select(col(buildKey).as("__bk")),
-            col(probeKey) === col("__bk"), "left_anti")
-        definitelyAbsent.unionByName(maybe)
-      }
+      val definitelyAbsent = probe.filter(col(probeKey).isNotNull && !hit)
+      val maybe = probe.filter(col(probeKey).isNull || hit)
+        .join(build.select(col(buildKey).as("__bk")),
+          col(probeKey) === col("__bk"), "left_anti")
+      definitelyAbsent.unionByName(maybe)
     } else {
-      if (sketch == null) probe.limit(0)
-      else probe
-        .filter(GraftFunctions.bloomMightContain(lit(sketch), xxhash64(col(probeKey))))
+      probe
+        .filter(hit)
         .join(build.select(col(buildKey).as("__bk")),
           col(probeKey) === col("__bk"), "left_semi")
     }

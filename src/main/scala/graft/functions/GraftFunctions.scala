@@ -67,10 +67,12 @@ object GraftFunctions {
       org.apache.spark.sql.catalyst.expressions.Literal(numBits))
       .toAggregateExpression())
 
-  /** Membership probe against a [[bloomFilterAgg]] sketch. The sketch side
-    * must be a constant (Spark's type check: constant or scalar subquery) —
-    * callers collect the one-row aggregate and re-embed it, the bounded
-    * model-read pattern.
+  /** Membership probe against a [[bloomFilterAgg]] sketch. Spark's type
+    * check admits a constant OR a scalar subquery for the sketch side:
+    * prefer `aggDf.scalar()` (the sketch rides the subquery result channel
+    * to tasks — see [[graft.ext.BloomJoin]]); `lit(bytes)` re-embedding is
+    * only safe for small sketches (≲ a few MB) because a plan-tree literal
+    * is copied on every transformation and rendered in the UI.
     */
   def bloomMightContain(bloom: Column, hashed: Column): Column =
     col(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(

@@ -32,6 +32,19 @@ import graft.engine.JobSpec.DataType
   * (last timestamp + counter); windowed aggregation state is bounded by the
   * watermark horizon. All transforms are the same Catalyst expressions the
   * batch path uses — micro-batch execution reuses the whole batch plan.
+  *
+  * State-store provider: every stateful operator here is provider-agnostic —
+  * none touches the state store API directly, so the 100 TB-class keyspace
+  * answer is pure config:
+  * {{{
+  * spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+  *   "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+  * }}}
+  * which moves per-key state off the executor heap into RocksDB (spill to
+  * local disk, changelog-checkpointed), where the default HDFS-backed
+  * provider keeps the whole keyspace in executor memory. CdcStreamSpec runs
+  * the dedup / windowed-agg / keyed-state gates under BOTH providers to
+  * prove the semantics are identical.
   */
 object CdcStream {
 
@@ -101,6 +114,42 @@ object CdcStream {
       .drop("__fp") // output schema matches the input (and the batch tier)
   }
 
+  /** Atomic `_latest` pointer swap: write to a sibling temp file, then
+    * `ATOMIC_MOVE` over the pointer — a crash mid-swap leaves either the old
+    * pointer or the new one, never a torn file naming no directory.
+    */
+  private def writePointer(pointer: java.nio.file.Path, target: String): Unit = {
+    val tmp = pointer.resolveSibling(pointer.getFileName.toString + ".tmp")
+    java.nio.file.Files.writeString(tmp, target)
+    java.nio.file.Files.move(tmp, pointer,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Resolve the current state directory name under `stateDir`: the pointer's
+    * target if it names an existing directory, else the newest COMPLETE
+    * `state_<n>` (highest n with a `_SUCCESS` marker — a dir the fold
+    * demonstrably finished writing). The fallback covers a legacy torn
+    * pointer (pre-atomic-swap writers) or a pointer deleted out-of-band;
+    * `None` means no state has ever been committed.
+    */
+  private def resolveLatest(stateDir: String): Option[String] = {
+    val pointer = java.nio.file.Paths.get(stateDir, "_latest")
+    val named =
+      if (java.nio.file.Files.exists(pointer))
+        Some(java.nio.file.Files.readString(pointer).trim)
+      else None
+    named.filter(t => java.nio.file.Files.isDirectory(java.nio.file.Paths.get(stateDir, t)))
+      .orElse {
+        val complete = Option(new java.io.File(stateDir).listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith("state_") &&
+            new java.io.File(f, "_SUCCESS").exists())
+          .flatMap(f => scala.util.Try(f.getName.stripPrefix("state_").toLong).toOption
+            .map(_ -> f.getName))
+        if (complete.isEmpty) None else Some(complete.maxBy(_._1)._2)
+      }
+  }
+
   /** Streaming incremental CDC MATERIALIZATION via `foreachBatch` — the
     * continuous consumer of the upsert contract: each micro-batch of change
     * rows is folded into a parquet state snapshot with
@@ -139,28 +188,34 @@ object CdcStream {
     val spark = changes.sparkSession
     val pointer = java.nio.file.Paths.get(stateDir, "_latest")
     def readState(): DataFrame =
-      if (java.nio.file.Files.exists(pointer))
-        spark.read.parquet(s"$stateDir/${java.nio.file.Files.readString(pointer).trim}")
-      else initialState
+      resolveLatest(stateDir)
+        .map(t => spark.read.parquet(s"$stateDir/$t"))
+        .getOrElse(initialState)
     changes.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val target = s"state_$batchId"
-      val alreadyApplied = java.nio.file.Files.exists(pointer) &&
-        java.nio.file.Files.readString(pointer).trim == target
-      if (!alreadyApplied) {
+      val alreadyApplied = resolveLatest(stateDir).contains(target)
+      if (alreadyApplied) {
+        // the prior attempt finished the fold (and possibly the swap); make
+        // sure the pointer agrees — heals a torn/missing pointer on replay
+        writePointer(pointer, target)
+      } else {
         val next = graft.engine.CdcMaterialize.currentState(
           readState(), batch, keyCols, snapshotVersion = 0L)
         next.write.mode("overwrite").parquet(s"$stateDir/$target")
-        java.nio.file.Files.writeString(pointer, target)
+        writePointer(pointer, target)
       }
       ()
     }
   }
 
-  /** Read the current materialized state written by [[materializeStream]]. */
+  /** Read the current materialized state written by [[materializeStream]].
+    * Tolerates a torn/missing `_latest` pointer by falling back to the
+    * newest complete `state_<n>` directory (see [[resolveLatest]]).
+    */
   def currentMaterializedState(spark: SparkSession, stateDir: String): DataFrame = {
-    val pointer = java.nio.file.Paths.get(stateDir, "_latest")
-    require(java.nio.file.Files.exists(pointer), s"no materialized state under $stateDir")
-    spark.read.parquet(s"$stateDir/${java.nio.file.Files.readString(pointer).trim}")
+    val latest = resolveLatest(stateDir)
+    require(latest.nonEmpty, s"no materialized state under $stateDir")
+    spark.read.parquet(s"$stateDir/${latest.get}")
   }
 
   /** Continuous export: the streaming counterpart of the batch unload sink

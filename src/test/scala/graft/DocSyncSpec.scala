@@ -25,6 +25,11 @@ class DocSyncSpec extends AnyFunSuite {
       assert(o.group(1).toInt === SparkEntry.oracleSql.size,
         s"SURVEY.md claims ${o.group(1)} oracled; SparkEntry.oracleSql has ${SparkEntry.oracleSql.size}")
     }
+    val actual = registeredTestCount
+    """(\d+) ScalaTests""".r.findAllMatchIn(survey).foreach { m =>
+      assert(m.group(1).toInt === actual,
+        s"SURVEY.md says ${m.group(1)} ScalaTests; the source tree registers $actual")
+    }
   }
 
   test("every query has an oracle, and no oracle is orphaned") {
@@ -34,14 +39,59 @@ class DocSyncSpec extends AnyFunSuite {
     assert(orphaned.isEmpty, s"oracleSql entries without a query: $orphaned")
   }
 
-  test("README.md query/test counts match the exported surface") {
+  /** Number of ScalaTest registrations in the source tree — every test here
+    * is a literal `test("...")` / `stest("...")` call (no loop-registered
+    * tests; grep-validated), so a source scan IS the suite size without
+    * paying a full `sbt test` run inside a test.
+    */
+  private def registeredTestCount: Int = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/test/scala")
+    val reg = """(?m)^\s*s?test\("""".r
+    val walk = java.nio.file.Files.walk(root)
+    try walk.iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .map(p => reg.findAllMatchIn(read(p.toString)).size)
+      .sum
+    finally walk.close()
+  }
+
+  test("README.md query/test counts match the exported surface (and exist)") {
     val readme = read("README.md")
-    // README references counts as "<n> ScalaTests" and "<n> driver queries"
-    // (in prose); only assert the ones present so the check stays cheap to
-    // keep rather than a formatting straitjacket
-    """(\d+) driver queries""".r.findAllMatchIn(readme).foreach { m =>
+    val qClaims = """(\d+) driver queries""".r.findAllMatchIn(readme).toList
+    val tClaims = """(\d+) ScalaTests""".r.findAllMatchIn(readme).toList
+    // zero matches for BOTH phrases means the guarded wording was reworded
+    // away and this spec is asserting nothing — fail loud instead
+    assert(qClaims.nonEmpty || tClaims.nonEmpty,
+      "README.md states neither '<n> driver queries' nor '<n> ScalaTests' — " +
+        "the phrases this spec guards are gone; re-anchor the check")
+    qClaims.foreach { m =>
       assert(m.group(1).toInt === SparkEntry.queries.size,
         s"README.md says ${m.group(1)} driver queries; SparkEntry exports ${SparkEntry.queries.size}")
+    }
+    val actual = registeredTestCount
+    tClaims.foreach { m =>
+      assert(m.group(1).toInt === actual,
+        s"README.md says ${m.group(1)} ScalaTests; the source tree registers $actual")
+    }
+  }
+
+  test("SURVEY.md bench figures name their BENCH artifact provenance") {
+    val survey = read("SURVEY.md")
+    // the number of record must be driver-recorded AND name its artifact
+    val recorded = """[\d.]+ s driver-recorded \(BENCH_r\d+\.json""".r
+      .findAllMatchIn(survey).toList
+    assert(recorded.nonEmpty,
+      "SURVEY.md's bench claim must cite the driver-recorded figure with its " +
+        "BENCH_r<N>.json artifact (builder-side clean-machine numbers are " +
+        "context, not the number of record)")
+    // any builder-side figure must be labeled as such, never bare
+    val grandTotals = survey.linesIterator.dropWhile(!_.startsWith("Grand totals")).take(20).mkString("\n")
+    """(\d+\.\d+) s""".r.findAllMatchIn(grandTotals).foreach { m =>
+      val ctx = grandTotals.substring(m.start,
+        math.min(grandTotals.length, m.end + 80))
+      assert(ctx.contains("driver-recorded") || ctx.contains("builder-measured"),
+        s"unprovenanced bench figure '${m.matched}' in SURVEY grand totals: $ctx")
     }
   }
 }

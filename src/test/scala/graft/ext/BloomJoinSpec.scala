@@ -38,6 +38,13 @@ class BloomJoinSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("might_contain"),
       s"no Bloom membership probe ahead of the join:\n$plan")
+    // the sketch must ride the scalar-subquery channel, not sit in the plan
+    // tree as a binary literal (a large-numBits literal bloats every plan
+    // copy and task binary — the IVF-centroid literal wall)
+    assert(plan.toLowerCase.contains("subquery"),
+      s"sketch is not conveyed by a scalar subquery:\n$plan")
+    assert(!plan.contains("might_contain(0x"),
+      s"sketch embedded as a binary literal in the plan:\n$plan")
   }
 
   test("empty build side: semi keeps nothing, anti keeps everything") {

@@ -231,6 +231,83 @@ class CdcStreamSpec extends SparkSpec with BeforeAndAfterAll with TimeLimits {
     } finally query.stop()
   }
 
+  /** One compact pass over the three stateful-operator families (dedup
+    * state, windowed-agg state, flatMapGroupsWithState keyed state) under a
+    * given state-store provider. The operators never touch the provider API,
+    * so results must be byte-identical across providers — this is the
+    * config-only 100 TB streaming-state story (see CdcStream scaladoc).
+    */
+  private def runStatefulGates(providerClass: Option[String], tag: String): Unit = {
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(confKey)
+    providerClass.foreach(spark.conf.set(confKey, _))
+    try {
+      def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      // dedup state
+      val din = MemoryStream[(Timestamp, Long, String)](spark)
+      val dq = CdcStream.dedupStream(
+        din.toDF().toDF("ts", "doc_id", "text"), "ts", "10 minutes")
+        .writeStream.format("memory").queryName(s"gate_dedup_$tag")
+        .outputMode("append").start()
+      // windowed-agg state
+      val win = MemoryStream[(Timestamp, String)](spark)
+      val wq = CdcStream.windowedCounts(
+        win.toDF().toDF("ts", "etype"), "ts", "etype", "10 minutes", "5 minutes")
+        .writeStream.format("memory").queryName(s"gate_win_$tag")
+        .outputMode("append").start()
+      // keyed state (flatMapGroupsWithState)
+      val us = 1000L * 1000
+      val base = 1_700_000_000L * us
+      val sin = MemoryStream[CdcStream.Ev](spark)
+      val sq = CdcStream.sessionize(sin.toDS(), gapUs = 1800L * us)
+        .writeStream.format("memory").queryName(s"gate_sess_$tag")
+        .outputMode("append").start()
+      try {
+        din.addData((t(0), 1L, "same text"), (t(1), 2L, "Same  Text"), (t(2), 3L, "other"))
+        dq.processAllAvailable()
+        din.addData((t(3), 4L, "same text"), (t(4), 5L, "fresh"))
+        dq.processAllAvailable()
+        assert(spark.sql(s"SELECT doc_id FROM gate_dedup_$tag").as[Long].collect().sorted
+          === Array(1L, 3L, 5L))
+
+        win.addData((t(1), "click"), (t(4), "click"), (t(8), "view"))
+        wq.processAllAvailable()
+        win.addData((t(38), "click"))
+        wq.processAllAvailable()
+        win.addData((t(59), "view"))
+        wq.processAllAvailable()
+        val wrows = spark.sql(
+          s"SELECT window_start, etype, n FROM gate_win_$tag")
+          .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+        assert(wrows.contains(("2024-01-01 10:00:00.0", "click", 2L)))
+        assert(wrows.contains(("2024-01-01 10:00:00.0", "view", 1L)))
+
+        sin.addData(CdcStream.Ev(1L, base), CdcStream.Ev(1L, base + 600L * us))
+        sq.processAllAvailable()
+        sin.addData(CdcStream.Ev(1L, base + 600L * us + 1801L * us * 1000 + us))
+        sq.processAllAvailable()
+        val srows = spark.sql(
+          s"SELECT session_id FROM gate_sess_$tag").as[Long].collect().sorted
+        assert(srows === Array(1L, 1L, 2L), s"provider=$providerClass")
+      } finally { dq.stop(); wq.stop(); sq.stop() }
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
+    }
+  }
+
+  stest("stateful gates are identical under the default HDFS-backed state store") {
+    runStatefulGates(None, "hdfs")
+  }
+
+  stest("stateful gates are identical under RocksDBStateStoreProvider (config-only)") {
+    runStatefulGates(
+      Some("org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"),
+      "rocksdb")
+  }
+
   stest("materializeStream folds per commit and restarts from the checkpoint") {
     val dir = s"$work/mat"
     val in = Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
@@ -326,5 +403,58 @@ class CdcStreamSpec extends SparkSpec with BeforeAndAfterAll with TimeLimits {
       commits.last.toPath.resolveSibling("." + commits.last.getName + ".crc"))
     drain() // replays the last batch — must not throw, state must hold
     assert(state() === Set((1L, "a"), (2L, "b")))
+  }
+
+  stest("materializeStream survives a torn _latest pointer") {
+    // the other crash window: a (legacy, non-atomic) pointer write dies
+    // midway, leaving a pointer that names no existing directory. readState
+    // must fall back to the newest COMPLETE state_<n> dir and the next fold
+    // must heal the pointer — not fail every restart.
+    val dir = s"$work/mat-torn"
+    val in = Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    val snapshot = Seq((1L, "a")).toDF("id", "name")
+    def changes(v: Long, rows: Seq[(Long, String, String)]) =
+      rows.toDF("id", "name", "_change_type")
+        .withColumn("_commit_version", lit(v))
+        .withColumn("_commit_timestamp", lit(s"2024-01-0$v"))
+    var mtime = 1700000000000L
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$dir/tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+      val staged = Files.copy(part.toPath, in.resolve(name))
+      mtime += 10000
+      Files.setLastModifiedTime(staged,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val schema = changes(2L, Seq((2L, "x", "insert"))).schema
+    def drain(): Unit = {
+      val q = CdcStream.materializeStream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(in.toString),
+        initialState = snapshot, stateDir = s"$dir/state", keyCols = Seq("id"))
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def state(): Set[(Long, String)] =
+      CdcStream.currentMaterializedState(spark, s"$dir/state")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+    stage(changes(2L, Seq((2L, "b", "insert"))), "a.parquet")
+    drain()
+    assert(state() === Set((1L, "a"), (2L, "b")))
+    // tear the pointer: truncated content naming a dir that does not exist
+    val pointer = java.nio.file.Paths.get(s"$dir/state", "_latest")
+    Files.writeString(pointer, "state_")
+    // reads fall back to the newest complete state dir
+    assert(state() === Set((1L, "a"), (2L, "b")))
+    // the next fold proceeds on top of the recovered state and heals the pointer
+    stage(changes(3L, Seq((3L, "c", "insert"))), "b.parquet")
+    drain()
+    assert(Files.readString(pointer).trim.matches("state_\\d+"))
+    assert(state() === Set((1L, "a"), (2L, "b"), (3L, "c")))
   }
 }
