@@ -89,12 +89,23 @@ object ZOrder {
     interleaveSql(norm(x, xMin, xMax), norm(y, yMin, yMax), bits)
   }
 
+  /** Dimension bounds for [[writeZOrdered]]: (xMin, xMax, yMin, yMax). */
+  final case class Bounds(xMin: Long, xMax: Long, yMin: Long, yMax: Long)
+
   /** Cluster `df` into `files` z-ordered parquet files on (xCol, yCol):
-    * compute the dimension bounds (one bounded aggregate — 4 longs, the
-    * model-read pattern), range-partition on the normalized Morton key (so
-    * file k owns a contiguous z range = a bounded tile of the plane), sort
-    * within partitions (so row-group stats inside each file are tight
-    * too), write.
+    * range-partition on the normalized Morton key (so file k owns a
+    * contiguous z range = a bounded tile of the plane), sort within
+    * partitions (so row-group stats inside each file are tight too), write.
+    *
+    * `bounds`: pass the dimension bounds when the domain is known (the
+    * common production case — ids, epoch days, bucketed hashes), making the
+    * layout a SINGLE pass over the data. `None` falls back to computing
+    * them with one extra aggregate-only scan (4 longs, the model-read
+    * pattern) — the same pay-a-scan-for-metadata liability class as the
+    * reference's count() job (SURVEY §4), which is why the parameter
+    * exists. Values outside supplied bounds get a wrapped (masked) z key,
+    * degrading clustering for those rows but never correctness — the rows
+    * written are identical either way, only their file placement moves.
     */
   def writeZOrdered(
       df: DataFrame,
@@ -102,12 +113,16 @@ object ZOrder {
       xCol: String,
       yCol: String,
       files: Int,
-      bits: Int = 16): Unit = {
-    val b = df.agg(
-      min(col(xCol)).as("xmn"), max(col(xCol)).as("xmx"),
-      min(col(yCol)).as("ymn"), max(col(yCol)).as("ymx")).head()
+      bits: Int = 16,
+      bounds: Option[Bounds] = None): Unit = {
+    val b = bounds.getOrElse {
+      val r = df.agg(
+        min(col(xCol)).as("xmn"), max(col(xCol)).as("xmx"),
+        min(col(yCol)).as("ymn"), max(col(yCol)).as("ymx")).head()
+      Bounds(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
     df.withColumn("__z", interleaveNormalized(col(xCol), col(yCol),
-        b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3), bits))
+        b.xMin, b.xMax, b.yMin, b.yMax, bits))
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

@@ -67,4 +67,64 @@ class ZOrderSpec extends SparkSpec {
     assert(sy > 0.9 * ry, s"x-sorted layout should leave y unclustered, got $sy of $ry")
     assert(zy < 0.6 * sy, s"z should beat single-key on the second dimension: $zy vs $sy")
   }
+
+  test("writeZOrdered with caller-supplied bounds skips the scan and matches the scanned layout") {
+    val work = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    try {
+      val li = Tables.lineitem(spark, Sf0001)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      val b = li.agg(min("l_partkey"), max("l_partkey"),
+        min("l_suppkey"), max("l_suppkey")).head()
+      val known = ZOrder.Bounds(b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+
+      // count the jobs each write needs: supplied bounds must save the
+      // bounds-aggregate job (the single-pass claim, asserted not narrated)
+      def jobsDuring(body: => Unit): Int = {
+        val counter = new java.util.concurrent.atomic.AtomicInteger
+        val l = new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            counter.incrementAndGet(); ()
+          }
+        }
+        spark.sparkContext.addSparkListener(l)
+        try {
+          body
+          // listener delivery is async: poll until the count stops moving
+          var prev = -1
+          var spins = 0
+          while (counter.get() != prev && spins < 50) {
+            prev = counter.get(); Thread.sleep(100); spins += 1
+          }
+        } finally spark.sparkContext.removeSparkListener(l)
+        counter.get()
+      }
+      val jobsScanned = jobsDuring(ZOrder.writeZOrdered(
+        li, s"$work/scanned", "l_partkey", "l_suppkey", files = 16))
+      val jobsSupplied = jobsDuring(ZOrder.writeZOrdered(
+        li, s"$work/supplied", "l_partkey", "l_suppkey", files = 16, bounds = Some(known)))
+      assert(jobsSupplied < jobsScanned,
+        s"supplied bounds should skip the bounds scan: $jobsSupplied vs $jobsScanned jobs")
+
+      // identical rows either way (layout is the only thing bounds affect;
+      // exact file placement is not comparable — repartitionByRange samples
+      // with an RDD-id-derived seed, so two runs draw different boundaries)
+      val scanned = spark.read.parquet(s"$work/scanned")
+      val supplied = spark.read.parquet(s"$work/supplied")
+      assert(scanned.exceptAll(supplied).isEmpty && supplied.exceptAll(scanned).isEmpty)
+      // and the supplied-bounds output still has the z property: per-file
+      // extents bounded in BOTH dimensions
+      val r = li.agg(
+        (max("l_partkey") - min("l_partkey")).as("rx"),
+        (max("l_suppkey") - min("l_suppkey")).as("ry")).head()
+      val e = supplied
+        .groupBy(input_file_name())
+        .agg((max("l_partkey") - min("l_partkey")).as("ex"),
+          (max("l_suppkey") - min("l_suppkey")).as("ey"))
+        .agg(avg("ex"), avg("ey")).head()
+      assert(e.getDouble(0) < 0.5 * r.getLong(0),
+        s"x extent ${e.getDouble(0)} vs range ${r.getLong(0)}")
+      assert(e.getDouble(1) < 0.5 * r.getLong(1),
+        s"y extent ${e.getDouble(1)} vs range ${r.getLong(1)}")
+    } finally rmTree(java.nio.file.Paths.get(work))
+  }
 }
