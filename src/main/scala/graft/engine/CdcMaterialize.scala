@@ -57,6 +57,51 @@ object CdcMaterialize {
       .select(dataCols.map(col): _*)
   }
 
+  /** SCD TYPE-2 history: snapshot + change window → the full version
+    * timeline per key, each image stamped `[valid_from, valid_to)` in
+    * commit versions (`valid_to` null = current). The third consumer shape
+    * over the CDC contract: [[currentState]] answers "what is the row NOW",
+    * [[incrementalAgg]] "what is the aggregate now", this answers "what was
+    * the row AS OF any version" — the slowly-changing-dimension table every
+    * warehouse keeps next to a mutable source, and the point-in-time-correct
+    * feature backfill a training pipeline joins against (features must come
+    * from the image that was current at label time, not today's).
+    *
+    * Semantics per key, in version order: `insert`/`update_postimage` open
+    * a new image and close the previous one at their version;
+    * `delete` closes the open image without opening (a later re-insert
+    * starts a new interval); `update_preimage` rows are ignored (the
+    * closing version is the SUCCESSOR's `valid_from` — no pre-image
+    * needed). The caller must not commit two changes to one key in one
+    * version ([[currentState]]'s contract).
+    *
+    * Scale shape: ONE shuffle on the key columns; interval ends come from
+    * `lead(version)` inside each key's (tiny) version chain — the window
+    * partition is per-key, so no global sort and no skew beyond the
+    * hottest key's change count.
+    */
+  def scd2History(
+      snapshot: DataFrame,
+      changes: DataFrame,
+      keyCols: Seq[String],
+      snapshotVersion: Long = 0L): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val dataCols = snapshot.columns.toSeq
+    val base = snapshot
+      .select(dataCols.map(col) :+ lit(snapshotVersion).as("__v") :+
+        lit("insert").as("__ct") :+ lit(0).as("__side"): _*)
+    val delta = changes
+      .filter(!(col(CdcFilter.ChangeTypeCol) <=> lit("update_preimage")))
+      .select(dataCols.map(col) :+ col("_commit_version").cast("long").as("__v") :+
+        col(CdcFilter.ChangeTypeCol).as("__ct") :+ lit(1).as("__side"): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__v").asc, col("__side").asc)
+    base.unionByName(delta)
+      .withColumn("valid_to", lead(col("__v"), 1).over(w))
+      .filter(!(col("__ct") <=> lit("delete")))
+      .select(dataCols.map(col) :+ col("__v").as("valid_from") :+ col("valid_to"): _*)
+  }
+
   /** INCREMENTAL aggregate maintenance: fold one CDC change window into a
     * persisted per-group aggregate (count + sum) at DELTA cost — the
     * materialized-view-maintenance pattern that keeps a 100 TB dashboard

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
@@ -751,6 +752,44 @@ object Dedup {
         concat_ws(lineSep,
           transform(array_sort(collect_list(struct(col("__ln"), col("line")))),
             s => s.getField("line"))).as("rebuilt"))
+  }
+
+  /** BATCH windowed dedup — the bounded-horizon analogue of the streaming
+    * tier's `dropDuplicatesWithinWatermark` gate ([[graft.streaming
+    * .CdcStream.dedupStream]]) and the backfill path that must agree with
+    * it: a row is a duplicate iff its PREDECESSOR with the same fingerprint
+    * is at most `gapUs` older; once the prior occurrence has aged past the
+    * gap the content is re-admitted (exactly what watermark-evicted state
+    * does on the streaming side). Plain exact dedup keeps one row per
+    * fingerprint FOREVER — wrong for event/telemetry feeds where "the same
+    * action again next week" is a fresh observation, not a duplicate.
+    *
+    * Predecessor semantics (lag-based, not last-KEPT-based): each row
+    * compares against the nearest earlier occurrence, so a steady drumbeat
+    * of sub-gap repeats collapses to its first row per quiet period — the
+    * same outcome the streaming gate produces when state keeps refreshing
+    * within the watermark. Ties on `tsUs` break by `tieCol` ascending; the
+    * earlier-ordered row survives.
+    *
+    * Scale shape: one shuffle on the fingerprint; the window partition is
+    * one fingerprint's occurrence chain (duplicate count, not corpus size),
+    * so the hottest key costs its duplicate chain only. No global order,
+    * no state beyond the window sort.
+    */
+  def dedupWithinGap(
+      df: DataFrame,
+      fp: Column,
+      tsUs: Column,
+      gapUs: Long,
+      tie: Column): DataFrame = {
+    require(gapUs >= 0, "gap must be non-negative")
+    require(!df.columns.contains("__fp") && !df.columns.contains("__prev"),
+      "input already has a working column (__fp/__prev)")
+    val w = Window.partitionBy(col("__fp")).orderBy(tsUs.asc, tie.asc)
+    df.withColumn("__fp", fp)
+      .withColumn("__prev", lag(tsUs, 1).over(w))
+      .filter(col("__prev").isNull || tsUs - col("__prev") > gapUs)
+      .drop("__fp", "__prev")
   }
 
   // ---------------- n-gram Jaccard ----------------

@@ -1017,6 +1017,31 @@ object ExtQueries {
        |       ((cum - n_tokens) % 512)::BIGINT AS pack_offset
        |FROM c""".stripMargin
 
+  /** q129: small-file compaction PLAN ([[Compaction.planSummary]]) — the
+    * layout-maintenance twin of q58's token packing (both are
+    * concat-and-chunk over the two-level prefix sum; here the stream is a
+    * file manifest and the budget a target file size). Documents stand in
+    * for the manifest (`doc_id` → file id, `n_chars` → bytes): each "file"
+    * is assigned the bin whose `targetBytes` cut its start byte falls in,
+    * and the plan summary (files + bytes per bin) is what an OPTIMIZE-style
+    * rewrite job executes. All integer arithmetic; the oracle replays the
+    * cumulative cut in SQL.
+    */
+  def q129CompactionPlan(spark: SparkSession, dir: String): DataFrame =
+    Compaction.planSummary(
+      documents(spark, dir).select(col("doc_id").as("file_id"),
+        col("n_chars").as("bytes")),
+      targetBytes = 10000L)
+
+  private val q129Oracle =
+    """WITH f AS (SELECT doc_id AS file_id, n_chars AS bytes FROM documents),
+      |c AS (SELECT file_id, bytes,
+      |        sum(bytes) OVER (ORDER BY file_id) AS cum FROM f)
+      |SELECT ((cum - bytes) // 10000)::BIGINT AS bin_id,
+      |       count(*)::BIGINT AS n_files,
+      |       sum(bytes)::BIGINT AS bin_bytes
+      |FROM c GROUP BY 1""".stripMargin
+
   /** q104: overlapping token-window CHUNKING — the embedding/RAG prep step
     * (and the long-document split a context-bounded trainer needs): each
     * document becomes ⌈n/stride⌉ windows of `width` tokens at `stride`
@@ -1512,6 +1537,7 @@ object ExtQueries {
     "q57_weighted_mix" -> (q57WeightedMix _),
     "q80_split_assign" -> (q80SplitAssign _),
     "q58_token_pack" -> (q58TokenPack _),
+    "q129_compaction_plan" -> (q129CompactionPlan _),
     "q59_line_dedup" -> (q59LineDedup _),
     "q104_chunk_overlap" -> (q104ChunkOverlap _),
     "q75_commonness" -> (q75Commonness _),
@@ -1572,6 +1598,7 @@ object ExtQueries {
     "q57_weighted_mix" -> q57Oracle,
     "q80_split_assign" -> q80Oracle,
     "q58_token_pack" -> q58Oracle,
+    "q129_compaction_plan" -> q129Oracle,
     "q59_line_dedup" -> q59Oracle,
     "q104_chunk_overlap" -> q104Oracle,
     "q75_commonness" -> q75Oracle,

@@ -33,22 +33,25 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
-  def packByBudget(
-      docs: DataFrame,
-      budget: Long,
-      idCol: String = "doc_id",
-      textCol: String = "text",
-      groupSize: Long = 4096L): DataFrame = {
-    require(budget > 0, "token budget must be positive")
+  /** The TWO-LEVEL distributed prefix sum itself (steps 1–2 of the object
+    * doc), reusable by any in-id-order accumulation ([[packByBudget]],
+    * [[Compaction.planBins]]): returns the input columns plus `__start` =
+    * the exact sum of `valueCol` over all EARLIER ids. Requires
+    * non-negative values (the group total is read off the within-group
+    * cumsum's max).
+    */
+  private[ext] def prefixSum(
+      df: DataFrame,
+      idCol: String,
+      valueCol: String,
+      groupSize: Long): DataFrame = {
     require(groupSize > 0, "groupSize must be positive")
-    val t = docs.select(col(idCol),
-      TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
-      .withColumn("__g", expr(s"$idCol div $groupSize"))
+    val t = df.withColumn("__g", expr(s"$idCol div $groupSize"))
     val within = t.withColumn("__cum_in",
-      sum(col("n_tokens")).over(Window.partitionBy("__g").orderBy(idCol)))
+      sum(col(valueCol)).over(Window.partitionBy("__g").orderBy(idCol)))
     // group total = the group's LAST cumulative value (cumsum of
     // non-negative counts is non-decreasing), taken from `within` itself so
-    // the tokenizing scan runs once; one row per group feeds the
+    // the value-producing scan runs once; one row per group feeds the
     // global-order window over the GROUP axis, not the corpus
     val prefixes = within.groupBy("__g").agg(max("__cum_in").as("__gt"))
       .withColumn("__prefix", coalesce(
@@ -56,7 +59,20 @@ object Packing {
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("__g", "__prefix")
     within.join(prefixes, "__g")
-      .withColumn("__start", col("__prefix") + col("__cum_in") - col("n_tokens"))
+      .withColumn("__start", col("__prefix") + col("__cum_in") - col(valueCol))
+      .drop("__g", "__cum_in", "__prefix")
+  }
+
+  def packByBudget(
+      docs: DataFrame,
+      budget: Long,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      groupSize: Long = 4096L): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    val t = docs.select(col(idCol),
+      TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
+    prefixSum(t, idCol, "n_tokens", groupSize)
       .select(col(idCol), col("n_tokens"),
         expr(s"__start div $budget").as("pack_id"),
         (col("__start") % budget).as("pack_offset"))

@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling operators for training-data curation.
@@ -110,7 +109,20 @@ object Sampling {
 
   /** Exactly `perStratum` rows per stratum (fewer if the stratum is
     * smaller), chosen deterministically by hash order with id tiebreak —
-    * a reproducible stratified quota, not a probabilistic one.
+    * a reproducible stratified quota, not a probabilistic one. This IS the
+    * bounded-state per-key uniform sampler (a bottom-k-by-hash sketch): the
+    * k smallest hashes of a uniform hash family are a uniform k-subset.
+    *
+    * Scale shape: the reduction is
+    * [[graft.functions.GraftFunctions.collectTopK]] with `reverse = true`
+    * (k smallest), NOT a `row_number` window — k rows of state per
+    * (partition, stratum), heap-merged map-side, so the shuffle carries
+    * k rows per stratum instead of sorting every stratum in full. The
+    * hottest stratum costs k, not its row count — the property that makes
+    * per-user / per-domain sampling safe at 100 TB. Rows ride the heap as
+    * a nested struct, so every column must be orderable (no map columns;
+    * the (hash, id) prefix is unique, so payload fields never actually
+    * decide a comparison).
     */
   def stratifiedQuota(
       df: DataFrame,
@@ -118,10 +130,13 @@ object Sampling {
       perStratum: Int,
       idCol: String = "doc_id"): DataFrame = {
     require(perStratum > 0, "perStratum must be positive")
-    val w = Window.partitionBy(strataCols.map(col): _*)
-      .orderBy(Dedup.baseHash(col(idCol).cast("string")).asc, col(idCol).asc)
-    df.withColumn("__rank", row_number().over(w))
-      .filter(col("__rank") <= perStratum)
-      .drop("__rank")
+    val h = Dedup.baseHash(col(idCol).cast("string"))
+    val payload = struct(df.columns.map(col): _*)
+    df.groupBy(strataCols.map(col): _*)
+      .agg(graft.functions.GraftFunctions.collectTopK(
+        struct(h.as("h"), col(idCol).as("i"), payload.as("p")),
+        perStratum, reverse = true).as("tk"))
+      .select(explode(col("tk.p")).as("__r"))
+      .select(col("__r.*"))
   }
 }

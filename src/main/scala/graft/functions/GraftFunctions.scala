@@ -93,9 +93,26 @@ object GraftFunctions {
     * callers wanting ranked output sort the k-element array (O(k log k),
     * driver-free).
     */
-  def collectTopK(e: Column, k: Int): Column =
+  def collectTopK(e: Column, k: Int, reverse: Boolean = false): Column =
     col(new org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK(
-      expr(e), k, false).toAggregateExpression())
+      expr(e), k, reverse).toAggregateExpression())
+
+  /** Spark's count-min-sketch aggregate (the frequency sibling of
+    * [[bloomFilterAgg]]'s membership and HLL's cardinality) exposed as a
+    * Column: one `binary` sketch answering point frequency queries with
+    * `est ∈ [exact, exact + ε·N]` at `confidence`. Merges partials
+    * map-side; the bytes deserialize via
+    * `org.apache.spark.util.sketch.CountMinSketch.readFrom` — a bounded
+    * model read (width·depth counters, data-size-independent). Fixed
+    * `seed` ⇒ deterministic sketch for a given input multiset.
+    */
+  def countMinSketchAgg(e: Column, eps: Double, confidence: Double, seed: Int): Column =
+    col(new org.apache.spark.sql.catalyst.expressions.aggregate.CountMinSketchAgg(
+      expr(e),
+      org.apache.spark.sql.catalyst.expressions.Literal(eps),
+      org.apache.spark.sql.catalyst.expressions.Literal(confidence),
+      org.apache.spark.sql.catalyst.expressions.Literal(seed))
+      .toAggregateExpression())
 
   /** (name, info, builder) triples for every graft SQL function. */
   private[graft] def registry: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {

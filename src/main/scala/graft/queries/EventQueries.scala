@@ -1219,7 +1219,133 @@ object EventQueries {
       |       (cnt * 100 * n_keys) // total AS hot_to_mean_x100
       |FROM r, t WHERE rnk <= 5""".stripMargin
 
+  /** q125: count-min-sketch point frequencies — the third sketch of the
+    * family (Bloom = membership q109, HLL = cardinality q112, CMS =
+    * frequency): one `binary` sketch over the event-type stream answers
+    * "how often did X occur" for ANY later item without re-scanning, with
+    * the one-sided guarantee `exact ≤ est ≤ exact + ε·N` at the sketch's
+    * confidence. Two bounded reads (the sketch bytes — width·depth
+    * counters — and the per-type exact counts, one row per type); the gate
+    * pins both bounds as integer flags with ε·N slack computed in exact
+    * integer arithmetic (ε = 1/1000 ⇒ slack = ⌈N/1000⌉). Fixed seed ⇒
+    * deterministic sketch ⇒ stable flags at any sf.
+    */
+  def q125CmsFrequency(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val bytes = e.agg(graft.functions.GraftFunctions.countMinSketchAgg(
+      col("event_type"), eps = 0.001, confidence = 0.99, seed = 42).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    val exact = e.groupBy("event_type").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val totalN = exact.map(_._2).sum
+    val slack = (totalN + 999L) / 1000L // ceil(eps * N) exactly, for eps = 1/1000
+    import spark.implicits._
+    exact.toSeq.map { case (t, n) =>
+      val est = cms.estimateCount(t)
+      (t, n, (if (est >= n) 1 else 0), (if (est <= n + slack) 1 else 0))
+    }.toDF("event_type", "n", "no_undercount", "within_eps")
+  }
+
+  private val q125Oracle =
+    """SELECT event_type, count(*)::BIGINT AS n,
+      |       1::INT AS no_undercount, 1::INT AS within_eps
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** q126: per-key uniform k-sample (bottom-k-by-hash) — "keep 8
+    * representative events per user", the per-entity downsampling every
+    * training pipeline runs before feature extraction so one hot user
+    * cannot dominate a batch. Deterministic (hash order, the
+    * [[graft.ext.Sampling.stratifiedQuota]] contract) and BOUNDED-STATE:
+    * the reduction is the collectTopK heap (k rows of state per partition
+    * per user), so the hottest user costs k rows through the shuffle, not
+    * their event count. The oracle replays the identical md5-prefix
+    * arithmetic under `row_number` — small-data-equivalent, scale-opposite.
+    */
+  def q126PerKeySample(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Sampling.stratifiedQuota(
+      events(spark, dir).select(col("user_id"), col("event_id")),
+      strataCols = Seq("user_id"), perStratum = 8, idCol = "event_id")
+
+  private val q126Oracle =
+    """SELECT user_id, event_id FROM events
+      |QUALIFY row_number() OVER (
+      |  PARTITION BY user_id
+      |  ORDER BY ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT ASC,
+      |           event_id ASC) <= 8""".stripMargin
+
+  /** q127: batch windowed dedup ([[graft.ext.Dedup.dedupWithinGap]]) — the
+    * backfill twin of the q73 streaming dedup gate: a repeat of the same
+    * (user, event_type) within 10 minutes is a duplicate; after the gap the
+    * same action is a fresh observation and is re-admitted — the semantics
+    * watermark-evicted streaming state produces, stated relationally so
+    * batch reprocessing agrees with the live stream.
+    */
+  def q127WindowDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Dedup.dedupWithinGap(
+      events(spark, dir).select(col("event_id"), col("user_id"),
+        col("event_type"), expr("ts div 1000").as("ts_us")),
+      fp = md5(concat_ws(":", col("user_id"), col("event_type"))),
+      tsUs = col("ts_us"),
+      gapUs = 600L * 1000 * 1000,
+      tie = col("event_id"))
+
+  private val q127Oracle =
+    """WITH g AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+      |         lag(epoch_us(ts)) OVER (
+      |           PARTITION BY md5(user_id::VARCHAR || ':' || event_type)
+      |           ORDER BY epoch_us(ts) ASC, event_id ASC) AS prev
+      |  FROM events)
+      |SELECT event_id, user_id, event_type, ts_us
+      |FROM g WHERE prev IS NULL OR ts_us - prev > 600000000""".stripMargin
+
+  /** q128: MAD outlier report — robust per-type outlier detection (median
+    * absolute deviation: |v − median| > 3·MAD), the training-data hygiene
+    * filter that, unlike z-scores, is not itself dragged by the outliers it
+    * hunts. Same scale shape as q103: boundaries are DISCRETE percentiles
+    * (`percentile_disc` — actual data values, bit-identical cross-engine;
+    * an interpolated percentile as a comparison threshold flips rows on the
+    * last ulp), computed per type (model-sized), broadcast back, flags
+    * counted map-side. Two scans + two broadcasts, no per-group window.
+    */
+  def q128MadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val med = e.groupBy("event_type")
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("med"))
+    val dev = e.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum((col("adev") > lit(3.0) * col("mad")).cast("long")).as("n_outliers"),
+        round(max(col("med")), 4).as("med_r"),
+        round(max(col("mad")), 4).as("mad_r"))
+  }
+
+  private val q128Oracle =
+    """WITH med AS (
+      |  SELECT event_type, quantile_disc(value, 0.5) AS med
+      |  FROM events GROUP BY 1),
+      |d AS (
+      |  SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+      |  FROM events e JOIN med m USING (event_type)),
+      |mad AS (SELECT event_type, quantile_disc(adev, 0.5) AS mad FROM d GROUP BY 1)
+      |SELECT d.event_type, count(*)::BIGINT AS n,
+      |       sum((d.adev > 3.0 * mad.mad)::INT)::BIGINT AS n_outliers,
+      |       round(max(d.med), 4) AS med_r,
+      |       round(max(mad.mad), 4) AS mad_r
+      |FROM d JOIN mad USING (event_type)
+      |GROUP BY d.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_cms_frequency" -> (q125CmsFrequency _),
+    "q126_per_key_sample" -> (q126PerKeySample _),
+    "q127_window_dedup" -> (q127WindowDedup _),
+    "q128_mad_outliers" -> (q128MadOutliers _),
     "q60_retention" -> (q60Retention _),
     "q117_stream_session_window" -> (q117StreamSessionWindow _),
     "q118_topk_per_key" -> (q118TopKPerKey _),
@@ -1299,6 +1425,10 @@ object EventQueries {
     "q119_next_event_label" -> q119Oracle,
     "q120_group_kfold" -> q120Oracle,
     "q121_temporal_split" -> q121Oracle,
-    "q122_skew_diagnostics" -> q122Oracle
+    "q122_skew_diagnostics" -> q122Oracle,
+    "q125_cms_frequency" -> q125Oracle,
+    "q126_per_key_sample" -> q126Oracle,
+    "q127_window_dedup" -> q127Oracle,
+    "q128_mad_outliers" -> q128Oracle
   )
 }

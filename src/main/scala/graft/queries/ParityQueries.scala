@@ -524,6 +524,41 @@ object ParityQueries {
       |       sum(floor(v * 100)::BIGINT)::BIGINT AS sum_cents
       |FROM state GROUP BY event_type""".stripMargin
 
+  /** q124: SCD TYPE-2 history ([[CdcMaterialize.scd2History]]) — the full
+    * `[valid_from, valid_to)` version timeline per key from the same CDC
+    * fixture as q123 (memoized — no second build): snapshot v1 opens,
+    * commit 2 inserts, commit 3 updates (closing v1 images at 3, opening
+    * the +1000 image) and deletes (closing without opening). The oracle
+    * reconstructs every interval relationally from the fixture's residue
+    * arithmetic — each (image, valid_from, valid_to) row must match
+    * exactly, nullable `valid_to` = current.
+    */
+  def q124Scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val catalog = VersionedCatalog(q123CatalogRoot(spark, dir))
+    CdcMaterialize.scd2History(
+        catalog.snapshot(spark, Q123Table, 1L),
+        catalog.changes(spark, Q123Table, 2L, 3L),
+        keyCols = Seq("event_id"), snapshotVersion = 1L)
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents"),
+        col("valid_from"), col("valid_to"))
+  }
+
+  private val q124Oracle =
+    """WITH e AS (SELECT event_id, event_type, value FROM events)
+      |SELECT event_id, event_type, floor(value * 100)::BIGINT AS cents,
+      |       1::BIGINT AS valid_from,
+      |       (CASE WHEN event_id % 6 = 0 THEN 3 END)::BIGINT AS valid_to
+      |FROM e WHERE event_id % 3 = 0
+      |UNION ALL
+      |SELECT event_id, event_type, floor((value + 1000) * 100)::BIGINT,
+      |       3::BIGINT, NULL::BIGINT
+      |FROM e WHERE event_id % 6 = 0
+      |UNION ALL
+      |SELECT event_id, event_type, floor(value * 100)::BIGINT, 2::BIGINT,
+      |       (CASE WHEN event_id % 2 = 0 THEN 3 END)::BIGINT
+      |FROM e WHERE event_id % 3 = 1""".stripMargin
+
   /** q100/q101: sink→source ROUND TRIPS for the two other columnar/text
     * formats in the image (the reference exports JSON + parquet — K1/K2;
     * CSV and ORC complete the portability story). Each writes the events
@@ -685,6 +720,7 @@ object ParityQueries {
     "q64_cdc_materialize" -> (q64CdcMaterialize _),
     "q99_stream_materialize" -> (q99StreamMaterialize _),
     "q123_incremental_agg" -> (q123IncrementalAgg _),
+    "q124_scd2_history" -> (q124Scd2History _),
     "q100_csv_roundtrip" -> (q100CsvRoundtrip _),
     "q101_orc_roundtrip" -> (q101OrcRoundtrip _)
   )
@@ -780,6 +816,7 @@ object ParityQueries {
     // the per-commit streaming fold must reach the batch compaction exactly
     "q99_stream_materialize" -> q64Oracle,
     "q123_incremental_agg" -> q123Oracle,
+    "q124_scd2_history" -> q124Oracle,
     "q100_csv_roundtrip" -> q100Oracle,
     "q101_orc_roundtrip" -> q101Oracle,
     "q16_snapshot_travel" ->

@@ -90,7 +90,8 @@ class DocSyncSpec extends AnyFunSuite {
     """(\d+\.\d+) s""".r.findAllMatchIn(grandTotals).foreach { m =>
       val ctx = grandTotals.substring(m.start,
         math.min(grandTotals.length, m.end + 80))
-      assert(ctx.contains("driver-recorded") || ctx.contains("builder-measured"),
+      assert(ctx.contains("driver-recorded") || ctx.contains("builder-measured") ||
+        ctx.contains("BENCH_r"),
         s"unprovenanced bench figure '${m.matched}' in SURVEY grand totals: $ctx")
     }
   }

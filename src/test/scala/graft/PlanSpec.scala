@@ -83,6 +83,17 @@ class PlanSpec extends SparkSpec {
       s"full sort in the exact tier plan:\n$plan")
   }
 
+  test("q45/q126 stratified quota: bounded-state heap aggregate, not a per-stratum window sort") {
+    // the per-key sampler ships k rows per (partition, stratum) through the
+    // shuffle; a row_number window would sort every stratum in full — the
+    // hottest user's whole event history through one task
+    val plan = planOf(graft.ext.Sampling.stratifiedQuota(
+      Tables.events(spark, Sf0001).select(col("user_id"), col("event_id")),
+      strataCols = Seq("user_id"), perStratum = 8, idCol = "event_id"))
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("Window"), s"window sort crept into the sampler:\n$plan")
+  }
+
   test("q55 repetition: pruned scan, two-phase aggregation at both levels") {
     val plan = planOf(graft.ext.TextAnalysis.repetitionStats(
       Tables.documents(spark, Sf0001)))

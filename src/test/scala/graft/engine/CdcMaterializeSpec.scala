@@ -49,6 +49,48 @@ class CdcMaterializeSpec extends SparkSpec {
     assert(got.collect().map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((1L, "a")))
   }
 
+  test("scd2History reconstructs every interval, incl. delete and re-insert") {
+    val snapshot = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val changes = Seq(
+      (1L, "a_old", "update_preimage", 2L), // ignored — not an image
+      (1L, "a2", "update_postimage", 2L),   // closes (a,1,2), opens (a2,2,_)
+      (2L, "b", "delete", 3L),              // closes (b,1,3), opens nothing
+      (2L, "b2", "insert", 4L),             // re-insert: new interval at 4
+      (3L, "c", "insert", 2L)               // new key mid-history
+    ).toDF("id", "v", "_change_type", "_commit_version")
+    val got = CdcMaterialize.scd2History(snapshot, changes, Seq("id"), snapshotVersion = 1L)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    assert(got === Set(
+      (1L, "a", 1L, Some(2L)), (1L, "a2", 2L, None),
+      (2L, "b", 1L, Some(3L)), (2L, "b2", 4L, None),
+      (3L, "c", 2L, None)))
+  }
+
+  test("scd2History as-of any version equals currentState at that version") {
+    // the contract that makes the history table USEFUL: slicing it at v
+    // (valid_from <= v < valid_to) must reproduce the compacted state at v
+    val snapshot = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val changes = Seq(
+      (1L, "a2", "update_postimage", 2L),
+      (2L, "b", "delete", 2L),
+      (4L, "d", "insert", 3L),
+      (1L, "a3", "update_postimage", 4L),
+      (2L, "b2", "insert", 4L)
+    ).toDF("id", "v", "_change_type", "_commit_version")
+    val hist = CdcMaterialize.scd2History(snapshot, changes, Seq("id"), snapshotVersion = 1L)
+    (1L to 4L).foreach { v =>
+      val sliced = hist.filter(col("valid_from") <= v &&
+        (col("valid_to").isNull || col("valid_to") > v))
+        .select("id", "v")
+      val state = CdcMaterialize.currentState(snapshot,
+        changes.filter(col("_commit_version") <= v), Seq("id"), snapshotVersion = 1L)
+      assert(sliced.exceptAll(state).isEmpty && state.exceptAll(sliced).isEmpty,
+        s"as-of $v mismatch")
+    }
+  }
+
   test("incrementalAgg folded per commit equals re-aggregating the state") {
     val snapshot = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L))
       .toDF("id", "g", "v")

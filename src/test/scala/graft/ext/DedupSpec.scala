@@ -247,4 +247,22 @@ class DedupSpec extends SparkSpec {
       .groupBy("fp").count().filter(col("count") > 1).count()
     assert(norms === 0L)
   }
+
+  test("dedupWithinGap: sub-gap repeats drop, aged-out content re-admits") {
+    import spark.implicits._
+    val rows = Seq(
+      // key A: t=0 keeps, t=5 dup (gap 10), t=12 keeps (7 after t=5? NO —
+      // lag is vs the PREVIOUS OCCURRENCE: 12-5=7 <= 10 → drops),
+      // t=30 re-admits (30-12=18 > 10)
+      (1L, "A", 0L), (2L, "A", 5L), (3L, "A", 12L), (4L, "A", 30L),
+      // key B: single row always keeps
+      (5L, "B", 3L),
+      // key C: tie on ts — lower id survives, higher id is the 0-delta dup
+      (6L, "C", 7L), (7L, "C", 7L)
+    ).toDF("id", "k", "ts_us")
+    val kept = Dedup.dedupWithinGap(rows,
+        fp = col("k"), tsUs = col("ts_us"), gapUs = 10L, tie = col("id"))
+      .select("id").as[Long].collect().sorted
+    assert(kept === Array(1L, 4L, 5L, 6L))
+  }
 }

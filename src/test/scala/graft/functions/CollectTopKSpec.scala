@@ -28,6 +28,23 @@ class CollectTopKSpec extends SparkSpec {
     assert(viaAgg.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaAgg).isEmpty)
   }
 
+  test("collectTopK(reverse = true) equals the ascending-window bottom-k per group") {
+    val per = Tables.events(spark, Sf0001)
+      .groupBy("event_type", "user_id")
+      .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+    val viaAgg = per.groupBy("event_type")
+      .agg(GraftFunctions.collectTopK(
+        struct(col("cents"), col("user_id")), 5, reverse = true).as("tk"))
+      .select(col("event_type"), explode(col("tk")).as("t"))
+      .select(col("event_type"), col("t.cents"), col("t.user_id"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("cents").asc, col("user_id").asc)
+    val viaWindow = per
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+      .select("event_type", "cents", "user_id")
+    assert(viaAgg.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaAgg).isEmpty)
+  }
+
   test("state is bounded at k even when the group is larger") {
     val n = Tables.events(spark, Sf0001)
       .groupBy("event_type")
