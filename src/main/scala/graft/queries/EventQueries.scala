@@ -1341,7 +1341,59 @@ object EventQueries {
       |FROM d JOIN mad USING (event_type)
       |GROUP BY d.event_type""".stripMargin
 
+  /** q131: declarative data-quality EXPECTATIONS
+    * ([[graft.ext.Expectations]]) — the pre-publish contract gate: five
+    * row-level rules priced at ONE scan (a single aggregate projection,
+    * N rules ≠ N scans) plus the one multi-row rule (key uniqueness) that
+    * honestly costs its own key shuffle. Violated-when-unevaluable
+    * semantics (false OR NULL) pinned by the `props_has_k` rule over the
+    * JSON column. The oracle replays every rule verbatim — counts, not
+    * flags, so a drifting batch shows its exact damage.
+    */
+  def q131Expectations(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Expectations
+    import graft.ext.Expectations.Rule
+    val e = events(spark, dir)
+    Expectations.check(e, Seq(
+        Rule("event_id_not_null", col("event_id").isNotNull),
+        Rule("user_id_positive", col("user_id") > 0),
+        Rule("known_event_type",
+          col("event_type").isin("click", "view", "purchase", "signup", "error")),
+        Rule("value_non_negative", col("value") >= 0),
+        Rule("props_has_k", get_json_object(col("props"), "$.k").isNotNull)))
+      .unionByName(Expectations.unique(e, Seq("event_id"), "event_id_unique"))
+  }
+
+  private val q131Oracle =
+    """WITH t AS (SELECT count(*)::BIGINT AS n_rows FROM events),
+      |r AS (
+      |  SELECT 'event_id_not_null' AS rule,
+      |         sum((event_id IS NULL)::INT)::BIGINT AS violations FROM events
+      |  UNION ALL
+      |  SELECT 'user_id_positive',
+      |         sum((NOT coalesce(user_id > 0, FALSE))::INT)::BIGINT FROM events
+      |  UNION ALL
+      |  SELECT 'known_event_type',
+      |         sum((NOT coalesce(event_type IN
+      |           ('click','view','purchase','signup','error'), FALSE))::INT)::BIGINT
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'value_non_negative',
+      |         sum((NOT coalesce(value >= 0, FALSE))::INT)::BIGINT FROM events
+      |  UNION ALL
+      |  SELECT 'props_has_k',
+      |         sum((json_extract_string(props, '$.k') IS NULL)::INT)::BIGINT
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'event_id_unique',
+      |         coalesce((SELECT sum(c)::BIGINT FROM (
+      |           SELECT count(*) AS c FROM events GROUP BY event_id
+      |           HAVING count(*) > 1)), 0) FROM (VALUES (1))
+      |)
+      |SELECT r.rule, r.violations, t.n_rows FROM r, t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_expectations" -> (q131Expectations _),
     "q125_cms_frequency" -> (q125CmsFrequency _),
     "q126_per_key_sample" -> (q126PerKeySample _),
     "q127_window_dedup" -> (q127WindowDedup _),
@@ -1427,6 +1479,7 @@ object EventQueries {
     "q121_temporal_split" -> q121Oracle,
     "q122_skew_diagnostics" -> q122Oracle,
     "q125_cms_frequency" -> q125Oracle,
+    "q131_expectations" -> q131Oracle,
     "q126_per_key_sample" -> q126Oracle,
     "q127_window_dedup" -> q127Oracle,
     "q128_mad_outliers" -> q128Oracle

@@ -524,6 +524,60 @@ object ParityQueries {
       |       sum(floor(v * 100)::BIGINT)::BIGINT AS sum_cents
       |FROM state GROUP BY event_type""".stripMargin
 
+  /** q130: STREAMING incremental aggregate maintenance — the EIGHTH
+    * streaming gate, covering [[graft.streaming.CdcStream.aggregateStream]]:
+    * q123's per-commit (count, integer-cents sum) fold run as a
+    * `foreachBatch` stream, commits 2 and 3 consumed one per micro-batch
+    * from mtime-ordered staged files. The final persisted aggregate is
+    * gated by q123's oracle verbatim — the streaming fold must land exactly
+    * where the batch fold (and a full re-aggregation) lands.
+    */
+  def q130StreamIncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val catalog = VersionedCatalog(q123CatalogRoot(spark, dir))
+    val inDir = q130Staged.computeIfAbsent(dir, _ => {
+      val in = Scratch.stableDir("q130-in-" + Scratch.md5Hex(dir))
+      def stage(v: Long, name: String): java.nio.file.Path = {
+        val tmp = Scratch.stableDir(s"q130-tmp-" + Scratch.md5Hex(s"$dir|$v"))
+        catalog.changes(spark, Q123Table, v, v)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+        java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(in, name))
+      }
+      val first = stage(2L, "a_commit2.parquet")
+      val second = stage(3L, "b_commit3.parquet")
+      // the file source orders by modification time: pin commit 3 strictly
+      // after commit 2 (same coarse-mtime hazard as the q70 sentinel)
+      java.nio.file.Files.setLastModifiedTime(second,
+        java.nio.file.attribute.FileTime.fromMillis(
+          java.nio.file.Files.getLastModifiedTime(first).toMillis + 10000))
+      in
+    })
+    val work = Scratch.stableDir("q130")
+    def cents(df: DataFrame): DataFrame =
+      df.withColumn("cents", floor(col("value") * 100).cast("long"))
+    val agg0 = cents(catalog.snapshot(spark, Q123Table, 1L))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+    val schema = catalog.changes(spark, Q123Table, 2L, 3L).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val query = graft.streaming.CdcStream.aggregateStream(
+      cents(stream),
+      initialAgg = agg0,
+      stateDir = s"$work/state",
+      groupCols = Seq("event_type"), valueCol = "cents",
+      nCol = "n", sumCol = "sum_cents")
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    graft.streaming.CdcStream.currentMaterializedState(spark, s"$work/state")
+  }
+
+  private val q130Staged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** q124: SCD TYPE-2 history ([[CdcMaterialize.scd2History]]) — the full
     * `[valid_from, valid_to)` version timeline per key from the same CDC
     * fixture as q123 (memoized — no second build): snapshot v1 opens,
@@ -558,6 +612,46 @@ object ParityQueries {
       |SELECT event_id, event_type, floor(value * 100)::BIGINT, 2::BIGINT,
       |       (CASE WHEN event_id % 2 = 0 THEN 3 END)::BIGINT
       |FROM e WHERE event_id % 3 = 1""".stripMargin
+
+  /** q132: fixed-point integer PageRank ([[graft.ext.Graph
+    * .pageRankIntFixed]]) over the customer→supplier trade graph (distinct
+    * (o_custkey, l_suppkey) pairs, ids disjointly namespaced as 2k / 2k+1)
+    * — 3 rounds, damping 1/2, scale 2^20. Every arithmetic step is integer
+    * (multiply, floor-divide, sum), so the oracle unrolls the identical
+    * three iterations in SQL and the scores must match bit-for-bit —
+    * the hash-gateable formulation of an operator that is float-fuzzy
+    * everywhere else.
+    */
+  def q132PageRank(spark: SparkSession, dir: String): DataFrame = {
+    val edges = orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    graft.ext.Graph.pageRankIntFixed(edges, iters = 3)
+  }
+
+  private val q132Oracle = {
+    def iter(prev: String, name: String): String =
+      s"""$name AS (
+         |  SELECT n.node,
+         |         (524288 + coalesce(sum(s.score // (2 * d.outdeg)), 0))::BIGINT AS score
+         |  FROM nodes n
+         |  LEFT JOIN edges e ON e.dst = n.node
+         |  LEFT JOIN $prev s ON e.src = s.node
+         |  LEFT JOIN deg d ON e.src = d.src
+         |  GROUP BY n.node)""".stripMargin
+    s"""WITH edges AS (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY 1),
+       |s0 AS (SELECT node, 1048576::BIGINT AS score FROM nodes),
+       |${iter("s0", "it1")},
+       |${iter("it1", "it2")},
+       |${iter("it2", "it3")}
+       |SELECT node, score FROM it3""".stripMargin
+  }
 
   /** q100/q101: sink→source ROUND TRIPS for the two other columnar/text
     * formats in the image (the reference exports JSON + parquet — K1/K2;
@@ -721,6 +815,8 @@ object ParityQueries {
     "q99_stream_materialize" -> (q99StreamMaterialize _),
     "q123_incremental_agg" -> (q123IncrementalAgg _),
     "q124_scd2_history" -> (q124Scd2History _),
+    "q130_stream_incremental_agg" -> (q130StreamIncrementalAgg _),
+    "q132_pagerank" -> (q132PageRank _),
     "q100_csv_roundtrip" -> (q100CsvRoundtrip _),
     "q101_orc_roundtrip" -> (q101OrcRoundtrip _)
   )
@@ -817,6 +913,8 @@ object ParityQueries {
     "q99_stream_materialize" -> q64Oracle,
     "q123_incremental_agg" -> q123Oracle,
     "q124_scd2_history" -> q124Oracle,
+    "q130_stream_incremental_agg" -> q123Oracle,
+    "q132_pagerank" -> q132Oracle,
     "q100_csv_roundtrip" -> q100Oracle,
     "q101_orc_roundtrip" -> q101Oracle,
     "q16_snapshot_travel" ->

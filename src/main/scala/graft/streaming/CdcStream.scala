@@ -184,13 +184,58 @@ object CdcStream {
       changes: DataFrame,
       initialState: DataFrame,
       stateDir: String,
-      keyCols: Seq[String]): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+      keyCols: Seq[String]): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    versionedFold(changes, initialState, stateDir) { (state, batch) =>
+      graft.engine.CdcMaterialize.currentState(
+        state, batch, keyCols, snapshotVersion = 0L)
+    }
+
+  /** Streaming incremental AGGREGATE maintenance — the continuous form of
+    * [[graft.engine.CdcMaterialize.incrementalAgg]]: each micro-batch of
+    * FULL CDF deltas (pre-images included — sums need retractions) moves
+    * the persisted per-group (count, sum) at delta cost, so
+    * `<stateDir>/<pointer>` always holds the current aggregate — a
+    * materialized dashboard view that never rescans history. Same
+    * versioned-dir + atomic-pointer machinery (and the same replay /
+    * torn-pointer guarantees) as [[materializeStream]].
+    *
+    * Scale shape per batch: one groupBy over the batch (map-side partials)
+    * + one full-outer join against the GROUP-sized aggregate — work ∝
+    * change volume, never state-image volume.
+    */
+  def aggregateStream(
+      changes: DataFrame,
+      initialAgg: DataFrame,
+      stateDir: String,
+      groupCols: Seq[String],
+      valueCol: String,
+      nCol: String = "n",
+      sumCol: String = "sum_v"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    versionedFold(changes, initialAgg, stateDir) { (agg, batch) =>
+      graft.engine.CdcMaterialize.incrementalAgg(
+        agg, batch, groupCols, valueCol, nCol, sumCol)
+    }
+
+  /** The shared `foreachBatch` fold behind [[materializeStream]] and
+    * [[aggregateStream]]: per micro-batch, `fold(currentState, batch)` is
+    * written to `state_<batchId>` and the `_latest` pointer swaps
+    * atomically ([[writePointer]]); a replayed batch whose output the
+    * pointer (or the newest-complete-dir fallback, [[resolveLatest]])
+    * already names short-circuits to a pointer heal — the at-least-once
+    * crash windows on both sides of the swap stay closed for ANY
+    * deterministic fold.
+    */
+  private def versionedFold(
+      changes: DataFrame,
+      initial: DataFrame,
+      stateDir: String)(
+      fold: (DataFrame, DataFrame) => DataFrame): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val spark = changes.sparkSession
     val pointer = java.nio.file.Paths.get(stateDir, "_latest")
     def readState(): DataFrame =
       resolveLatest(stateDir)
         .map(t => spark.read.parquet(s"$stateDir/$t"))
-        .getOrElse(initialState)
+        .getOrElse(initial)
     changes.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val target = s"state_$batchId"
       val alreadyApplied = resolveLatest(stateDir).contains(target)
@@ -199,9 +244,7 @@ object CdcStream {
         // sure the pointer agrees — heals a torn/missing pointer on replay
         writePointer(pointer, target)
       } else {
-        val next = graft.engine.CdcMaterialize.currentState(
-          readState(), batch, keyCols, snapshotVersion = 0L)
-        next.write.mode("overwrite").parquet(s"$stateDir/$target")
+        fold(readState(), batch).write.mode("overwrite").parquet(s"$stateDir/$target")
         writePointer(pointer, target)
       }
       ()

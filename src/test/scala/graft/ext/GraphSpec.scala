@@ -1,0 +1,44 @@
+package graft.ext
+
+import graft.SparkSpec
+
+/** Integer PageRank: hand-computed scores on a known graph, determinism,
+  * and the documented sink/floor behavior.
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRankIntFixed matches hand-computed scores on a 4-node graph") {
+    // 1 -> 3, 2 -> 3, 3 -> 4 ; damping 1/2, scale 8, base 4
+    // s0 = 8 everywhere
+    // it1: in(3) = 8/2 + 8/2 = 8 -> 12 ; in(4) = 8/2 = 4 -> 8 ; 1,2 -> 4
+    // it2: in(3) = 4/2 + 4/2 = 4 -> 8 ; in(4) = 12/2 = 6 -> 10 ; 1,2 -> 4
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = Graph.pageRankIntFixed(edges, iters = 2, scale = 8L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 4L, 2L -> 4L, 3L -> 8L, 4L -> 10L))
+  }
+
+  test("floor division and sinks: mass is lost deterministically, never invented") {
+    // odd score over outdeg 2 floors; node 4 is a sink (its mass leaks)
+    val edges = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst")
+    // scale 10, base 5: it1: in(2) = in(3) = 10 div (2*2) = 2 -> 7; 1 -> 5
+    val got = Graph.pageRankIntFixed(edges, iters = 1, scale = 10L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 5L, 2L -> 7L, 3L -> 7L))
+    // total after = 19 <= total before = 30: floors + sink loss only shrink
+    assert(got.values.sum <= 30L)
+  }
+
+  test("parallel edges weight contributions like a multigraph") {
+    val single = Seq((1L, 2L)).toDF("src", "dst")
+    val doubled = Seq((1L, 2L), (1L, 2L)).toDF("src", "dst")
+    val s = Graph.pageRankIntFixed(single, iters = 1, scale = 8L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doubled: outdeg(1) = 2, two contributions of 8 div 4 = 2 each -> same
+    // total as the single edge's 8 div 2 = 4 (exactly divisible case)
+    val d = Graph.pageRankIntFixed(doubled, iters = 1, scale = 8L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s(2L) === d(2L))
+  }
+}
