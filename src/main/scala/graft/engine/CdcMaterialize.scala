@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -55,6 +55,52 @@ object CdcMaterialize {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && !(col("__ct") <=> lit("delete")))
       .select(dataCols.map(col): _*)
+  }
+
+  /** Snapshot DIFF — the CDC GENERATOR, closing the loop the other three
+    * operators consume: given two versions of a table, emit the exact
+    * change set (`insert` / `delete` / `update_preimage` +
+    * `update_postimage` pairs) that turns `before` into `after`. This is
+    * how a table WITHOUT native change capture joins a CDC pipeline
+    * (reconciliation/anti-entropy between replicas is the same
+    * computation), and its output round-trips: [[currentState]] (before,
+    * diff) = after, and [[incrementalAgg]] folds it because the pre-images
+    * are real.
+    *
+    * Keys must be unique per side ([[currentState]]'s contract). Image
+    * equality is null-safe struct equality over the non-key columns
+    * (floats compare bitwise — a differing NaN payload is honestly a
+    * change).
+    *
+    * Scale shape: ONE full-outer join on the key columns — both sides
+    * shuffle once on the key; the pair-emit is a row-local explode. This
+    * is the diff's floor cost on unordered storage; z-ordered/bucketed
+    * layouts co-locate the join for free.
+    */
+  def diffSnapshots(
+      before: DataFrame,
+      after: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val dataCols = before.columns.toSeq
+    require(after.columns.toSeq == dataCols,
+      s"schemas must match: ${dataCols.mkString(",")} vs ${after.columns.mkString(",")}")
+    val nonKey = dataCols.filterNot(keyCols.contains)
+    val bs = before.select(keyCols.map(col) :+ struct(nonKey.map(col): _*).as("__b"): _*)
+    val as_ = after.select(keyCols.map(col) :+ struct(nonKey.map(col): _*).as("__a"): _*)
+    val entry = (img: Column, ct: String) => struct(img.as("img"), lit(ct).as("ct"))
+    val entries =
+      when(col("__b").isNull, array(entry(col("__a"), "insert")))
+        .when(col("__a").isNull, array(entry(col("__b"), "delete")))
+        .when(!(col("__a") <=> col("__b")), array(
+          entry(col("__b"), "update_preimage"),
+          entry(col("__a"), "update_postimage")))
+        .otherwise(lit(null)) // unchanged: explode(null) emits nothing
+    bs.join(as_, keyCols, "full_outer")
+      .select(keyCols.map(col) :+ explode(entries).as("__x"): _*)
+      .select(keyCols.map(col) ++
+        nonKey.map(c => col(s"__x.img.$c").as(c)) :+
+        col("__x.ct").as(CdcFilter.ChangeTypeCol): _*)
   }
 
   /** SCD TYPE-2 history: snapshot + change window → the full version

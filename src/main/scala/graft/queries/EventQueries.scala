@@ -1392,7 +1392,79 @@ object EventQueries {
       |)
       |SELECT r.rule, r.violations, t.n_rows FROM r, t""".stripMargin
 
+  /** q133: time-series GAP FILL — per-user daily activity resampled onto a
+    * dense day grid (missing days become explicit zero rows), the
+    * feature-prep step every sequence model needs (a sparse series silently
+    * conflates "no events" with "no row", and lag/rolling features read
+    * garbage across the holes). Per-user spans only — `sequence(min_day,
+    * max_day)` per user then left-join the sparse counts back: the
+    * explode is map-side over the (user, span) pairs, the join shuffles on
+    * (user, day) — no global calendar crossJoin (users × all days) at
+    * 100 TB, just each user's own window.
+    */
+  def q133GapFill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .withColumn("day", expr("ts div 1000 div 86400000000"))
+      .groupBy("user_id", "day").agg(count(lit(1)).as("n"))
+    val grid = daily.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"), coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  private val q133Oracle =
+    """WITH daily AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |         count(*)::BIGINT AS n
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT user_id, unnest(generate_series(min(day), max(day))) AS day
+      |  FROM daily GROUP BY user_id)
+      |SELECT g.user_id, g.day, coalesce(d.n, 0)::BIGINT AS n
+      |FROM grid g LEFT JOIN daily d USING (user_id, day)""".stripMargin
+
+  /** q134: SLIDING-window distinct users via HLL sketch merges — the
+    * trailing-7-day-actives dashboard at sketch cost: one small sketch per
+    * day (built once from raw data), every trailing window answered by
+    * merging ≤ 7 daily sketches — the raw stream is scanned ONCE no matter
+    * how many windows ask. q112 merges all days into one total; this is
+    * the windowed form (day axis × window join, both model-sized). Exact
+    * side re-counted relationally per window; estimate gated at ±5%
+    * (lgK=12 ⇒ rsd ≈ 1.6%, deterministic sketch ⇒ stable flag).
+    */
+  def q134SlidingHll(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .withColumn("day", expr("ts div 1000 div 86400000000"))
+    val daily = e.groupBy("day").agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val approx = daily.select(col("day").as("w"))
+      .join(daily, col("day").between(col("w") - 6, col("w")))
+      .groupBy("w")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+    val exact = e.select(col("day").as("w")).distinct()
+      .join(e.select(col("day"), col("user_id")),
+        col("day").between(col("w") - 6, col("w")))
+      .groupBy("w")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    exact.join(approx, Seq("w"))
+      .select(col("w").as("day"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users"))
+          <= lit(0.05) * col("exact_users")).cast("int").as("within_5pct"))
+  }
+
+  private val q134Oracle =
+    """WITH e AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      |  FROM events),
+      |d AS (SELECT DISTINCT day AS w FROM e)
+      |SELECT d.w AS day, count(DISTINCT e.user_id)::BIGINT AS exact_users,
+      |       1::INT AS within_5pct
+      |FROM d JOIN e ON e.day BETWEEN d.w - 6 AND d.w
+      |GROUP BY d.w""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q133_gap_fill" -> (q133GapFill _),
+    "q134_sliding_hll" -> (q134SlidingHll _),
     "q131_expectations" -> (q131Expectations _),
     "q125_cms_frequency" -> (q125CmsFrequency _),
     "q126_per_key_sample" -> (q126PerKeySample _),
@@ -1480,6 +1552,8 @@ object EventQueries {
     "q122_skew_diagnostics" -> q122Oracle,
     "q125_cms_frequency" -> q125Oracle,
     "q131_expectations" -> q131Oracle,
+    "q133_gap_fill" -> q133Oracle,
+    "q134_sliding_hll" -> q134Oracle,
     "q126_per_key_sample" -> q126Oracle,
     "q127_window_dedup" -> q127Oracle,
     "q128_mad_outliers" -> q128Oracle

@@ -613,6 +613,41 @@ object ParityQueries {
       |       (CASE WHEN event_id % 2 = 0 THEN 3 END)::BIGINT
       |FROM e WHERE event_id % 3 = 1""".stripMargin
 
+  /** q135: snapshot DIFF ([[CdcMaterialize.diffSnapshots]]) — CDC
+    * GENERATION: the exact change set between the q123 fixture's snapshot
+    * and its fully-materialized final state. The oracle derives every
+    * emitted row (inserts for surviving commit-2 keys, pre+post pairs for
+    * the +1000 updates; the fixture deletes no snapshot key, so no delete
+    * rows) from the residue arithmetic — and because the diff carries real
+    * pre-images, it is the round-trip input [[CdcMaterialize
+    * .incrementalAgg]] can fold (CdcMaterializeSpec proves the identity).
+    */
+  def q135SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val catalog = VersionedCatalog(q123CatalogRoot(spark, dir))
+    val before = catalog.snapshot(spark, Q123Table, 1L)
+    val after = CdcMaterialize.currentState(
+      before, catalog.changes(spark, Q123Table, 2L, 3L),
+      keyCols = Seq("event_id"), snapshotVersion = 1L)
+    CdcMaterialize.diffSnapshots(before, after, keyCols = Seq("event_id"))
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents"),
+        col("_change_type"))
+  }
+
+  private val q135Oracle =
+    """WITH e AS (SELECT event_id, event_type, value FROM events)
+      |SELECT event_id, event_type, floor(value * 100)::BIGINT AS cents,
+      |       'insert' AS _change_type
+      |FROM e WHERE event_id % 3 = 1 AND event_id % 2 = 1
+      |UNION ALL
+      |SELECT event_id, event_type, floor(value * 100)::BIGINT,
+      |       'update_preimage'
+      |FROM e WHERE event_id % 6 = 0
+      |UNION ALL
+      |SELECT event_id, event_type, floor((value + 1000) * 100)::BIGINT,
+      |       'update_postimage'
+      |FROM e WHERE event_id % 6 = 0""".stripMargin
+
   /** q132: fixed-point integer PageRank ([[graft.ext.Graph
     * .pageRankIntFixed]]) over the customer→supplier trade graph (distinct
     * (o_custkey, l_suppkey) pairs, ids disjointly namespaced as 2k / 2k+1)
@@ -817,6 +852,7 @@ object ParityQueries {
     "q124_scd2_history" -> (q124Scd2History _),
     "q130_stream_incremental_agg" -> (q130StreamIncrementalAgg _),
     "q132_pagerank" -> (q132PageRank _),
+    "q135_snapshot_diff" -> (q135SnapshotDiff _),
     "q100_csv_roundtrip" -> (q100CsvRoundtrip _),
     "q101_orc_roundtrip" -> (q101OrcRoundtrip _)
   )
@@ -915,6 +951,7 @@ object ParityQueries {
     "q124_scd2_history" -> q124Oracle,
     "q130_stream_incremental_agg" -> q123Oracle,
     "q132_pagerank" -> q132Oracle,
+    "q135_snapshot_diff" -> q135Oracle,
     "q100_csv_roundtrip" -> q100Oracle,
     "q101_orc_roundtrip" -> q101Oracle,
     "q16_snapshot_travel" ->

@@ -91,6 +91,29 @@ class CdcMaterializeSpec extends SparkSpec {
     }
   }
 
+  test("diffSnapshots round-trips: apply the diff to before and reach after") {
+    val before = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)).toDF("id", "name", "v")
+    val after = Seq((1L, "a", 10L), (2L, "b2", 25L), (4L, "d", 40L)).toDF("id", "name", "v")
+    val diff = CdcMaterialize.diffSnapshots(before, after, Seq("id"))
+    // exact change set: unchanged 1 absent; 2 updated (pre+post); 3 deleted; 4 inserted
+    val got = diff.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))).toSet
+    assert(got === Set(
+      (2L, "b", 20L, "update_preimage"), (2L, "b2", 25L, "update_postimage"),
+      (3L, "c", 30L, "delete"),
+      (4L, "d", 40L, "insert")))
+    // applying the diff as one commit reproduces `after` exactly
+    val applied = CdcMaterialize.currentState(
+      before, diff.withColumn("_commit_version", lit(2L)), Seq("id"), snapshotVersion = 1L)
+    assert(applied.exceptAll(after).isEmpty && after.exceptAll(applied).isEmpty)
+    // and because pre-images are real, the aggregate folds the same diff
+    val agg0 = before.groupBy(lit(1).as("g")).agg(count(lit(1)).as("n"), sum("v").as("sum_v"))
+    val folded = CdcMaterialize.incrementalAgg(
+      agg0, diff.withColumn("g", lit(1)), Seq("g"), "v")
+    val direct = after.groupBy(lit(1).as("g")).agg(count(lit(1)).as("n"), sum("v").as("sum_v"))
+    assert(folded.exceptAll(direct).isEmpty && direct.exceptAll(folded).isEmpty)
+  }
+
   test("incrementalAgg folded per commit equals re-aggregating the state") {
     val snapshot = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L))
       .toDF("id", "g", "v")
