@@ -20,35 +20,52 @@ import org.apache.spark.sql.functions._
   */
 object ZOrder {
 
-  /** The Morton key: bit i of `x` lands at even position 2i, bit i of `y`
-    * at odd 2i+1. Inputs are masked to `bits` (callers hash or bucket wider
-    * domains down first); result fits 2·bits ≤ 62, so long arithmetic never
-    * overflows.
+  /** N-dimensional Morton key (bit-sliced round-robin): bit i of dimension
+    * d (of D) lands at position `i·D + d`, so low bits of ALL dimensions
+    * occupy the low key bits and a range of the key bounds a D-cube.
+    * Inputs are masked to `bits` (callers hash or bucket wider domains
+    * down first); `D·bits ≤ 62` keeps the key a non-negative long. 2-D is
+    * the `D = 2` special case ([[interleave]]); real layout tuning wants
+    * 3-4 dims (e.g. tenant × day × entity), each dim's per-file extent
+    * shrinking as ~`files^(-1/D)`.
     */
-  def interleave(x: Column, y: Column, bits: Int = 16): Column = {
-    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+  def interleaveN(cols: Seq[Column], bits: Int = 16): Column = {
+    val d = cols.size
+    require(d >= 2, "need at least two dimensions")
+    require(bits >= 1 && d * bits <= 62, s"$d dims x $bits bits must fit 62")
     val mask = (1L << bits) - 1
-    val xm = x.cast("long").bitwiseAND(lit(mask))
-    val ym = y.cast("long").bitwiseAND(lit(mask))
+    val ms = cols.map(_.cast("long").bitwiseAND(lit(mask)))
     (0 until bits).flatMap { i =>
-      Seq(
-        shiftleft(shiftright(xm, i).bitwiseAND(lit(1L)), 2 * i),
-        shiftleft(shiftright(ym, i).bitwiseAND(lit(1L)), 2 * i + 1))
+      ms.zipWithIndex.map { case (c, j) =>
+        shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * d + j)
+      }
     }.reduce(_ bitwiseOR _)
   }
 
-  /** The identical formula as DuckDB SQL over column expressions `x`/`y` —
+  /** The Morton key: bit i of `x` lands at even position 2i, bit i of `y`
+    * at odd 2i+1 (= [[interleaveN]] with D = 2).
+    */
+  def interleave(x: Column, y: Column, bits: Int = 16): Column =
+    interleaveN(Seq(x, y), bits)
+
+  /** The identical N-dim formula as DuckDB SQL over column expressions —
     * generated from the same constants so both engines run the same
     * integer arithmetic.
     */
-  def interleaveSql(x: String, y: String, bits: Int = 16): String = {
+  def interleaveNSql(cols: Seq[String], bits: Int = 16): String = {
+    val d = cols.size
+    require(d >= 2 && bits >= 1 && d * bits <= 62)
     val mask = (1L << bits) - 1
     (0 until bits).flatMap { i =>
-      Seq(
-        s"(((($x) & $mask) >> $i & 1) << ${2 * i})",
-        s"(((($y) & $mask) >> $i & 1) << ${2 * i + 1})")
+      cols.zipWithIndex.map { case (c, j) =>
+        s"(((($c) & $mask) >> $i & 1) << ${i * d + j})"
+      }
     }.mkString(" | ")
   }
+
+  /** 2-D SQL form (= [[interleaveNSql]] with D = 2). */
+  def interleaveSql(x: String, y: String, bits: Int = 16): String =
+    interleaveNSql(Seq(x, y), bits)
 
   /** Normalized Morton key of two long columns given their value bounds:
     * each dimension is min/max-scaled to the full `bits` width —
@@ -89,6 +106,23 @@ object ZOrder {
     interleaveSql(norm(x, xMin, xMax), norm(y, yMin, yMax), bits)
   }
 
+  /** N-dim normalized Morton key: each dimension min/max-scaled to the
+    * full `bits` width before interleaving ([[interleaveNormalized]]
+    * generalized; `bounds(d) = (min, max)` per dimension).
+    */
+  def interleaveNormalizedN(
+      cols: Seq[Column],
+      bounds: Seq[(Long, Long)],
+      bits: Int = 16): Column = {
+    require(cols.size == bounds.size, "one (min, max) pair per dimension")
+    val mask = (1L << bits) - 1
+    val normed = cols.zip(bounds).map { case (v, (mn, mx)) =>
+      call_function("div",
+        (v.cast("long") - lit(mn)) * lit(mask), lit(math.max(1L, mx - mn)))
+    }
+    interleaveN(normed, bits)
+  }
+
   /** Dimension bounds for [[writeZOrdered]]: (xMin, xMax, yMin, yMax). */
   final case class Bounds(xMin: Long, xMax: Long, yMin: Long, yMax: Long)
 
@@ -114,15 +148,27 @@ object ZOrder {
       yCol: String,
       files: Int,
       bits: Int = 16,
-      bounds: Option[Bounds] = None): Unit = {
+      bounds: Option[Bounds] = None): Unit =
+    writeZOrderedN(df, path, Seq(xCol, yCol), files, bits,
+      bounds.map(b => Seq((b.xMin, b.xMax), (b.yMin, b.yMax))))
+
+  /** N-dim [[writeZOrdered]]: cluster `df` into `files` parquet files
+    * z-ordered on `cols` (same single-pass-with-supplied-bounds /
+    * fallback-scan contract; the one bounds aggregate reads 2·D longs).
+    */
+  def writeZOrderedN(
+      df: DataFrame,
+      path: String,
+      cols: Seq[String],
+      files: Int,
+      bits: Int = 16,
+      bounds: Option[Seq[(Long, Long)]] = None): Unit = {
     val b = bounds.getOrElse {
-      val r = df.agg(
-        min(col(xCol)).as("xmn"), max(col(xCol)).as("xmx"),
-        min(col(yCol)).as("ymn"), max(col(yCol)).as("ymx")).head()
-      Bounds(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val aggs = cols.flatMap(c => Seq(min(col(c)), max(col(c))))
+      val r = df.agg(aggs.head, aggs.tail: _*).head()
+      cols.indices.map(d => (r.getLong(2 * d), r.getLong(2 * d + 1)))
     }
-    df.withColumn("__z", interleaveNormalized(col(xCol), col(yCol),
-        b.xMin, b.xMax, b.yMin, b.yMax, bits))
+    df.withColumn("__z", interleaveNormalizedN(cols.map(col), b, bits))
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

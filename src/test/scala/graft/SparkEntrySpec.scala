@@ -22,4 +22,17 @@ class SparkEntrySpec extends SparkSpec {
     val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(extra.isEmpty, s"oracles without queries: $extra")
   }
+
+  test("q113 premise: event_type cardinality stays below k, the sketch's exact regime") {
+    // q113's GROUP-BY oracle is only valid while approx_top_k(col, k=10)
+    // runs in its EXACT regime (distinct values fit the sketch map). Pin
+    // the premise so a testdata or query refactor can't silently turn the
+    // hash-match into a flaky approximation. Checked at both driver SFs.
+    import org.apache.spark.sql.functions.countDistinct
+    Seq(Sf0001, "/root/testdata/sf0.01").foreach { sf =>
+      val d = graft.queries.Tables.events(spark, sf)
+        .agg(countDistinct("event_type")).head().getLong(0)
+      assert(d < 10, s"q113 exact-regime premise broken at $sf: $d distinct >= k=10")
+    }
+  }
 }

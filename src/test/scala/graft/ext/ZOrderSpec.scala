@@ -34,6 +34,64 @@ class ZOrderSpec extends SparkSpec {
     assert(m((2L, 0L)) === 4L && m((0L, 2L)) === 8L)
   }
 
+  test("interleaveN round-robins bits across D dimensions; D=2 equals interleave") {
+    // 3-D spot values: bit i of dim d lands at 3i + d
+    val rows = Seq((1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L), (1L, 1L, 1L),
+      (2L, 0L, 0L), (0L, 2L, 0L), (0L, 0L, 2L), (5L, 3L, 7L))
+      .toDF("a", "b", "c")
+    val got = rows.select(col("a"), col("b"), col("c"),
+      ZOrder.interleaveN(Seq(col("a"), col("b"), col("c")), bits = 20).as("z"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3))).toMap
+    def ref(vs: Seq[Long], bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (acc, i) =>
+        vs.zipWithIndex.foldLeft(acc) { case (a, (v, d)) =>
+          a | (((v >> i) & 1L) << (i * vs.size + d))
+        }
+      }
+    got.foreach { case (k @ (a, b, c), z) =>
+      assert(z === ref(Seq(a, b, c), 20), s"interleaveN$k")
+    }
+    assert(got((1L, 0L, 0L)) === 1L && got((0L, 1L, 0L)) === 2L
+      && got((0L, 0L, 1L)) === 4L && got((1L, 1L, 1L)) === 7L)
+    assert(got((2L, 0L, 0L)) === 8L && got((0L, 2L, 0L)) === 16L
+      && got((0L, 0L, 2L)) === 32L)
+    // the 2-D public API is exactly the D=2 case
+    val two = Seq((12345L, 54321L)).toDF("x", "y")
+      .select(ZOrder.interleave(col("x"), col("y")).as("z2"),
+        ZOrder.interleaveN(Seq(col("x"), col("y"))).as("zn"))
+      .head()
+    assert(two.getLong(0) === two.getLong(1))
+  }
+
+  test("3-dim z-ordered layout bounds per-file extents in ALL THREE dimensions") {
+    val work = java.nio.file.Files.createTempDirectory("graft-zorder3").toString
+    try {
+      val li = Tables.lineitem(spark, Sf0001)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      val dims = Seq("l_orderkey", "l_partkey", "l_suppkey")
+      ZOrder.writeZOrderedN(li, s"$work/z3", dims, files = 64, bits = 16)
+      val out = spark.read.parquet(s"$work/z3")
+      assert(out.exceptAll(li).isEmpty && li.exceptAll(out).isEmpty)
+
+      val r = li.agg(
+        (max(dims(0)) - min(dims(0))).as("r0"),
+        (max(dims(1)) - min(dims(1))).as("r1"),
+        (max(dims(2)) - min(dims(2))).as("r2")).head()
+      val e = out.groupBy(input_file_name())
+        .agg((max(dims(0)) - min(dims(0))).as("e0"),
+          (max(dims(1)) - min(dims(1))).as("e1"),
+          (max(dims(2)) - min(dims(2))).as("e2"))
+        .agg(avg("e0"), avg("e1"), avg("e2")).head()
+      // 64 files in 3 dims ≈ a 4x4x4 tiling: every dimension's mean
+      // per-file extent must be well under its full range (a single-key
+      // sort leaves two of the three at ~full range)
+      (0 until 3).foreach { d =>
+        assert(e.getDouble(d) < 0.5 * r.getLong(d),
+          s"dim ${dims(d)} extent ${e.getDouble(d)} vs range ${r.getLong(d)}")
+      }
+    } finally rmTree(java.nio.file.Paths.get(work))
+  }
+
   test("z-ordered layout bounds per-file extents in BOTH dimensions") {
     val li = Tables.lineitem(spark, Sf0001)
       .select(col("l_partkey").as("x"), col("l_suppkey").as("y"))
