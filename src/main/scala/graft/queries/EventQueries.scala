@@ -1462,9 +1462,126 @@ object EventQueries {
       |FROM d JOIN e ON e.day BETWEEN d.w - 6 AND d.w
       |GROUP BY d.w""".stripMargin
 
+  /** q136: LOCF imputation (last observation carried forward) — the fill
+    * step that pairs with q133's gap fill: the dense day grid's holes get
+    * the user's most recent observed value instead of a null/zero, the
+    * standard imputation for slowly-changing measurements feeding sequence
+    * models. Observation = per-(user, day) max cents (integer — floats
+    * never compared); the carry is `last(_, ignoreNulls) OVER (ROWS
+    * UNBOUNDED PRECEDING)` — a running window over each user's partition,
+    * computed after ONE shuffle on user_id (the grid build, the join and
+    * the carry all share it). Every user's grid starts at their first
+    * observed day, so no leading nulls exist by construction.
+    */
+  def q136Locf(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .withColumn("day", expr("ts div 1000 div 86400000000"))
+      .groupBy("user_id", "day")
+      .agg(max(floor(col("value") * 100).cast("long")).as("cents"))
+    val grid = daily.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        last(col("cents"), ignoreNulls = true).over(w).as("cents_filled"))
+  }
+
+  private val q136Oracle =
+    """WITH daily AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |         max(floor(value * 100)::BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT user_id, unnest(generate_series(min(day), max(day))) AS day
+      |  FROM daily GROUP BY user_id),
+      |j AS (SELECT g.user_id, g.day, d.cents
+      |      FROM grid g LEFT JOIN daily d USING (user_id, day))
+      |SELECT user_id, day,
+      |       last_value(cents IGNORE NULLS) OVER (
+      |         PARTITION BY user_id ORDER BY day
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents_filled
+      |FROM j""".stripMargin
+
+  /** q137: event-transition matrix (first-order Markov) — for each ordered
+    * pair (src event type → next event type within the same user), the
+    * bigram count and the transition probability in integer ppm (`n·10⁶
+    * div row-total` — rational, no float compare). The user-journey
+    * summary behind "what do users do after X" and the generator of
+    * synthetic-sequence priors.
+    *
+    * Scale shape: ONE shuffle on user_id for the `lead` ordering (micros +
+    * event_id — a total order, so the successor is deterministic
+    * cross-engine), then the bigram aggregate shuffles only (src, dst)
+    * pairs — |types|² rows. The ppm window runs over the model-sized
+    * matrix, not the event stream.
+    */
+  def q137Transitions(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).select(col("user_id"),
+      expr("ts div 1000").as("tus"), col("event_id"), col("event_type"))
+    val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+    e.withColumn("dst", lead("event_type", 1).over(w))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("event_type").as("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prob_ppm", call_function("div",
+        col("n") * lit(1000000L), sum("n").over(Window.partitionBy("src"))))
+  }
+
+  private val q137Oracle =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS tus, event_id, event_type
+      |  FROM events),
+      |b AS (
+      |  SELECT event_type AS src,
+      |         lead(event_type) OVER (
+      |           PARTITION BY user_id ORDER BY tus, event_id) AS dst
+      |  FROM e),
+      |c AS (SELECT src, dst, count(*)::BIGINT AS n
+      |      FROM b WHERE dst IS NOT NULL GROUP BY 1, 2)
+      |SELECT src, dst, n,
+      |       ((n * 1000000) // (sum(n) OVER (PARTITION BY src))::BIGINT)::BIGINT
+      |         AS prob_ppm
+      |FROM c""".stripMargin
+
+  /** q138: winsorization — per-row clipping at the exact p05/p95 of
+    * `value`, the outlier-taming transform (robust alternative to
+    * dropping rows; q128's MAD flags, this one repairs). Boundaries are
+    * `percentile_disc` — actual data elements, so both engines clip
+    * against bit-identical doubles (the q66→q105 lesson: interpolated
+    * percentiles disagree in ulps; discrete ones cannot). The two-value
+    * boundary row rides the scalar-anchor pattern: a 1-row broadcast
+    * crossJoin, the clip itself map-side — the event stream shuffles
+    * nowhere.
+    */
+  def q138Winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val b = e.agg(
+      expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY value)").as("lo"),
+      expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)").as("hi"))
+    e.crossJoin(broadcast(b))
+      .select(col("event_id"),
+        floor(greatest(col("lo"), least(col("hi"), col("value"))) * 100)
+          .cast("long").as("cents_w"),
+        (col("value") < col("lo") || col("value") > col("hi"))
+          .cast("int").as("clipped"))
+  }
+
+  private val q138Oracle =
+    """WITH b AS (SELECT quantile_disc(value, 0.05) AS lo,
+      |                  quantile_disc(value, 0.95) AS hi FROM events)
+      |SELECT event_id,
+      |       floor(greatest(lo, least(hi, value)) * 100)::BIGINT AS cents_w,
+      |       (value < lo OR value > hi)::INT AS clipped
+      |FROM events, b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q133_gap_fill" -> (q133GapFill _),
     "q134_sliding_hll" -> (q134SlidingHll _),
+    "q136_locf" -> (q136Locf _),
+    "q137_transitions" -> (q137Transitions _),
+    "q138_winsorize" -> (q138Winsorize _),
     "q131_expectations" -> (q131Expectations _),
     "q125_cms_frequency" -> (q125CmsFrequency _),
     "q126_per_key_sample" -> (q126PerKeySample _),
@@ -1554,6 +1671,9 @@ object EventQueries {
     "q131_expectations" -> q131Oracle,
     "q133_gap_fill" -> q133Oracle,
     "q134_sliding_hll" -> q134Oracle,
+    "q136_locf" -> q136Oracle,
+    "q137_transitions" -> q137Oracle,
+    "q138_winsorize" -> q138Oracle,
     "q126_per_key_sample" -> q126Oracle,
     "q127_window_dedup" -> q127Oracle,
     "q128_mad_outliers" -> q128Oracle
