@@ -1576,12 +1576,104 @@ object EventQueries {
       |       (value < lo OR value > hi)::INT AS clipped
       |FROM events, b""".stripMargin
 
+  /** q139: audience OVERLAP via Theta-sketch set algebra — for every pair
+    * of event types, the estimated size of `users(A) ∩ users(B)`. HLL
+    * (q112/q134) can only UNION; Theta sketches close the set algebra —
+    * intersection and difference compose on the sketches themselves
+    * (`theta_intersection` is a scalar op over two sketch binaries), which
+    * is what "users who did X AND Y" dashboards need without re-scanning
+    * the stream per pair. One scan builds |types| sketches; all |types|²/2
+    * pair intersections run over the model-sized sketch table.
+    *
+    * Split gate (q112 pattern): the exact overlap is value-matched against
+    * a relational self-join; the sketch estimate is gated ±5% as a pinned
+    * integer flag (default lgK=12 ⇒ the sketch is in EXACT mode below ~4k
+    * uniques per type and rsd ≈ 1.6% beyond — deterministic either way).
+    */
+  def q139AudienceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val sk = e.groupBy("event_type").agg(expr("theta_sketch_agg(user_id)").as("sk"))
+    val u = e.select("event_type", "user_id").distinct()
+    val exact = u.as("x").join(u.as("y"),
+        col("x.user_id") === col("y.user_id")
+          && col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("et_a"), col("y.event_type").as("et_b"))
+      .agg(count(lit(1)).as("exact_overlap"))
+    val est = sk.as("a").join(sk.as("b"), col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("et_a"), col("b.event_type").as("et_b"),
+        expr("theta_sketch_estimate(theta_intersection(a.sk, b.sk))").as("est"))
+    exact.join(est, Seq("et_a", "et_b"))
+      .select(col("et_a"), col("et_b"), col("exact_overlap"),
+        (abs(col("est") - col("exact_overlap")) <= lit(0.05) * col("exact_overlap"))
+          .cast("int").as("within_5pct"))
+  }
+
+  private val q139Oracle =
+    """WITH u AS (SELECT DISTINCT event_type, user_id FROM events)
+      |SELECT x.event_type AS et_a, y.event_type AS et_b,
+      |       count(*)::BIGINT AS exact_overlap, 1::INT AS within_5pct
+      |FROM u x JOIN u y
+      |  ON x.user_id = y.user_id AND x.event_type < y.event_type
+      |GROUP BY 1, 2""".stripMargin
+
+  /** q140: top user JOURNEYS — the distribution of session paths (the
+    * ordered event-type sequence of each session's first 5 events, joined
+    * `a>b>c`). Product analytics' pathing view: which routes through the
+    * product are common, counted over q12's gap-sessionization.
+    *
+    * Determinism: the in-session order is the (micros, event_id) total
+    * order; the path aggregate collects (rn, type) structs and
+    * `array_sort`s row-locally before joining — `collect_list` alone has
+    * no ordering contract. Scale shape: both windows and the path
+    * aggregate ride ONE user_id shuffle (subset rule); the final count
+    * shuffles path strings of bounded cardinality (≤ |types|⁵).
+    */
+  def q140TopJourneys(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_us").asc, col("event_id").asc)
+    val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(spark, dir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("brk", when(col("prev_ts").isNull
+        || col("ts_us") - col("prev_ts") > SessionGapUs, 1).otherwise(0))
+      .withColumn("session_id", sum(col("brk")).over(running))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id", "session_id")
+          .orderBy(col("ts_us").asc, col("event_id").asc)))
+      .filter(col("rn") <= 5)
+      .groupBy("user_id", "session_id")
+      .agg(array_sort(collect_list(struct(col("rn"), col("event_type")))).as("a"))
+      .select(concat_ws(">", expr("transform(a, x -> x.event_type)")).as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+  }
+
+  private val q140Oracle =
+    s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu, event_type FROM events),
+       |l AS (SELECT *, lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS prev
+       |      FROM e),
+       |f AS (SELECT *, CASE WHEN prev IS NULL OR tsu - prev > ${SessionGapUs}
+       |                     THEN 1 ELSE 0 END AS brk
+       |      FROM l),
+       |s AS (SELECT *, (sum(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_id
+       |      FROM f),
+       |r AS (SELECT *, row_number() OVER (
+       |        PARTITION BY user_id, session_id ORDER BY tsu, event_id) AS rn
+       |      FROM s),
+       |p AS (SELECT user_id, session_id,
+       |        string_agg(event_type, '>' ORDER BY rn) AS path
+       |      FROM r WHERE rn <= 5 GROUP BY 1, 2)
+       |SELECT path, count(*)::BIGINT AS n_sessions FROM p GROUP BY path""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q133_gap_fill" -> (q133GapFill _),
     "q134_sliding_hll" -> (q134SlidingHll _),
     "q136_locf" -> (q136Locf _),
     "q137_transitions" -> (q137Transitions _),
     "q138_winsorize" -> (q138Winsorize _),
+    "q139_audience_overlap" -> (q139AudienceOverlap _),
+    "q140_top_journeys" -> (q140TopJourneys _),
     "q131_expectations" -> (q131Expectations _),
     "q125_cms_frequency" -> (q125CmsFrequency _),
     "q126_per_key_sample" -> (q126PerKeySample _),
@@ -1674,6 +1766,8 @@ object EventQueries {
     "q136_locf" -> q136Oracle,
     "q137_transitions" -> q137Oracle,
     "q138_winsorize" -> q138Oracle,
+    "q139_audience_overlap" -> q139Oracle,
+    "q140_top_journeys" -> q140Oracle,
     "q126_per_key_sample" -> q126Oracle,
     "q127_window_dedup" -> q127Oracle,
     "q128_mad_outliers" -> q128Oracle

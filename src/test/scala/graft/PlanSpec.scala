@@ -224,6 +224,53 @@ class PlanSpec extends SparkSpec {
       s"quantile boundary should broadcast:\n$p121")
   }
 
+  test("q136 LOCF: join and carry window reuse the user_id shuffles — no extra Exchange") {
+    // daily aggregates shuffle on (user_id, day) and user_id; the left join
+    // and the running window both require only co-location on user_id,
+    // which those partitionings already satisfy (subset rule) — so the
+    // whole fill costs exactly the two aggregation exchanges.
+    val plan = planOf(graft.queries.EventQueries.q136Locf(spark, Sf0001))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected <=2 hash exchanges, got $exchanges:\n$plan")
+    assert(plan.contains("RunningWindowFunction") || plan.contains("Window"),
+      s"missing the carry window:\n$plan")
+  }
+
+  test("q137 transitions: one event-stream shuffle; ppm window runs on the matrix, not the stream") {
+    val plan = planOf(graft.queries.EventQueries.q137Transitions(spark, Sf0001))
+    // two-phase bigram aggregate (partial above the lead window, final after
+    // the (src, dst) exchange) — the stream itself shuffles once (user_id)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 3, s"expected <=3 hash exchanges (user_id, (src,dst), src):\n$plan")
+  }
+
+  test("q138 winsorize: percentile anchor broadcasts; the stream never shuffles") {
+    val plan = planOf(graft.queries.EventQueries.q138Winsorize(spark, Sf0001))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"p05/p95 anchor should broadcast:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"the clip must be map-side — no hash exchange of the event stream:\n$plan")
+  }
+
+  test("q140 journeys: sessionize windows and path aggregate ride one user_id shuffle") {
+    val plan = planOf(graft.queries.EventQueries.q140TopJourneys(spark, Sf0001))
+    // user_id exchange (both windows + the per-session path aggregate all
+    // satisfy their clustering from it, subset rule) + the bounded-domain
+    // path-count exchange — nothing else
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected <=2 hash exchanges, got $exchanges:\n$plan")
+  }
+
+  test("q139 overlap: pair intersections join model-sized sketch tables, never the stream") {
+    val plan = planOf(graft.queries.EventQueries.q139AudienceOverlap(spark, Sf0001))
+    assert(!plan.contains("CartesianProduct"), s"cartesian crept in:\n$plan")
+    // the |types|x|types| sketch pairing is a broadcast of the 5-row
+    // sketch relation, not a shuffle of event rows
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"sketch pair join should broadcast:\n$plan")
+  }
+
   test("IVF indexed probe plans dynamic partition pruning on the inverted file") {
     withTempDir("plan-ivf") { dir =>
       val e = Tables.embeddings(spark, Sf0001)
