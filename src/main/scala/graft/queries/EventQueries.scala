@@ -1666,7 +1666,221 @@ object EventQueries {
        |      FROM r WHERE rn <= 5 GROUP BY 1, 2)
        |SELECT path, count(*)::BIGINT AS n_sessions FROM p GROUP BY path""".stripMargin
 
+  /** q141: distribution-DRIFT report — train/serve skew detection between
+    * two time windows of the same stream (reference = first half of the
+    * day range, actual = second half). `value` is discretized to exact
+    * integer cents, binned into 10 equal-width integer bins sized from the
+    * REFERENCE window's [min,max] (actual-window outliers clamp into the
+    * edge bins, the standard drift-report convention), and the report
+    * carries two divergence measures: total-variation distance in ppm —
+    * all-integer arithmetic, so exact cross-engine — and the industry PSI
+    * (Laplace-smoothed so empty bins stay finite), rounded to 4 dp since
+    * `ln` is the one libm call (sub-ulp engine skew, invisible at 4 dp).
+    *
+    * Scale shape: two scalar anchors (day midpoint, reference min/max —
+    * 1-row broadcasts), then ONE map-side bin projection and a 10-row
+    * aggregate; the divergence windows run over the 10-row bin table, not
+    * the stream. Nothing shuffles more than (bin, count) pairs.
+    */
+  def q141DriftReport(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).select(
+      expr("ts div 1000 div 86400000000").as("day"),
+      floor(col("value") * 100).cast("long").as("cents"))
+    val mid = e.agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
+    val tagged = e.crossJoin(broadcast(mid))
+      .withColumn("is_ref", (col("day") < col("mid")).cast("long"))
+    val ref = tagged.filter(col("is_ref") === 1)
+      .agg(min("cents").as("lo"), max("cents").as("hi"))
+    val counts = tagged.crossJoin(broadcast(ref))
+      .withColumn("bin",
+        expr("((least(hi, greatest(lo, cents)) - lo) * 10) div (hi - lo + 1)").cast("int"))
+      .groupBy("bin")
+      .agg(sum(col("is_ref")).as("ne_raw"), sum(lit(1L) - col("is_ref")).as("na_raw"))
+    val grid = spark.range(0, 10).select(col("id").cast("int").as("bin"))
+    val bins = grid.join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("ne_raw"), lit(0L)).as("n_exp"),
+        coalesce(col("na_raw"), lit(0L)).as("n_act"))
+    val all = Window.partitionBy()
+    bins
+      .withColumn("te", sum("n_exp").over(all))
+      .withColumn("ta", sum("n_act").over(all))
+      .withColumn("dev", abs(col("n_act") * col("te") - col("n_exp") * col("ta")))
+      .withColumn("term",
+        ((col("n_act") + 1) / (col("ta") + 10) - (col("n_exp") + 1) / (col("te") + 10)) *
+          log(((col("n_act") + 1) * (col("te") + 10)) /
+            ((col("n_exp") + 1) * (col("ta") + 10))))
+      .withColumn("sum_dev", sum("dev").over(all))
+      .withColumn("tvd_ppm", expr("(1000000 * sum_dev) div (2 * ta * te)"))
+      .withColumn("psi_r4", round(sum("term").over(all), 4))
+      .select("bin", "n_exp", "n_act", "tvd_ppm", "psi_r4")
+  }
+
+  private val q141Oracle =
+    """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day,
+      |                  floor(value * 100)::BIGINT AS cents FROM events),
+      |m AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM e),
+      |t AS (SELECT day, cents, (day < mid)::BIGINT AS is_ref FROM e, m),
+      |r AS (SELECT min(cents) AS lo, max(cents) AS hi FROM t WHERE is_ref = 1),
+      |c AS (SELECT (((least(hi, greatest(lo, cents)) - lo) * 10) // (hi - lo + 1))::INT AS bin,
+      |             sum(is_ref)::BIGINT AS ne_raw, sum(1 - is_ref)::BIGINT AS na_raw
+      |      FROM t, r GROUP BY 1),
+      |g AS (SELECT unnest(generate_series(0, 9))::INT AS bin),
+      |f AS (SELECT g.bin, coalesce(ne_raw, 0) AS n_exp, coalesce(na_raw, 0) AS n_act
+      |      FROM g LEFT JOIN c ON g.bin = c.bin),
+      |w AS (SELECT bin, n_exp, n_act,
+      |             (sum(n_exp) OVER ())::BIGINT AS te,
+      |             (sum(n_act) OVER ())::BIGINT AS ta FROM f),
+      |d AS (SELECT *, abs(n_act * te - n_exp * ta) AS dev,
+      |             ((n_act + 1) / (ta + 10) - (n_exp + 1) / (te + 10)) *
+      |               ln(((n_act + 1) * (te + 10)) / ((n_exp + 1) * (ta + 10))) AS term
+      |      FROM w)
+      |SELECT bin, n_exp, n_act,
+      |       ((1000000 * (sum(dev) OVER ())::BIGINT) // (2 * ta * te))::BIGINT AS tvd_ppm,
+      |       round(sum(term) OVER (), 4) AS psi_r4
+      |FROM d""".stripMargin
+
+  /** q142: two-proportion z-TEST — the A/B experiment readout. Users are
+    * assigned to arms by the [[graft.ext.Sampling]] 60-bit md5 gate
+    * (deterministic, engine-replayable — `df.sample`'s RNG is not), the
+    * conversion is "made a high-value purchase", and the statistic is the pooled
+    * two-proportion z. Counts are exact integers; z itself uses only
+    * IEEE-correctly-rounded ops (+,-,*,/,sqrt) over identical expression
+    * trees on both engines, so `round(z,4)` is deterministic, and the
+    * significance flag is a pure function of the ROUNDED value (a raw-z
+    * threshold could flip on the last ulp).
+    *
+    * Scale shape: one user_id aggregate (the arm hash is a scan-time
+    * projection), then a 2-row → 1-row fold. Nothing else moves.
+    */
+  def q142AbZtest(spark: SparkSession, dir: String): DataFrame = {
+    // conversion = a HIGH-VALUE purchase (> 150): "any purchase" converts
+    // ~100% of users at every SF (degenerate — pooled p(1-p)=0 divides by
+    // zero); the value cut sits near 45%, where the test has power
+    val users = events(spark, dir).groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 150, 1L)
+        .otherwise(0L)).as("conv"))
+      .withColumn("arm",
+        pmod(graft.ext.Dedup.baseHash(col("user_id").cast("string")), lit(2L)).cast("int"))
+    val row = users.groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum("conv").as("c"))
+      .agg(
+        sum(when(col("arm") === 0, col("n"))).as("n_a"),
+        sum(when(col("arm") === 0, col("c"))).as("c_a"),
+        sum(when(col("arm") === 1, col("n"))).as("n_b"),
+        sum(when(col("arm") === 1, col("c"))).as("c_b"))
+    // every quotient is double/double: Spark's ANSI `/` on two integral
+    // operands is integral division, which would truncate the proportions
+    // (and land a divide-by-zero once sqrt(...) truncates to 0L)
+    val p1 = col("c_a").cast("double") / col("n_a").cast("double")
+    val p2 = col("c_b").cast("double") / col("n_b").cast("double")
+    val pp = (col("c_a") + col("c_b")).cast("double") / (col("n_a") + col("n_b")).cast("double")
+    val z = (p1 - p2) /
+      sqrt((pp * (lit(1.0) - pp)) * (lit(1.0) / col("n_a").cast("double") + lit(1.0) / col("n_b").cast("double")))
+    row.select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+      round(z, 4).as("z_r4"),
+      (abs(round(z, 4)) > lit(1.96)).cast("int").as("significant"))
+  }
+
+  private val q142Oracle =
+    """WITH u AS (
+      |  SELECT user_id,
+      |         max(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END)::BIGINT AS conv,
+      |         (('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT % 2)::INT AS arm
+      |  FROM events GROUP BY user_id),
+      |a AS (SELECT arm, count(*)::BIGINT AS n, sum(conv)::BIGINT AS c FROM u GROUP BY arm),
+      |f AS (SELECT sum(CASE WHEN arm = 0 THEN n END)::BIGINT AS n_a,
+      |             sum(CASE WHEN arm = 0 THEN c END)::BIGINT AS c_a,
+      |             sum(CASE WHEN arm = 1 THEN n END)::BIGINT AS n_b,
+      |             sum(CASE WHEN arm = 1 THEN c END)::BIGINT AS c_b
+      |      FROM a),
+      |z AS (SELECT *,
+      |        (c_a / n_a - c_b / n_b) /
+      |          sqrt((((c_a + c_b) / (n_a + n_b)) * (1 - (c_a + c_b) / (n_a + n_b))) *
+      |               (1::DOUBLE / n_a + 1::DOUBLE / n_b)) AS zv
+      |      FROM f)
+      |SELECT n_a, c_a, n_b, c_b, round(zv, 4) AS z_r4,
+      |       (abs(round(zv, 4)) > 1.96::DOUBLE)::INT AS significant
+      |FROM z""".stripMargin
+
+  /** q143: STICKINESS — the DAU/MAU-family engagement ratio, per week:
+    * (Σ daily actives) / (observed days × weekly actives), in exact
+    * integer ppm. A stickiness of 1,000,000 ppm means every weekly-active
+    * user shows up every observed day.
+    *
+    * Scale shape: the (day, user) distinct is the only data-sized shuffle;
+    * the weekly aggregate folds user-day pairs — count(*) over the pairs
+    * IS Σ DAU, so no per-day subaggregate or second pass exists.
+    */
+  def q143Stickiness(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(expr("ts div 1000 div 86400000000").as("day"), col("user_id"))
+      .distinct()
+      .withColumn("week", expr("day div 7"))
+      .groupBy("week")
+      .agg(count(lit(1)).as("user_days"),
+        countDistinct("user_id").as("wau"),
+        countDistinct("day").as("n_days"))
+      .withColumn("stickiness_ppm", expr("(user_days * 1000000) div (n_days * wau)"))
+
+  private val q143Oracle =
+    """WITH p AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events),
+      |w AS (SELECT day // 7 AS week, count(*)::BIGINT AS user_days,
+      |             count(DISTINCT user_id)::BIGINT AS wau,
+      |             count(DISTINCT day)::BIGINT AS n_days
+      |      FROM p GROUP BY 1)
+      |SELECT week, user_days, wau, n_days,
+      |       ((user_days * 1000000) // (n_days * wau))::BIGINT AS stickiness_ppm
+      |FROM w""".stripMargin
+
+  /** q144: cohort LTV curves — users cohorted by first-seen week, purchase
+    * revenue accumulated by cohort age in weeks: the "how much has the
+    * week-N signup class spent by age k" chart. All money stays exact
+    * integer cents; the cumulative window runs over the (cohort × age)
+    * model table, not the event stream.
+    *
+    * Scale shape: one user_id aggregate builds the cohort map, one
+    * user_id-keyed join attaches it to purchases (same key — AQE can plan
+    * it shuffle-reusing), and the (cohort, age) aggregate is model-sized.
+    * The cohort-size relation is tiny and broadcasts.
+    */
+  def q144CohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .withColumn("week", expr("ts div 1000 div 86400000000 div 7"))
+    val first = e.groupBy("user_id").agg(min("week").as("cohort_week"))
+    val size = first.groupBy("cohort_week")
+      .agg(countDistinct("user_id").as("cohort_users"))
+    val rev = e.filter(col("event_type") === "purchase")
+      .join(first, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("age_weeks"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+    val w = Window.partitionBy("cohort_week").orderBy("age_weeks")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.join(broadcast(size), Seq("cohort_week"))
+      .select(col("cohort_week"), col("age_weeks"), col("cohort_users"),
+        sum("cents").over(w).as("cum_cents"))
+  }
+
+  private val q144Oracle =
+    """WITH e AS (SELECT user_id, event_type, value,
+      |                  epoch_us(ts) // 86400000000 // 7 AS week FROM events),
+      |f AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1),
+      |cs AS (SELECT cohort_week, count(DISTINCT user_id)::BIGINT AS cohort_users
+      |       FROM f GROUP BY 1),
+      |r AS (SELECT f.cohort_week, e.week - f.cohort_week AS age_weeks,
+      |             sum(floor(e.value * 100)::BIGINT)::BIGINT AS cents
+      |      FROM e JOIN f USING (user_id) WHERE e.event_type = 'purchase'
+      |      GROUP BY 1, 2)
+      |SELECT r.cohort_week, r.age_weeks, cs.cohort_users,
+      |       (sum(r.cents) OVER (PARTITION BY r.cohort_week ORDER BY r.age_weeks
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_cents
+      |FROM r JOIN cs USING (cohort_week)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q141_drift_report" -> (q141DriftReport _),
+    "q142_ab_ztest" -> (q142AbZtest _),
+    "q143_stickiness" -> (q143Stickiness _),
+    "q144_cohort_ltv" -> (q144CohortLtv _),
     "q133_gap_fill" -> (q133GapFill _),
     "q134_sliding_hll" -> (q134SlidingHll _),
     "q136_locf" -> (q136Locf _),
@@ -1718,6 +1932,10 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q141_drift_report" -> q141Oracle,
+    "q142_ab_ztest" -> q142Oracle,
+    "q143_stickiness" -> q143Oracle,
+    "q144_cohort_ltv" -> q144Oracle,
     "q60_retention" -> q60Oracle,
     "q67_pivot" -> q67Oracle,
     "q12_sessionize" -> q12Oracle,

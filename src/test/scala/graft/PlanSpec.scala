@@ -271,6 +271,44 @@ class PlanSpec extends SparkSpec {
       s"sketch pair join should broadcast:\n$plan")
   }
 
+  test("q141 drift: anchors broadcast; the stream shuffles only (bin, count) pairs") {
+    val plan = planOf(graft.queries.EventQueries.q141DriftReport(spark, Sf0001))
+    // day-midpoint and ref-min/max anchors are 1-row broadcast relations
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"scalar anchors should broadcast:\n$plan")
+    // the only hash exchange carries 10 (bin, partial-count) rows; the
+    // divergence windows then run single-partition over the 10-row table
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"expected <=1 hash exchange (bin), got $exchanges:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"bin counts should combine map-side:\n$plan")
+  }
+
+  test("q142 z-test: arm assignment is scan-time; two bounded aggregates, no window") {
+    val plan = planOf(graft.queries.EventQueries.q142AbZtest(spark, Sf0001))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected <=2 hash exchanges (user_id, arm), got $exchanges:\n$plan")
+    assert(!plan.contains("Window"), s"the fold needs no window:\n$plan")
+  }
+
+  test("q143 stickiness: the (day,user) distinct is the only data-sized shuffle") {
+    val plan = planOf(graft.queries.EventQueries.q143Stickiness(spark, Sf0001))
+    // distinct + the two-distinct weekly aggregate (Expand) — everything
+    // after the pair distinct operates on user-day pairs, never raw events
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 3, s"expected <=3 hash exchanges, got $exchanges:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("q144 cohort LTV: cohort sizes broadcast; cumulative window runs per cohort") {
+    val plan = planOf(graft.queries.EventQueries.q144CohortLtv(spark, Sf0001))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"cohort-size relation should broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // window partitions by cohort_week — never a global sort
+    assert(plan.contains("Window"), plan)
+  }
+
   test("IVF indexed probe plans dynamic partition pruning on the inverted file") {
     withTempDir("plan-ivf") { dir =>
       val e = Tables.embeddings(spark, Sf0001)
