@@ -59,18 +59,29 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
     val loadBefore = loadavg
+    // A query that THROWS must never look like a win: a plan-time failure
+    // returns in milliseconds, and silently recording that as its "time"
+    // once let 29 broken queries IMPROVE a headline total (round 7). Each
+    // query now carries an explicit err flag; errored queries are excluded
+    // from the total and counted separately so the one surviving tail line
+    // still tells the whole story.
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+        var err: Option[String] = None
         val times = (1 to trials).map { _ =>
           // One query's pinned blocks must not tax the next trial/query:
           // drop every cached plan so each timing starts from parquet.
           spark.catalog.clearCache()
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          try { fn(spark, sfDir).count() } catch {
+            case e: Throwable =>
+              err = Some(Option(e.getMessage).getOrElse(e.getClass.getName)
+                .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160))
+          }
           (System.nanoTime() - t0) / 1e9
         }
-        name -> median(times)
+        (name, median(times), err)
       }
     val loadAfter = loadavg
     // The driver's record keeps only the TAIL of stdout, so the layout is
@@ -78,9 +89,21 @@ object Bench {
     // (losing the earliest of them costs nothing that matters), and the one
     // headline line — total + query map + load — is printed LAST so it always
     // survives. The final line alone is a complete, parseable record.
-    results.foreach { case (k, v) => println(s"""{"query":"$k","sec":$v}""") }
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","trials":$trials,"load_before":"$loadBefore","load_after":"$loadAfter"}""")
+    results.foreach {
+      case (k, v, None)    => println(s"""{"query":"$k","sec":$v}""")
+      case (k, v, Some(m)) => println(s"""{"query":"$k","sec":$v,"err":true,"msg":"$m"}""")
+    }
+    val ok = results.filter(_._3.isEmpty)
+    val errored = results.filter(_._3.nonEmpty)
+    val total = ok.map(_._2).sum
+    val errList = errored.map(r => s""""${r._1}"""").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},"n_err":${errored.size},"err_queries":$errList,"sf":"$sfDir","trials":$trials,"load_before":"$loadBefore","load_after":"$loadAfter"}""")
     spark.stop()
+    // loud (stderr) but non-fatal: exiting non-zero could cost the whole
+    // bench artifact depending on how the caller wires the run; the
+    // err:true rows + n_err/err_queries in the headline are the record
+    if (errored.nonEmpty)
+      System.err.println(s"[bench] ${errored.size} queries FAILED: " +
+        errored.map(_._1).mkString(", "))
   }
 }

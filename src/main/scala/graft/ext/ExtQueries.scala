@@ -1187,7 +1187,7 @@ object ExtQueries {
     * union-and-fill composition is pinned to a reference implementation.
     */
   def q61AsofJoin(spark: SparkSession, dir: String): DataFrame = {
-    val e = events(spark, dir).withColumn("tsu", expr("ts div 1000"))
+    val e = events(spark, dir).withColumn("tsu", tsUs)
     val purchases = e.filter(col("event_type") === "purchase")
       .select("event_id", "user_id", "tsu")
     val signups = e.filter(col("event_type") === "signup")

@@ -8,12 +8,13 @@ import org.apache.spark.sql.functions._
   * shapes the reference's ecosystem consumes downstream (sessionization,
   * funnels, JSON property extraction, date/scalar transforms).
   *
-  * `ts` reaches Spark as a long (nanos since epoch; see Tables.t). DuckDB
-  * reads the same parquet column as a microsecond TIMESTAMP (nanos
-  * truncated), so any query that compares or OUTPUTS timestamps must
-  * normalize to epoch-microseconds on both sides: Spark `ts div 1000`,
-  * DuckDB `epoch_us(ts)` — integer-exact across engines. Guard every future
-  * ts-outputting query the same way.
+  * `ts` reaches Spark as a long (canonical epoch-nanos, whatever the
+  * physical parquet encoding — see [[Tables.normalizeTs]]). DuckDB reads
+  * the same parquet column natively, so any query that compares or OUTPUTS
+  * timestamps must normalize to epoch-microseconds on both sides: Spark
+  * [[Tables.tsUs]]/[[Tables.tsDay]], DuckDB `epoch_us(ts)` —
+  * integer-exact across engines. Guard every future ts-outputting query
+  * the same way; never spell the physical encoding in query code.
   *
   * Scale shapes: sessionization is the canonical "one shuffle on user_id,
   * then everything within the window partition" pattern; the funnel is two
@@ -29,18 +30,18 @@ object EventQueries {
   /** q12: gap-based sessionization — lag → new-session flag → running sum
     * (ROWS frame, both engines) → per-session aggregate.
     *
-    * Both engines compute on **epoch-microseconds**: the raw parquet column
-    * is TIMESTAMP(NANOS), which Spark reads as a full-precision long while
-    * DuckDB truncates to its microsecond TIMESTAMP — so any ns-precision
+    * Both engines compute on **epoch-microseconds**: Spark's canonical `ts`
+    * is epoch-nanos (see [[Tables.normalizeTs]]) while DuckDB reads the
+    * parquet column as its microsecond TIMESTAMP — so any ns-precision
     * value that reaches the output (or an ordering/gap comparison) diverges.
-    * Truncating to micros on the Spark side (`ts div 1000`) makes the two
+    * Truncating to micros on the Spark side ([[Tables.tsUs]]) makes the two
     * engines bit-identical end-to-end.
     */
   def q12Sessionize(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts_us").asc, col("event_id").asc)
     val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events(spark, dir)
-      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts_us", tsUs)
       .withColumn("prev_ts", lag(col("ts_us"), 1).over(byUser))
       .withColumn("brk",
         when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > SessionGapUs, 1).otherwise(0))
@@ -75,7 +76,7 @@ object EventQueries {
     // epoch-micros on both engines (see the ts note above): comparing raw
     // nanos here against DuckDB's micro-truncated TIMESTAMP could flip a
     // conversion whose purchase and signup share the same microsecond
-    val e = events(spark, dir).withColumn("ts_us", expr("ts div 1000"))
+    val e = events(spark, dir).withColumn("ts_us", tsUs)
     val firstSignup = e
       .filter(col("event_type") === "signup")
       .groupBy("user_id")
@@ -123,7 +124,7 @@ object EventQueries {
       // integer `div`, not `/`: long / long is DOUBLE division in Spark, and
       // nanos ~1.7e18 exceed double's 2^53 mantissa (ulp 256 ns) — an event
       // within an ulp of midnight could land on the wrong day
-      .withColumn("day", date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd"))
+      .withColumn("day", date_format(timestamp_micros(tsUs), "yyyy-MM-dd"))
       .groupBy("day")
       .agg(
         count(lit(1)).as("n"),
@@ -154,7 +155,7 @@ object EventQueries {
   def q60Retention(spark: SparkSession, dir: String): DataFrame = {
     val usPerDay = 86400000000L
     val e = events(spark, dir)
-      .withColumn("day", expr(s"ts div 1000 div $usPerDay"))
+      .withColumn("day", tsDay)
       .select("user_id", "day")
     val cohort = e.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
     e.join(cohort, "user_id")
@@ -180,7 +181,7 @@ object EventQueries {
     */
   def q67Pivot(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
-      .withColumn("day", date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd"))
+      .withColumn("day", date_format(timestamp_micros(tsUs), "yyyy-MM-dd"))
       .groupBy("day")
       .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
       .agg(round(sum("value"), 4))
@@ -228,7 +229,7 @@ object EventQueries {
     */
   def q88FullOuter(spark: SparkSession, dir: String): DataFrame = {
     val e = events(spark, dir)
-      .withColumn("day", expr("ts div 1000 div 86400000000"))
+      .withColumn("day", tsDay)
       .filter(col("value") > 99)
     val clicks = e.filter(col("event_type") === "click")
       .groupBy("day").agg(count(lit(1)).as("n_click"))
@@ -265,6 +266,24 @@ object EventQueries {
     */
   private val stagedInputs =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  /** Stage the events table into `in` as ONE canonical-schema parquet file
+    * (`ts` BIGINT nanos — the [[Tables.normalizeTs]] boundary applied).
+    *
+    * A raw `Files.copy` of the source file would leak the PHYSICAL encoding
+    * (INT64-nanos vs `timestamp[us]`, whichever the driver generated) into
+    * the stream fixture, while `readStream.schema(events(...).schema)`
+    * declares the canonical one — the staged bytes must match the declared
+    * schema, so the stage writes through the normalizing boundary itself.
+    */
+  private def stageCanonicalEvents(spark: SparkSession, dir: String,
+      in: java.nio.file.Path, fileName: String): java.nio.file.Path = {
+    val tmp = s"${Scratch.stableDir(s"evstage-${Scratch.md5Hex(s"$dir|$fileName")}")}/one"
+    events(spark, dir).coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+    java.nio.file.Files.copy(part.toPath, in.resolve(fileName))
+  }
+
   private def stagedInput(name: String, dir: String)(
       build: java.nio.file.Path => Unit): java.nio.file.Path =
     stagedInputs.computeIfAbsent(s"$name|$dir", _ => {
@@ -283,12 +302,11 @@ object EventQueries {
     // the file stream source needs a DIRECTORY to monitor; stage the fixture
     // file into one (at real scale the ingest dir is the natural layout)
     val inDir = stagedInput("q69", dir) { in =>
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"), in.resolve("events.parquet"))
+      stageCanonicalEvents(spark, dir, in, "events.parquet")
     }
     val schema = events(spark, dir).schema
     val stream = spark.readStream.schema(schema).parquet(inDir.toString)
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+      .select(col("user_id"), tsUs.as("ts_us"))
       .as[graft.streaming.CdcStream.Ev]
     val query = graft.streaming.CdcStream.sessionize(stream, gapUs = SessionGapUs)
       .writeStream
@@ -325,8 +343,7 @@ object EventQueries {
   private def eventsPlusSentinel(spark: SparkSession, dir: String): java.nio.file.Path = {
     val ev = events(spark, dir)
     stagedInput("evsent", dir) { in =>
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"), in.resolve("a_events.parquet"))
+      stageCanonicalEvents(spark, dir, in, "a_events.parquet")
       // sentinel: one row a year past the max event ts, same schema; staged
       // AFTER the copy so the file source (ordered by mod time) batches it last
       val maxTs = ev.agg(max(col("ts"))).head().getLong(0)
@@ -354,7 +371,7 @@ object EventQueries {
 
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
-      .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+      .withColumn("tsm", timestamp_micros(tsUs))
     val counts = graft.streaming.CdcStream.windowedCounts(
       stream, tsCol = "tsm", typeCol = "event_type",
       windowDuration = "1 hour", watermarkDelay = "30 minutes")
@@ -441,8 +458,7 @@ object EventQueries {
     import spark.implicits._
     val work = Scratch.stableDir("q81")
     val inDir = stagedInput("q81", dir) { in =>
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"), in.resolve("events.parquet"))
+      stageCanonicalEvents(spark, dir, in, "events.parquet")
     }
     val dim = q81Weights.toDF("event_type", "w")
     val schema = events(spark, dir).schema
@@ -510,8 +526,7 @@ object EventQueries {
   def q89StreamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
     val work = Scratch.stableDir("q89")
     val inDir = stagedInput("q89", dir) { in =>
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"), in.resolve("events.parquet"))
+      stageCanonicalEvents(spark, dir, in, "events.parquet")
     }
     val schema = events(spark, dir).schema
     // 6h window against the fixture's ~month span / sparse per-user activity
@@ -523,7 +538,7 @@ object EventQueries {
         .select(
           col("event_id").as(s"${prefix}_id"),
           col("user_id").as(s"${prefix}_user"),
-          timestamp_micros(expr("ts div 1000")).as(s"${prefix}_tsm"))
+          timestamp_micros(tsUs).as(s"${prefix}_tsm"))
         .withWatermark(s"${prefix}_tsm", "12 hours")
     val joined = side("click", "c").join(
       side("purchase", "p"),
@@ -571,7 +586,7 @@ object EventQueries {
     val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
       .rangeBetween(-3600000000L, 0L)
     events(spark, dir)
-      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts_us", tsUs)
       .withColumn("cents", floor(col("value") * 100).cast("long"))
       .select(col("event_id"), col("user_id"), col("ts_us"),
         count(lit(1)).over(w).as("n_1h"),
@@ -687,7 +702,7 @@ object EventQueries {
     * 1-row counts cross-joined at the end (driver-sized, like q13).
     */
   def q106Funnel3(spark: SparkSession, dir: String): DataFrame = {
-    val e = events(spark, dir).withColumn("ts_us", expr("ts div 1000"))
+    val e = events(spark, dir).withColumn("ts_us", tsUs)
     val s1 = e.filter(col("event_type") === "signup")
       .groupBy("user_id").agg(min(col("ts_us")).as("t1"))
     val s2 = e.filter(col("event_type") === "click")
@@ -724,7 +739,7 @@ object EventQueries {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts_us").asc, col("event_id").asc)
     val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events(spark, dir)
-      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts_us", tsUs)
       .withColumn("prev_ts", lag(col("ts_us"), 1).over(byUser))
       .withColumn("brk",
         when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > SessionGapUs, 1).otherwise(0))
@@ -901,7 +916,7 @@ object EventQueries {
     */
   def q112HllMerge(spark: SparkSession, dir: String): DataFrame = {
     val e = events(spark, dir)
-      .withColumn("day", expr("ts div 1000 div 86400000000"))
+      .withColumn("day", tsDay)
     val daily = e.groupBy("event_type", "day")
       .agg(hll_sketch_agg(col("user_id")).as("sk"))
     val merged = daily.groupBy("event_type")
@@ -956,7 +971,7 @@ object EventQueries {
     */
   def q114DecayedScore(spark: SparkSession, dir: String): DataFrame = {
     val e = events(spark, dir)
-      .withColumn("day", expr("ts div 1000 div 86400000000"))
+      .withColumn("day", tsDay)
     val anchor = e.agg(max(col("day")).as("max_day"))
     e.crossJoin(broadcast(anchor))
       .withColumn("age", least(col("max_day") - col("day"), lit(60L)).cast("int"))
@@ -992,7 +1007,7 @@ object EventQueries {
     */
   def q115LastTouch(spark: SparkSession, dir: String): DataFrame = {
     val e = events(spark, dir)
-      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts_us", tsUs)
       .select(col("user_id"), col("event_id"), col("event_type"), col("ts_us"))
     val firstPurchase = e.filter(col("event_type") === "purchase")
       .groupBy("user_id")
@@ -1046,7 +1061,7 @@ object EventQueries {
     val inDir = eventsPlusSentinel(spark, dir)
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
-      .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+      .withColumn("tsm", timestamp_micros(tsUs))
       .withWatermark("tsm", "30 minutes")
     val sessions = stream
       .groupBy(col("user_id"), session_window(col("tsm"), "30 minutes"))
@@ -1123,7 +1138,7 @@ object EventQueries {
   def q119NextEventLabel(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts_us").asc, col("event_id").asc)
     events(spark, dir)
-      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts_us", tsUs)
       .select(col("user_id"), col("event_id"), col("event_type"), col("ts_us"))
       .withColumn("nxt_type", lead(col("event_type"), 1).over(w))
       .withColumn("nxt_ts", lead(col("ts_us"), 1).over(w))
@@ -1165,7 +1180,7 @@ object EventQueries {
     * scalar; assignment is scan-time.
     */
   def q121TemporalSplit(spark: SparkSession, dir: String): DataFrame = {
-    val e = events(spark, dir).withColumn("ts_us", expr("ts div 1000"))
+    val e = events(spark, dir).withColumn("ts_us", tsUs)
     val b = e.agg(
       expr("percentile_disc(0.8) WITHIN GROUP (ORDER BY ts_us)").as("b"))
     e.crossJoin(broadcast(b))
@@ -1285,7 +1300,7 @@ object EventQueries {
   def q127WindowDedup(spark: SparkSession, dir: String): DataFrame =
     graft.ext.Dedup.dedupWithinGap(
       events(spark, dir).select(col("event_id"), col("user_id"),
-        col("event_type"), expr("ts div 1000").as("ts_us")),
+        col("event_type"), tsUs.as("ts_us")),
       fp = md5(concat_ws(":", col("user_id"), col("event_type"))),
       tsUs = col("ts_us"),
       gapUs = 600L * 1000 * 1000,
@@ -1404,7 +1419,7 @@ object EventQueries {
     */
   def q133GapFill(spark: SparkSession, dir: String): DataFrame = {
     val daily = events(spark, dir)
-      .withColumn("day", expr("ts div 1000 div 86400000000"))
+      .withColumn("day", tsDay)
       .groupBy("user_id", "day").agg(count(lit(1)).as("n"))
     val grid = daily.groupBy("user_id")
       .agg(min("day").as("d0"), max("day").as("d1"))
@@ -1435,7 +1450,7 @@ object EventQueries {
     */
   def q134SlidingHll(spark: SparkSession, dir: String): DataFrame = {
     val e = events(spark, dir)
-      .withColumn("day", expr("ts div 1000 div 86400000000"))
+      .withColumn("day", tsDay)
     val daily = e.groupBy("day").agg(hll_sketch_agg(col("user_id")).as("sk"))
     val approx = daily.select(col("day").as("w"))
       .join(daily, col("day").between(col("w") - 6, col("w")))
@@ -1475,7 +1490,7 @@ object EventQueries {
     */
   def q136Locf(spark: SparkSession, dir: String): DataFrame = {
     val daily = events(spark, dir)
-      .withColumn("day", expr("ts div 1000 div 86400000000"))
+      .withColumn("day", tsDay)
       .groupBy("user_id", "day")
       .agg(max(floor(col("value") * 100).cast("long")).as("cents"))
     val grid = daily.groupBy("user_id")
@@ -1519,7 +1534,7 @@ object EventQueries {
     */
   def q137Transitions(spark: SparkSession, dir: String): DataFrame = {
     val e = events(spark, dir).select(col("user_id"),
-      expr("ts div 1000").as("tus"), col("event_id"), col("event_type"))
+      tsUs.as("tus"), col("event_id"), col("event_type"))
     val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
     e.withColumn("dst", lead("event_type", 1).over(w))
       .filter(col("dst").isNotNull)
@@ -1632,7 +1647,7 @@ object EventQueries {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts_us").asc, col("event_id").asc)
     val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events(spark, dir)
-      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts_us", tsUs)
       .withColumn("prev_ts", lag(col("ts_us"), 1).over(byUser))
       .withColumn("brk", when(col("prev_ts").isNull
         || col("ts_us") - col("prev_ts") > SessionGapUs, 1).otherwise(0))
@@ -1684,7 +1699,7 @@ object EventQueries {
     */
   def q141DriftReport(spark: SparkSession, dir: String): DataFrame = {
     val e = events(spark, dir).select(
-      expr("ts div 1000 div 86400000000").as("day"),
+      tsDay.as("day"),
       floor(col("value") * 100).cast("long").as("cents"))
     val mid = e.agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
     val tagged = e.crossJoin(broadcast(mid))
@@ -1814,7 +1829,7 @@ object EventQueries {
     */
   def q143Stickiness(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
-      .select(expr("ts div 1000 div 86400000000").as("day"), col("user_id"))
+      .select(tsDay.as("day"), col("user_id"))
       .distinct()
       .withColumn("week", expr("day div 7"))
       .groupBy("week")
@@ -1846,7 +1861,7 @@ object EventQueries {
     */
   def q144CohortLtv(spark: SparkSession, dir: String): DataFrame = {
     val e = events(spark, dir)
-      .withColumn("week", expr("ts div 1000 div 86400000000 div 7"))
+      .withColumn("week", tsWeek)
     val first = e.groupBy("user_id").agg(min("week").as("cohort_week"))
     val size = first.groupBy("cohort_week")
       .agg(countDistinct("user_id").as("cohort_users"))

@@ -1,6 +1,8 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Test-table access for the driver's TPC-H-ish fixtures (TESTDATA.md).
   *
@@ -8,15 +10,63 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * reach the scan untouched (verify with `.explain` → `ReadSchema` /
   * `PushedFilters`), which is the property that matters when the same query
   * shape runs over 100 TB instead of 60k rows.
+  *
+  * **Event-time contract**: downstream query code never assumes a physical
+  * timestamp encoding. The reference behaves the same way — its schema is
+  * whatever the source serves, introspected at runtime
+  * (`unload_databricks_data_to_s3.py:141-153` walks `df.schema.fields`;
+  * the CDC filter guards on column presence, `:204`). Here the boundary
+  * normalizes `events.ts` to ONE canonical type — BIGINT nanoseconds since
+  * the Unix epoch — whatever the parquet delivers (INT64 nanos,
+  * `timestamp[us]`/TIMESTAMP_NTZ, or tz-aware TIMESTAMP). Every consumer
+  * derives micros via [[tsUs]]; none spells the physical encoding.
   */
 object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
-    // rejects unless nanos are surfaced as long (nanos since epoch). Set
-    // defensively here because the driver may hand us a fresh session.
+    // Older generations of events.parquet carry TIMESTAMP(NANOS), which the
+    // vectorized reader rejects unless nanos surface as long. Session tz is
+    // pinned UTC so a TIMESTAMP_NTZ → TIMESTAMP cast (below) is a pure
+    // relabeling, never a wall-clock shift. Set defensively here because
+    // the driver may hand us a fresh session.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
   }
+
+  /** Normalize a `ts` column (if present) to canonical BIGINT epoch-nanos.
+    *
+    * - LongType: already canonical (INT64-nanos parquet via `nanosAsLong`).
+    * - TIMESTAMP_NTZ (parquet `timestamp[us]`, `isAdjustedToUTC=false`):
+    *   relabel as TIMESTAMP under the UTC session tz, then
+    *   `unix_micros × 1000`. Integer-exact — no float, no rounding.
+    * - TIMESTAMP (tz-adjusted): `unix_micros × 1000` directly.
+    *
+    * The multiply stays in whole-stage codegen and the column keeps its
+    * position, so the visible schema is stable across physical encodings —
+    * the schema-drift property `TablesSpec` pins.
+    */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case Some(TimestampType) =>
+        df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case Some(LongType) | None | Some(_) => df
+    }
+
+  /** Event time in epoch-MICROS — the single place the nanos→micros step is
+    * spelled. Query code uses this instead of raw `ts` arithmetic; the
+    * DuckDB oracles' counterpart is `epoch_us(ts)` (integer-exact on both
+    * engines). */
+  def tsUs: Column = org.apache.spark.sql.functions.expr("ts div 1000")
+
+  /** Event time bucketed to epoch-DAYS (integer `div`, matching the DuckDB
+    * oracles' `epoch_us(ts) // 86400000000`). */
+  def tsDay: Column = org.apache.spark.sql.functions.expr("ts div 1000 div 86400000000")
+
+  /** Event time bucketed to epoch-WEEKS (7-day buckets from the epoch). */
+  def tsWeek: Column =
+    org.apache.spark.sql.functions.expr("ts div 1000 div 86400000000 div 7")
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "orders")

@@ -46,6 +46,14 @@ def main() -> int:
             f"read_parquet('{sf_dir}/{table}.parquet')")
 
     failures = 0
+    # graft.Verify records every query that threw in failed.json — surface
+    # those as explicit ERR rows so a crashed query can never read as
+    # "not declared" (the round-7 failure mode).
+    failed_path = out / "failed.json"
+    if failed_path.exists():
+        for name, msg in sorted(json.loads(failed_path.read_text()).items()):
+            print(f"ERR   {name}: query threw: {msg[:200]}")
+            failures += 1
     for result_dir in sorted(p for p in out.iterdir() if p.is_dir()):
         name = result_dir.name
         try:
