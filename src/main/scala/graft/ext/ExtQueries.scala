@@ -133,16 +133,56 @@ object ExtQueries {
     * keeping a duplicate, a split moving, a pack boundary off by one
     * token — breaks the hash match.
     */
-  def q102CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
+  def q102CurationPipeline(spark: SparkSession, dir: String): DataFrame =
+    q102Packed(spark, dir)
+
+  // q102's stages as named builders so the same composition serves both the
+  // benched query and the stage-timing breakdown — one definition, no drift.
+  private def q102Quality(spark: SparkSession, dir: String): DataFrame = {
     val docs = fanOut(documents(spark, dir))
     val kept = TextAnalysis.gopherRules(docs)
       .filter(col("keep") === 1).select("doc_id")
-    val quality = docs.join(kept, "doc_id")
-    val deduped = Dedup.dedupCorpus(quality)
-    val train = Sampling
-      .splitAssign(deduped, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    docs.join(kept, "doc_id")
+  }
+
+  private def q102Deduped(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupCorpus(q102Quality(spark, dir))
+
+  private def q102Train(spark: SparkSession, dir: String): DataFrame =
+    Sampling
+      .splitAssign(q102Deduped(spark, dir),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
       .filter(col("split") === "train")
-    Packing.packByBudget(train, budget = 512L)
+
+  private def q102Packed(spark: SparkSession, dir: String): DataFrame =
+    Packing.packByBudget(q102Train(spark, dir), budget = 512L)
+
+  /** Stage-level timing attribution for the flagship pipeline — q102 is the
+    * most expensive query on the bench (~11 % of the round-8 total), so a
+    * regression there must localize to a STAGE, not just to "q102 got
+    * slower". Times the four cumulative prefixes (filter, +dedup, +split,
+    * +pack) by forcing each with a `count()` and differences them into
+    * per-stage increments; cumulative prefixes rather than persisted
+    * intermediates, so each stage is measured under exactly the plan the
+    * real query runs (persisting boundaries would change what's measured).
+    * Increments are floored at 0 — a later prefix can beat an earlier one
+    * by scheduler noise on a warm JVM.
+    */
+  def q102StageBreakdown(spark: SparkSession, dir: String): Seq[(String, Double)] = {
+    def time(df: DataFrame): Double = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      df.count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val cumulative = Seq(
+      "filter" -> time(q102Quality(spark, dir)),
+      "dedup" -> time(q102Deduped(spark, dir)),
+      "split" -> time(q102Train(spark, dir)),
+      "pack" -> time(q102Packed(spark, dir)))
+    cumulative.zip(0.0 +: cumulative.map(_._2)).map {
+      case ((name, cum), prevCum) => name -> math.max(0.0, cum - prevCum)
+    }
   }
 
   private def q102Oracle: String = {

@@ -44,6 +44,12 @@ object Tables {
     * The multiply stays in whole-stage codegen and the column keeps its
     * position, so the visible schema is stable across physical encodings —
     * the schema-drift property `TablesSpec` pins.
+    *
+    * Any OTHER `ts` type (STRING, INT32, DECIMAL, …) throws HERE, with one
+    * diagnosis, instead of silently passing through and crashing at 30
+    * downstream call sites — the round-7 failure mode. The reference has the
+    * same posture: schema is introspected at runtime, never assumed
+    * (`unload_databricks_data_to_s3.py:141-153`).
     */
   def normalizeTs(df: DataFrame): DataFrame =
     df.schema.fields.find(_.name == "ts").map(_.dataType) match {
@@ -51,7 +57,14 @@ object Tables {
         df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
       case Some(TimestampType) =>
         df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
-      case Some(LongType) | None | Some(_) => df
+      case Some(LongType) | None => df
+      case Some(other) =>
+        throw new IllegalStateException(
+          s"Tables.normalizeTs: unsupported physical type for 'ts': $other. " +
+            "The canonical boundary handles INT64 nanos (LongType), " +
+            "TIMESTAMP_NTZ, and tz-adjusted TIMESTAMP; the testdata encoding " +
+            "has drifted — extend normalizeTs for the new encoding here, in " +
+            "ONE place, rather than letting 30 downstream ts consumers crash.")
     }
 
   /** Event time in epoch-MICROS — the single place the nanos→micros step is

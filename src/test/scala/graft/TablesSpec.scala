@@ -57,6 +57,12 @@ class TablesSpec extends SparkSpec {
         .toDF("event_id", "ts")
         .write.parquet(dir.resolve("tz/events.parquet").toString)
 
+      // NOTE: the "nanos" case writes a plain INT64 column, so it exercises
+      // the LongType passthrough branch — NOT the legacy parquet
+      // TIMESTAMP(NANOS) + `nanosAsLong` read path (Spark cannot WRITE
+      // TIMESTAMP(NANOS) parquet, so that leg is only coverable with a
+      // pre-generated foreign fixture; the driver's own testdata is the
+      // de-facto pin whenever it regenerates in that encoding).
       val expected = micros.zipWithIndex.map { case (us, i) => (i.toLong, us * 1000L) }
       for (enc <- Seq("nanos", "ntz", "tz")) {
         val df = Tables.t(spark, dir.resolve(enc).toString, "events")
@@ -71,6 +77,18 @@ class TablesSpec extends SparkSpec {
     val got = Seq((1L, 1705314600123456789L)).toDF("event_id", "ts")
       .select(Tables.tsUs.as("us")).head().getLong(0)
     assert(got === 1705314600123456L)
+  }
+
+  test("unknown ts encodings fail loud at the boundary, not downstream") {
+    // Round 7's failure mode: a regenerated encoding the boundary does not
+    // recognize must throw HERE with one diagnosis — silently passing the
+    // raw column through would defer the crash to 30 downstream call sites.
+    val strDf = Seq((1L, "2024-01-15T10:30:00Z")).toDF("event_id", "ts")
+    val e = intercept[IllegalStateException](Tables.normalizeTs(strDf))
+    assert(e.getMessage.contains("unsupported physical type for 'ts'"))
+    assert(e.getMessage.contains("StringType"))
+    val intDf = Seq((1L, 42)).toDF("event_id", "ts")
+    intercept[IllegalStateException](Tables.normalizeTs(intDf))
   }
 
   test("tables without a ts column pass through untouched") {

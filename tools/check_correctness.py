@@ -50,12 +50,20 @@ def main() -> int:
     # those as explicit ERR rows so a crashed query can never read as
     # "not declared" (the round-7 failure mode).
     failed_path = out / "failed.json"
+    failed_names = set()
     if failed_path.exists():
+        failed_names = set(json.loads(failed_path.read_text()))
         for name, msg in sorted(json.loads(failed_path.read_text()).items()):
             print(f"ERR   {name}: query threw: {msg[:200]}")
             failures += 1
     for result_dir in sorted(p for p in out.iterdir() if p.is_dir()):
         name = result_dir.name
+        # A query that threw mid-write can leave a partial result dir (the
+        # overwrite deletes the old dump before the job fails); it is already
+        # counted as ERR above — don't double-count it as unreadable here.
+        if name in failed_names:
+            print(f"skip  {name}: already counted as ERR (partial result dir)")
+            continue
         try:
             got = pd.read_parquet(result_dir)
         except Exception as e:
