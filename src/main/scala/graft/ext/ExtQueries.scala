@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.queries.Tables._
@@ -169,7 +170,10 @@ object ExtQueries {
     * by scheduler noise on a warm JVM.
     */
   def q102StageBreakdown(spark: SparkSession, dir: String): Seq[(String, Double)] = {
-    def time(df: DataFrame): Double = {
+    // by-name: dedupCorpus runs its fixpoint jobs EAGERLY while the
+    // DataFrame is being BUILT, so plan construction must happen inside
+    // the timed section or the dedup stage reads as free
+    def time(df: => DataFrame): Double = {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       df.count()
@@ -1014,6 +1018,48 @@ object ExtQueries {
        |FROM m""".stripMargin
   }
 
+  /** q145: per-doc bigram novelty vs the corpus — see
+    * [[TextAnalysis.ngramNovelty]] for the boilerplate-signal semantics and
+    * the one-df-shuffle scale shape. The oracle replays distinct-bigram
+    * extraction (q72's list form), document frequency, and the integer ppm.
+    */
+  def q145NgramNovelty(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.ngramNovelty(fanOut(documents(spark, dir)), n = 2)
+
+  private def q145Oracle: String =
+    s"""WITH tk AS (SELECT doc_id, string_split($DNorm, ' ') AS tk FROM documents),
+       |g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(tk) >= 2
+       |        THEN [tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]
+       |        ELSE [] END)) AS ngram FROM tk),
+       |df AS (SELECT ngram, count(*)::BIGINT AS df_n FROM g GROUP BY 1),
+       |d AS (SELECT g.doc_id, count(*)::BIGINT AS n_ngrams,
+       |        sum((df.df_n >= 2)::INT)::BIGINT AS n_shared
+       |      FROM g JOIN df USING (ngram) GROUP BY 1)
+       |SELECT doc_id, n_ngrams, n_shared,
+       |       ((1000000 * n_shared) // n_ngrams)::BIGINT AS shared_ppm
+       |FROM d""".stripMargin
+
+  /** q147: per-doc OOV rate against the corpus' induced top-200 unigram
+    * vocabulary — see [[TextAnalysis.oovRate]] (model-sized vocab,
+    * explicitly broadcast). The oracle replays the vocabulary induction
+    * with the identical `count desc, term asc` tie-break.
+    */
+  def q147OovRate(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.oovRate(fanOut(documents(spark, dir)), topN = 200)
+
+  private def q147Oracle: String =
+    s"""WITH tk AS (SELECT doc_id, unnest(string_split($DNorm, ' ')) AS term
+       |            FROM documents),
+       |t2 AS (SELECT doc_id, term FROM tk WHERE term <> ''),
+       |v AS (SELECT term FROM (SELECT term, count(*)::BIGINT AS cnt FROM t2
+       |        GROUP BY 1 ORDER BY cnt DESC, term LIMIT 200)),
+       |d AS (SELECT t2.doc_id, count(*)::BIGINT AS n_tokens,
+       |        sum((v.term IS NULL)::INT)::BIGINT AS n_oov
+       |      FROM t2 LEFT JOIN v ON v.term = t2.term GROUP BY 1)
+       |SELECT doc_id, n_tokens, n_oov,
+       |       ((1000000 * n_oov) // n_tokens)::BIGINT AS oov_ppm
+       |FROM d""".stripMargin
+
   /** Corpus bigram collocations by integer lift (rational PMI) — see
     * [[TextAnalysis.collocations]].
     */
@@ -1056,6 +1102,60 @@ object ExtQueries {
        |       ((cum - n_tokens) // 512)::BIGINT AS pack_id,
        |       ((cum - n_tokens) % 512)::BIGINT AS pack_offset
        |FROM c""".stripMargin
+
+  /** q146: packing-efficiency report over q58's packing — per pack:
+    * document count, token mass attributed by start position, and integer
+    * fill ppm against the 512-token budget. The audit a packing-budget
+    * decision reads (a budget that leaves packs 40 % empty wastes 40 % of
+    * every training step). One extra partial-aggregated shuffle on
+    * `pack_id` over the same two-level prefix sum as q58 — output is
+    * ~total_tokens/budget rows, linear and partitioned, never collected.
+    */
+  def q146PackStats(spark: SparkSession, dir: String): DataFrame =
+    Packing.packByBudget(fanOut(documents(spark, dir)), budget = 512L)
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .withColumn("fill_ppm", expr("1000000 * n_tokens div 512"))
+
+  private def q146Oracle: String =
+    s"""WITH n AS (SELECT doc_id, len(string_split($DNorm, ' '))::INT AS n_tokens
+       |           FROM documents),
+       |c AS (SELECT doc_id, n_tokens,
+       |        sum(n_tokens) OVER (ORDER BY doc_id) AS cum FROM n),
+       |p AS (SELECT ((cum - n_tokens) // 512)::BIGINT AS pack_id, n_tokens FROM c)
+       |SELECT pack_id, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens,
+       |       ((1000000 * sum(n_tokens)::BIGINT) // 512)::BIGINT AS fill_ppm
+       |FROM p GROUP BY 1""".stripMargin
+
+  /** q148: context-length survival curve — 64-token buckets with document
+    * count, token mass, and `docs_ge` = documents at or ABOVE the bucket
+    * (descending cumulative). The table a context-window / max-seq-len
+    * decision reads: "how many documents survive truncation at 2k/4k/8k".
+    * The corpus pass is one partial-aggregated shuffle on the bucket; the
+    * cumulative window then runs on the MODEL-sized bucket table
+    * (≤ max_tokens/64 rows), so the unpartitioned window is a deliberate
+    * constant-size step, not a data-sized one.
+    */
+  def q148LengthSurvival(spark: SparkSession, dir: String): DataFrame = {
+    val t = documents(spark, dir)
+      .select(TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .withColumn("bucket", expr("n_tokens div 64"))
+    t.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("token_mass"))
+      .withColumn("docs_ge", sum(col("n_docs")).over(
+        Window.orderBy(col("bucket").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  private def q148Oracle: String =
+    s"""WITH n AS (SELECT len(string_split($DNorm, ' '))::BIGINT AS n_tokens
+       |           FROM documents),
+       |b AS (SELECT (n_tokens // 64)::BIGINT AS bucket, count(*)::BIGINT AS n_docs,
+       |        sum(n_tokens)::BIGINT AS token_mass FROM n GROUP BY 1)
+       |SELECT bucket, n_docs, token_mass,
+       |       sum(n_docs) OVER (ORDER BY bucket DESC
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS docs_ge
+       |FROM b""".stripMargin
 
   /** q129: small-file compaction PLAN ([[Compaction.planSummary]]) — the
     * layout-maintenance twin of q58's token packing (both are
@@ -1590,6 +1690,10 @@ object ExtQueries {
     "q55_repetition" -> (q55Repetition _),
     "q71_tfidf" -> (q71Tfidf _),
     "q72_vocab" -> (q72Vocab _),
+    "q145_ngram_novelty" -> (q145NgramNovelty _),
+    "q146_pack_stats" -> (q146PackStats _),
+    "q147_oov_rate" -> (q147OovRate _),
+    "q148_length_survival" -> (q148LengthSurvival _),
     "q61_asof_join" -> (q61AsofJoin _),
     "q65_salted_join" -> (q65SaltedJoin _),
     "q109_bloom_semi_join" -> (q109BloomSemiJoin _),
@@ -1650,6 +1754,10 @@ object ExtQueries {
     "q54_pii_redact" -> q54Oracle,
     "q71_tfidf" -> q71Oracle,
     "q72_vocab" -> q72Oracle,
+    "q145_ngram_novelty" -> q145Oracle,
+    "q146_pack_stats" -> q146Oracle,
+    "q147_oov_rate" -> q147Oracle,
+    "q148_length_survival" -> q148Oracle,
     "q55_repetition" -> q55Oracle,
     "q61_asof_join" -> q61Oracle,
     "q65_salted_join" -> q65Oracle,

@@ -375,6 +375,66 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("ngram").asc)
       .limit(topN)
 
+  /** Per-document n-gram novelty vs the corpus — the boilerplate signal:
+    * `shared_ppm` = the ppm fraction of the document's DISTINCT word
+    * n-grams whose document frequency is ≥ 2 (i.e. shared with at least
+    * one other document). High values mark templated/boilerplate docs a
+    * curation pass down-weights; low values mark novel text.
+    *
+    * Scale shape: distinct n-grams per doc come from the one-pass codegen'd
+    * kernel (no intermediate all-grams array), then ONE partial-aggregated
+    * shuffle on the n-gram computes document frequency, a hash join back on
+    * the n-gram (both sides already partitioned by it — AQE keeps the
+    * exchange), and a final per-doc aggregation. Nothing is quadratic and
+    * the df table is the only corpus-wide state, itself partitioned.
+    * Documents with fewer than `n` tokens have no n-grams and drop out
+    * (the oracle mirrors the join semantics).
+    */
+  def ngramNovelty(
+      docs: DataFrame,
+      n: Int = 2,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val grams = docs.select(col(idCol),
+      explode(graft.functions.GraftFunctions.wordNgrams(tokens(col(textCol)), n))
+        .as("ngram"))
+    val dfCounts = grams.groupBy("ngram").agg(count(lit(1)).as("df_n"))
+    grams.join(dfCounts, "ngram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("df_n") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_ppm", expr("1000000 * n_shared div n_ngrams"))
+  }
+
+  /** Per-document out-of-vocabulary rate against the corpus' own induced
+    * top-`topN` unigram vocabulary (ties broken `count desc, term asc` —
+    * the [[vocabNgrams]] contract): `oov_ppm` = ppm of the document's
+    * non-empty tokens outside the vocabulary. The tokenizer-coverage
+    * check a BPE/vocab-size decision reads.
+    *
+    * Scale shape: the vocabulary is MODEL-sized (`topN` rows, induced via
+    * partial top-N + single-reduce merge) and explicitly `broadcast` into
+    * the membership join, so the per-token pass is a scan-speed broadcast
+    * hash join — the only data-sized shuffle is the final per-doc
+    * aggregation on the id. Documents with zero non-empty tokens drop out.
+    */
+  def oovRate(
+      docs: DataFrame,
+      topN: Int = 200,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tk = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val vocab = tk.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc).limit(topN)
+      .select(col("term"), lit(1).as("__in_vocab"))
+    tk.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ppm", expr("1000000 * n_oov div n_tokens"))
+  }
+
   /** Convenience: full per-document text profile. */
   def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val text = col(textCol)

@@ -44,6 +44,50 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.collocations(docs, minCount = 3L, topN = 10).count() === 0L)
   }
 
+  test("ngramNovelty: exact df counts and shared ppm on a hand-computed fixture") {
+    val docs = Seq(
+      (0L, "a b c"),   // distinct bigrams: "a b", "b c"
+      (1L, "a b d"),   // distinct bigrams: "a b", "b d"
+      (2L, "x")        // no bigram -> drops out
+    ).toDF("doc_id", "text")
+    // df: "a b"=2, "b c"=1, "b d"=1 -> each doc: 2 ngrams, 1 shared, 500000 ppm
+    val got = TextAnalysis.ngramNovelty(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got === Seq((0L, 2L, 1L, 500000L), (1L, 2L, 1L, 500000L)))
+  }
+
+  test("oovRate: induced-vocab membership via a broadcast join, exact ppm") {
+    val docs = Seq(
+      (0L, "a a b c"), // counts a=3 b=3 c=1 z=1; top-2 vocab = {a, b}
+      (1L, "a b b z")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.oovRate(docs, topN = 2)
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got === Seq((0L, 4L, 1L, 250000L), (1L, 4L, 1L, 250000L)))
+    // the vocab side must be model-sized and BROADCAST, never shuffled
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "oovRate's vocab membership join must be a broadcast hash join")
+  }
+
+  test("length survival curve: descending cumulative docs_ge on the bucket table") {
+    withTempDir("survival") { dir =>
+      Seq((0L, "a"), (1L, ("w " * 64).trim), (2L, ("w " * 65).trim),
+        (3L, ("w " * 200).trim))
+        .toDF("doc_id", "text")
+        .write.parquet(dir.resolve("documents.parquet").toString)
+      val got = ExtQueries.q148LengthSurvival(spark, dir.toString)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+      // buckets: 1 tok -> 0; 64 and 65 tok -> 1 (mass 129); 200 tok -> 3;
+      // docs_ge walks 1 (bucket 3) -> 3 (bucket 1) -> 4 (bucket 0)
+      assert(got === Seq((0L, 1L, 1L, 4L), (1L, 2L, 129L, 3L), (3L, 1L, 200L, 1L)))
+    }
+  }
+
   test("tfidfKeywords: ranks, scores and df on a hand-computed fixture") {
     val got = TextAnalysis.tfidfKeywords(fixture, k = 2)
       .collect()
