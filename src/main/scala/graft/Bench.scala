@@ -47,10 +47,11 @@ object Bench {
     */
   private val prevPath = java.nio.file.Paths.get("tools/bench_prev.json")
 
-  private def readPrev(): Map[String, Map[String, Double]] =
-    if (!java.nio.file.Files.exists(prevPath)) Map.empty
+  private[graft] def readPrev(
+      path: java.nio.file.Path = prevPath): Map[String, Map[String, Double]] =
+    if (!java.nio.file.Files.exists(path)) Map.empty
     else {
-      val text = new String(java.nio.file.Files.readAllBytes(prevPath),
+      val text = new String(java.nio.file.Files.readAllBytes(path),
         java.nio.charset.StandardCharsets.UTF_8)
       val block = """"([^"{}]+)"\s*:\s*\{([^{}]*)\}""".r
       val entry = """"([^"]+)"\s*:\s*(-?[0-9.eE+]+)""".r
@@ -60,12 +61,14 @@ object Bench {
       }.toMap
     }
 
-  private def writePrev(all: Map[String, Map[String, Double]]): Unit = {
+  private[graft] def writePrev(
+      all: Map[String, Map[String, Double]],
+      path: java.nio.file.Path = prevPath): Unit = {
     val body = all.toSeq.sortBy(_._1).map { case (sf, qs) =>
       val inner = qs.toSeq.sorted.map { case (k, v) => s"${q(k)}:$v" }.mkString(",")
       s"${q(sf)}:{$inner}"
     }.mkString(",")
-    java.nio.file.Files.write(prevPath, s"{$body}\n".getBytes(
+    java.nio.file.Files.write(path, s"{$body}\n".getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
   }
 

@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench regression baseline (`tools/bench_prev.json`) is parsed with a
+  * dependency-free two-level regex; this pins the write → read round-trip
+  * and the keyed-by-sf isolation the per-query tripwire depends on (a local
+  * sf0.01 iteration must never clobber the sf0.1 record).
+  */
+class BenchPrevSpec extends AnyFunSuite {
+
+  test("bench baseline round-trips through write/read and isolates sf keys") {
+    val tmp = java.nio.file.Files.createTempFile("bench-prev", ".json")
+    try {
+      val data = Map(
+        "/data/sf0.1" -> Map("q01_x" -> 1.25, "q102_y" -> 13.5),
+        "/data/sf0.01" -> Map("q01_x" -> 0.125))
+      Bench.writePrev(data, tmp)
+      assert(Bench.readPrev(tmp) === data)
+      // replacing ONE sf entry leaves the other sf's record untouched
+      val updated = data + ("/data/sf0.01" -> Map("q01_x" -> 0.5, "q99_z" -> 2.0))
+      Bench.writePrev(updated, tmp)
+      assert(Bench.readPrev(tmp) === updated)
+      assert(Bench.readPrev(tmp)("/data/sf0.1") === data("/data/sf0.1"))
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+
+  test("missing baseline file reads as empty (first run is flag-free)") {
+    val gone = java.nio.file.Paths.get("/tmp/bench-prev-definitely-missing.json")
+    assert(Bench.readPrev(gone) === Map.empty)
+  }
+}
