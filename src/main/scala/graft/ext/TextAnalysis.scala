@@ -382,24 +382,25 @@ object TextAnalysis {
     * curation pass down-weights; low values mark novel text.
     *
     * Scale shape: distinct n-grams per doc come from the one-pass codegen'd
-    * kernel (no intermediate all-grams array), then ONE partial-aggregated
-    * shuffle on the n-gram computes document frequency, a hash join back on
-    * the n-gram (both sides already partitioned by it — AQE keeps the
-    * exchange), and a final per-doc aggregation. Nothing is quadratic and
-    * the df table is the only corpus-wide state, itself partitioned.
+    * kernel (no intermediate all-grams array); document frequency is a
+    * `count over (partition by ngram)` window, NOT a groupBy-plus-self-join
+    * — the join formulation scans and explodes the corpus TWICE (once to
+    * build the df table, once for the probe side), while the window reads
+    * it once and shuffles each occurrence once. One exchange on the n-gram,
+    * one on the doc id; nothing quadratic, no corpus-wide broadcast.
     * Documents with fewer than `n` tokens have no n-grams and drop out
-    * (the oracle mirrors the join semantics).
+    * (the oracle mirrors that).
     */
   def ngramNovelty(
       docs: DataFrame,
       n: Int = 2,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val grams = docs.select(col(idCol),
+    val byNgram = org.apache.spark.sql.expressions.Window.partitionBy("ngram")
+    docs.select(col(idCol),
       explode(graft.functions.GraftFunctions.wordNgrams(tokens(col(textCol)), n))
         .as("ngram"))
-    val dfCounts = grams.groupBy("ngram").agg(count(lit(1)).as("df_n"))
-    grams.join(dfCounts, "ngram")
+      .withColumn("df_n", count(lit(1)).over(byNgram))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_ngrams"),
         sum(when(col("df_n") >= 2, 1L).otherwise(0L)).as("n_shared"))

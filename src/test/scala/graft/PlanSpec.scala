@@ -309,6 +309,26 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Window"), plan)
   }
 
+  test("q145 novelty reads the corpus once: single scan, window df, no join") {
+    val plan = planOf(graft.ext.TextAnalysis.ngramNovelty(
+      Tables.documents(spark, Sf0001)))
+    // the groupBy-plus-self-join formulation scans and explodes the corpus
+    // twice; the window formulation must keep exactly one parquet scan
+    assert("Scan parquet".r.findAllIn(plan).size === 1,
+      s"novelty must not re-scan the corpus for the df side:\n$plan")
+    assert(!plan.contains("Join"), s"df must come from a window, not a join:\n$plan")
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("q147 oov: induced vocab is broadcast; the per-token side never sorts") {
+    val plan = planOf(graft.ext.TextAnalysis.oovRate(
+      Tables.documents(spark, Sf0001), topN = 50))
+    assert(plan.contains("BroadcastHashJoin"), s"vocab join must broadcast:\n$plan")
+    // top-N induction must be partial per-partition top-N, not a global sort
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"vocab induction should plan TakeOrderedAndProject:\n$plan")
+  }
+
   test("IVF indexed probe plans dynamic partition pruning on the inverted file") {
     withTempDir("plan-ivf") { dir =>
       val e = Tables.embeddings(spark, Sf0001)
