@@ -1157,6 +1157,66 @@ object ExtQueries {
        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS docs_ge
        |FROM b""".stripMargin
 
+  /** q149: per-source token-budget greedy selection — see
+    * [[Sampling.tokenQuota]] (budget 800 tokens per source, longest-first
+    * priority). The oracle replays the per-source cumulative window and
+    * the start-inside-budget cut.
+    */
+  def q149TokenQuota(spark: SparkSession, dir: String): DataFrame =
+    Sampling.tokenQuota(documents(spark, dir), budgetPerSource = 800L)
+
+  private def q149Oracle: String =
+    s"""WITH n AS (SELECT doc_id, source, n_chars,
+       |             len(string_split($DNorm, ' '))::BIGINT AS n_tokens
+       |           FROM documents),
+       |c AS (SELECT doc_id, source, n_tokens,
+       |        coalesce(sum(n_tokens) OVER (PARTITION BY source
+       |          ORDER BY n_chars DESC, doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+       |          AS cum_before
+       |      FROM n)
+       |SELECT doc_id, source, n_tokens, cum_before
+       |FROM c WHERE cum_before < 800""".stripMargin
+
+  /** q150: deterministic training-shard layout — see
+    * [[Sampling.shardAssign]] (8 shards). The oracle replays the 60-bit
+    * md5 hash, the mod-shard assignment, and the (hash, id) in-shard
+    * position.
+    */
+  def q150ShardAssign(spark: SparkSession, dir: String): DataFrame =
+    Sampling.shardAssign(documents(spark, dir), nShards = 8)
+
+  private def q150Oracle: String =
+    s"""WITH h AS (SELECT doc_id,
+       |             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS hv
+       |           FROM documents)
+       |SELECT doc_id, (hv % 8)::INT AS shard,
+       |       (row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id)
+       |         - 1)::BIGINT AS pos
+       |FROM h""".stripMargin
+
+  /** q151: sqrt-temperature data-mixture plan under a 1 B-token budget —
+    * see [[Sampling.mixturePlan]]. The oracle replays the per-source token
+    * totals, `floor(sqrt)` weights (IEEE sqrt is correctly rounded — the
+    * one libm call is bit-stable cross-engine), and the integer ppm chain.
+    */
+  def q151MixturePlan(spark: SparkSession, dir: String): DataFrame =
+    Sampling.mixturePlan(documents(spark, dir), totalBudget = 1000000000L)
+
+  private def q151Oracle: String =
+    s"""WITH n AS (SELECT source, count(*)::BIGINT AS n_docs,
+       |             sum(len(string_split($DNorm, ' ')))::BIGINT AS n_tokens
+       |           FROM documents GROUP BY 1),
+       |w AS (SELECT *, floor(sqrt(n_tokens::DOUBLE))::BIGINT AS weight FROM n),
+       |t AS (SELECT *, sum(weight) OVER ()::BIGINT AS weight_sum FROM w),
+       |s AS (SELECT source, n_docs, n_tokens, weight,
+       |        ((1000000 * weight) // weight_sum)::BIGINT AS share_ppm FROM t),
+       |a AS (SELECT *, ((1000000000 * share_ppm) // 1000000)::BIGINT AS alloc_tokens
+       |      FROM s)
+       |SELECT source, n_docs, n_tokens, weight, share_ppm, alloc_tokens,
+       |       ((1000000 * alloc_tokens) // n_tokens)::BIGINT AS epochs_ppm
+       |FROM a""".stripMargin
+
   /** q129: small-file compaction PLAN ([[Compaction.planSummary]]) — the
     * layout-maintenance twin of q58's token packing (both are
     * concat-and-chunk over the two-level prefix sum; here the stream is a
@@ -1694,6 +1754,9 @@ object ExtQueries {
     "q146_pack_stats" -> (q146PackStats _),
     "q147_oov_rate" -> (q147OovRate _),
     "q148_length_survival" -> (q148LengthSurvival _),
+    "q149_token_quota" -> (q149TokenQuota _),
+    "q150_shard_assign" -> (q150ShardAssign _),
+    "q151_mixture_plan" -> (q151MixturePlan _),
     "q61_asof_join" -> (q61AsofJoin _),
     "q65_salted_join" -> (q65SaltedJoin _),
     "q109_bloom_semi_join" -> (q109BloomSemiJoin _),
@@ -1758,6 +1821,9 @@ object ExtQueries {
     "q146_pack_stats" -> q146Oracle,
     "q147_oov_rate" -> q147Oracle,
     "q148_length_survival" -> q148Oracle,
+    "q149_token_quota" -> q149Oracle,
+    "q150_shard_assign" -> q150Oracle,
+    "q151_mixture_plan" -> q151Oracle,
     "q55_repetition" -> q55Oracle,
     "q61_asof_join" -> q61Oracle,
     "q65_salted_join" -> q65Oracle,

@@ -139,4 +139,94 @@ object Sampling {
       .select(explode(col("tk.p")).as("__r"))
       .select(col("__r.*"))
   }
+
+  /** Per-source TOKEN-budget greedy selection: within each source, take
+    * documents in `orderBy` priority order until the source's cumulative
+    * token count reaches `budgetPerSource` (a document whose START is
+    * inside the budget is kept whole — concat-and-chunk semantics, like
+    * [[Packing.packByBudget]]). This is quota sampling in the unit that
+    * actually matters for pretraining — tokens, not documents — so a
+    * source of ten huge files and a source of a million tweets get the
+    * same training-token share. Default priority: longest documents first
+    * (`n_chars desc`), id tie-break; the policy is caller-pluggable.
+    *
+    * Scale shape: one shuffle on the source plus a per-source sort (the
+    * greedy ORDER is the semantics; sort-based shuffle spills, so a skewed
+    * source is slow but safe). Emits `cum_before` so downstream stages can
+    * re-derive the cut without re-running the window.
+    */
+  def tokenQuota(
+      df: DataFrame,
+      budgetPerSource: Long,
+      sourceCol: String = "source",
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      orderBy: Seq[Column] = Seq(col("n_chars").desc)): DataFrame = {
+    require(budgetPerSource > 0, "token budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(sourceCol).orderBy(orderBy :+ col(idCol).asc: _*)
+    df.select(col(idCol), col(sourceCol), col("n_chars"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(
+        sum(col("n_tokens")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("cum_before") < budgetPerSource)
+      .select(col(idCol), col(sourceCol), col("n_tokens"), col("cum_before"))
+  }
+
+  /** Deterministic training-shard layout: `shard` = md5-hash of the id mod
+    * `nShards`, `pos` = the document's 0-based position within its shard in
+    * (hash, id) order. Together they ARE the "global shuffle" a trainer
+    * wants — a reproducible pseudorandom permutation of the corpus laid
+    * out as `nShards` independently readable sequences — without any
+    * engine-private RNG (`df.orderBy(rand())` changes with partitioning;
+    * this never does).
+    *
+    * Scale shape: one shuffle on the shard id plus a per-shard sort —
+    * exactly the work a shard WRITER must do anyway; hash sharding makes
+    * the shards size-balanced by construction, so no shard straggles.
+    */
+  def shardAssign(
+      df: DataFrame,
+      nShards: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("__h").asc, col(idCol).asc)
+    df.select(col(idCol), Dedup.baseHash(col(idCol).cast("string")).as("__h"))
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long") - 1L)
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
+  /** Per-source data-mixture plan under a total token budget with
+    * sqrt-temperature reweighting (α = 0.5): `weight = floor(sqrt(tokens))`
+    * flattens the source distribution — the standard move that keeps a
+    * dominant crawl from drowning small high-quality sources — then each
+    * source's `share_ppm` of the budget and its implied `epochs_ppm`
+    * (allocated / available tokens, >1e6 means the source repeats) come
+    * out as exact integers. `floor(sqrt)` on a double is bit-stable
+    * cross-engine (IEEE sqrt is correctly rounded), so the plan is
+    * oracle-exact despite the one libm call.
+    *
+    * Scale shape: one partial-aggregated shuffle on the source; everything
+    * after runs on the MODEL-sized per-source table (the unpartitioned
+    * window is |sources| rows, never data-sized).
+    */
+  def mixturePlan(
+      df: DataFrame,
+      totalBudget: Long,
+      sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    require(totalBudget > 0, "token budget must be positive")
+    df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+      .withColumn("weight", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+      .withColumn("share_ppm",
+        expr("1000000 * weight div " +
+          "sum(weight) over (rows between unbounded preceding and unbounded following)"))
+      .withColumn("alloc_tokens", expr(s"$totalBudget * share_ppm div 1000000"))
+      .withColumn("epochs_ppm", expr("1000000 * alloc_tokens div n_tokens"))
+  }
 }

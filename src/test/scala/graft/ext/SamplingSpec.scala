@@ -13,6 +13,53 @@ class SamplingSpec extends SparkSpec {
 
   private def docs = Tables.documents(spark, Sf0001)
 
+  test("tokenQuota: greedy longest-first cut on a hand-computed fixture") {
+    import spark.implicits._
+    val fixture = Seq(
+      (0L, "a b c", "s1", 30L),       // 3 tokens, first in s1 -> cum_before 0
+      (1L, "d e", "s1", 20L),         // 2 tokens, cum_before 3 (< 4: kept whole)
+      (2L, "f", "s1", 10L),           // cum_before 5 -> dropped
+      (3L, "g h i j k", "s2", 50L)    // s2 starts fresh -> kept
+    ).toDF("doc_id", "text", "source", "n_chars")
+    val got = Sampling.tokenQuota(fixture, budgetPerSource = 4L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got === Seq((0L, "s1", 3L, 0L), (1L, "s1", 2L, 3L), (3L, "s2", 5L, 0L)))
+  }
+
+  test("shardAssign: dense per-shard positions, stable, id-partitioning") {
+    import spark.implicits._
+    val ids = (0L until 100L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val a = Sampling.shardAssign(ids, nShards = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(a.map(_._1).sorted === (0L until 100L).toArray, "every id assigned once")
+    a.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted === rows.indices.map(_.toLong).toArray,
+        s"shard $shard positions must be dense 0..n-1")
+    }
+    // reproducible: a second run (different partitioning) is identical
+    val b = Sampling.shardAssign(ids.repartition(7), nShards = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(a.sortBy(_._1) === b.sortBy(_._1))
+  }
+
+  test("mixturePlan: sqrt-temperature shares and epochs on a hand-computed fixture") {
+    import spark.implicits._
+    val fixture = Seq(
+      (0L, "a b c d e f g h i", "s1"), // 9 tokens -> weight 3
+      (1L, "a b c d", "s2")            // 4 tokens -> weight 2
+    ).toDF("doc_id", "text", "source")
+    // weight_sum 5; s1 share 600000 ppm, s2 400000; budget 1000 ->
+    // alloc 600/400; epochs: 1e6*600/9 = 66666666, 1e6*400/4 = 100000000
+    val got = Sampling.mixturePlan(fixture, totalBudget = 1000L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .sortBy(_._1)
+    assert(got === Seq(
+      ("s1", 1L, 9L, 3L, 600000L, 600L, 66666666L),
+      ("s2", 1L, 4L, 2L, 400000L, 400L, 100000000L)))
+  }
+
   test("hashSample is deterministic and partitioning-independent") {
     val a = Sampling.hashSample(docs, 0.25).select("doc_id").collect().map(_.getLong(0)).sorted
     val b = Sampling.hashSample(docs.repartition(7, col("lang")), 0.25)
