@@ -19,40 +19,47 @@ from pathlib import Path
 
 
 def headline(text: str) -> dict:
-    matches = re.findall(r'\{"metric":"total".*?\}\}?(?=\s|\\n|$)', text)
-    if not matches:
+    # a driver artifact is JSON with the (already-escaped) stdout tail in
+    # its "tail" field; json.loads unescapes it. Raw Bench stdout passes
+    # through unchanged.
+    try:
+        doc = json.loads(text)
+        if isinstance(doc, dict) and "tail" in doc:
+            text = doc["tail"]
+    except json.JSONDecodeError:
+        pass
+    start = text.rfind('{"metric":"total"')
+    if start < 0:
         raise SystemExit("no bench headline found")
-    raw = matches[-1]
-    # artifact files store stdout JSON-escaped inside a string field
-    if '\\"' in raw:
-        raw = raw.encode().decode("unicode_escape")
-    # the greedy-ish regex can overshoot; trim to the balanced object
     depth = 0
-    for i, ch in enumerate(raw):
-        depth += ch == "{"
-        depth -= ch == "}"
+    for i in range(start, len(text)):
+        depth += text[i] == "{"
+        depth -= text[i] == "}"
         if depth == 0:
-            raw = raw[: i + 1]
-            break
-    return json.loads(raw)
+            return json.loads(text[start : i + 1])
+    raise SystemExit("bench headline is truncated mid-object")
 
 
 def main() -> int:
     text = Path(sys.argv[1]).read_text()
     h = headline(text)
     sf = sys.argv[2] if len(sys.argv) > 2 else h.get("sf", "")
-    names = []
-    prev_file = Path(__file__).resolve().parent / "bench_prev.json"
-    if prev_file.exists():
-        names = sorted(json.loads(prev_file.read_text()).get(sf, {}))
-    qsec = h.get("qsec", [])
-    if len(names) != len(qsec):
-        print(f"# name/count mismatch (baseline {len(names)} vs qsec "
-              f"{len(qsec)}); printing positions", file=sys.stderr)
-        names = [f"pos_{i:03d}" for i in range(len(qsec))]
-    print(f"total={h['value']:.1f}s n={h['n_queries']} n_err={h['n_err']} "
-          f"flagged={h.get('n_flagged', 0)} sf={sf}")
-    for name, sec in sorted(zip(names, qsec), key=lambda kv: -(kv[1] or 0)):
+    if "queries" in h:  # pre-round-9 headline: named map in-line
+        rows = list(h["queries"].items())
+    else:
+        qsec = h.get("qsec", [])
+        names = []
+        prev_file = Path(__file__).resolve().parent / "bench_prev.json"
+        if prev_file.exists():
+            names = sorted(json.loads(prev_file.read_text()).get(sf, {}))
+        if len(names) != len(qsec):
+            print(f"# name/count mismatch (baseline {len(names)} vs qsec "
+                  f"{len(qsec)}); printing positions", file=sys.stderr)
+            names = [f"pos_{i:03d}" for i in range(len(qsec))]
+        rows = list(zip(names, qsec))
+    print(f"total={h['value']:.1f}s n={h.get('n_queries', len(rows))} "
+          f"n_err={h.get('n_err', '?')} flagged={h.get('n_flagged', 0)} sf={sf}")
+    for name, sec in sorted(rows, key=lambda kv: -(kv[1] or 0)):
         print(f"{name:34s} {'ERR' if sec is None else f'{sec:8.3f}'}")
     for name, pv in h.get("flagged", {}).items():
         print(f"REGRESSION {name}: {pv['prev']} -> {pv['cur']}")
