@@ -1195,6 +1195,34 @@ object ExtQueries {
        |         - 1)::BIGINT AS pos
        |FROM h""".stripMargin
 
+  /** q152: incremental shard append — see [[Sampling.shardAppend]]. 70 %
+    * of the corpus (by `doc_id % 10`) forms the existing layout; the
+    * remaining 30 % appends. The oracle replays the manifest counts and
+    * the continued (hash, id) positions through a LEFT JOIN, so a wrong
+    * manifest or a reshuffled old row cannot hash-match.
+    */
+  def q152ShardAppend(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+    val manifest = Sampling
+      .shardAssign(docs.filter(col("doc_id") % 10 < 7), nShards = 8)
+      .groupBy(col("shard")).agg(count(lit(1)).as("n_existing"))
+    Sampling.shardAppend(docs.filter(col("doc_id") % 10 >= 7), manifest, nShards = 8)
+  }
+
+  private def q152Oracle: String =
+    s"""WITH h AS (SELECT doc_id,
+       |             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS hv
+       |           FROM documents),
+       |m AS (SELECT (hv % 8)::INT AS shard, count(*)::BIGINT AS n_existing
+       |      FROM h WHERE doc_id % 10 < 7 GROUP BY 1),
+       |p AS (SELECT doc_id, (hv % 8)::INT AS shard,
+       |        (row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id)
+       |          - 1)::BIGINT AS pos
+       |      FROM h WHERE doc_id % 10 >= 7)
+       |SELECT p.doc_id, p.shard,
+       |       (p.pos + coalesce(m.n_existing, 0))::BIGINT AS pos
+       |FROM p LEFT JOIN m USING (shard)""".stripMargin
+
   /** q151: sqrt-temperature data-mixture plan under a 1 B-token budget —
     * see [[Sampling.mixturePlan]]. The oracle replays the per-source token
     * totals, `floor(sqrt)` weights (IEEE sqrt is correctly rounded — the
@@ -1757,6 +1785,7 @@ object ExtQueries {
     "q149_token_quota" -> (q149TokenQuota _),
     "q150_shard_assign" -> (q150ShardAssign _),
     "q151_mixture_plan" -> (q151MixturePlan _),
+    "q152_shard_append" -> (q152ShardAppend _),
     "q61_asof_join" -> (q61AsofJoin _),
     "q65_salted_join" -> (q65SaltedJoin _),
     "q109_bloom_semi_join" -> (q109BloomSemiJoin _),
@@ -1824,6 +1853,7 @@ object ExtQueries {
     "q149_token_quota" -> q149Oracle,
     "q150_shard_assign" -> q150Oracle,
     "q151_mixture_plan" -> q151Oracle,
+    "q152_shard_append" -> q152Oracle,
     "q55_repetition" -> q55Oracle,
     "q61_asof_join" -> q61Oracle,
     "q65_salted_join" -> q65Oracle,

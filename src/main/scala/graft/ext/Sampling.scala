@@ -199,6 +199,27 @@ object Sampling {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
+  /** Incremental shard APPEND: place a batch of NEW documents into an
+    * existing [[shardAssign]] layout without touching old rows. `manifest`
+    * is the layout's per-shard row count — `(shard, n_existing)`,
+    * MODEL-sized (≤ nShards rows) and broadcast — and new documents get
+    * the same hash-mod shard with in-shard positions continuing after
+    * `n_existing` in (hash, id) order. Appending is a pure function of the
+    * new batch plus the manifest: yesterday's shards stay immutable,
+    * today's write only appends, and the trainer's readers never
+    * re-shuffle old data — the layout twin of the incremental dedup
+    * index ([[Dedup]]'s persisted-index tier).
+    */
+  def shardAppend(
+      newDocs: DataFrame,
+      manifest: DataFrame,
+      nShards: Int,
+      idCol: String = "doc_id"): DataFrame =
+    shardAssign(newDocs, nShards, idCol)
+      .join(broadcast(manifest), Seq("shard"), "left")
+      .withColumn("pos", col("pos") + coalesce(col("n_existing"), lit(0L)))
+      .select(col(idCol), col("shard"), col("pos"))
+
   /** Per-source data-mixture plan under a total token budget with
     * sqrt-temperature reweighting (α = 0.5): `weight = floor(sqrt(tokens))`
     * flattens the source distribution — the standard move that keeps a

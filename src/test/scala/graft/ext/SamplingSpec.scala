@@ -43,6 +43,24 @@ class SamplingSpec extends SparkSpec {
     assert(a.sortBy(_._1) === b.sortBy(_._1))
   }
 
+  test("shardAppend: new rows continue each shard exactly after the old count") {
+    import spark.implicits._
+    val old = (0L until 40L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val fresh = (40L until 60L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val base = Sampling.shardAssign(old, nShards = 4)
+    val manifest = base.groupBy(col("shard")).agg(count(lit(1)).as("n_existing"))
+    val appended = Sampling.shardAppend(fresh, manifest, nShards = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(appended.map(_._1).sorted === (40L until 60L).toArray)
+    val oldCounts = base.collect().map(r => r.getInt(1))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    appended.groupBy(_._2).foreach { case (shard, rows) =>
+      val start = oldCounts.getOrElse(shard, 0L)
+      assert(rows.map(_._3).sorted === (start until start + rows.length).toArray,
+        s"shard $shard must continue densely from $start")
+    }
+  }
+
   test("mixturePlan: sqrt-temperature shares and epochs on a hand-computed fixture") {
     import spark.implicits._
     val fixture = Seq(
