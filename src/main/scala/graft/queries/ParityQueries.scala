@@ -744,6 +744,40 @@ object ParityQueries {
       |       round(sum(value), 4) AS sum_value
       |FROM events GROUP BY 1""".stripMargin
 
+  private val q153Staged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** JSON-lines round trip — the READ side of the K1 JSON writer family
+    * (the reference's primary sink format): write a projection as
+    * newline-delimited JSON, read it back under an explicit schema (schema
+    * inference would re-scan the data — never at 100 TB), and aggregate.
+    * The hash match against the source-table oracle proves write→read
+    * fidelity including long integers and the double `value` column.
+    */
+  def q153JsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = q153Staged.computeIfAbsent(dir, _ => {
+      val p = Scratch.stableDir("q153-jsonl-" + Scratch.md5Hex(dir))
+      events(spark, dir).select(col("event_id"), col("user_id"),
+          col("event_type"), col("value"))
+        .write.mode("overwrite").json(p)
+      p
+    })
+    spark.read
+      .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
+      .json(path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("event_id")).as("sum_id"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum(col("value")), 4).as("sum_value"))
+  }
+
+  private val q153Oracle =
+    """SELECT event_type, count(*)::BIGINT AS n, sum(event_id)::BIGINT AS sum_id,
+      |       count(DISTINCT user_id)::BIGINT AS n_users,
+      |       round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY 1""".stripMargin
+
   private val q64Oracle =
     """WITH rows_ AS (
       |  SELECT event_id, event_type, value, 1 AS v, 'insert' AS ct
@@ -854,7 +888,8 @@ object ParityQueries {
     "q132_pagerank" -> (q132PageRank _),
     "q135_snapshot_diff" -> (q135SnapshotDiff _),
     "q100_csv_roundtrip" -> (q100CsvRoundtrip _),
-    "q101_orc_roundtrip" -> (q101OrcRoundtrip _)
+    "q101_orc_roundtrip" -> (q101OrcRoundtrip _),
+    "q153_jsonl_roundtrip" -> (q153JsonlRoundtrip _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -954,6 +989,7 @@ object ParityQueries {
     "q135_snapshot_diff" -> q135Oracle,
     "q100_csv_roundtrip" -> q100Oracle,
     "q101_orc_roundtrip" -> q101Oracle,
+    "q153_jsonl_roundtrip" -> q153Oracle,
     "q16_snapshot_travel" ->
       """SELECT event_type, count(*)::BIGINT AS n, sum(event_id)::BIGINT AS sum_id,
         |       min(event_id)::BIGINT AS min_id, max(event_id)::BIGINT AS max_id
