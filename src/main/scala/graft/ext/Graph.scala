@@ -66,4 +66,66 @@ object Graph {
     }
     scores
   }
+
+  /** Exact per-node triangle counts via DEGREE ORIENTATION — the classic
+    * O(m^1.5) formulation (Chiba–Nishizeki; the shape MapReduce triangle
+    * counters use): orient every undirected edge from its lower-(degree,
+    * id) endpoint to the higher one, enumerate wedges only from each
+    * node's ORIENTED out-neighborhood, and close them against the oriented
+    * edge set. Orientation bounds every out-degree by O(√m), so the wedge
+    * join — the only super-linear step — generates Σ C(outdeg, 2) =
+    * O(m^1.5) rows even on skewed degree distributions, where the naive
+    * undirected wedge join explodes as Σ C(deg, 2) (a single celebrity
+    * node with deg 10⁶ alone would emit 5·10¹¹ wedges; oriented it emits
+    * at most what the whole graph's m^1.5 allows).
+    *
+    * Every triangle {a,b,c} is found exactly once (from its lowest-order
+    * apex), so the per-node count is the plain explode-and-sum of the
+    * canonical triangle rows. All joins hash-shuffle on node keys with
+    * map-side partial aggregation; no driver-side state, no iteration.
+    *
+    * Input edges are treated as UNDIRECTED: self-loops are dropped and
+    * both directions / duplicates collapse to one canonical (lo, hi) pair
+    * before counting. Returns (node, deg, n_tri) for every node with at
+    * least one surviving edge; `deg` is the node's degree in the
+    * canonical simple graph, so `2·n_tri / (deg·(deg−1))` is the local
+    * clustering coefficient.
+    */
+  def triangleCounts(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val e = edges.select(
+        least(col(srcCol), col(dstCol)).as("lo"),
+        greatest(col(srcCol), col(dstCol)).as("hi"))
+      .filter(col("lo") < col("hi"))
+      .distinct()
+    val deg = e.select(col("lo").as("node"))
+      .union(e.select(col("hi").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient lower (deg, id) → higher; lo < hi already, so the id
+    // tie-break reduces the comparison to deg alone
+    val low = deg.select(col("node").as("lo"), col("deg").as("__dlo"))
+    val high = deg.select(col("node").as("hi"), col("deg").as("__dhi"))
+    val fwd = col("__dlo") <= col("__dhi")
+    val oriented = e.join(low, "lo").join(high, "hi").select(
+      when(fwd, col("lo")).otherwise(col("hi")).as("s"),
+      when(fwd, col("hi")).otherwise(col("lo")).as("d"),
+      when(fwd, col("__dhi")).otherwise(col("__dlo")).as("__dd"))
+    // wedges (b, c) out of a shared apex s, ordered by the heads' own
+    // (deg, id) orientation key — so the closing edge, if present, is
+    // oriented b → c and one equi-join finds it
+    val e1 = oriented.select(col("s"), col("d").as("b"), col("__dd").as("__db"))
+    val e2 = oriented.select(col("s"), col("d").as("c"), col("__dd").as("__dc"))
+    val wedges = e1.join(e2, Seq("s")).filter(
+      col("__db") < col("__dc") || (col("__db") === col("__dc") && col("b") < col("c")))
+    val closing = oriented.select(col("s").as("b"), col("d").as("c"))
+    val tri = wedges.join(closing, Seq("b", "c"))
+      .select(col("s").as("a"), col("b"), col("c"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
 }

@@ -688,6 +688,63 @@ object ParityQueries {
        |SELECT node, score FROM it3""".stripMargin
   }
 
+  /** q154: per-node triangle counts over the supplier co-order graph
+    * ([[graft.ext.Graph.triangleCounts]] — degree-oriented, O(m^1.5)).
+    *
+    * The raw co-order graph (suppliers sharing an order) saturates toward
+    * a clique as sf grows — at sf0.01 it IS complete — so the graph is
+    * first sparsified with the deterministic md5 edge gate at p = 1/10:
+    * DOULION's (Tsourakakis et al., KDD'09) sparsify-then-count estimator,
+    * with the engine's standard 60-bit hash gate standing in for the coin
+    * flips ([[graft.ext.Sampling.hashGate]] — same arithmetic as q44, so
+    * the oracle replays it and the result stays hash-exact; a real run
+    * scales the global triangle total by p⁻³ for the unbiased estimate).
+    * The gate runs BEFORE the distinct — the kept pair set, its degrees,
+    * and all wedges are 10× smaller, and the per-order pair fan-out
+    * (≤ C(lines-per-order, 2), a constant) is the only pre-gate cost.
+    */
+  def q154Triangles(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = li.as("a")
+      .join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_suppkey") < col("b.l_suppkey"))
+      .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+    val kept = pairs.filter(
+      graft.ext.Sampling.hashGate(concat_ws("_", col("src"), col("dst")), 0.1))
+    graft.ext.Graph.triangleCounts(kept)
+  }
+
+  private val q154Oracle = {
+    val thr = (0.1 * (1L << 60).toDouble).toLong // same literal as hashGate(_, 0.1)
+    s"""WITH raw AS (
+       |  SELECT DISTINCT a.l_suppkey AS lo, b.l_suppkey AS hi
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+       |e AS (SELECT lo, hi FROM raw
+       |      WHERE ('0x' || substr(md5(lo::VARCHAR || '_' || hi::VARCHAR), 1, 15))::BIGINT < $thr),
+       |deg AS (SELECT node, count(*)::BIGINT AS deg
+       |        FROM (SELECT lo AS node FROM e UNION ALL SELECT hi FROM e)
+       |        GROUP BY 1),
+       |o AS (SELECT CASE WHEN dl.deg <= dh.deg THEN e.lo ELSE e.hi END AS s,
+       |             CASE WHEN dl.deg <= dh.deg THEN e.hi ELSE e.lo END AS d,
+       |             CASE WHEN dl.deg <= dh.deg THEN dh.deg ELSE dl.deg END AS dd
+       |      FROM e JOIN deg dl ON dl.node = e.lo
+       |             JOIN deg dh ON dh.node = e.hi),
+       |w AS (SELECT e1.s, e1.d AS b, e2.d AS c
+       |      FROM o e1 JOIN o e2 ON e1.s = e2.s
+       |       AND (e1.dd < e2.dd OR (e1.dd = e2.dd AND e1.d < e2.d))),
+       |tri AS (SELECT w.s AS a, w.b, w.c
+       |        FROM w JOIN o ON o.s = w.b AND o.d = w.c),
+       |pn AS (SELECT node, count(*)::BIGINT AS n_tri
+       |       FROM (SELECT a AS node FROM tri
+       |             UNION ALL SELECT b FROM tri
+       |             UNION ALL SELECT c FROM tri)
+       |       GROUP BY 1)
+       |SELECT deg.node, deg.deg, coalesce(pn.n_tri, 0)::BIGINT AS n_tri
+       |FROM deg LEFT JOIN pn ON pn.node = deg.node""".stripMargin
+  }
+
   /** q100/q101: sink→source ROUND TRIPS for the two other columnar/text
     * formats in the image (the reference exports JSON + parquet — K1/K2;
     * CSV and ORC complete the portability story). Each writes the events
@@ -886,6 +943,7 @@ object ParityQueries {
     "q124_scd2_history" -> (q124Scd2History _),
     "q130_stream_incremental_agg" -> (q130StreamIncrementalAgg _),
     "q132_pagerank" -> (q132PageRank _),
+    "q154_triangles" -> (q154Triangles _),
     "q135_snapshot_diff" -> (q135SnapshotDiff _),
     "q100_csv_roundtrip" -> (q100CsvRoundtrip _),
     "q101_orc_roundtrip" -> (q101OrcRoundtrip _),
@@ -986,6 +1044,7 @@ object ParityQueries {
     "q124_scd2_history" -> q124Oracle,
     "q130_stream_incremental_agg" -> q123Oracle,
     "q132_pagerank" -> q132Oracle,
+    "q154_triangles" -> q154Oracle,
     "q135_snapshot_diff" -> q135Oracle,
     "q100_csv_roundtrip" -> q100Oracle,
     "q101_orc_roundtrip" -> q101Oracle,

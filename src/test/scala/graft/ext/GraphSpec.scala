@@ -3,7 +3,9 @@ package graft.ext
 import graft.SparkSpec
 
 /** Integer PageRank: hand-computed scores on a known graph, determinism,
-  * and the documented sink/floor behavior.
+  * and the documented sink/floor behavior. Triangle counting: hand-computed
+  * counts on known graphs, canonicalization, and the once-per-triangle
+  * invariant of the degree orientation.
   */
 class GraphSpec extends SparkSpec {
   import spark.implicits._
@@ -28,6 +30,42 @@ class GraphSpec extends SparkSpec {
     assert(got === Map(1L -> 5L, 2L -> 7L, 3L -> 7L))
     // total after = 19 <= total before = 30: floors + sink loss only shrink
     assert(got.values.sum <= 30L)
+  }
+
+  test("triangleCounts matches hand-computed counts on a diamond") {
+    // square 1-2-3-4 plus diagonal 1-3: triangles {1,2,3} and {1,3,4}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L)).toDF("src", "dst")
+    val got = Graph.triangleCounts(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(
+      1L -> ((3L, 2L)), 2L -> ((2L, 1L)), 3L -> ((3L, 2L)), 4L -> ((2L, 1L))))
+  }
+
+  test("triangleCounts: direction, duplicates and self-loops collapse first") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L), (2L, 2L))
+      .toDF("src", "dst")
+    val got = Graph.triangleCounts(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // one canonical triangle {1,2,3}; the self-loop contributes no degree
+    assert(got === Map(1L -> ((2L, 1L)), 2L -> ((2L, 1L)), 3L -> ((2L, 1L))))
+  }
+
+  test("triangleCounts: K4 has 4 triangles, 3 per node — each counted once") {
+    val nodes = Seq(1L, 2L, 3L, 4L)
+    val edges = (for { a <- nodes; b <- nodes if a < b } yield (a, b)).toDF("src", "dst")
+    val got = Graph.triangleCounts(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === nodes.map(_ -> ((3L, 3L))).toMap)
+    // global total: sum of per-node counts = 3 × number of triangles
+    assert(got.values.map(_._2).sum === 3L * 4L)
+  }
+
+  test("triangleCounts: a star has full degrees but zero triangles") {
+    val edges = (2L to 5L).map(i => (1L, i)).toDF("src", "dst")
+    val got = Graph.triangleCounts(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) === ((4L, 0L)))
+    (2L to 5L).foreach(i => assert(got(i) === ((1L, 0L))))
   }
 
   test("parallel edges weight contributions like a multigraph") {
