@@ -50,6 +50,47 @@ object Dedup {
     docs.join(keepers, idCol) // broadcast or shuffle join per AQE; keepers ≤ docs
   }
 
+  /** Cross-source contamination matrix: for every pair of sources, how many
+    * distinct fingerprints appear in BOTH — the leakage audit run before
+    * mixing corpora (a benchmark set hiding inside a crawl source, a vendor
+    * dump re-scraped under another name). Pairs are unordered
+    * (`source_a < source_b`).
+    *
+    * `prefixTokens = Some(k)` fingerprints only the first k normalized
+    * tokens instead of the whole text — the shared-prefix leakage signal
+    * (the same article re-scraped with different boilerplate tails hashes
+    * equal on its head and different end-to-end). `None` is the strict
+    * exact-duplicate matrix.
+    *
+    * Scale shape: one shuffle on the md5 fingerprint for the
+    * `(fingerprint, source)` distinct; the self-join then runs WITHIN
+    * fingerprint groups whose size is bounded by |sources| (the distinct
+    * collapsed per-source copies), so its output is at most
+    * C(|sources|, 2) per fingerprint and the result is a model-sized
+    * |sources|² matrix — never a doc×doc product. Corpus scanned once per
+    * side of the self-join from the same staged projection (Spark reuses
+    * the exchange; at 100 TB both sides hash on fingerprint — co-located).
+    */
+  def crossSourceOverlap(
+      docs: DataFrame,
+      textCol: String = "text",
+      sourceCol: String = "source",
+      prefixTokens: Option[Int] = None): DataFrame = {
+    val fp = prefixTokens match {
+      case Some(k) =>
+        require(k > 0, "prefixTokens must be positive")
+        md5(array_join(slice(TextAnalysis.tokens(col(textCol)), 1, k), " "))
+      case None => TextAnalysis.md5Fingerprint(col(textCol))
+    }
+    val fs = docs.select(fp.as("fingerprint"), col(sourceCol).as("__src")).distinct()
+    val a = fs.select(col("fingerprint"), col("__src").as("source_a"))
+    val b = fs.select(col("fingerprint"), col("__src").as("source_b"))
+    a.join(b, Seq("fingerprint"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("shared_fps"))
+  }
+
   // ---------------- MinHash + LSH ----------------
 
   /** Distinct character k-shingles over an ALREADY-NORMALIZED column

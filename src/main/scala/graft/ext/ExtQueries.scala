@@ -42,6 +42,27 @@ object ExtQueries {
        |SELECT d.doc_id, d.lang, d.source, d.n_chars
        |FROM documents d JOIN k USING (doc_id)""".stripMargin
 
+  /** q155: cross-source contamination matrix — see
+    * [[Dedup.crossSourceOverlap]]. Distinct shared PREFIX-8 fingerprints
+    * per unordered source pair (the corpus has zero whole-text dups at
+    * sf0.01, so the strict matrix would gate on an empty result; the
+    * shared-prefix form is non-degenerate at every sf — 24 pairs at
+    * sf0.01, 248 at sf0.1). The oracle replays the prefix fingerprint,
+    * the distinct and the self-join.
+    */
+  def q155CrossSource(spark: SparkSession, dir: String): DataFrame =
+    Dedup.crossSourceOverlap(fanOut(documents(spark, dir)), prefixTokens = Some(8))
+
+  private val q155Oracle =
+    s"""WITH fs AS (SELECT DISTINCT
+       |       md5(array_to_string(string_split($DNorm, ' ')[1:8], ' ')) AS f,
+       |       source
+       |     FROM documents)
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |       count(*)::BIGINT AS shared_fps
+       |FROM fs a JOIN fs b ON a.f = b.f AND a.source < b.source
+       |GROUP BY 1, 2""".stripMargin
+
   def q21DedupMinhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDups(fanOut(documents(spark, dir)), threshold = 0.5)
 
@@ -1157,6 +1178,74 @@ object ExtQueries {
        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS docs_ge
        |FROM b""".stripMargin
 
+  /** q156: padding-waste report — documents bucketed by CEILING to the
+    * next 64-token batch length (the dynamic-batching buckets a trainer
+    * pads to); per bucket: docs, actual token mass, padded token mass
+    * (`n_docs × bucket × 64`) and integer waste ppm. q148 reads survival
+    * at truncation; this reads the cost of padding — together they price a
+    * max-seq-len choice from both sides. Same shape as q148: one
+    * partial-aggregated shuffle on the bucket, model-sized output.
+    */
+  def q156PaddingWaste(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.paddingWaste(documents(spark, dir))
+
+  private def q156Oracle: String =
+    s"""WITH n AS (SELECT len(string_split($DNorm, ' '))::BIGINT AS n_tokens
+       |           FROM documents),
+       |b AS (SELECT ((n_tokens + 63) // 64)::BIGINT AS bucket,
+       |        count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS actual_tokens
+       |      FROM n GROUP BY 1)
+       |SELECT bucket, n_docs, actual_tokens,
+       |       (n_docs * bucket * 64)::BIGINT AS padded_tokens,
+       |       ((1000000 * (n_docs * bucket * 64 - actual_tokens))
+       |         // greatest(n_docs * bucket * 64, 1))::BIGINT AS waste_ppm
+       |FROM b""".stripMargin
+
+  /** q157: token-frequency spectrum — distinct-token and occurrence counts
+    * per log₂-frequency bucket (bucket = ⌊log₂ freq⌋, computed as binary
+    * digit count so both engines stay integer-exact — no libm `log2` whose
+    * boundary ulps could flip a bucket). The Zipf/vocabulary-growth
+    * readout: the hapax bucket (0) sizes the long tail a tokenizer must
+    * absorb, the top buckets show head concentration. One vocabulary-sized
+    * shuffle with map-side partials; the spectrum is ≤ 64 rows.
+    */
+  def q157FreqSpectrum(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.freqSpectrum(documents(spark, dir))
+
+  private def q157Oracle: String =
+    s"""WITH w AS (SELECT unnest(string_split($DNorm, ' ')) AS w FROM documents),
+       |f AS (SELECT w, count(*)::BIGINT AS freq FROM w GROUP BY 1)
+       |SELECT (length(bin(freq)) - 1)::BIGINT AS bucket,
+       |       count(*)::BIGINT AS n_distinct_tokens,
+       |       sum(freq)::BIGINT AS occurrences
+       |FROM f GROUP BY 1""".stripMargin
+
+  /** q158: segment-boundary layout per pack — q58's packing re-read as
+    * what the trainer actually consumes: for every pack, the ordered list
+    * of segment (document) token lengths, joined to one string. These are
+    * the attention-mask segment boundaries of sequence packing (each
+    * segment attends only within itself); `collect_list` has no order
+    * contract, so the sort on (offset, id) before the join is what makes
+    * the value engine-exact (q97's rule). Per-pack state is bounded by
+    * docs-per-pack ≤ budget; one shuffle on pack_id over the shared
+    * prefix sum.
+    */
+  def q158PackSegments(spark: SparkSession, dir: String): DataFrame =
+    Packing.packSegments(fanOut(documents(spark, dir)), budget = 512L)
+
+  private def q158Oracle: String =
+    s"""WITH n AS (SELECT doc_id, len(string_split($DNorm, ' '))::INT AS n_tokens
+       |           FROM documents),
+       |c AS (SELECT doc_id, n_tokens,
+       |        sum(n_tokens) OVER (ORDER BY doc_id) AS cum FROM n),
+       |p AS (SELECT doc_id, n_tokens,
+       |        ((cum - n_tokens) // 512)::BIGINT AS pack_id,
+       |        ((cum - n_tokens) % 512)::BIGINT AS off
+       |      FROM c)
+       |SELECT pack_id, count(*)::BIGINT AS n_docs,
+       |       string_agg(n_tokens::VARCHAR, ',' ORDER BY off, doc_id) AS segments
+       |FROM p GROUP BY 1""".stripMargin
+
   /** q149: per-source token-budget greedy selection — see
     * [[Sampling.tokenQuota]] (budget 800 tokens per source, longest-first
     * priority). The oracle replays the per-source cumulative window and
@@ -1780,6 +1869,10 @@ object ExtQueries {
     "q72_vocab" -> (q72Vocab _),
     "q145_ngram_novelty" -> (q145NgramNovelty _),
     "q146_pack_stats" -> (q146PackStats _),
+    "q155_cross_source" -> (q155CrossSource _),
+    "q156_padding_waste" -> (q156PaddingWaste _),
+    "q157_freq_spectrum" -> (q157FreqSpectrum _),
+    "q158_pack_segments" -> (q158PackSegments _),
     "q147_oov_rate" -> (q147OovRate _),
     "q148_length_survival" -> (q148LengthSurvival _),
     "q149_token_quota" -> (q149TokenQuota _),
@@ -1848,6 +1941,10 @@ object ExtQueries {
     "q72_vocab" -> q72Oracle,
     "q145_ngram_novelty" -> q145Oracle,
     "q146_pack_stats" -> q146Oracle,
+    "q155_cross_source" -> q155Oracle,
+    "q156_padding_waste" -> q156Oracle,
+    "q157_freq_spectrum" -> q157Oracle,
+    "q158_pack_segments" -> q158Oracle,
     "q147_oov_rate" -> q147Oracle,
     "q148_length_survival" -> q148Oracle,
     "q149_token_quota" -> q149Oracle,

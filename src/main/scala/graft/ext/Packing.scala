@@ -35,25 +35,34 @@ object Packing {
 
   /** The TWO-LEVEL distributed prefix sum itself (steps 1–2 of the object
     * doc), reusable by any in-id-order accumulation ([[packByBudget]],
-    * [[Compaction.planBins]]): returns the input columns plus `__start` =
-    * the exact sum of `valueCol` over all EARLIER ids. Requires
-    * non-negative values (the group total is read off the within-group
-    * cumsum's max).
+    * [[Compaction.planBins]], [[Concurrency.maxConcurrent]]): returns the
+    * input columns plus `__start` = the exact sum of `valueCol` over all
+    * EARLIER ids. With `monotone = true` (the default) values must be
+    * non-negative — the group total is read off the within-group cumsum's
+    * max, which shares the window's own aggregation buffer. Signed values
+    * (the sweep-line ±1 deltas) pass `monotone = false`, which reads the
+    * group total as the LAST row's cumulative value via `max_by` instead —
+    * same single scan, one extra struct per group.
     */
   private[ext] def prefixSum(
       df: DataFrame,
       idCol: String,
       valueCol: String,
-      groupSize: Long): DataFrame = {
+      groupSize: Long,
+      monotone: Boolean = true): DataFrame = {
     require(groupSize > 0, "groupSize must be positive")
     val t = df.withColumn("__g", expr(s"$idCol div $groupSize"))
     val within = t.withColumn("__cum_in",
       sum(col(valueCol)).over(Window.partitionBy("__g").orderBy(idCol)))
-    // group total = the group's LAST cumulative value (cumsum of
-    // non-negative counts is non-decreasing), taken from `within` itself so
-    // the value-producing scan runs once; one row per group feeds the
-    // global-order window over the GROUP axis, not the corpus
-    val prefixes = within.groupBy("__g").agg(max("__cum_in").as("__gt"))
+    // group total = the group's LAST cumulative value, taken from `within`
+    // itself so the value-producing scan runs once; one row per group feeds
+    // the global-order window over the GROUP axis, not the corpus. (For the
+    // tied-id edge: the window's default RANGE frame gives every peer the
+    // same cumulative value, so `max_by` on a tied max id is well-defined.)
+    val groupTotal =
+      if (monotone) max(col("__cum_in"))
+      else max_by(col("__cum_in"), col(idCol))
+    val prefixes = within.groupBy("__g").agg(groupTotal.as("__gt"))
       .withColumn("__prefix", coalesce(
         sum(col("__gt")).over(Window.orderBy("__g")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
@@ -77,4 +86,31 @@ object Packing {
         expr(s"__start div $budget").as("pack_id"),
         (col("__start") % budget).as("pack_offset"))
   }
+
+  /** Segment-boundary layout per pack: [[packByBudget]] re-read as what
+    * the trainer consumes — for every pack, the ordered comma-joined list
+    * of segment (document) token lengths. These are the attention-mask
+    * segment boundaries of sequence packing (each segment attends only
+    * within itself). `collect_list` has no order contract, so the
+    * `array_sort` on (offset, id) structs BEFORE the join is what makes
+    * the value engine-exact (the q97 deterministic-collect rule). Per-pack
+    * state is bounded by docs-per-pack ≤ budget (every doc occupies ≥ 1
+    * token of its start pack); one more shuffle on `pack_id` over the
+    * prefix sum's output.
+    */
+  def packSegments(
+      docs: DataFrame,
+      budget: Long,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      groupSize: Long = 4096L): DataFrame =
+    packByBudget(docs, budget, idCol, textCol, groupSize)
+      .groupBy("pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(
+              col("pack_offset"), col(idCol), col("n_tokens")))),
+            x => x.getField("n_tokens").cast("string")),
+          ",").as("segments"))
 }

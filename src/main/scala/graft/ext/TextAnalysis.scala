@@ -436,6 +436,47 @@ object TextAnalysis {
       .withColumn("oov_ppm", expr("1000000 * n_oov div n_tokens"))
   }
 
+  /** Padding-waste report: documents bucketed by CEILING to the next
+    * `bucketTokens`-token batch length (the dynamic-batching buckets a
+    * trainer pads to); per bucket, the document count, actual token mass,
+    * padded token mass (`n_docs × bucket × bucketTokens`) and the integer
+    * waste in ppm. One partial-aggregated shuffle on the bucket key;
+    * output is model-sized (≤ max_tokens / bucketTokens rows). All
+    * arithmetic integer — bit-exact cross-engine.
+    */
+  def paddingWaste(
+      docs: DataFrame,
+      textCol: String = "text",
+      bucketTokens: Int = 64): DataFrame = {
+    require(bucketTokens > 0, "bucketTokens must be positive")
+    docs
+      .select(tokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("bucket", expr(s"(n_tokens + ${bucketTokens - 1}) div $bucketTokens"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("actual_tokens"))
+      .withColumn("padded_tokens", expr(s"n_docs * bucket * $bucketTokens"))
+      .withColumn("waste_ppm",
+        expr("1000000 * (padded_tokens - actual_tokens) div greatest(padded_tokens, 1)"))
+  }
+
+  /** Token-frequency spectrum: distinct-token and occurrence counts per
+    * log₂-frequency bucket. The bucket is ⌊log₂ freq⌋ computed as the
+    * binary DIGIT COUNT (`length(bin(freq)) − 1`) — pure integer, so a
+    * frequency sitting exactly on a power of two cannot be flipped across
+    * buckets by a libm `log2` ulp on either engine. Bucket 0 is the hapax
+    * legomena (freq 1) — the long tail a tokenizer must absorb; the top
+    * buckets show head concentration (the Zipf readout). One
+    * vocabulary-sized shuffle with map-side partials; the spectrum itself
+    * is ≤ 64 rows.
+    */
+  def freqSpectrum(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .withColumn("bucket", (length(bin(col("freq"))) - 1).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_distinct_tokens"), sum("freq").as("occurrences"))
+
   /** Convenience: full per-document text profile. */
   def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val text = col(textCol)

@@ -1891,7 +1891,45 @@ object EventQueries {
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_cents
       |FROM r JOIN cs USING (cohort_week)""".stripMargin
 
+  /** q159: peak concurrent sessions per day ([[graft.ext.Concurrency
+    * .maxConcurrent]] — the sweep-line over q12's gap sessions, running on
+    * the shared two-level prefix sum in its signed form). The capacity /
+    * load-planning readout: how many sessions were open at once, daily.
+    * One user_id shuffle for sessionization (q12's own cost), then the
+    * sweep shuffles only 2 boundary rows per session, partitioned by time
+    * range — the global-order scan of the textbook formulation never
+    * materializes.
+    */
+  def q159MaxConcurrent(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Concurrency.maxConcurrent(
+      q12Sessionize(spark, dir).select(col("ts_start"), col("ts_end")))
+
+  private val q159Oracle =
+    s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+       |l AS (SELECT user_id, event_id, tsu,
+       |        lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu ASC, event_id ASC) AS prev
+       |      FROM e),
+       |f AS (SELECT user_id, event_id, tsu,
+       |        CASE WHEN prev IS NULL OR tsu - prev > ${SessionGapUs} THEN 1 ELSE 0 END AS brk
+       |      FROM l),
+       |s AS (SELECT user_id, tsu,
+       |        sum(brk) OVER (PARTITION BY user_id ORDER BY tsu ASC, event_id ASC
+       |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |      FROM f),
+       |sess AS (SELECT user_id, session_id, min(tsu) AS ts_start, max(tsu) AS ts_end
+       |         FROM s GROUP BY 1, 2),
+       |b AS (SELECT ts_start * 2 AS pid, 1 AS delta FROM sess
+       |      UNION ALL SELECT ts_end * 2 + 1, -1 FROM sess),
+       |c AS (SELECT pid,
+       |        sum(delta) OVER (ORDER BY pid
+       |          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+       |      FROM b)
+       |SELECT (pid // 2 // 86400000000)::BIGINT AS day,
+       |       max(conc)::BIGINT AS max_concurrent
+       |FROM c GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q159_max_concurrent" -> (q159MaxConcurrent _),
     "q141_drift_report" -> (q141DriftReport _),
     "q142_ab_ztest" -> (q142AbZtest _),
     "q143_stickiness" -> (q143Stickiness _),
@@ -1951,6 +1989,7 @@ object EventQueries {
     "q142_ab_ztest" -> q142Oracle,
     "q143_stickiness" -> q143Oracle,
     "q144_cohort_ltv" -> q144Oracle,
+    "q159_max_concurrent" -> q159Oracle,
     "q60_retention" -> q60Oracle,
     "q67_pivot" -> q67Oracle,
     "q12_sessionize" -> q12Oracle,

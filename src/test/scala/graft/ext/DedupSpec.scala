@@ -265,4 +265,37 @@ class DedupSpec extends SparkSpec {
       .select("id").as[Long].collect().sorted
     assert(kept === Array(1L, 4L, 5L, 6L))
   }
+
+  test("crossSourceOverlap: distinct shared texts per unordered source pair") {
+    import spark.implicits._
+    val rows = Seq(
+      // "hello world" appears in A (twice — distinct collapses) and B
+      (1L, "hello world", "A"), (2L, "Hello   WORLD ", "A"), (3L, "hello world", "B"),
+      // "x" shared by A and C
+      (4L, "x", "A"), (5L, "x", "C"),
+      // "y" only in B: contributes to no pair
+      (6L, "y", "B")
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.crossSourceOverlap(rows).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(("A", "B") -> 1L, ("A", "C") -> 1L))
+  }
+
+  test("crossSourceOverlap prefix mode: shared heads match, tails may differ") {
+    import spark.implicits._
+    val rows = Seq(
+      // same 3-token head, different tails → prefix-3 collides, full text differs
+      (1L, "one two three alpha", "A"), (2L, "one two three beta", "B"),
+      // different head → no pair
+      (3L, "four five six", "A"), (4L, "seven eight nine", "B")
+    ).toDF("doc_id", "text", "source")
+    val strict = Dedup.crossSourceOverlap(rows).collect()
+    assert(strict.isEmpty)
+    val prefixed = Dedup.crossSourceOverlap(rows, prefixTokens = Some(3)).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(prefixed === Map(("A", "B") -> 1L))
+    // a prefix longer than the doc clamps to the whole text
+    val clamped = Dedup.crossSourceOverlap(rows, prefixTokens = Some(99)).collect()
+    assert(clamped.isEmpty)
+  }
 }

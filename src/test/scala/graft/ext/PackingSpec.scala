@@ -33,4 +33,17 @@ class PackingSpec extends SparkSpec {
     val first = got.orderBy("doc_id").limit(1).head()
     assert(first.getLong(2) === 0L && first.getLong(3) === 0L)
   }
+
+  test("packSegments: per-pack segment lengths in offset order, hand-computed") {
+    import spark.implicits._
+    // token lengths 4,3,5,10,2 at budget 10 → starts 0,4,7,12,22 →
+    // packs 0,0,0,1,2 — pack 0 holds [4,3,5], pack 1 [10], pack 2 [2]
+    val tiny = Seq(
+      (1L, "a b c d"), (2L, "a b c"), (3L, "a b c d e"),
+      (4L, "a b c d e f g h i j"), (5L, "a b")).toDF("doc_id", "text")
+    val got = Packing.packSegments(tiny, budget = 10L, groupSize = 2L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got === Map(
+      0L -> ((3L, "4,3,5")), 1L -> ((1L, "10")), 2L -> ((1L, "2"))))
+  }
 }

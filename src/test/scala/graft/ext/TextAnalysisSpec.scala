@@ -143,4 +143,33 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(a.length === 50 && a.sameElements(b))
   }
+
+  test("paddingWaste: ceiling buckets and integer waste ppm, hand-computed") {
+    import spark.implicits._
+    // 64 tokens → bucket 1, zero waste; 1 token → bucket 1, 63/64 wasted;
+    // 65 tokens → bucket 2, (128-65)/128 wasted
+    val tiny = Seq(
+      (1L, Seq.fill(64)("w").mkString(" ")),
+      (2L, "w"),
+      (3L, Seq.fill(65)("w").mkString(" "))).toDF("doc_id", "text")
+    val got = TextAnalysis.paddingWaste(tiny).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got === Map(
+      1L -> ((2L, 65L, 128L, 1000000L * 63 / 128)),
+      2L -> ((1L, 65L, 128L, 1000000L * 63 / 128))))
+  }
+
+  test("freqSpectrum: binary-digit bucket is exact at power-of-two boundaries") {
+    import spark.implicits._
+    // frequencies: a×1 (bucket 0), b×2, c×3 (bucket 1), d×4 (bucket 2)
+    val words = Seq.fill(1)("a") ++ Seq.fill(2)("b") ++ Seq.fill(3)("c") ++ Seq.fill(4)("d")
+    val tiny = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val got = TextAnalysis.freqSpectrum(tiny).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(
+      0L -> ((1L, 1L)),   // hapax: "a"
+      1L -> ((2L, 5L)),   // freq 2-3: "b","c"
+      2L -> ((1L, 4L)))) // freq 4-7: "d"
+  }
 }
