@@ -48,10 +48,14 @@ object Concurrency {
       startCol: String = "ts_start",
       endCol: String = "ts_end",
       groupSize: Long = 7L * 86400000000L * 2L): DataFrame = {
+    // both boundaries of an interval come out of ONE pass over the input
+    // (a union of two selects would recompute the interval-producing
+    // subtree — e.g. a full sessionization — once per boundary kind)
     val b = intervals
-      .select((col(startCol) * 2).as("pid"), lit(1L).as("delta"))
-      .union(intervals
-        .select((col(endCol) * 2 + 1).as("pid"), lit(-1L).as("delta")))
+      .select(explode(array(
+        struct((col(startCol) * 2).as("pid"), lit(1L).as("delta")),
+        struct((col(endCol) * 2 + 1).as("pid"), lit(-1L).as("delta")))).as("__b"))
+      .select(col("__b.pid").as("pid"), col("__b.delta").as("delta"))
     Packing.prefixSum(b, "pid", "delta", groupSize, monotone = false)
       // inclusive running sum: __start excludes the current row's value,
       // and the RANGE frame already folded tied-pid peers into __cum_in —

@@ -95,11 +95,20 @@ object Graph {
       edges: DataFrame,
       srcCol: String = "src",
       dstCol: String = "dst"): DataFrame = {
+    // The canonical edge set feeds FOUR consumers (two degree arms, the
+    // orientation join, the closing-edge relation) and the oriented set
+    // three (both wedge arms + closing). Left lazy, Spark re-derives the
+    // whole edge-producing subtree once per consumer — at scale that is
+    // 4× the pair-materialization cost. localCheckpoint stages each once
+    // as executor-local blocks (the engine's staging pattern for shared
+    // subtrees inside a returned plan — see Dedup.dedupAgainstIndex);
+    // blocks are reclaimed by the ContextCleaner when the plan is dropped.
     val e = edges.select(
         least(col(srcCol), col(dstCol)).as("lo"),
         greatest(col(srcCol), col(dstCol)).as("hi"))
       .filter(col("lo") < col("hi"))
       .distinct()
+      .localCheckpoint()
     val deg = e.select(col("lo").as("node"))
       .union(e.select(col("hi").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -109,9 +118,10 @@ object Graph {
     val high = deg.select(col("node").as("hi"), col("deg").as("__dhi"))
     val fwd = col("__dlo") <= col("__dhi")
     val oriented = e.join(low, "lo").join(high, "hi").select(
-      when(fwd, col("lo")).otherwise(col("hi")).as("s"),
-      when(fwd, col("hi")).otherwise(col("lo")).as("d"),
-      when(fwd, col("__dhi")).otherwise(col("__dlo")).as("__dd"))
+        when(fwd, col("lo")).otherwise(col("hi")).as("s"),
+        when(fwd, col("hi")).otherwise(col("lo")).as("d"),
+        when(fwd, col("__dhi")).otherwise(col("__dlo")).as("__dd"))
+      .localCheckpoint()
     // wedges (b, c) out of a shared apex s, ordered by the heads' own
     // (deg, id) orientation key — so the closing edge, if present, is
     // oriented b → c and one equi-join finds it

@@ -17,15 +17,19 @@ import org.apache.spark.sql.functions._
   * no partition moves the whole corpus through one task):
   *
   *   1. within-group cumulative sum, windowed per `idCol div groupSize` —
-  *      shuffle-partitioned by group, parallel;
-  *   2. group totals — the LAST cumulative value per group, derived from
-  *      step 1's own output so the corpus is scanned and tokenized exactly
-  *      once (the groupBy shares step 1's exchange) — get the same
+  *      shuffle-partitioned by group, parallel. Step 1's output (narrow
+  *      rows: ids and counts, never the corpus text) is STAGED once as
+  *      executor-local blocks — both step-2 consumers read the blocks, so
+  *      the value-producing scan + tokenization run exactly once BY
+  *      CONSTRUCTION, not by optimizer grace (Spark's exchange-reuse rule
+  *      is defeated here by a null-filter asymmetry the join side's key
+  *      adds, and left lazy the corpus would be scanned once per
+  *      consumer);
+  *   2. group totals — the LAST cumulative value per group — get the same
   *      cumulative sum over the tiny group axis and join back as per-group
-  *      prefix offsets. No forced broadcast: both sides already hash on
-  *      the group key, and AQE broadcasts the prefix side only when it
-  *      actually fits (at ~250M groups for a trillion-doc corpus it must
-  *      not reach the driver).
+  *      prefix offsets. No forced broadcast: AQE broadcasts the prefix
+  *      side only when it actually fits (at ~250M groups for a
+  *      trillion-doc corpus it must not reach the driver).
   *
   * If even the group axis outgrows one window task, the same construction
   * nests once more. All arithmetic is integer, so the DuckDB oracle
@@ -52,8 +56,12 @@ object Packing {
       monotone: Boolean = true): DataFrame = {
     require(groupSize > 0, "groupSize must be positive")
     val t = df.withColumn("__g", expr(s"$idCol div $groupSize"))
+    // staged once (see the object doc, step 1) — `within` feeds both the
+    // group-total aggregate and the prefix join; rows here are narrow by
+    // contract (callers project to id + value before calling)
     val within = t.withColumn("__cum_in",
-      sum(col(valueCol)).over(Window.partitionBy("__g").orderBy(idCol)))
+        sum(col(valueCol)).over(Window.partitionBy("__g").orderBy(idCol)))
+      .localCheckpoint()
     // group total = the group's LAST cumulative value, taken from `within`
     // itself so the value-producing scan runs once; one row per group feeds
     // the global-order window over the GROUP axis, not the corpus. (For the

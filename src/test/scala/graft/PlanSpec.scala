@@ -329,6 +329,52 @@ class PlanSpec extends SparkSpec {
       s"vocab induction should plan TakeOrderedAndProject:\n$plan")
   }
 
+  test("q154 triangles: staged edge set, equi-joins only, no cartesian") {
+    val plan = planOf(ParityQueries.q154Triangles(spark, Sf0001))
+    // the canonical edge set and the oriented set are staged once
+    // (localCheckpoint → ExistingRDD scans), so the gated pair-join subtree
+    // is not re-derived once per consumer
+    assert(plan.contains("ExistingRDD"), s"edge set not staged:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"triangle join degraded to a product:\n$plan")
+    // wedge + closing joins are hash-partitioned equi-joins on node keys
+    assert("SortMergeJoin|BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("q155 cross-source: two-phase distinct; pair join on the fingerprint key") {
+    val plan = planOf(graft.ext.ExtQueries.q155CrossSource(spark, Sf0001))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the (fingerprint, source) distinct is a partial+final HashAggregate
+    // pair on each side — the shuffle carries collapsed rows, not the corpus
+    assert("HashAggregate".r.findAllIn(plan).size >= 4, plan)
+  }
+
+  test("q159 concurrency sweep: one sessionize pass feeds both boundary kinds") {
+    val plan = planOf(graft.queries.EventQueries.q159MaxConcurrent(spark, Sf0001))
+    // the sessionize + boundary-explode subtree runs ONCE, at the prefix
+    // sum's staging step — the remaining plan reads the staged blocks
+    // (ExistingRDD) in both the sweep arm and the group-prefix arm, so no
+    // event scan or user_id window can appear in it at all
+    assert(plan.contains("ExistingRDD"), s"prefix-sum stage not staged:\n$plan")
+    assert(!plan.contains("FileScan"),
+      s"events re-scanned downstream of the staged boundaries:\n$plan")
+    assert(!plan.contains("windowspecdefinition(user_id"),
+      s"sessionize re-derived downstream of the staged boundaries:\n$plan")
+  }
+
+  test("prefix-sum operators scan the corpus exactly once (q58 staging)") {
+    // the within-group cumsum (scan + tokenize + window) runs once, at
+    // staging — both step-2 consumers read the blocks, so the query plan
+    // itself contains NO parquet scan (left lazy, the join and group-total
+    // arms each re-scanned + re-tokenized the corpus: exchange reuse is
+    // defeated by the join side's isnotnull key filter)
+    val plan = planOf(graft.ext.ExtQueries.q58TokenPack(spark, Sf0001))
+    assert("Scan ExistingRDD".r.findAllIn(plan).size >= 2,
+      s"both prefix-sum arms should read the staged blocks:\n$plan")
+    assert(!plan.contains("FileScan"),
+      s"corpus re-scanned downstream of the staged cumsum:\n$plan")
+  }
+
   test("IVF indexed probe plans dynamic partition pruning on the inverted file") {
     withTempDir("plan-ivf") { dir =>
       val e = Tables.embeddings(spark, Sf0001)
