@@ -1178,6 +1178,63 @@ object ExtQueries {
        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS docs_ge
        |FROM b""".stripMargin
 
+  /** q160: label-centroid separation matrix — see
+    * [[Similarity.labelCentroidSeparation]]. One component shuffle; pair
+    * cosines on the 10-row centroid table. The oracle replays the
+    * component means (sum/count, positional unnest) and the centroid
+    * cosine with DuckDB list kernels; `cos_r` at 4 dp rides the driver's
+    * 1e-9 tolerance like every aggregated double.
+    */
+  def q160CentroidSep(spark: SparkSession, dir: String): DataFrame =
+    Similarity.labelCentroidSeparation(fanOut(embeddings(spark, dir)))
+
+  private val q160Oracle =
+    """WITH d AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+      |             unnest(embedding::DOUBLE[]) AS x
+      |           FROM embeddings),
+      |m AS (SELECT label, pos, sum(x) / count(*) AS m FROM d GROUP BY 1, 2),
+      |c AS (SELECT label, list(m ORDER BY pos) AS c FROM m GROUP BY 1)
+      |SELECT a.label AS label_a, b.label AS label_b,
+      |       round(list_dot_product(a.c, b.c)
+      |         / (sqrt(list_dot_product(a.c, a.c)) * sqrt(list_dot_product(b.c, b.c))),
+      |         4) AS cos_r
+      |FROM c a JOIN c b ON a.label < b.label""".stripMargin
+
+  /** q161: per-source percentile floor gate — see
+    * [[Sampling.percentileFloor]] (drop each source's shortest quartile by
+    * `n_chars`). Anchors broadcast; the oracle replays `quantile_disc`.
+    */
+  def q161PercentileFloor(spark: SparkSession, dir: String): DataFrame =
+    Sampling.percentileFloor(documents(spark, dir))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+
+  private val q161Oracle =
+    """WITH a AS (SELECT source, quantile_disc(n_chars, 0.25) AS f
+      |           FROM documents GROUP BY 1)
+      |SELECT doc_id, source, n_chars
+      |FROM documents JOIN a USING (source)
+      |WHERE n_chars >= f""".stripMargin
+
+  /** q162: class-balanced exact downsample — see
+    * [[Sampling.balancedSample]] (every label keeps min-class-count rows
+    * by md5-hash rank). The oracle computes the same min-count scalar and
+    * replays the hash ranking under a window (q45's arithmetic).
+    */
+  def q162BalancedSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.balancedSample(fanOut(embeddings(spark, dir)))
+      .select(col("vec_id"), col("label"))
+
+  private val q162Oracle =
+    """WITH n AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
+      |k AS (SELECT min(n) AS k FROM n),
+      |h AS (SELECT vec_id, label,
+      |        ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS hv
+      |      FROM embeddings),
+      |r AS (SELECT vec_id, label,
+      |        row_number() OVER (PARTITION BY label ORDER BY hv ASC, vec_id ASC) AS rn
+      |      FROM h)
+      |SELECT vec_id, label FROM r, k WHERE rn <= k""".stripMargin
+
   /** q156: padding-waste report — documents bucketed by CEILING to the
     * next 64-token batch length (the dynamic-batching buckets a trainer
     * pads to); per bucket: docs, actual token mass, padded token mass
@@ -1873,6 +1930,9 @@ object ExtQueries {
     "q156_padding_waste" -> (q156PaddingWaste _),
     "q157_freq_spectrum" -> (q157FreqSpectrum _),
     "q158_pack_segments" -> (q158PackSegments _),
+    "q160_centroid_sep" -> (q160CentroidSep _),
+    "q161_percentile_floor" -> (q161PercentileFloor _),
+    "q162_balanced_sample" -> (q162BalancedSample _),
     "q147_oov_rate" -> (q147OovRate _),
     "q148_length_survival" -> (q148LengthSurvival _),
     "q149_token_quota" -> (q149TokenQuota _),
@@ -1945,6 +2005,9 @@ object ExtQueries {
     "q156_padding_waste" -> q156Oracle,
     "q157_freq_spectrum" -> q157Oracle,
     "q158_pack_segments" -> q158Oracle,
+    "q160_centroid_sep" -> q160Oracle,
+    "q161_percentile_floor" -> q161Oracle,
+    "q162_balanced_sample" -> q162Oracle,
     "q147_oov_rate" -> q147Oracle,
     "q148_length_survival" -> q148Oracle,
     "q149_token_quota" -> q149Oracle,

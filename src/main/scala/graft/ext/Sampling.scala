@@ -250,4 +250,48 @@ object Sampling {
       .withColumn("alloc_tokens", expr(s"$totalBudget * share_ppm div 1000000"))
       .withColumn("epochs_ppm", expr("1000000 * alloc_tokens div n_tokens"))
   }
+
+  /** Per-group percentile floor gate: keep rows at or above their group's
+    * p-th DISCRETE percentile of `valueCol` — the calibrated curation cut
+    * ("drop each source's shortest quartile") that a single global
+    * threshold gets wrong when sources have different length regimes.
+    * `percentile_disc` boundaries are data elements, so the cut is
+    * bit-exact cross-engine (the q103/q128/q138 contract).
+    *
+    * Scale shape: one partial-aggregated pass builds the model-sized
+    * per-group anchor table (|groups| rows), explicitly broadcast back;
+    * the filter is then scan-side — the data never shuffles.
+    */
+  def percentileFloor(
+      df: DataFrame,
+      groupCol: String = "source",
+      valueCol: String = "n_chars",
+      p: Double = 0.25): DataFrame = {
+    require(p > 0.0 && p < 1.0, "p must be in (0,1)")
+    val anchors = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY $valueCol)").as("__floor"))
+    df.join(broadcast(anchors), groupCol)
+      .filter(col(valueCol) >= col("__floor"))
+      .drop("__floor")
+  }
+
+  /** Class-balanced EXACT downsample: every label keeps exactly
+    * min-class-count rows, selected deterministically by md5-hash rank —
+    * the classic class-rebalance step before training a classifier head,
+    * with none of `df.sample`'s run-to-run drift. The per-class k comes
+    * off a one-row scalar anchor (the same driver-read contract as the
+    * z-order bounds row and q138's percentile anchor); selection is then
+    * [[stratifiedQuota]]'s bounded-state bottom-k-by-hash — k rows of
+    * state per label, never a per-label sort, so the hottest class costs
+    * k, not its row count.
+    */
+  def balancedSample(
+      df: DataFrame,
+      labelCol: String = "label",
+      idCol: String = "vec_id"): DataFrame = {
+    val k = df.groupBy(col(labelCol)).agg(count(lit(1)).as("__n"))
+      .agg(min(col("__n"))).head().getLong(0)
+    require(k > 0 && k <= Int.MaxValue, s"degenerate min class count: $k")
+    stratifiedQuota(df, Seq(labelCol), k.toInt, idCol)
+  }
 }

@@ -543,4 +543,43 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("block"), col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_r"))
   }
+
+  /** Label-centroid separation matrix: per-label embedding centroids and
+    * the pairwise cosine between them — the label-quality audit run before
+    * training a classifier head (two labels whose centroids sit at
+    * cos ≈ 1 are either synonyms or mislabeled; a label far from all
+    * others is either clean or broken). Output is the unordered label-pair
+    * matrix with `cos_r` rounded to 4 dp (the engine's aggregated-double
+    * convention).
+    *
+    * Scale shape: ONE pass over the vectors — posexplode to (label, pos)
+    * components, partial-aggregated shuffle on (label, pos) (≤ |labels|·dim
+    * groups); everything after (centroid assembly, the pair join, the
+    * cosine HOFs) runs on the MODEL-sized centroid table (|labels| rows),
+    * where the deliberate non-equi pair join and interpreter-only
+    * higher-order functions cost |labels|²·dim multiplications, not a
+    * data-sized pass.
+    */
+  def labelCentroidSeparation(
+      vectors: DataFrame,
+      labelCol: String = "label",
+      vecCol: String = "embedding"): DataFrame = {
+    val comp = vectors
+      .select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      // sum/count rather than avg, so the oracle's replay is the same
+      // expression tree (avg would be sum/count anyway — spelled out)
+      .agg((sum(col("x").cast("double")) / count(lit(1))).as("m"))
+    val cent = comp.groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("c"))
+    val a = cent.select(col("label").as("label_a"), col("c").as("ca"))
+    val b = cent.select(col("label").as("label_b"), col("c").as("cb"))
+    def dotHof(x: String, y: String) =
+      s"aggregate(zip_with($x, $y, (p, q) -> p * q), 0D, (acc, v) -> acc + v)"
+    a.join(b, col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"),
+        expr(s"round(${dotHof("ca", "cb")} / " +
+          s"(sqrt(${dotHof("ca", "ca")}) * sqrt(${dotHof("cb", "cb")})), 4)").as("cos_r"))
+  }
 }

@@ -145,6 +145,30 @@ class SamplingSpec extends SparkSpec {
     assert(again.sameElements(first))
   }
 
+  test("percentileFloor: each group cut at its own discrete percentile") {
+    import spark.implicits._
+    // A = {1,2,3,4}: disc p50 = 2 → keep 2,3,4 ; B = {10,20}: disc p50 = 10 → keep both
+    val rows = Seq((1L, "A", 1L), (2L, "A", 2L), (3L, "A", 3L), (4L, "A", 4L),
+      (5L, "B", 10L), (6L, "B", 20L)).toDF("doc_id", "source", "n_chars")
+    val kept = Sampling.percentileFloor(rows, p = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept === Array(2L, 3L, 4L, 5L, 6L))
+  }
+
+  test("balancedSample: every label keeps exactly min-class-count rows") {
+    import spark.implicits._
+    val rows = (1L to 7L).map(i => (i, if (i <= 4) 0 else 1)).toDF("vec_id", "label")
+    val got = Sampling.balancedSample(rows)
+    val perLabel = got.groupBy("label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perLabel === Map(0 -> 3L, 1 -> 3L)) // min class count = 3
+    // deterministic and partitioning-independent
+    val a = got.select("vec_id").collect().map(_.getLong(0)).sorted
+    val b = Sampling.balancedSample(rows.repartition(5))
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b))
+  }
+
   test("groupKFold: every group lands wholly in one fold, all folds used") {
     val e = Tables.events(spark, Sf0001)
     val folded = Sampling.groupKFold(e, "user_id", k = 5)

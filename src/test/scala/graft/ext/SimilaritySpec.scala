@@ -210,4 +210,17 @@ class SimilaritySpec extends SparkSpec {
     val plan = fast.queryExecution.optimizedPlan.toString
     assert(plan.contains("id_bucket"), s"expected id_bucket in the join key:\n$plan")
   }
+
+  test("labelCentroidSeparation: hand-computed centroids and pair cosines") {
+    import spark.implicits._
+    // label 0: (1,0),(3,0) → centroid (2,0); label 1: (0,2),(0,2) → (0,2);
+    // label 2: (1,1),(3,3) → (2,2). cos(0,1)=0, cos(0,2)=cos(1,2)=1/√2
+    val rows = Seq(
+      (1L, 0, Seq(1f, 0f)), (2L, 0, Seq(3f, 0f)),
+      (3L, 1, Seq(0f, 2f)), (4L, 1, Seq(0f, 2f)),
+      (5L, 2, Seq(1f, 1f)), (6L, 2, Seq(3f, 3f))).toDF("vec_id", "label", "embedding")
+    val got = Similarity.labelCentroidSeparation(rows).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got === Map((0, 1) -> 0.0, (0, 2) -> 0.7071, (1, 2) -> 0.7071))
+  }
 }
