@@ -1877,6 +1877,177 @@ object ExtQueries {
       |             / (400 + doc_id % 100) * 10000)::BIGINT AS mean_abs_4
       |FROM documents""".stripMargin
 
+  /** q168: token-frequency DECAY spectrum — how fast the corpus frequency
+    * falls when the rank doubles, at ranks 1,2,4,…,512. A Zipfian corpus
+    * shows `decay_4 ≈ 5000` (freq halves per rank doubling); a corpus of
+    * boilerplate or template spam decays far slower. Unlike a log-log
+    * regression slope this is PURE INTEGER (`10000·f(2r) div f(r)`) —
+    * no `ln` whose last-ulp could differ between engines.
+    *
+    * Scale shape: term counting is the one real shuffle; the ranked head
+    * is `TakeOrderedAndProject` (top-1024 heap per partition, no global
+    * sort), and the row_number window + self-join run on those 1024 rows
+    * only — bounded driver-free model data.
+    */
+  def q168FreqDecay(spark: SparkSession, dir: String): DataFrame = {
+    val tf = fanOut(documents(spark, dir))
+      .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+    val top = tf.orderBy(col("freq").desc, col("term").asc).limit(1024)
+    val ranked = top.withColumn("rank",
+      row_number().over(Window.orderBy(col("freq").desc, col("term").asc)))
+    ranked.as("a")
+      .join(ranked.as("b"), col("b.rank") === col("a.rank") * 2)
+      .filter(col("a.rank").isin(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L, 256L, 512L))
+      .select(col("a.rank").as("r"), col("a.freq").as("f_r"), col("b.freq").as("f_2r"),
+        expr("(10000 * b.freq) div a.freq").as("decay_4"))
+  }
+
+  private def q168Oracle: String =
+    s"""WITH tk AS (SELECT unnest(string_split($DNorm, ' ')) AS term FROM documents),
+       |tf AS (SELECT term, count(*)::BIGINT AS freq FROM tk WHERE term <> '' GROUP BY 1),
+       |rk AS (SELECT term, freq, row_number() OVER (ORDER BY freq DESC, term ASC) AS rank
+       |       FROM tf QUALIFY rank <= 1024)
+       |SELECT a.rank AS r, a.freq AS f_r, b.freq AS f_2r,
+       |       (10000 * b.freq) // a.freq AS decay_4
+       |FROM rk a JOIN rk b ON b.rank = 2 * a.rank
+       |WHERE a.rank IN (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)""".stripMargin
+
+  /** q169: per-dimension embedding statistics — count, fixed-point sum,
+    * sum-of-squares and variance for every embedding coordinate. The
+    * embedding-QA pass a training pipeline runs before ANN indexing:
+    * dead dimensions (variance ≈ 0) and scale outliers distort every
+    * distance metric downstream (q30–q34, q74).
+    *
+    * Engine-exactness: each float is quantized per-row
+    * (`floor(double(v)·1000)` — float→double is exact, the multiply is
+    * one IEEE op) and ALL aggregation is integer — no float summation
+    * order anywhere. Variance is the integer identity
+    * `(n·Σq² − (Σq)²) div n²`.
+    *
+    * Scale shape: posexplode fans |rows|·dim — embarrassingly parallel —
+    * then one aggregation to exactly `dim` rows. No window, no join.
+    */
+  def q169EmbedDimStats(spark: SparkSession, dir: String): DataFrame =
+    fanOut(embeddings(spark, dir))
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("q", floor(col("v").cast("double") * 1000).cast("long"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s"),
+        sum(col("q") * col("q")).as("ss"))
+      .withColumn("var_q", expr("(n * ss - s * s) div (n * n)"))
+
+  private val q169Oracle =
+    """WITH x AS (SELECT (generate_subscripts(embedding, 1) - 1)::INT AS dim,
+      |                  floor(unnest(embedding)::DOUBLE * 1000)::BIGINT AS q
+      |           FROM embeddings)
+      |SELECT dim, count(*)::BIGINT AS n, sum(q)::BIGINT AS s,
+      |       sum(q * q)::BIGINT AS ss,
+      |       ((count(*) * sum(q * q) - sum(q) * sum(q))
+      |          // (count(*) * count(*)))::BIGINT AS var_q
+      |FROM x GROUP BY 1""".stripMargin
+
+  /** q170: inverted-index posting lists — per term: document frequency,
+    * collection frequency, and the first 5 postings (lowest doc_ids) as a
+    * deterministic comma-joined string; top-100 terms by df. The
+    * retrieval-index build step of a RAG / search pipeline.
+    *
+    * Bounded state: the posting sample is row_number-truncated BEFORE
+    * collect_list, so no per-term array ever exceeds 5 entries — a
+    * `collect_list` over raw postings would hold |docs| ids for stopword
+    * terms at 100 TB. df/cf aggregate over the same term-keyed shuffle
+    * (ReusedExchange pairs the two subtrees). Output via q97's
+    * sorted-then-joined string idiom, engine-exact.
+    */
+  def q170PostingLists(spark: SparkSession, dir: String): DataFrame = {
+    val tf = fanOut(documents(spark, dir))
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val stats = tf.groupBy("term").agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+    val postings = tf
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("term").orderBy(col("doc_id").asc)))
+      .filter(col("rn") <= 5)
+      .groupBy("term")
+      .agg(array_join(array_sort(collect_list(col("doc_id"))), ",").as("postings"))
+    stats.join(postings, "term")
+      .orderBy(col("df").desc, col("term").asc).limit(100)
+  }
+
+  private def q170Oracle: String =
+    s"""WITH tk AS (SELECT doc_id, unnest(string_split($DNorm, ' ')) AS term FROM documents),
+       |tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM tk
+       |       WHERE term <> '' GROUP BY 1, 2),
+       |a AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY 1),
+       |p AS (SELECT term, string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+       |      FROM (SELECT term, doc_id,
+       |              row_number() OVER (PARTITION BY term ORDER BY doc_id ASC) AS rn
+       |            FROM tf)
+       |      WHERE rn <= 5 GROUP BY 1)
+       |SELECT a.term, df, cf, postings FROM a JOIN p USING (term)
+       |ORDER BY df DESC, term ASC LIMIT 100""".stripMargin
+
+  /** q171: zone-map skip report — the SAME range predicate measured
+    * against two file layouts of lineitem: files clustered by insertion
+    * order (l_orderkey) prune almost everything for an orderkey range;
+    * the uncorrelated column (l_shipdate) prunes ~nothing under that
+    * layout. This is the I/O argument for clustering / z-ordering
+    * ([[ZOrder]]) stated as a measurable: `skip_ppm` is the fraction of
+    * rows a Delta/parquet reader would never scan. See [[ZoneMaps]].
+    *
+    * The predicate interval is the middle decile of each column's own
+    * domain, derived by integer arithmetic from a 1-row min/max aggregate
+    * crossJoined back — no driver round-trip, both engines integer-exact
+    * (timestamps compared as epoch-micros).
+    */
+  def q171ZoneMaps(spark: SparkSession, dir: String): DataFrame = {
+    // l_shipdate arrives as TIMESTAMP_NTZ; under the pinned-UTC session the
+    // cast is a pure relabel (the Tables.normalizeTs premise), so epoch_us
+    // here and in the DuckDB oracle are the same integer.
+    val li = lineitem(spark, dir)
+      .select(col("l_orderkey"),
+        unix_micros(col("l_shipdate").cast("timestamp")).as("sd"))
+    def report(statCol: String, label: String): DataFrame = {
+      val zones = ZoneMaps.zoneStats(li, expr("l_orderkey div 4000"), col(statCol))
+      val bounds = li.agg(min(col(statCol)).as("mn"), max(col(statCol)).as("mx"))
+        .select((col("mn") + expr("((mx - mn) * 45) div 100")).as("lo"),
+          (col("mn") + expr("((mx - mn) * 55) div 100")).as("hi"))
+      ZoneMaps.pruneReport(zones.crossJoin(broadcast(bounds)),
+        col("lo"), col("hi"), label)
+    }
+    report("l_orderkey", "clustered").unionByName(report("sd", "uncorrelated"))
+  }
+
+  private val q171Oracle =
+    """WITH li AS (SELECT l_orderkey, epoch_us(l_shipdate) AS sd,
+      |                   l_orderkey // 4000 AS file_id FROM lineitem),
+      |zo AS (SELECT file_id, min(l_orderkey) AS zmin, max(l_orderkey) AS zmax,
+      |              count(*)::BIGINT AS n_rows FROM li GROUP BY 1),
+      |bo AS (SELECT min(l_orderkey) + ((max(l_orderkey) - min(l_orderkey)) * 45) // 100 AS lo,
+      |              min(l_orderkey) + ((max(l_orderkey) - min(l_orderkey)) * 55) // 100 AS hi
+      |       FROM li),
+      |ro AS (SELECT count(*)::BIGINT AS n_files,
+      |              sum((zmax < lo OR zmin > hi)::BIGINT)::BIGINT AS n_pruned,
+      |              sum(n_rows)::BIGINT AS rows_total,
+      |              sum(CASE WHEN zmax < lo OR zmin > hi THEN n_rows ELSE 0 END)::BIGINT AS rows_skipped
+      |       FROM zo CROSS JOIN bo),
+      |zs AS (SELECT file_id, min(sd) AS zmin, max(sd) AS zmax,
+      |              count(*)::BIGINT AS n_rows FROM li GROUP BY 1),
+      |bs AS (SELECT min(sd) + ((max(sd) - min(sd)) * 45) // 100 AS lo,
+      |              min(sd) + ((max(sd) - min(sd)) * 55) // 100 AS hi FROM li),
+      |rs AS (SELECT count(*)::BIGINT AS n_files,
+      |              sum((zmax < lo OR zmin > hi)::BIGINT)::BIGINT AS n_pruned,
+      |              sum(n_rows)::BIGINT AS rows_total,
+      |              sum(CASE WHEN zmax < lo OR zmin > hi THEN n_rows ELSE 0 END)::BIGINT AS rows_skipped
+      |       FROM zs CROSS JOIN bs)
+      |SELECT 'clustered' AS layout, n_files, n_pruned, rows_total, rows_skipped,
+      |       (1000000 * rows_skipped) // rows_total AS skip_ppm FROM ro
+      |UNION ALL
+      |SELECT 'uncorrelated', n_files, n_pruned, rows_total, rows_skipped,
+      |       (1000000 * rows_skipped) // rows_total FROM rs""".stripMargin
+
   // ---------------- registry ----------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1930,6 +2101,10 @@ object ExtQueries {
     "q156_padding_waste" -> (q156PaddingWaste _),
     "q157_freq_spectrum" -> (q157FreqSpectrum _),
     "q158_pack_segments" -> (q158PackSegments _),
+    "q168_freq_decay" -> (q168FreqDecay _),
+    "q169_embed_dim_stats" -> (q169EmbedDimStats _),
+    "q170_posting_lists" -> (q170PostingLists _),
+    "q171_zone_maps" -> (q171ZoneMaps _),
     "q160_centroid_sep" -> (q160CentroidSep _),
     "q161_percentile_floor" -> (q161PercentileFloor _),
     "q162_balanced_sample" -> (q162BalancedSample _),
@@ -2005,6 +2180,10 @@ object ExtQueries {
     "q156_padding_waste" -> q156Oracle,
     "q157_freq_spectrum" -> q157Oracle,
     "q158_pack_segments" -> q158Oracle,
+    "q168_freq_decay" -> q168Oracle,
+    "q169_embed_dim_stats" -> q169Oracle,
+    "q170_posting_lists" -> q170Oracle,
+    "q171_zone_maps" -> q171Oracle,
     "q160_centroid_sep" -> q160Oracle,
     "q161_percentile_floor" -> q161Oracle,
     "q162_balanced_sample" -> q162Oracle,

@@ -1928,7 +1928,284 @@ object EventQueries {
        |       max(conc)::BIGINT AS max_concurrent
        |FROM c GROUP BY 1""".stripMargin
 
+  /** q163: RFM (recency / frequency / monetary) user segmentation — the
+    * standard product-analytics value segmentation downstream of the
+    * reference's event exports. Each user gets a 1–4 score per axis by
+    * comparison against the exact quartiles of that axis, and a composite
+    * `segment = r*100 + f*10 + m`.
+    *
+    * Engine-exactness: monetary sums integer CENTS (`floor(value*100)` is
+    * per-row deterministic double math; the long sum is then order-free),
+    * and the quartile thresholds are Spark `percentile` vs DuckDB
+    * `quantile_cont` — both type-7 interpolation, the q66-pinned premise.
+    * Scores come from comparisons against those thresholds, not `ntile`,
+    * so no global-order window exists anywhere.
+    *
+    * Scale shape: one shuffle on user_id for the per-user rollup; the
+    * global max-day and the 9 thresholds are 1-row aggregates broadcast
+    * back. The exact single-group `percentile` is the oracle-parity
+    * choice — at 100 TB swap in `approx_percentile` (q87 gates that
+    * sketch's rank error).
+    */
+  def q163RfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val per = events(spark, dir)
+      .withColumn("day", tsDay)
+      .withColumn("cents", floor(col("value") * 100).cast("long"))
+      .groupBy("user_id")
+      .agg(
+        max(col("day")).as("last_day"),
+        count(lit(1)).as("freq"),
+        sum(col("cents")).as("monetary_c"))
+    val gmax = per.agg(max(col("last_day")).as("gmax"))
+    val r = per.crossJoin(broadcast(gmax))
+      .withColumn("recency", col("gmax") - col("last_day"))
+      .select("user_id", "recency", "freq", "monetary_c")
+    val thresholds = r.agg(
+      expr("percentile(recency, 0.25)").as("r25"),
+      expr("percentile(recency, 0.5)").as("r50"),
+      expr("percentile(recency, 0.75)").as("r75"),
+      expr("percentile(freq, 0.25)").as("f25"),
+      expr("percentile(freq, 0.5)").as("f50"),
+      expr("percentile(freq, 0.75)").as("f75"),
+      expr("percentile(monetary_c, 0.25)").as("m25"),
+      expr("percentile(monetary_c, 0.5)").as("m50"),
+      expr("percentile(monetary_c, 0.75)").as("m75"))
+    r.crossJoin(broadcast(thresholds))
+      .withColumn("r_score",
+        (lit(1) + (col("recency") > col("r25")).cast("int")
+          + (col("recency") > col("r50")).cast("int")
+          + (col("recency") > col("r75")).cast("int")))
+      .withColumn("f_score",
+        (lit(1) + (col("freq") > col("f25")).cast("int")
+          + (col("freq") > col("f50")).cast("int")
+          + (col("freq") > col("f75")).cast("int")))
+      .withColumn("m_score",
+        (lit(1) + (col("monetary_c") > col("m25")).cast("int")
+          + (col("monetary_c") > col("m50")).cast("int")
+          + (col("monetary_c") > col("m75")).cast("int")))
+      .select(col("user_id"), col("recency"), col("freq"), col("monetary_c"),
+        col("r_score"), col("f_score"), col("m_score"),
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).as("segment"))
+  }
+
+  private val q163Oracle =
+    """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |                  floor(value * 100)::BIGINT AS cents FROM events),
+      |p AS (SELECT user_id, max(day) AS last_day, count(*)::BIGINT AS freq,
+      |             sum(cents)::BIGINT AS monetary_c FROM e GROUP BY 1),
+      |g AS (SELECT max(last_day) AS gmax FROM p),
+      |r AS (SELECT user_id, (gmax - last_day)::BIGINT AS recency, freq, monetary_c
+      |      FROM p CROSS JOIN g),
+      |t AS (SELECT quantile_cont(recency, 0.25) AS r25, quantile_cont(recency, 0.5) AS r50,
+      |             quantile_cont(recency, 0.75) AS r75,
+      |             quantile_cont(freq, 0.25) AS f25, quantile_cont(freq, 0.5) AS f50,
+      |             quantile_cont(freq, 0.75) AS f75,
+      |             quantile_cont(monetary_c, 0.25) AS m25, quantile_cont(monetary_c, 0.5) AS m50,
+      |             quantile_cont(monetary_c, 0.75) AS m75 FROM r),
+      |s AS (SELECT user_id, recency, freq, monetary_c,
+      |        (1 + (recency > r25)::INT + (recency > r50)::INT + (recency > r75)::INT)::INT AS r_score,
+      |        (1 + (freq > f25)::INT + (freq > f50)::INT + (freq > f75)::INT)::INT AS f_score,
+      |        (1 + (monetary_c > m25)::INT + (monetary_c > m50)::INT + (monetary_c > m75)::INT)::INT AS m_score
+      |      FROM r CROSS JOIN t)
+      |SELECT user_id, recency, freq, monetary_c, r_score, f_score, m_score,
+      |       (r_score * 100 + f_score * 10 + m_score)::INT AS segment
+      |FROM s""".stripMargin
+
+  /** q164: the cohort retention MATRIX — q60's long-form rollup pivoted to
+    * the grid a retention chart renders: one row per cohort day, distinct
+    * active users at each day offset 0..7 as columns, plus day-1/day-7
+    * retention in basis points (integer division, engine-exact).
+    *
+    * Scale shape: identical to q60 (one user_id shuffle for the cohort
+    * map, re-joined, then one aggregation) — the 8 conditional
+    * `count(DISTINCT)`s expand to a single exchange on
+    * (cohort_day, user_id) via Spark's Expand; no extra shuffle versus the
+    * long form, and the output is |days| rows.
+    */
+  def q164RetentionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).withColumn("day", tsDay).select("user_id", "day")
+    val cohort = e.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    val offs = e.join(cohort, "user_id")
+      .withColumn("off", (col("day") - col("cohort_day")).cast("int"))
+      .filter(col("off") <= 7)
+    def dcol(k: Int) = countDistinct(when(col("off") === k, col("user_id"))).as(s"d$k")
+    offs.groupBy("cohort_day")
+      .agg(countDistinct(col("user_id")).as("cohort_size"),
+        dcol(0), dcol(1), dcol(2), dcol(3), dcol(4), dcol(5), dcol(6), dcol(7))
+      .withColumn("ret1_4", expr("(10000 * d1) div cohort_size"))
+      .withColumn("ret7_4", expr("(10000 * d7) div cohort_size"))
+  }
+
+  private val q164Oracle =
+    """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1),
+      |o AS (SELECT e.user_id, cohort_day, (e.day - cohort_day)::INT AS off
+      |      FROM e JOIN c USING (user_id) WHERE e.day - cohort_day <= 7)
+      |SELECT cohort_day, count(DISTINCT user_id)::BIGINT AS cohort_size,
+      |       count(DISTINCT CASE WHEN off = 0 THEN user_id END)::BIGINT AS d0,
+      |       count(DISTINCT CASE WHEN off = 1 THEN user_id END)::BIGINT AS d1,
+      |       count(DISTINCT CASE WHEN off = 2 THEN user_id END)::BIGINT AS d2,
+      |       count(DISTINCT CASE WHEN off = 3 THEN user_id END)::BIGINT AS d3,
+      |       count(DISTINCT CASE WHEN off = 4 THEN user_id END)::BIGINT AS d4,
+      |       count(DISTINCT CASE WHEN off = 5 THEN user_id END)::BIGINT AS d5,
+      |       count(DISTINCT CASE WHEN off = 6 THEN user_id END)::BIGINT AS d6,
+      |       count(DISTINCT CASE WHEN off = 7 THEN user_id END)::BIGINT AS d7,
+      |       (10000 * count(DISTINCT CASE WHEN off = 1 THEN user_id END))
+      |         // count(DISTINCT user_id) AS ret1_4,
+      |       (10000 * count(DISTINCT CASE WHEN off = 7 THEN user_id END))
+      |         // count(DISTINCT user_id) AS ret7_4
+      |FROM o GROUP BY 1""".stripMargin
+
+  /** q165: market-basket association rules over user-day baskets — for
+    * every ordered event-type pair (a < b) co-occurring in a basket:
+    * support count, confidence (P(b|a)) and lift (joint over independent)
+    * in integer basis points. The cross-sell / co-occurrence shape of
+    * product analytics, and a corpus-mining primitive (co-occurrence
+    * lift is q76's collocation statistic lifted from token bigrams to
+    * behavioral baskets).
+    *
+    * Scale shape: baskets are `distinct(user_id, day, event_type)` — the
+    * self-join is keyed on (user_id, day), so each side shuffles once on
+    * the same key (identical subtrees → ReusedExchange) and the pair
+    * blowup is bounded by |event_types|² per basket, never |rows|². The
+    * singles table and the basket total are model-sized broadcasts.
+    * Integer overflow headroom: lift's numerator is
+    * 10000·n_pair·n_baskets — fine through ~10^14 baskets; beyond that
+    * move the arithmetic to DECIMAL(38,0).
+    */
+  def q165MarketBasket(spark: SparkSession, dir: String): DataFrame = {
+    val b = events(spark, dir).withColumn("day", tsDay)
+      .select("user_id", "day", "event_type").distinct()
+    val totals = b.select("user_id", "day").distinct().agg(count(lit(1)).as("n_baskets"))
+    val singles = b.groupBy("event_type").agg(count(lit(1)).as("n_single"))
+    b.as("a").join(b.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.day") === col("b.day") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("antecedent"), col("b.event_type").as("consequent"))
+      .agg(count(lit(1)).as("n_pair"))
+      .join(broadcast(singles.select(col("event_type").as("antecedent"), col("n_single").as("n_a"))), "antecedent")
+      .join(broadcast(singles.select(col("event_type").as("consequent"), col("n_single").as("n_b"))), "consequent")
+      .crossJoin(broadcast(totals))
+      .select(col("antecedent"), col("consequent"), col("n_pair"),
+        expr("(10000 * n_pair) div n_a").as("conf_4"),
+        expr("(10000 * n_pair * n_baskets) div (n_a * n_b)").as("lift_4"))
+  }
+
+  private val q165Oracle =
+    """WITH b AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day, event_type
+      |           FROM events),
+      |t AS (SELECT count(*)::BIGINT AS n_baskets FROM (SELECT DISTINCT user_id, day FROM b)),
+      |s AS (SELECT event_type, count(*)::BIGINT AS n_single FROM b GROUP BY 1),
+      |p AS (SELECT a.event_type AS antecedent, c.event_type AS consequent,
+      |             count(*)::BIGINT AS n_pair
+      |      FROM b a JOIN b c ON a.user_id = c.user_id AND a.day = c.day
+      |                      AND a.event_type < c.event_type
+      |      GROUP BY 1, 2)
+      |SELECT antecedent, consequent, n_pair,
+      |       (10000 * n_pair) // sa.n_single AS conf_4,
+      |       (10000 * n_pair * t.n_baskets) // (sa.n_single * sb.n_single) AS lift_4
+      |FROM p JOIN s sa ON p.antecedent = sa.event_type
+      |       JOIN s sb ON p.consequent = sb.event_type
+      |       CROSS JOIN t""".stripMargin
+
+  /** q166: seasonal (day-of-week) anomaly detection — per event type,
+    * daily counts compared against that type's same-weekday baseline; a
+    * day is anomalous when |count − mean| > 2σ. The alerting shape every
+    * event-analytics deployment runs over its export stream.
+    *
+    * The z-test is PURE INTEGER: with n days, S = Σcnt, Q = Σcnt² per
+    * (type, dow) cell, |z| > 2 ⟺ (n·cnt − S)² > 4·(n·Q − S²) — both
+    * sides exact BIGINT cross-multiplications, no float mean/σ anywhere
+    * (q142's z-test trick applied to seasonality cells).
+    *
+    * Scale shape: one shuffle to daily counts (|types|·|days| rows), the
+    * per-(type, dow) baseline is a model-sized aggregate broadcast back.
+    */
+  def q166SeasonalAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir).withColumn("day", tsDay)
+      .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+      .withColumn("dow", expr("day % 7"))
+    val base = daily.groupBy("event_type", "dow").agg(
+      count(lit(1)).as("n"), sum(col("cnt")).as("s"),
+      sum(col("cnt") * col("cnt")).as("q"))
+    daily.join(broadcast(base), Seq("event_type", "dow"))
+      .select(col("event_type"), col("day"), col("cnt"),
+        (col("n") >= 3 &&
+          (col("n") * col("cnt") - col("s")) * (col("n") * col("cnt") - col("s")) >
+            lit(4L) * (col("n") * col("q") - col("s") * col("s")))
+          .cast("int").as("is_anomaly"))
+  }
+
+  private val q166Oracle =
+    """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |                  count(*)::BIGINT AS cnt
+      |           FROM events GROUP BY 1, 2),
+      |w AS (SELECT event_type, day, cnt, day % 7 AS dow FROM d),
+      |b AS (SELECT event_type, dow, count(*)::BIGINT AS n, sum(cnt)::BIGINT AS s,
+      |             sum(cnt * cnt)::BIGINT AS q
+      |      FROM w GROUP BY 1, 2)
+      |SELECT w.event_type, w.day, w.cnt,
+      |       (b.n >= 3 AND
+      |        (b.n * w.cnt - b.s) * (b.n * w.cnt - b.s) > 4 * (b.n * b.q - b.s * b.s)
+      |       )::INT AS is_anomaly
+      |FROM w JOIN b ON w.event_type = b.event_type AND w.dow = b.dow""".stripMargin
+
+  /** The Benford expected first-digit shares, pre-scaled to basis points
+    * (⌊log10(1+1/d)·10⁴⌋) and spelled as ONE generated CASE expression
+    * consumed verbatim by both engines — the q116 generated-oracle
+    * pattern: the constants cannot drift between the query and its
+    * oracle because there is a single source string.
+    */
+  private val benfordCaseSql: String =
+    "CASE digit WHEN 1 THEN 3010 WHEN 2 THEN 1760 WHEN 3 THEN 1249 " +
+      "WHEN 4 THEN 969 WHEN 5 THEN 791 WHEN 6 THEN 669 WHEN 7 THEN 579 " +
+      "WHEN 8 THEN 511 ELSE 457 END"
+
+  /** q167: Benford first-significant-digit screen over `value` — the
+    * classic data-quality / fraud test: observed first-digit shares vs
+    * Benford's law, deviation in basis points. Fabricated or truncated
+    * numeric feeds show up as large `dev_4` mass.
+    *
+    * Digit extraction is integer-exact: value → integer cents by per-row
+    * `floor(|v|·100)` (deterministic double math, identical in both
+    * engines), then the first digit of the INTEGER via string head —
+    * integer-to-string is exact everywhere, unlike double formatting.
+    * Shares and the Benford reference are integer basis points.
+    *
+    * Scale shape: scan → 9-group aggregate; the total is a 1-row
+    * broadcast. Runs at scan speed on 100 TB.
+    */
+  def q167Benford(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .withColumn("iv", floor(abs(col("value")) * 100).cast("long"))
+      .filter(col("iv") > 0)
+      .withColumn("digit", substring(col("iv").cast("string"), 1, 1).cast("int"))
+    val total = e.agg(count(lit(1)).as("n_total"))
+    e.groupBy("digit").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .withColumn("share_4", expr("(10000 * n) div n_total"))
+      .withColumn("benford_4", expr(benfordCaseSql))
+      .withColumn("dev_4", abs(col("share_4") - col("benford_4")))
+      .select("digit", "n", "share_4", "benford_4", "dev_4")
+  }
+
+  private val q167Oracle =
+    s"""WITH e AS (SELECT floor(abs(value) * 100)::BIGINT AS iv FROM events
+       |           WHERE floor(abs(value) * 100) > 0),
+       |d AS (SELECT substr(iv::VARCHAR, 1, 1)::INT AS digit FROM e),
+       |t AS (SELECT count(*)::BIGINT AS n_total FROM d),
+       |c AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY 1)
+       |SELECT digit, n, (10000 * n) // n_total AS share_4,
+       |       ($benfordCaseSql)::INT AS benford_4,
+       |       abs((10000 * n) // n_total - ($benfordCaseSql)) AS dev_4
+       |FROM c CROSS JOIN t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q163_rfm_segments" -> (q163RfmSegments _),
+    "q164_retention_matrix" -> (q164RetentionMatrix _),
+    "q165_market_basket" -> (q165MarketBasket _),
+    "q166_seasonal_anomaly" -> (q166SeasonalAnomaly _),
+    "q167_benford" -> (q167Benford _),
     "q159_max_concurrent" -> (q159MaxConcurrent _),
     "q141_drift_report" -> (q141DriftReport _),
     "q142_ab_ztest" -> (q142AbZtest _),
@@ -1985,6 +2262,11 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q163_rfm_segments" -> q163Oracle,
+    "q164_retention_matrix" -> q164Oracle,
+    "q165_market_basket" -> q165Oracle,
+    "q166_seasonal_anomaly" -> q166Oracle,
+    "q167_benford" -> q167Oracle,
     "q141_drift_report" -> q141Oracle,
     "q142_ab_ztest" -> q142Oracle,
     "q143_stickiness" -> q143Oracle,

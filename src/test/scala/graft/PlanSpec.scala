@@ -375,6 +375,61 @@ class PlanSpec extends SparkSpec {
       s"corpus re-scanned downstream of the staged cumsum:\n$plan")
   }
 
+  test("q163 RFM: quartile thresholds and max-day broadcast; no global-order window") {
+    val plan = planOf(graft.queries.EventQueries.q163RfmSegments(spark, Sf0001))
+    // the 1-row anchors attach via broadcast nested-loop, never a shuffle
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"1-row anchors should broadcast:\n$plan")
+    // ntile-free construction: no Window operator anywhere in the plan
+    assert(!plan.contains("Window"),
+      s"score assignment must not use a global-order window:\n$plan")
+  }
+
+  test("q165 basket pair join stays equi-keyed on the basket id; singles broadcast") {
+    val plan = planOf(graft.queries.EventQueries.q165MarketBasket(spark, Sf0001))
+    // the self-join must hash on (user_id, day) — the type inequality rides
+    // as a residual condition, never the join itself (that would be the
+    // all-pairs O(rows²) shape). At test SF the small side broadcasts; at
+    // scale the identical subtrees shuffle once and reuse the exchange —
+    // either way the keys are the basket id.
+    assert(plan.contains("Join [user_id") || plan.contains("ReusedExchange"),
+      s"pair join should key on the basket id:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"singles lookups should broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin BuildRight, Inner"),
+      s"pair generation degraded to a non-equi join:\n$plan")
+  }
+
+  test("q166 seasonal baseline broadcasts back onto the daily stream") {
+    val plan = planOf(graft.queries.EventQueries.q166SeasonalAnomaly(spark, Sf0001))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the |types|x7 baseline must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no data-sized shuffle join:\n$plan")
+  }
+
+  test("q168 decay head is a top-k heap, not a global vocabulary sort") {
+    val plan = planOf(graft.ext.ExtQueries.q168FreqDecay(spark, Sf0001))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-1024 head should be the bounded heap operator:\n$plan")
+  }
+
+  test("q170 posting truncation runs as WindowGroupLimit before any collect") {
+    val plan = planOf(graft.ext.ExtQueries.q170PostingLists(spark, Sf0001))
+    // rn <= 5 must push into the window as a per-partition group limit, so
+    // a stopword term never materializes its full posting list
+    assert(plan.contains("WindowGroupLimit"),
+      s"posting truncation should push into the window operator:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"final top-100 should be the bounded heap operator:\n$plan")
+  }
+
+  test("q171 zone maps: bounds broadcast; no join wider than the model tables") {
+    val plan = planOf(graft.ext.ExtQueries.q171ZoneMaps(spark, Sf0001))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"1-row predicate bounds should broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("IVF indexed probe plans dynamic partition pruning on the inverted file") {
     withTempDir("plan-ivf") { dir =>
       val e = Tables.embeddings(spark, Sf0001)
