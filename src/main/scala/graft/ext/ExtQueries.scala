@@ -2048,6 +2048,59 @@ object ExtQueries {
       |SELECT 'uncorrelated', n_files, n_pruned, rows_total, rows_skipped,
       |       (1000000 * rows_skipped) // rows_total FROM rs""".stripMargin
 
+  /** DuckDB fragment replaying [[Multimodal.perceptualHash]]'s 4×2
+    * average-hash CLOSED-FORM for the deterministic image fixtures
+    * (pixel (x,y) of doc `id` = (id+x+y)%256, w = id%8+1, h = id%4+2):
+    * sample px = gx·(w−1)//3, py = gy·(h−1), bit i set iff 8·v > Σv —
+    * the q116/q53 generated-oracle pattern, one source string for the
+    * constants on both engines.
+    */
+  private def phashSql(id: String): String = {
+    val vs = for (gy <- 0 to 1; gx <- 0 to 3)
+      yield s"(($id + ($gx * ($id % 8)) // 3 + $gy * ($id % 4 + 1)) % 256)"
+    val sum = vs.mkString("(", " + ", ")")
+    vs.zipWithIndex
+      .map { case (v, i) => s"((8 * $v > $sum)::INT * ${1 << i})" }
+      .mkString("(", " + ", ")")
+  }
+
+  /** q172: perceptual-hash image near-dup clusters — every doc gets a
+    * closed-form PNG ([[Multimodal.encodeTestImage]]), the JDK codec
+    * REALLY decodes it, and [[Multimodal.perceptualHash]] computes the
+    * integer 4×2 average-hash from the raster; clusters are (w, h, hash)
+    * groups with ≥ 2 members (ids ≡ mod 256 share identical pixels, so
+    * real clusters exist). The oracle predicts the exact hash in SQL from
+    * the fixture's closed form — a correct decoder+hasher must reproduce
+    * it bit-for-bit. The image leg of the dedup ladder (q21/q22 for
+    * text, this for rasters).
+    *
+    * Scale shape: hashing is partition-local mapPartitions (codec init
+    * amortized per partition); the cluster group-by shuffles 8-bit
+    * hashes + dims, never pixels.
+    */
+  def q172PhashClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = fanOut(documents(spark, dir)).select(col("doc_id")).as[Long]
+    val media = ids
+      .mapPartitions(_.map(id => Multimodal.MediaRow(id, Multimodal.encodeTestImage(id))))
+      .toDF()
+    Multimodal.extractPerceptualHash(spark, media)
+      .toDF()
+      .filter(col("decoded"))
+      .groupBy("width", "height", "phash")
+      .agg(count(lit(1)).as("n_images"), min(col("doc_id")).as("keeper_id"))
+      .filter(col("n_images") >= 2)
+  }
+
+  private def q172Oracle: String =
+    s"""WITH p AS (SELECT doc_id, (doc_id % 8 + 1)::INT AS width,
+       |                  (doc_id % 4 + 2)::INT AS height,
+       |                  (${phashSql("doc_id")})::BIGINT AS phash
+       |           FROM documents)
+       |SELECT width, height, phash, count(*)::BIGINT AS n_images,
+       |       min(doc_id) AS keeper_id
+       |FROM p GROUP BY 1, 2, 3 HAVING count(*) >= 2""".stripMargin
+
   // ---------------- registry ----------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2101,6 +2154,7 @@ object ExtQueries {
     "q156_padding_waste" -> (q156PaddingWaste _),
     "q157_freq_spectrum" -> (q157FreqSpectrum _),
     "q158_pack_segments" -> (q158PackSegments _),
+    "q172_phash_clusters" -> (q172PhashClusters _),
     "q168_freq_decay" -> (q168FreqDecay _),
     "q169_embed_dim_stats" -> (q169EmbedDimStats _),
     "q170_posting_lists" -> (q170PostingLists _),
@@ -2180,6 +2234,7 @@ object ExtQueries {
     "q156_padding_waste" -> q156Oracle,
     "q157_freq_spectrum" -> q157Oracle,
     "q158_pack_segments" -> q158Oracle,
+    "q172_phash_clusters" -> q172Oracle,
     "q168_freq_decay" -> q168Oracle,
     "q169_embed_dim_stats" -> q169Oracle,
     "q170_posting_lists" -> q170Oracle,

@@ -153,6 +153,60 @@ object Multimodal {
       }
   }
 
+  final case class PerceptualHash(
+      doc_id: Long,
+      decoded: Boolean,
+      width: Int,
+      height: Int,
+      phash: Long // 8-bit 4×2 average-hash over the decoded raster
+  )
+
+  /** 4×2 average-hash over the REAL decoded raster — the integer-exact
+    * miniature of the classic aHash/pHash image near-dup fingerprint:
+    * sample a fixed 4×2 grid (`px = gx·(w−1) div 3`, `py = gy·(h−1)`,
+    * red channel), set bit `gy·4+gx` iff `8·v > Σv`. All comparisons are
+    * integer cross-multiplications (no float mean), so a SQL oracle can
+    * replay the exact hash a correct decoder must produce from the
+    * closed-form fixtures. Returns None when no codec recognizes the
+    * payload.
+    */
+  def perceptualHash(id: Long, bytes: Array[Byte]): Option[PerceptualHash] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    Option(img).map { im =>
+      val w = im.getWidth
+      val h = im.getHeight
+      val vs = for (gy <- 0 to 1; gx <- 0 to 3) yield {
+        val px = gx * (w - 1) / 3
+        val py = gy * (h - 1)
+        (im.getRGB(px, py) >> 16) & 0xff
+      }
+      val sum = vs.sum
+      val phash = vs.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+        if (8L * v > sum) acc | (1L << i) else acc
+      }
+      PerceptualHash(id, decoded = true, w, h, phash)
+    }
+  }
+
+  /** Partition-batched perceptual hashing with the undecodable fallback
+    * (flagged, zero hash) — the near-dup front end of an image pipeline:
+    * downstream grouping/banding on `phash` is plain relational work.
+    */
+  def extractPerceptualHash(spark: SparkSession, media: DataFrame): Dataset[PerceptualHash] = {
+    import spark.implicits._
+    media
+      .select(col("doc_id"), col("media"))
+      .as[MediaRow]
+      .mapPartitions { batch =>
+        batch.map { row =>
+          perceptualHash(row.doc_id, row.media)
+            .getOrElse(PerceptualHash(row.doc_id, decoded = false, 0, 0, 0L))
+        }
+      }
+  }
+
   final case class AudioFeatures(
       doc_id: Long,
       decoded: Boolean,

@@ -2200,7 +2200,103 @@ object EventQueries {
        |       abs((10000 * n) // n_total - ($benfordCaseSql)) AS dev_4
        |FROM c CROSS JOIN t""".stripMargin
 
+  /** q174: per-type revenue trend — the OLS slope of daily cent-sums vs
+    * day index, entirely in integer moment sums: with x = day − day₀
+    * (global anchor) and y = Σcents, `slope = (nΣxy − ΣxΣy)/(nΣx² −
+    * (Σx)²)` is emitted as `10⁴·num div den` — BIGINT end to end, no
+    * float regression kernel to drift between engines. The
+    * trend-detection / metric-monitoring shape (regr_slope without the
+    * float).
+    *
+    * Scale shape: one shuffle to daily points (|types|·|days| rows), a
+    * 1-row anchor broadcast, then a model-sized aggregate. Centering on
+    * day₀ keeps every moment ≪ 2⁶³ (raw epoch-days cube past 10¹⁸).
+    */
+  def q174TrendSlope(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .withColumn("day", tsDay)
+      .withColumn("cents", floor(col("value") * 100).cast("long"))
+      .groupBy("event_type", "day")
+      .agg(coalesce(sum(col("cents")), lit(0L)).as("y"))
+    val anchor = daily.agg(min(col("day")).as("day0"))
+    daily.crossJoin(broadcast(anchor))
+      .withColumn("x", col("day") - col("day0"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .filter(col("n") >= 2)
+      .select(col("event_type"), col("n"),
+        expr("(10000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx)").as("slope_4"))
+  }
+
+  private val q174Oracle =
+    """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |                  coalesce(sum(floor(value * 100)::BIGINT), 0)::BIGINT AS y
+      |           FROM events GROUP BY 1, 2),
+      |a AS (SELECT min(day) AS day0 FROM d),
+      |p AS (SELECT event_type, (day - day0)::BIGINT AS x, y FROM d CROSS JOIN a),
+      |m AS (SELECT event_type, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+      |             sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+      |             sum(x * x)::BIGINT AS sxx
+      |      FROM p GROUP BY 1)
+      |SELECT event_type, n,
+      |       (10000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx) AS slope_4
+      |FROM m WHERE n >= 2""".stripMargin
+
+  /** q175: day-of-week × hour-of-day activity heatmap with integer-ppm
+    * shares — the canonical engagement-rhythm rollup. Pure scan-speed
+    * shape: one aggregation to ≤ 168 cells, the total a 1-row broadcast.
+    */
+  def q175ActivityHeatmap(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .withColumn("dow", expr("(ts div 1000 div 86400000000) % 7"))
+      .withColumn("hour", expr("(ts div 1000 div 3600000000) % 24"))
+    val total = e.agg(count(lit(1)).as("n_total"))
+    e.groupBy("dow", "hour").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .select(col("dow"), col("hour"), col("n"),
+        expr("(1000000 * n) div n_total").as("share_ppm"))
+  }
+
+  private val q175Oracle =
+    """WITH e AS (SELECT epoch_us(ts) // 86400000000 % 7 AS dow,
+      |                  epoch_us(ts) // 3600000000 % 24 AS hour FROM events),
+      |t AS (SELECT count(*)::BIGINT AS n_total FROM e)
+      |SELECT dow, hour, count(*)::BIGINT AS n,
+      |       (1000000 * count(*)) // max(t.n_total) AS share_ppm
+      |FROM e CROSS JOIN t GROUP BY 1, 2""".stripMargin
+
+  /** q176: Simpson diversity of each user's event-type mix, in integer
+    * ppm — `1 − Σnᵢ(nᵢ−1)/(N(N−1))`, the probability two sampled events
+    * differ in type. The rational twin of q92's Gini: a behavioral-
+    * breadth feature with zero float arithmetic (entropy would need a
+    * log; Simpson's index is exact).
+    *
+    * Scale shape: two chained aggregations riding one user_id-prefixed
+    * shuffle; output is |users| rows.
+    */
+  def q176SimpsonDiversity(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("ni"))
+      .groupBy("user_id")
+      .agg(sum(col("ni")).as("n"), sum(col("ni") * (col("ni") - 1)).as("pairs"))
+      .filter(col("n") >= 2)
+      .select(col("user_id"), col("n").as("n_events"),
+        (lit(1000000L) - expr("(1000000 * pairs) div (n * (n - 1))")).as("simpson_ppm"))
+
+  private val q176Oracle =
+    """WITH c AS (SELECT user_id, event_type, count(*)::BIGINT AS ni
+      |           FROM events GROUP BY 1, 2),
+      |u AS (SELECT user_id, sum(ni)::BIGINT AS n, sum(ni * (ni - 1))::BIGINT AS pairs
+      |      FROM c GROUP BY 1)
+      |SELECT user_id, n AS n_events,
+      |       1000000 - (1000000 * pairs) // (n * (n - 1)) AS simpson_ppm
+      |FROM u WHERE n >= 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q174_trend_slope" -> (q174TrendSlope _),
+    "q175_activity_heatmap" -> (q175ActivityHeatmap _),
+    "q176_simpson_diversity" -> (q176SimpsonDiversity _),
     "q163_rfm_segments" -> (q163RfmSegments _),
     "q164_retention_matrix" -> (q164RetentionMatrix _),
     "q165_market_basket" -> (q165MarketBasket _),
@@ -2262,6 +2358,9 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q174_trend_slope" -> q174Oracle,
+    "q175_activity_heatmap" -> q175Oracle,
+    "q176_simpson_diversity" -> q176Oracle,
     "q163_rfm_segments" -> q163Oracle,
     "q164_retention_matrix" -> q164Oracle,
     "q165_market_basket" -> q165Oracle,

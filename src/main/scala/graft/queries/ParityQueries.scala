@@ -916,7 +916,77 @@ object ParityQueries {
     spark.read.parquet(s"$work/out")
   }
 
+  /** q173: TPC-H Q5-shaped "local supplier" revenue — the 6-way star join
+    * with the STRUCTURAL constraint q02 lacks: the supplier must sit in
+    * the customer's own nation (`s_nationkey = c_nationkey` rides the
+    * supplier join as a residual), plus a 2-year date window on orders.
+    *
+    * Scale shape: the only data-sized shuffle is lineitem⋈orders on the
+    * shared orderkey; customer/supplier/nation/region broadcast (hinted —
+    * at a scale where customer outgrows the threshold AQE demotes it).
+    * The year filter prunes the orders scan before the join.
+    */
+  def q173LocalSupplierRevenue(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .join(orders(spark, dir).filter(expr("year(o_orderdate) BETWEEN 1996 AND 1997")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  private val q173Oracle =
+    """SELECT r_name, n_name,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |       count(*)::BIGINT AS n_lines
+      |FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |WHERE year(o_orderdate) BETWEEN 1996 AND 1997
+      |GROUP BY 1, 2""".stripMargin
+
+  /** q177: TPC-H Q11-shaped "important stock" — per-part total quantity
+    * kept only when it clears a GLOBAL threshold (1.2× the mean per-part
+    * share), the uncorrelated-scalar-subquery HAVING pattern. Quantities
+    * are floored to BIGINT so every sum and the threshold comparison are
+    * integer-exact; the share is integer ppm.
+    *
+    * Scale shape: one shuffle to |parts| rows; the grand total and part
+    * count are a 1-row aggregate broadcast back (never a driver value),
+    * and the threshold is an integer cross-multiplication —
+    * `total·n_parts·10 > grand·12` — no float share per row.
+    */
+  def q177ImportantParts(spark: SparkSession, dir: String): DataFrame = {
+    val perPart = lineitem(spark, dir)
+      .withColumn("qty", floor(col("l_quantity")).cast("long"))
+      .groupBy("l_partkey").agg(sum(col("qty")).as("total_qty"))
+    val global = perPart.agg(sum(col("total_qty")).as("grand_qty"),
+      count(lit(1)).as("n_parts"))
+    perPart.crossJoin(broadcast(global))
+      .filter(col("total_qty") * col("n_parts") * 10 > col("grand_qty") * 12)
+      .select(col("l_partkey"), col("total_qty"),
+        expr("(1000000 * total_qty) div grand_qty").as("share_ppm"))
+  }
+
+  private val q177Oracle =
+    """WITH pp AS (SELECT l_partkey, sum(floor(l_quantity)::BIGINT)::BIGINT AS total_qty
+      |            FROM lineitem GROUP BY 1),
+      |g AS (SELECT sum(total_qty)::BIGINT AS grand_qty, count(*)::BIGINT AS n_parts FROM pp)
+      |SELECT l_partkey, total_qty, (1000000 * total_qty) // grand_qty AS share_ppm
+      |FROM pp CROSS JOIN g
+      |WHERE total_qty * n_parts * 10 > grand_qty * 12""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_local_supplier" -> (q173LocalSupplierRevenue _),
+    "q177_important_parts" -> (q177ImportantParts _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_star_join" -> (q02StarJoin _),
     "q03_window_top_orders" -> (q03WindowTopOrders _),
@@ -951,6 +1021,8 @@ object ParityQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q173_local_supplier" -> q173Oracle,
+    "q177_important_parts" -> q177Oracle,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty,

@@ -430,6 +430,16 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
   }
 
+  test("q173 local-supplier star: four dims broadcast, date filter pushed to the orders scan") {
+    val plan = planOf(ParityQueries.q173LocalSupplierRevenue(spark, Sf0001))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 4,
+      s"customer/supplier/nation/region should all broadcast:\n$plan")
+    // year(o_orderdate) BETWEEN ... must filter before the lineitem join
+    // (renders as year(cast(o_orderdate as date)) in the scan's DataFilters)
+    assert(plan.contains("year(cast(o_orderdate"),
+      s"date window not applied below the join:\n$plan")
+  }
+
   test("IVF indexed probe plans dynamic partition pruning on the inverted file") {
     withTempDir("plan-ivf") { dir =>
       val e = Tables.embeddings(spark, Sf0001)

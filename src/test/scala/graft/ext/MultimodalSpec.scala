@@ -74,4 +74,27 @@ class MultimodalSpec extends SparkSpec {
     assert(got.count() === docs)
     assert(got.filter(col("width") <= 0 || col("height") <= 0).count() === 0L)
   }
+
+  test("perceptualHash reproduces the closed-form 4x2 average-hash") {
+    // id=13: w=6, h=3; pixel (x,y) = (13+x+y)%256 — hand-replay the spec:
+    // px(gx) = gx*5/3 -> 0,1,3,5; py(gy) = gy*2 -> 0,2
+    val id = 13L
+    val vs = for (gy <- 0 to 1; gx <- 0 to 3)
+      yield (id + gx * 5 / 3 + gy * 2) % 256
+    val sum = vs.sum
+    val want = vs.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+      if (8 * v > sum) acc | (1L << i) else acc
+    }
+    val got = Multimodal.perceptualHash(id, Multimodal.encodeTestImage(id)).get
+    assert(got.decoded && got.width === 6 && got.height === 3)
+    assert(got.phash === want)
+  }
+
+  test("perceptualHash: identical images (ids 256 apart) collide; garbage is flagged") {
+    val a = Multimodal.perceptualHash(7L, Multimodal.encodeTestImage(7L)).get
+    val b = Multimodal.perceptualHash(263L, Multimodal.encodeTestImage(263L)).get
+    assert(a.phash === b.phash && a.width === b.width && a.height === b.height)
+    val bad = Multimodal.perceptualHash(1L, "not an image".getBytes("UTF-8"))
+    assert(bad.isEmpty)
+  }
 }
