@@ -195,4 +195,36 @@ object CdcMaterialize {
         (coalesce(col(sumCol), lit(0L)) + coalesce(col("__dv"), lit(0L))).as(sumCol)): _*)
       .filter(col(nCol) > 0)
   }
+
+  /** INCREMENTAL join maintenance (insert-only deltas): given a
+    * materialized join J = A⋈B and append batches ΔA, ΔB, the new state is
+    *
+    *   J ∪ ΔJ  with  ΔJ = ΔA⋈(B∪ΔB) ∪ A⋈ΔB
+    *
+    * — the classic delta-join identity ((A∪ΔA)⋈(B∪ΔB) expanded, each
+    * cross term landing in exactly one arm so no joined pair is emitted
+    * twice). This is [[incrementalAgg]]'s counterpart for JOIN-shaped
+    * materializations: per commit the work is ∝ |Δ| · join fan-out, never
+    * |A⋈B| — the difference between touching a 100 TB materialization and
+    * rebuilding it. Insert-only is the EVENT-data contract
+    * (CdcFilter's append semantics); updates/deletes need retraction
+    * arms, i.e. the full-CDF discipline incrementalAgg documents.
+    *
+    * Here `baseA ⋈ baseB` stands in for reading the stored J; the caller
+    * of a persisted pipeline replaces it with the materialization scan and
+    * appends only ΔJ. Both delta arms shuffle on the same join keys as the
+    * base join, so a key-partitioned (bucketed) layout co-locates all
+    * three joins.
+    */
+  def incrementalJoin(
+      baseA: DataFrame,
+      deltaA: DataFrame,
+      baseB: DataFrame,
+      deltaB: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "need at least one join key")
+    baseA.join(baseB, keys)
+      .unionByName(deltaA.join(baseB.unionByName(deltaB), keys))
+      .unionByName(baseA.join(deltaB, keys))
+  }
 }

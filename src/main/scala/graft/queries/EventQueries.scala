@@ -2293,7 +2293,47 @@ object EventQueries {
       |       1000000 - (1000000 * pairs) // (n * (n - 1)) AS simpson_ppm
       |FROM u WHERE n >= 2""".stripMargin
 
+  /** q180: exact audience affinity between event types — for each type
+    * pair, the distinct-user overlap and Jaccard similarity in integer
+    * ppm. q139 answers the same question with mergeable Theta sketches
+    * (the 100 TB default); this is the EXACT tier the sketch is gated
+    * against, and the behavioral cousin of q165 (co-occurrence within a
+    * basket vs audience overlap across all time).
+    *
+    * Scale shape: the (user, type) distinct is the one data-sized
+    * shuffle; the pair self-join keys on user_id (fan-out ≤ |types|² per
+    * user) and audience sizes are a model-sized broadcast. Jaccard is
+    * pure integer: 10⁶·∩ div (|A|+|B|−∩).
+    */
+  def q180TypeAffinity(spark: SparkSession, dir: String): DataFrame = {
+    val ut = events(spark, dir).select("user_id", "event_type").distinct()
+    val sizes = ut.groupBy("event_type").agg(count(lit(1)).as("n_aud"))
+    ut.as("a").join(ut.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .join(broadcast(sizes.select(col("event_type").as("type_a"), col("n_aud").as("n_a"))), "type_a")
+      .join(broadcast(sizes.select(col("event_type").as("type_b"), col("n_aud").as("n_b"))), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_both"),
+        expr("(1000000 * n_both) div (n_a + n_b - n_both)").as("jaccard_ppm"))
+  }
+
+  private val q180Oracle =
+    """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+      |s AS (SELECT event_type, count(*)::BIGINT AS n_aud FROM ut GROUP BY 1),
+      |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |             count(*)::BIGINT AS n_both
+      |      FROM ut a JOIN ut b ON a.user_id = b.user_id
+      |                         AND a.event_type < b.event_type
+      |      GROUP BY 1, 2)
+      |SELECT type_a, type_b, n_both,
+      |       (1000000 * n_both) // (sa.n_aud + sb.n_aud - n_both) AS jaccard_ppm
+      |FROM p JOIN s sa ON p.type_a = sa.event_type
+      |       JOIN s sb ON p.type_b = sb.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q180_type_affinity" -> (q180TypeAffinity _),
     "q174_trend_slope" -> (q174TrendSlope _),
     "q175_activity_heatmap" -> (q175ActivityHeatmap _),
     "q176_simpson_diversity" -> (q176SimpsonDiversity _),
@@ -2358,6 +2398,7 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q180_type_affinity" -> q180Oracle,
     "q174_trend_slope" -> q174Oracle,
     "q175_activity_heatmap" -> q175Oracle,
     "q176_simpson_diversity" -> q176Oracle,

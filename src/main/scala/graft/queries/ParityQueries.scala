@@ -984,7 +984,78 @@ object ParityQueries {
       |FROM pp CROSS JOIN g
       |WHERE total_qty * n_parts * 10 > grand_qty * 12""".stripMargin
 
+  /** q178: per-column data profile of the events table — row count,
+    * non-null count, exact distinct count and null ppm per column, the
+    * export-QA pass a consumer runs on every delivered batch (the
+    * relational sibling of q47's per-document text profile). One `stack`
+    * unpivot keeps it a SINGLE scan (the oracle's four-scan UNION is the
+    * definitional form); values are stringified through injective
+    * integer/string casts only — no double formatting, whose rendering
+    * differs across engines.
+    *
+    * Scale shape: scan → unpivot (row-local) → one aggregation keyed by
+    * (column, value) partials via Expand for the distinct; output is 4
+    * rows.
+    */
+  def q178ColumnProfile(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(expr(
+        """stack(4,
+          |  'event_id', cast(event_id AS string),
+          |  'user_id', cast(user_id AS string),
+          |  'event_type', event_type,
+          |  'props', props) AS (cname, v)""".stripMargin))
+      .groupBy("cname")
+      .agg(count(lit(1)).as("n_rows"), count(col("v")).as("n_nonnull"),
+        countDistinct(col("v")).as("n_distinct"))
+      .withColumn("null_ppm", expr("(1000000 * (n_rows - n_nonnull)) div n_rows"))
+
+  private val q178Oracle =
+    """SELECT 'event_id' AS cname, count(*)::BIGINT AS n_rows,
+      |       count(event_id)::BIGINT AS n_nonnull,
+      |       count(DISTINCT event_id)::BIGINT AS n_distinct,
+      |       (1000000 * (count(*) - count(event_id))) // count(*) AS null_ppm
+      |FROM events
+      |UNION ALL
+      |SELECT 'user_id', count(*)::BIGINT, count(user_id)::BIGINT,
+      |       count(DISTINCT user_id)::BIGINT,
+      |       (1000000 * (count(*) - count(user_id))) // count(*) FROM events
+      |UNION ALL
+      |SELECT 'event_type', count(*)::BIGINT, count(event_type)::BIGINT,
+      |       count(DISTINCT event_type)::BIGINT,
+      |       (1000000 * (count(*) - count(event_type))) // count(*) FROM events
+      |UNION ALL
+      |SELECT 'props', count(*)::BIGINT, count(props)::BIGINT,
+      |       count(DISTINCT props)::BIGINT,
+      |       (1000000 * (count(*) - count(props))) // count(*) FROM events""".stripMargin
+
+  /** q179: incremental join maintenance gated against the definitional
+    * join — orders⋈lineitem is split into base + append batches on both
+    * sides, rebuilt via [[CdcMaterialize.incrementalJoin]]'s delta
+    * identity (ΔJ = ΔA⋈(B∪ΔB) ∪ A⋈ΔB), and the oracle is the PLAIN full
+    * join: hash equality proves the algebra emits every joined pair
+    * exactly once. The JOIN-shaped materialized-view-maintenance
+    * pattern (q123 maintains aggregates; this maintains joins).
+    */
+  def q179IncrementalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir).select(col("o_orderkey"), col("o_totalprice"))
+    val l = lineitem(spark, dir)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"), col("l_quantity"))
+    CdcMaterialize.incrementalJoin(
+      baseA = o.filter(col("o_orderkey") % 7 =!= 0),
+      deltaA = o.filter(col("o_orderkey") % 7 === 0),
+      baseB = l.filter(col("l_linenumber") < 4),
+      deltaB = l.filter(col("l_linenumber") >= 4),
+      keys = Seq("o_orderkey"))
+  }
+
+  private val q179Oracle =
+    """SELECT o_orderkey, o_totalprice, l_linenumber, l_quantity
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q178_column_profile" -> (q178ColumnProfile _),
+    "q179_incremental_join" -> (q179IncrementalJoin _),
     "q173_local_supplier" -> (q173LocalSupplierRevenue _),
     "q177_important_parts" -> (q177ImportantParts _),
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1021,6 +1092,8 @@ object ParityQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q178_column_profile" -> q178Oracle,
+    "q179_incremental_join" -> q179Oracle,
     "q173_local_supplier" -> q173Oracle,
     "q177_important_parts" -> q177Oracle,
     "q01_pricing_summary" ->

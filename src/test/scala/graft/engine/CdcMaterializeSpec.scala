@@ -144,4 +144,29 @@ class CdcMaterializeSpec extends SparkSpec {
     assert(folded.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .toSet === Set(("b", 2L, 70L)))
   }
+
+  test("incrementalJoin delta identity: equals the full join, no pair twice") {
+    val a = Seq((1L, "a1"), (2L, "a2"), (3L, "a3"), (4L, "a4")).toDF("k", "pa")
+    val b = Seq((1L, "b1"), (1L, "b1x"), (2L, "b2"), (4L, "b4"), (5L, "b5")).toDF("k", "pb")
+    val full = a.join(b, Seq("k"))
+    // every split of both sides must reproduce the full join exactly once
+    for (sa <- Seq(col("k") <= 2, col("k") > 9, col("k") >= 0);
+         sb <- Seq(col("pb") === "b1", col("pb") =!= "nope")) {
+      val inc = CdcMaterialize.incrementalJoin(
+        a.filter(!sa), a.filter(sa), b.filter(!sb), b.filter(sb), Seq("k"))
+      assert(inc.count() === full.count(), s"cardinality drift for split ($sa, $sb)")
+      assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty,
+        s"multiset mismatch for split ($sa, $sb)")
+    }
+  }
+
+  test("incrementalJoin with empty deltas degenerates to the base join") {
+    val a = Seq((1L, "a1"), (2L, "a2")).toDF("k", "pa")
+    val b = Seq((1L, "b1"), (2L, "b2")).toDF("k", "pb")
+    val none = col("k") < 0
+    val inc = CdcMaterialize.incrementalJoin(
+      a.filter(!none), a.filter(none), b.filter(!none), b.filter(none), Seq("k"))
+    val full = a.join(b, Seq("k"))
+    assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty)
+  }
 }
