@@ -934,4 +934,45 @@ object Dedup {
       .withColumn("jaccard", round(inter / union, 4))
       .select((blockCols.map(col) :+ col("doc_a") :+ col("doc_b") :+ col("jaccard")): _*)
   }
+
+  /** Asymmetric n-gram CONTAINMENT pairs — quote / partial-duplicate
+    * detection, the directional statistic Jaccard hides: a short document
+    * fully quoted inside a long one has C(short→long) ≈ 1 while the
+    * symmetric Jaccard is tiny. `C(A→B) = |A∩B| / |A|` over DISTINCT
+    * word n-grams; both directions ride one candidate pair as integer
+    * basis points (10⁴·∩ div |side| — no float, zero-denominator rows
+    * excluded by the non-empty filter).
+    *
+    * Candidate generation is [[ngramJaccardPairs]]'s blocked id-window
+    * join verbatim — never all-pairs; the containment arithmetic is the
+    * only delta.
+    */
+  def ngramContainmentPairs(
+      docs: DataFrame,
+      blockCols: Seq[String],
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3,
+      window: Long = 200L): DataFrame = {
+
+    val base = docs
+      .select(
+        (blockCols.map(col) :+ col(idCol).as("doc_id") :+
+          TextAnalysis.tokens(col(textCol)).as("toks")): _*)
+      .select(
+        (blockCols.map(col) :+ col("doc_id") :+
+          array_distinct(wordNgramsOfToks(col("toks"), n)).as("ng")): _*)
+      .filter(size(col("ng")) > 0)
+    val a = base.toDF(blockCols ++ Seq("doc_a", "ng_a"): _*)
+      .withColumn("id_bucket",
+        explode(array(expr(s"doc_a div $window"), expr(s"doc_a div $window + 1"))))
+    val b = base.toDF(blockCols ++ Seq("doc_b", "ng_b"): _*)
+      .withColumn("id_bucket", expr(s"doc_b div $window"))
+    a.join(b, blockCols :+ "id_bucket")
+      .filter((col("doc_b") - col("doc_a")).between(lit(1), lit(window)))
+      .withColumn("inter", size(array_intersect(col("ng_a"), col("ng_b"))).cast("long"))
+      .select((blockCols.map(col) :+ col("doc_a") :+ col("doc_b") :+
+        expr("(10000 * inter) div size(ng_a)").as("cont_ab_4") :+
+        expr("(10000 * inter) div size(ng_b)").as("cont_ba_4")): _*)
+  }
 }

@@ -2101,6 +2101,80 @@ object ExtQueries {
        |       min(doc_id) AS keeper_id
        |FROM p GROUP BY 1, 2, 3 HAVING count(*) >= 2""".stripMargin
 
+  /** q182: Heaps-law vocabulary growth curve — the corpus scanned in ten
+    * doc-id deciles: new distinct terms first seen in each decile, tokens
+    * per decile, and the cumulative curves. The "is more data still
+    * buying vocabulary?" diagnostic behind tokenizer sizing and data-
+    * acquisition decisions (Heaps' V(n) ≈ K·nᵝ — a flattening cum_terms
+    * column is the empirical β dropping).
+    *
+    * One pass: each term contributes only its FIRST decile (min-bucket
+    * aggregate), so the prefix-distinct count needs no triangular join;
+    * the cumulative sums run on a 10-row table (bounded unpartitioned
+    * window, model-sized by construction).
+    */
+  def q182HeapsCurve(spark: SparkSession, dir: String): DataFrame = {
+    val gmax = documents(spark, dir).agg(max(col("doc_id")).as("gmax"))
+    val tk = fanOut(documents(spark, dir))
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .crossJoin(broadcast(gmax))
+      .withColumn("bucket", expr("(10 * doc_id) div (gmax + 1)"))
+    val newTerms = tk.groupBy("term").agg(min(col("bucket")).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("new_terms"))
+    val toks = tk.groupBy("bucket").agg(count(lit(1)).as("n_tokens"))
+    val w = Window.orderBy(col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.join(newTerms, Seq("bucket"), "full_outer")
+      .select(col("bucket"), coalesce(col("new_terms"), lit(0L)).as("new_terms"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+      .withColumn("cum_terms", sum(col("new_terms")).over(w))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+  }
+
+  private def q182Oracle: String =
+    s"""WITH tk AS (SELECT doc_id, unnest(string_split($DNorm, ' ')) AS term FROM documents),
+       |f AS (SELECT doc_id, term FROM tk WHERE term <> ''),
+       |g AS (SELECT max(doc_id) AS gmax FROM documents),
+       |bk AS (SELECT term, (10 * doc_id) // (gmax + 1) AS bucket FROM f CROSS JOIN g),
+       |nt AS (SELECT bucket, count(*)::BIGINT AS new_terms FROM (
+       |         SELECT term, min(bucket) AS bucket FROM bk GROUP BY 1) GROUP BY 1),
+       |tok AS (SELECT bucket, count(*)::BIGINT AS n_tokens FROM bk GROUP BY 1)
+       |SELECT bucket, coalesce(new_terms, 0)::BIGINT AS new_terms,
+       |       coalesce(n_tokens, 0)::BIGINT AS n_tokens,
+       |       sum(coalesce(new_terms, 0)) OVER (ORDER BY bucket ASC
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_terms,
+       |       sum(coalesce(n_tokens, 0)) OVER (ORDER BY bucket ASC
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_tokens
+       |FROM tok FULL JOIN nt USING (bucket)""".stripMargin
+
+  /** q184: asymmetric n-gram containment pairs — see
+    * [[Dedup.ngramContainmentPairs]]: the directional quote/partial-dup
+    * statistic (a short doc quoted inside a long one scores
+    * C(short→long) ≈ 10⁴ while Jaccard stays tiny). Candidates are q23's
+    * blocked id-window join; the arithmetic is integer basis points over
+    * distinct n-gram sets.
+    */
+  def q184Containment(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramContainmentPairs(fanOut(documents(spark, dir)),
+      blockCols = Seq("lang", "source"))
+
+  private val q184Oracle =
+    s"""WITH n AS (SELECT doc_id, lang, source, string_split($DNorm, ' ') AS tk FROM documents),
+       |g AS (SELECT doc_id, lang, source,
+       |        CASE WHEN len(tk) >= 3
+       |             THEN list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+       |                                 FOR i IN range(1, len(tk)-1)])
+       |             ELSE [] END AS ng
+       |      FROM n),
+       |f AS (SELECT * FROM g WHERE len(ng) > 0)
+       |SELECT a.lang, a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       (10000 * len(list_intersect(a.ng, b.ng))) // len(a.ng) AS cont_ab_4,
+       |       (10000 * len(list_intersect(a.ng, b.ng))) // len(b.ng) AS cont_ba_4
+       |FROM f a JOIN f b
+       |  ON a.lang = b.lang AND a.source = b.source
+       | AND b.doc_id - a.doc_id BETWEEN 1 AND 200""".stripMargin
+
   // ---------------- registry ----------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2155,6 +2229,8 @@ object ExtQueries {
     "q157_freq_spectrum" -> (q157FreqSpectrum _),
     "q158_pack_segments" -> (q158PackSegments _),
     "q172_phash_clusters" -> (q172PhashClusters _),
+    "q182_heaps_curve" -> (q182HeapsCurve _),
+    "q184_containment" -> (q184Containment _),
     "q168_freq_decay" -> (q168FreqDecay _),
     "q169_embed_dim_stats" -> (q169EmbedDimStats _),
     "q170_posting_lists" -> (q170PostingLists _),
@@ -2235,6 +2311,8 @@ object ExtQueries {
     "q157_freq_spectrum" -> q157Oracle,
     "q158_pack_segments" -> q158Oracle,
     "q172_phash_clusters" -> q172Oracle,
+    "q182_heaps_curve" -> q182Oracle,
+    "q184_containment" -> q184Oracle,
     "q168_freq_decay" -> q168Oracle,
     "q169_embed_dim_stats" -> q169Oracle,
     "q170_posting_lists" -> q170Oracle,

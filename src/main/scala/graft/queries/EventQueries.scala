@@ -2332,7 +2332,52 @@ object EventQueries {
       |FROM p JOIN s sa ON p.type_a = sa.event_type
       |       JOIN s sb ON p.type_b = sb.event_type""".stripMargin
 
+  /** q183: LINEAR multi-touch attribution — every purchase credits the
+    * user's touches (non-purchase events) in the prior 7 days equally:
+    * each (touch, conversion) pair earns `10⁶ div n_touches` ppm of that
+    * conversion, summed per channel. The fractional companion of q115's
+    * winner-takes-all last-touch; integer division per pair keeps both
+    * engines exact (a conversion's credits sum to ≤ 10⁶ with the
+    * remainder truncated identically on both sides).
+    *
+    * Scale shape: the touch⋈conversion pair join keys on user_id with the
+    * 7-day window as a residual range — per-user fan-out, never
+    * |events|²; the per-conversion touch count is a second aggregate on
+    * the conversion id, model-sized relative to the pair stream.
+    */
+  def q183LinearAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val windowUs = 7L * 86400L * 1000000L
+    val e = events(spark, dir).withColumn("ts_us", tsUs)
+    val conv = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("conv_id"), col("ts_us").as("conv_ts"))
+    val touch = e.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_type").as("channel"), col("ts_us").as("touch_ts"))
+    val pairs = touch.join(conv, Seq("user_id"))
+      .filter(col("touch_ts") <= col("conv_ts") &&
+        col("conv_ts") - col("touch_ts") <= windowUs)
+      .select("channel", "conv_id")
+    val perConv = pairs.groupBy("conv_id").agg(count(lit(1)).as("n_touches"))
+    pairs.join(perConv, "conv_id")
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(expr("1000000 div n_touches")).as("credit_ppm"))
+  }
+
+  private val q183Oracle =
+    """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu FROM events),
+      |conv AS (SELECT user_id, event_id AS conv_id, tsu AS cts FROM e
+      |         WHERE event_type = 'purchase'),
+      |t AS (SELECT user_id, event_type AS channel, tsu AS tts FROM e
+      |      WHERE event_type <> 'purchase'),
+      |p AS (SELECT channel, conv_id FROM t JOIN conv USING (user_id)
+      |      WHERE tts <= cts AND cts - tts <= 604800000000),
+      |n AS (SELECT conv_id, count(*)::BIGINT AS n_touches FROM p GROUP BY 1)
+      |SELECT channel, count(*)::BIGINT AS n_pairs,
+      |       sum(1000000 // n_touches)::BIGINT AS credit_ppm
+      |FROM p JOIN n USING (conv_id) GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q183_linear_attribution" -> (q183LinearAttribution _),
     "q180_type_affinity" -> (q180TypeAffinity _),
     "q174_trend_slope" -> (q174TrendSlope _),
     "q175_activity_heatmap" -> (q175ActivityHeatmap _),
@@ -2398,6 +2443,7 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q183_linear_attribution" -> q183Oracle,
     "q180_type_affinity" -> q180Oracle,
     "q174_trend_slope" -> q174Oracle,
     "q175_activity_heatmap" -> q175Oracle,

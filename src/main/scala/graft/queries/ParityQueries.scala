@@ -578,6 +578,58 @@ object ParityQueries {
   private val q130Staged =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q181: STREAMING incremental join maintenance — the NINTH streaming
+    * gate, covering [[graft.streaming.CdcStream.joinStream]]: the events
+    * stream (split `event_id % 3` into an initial base plus two staged
+    * micro-batches) is joined to the customer dimension on
+    * `user_id = c_custkey`, and each batch extends the persisted
+    * materialization by its delta arm only (`J ∪ ΔA⋈B` — the insert-only
+    * leg of q179's identity run continuously). The final state is gated
+    * by the DEFINITIONAL full join: the streamed materialization must
+    * land exactly where one batch join lands.
+    */
+  def q181StreamIncrementalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).select(col("event_id"), col("user_id"), col("event_type"))
+    val b = customer(spark, dir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"), col("c_nationkey"))
+    val inDir = q181Staged.computeIfAbsent(dir, _ => {
+      val in = Scratch.stableDir("q181-in-" + Scratch.md5Hex(dir))
+      def stage(m: Long, name: String): java.nio.file.Path = {
+        val tmp = Scratch.stableDir("q181-tmp-" + Scratch.md5Hex(s"$dir|$m"))
+        e.filter(col("event_id") % 3 === m).coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+        java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(in, name))
+      }
+      val first = stage(1L, "a_batch1.parquet")
+      val second = stage(2L, "b_batch2.parquet")
+      // mtime-ordered file source: pin batch 2 strictly after batch 1
+      java.nio.file.Files.setLastModifiedTime(second,
+        java.nio.file.attribute.FileTime.fromMillis(
+          java.nio.file.Files.getLastModifiedTime(first).toMillis + 10000))
+      in
+    })
+    val work = Scratch.stableDir("q181")
+    val initial = e.filter(col("event_id") % 3 === 0).join(b, Seq("user_id"))
+    val stream = spark.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val query = graft.streaming.CdcStream.joinStream(
+      stream, staticB = b, initialJ = initial,
+      stateDir = s"$work/state", keys = Seq("user_id"))
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    graft.streaming.CdcStream.currentMaterializedState(spark, s"$work/state")
+  }
+
+  private val q181Oracle =
+    """SELECT e.user_id, e.event_id, e.event_type, c.c_mktsegment, c.c_nationkey
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin
+
+  private val q181Staged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** q124: SCD TYPE-2 history ([[CdcMaterialize.scd2History]]) — the full
     * `[valid_from, valid_to)` version timeline per key from the same CDC
     * fixture as q123 (memoized — no second build): snapshot v1 opens,
@@ -1056,6 +1108,7 @@ object ParityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q178_column_profile" -> (q178ColumnProfile _),
     "q179_incremental_join" -> (q179IncrementalJoin _),
+    "q181_stream_incremental_join" -> (q181StreamIncrementalJoin _),
     "q173_local_supplier" -> (q173LocalSupplierRevenue _),
     "q177_important_parts" -> (q177ImportantParts _),
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1094,6 +1147,8 @@ object ParityQueries {
   val oracleSql: Map[String, String] = Map(
     "q178_column_profile" -> q178Oracle,
     "q179_incremental_join" -> q179Oracle,
+    // streaming join maintenance must land exactly on the batch join
+    "q181_stream_incremental_join" -> q181Oracle,
     "q173_local_supplier" -> q173Oracle,
     "q177_important_parts" -> q177Oracle,
     "q01_pricing_summary" ->

@@ -190,6 +190,27 @@ object CdcStream {
         state, batch, keyCols, snapshotVersion = 0L)
     }
 
+  /** Streaming incremental JOIN maintenance — the continuous form of
+    * [[graft.engine.CdcMaterialize.incrementalJoin]] with the static side
+    * fixed: each micro-batch of insert-only appends ΔA extends the
+    * persisted materialization by exactly its delta arm,
+    * `J' = J ∪ ΔA⋈B` — per batch the work is ∝ |ΔA|·fan-out plus the
+    * broadcast-sized dimension, never |J|. The enrichment-materialization
+    * pattern (q81 streams the enriched rows to a sink; this maintains
+    * them as queryable STATE). Same versioned-dir + atomic-pointer
+    * machinery and replay/torn-pointer guarantees as
+    * [[materializeStream]].
+    */
+  def joinStream(
+      changes: DataFrame,
+      staticB: DataFrame,
+      initialJ: DataFrame,
+      stateDir: String,
+      keys: Seq[String]): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    versionedFold(changes, initialJ, stateDir) { (j, batch) =>
+      j.unionByName(batch.join(staticB, keys))
+    }
+
   /** Streaming incremental AGGREGATE maintenance — the continuous form of
     * [[graft.engine.CdcMaterialize.incrementalAgg]]: each micro-batch of
     * FULL CDF deltas (pre-images included — sums need retractions) moves
