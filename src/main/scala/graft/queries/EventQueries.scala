@@ -2376,7 +2376,153 @@ object EventQueries {
       |       sum(1000000 // n_touches)::BIGINT AS credit_ppm
       |FROM p JOIN n USING (conv_id) GROUP BY 1""".stripMargin
 
+  /** q185: k-anonymity audit — quasi-identifier combinations
+    * (event_type, day-of-week, hour) whose distinct-user count falls
+    * below k=5: the re-identification risk screen a privacy review runs
+    * before an export leaves the building (the reference ships raw
+    * user-keyed exports; this is the guard its consumers need).
+    * One distinct + one aggregate, both user-prefixed shuffles; output is
+    * only the risky combos.
+    */
+  def q185KAnonymity(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("dow", expr("(ts div 1000 div 86400000000) % 7"))
+      .withColumn("hour", expr("(ts div 1000 div 3600000000) % 24"))
+      .select("user_id", "event_type", "dow", "hour").distinct()
+      .groupBy("event_type", "dow", "hour")
+      .agg(count(lit(1)).as("n_users"))
+      .filter(col("n_users") < 5)
+
+  private val q185Oracle =
+    """WITH d AS (SELECT DISTINCT user_id, event_type,
+      |                  epoch_us(ts) // 86400000000 % 7 AS dow,
+      |                  epoch_us(ts) // 3600000000 % 24 AS hour
+      |           FROM events)
+      |SELECT event_type, dow, hour, count(*)::BIGINT AS n_users
+      |FROM d GROUP BY 1, 2, 3 HAVING count(*) < 5""".stripMargin
+
+  /** q186: late-arrival accounting — with event_id as the ARRIVAL order
+    * and `ts` as event time, a row is late when event time lags the
+    * running max of what already arrived by > 30 min: exactly the rows a
+    * streaming watermark of that lateness would drop (q69/q70's batch-side
+    * audit — how much data a chosen watermark sacrifices, measured before
+    * committing to it). Per user: late count and worst lateness.
+    * One user_id shuffle; the running max is a rows-frame window.
+    */
+  def q186LateArrivals(spark: SparkSession, dir: String): DataFrame = {
+    val lateUs = 1800L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy(col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(spark, dir)
+      .withColumn("ts_us", tsUs)
+      .withColumn("prev_max", max(col("ts_us")).over(w))
+      .withColumn("lateness",
+        when(col("prev_max").isNotNull && col("prev_max") - col("ts_us") > lateUs,
+          col("prev_max") - col("ts_us")).otherwise(lit(0L)))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("lateness") > 0).cast("long")).as("n_late"),
+        max(col("lateness")).as("max_lateness_us"))
+  }
+
+  private val q186Oracle =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+      |m AS (SELECT user_id, event_id, tsu,
+      |        max(tsu) OVER (PARTITION BY user_id ORDER BY event_id ASC
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      |      FROM e),
+      |l AS (SELECT user_id,
+      |        CASE WHEN prev_max IS NOT NULL AND prev_max - tsu > 1800000000
+      |             THEN prev_max - tsu ELSE 0 END AS lateness
+      |      FROM m)
+      |SELECT user_id, count(*)::BIGINT AS n_events,
+      |       sum((lateness > 0)::BIGINT)::BIGINT AS n_late,
+      |       max(lateness)::BIGINT AS max_lateness_us
+      |FROM l GROUP BY 1""".stripMargin
+
+  /** q187: deterministic negative sampling — for every user, the 2
+    * event types they never performed, chosen by md5 hash rank: the
+    * negative-example generator of a recommender / contrastive training
+    * pipeline, reproducible across engines and retries because the
+    * "randomness" is a content hash (q44's gate trick applied to
+    * sampling candidates). Anti-join against interactions, |types|-sized
+    * broadcast grid, bounded per-user output.
+    */
+  def q187NegativeSamples(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val types = e.select("event_type").distinct()
+    // positives = types ABOVE the user's own mean interaction count
+    // (n·k > Σn, integer cross-multiplied — scale-free, so the negative
+    // pool is non-empty at every SF of the dense fixture); weaker contact
+    // stays eligible as a negative, the implicit-feedback convention
+    val cells = e.groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+    val tot = cells.groupBy("user_id").agg(sum(col("n")).as("tot"), count(lit(1)).as("k"))
+    val inter = cells.join(tot, "user_id")
+      .filter(col("n") * col("k") > col("tot"))
+      .select("user_id", "event_type")
+    val w = Window.partitionBy("user_id").orderBy(col("h").asc, col("event_type").asc)
+    e.select("user_id").distinct()
+      .crossJoin(broadcast(types))
+      .join(inter, Seq("user_id", "event_type"), "left_anti")
+      .withColumn("h", md5(concat(col("user_id").cast("string"), lit("|"), col("event_type"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select(col("user_id"), col("event_type").as("neg_type"), col("rn"))
+  }
+
+  private val q187Oracle =
+    """WITH t AS (SELECT DISTINCT event_type FROM events),
+      |u AS (SELECT DISTINCT user_id FROM events),
+      |c AS (SELECT user_id, event_type, count(*)::BIGINT AS n
+      |      FROM events GROUP BY 1, 2),
+      |i AS (SELECT user_id, event_type FROM (
+      |        SELECT user_id, event_type, n,
+      |               sum(n) OVER (PARTITION BY user_id) AS tot,
+      |               count(*) OVER (PARTITION BY user_id) AS k
+      |        FROM c)
+      |      WHERE n * k > tot),
+      |g AS (SELECT u.user_id, t.event_type FROM u CROSS JOIN t),
+      |neg AS (SELECT g.user_id, g.event_type,
+      |               md5(g.user_id::VARCHAR || '|' || g.event_type) AS h
+      |        FROM g ANTI JOIN i USING (user_id, event_type)),
+      |r AS (SELECT user_id, event_type, h,
+      |        row_number() OVER (PARTITION BY user_id ORDER BY h ASC, event_type ASC) AS rn
+      |      FROM neg)
+      |SELECT user_id, event_type AS neg_type, rn::INT AS rn
+      |FROM r WHERE rn <= 2""".stripMargin
+
+  /** q188: burst-rate bot screen — each user's peak events inside any
+    * trailing 60-second window (a RANGE frame over event-time micros),
+    * flagged when ≥ 10: the superhuman-rate heuristic of abuse/bot
+    * filtering, and a pure windowed-count shape (one user_id shuffle, the
+    * range frame is a two-pointer scan within partitions — no self-join).
+    */
+  def q188BurstRate(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us").asc)
+      .rangeBetween(-60000000L, 0L)
+    events(spark, dir)
+      .withColumn("ts_us", tsUs)
+      .withColumn("win_n", count(lit(1)).over(w))
+      .groupBy("user_id")
+      .agg(max(col("win_n")).as("peak_per_min"))
+      .withColumn("is_bot", (col("peak_per_min") >= 10).cast("int"))
+  }
+
+  private val q188Oracle =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu FROM events),
+      |w AS (SELECT user_id,
+      |        count(*) OVER (PARTITION BY user_id ORDER BY tsu ASC
+      |          RANGE BETWEEN 60000000 PRECEDING AND CURRENT ROW) AS win_n
+      |      FROM e)
+      |SELECT user_id, max(win_n)::BIGINT AS peak_per_min,
+      |       (max(win_n) >= 10)::INT AS is_bot
+      |FROM w GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q185_k_anonymity" -> (q185KAnonymity _),
+    "q186_late_arrivals" -> (q186LateArrivals _),
+    "q187_negative_samples" -> (q187NegativeSamples _),
+    "q188_burst_rate" -> (q188BurstRate _),
     "q183_linear_attribution" -> (q183LinearAttribution _),
     "q180_type_affinity" -> (q180TypeAffinity _),
     "q174_trend_slope" -> (q174TrendSlope _),
@@ -2443,6 +2589,10 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q185_k_anonymity" -> q185Oracle,
+    "q186_late_arrivals" -> q186Oracle,
+    "q187_negative_samples" -> q187Oracle,
+    "q188_burst_rate" -> q188Oracle,
     "q183_linear_attribution" -> q183Oracle,
     "q180_type_affinity" -> q180Oracle,
     "q174_trend_slope" -> q174Oracle,
