@@ -904,8 +904,13 @@ object Dedup {
       .filter((col("doc_b") - col("doc_a")).between(lit(1), lit(window)))
       .filter(abs(length(col("t_a")) - length(col("t_b"))) <= maxDist)
       .groupBy((blockCols.map(col) :+ col("doc_a") :+ col("doc_b")): _*)
-      .agg(min(levenshtein(col("t_a"), col("t_b"))).as("dist"))
-      .filter(col("dist") <= maxDist)
+      // the BANDED 3-arg form: O((2k+1)·n) instead of O(n·m) per pair —
+      // for k ≪ |doc| this is the dominant cost of the whole tier cut by
+      // |doc|/(2k+1). Distances ≤ maxDist come back exact (so survivors
+      // are value-identical to the unbounded DP the oracle replays);
+      // beyond the band it short-circuits to −1, excluded by the filter.
+      .agg(min(levenshtein(col("t_a"), col("t_b"), maxDist)).as("dist"))
+      .filter(col("dist").between(0, maxDist))
   }
 
   def ngramJaccardPairs(
