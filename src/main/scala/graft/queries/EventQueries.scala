@@ -2518,7 +2518,93 @@ object EventQueries {
       |       (max(win_n) >= 10)::INT AS is_bot
       |FROM w GROUP BY 1""".stripMargin
 
+  /** q189: weighted median per event type — the smallest value whose
+    * cumulative integer weight (cents + 1, always positive) reaches half
+    * the type's total: revenue-weighted "typical value", robust where the
+    * plain median ignores magnitude. The crossing test is the integer
+    * cross-multiplication `2·cumw ≥ totw` and the output value is an
+    * untouched row double — no float arithmetic is ever CREATED, so both
+    * engines agree bit-for-bit. Nulls are excluded up front (Spark sorts
+    * them first, DuckDB last — the one ordering the engines disagree on).
+    *
+    * Scale shape: one shuffle on event_type; the running weight is a
+    * rows-frame window, totals broadcast back.
+    */
+  def q189WeightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .filter(col("value").isNotNull)
+      .withColumn("w", floor(abs(col("value")) * 100).cast("long") + 1)
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = e.groupBy("event_type").agg(sum(col("w")).as("totw"))
+    e.withColumn("cumw", sum(col("w")).over(w))
+      .join(broadcast(tot), "event_type")
+      .filter(col("cumw") * 2 >= col("totw"))
+      .groupBy("event_type")
+      .agg(min(col("value")).as("w_median"), max(col("totw")).as("totw"))
+  }
+
+  private val q189Oracle =
+    """WITH e AS (SELECT event_id, event_type, value,
+      |                  floor(abs(value) * 100)::BIGINT + 1 AS w
+      |           FROM events WHERE value IS NOT NULL),
+      |c AS (SELECT event_type, value,
+      |        sum(w) OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+      |        sum(w) OVER (PARTITION BY event_type) AS totw
+      |      FROM e)
+      |SELECT event_type, min(value) AS w_median, max(totw)::BIGINT AS totw
+      |FROM c WHERE cumw * 2 >= totw GROUP BY 1""".stripMargin
+
+  /** q190: CUSUM change-point detection — per type, the day where the
+    * cumulative deviation of daily cent-totals from the type's own mean
+    * peaks (Page's CUSUM, the classic "when did this metric shift"
+    * estimator). Deviations are pre-scaled by n (`n·y − S`) so the whole
+    * statistic stays BIGINT — no float mean; the argmax tiebreaks to the
+    * earliest day.
+    *
+    * Scale shape: one shuffle to daily points, per-type (n, S) broadcast
+    * back, the cusum a per-type rows-frame window, and the argmax a
+    * model-sized self-join on the |types|-row peak table.
+    */
+  def q190ChangePoint(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .withColumn("day", tsDay)
+      .withColumn("cents", floor(col("value") * 100).cast("long"))
+      .groupBy("event_type", "day")
+      .agg(coalesce(sum(col("cents")), lit(0L)).as("y"))
+    val stats = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+    val w = Window.partitionBy("event_type").orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cus = daily.join(broadcast(stats), "event_type")
+      .withColumn("cusum", sum(col("n") * col("y") - col("s")).over(w))
+    val peaks = cus.groupBy("event_type").agg(max(abs(col("cusum"))).as("peak"))
+    cus.join(broadcast(peaks), "event_type")
+      .filter(abs(col("cusum")) === col("peak"))
+      .groupBy("event_type")
+      .agg(min(col("day")).as("change_day"), max(col("peak")).as("peak"))
+  }
+
+  private val q190Oracle =
+    """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |                  coalesce(sum(floor(value * 100)::BIGINT), 0)::BIGINT AS y
+      |           FROM events GROUP BY 1, 2),
+      |st AS (SELECT event_type, count(*)::BIGINT AS n, sum(y)::BIGINT AS s
+      |       FROM d GROUP BY 1),
+      |c AS (SELECT d.event_type, day,
+      |        sum(st.n * d.y - st.s) OVER (PARTITION BY d.event_type ORDER BY day ASC
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+      |      FROM d JOIN st USING (event_type)),
+      |p AS (SELECT event_type, max(abs(cusum)) AS peak FROM c GROUP BY 1)
+      |SELECT event_type, min(day)::BIGINT AS change_day, max(peak)::BIGINT AS peak
+      |FROM c JOIN p USING (event_type)
+      |WHERE abs(cusum) = peak GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q189_weighted_median" -> (q189WeightedMedian _),
+    "q190_change_point" -> (q190ChangePoint _),
     "q185_k_anonymity" -> (q185KAnonymity _),
     "q186_late_arrivals" -> (q186LateArrivals _),
     "q187_negative_samples" -> (q187NegativeSamples _),
@@ -2589,6 +2675,8 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q189_weighted_median" -> q189Oracle,
+    "q190_change_point" -> q190Oracle,
     "q185_k_anonymity" -> q185Oracle,
     "q186_late_arrivals" -> q186Oracle,
     "q187_negative_samples" -> q187Oracle,

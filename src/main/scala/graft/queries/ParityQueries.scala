@@ -831,6 +831,40 @@ object ParityQueries {
       |       count(DISTINCT user_id)::BIGINT AS n_users
       |FROM events GROUP BY 1""".stripMargin
 
+  private val q191Staged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q191: partitioned-layout write + pruned read — events written
+    * `partitionBy(day)` (the Hive-style layout every lake table uses for
+    * time partitioning), read back through a partition-column predicate.
+    * The predicate must land in the scan's `PartitionFilters`
+    * (PlanSpec-asserted): whole directories are skipped BEFORE any
+    * footer is opened — coarse-grained pruning above q171's file-level
+    * zone maps. The aggregate is q100's roundtrip gate shape, so the
+    * layout cannot silently drop or duplicate rows.
+    */
+  def q191PartitionedWrite(spark: SparkSession, dir: String): DataFrame = {
+    val path = q191Staged.computeIfAbsent(dir, _ => {
+      val p = Scratch.stableDir("q191-part-" + Scratch.md5Hex(dir))
+      events(spark, dir)
+        .withColumn("day", Tables.tsDay)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(p)
+      p
+    })
+    spark.read.parquet(path)
+      .filter(col("day") % 2 === 0)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"),
+        countDistinct(col("day")).as("n_days"))
+  }
+
+  private val q191Oracle =
+    """SELECT event_type, count(*)::BIGINT AS n, sum(event_id)::BIGINT AS sum_id,
+      |       count(DISTINCT epoch_us(ts) // 86400000000)::BIGINT AS n_days
+      |FROM events WHERE (epoch_us(ts) // 86400000000) % 2 = 0
+      |GROUP BY 1""".stripMargin
+
   private val q101Staged =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -1109,6 +1143,7 @@ object ParityQueries {
     "q178_column_profile" -> (q178ColumnProfile _),
     "q179_incremental_join" -> (q179IncrementalJoin _),
     "q181_stream_incremental_join" -> (q181StreamIncrementalJoin _),
+    "q191_partitioned_write" -> (q191PartitionedWrite _),
     "q173_local_supplier" -> (q173LocalSupplierRevenue _),
     "q177_important_parts" -> (q177ImportantParts _),
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1149,6 +1184,7 @@ object ParityQueries {
     "q179_incremental_join" -> q179Oracle,
     // streaming join maintenance must land exactly on the batch join
     "q181_stream_incremental_join" -> q181Oracle,
+    "q191_partitioned_write" -> q191Oracle,
     "q173_local_supplier" -> q173Oracle,
     "q177_important_parts" -> q177Oracle,
     "q01_pricing_summary" ->

@@ -440,6 +440,14 @@ class PlanSpec extends SparkSpec {
       s"date window not applied below the join:\n$plan")
   }
 
+  test("q191 partition-column predicate lands in PartitionFilters, not the data scan") {
+    val plan = planOf(ParityQueries.q191PartitionedWrite(spark, Sf0001))
+    // directory-level pruning: the day predicate must be a partition filter
+    // (skips whole dirs before any footer is read), never a row filter
+    assert("PartitionFilters: \\[[^\\]]*day".r.findFirstIn(plan).isDefined,
+      s"day predicate did not reach PartitionFilters:\n$plan")
+  }
+
   test("IVF indexed probe plans dynamic partition pruning on the inverted file") {
     withTempDir("plan-ivf") { dir =>
       val e = Tables.embeddings(spark, Sf0001)
