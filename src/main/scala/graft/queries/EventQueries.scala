@@ -2602,7 +2602,87 @@ object EventQueries {
       |FROM c JOIN p USING (event_type)
       |WHERE abs(cusum) = peak GROUP BY 1""".stripMargin
 
+  /** q192: CONVERSION-WINDOW funnel — q106's strictly-ordered three-step
+    * chain with the constraint real funnels add: each step must land
+    * within 1 hour of the previous step's first occurrence, or the user
+    * drops out. Same chained min-join shape (the exchanges stay
+    * user_id-keyed and reusable); only the join predicate gains the
+    * window bound.
+    */
+  def q192WindowedFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val winUs = 3600L * 1000000L
+    val e = events(spark, dir).withColumn("ts_us", tsUs)
+    val s1 = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts_us")).as("t1"))
+    val s2 = e.filter(col("event_type") === "click")
+      .join(s1, "user_id")
+      .filter(col("ts_us") > col("t1") && col("ts_us") - col("t1") <= winUs)
+      .groupBy("user_id").agg(min(col("ts_us")).as("t2"))
+    val s3 = e.filter(col("event_type") === "purchase")
+      .join(s2, "user_id")
+      .filter(col("ts_us") > col("t2") && col("ts_us") - col("t2") <= winUs)
+      .groupBy("user_id").agg(min(col("ts_us")).as("t3"))
+    s1.agg(count(lit(1)).as("n_signup"))
+      .crossJoin(s2.agg(count(lit(1)).as("n_click_1h")))
+      .crossJoin(s3.agg(count(lit(1)).as("n_purchase_1h")))
+  }
+
+  private val q192Oracle =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+      |s1 AS (SELECT user_id, min(tsu) AS t1 FROM e
+      |       WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(tsu) AS t2 FROM e JOIN s1 USING (user_id)
+      |       WHERE event_type = 'click' AND tsu > t1 AND tsu - t1 <= 3600000000
+      |       GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(tsu) AS t3 FROM e JOIN s2 USING (user_id)
+      |       WHERE event_type = 'purchase' AND tsu > t2 AND tsu - t2 <= 3600000000
+      |       GROUP BY 1)
+      |SELECT (SELECT count(*) FROM s1)::BIGINT AS n_signup,
+      |       (SELECT count(*) FROM s2)::BIGINT AS n_click_1h,
+      |       (SELECT count(*) FROM s3)::BIGINT AS n_purchase_1h""".stripMargin
+
+  /** q193: behavioral SEQUENCE-PATTERN matching (MATCH_RECOGNIZE-lite) —
+    * each user's event stream collapses to an ordered initial-letter
+    * string (deterministically: struct-sorted by (ts, event_id), q97's
+    * collect rule), then regex patterns count matching users: "view →
+    * click → purchase with no error between" is `v[^e]*c[^e]*p`. The
+    * sequence-analytics capability funnels can't express (negative
+    * constraints, arbitrary gaps) as two aggregates + a scan-speed regex
+    * over |users| strings.
+    */
+  def q193SequenceMatch(spark: SparkSession, dir: String): DataFrame = {
+    val paths = events(spark, dir)
+      .withColumn("ts_us", tsUs)
+      .withColumn("c", substring(col("event_type"), 1, 1))
+      .groupBy("user_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("ts_us"), col("event_id"), col("c")))),
+        x => x.getField("c")), "").as("path"))
+    val patterns = Seq(
+      ("view_click_buy_no_error", "v[^e]*c[^e]*p"),
+      ("signup_then_buy", "s.*p"),
+      ("error_recovery", "e.*p"))
+    patterns.map { case (name, re) =>
+      paths.agg(lit(name).as("pattern"),
+        sum(col("path").rlike(re).cast("long")).as("n_users"))
+    }.reduce(_.unionByName(_))
+  }
+
+  private val q193Oracle =
+    """WITH p AS (SELECT user_id,
+      |             string_agg(substr(event_type, 1, 1), '' ORDER BY epoch_us(ts), event_id)
+      |               AS path
+      |           FROM events GROUP BY 1)
+      |SELECT 'view_click_buy_no_error' AS pattern,
+      |       sum(regexp_matches(path, 'v[^e]*c[^e]*p')::BIGINT)::BIGINT AS n_users FROM p
+      |UNION ALL
+      |SELECT 'signup_then_buy', sum(regexp_matches(path, 's.*p')::BIGINT)::BIGINT FROM p
+      |UNION ALL
+      |SELECT 'error_recovery', sum(regexp_matches(path, 'e.*p')::BIGINT)::BIGINT FROM p""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q192_windowed_funnel" -> (q192WindowedFunnel _),
+    "q193_sequence_match" -> (q193SequenceMatch _),
     "q189_weighted_median" -> (q189WeightedMedian _),
     "q190_change_point" -> (q190ChangePoint _),
     "q185_k_anonymity" -> (q185KAnonymity _),
@@ -2675,6 +2755,8 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q192_windowed_funnel" -> q192Oracle,
+    "q193_sequence_match" -> q193Oracle,
     "q189_weighted_median" -> q189Oracle,
     "q190_change_point" -> q190Oracle,
     "q185_k_anonymity" -> q185Oracle,

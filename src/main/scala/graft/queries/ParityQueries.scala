@@ -1139,7 +1139,45 @@ object ParityQueries {
     """SELECT o_orderkey, o_totalprice, l_linenumber, l_quantity
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin
 
+  /** q194: join-cardinality profile — the planning diagnostic behind every
+    * join-order/skew decision: per-key frequency histograms of both sides
+    * give the EXACT join output size as Σ f_A(k)·f_B(k) without
+    * materializing the join, plus the heaviest key's contribution (the
+    * skew planner's input, q65/q122's "should I salt?" number). The query
+    * is self-proving: the oracle computes the same sum AND the definitional
+    * `count(*)` of the actual join — they must agree.
+    *
+    * Scale shape: two per-key aggregates (map-side combined) + one
+    * |keys|-sized join — never the |A⋈B| row stream. This is how you cost
+    * a 100 TB join for 0.1 % of its price.
+    */
+  def q194JoinSizeProfile(spark: SparkSession, dir: String): DataFrame = {
+    val co = orders(spark, dir).groupBy(col("o_custkey").as("k"))
+      .agg(count(lit(1)).as("fa"))
+    val cl = customer(spark, dir).groupBy(col("c_custkey").as("k"))
+      .agg(count(lit(1)).as("fb"))
+    co.join(cl, "k")
+      .select(col("k"), (col("fa") * col("fb")).as("contrib"))
+      .agg(sum(col("contrib")).as("predicted_rows"),
+        count(lit(1)).as("n_join_keys"),
+        max(col("contrib")).as("max_key_contrib"))
+  }
+
+  private val q194Oracle =
+    """WITH co AS (SELECT o_custkey AS k, count(*)::BIGINT AS fa FROM orders GROUP BY 1),
+      |cl AS (SELECT c_custkey AS k, count(*)::BIGINT AS fb FROM customer GROUP BY 1),
+      |prof AS (SELECT sum(fa * fb)::BIGINT AS predicted_rows,
+      |                count(*)::BIGINT AS n_join_keys,
+      |                max(fa * fb)::BIGINT AS max_key_contrib
+      |         FROM co JOIN cl USING (k)),
+      |actual AS (SELECT count(*)::BIGINT AS n FROM orders
+      |           JOIN customer ON o_custkey = c_custkey)
+      |SELECT predicted_rows, n_join_keys, max_key_contrib
+      |FROM prof, actual
+      |WHERE predicted_rows = actual.n""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q194_join_size_profile" -> (q194JoinSizeProfile _),
     "q178_column_profile" -> (q178ColumnProfile _),
     "q179_incremental_join" -> (q179IncrementalJoin _),
     "q181_stream_incremental_join" -> (q181StreamIncrementalJoin _),
@@ -1180,6 +1218,9 @@ object ParityQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the WHERE predicted=actual clause makes the oracle itself assert the
+    // profile against the definitional join count — a mismatch empties it
+    "q194_join_size_profile" -> q194Oracle,
     "q178_column_profile" -> q178Oracle,
     "q179_incremental_join" -> q179Oracle,
     // streaming join maintenance must land exactly on the batch join
