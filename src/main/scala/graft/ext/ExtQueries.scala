@@ -2175,6 +2175,101 @@ object ExtQueries {
        |  ON a.lang = b.lang AND a.source = b.source
        | AND b.doc_id - a.doc_id BETWEEN 1 AND 200""".stripMargin
 
+  /** q195: per-row embedding norm QA — the row-wise companion of q169's
+    * per-dimension stats: each vector's fixed-point squared L2 norm via a
+    * single `aggregate` HOF (integer end to end, no float summation
+    * order), flagged against 4× the corpus median (anchor broadcast).
+    * Norm outliers distort every cosine downstream (q30–q34, q74) — this
+    * is the screen that catches them before indexing. Scan-speed, one
+    * 1-row anchor.
+    */
+  def q195EmbedNorms(spark: SparkSession, dir: String): DataFrame = {
+    val q = fanOut(embeddings(spark, dir))
+      .withColumn("nq", expr(
+        """aggregate(
+          |  transform(embedding, v -> CAST(floor(CAST(v AS double) * 1000) AS bigint)),
+          |  0L, (a, x) -> a + x * x)""".stripMargin))
+    val med = q.agg(expr("percentile(nq, 0.5)").as("med_nq"))
+    q.crossJoin(broadcast(med))
+      .select(col("vec_id"), col("nq"),
+        (col("nq") > col("med_nq") * 4).cast("int").as("is_outlier"))
+  }
+
+  private val q195Oracle =
+    """WITH n AS (SELECT vec_id,
+      |             list_sum(list_transform(embedding,
+      |               v -> floor(v::DOUBLE * 1000)::BIGINT * floor(v::DOUBLE * 1000)::BIGINT
+      |             ))::BIGINT AS nq
+      |           FROM embeddings),
+      |m AS (SELECT quantile_cont(nq, 0.5) AS med_nq FROM n)
+      |SELECT vec_id, nq, (nq > med_nq * 4)::INT AS is_outlier
+      |FROM n CROSS JOIN m""".stripMargin
+
+  /** q196: shard load-balance audit — per-shard doc and token totals for
+    * q150's hash layout, plus the imbalance number a training loader
+    * cares about: the heaviest shard's share in ppm of a perfectly
+    * balanced one (10⁶ = balanced, 2·10⁶ = one shard does double work —
+    * stragglers in every epoch). Model-sized aggregate over the shard
+    * assignment; the token counting rides the same scan.
+    */
+  def q196ShardSkew(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = Sampling.shardAssign(fanOut(documents(spark, dir)), nShards = 8)
+    val toks = fanOut(documents(spark, dir))
+      .select(col("doc_id"),
+        expr("size(filter(split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' '), t -> t <> ''))")
+          .cast("long").as("n_tok"))
+    val per = assigned.join(toks, "doc_id")
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("tot"), count(lit(1)).as("k"))
+    per.crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        expr("(1000000 * n_tokens * k) div tot").as("load_ppm"))
+  }
+
+  private def q196Oracle: String =
+    s"""WITH h AS (SELECT doc_id,
+       |             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS hv
+       |           FROM documents),
+       |a AS (SELECT doc_id, (hv % 8)::INT AS shard FROM h),
+       |tk AS (SELECT doc_id, count(*)::BIGINT AS n_tok FROM (
+       |         SELECT doc_id, unnest(string_split($DNorm, ' ')) AS term FROM documents)
+       |       WHERE term <> '' GROUP BY 1),
+       |p AS (SELECT shard, count(*)::BIGINT AS n_docs,
+       |             sum(coalesce(n_tok, 0))::BIGINT AS n_tokens
+       |      FROM a LEFT JOIN tk USING (doc_id) GROUP BY 1),
+       |t AS (SELECT sum(n_tokens)::BIGINT AS tot, count(*)::BIGINT AS k FROM p)
+       |SELECT shard, n_docs, n_tokens,
+       |       (1000000 * n_tokens * k) // tot AS load_ppm
+       |FROM p CROSS JOIN t""".stripMargin
+
+  /** q197: tokenizer-compression ratio per language — characters per
+    * token in fixed-point (10⁴·Σchars div Σtokens): the
+    * tokenizer-efficiency number behind per-language cost estimates
+    * (a language tokenizing at 2× the chars/token costs 2× the context
+    * budget). One aggregation; `n_chars` comes off the table, tokens
+    * from the same normalized split every text operator uses.
+    */
+  def q197TokenCompression(spark: SparkSession, dir: String): DataFrame =
+    fanOut(documents(spark, dir))
+      .select(col("lang"), col("n_chars"),
+        expr("size(filter(split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' '), t -> t <> ''))")
+          .cast("long").as("n_tok"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
+        sum(col("n_tok")).as("tokens"))
+      .withColumn("chars_per_tok_4", expr("(10000 * chars) div tokens"))
+
+  private def q197Oracle: String =
+    s"""WITH tk AS (SELECT doc_id, count(*)::BIGINT AS n_tok FROM (
+       |         SELECT doc_id, unnest(string_split($DNorm, ' ')) AS term FROM documents)
+       |       WHERE term <> '' GROUP BY 1)
+       |SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS chars,
+       |       sum(coalesce(n_tok, 0))::BIGINT AS tokens,
+       |       (10000 * sum(n_chars)) // sum(coalesce(n_tok, 0)) AS chars_per_tok_4
+       |FROM documents LEFT JOIN tk USING (doc_id)
+       |GROUP BY 1""".stripMargin
+
   // ---------------- registry ----------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2231,6 +2326,9 @@ object ExtQueries {
     "q172_phash_clusters" -> (q172PhashClusters _),
     "q182_heaps_curve" -> (q182HeapsCurve _),
     "q184_containment" -> (q184Containment _),
+    "q195_embed_norms" -> (q195EmbedNorms _),
+    "q196_shard_skew" -> (q196ShardSkew _),
+    "q197_token_compression" -> (q197TokenCompression _),
     "q168_freq_decay" -> (q168FreqDecay _),
     "q169_embed_dim_stats" -> (q169EmbedDimStats _),
     "q170_posting_lists" -> (q170PostingLists _),
@@ -2313,6 +2411,9 @@ object ExtQueries {
     "q172_phash_clusters" -> q172Oracle,
     "q182_heaps_curve" -> q182Oracle,
     "q184_containment" -> q184Oracle,
+    "q195_embed_norms" -> q195Oracle,
+    "q196_shard_skew" -> q196Oracle,
+    "q197_token_compression" -> q197Oracle,
     "q168_freq_decay" -> q168Oracle,
     "q169_embed_dim_stats" -> q169Oracle,
     "q170_posting_lists" -> q170Oracle,
