@@ -2270,6 +2270,45 @@ object ExtQueries {
        |FROM documents LEFT JOIN tk USING (doc_id)
        |GROUP BY 1""".stripMargin
 
+  /** DuckDB fragment replaying [[Multimodal.audioFingerprint]]'s
+    * sign-of-delta bits for the closed-form WAV fixtures
+    * (sample i of doc `id` = (id·31 + i·7) % 65536 − 32768) — one
+    * generated string for both engines, the q172/q116 pattern.
+    */
+  private def audioFpSql(id: String): String = {
+    // unsigned sample value: (id*31 + 7*frame) % 65536
+    def u(i: Int) = s"(($id * 31 + ${7 * i}) % 65536)"
+    (0 until 16)
+      .map(i => s"(((${u(i * 23)} % 17) > 8)::INT * ${1 << i})")
+      .mkString("(", " + ", ")")
+  }
+
+  /** q198: audio fingerprinting — every doc gets a closed-form WAV
+    * ([[Multimodal.encodeTestWav]]), the JDK's `javax.sound.sampled`
+    * REALLY parses the container and PCM frames, and
+    * [[Multimodal.audioFingerprint]] takes 16 strided sign bits. Gated
+    * PER CLIP: the oracle predicts every doc's exact bits from the
+    * fixture's closed form — one mis-decoded frame anywhere in the
+    * corpus flips a bit and fails the hash. The audio leg of the
+    * near-dup front end (q172 is the image leg); bucketing on `fp`
+    * downstream is plain relational work.
+    */
+  def q198AudioFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = fanOut(documents(spark, dir)).select(col("doc_id")).as[Long]
+    val media = ids
+      .mapPartitions(_.map(id => Multimodal.MediaRow(id, Multimodal.encodeTestWav(id))))
+      .toDF()
+    Multimodal.extractAudioFingerprints(spark, media)
+      .toDF()
+      .filter(col("decoded"))
+      .select("doc_id", "fp")
+  }
+
+  private def q198Oracle: String =
+    s"""SELECT doc_id, (${audioFpSql("doc_id")})::BIGINT AS fp
+       |FROM documents""".stripMargin
+
   // ---------------- registry ----------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2327,6 +2366,7 @@ object ExtQueries {
     "q182_heaps_curve" -> (q182HeapsCurve _),
     "q184_containment" -> (q184Containment _),
     "q195_embed_norms" -> (q195EmbedNorms _),
+    "q198_audio_fingerprint" -> (q198AudioFingerprint _),
     "q196_shard_skew" -> (q196ShardSkew _),
     "q197_token_compression" -> (q197TokenCompression _),
     "q168_freq_decay" -> (q168FreqDecay _),
@@ -2412,6 +2452,7 @@ object ExtQueries {
     "q182_heaps_curve" -> q182Oracle,
     "q184_containment" -> q184Oracle,
     "q195_embed_norms" -> q195Oracle,
+    "q198_audio_fingerprint" -> q198Oracle,
     "q196_shard_skew" -> q196Oracle,
     "q197_token_compression" -> q197Oracle,
     "q168_freq_decay" -> q168Oracle,

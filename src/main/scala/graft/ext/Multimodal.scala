@@ -284,6 +284,73 @@ object Multimodal {
       case scala.util.control.NonFatal(_) => None
     }
 
+  final case class AudioFingerprint(
+      doc_id: Long,
+      decoded: Boolean,
+      fp: Long // 16 sign-of-delta bits over the first 17 PCM samples
+  )
+
+  /** Shazam-lite audio fingerprint from the REAL decoded PCM stream: bit i
+    * of `fp` is set iff the UNSIGNED value of sample `i·23` (first
+    * channel) lands in the upper half of its mod-17 quantization bucket —
+    * 16 strided quantization bits, the bucketing-signature shape audio
+    * matchers use, as pure integer arithmetic a SQL oracle can replay
+    * from the closed-form WAV fixtures. (Sign or delta bits would be
+    * CONSTANT for these sawtooth fixtures — slope 7, small phase — and
+    * hash every clip identically; the fine-grained residue varies with
+    * both the clip and the position, so one mis-decoded frame flips a
+    * bit.) Stride 23 spans 345 frames, inside every fixture's ≥ 400.
+    * Returns None when the payload isn't 16-bit PCM or is shorter than
+    * the sampled span.
+    */
+  def audioFingerprint(id: Long, bytes: Array[Byte]): Option[AudioFingerprint] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val pcm16 = fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16
+        if (!pcm16) None
+        else {
+          val step = fmt.getChannels // first channel of each frame
+          val data = in.readNBytes((15 * 23 + 1) * 2 * step)
+          val bb = java.nio.ByteBuffer.wrap(data).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          val n = data.length / 2 / step
+          if (n < 15 * 23 + 1) None
+          else {
+            var fp = 0L
+            var i = 0
+            while (i < 16) {
+              if ((bb.getShort(i * 23 * step * 2) + 32768) % 17 > 8) fp |= 1L << i
+              i += 1
+            }
+            Some(AudioFingerprint(id, decoded = true, fp))
+          }
+        }
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Partition-batched audio fingerprinting with the undecodable fallback
+    * (flagged, zero fp) — the near-dup front end for audio corpora;
+    * downstream bucketing on `fp` is plain relational work.
+    */
+  def extractAudioFingerprints(spark: SparkSession, media: DataFrame): Dataset[AudioFingerprint] = {
+    import spark.implicits._
+    media
+      .select(col("doc_id"), col("media"))
+      .as[MediaRow]
+      .mapPartitions { batch =>
+        batch.map { row =>
+          audioFingerprint(row.doc_id, row.media)
+            .getOrElse(AudioFingerprint(row.doc_id, decoded = false, 0L))
+        }
+      }
+  }
+
   /** Partition-batched audio feature extraction with the stub fallback for
     * payloads no installed reader recognizes (flagged, zero dimensions) —
     * the audio counterpart of [[extractImageFeatures]].

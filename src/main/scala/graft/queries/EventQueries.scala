@@ -2680,7 +2680,37 @@ object EventQueries {
       |UNION ALL
       |SELECT 'error_recovery', sum(regexp_matches(path, 'e.*p')::BIGINT)::BIGINT FROM p""".stripMargin
 
+  /** q200: recency-window history features — each user's last 3 event
+    * types, most recent first, as one deterministic string: the
+    * "context at prediction time" feature a sequence model consumes.
+    * WindowGroupLimit truncates per user BEFORE any collect (q170's
+    * bounded-state rule), so per-user state is ≤ 3 rows however long the
+    * history.
+    */
+  def q200RecentHistory(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    events(spark, dir)
+      .withColumn("ts_us", tsUs)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .groupBy("user_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("rn"), col("event_type")))),
+        x => x.getField("event_type")), ">").as("recent3"))
+  }
+
+  private val q200Oracle =
+    """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu FROM events),
+      |r AS (SELECT user_id, event_type,
+      |        row_number() OVER (PARTITION BY user_id
+      |          ORDER BY tsu DESC, event_id DESC) AS rn
+      |      FROM e)
+      |SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS recent3
+      |FROM r WHERE rn <= 3 GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q200_recent_history" -> (q200RecentHistory _),
     "q192_windowed_funnel" -> (q192WindowedFunnel _),
     "q193_sequence_match" -> (q193SequenceMatch _),
     "q189_weighted_median" -> (q189WeightedMedian _),
@@ -2756,6 +2786,7 @@ object EventQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q192_windowed_funnel" -> q192Oracle,
+    "q200_recent_history" -> q200Oracle,
     "q193_sequence_match" -> q193Oracle,
     "q189_weighted_median" -> q189Oracle,
     "q190_change_point" -> q190Oracle,

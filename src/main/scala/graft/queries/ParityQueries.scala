@@ -1176,7 +1176,46 @@ object ParityQueries {
       |FROM prof, actual
       |WHERE predicted_rows = actual.n""".stripMargin
 
+  private val q199Staged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q199: malformed-record handling — a staged CSV where every 17th row
+    * is garbage, read back in PERMISSIVE mode with a
+    * `columnNameOfCorruptRecord` column: corrupt rows are COUNTED and
+    * quarantined, clean rows aggregate normally, and nothing crashes the
+    * job — the ingestion-robustness contract of a production pipeline
+    * (the reference inherits it from Delta; a raw-file engine must prove
+    * it). The oracle replays the counts closed-form from the residue
+    * that decided which rows were staged broken.
+    */
+  def q199CorruptRecords(spark: SparkSession, dir: String): DataFrame = {
+    val path = q199Staged.computeIfAbsent(dir, _ => {
+      val p = Scratch.stableDir("q199-csv-" + Scratch.md5Hex(dir))
+      documents(spark, dir)
+        .select(when(col("doc_id") % 17 === 0, lit("not,a,number,at,all"))
+          .otherwise(concat(col("doc_id").cast("string"), lit(","),
+            col("n_chars").cast("string"))).as("value"))
+        .write.mode("overwrite").text(p)
+      p
+    })
+    spark.read
+      .schema("doc_id LONG, n_chars LONG, _corrupt STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(path)
+      .agg(count(lit(1)).as("n_total"),
+        sum(col("_corrupt").isNotNull.cast("long")).as("n_corrupt"),
+        sum(when(col("_corrupt").isNull, col("n_chars")).otherwise(0L)).as("clean_chars"))
+  }
+
+  private val q199Oracle =
+    """SELECT count(*)::BIGINT AS n_total,
+      |       sum((doc_id % 17 = 0)::BIGINT)::BIGINT AS n_corrupt,
+      |       sum(CASE WHEN doc_id % 17 <> 0 THEN n_chars ELSE 0 END)::BIGINT AS clean_chars
+      |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q199_corrupt_records" -> (q199CorruptRecords _),
     "q194_join_size_profile" -> (q194JoinSizeProfile _),
     "q178_column_profile" -> (q178ColumnProfile _),
     "q179_incremental_join" -> (q179IncrementalJoin _),
@@ -1221,6 +1260,7 @@ object ParityQueries {
     // the WHERE predicted=actual clause makes the oracle itself assert the
     // profile against the definitional join count — a mismatch empties it
     "q194_join_size_profile" -> q194Oracle,
+    "q199_corrupt_records" -> q199Oracle,
     "q178_column_profile" -> q178Oracle,
     "q179_incremental_join" -> q179Oracle,
     // streaming join maintenance must land exactly on the batch join
