@@ -2709,7 +2709,105 @@ object EventQueries {
       |SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS recent3
       |FROM r WHERE rn <= 3 GROUP BY 1""".stripMargin
 
+  /** q201: 90 %-coverage cut — per user, how many event types (taken
+    * most-frequent first) cover ≥ 90 % of their events. The mass-coverage
+    * primitive behind vocabulary truncation, catalog pruning and "how
+    * concentrated is this user" features; the test is the integer
+    * cross-multiplication `10·prev_cum < 9·total` (a row is still needed
+    * iff coverage wasn't reached before it). One user-prefixed shuffle;
+    * the windows run over ≤ |types| rows per user.
+    */
+  def q201CoverageCut(spark: SparkSession, dir: String): DataFrame = {
+    val byN = Window.partitionBy("user_id").orderBy(col("n").desc, col("event_type").asc)
+    val cum = byN.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(spark, dir)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+      .withColumn("cumn", sum(col("n")).over(cum))
+      .withColumn("tot", sum(col("n")).over(Window.partitionBy("user_id")))
+      .withColumn("rk", row_number().over(byN))
+      .filter((col("cumn") - col("n")) * 10 < col("tot") * 9)
+      .groupBy("user_id")
+      .agg(max(col("rk")).as("k_90"), max(col("tot")).as("n_events"))
+  }
+
+  private val q201Oracle =
+    """WITH c AS (SELECT user_id, event_type, count(*)::BIGINT AS n
+      |           FROM events GROUP BY 1, 2),
+      |w AS (SELECT user_id, n,
+      |        sum(n) OVER (PARTITION BY user_id ORDER BY n DESC, event_type ASC
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumn,
+      |        sum(n) OVER (PARTITION BY user_id) AS tot,
+      |        row_number() OVER (PARTITION BY user_id
+      |          ORDER BY n DESC, event_type ASC) AS rk
+      |      FROM c)
+      |SELECT user_id, max(rk)::INT AS k_90, max(tot)::BIGINT AS n_events
+      |FROM w WHERE (cumn - n) * 10 < tot * 9 GROUP BY 1""".stripMargin
+
+  /** q203: feature-store materialization — ONE wide training row per user
+    * composing the session's behavioral features: volume, breadth,
+    * integer-cents monetary, recency vs the corpus max day (broadcast
+    * anchor), q188's 60-second burst peak and q176's Simpson diversity —
+    * the end-to-end "assemble the model's input table" job (q102's role
+    * for the events side). Every arm aggregates on the same user_id key,
+    * so the joins co-locate on one shuffle family; all arithmetic is the
+    * already-pinned integer forms.
+    */
+  def q203FeatureStore(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .withColumn("ts_us", tsUs)
+      .withColumn("day", tsDay)
+      .withColumn("cents", floor(col("value") * 100).cast("long"))
+    val base = e.groupBy("user_id").agg(
+      count(lit(1)).as("n_events"),
+      countDistinct(col("event_type")).as("n_types"),
+      sum(col("cents")).as("monetary_c"),
+      max(col("day")).as("last_day"))
+    val gmax = base.agg(max(col("last_day")).as("gmax"))
+    val burst = e
+      .withColumn("win_n", count(lit(1)).over(
+        Window.partitionBy("user_id").orderBy(col("ts_us").asc)
+          .rangeBetween(-60000000L, 0L)))
+      .groupBy("user_id").agg(max(col("win_n")).as("peak_per_min"))
+    val simpson = e.groupBy("user_id", "event_type").agg(count(lit(1)).as("ni"))
+      .groupBy("user_id")
+      .agg(sum(col("ni")).as("sn"), sum(col("ni") * (col("ni") - 1)).as("pairs"))
+      .filter(col("sn") >= 2)
+      .select(col("user_id"),
+        (lit(1000000L) - expr("(1000000 * pairs) div (sn * (sn - 1))")).as("simpson_ppm"))
+    base.join(burst, "user_id").join(simpson, "user_id")
+      .crossJoin(broadcast(gmax))
+      .select(col("user_id"), col("n_events"), col("n_types"), col("monetary_c"),
+        (col("gmax") - col("last_day")).as("recency_days"),
+        col("peak_per_min"), col("simpson_ppm"))
+  }
+
+  private val q203Oracle =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu,
+      |                  epoch_us(ts) // 86400000000 AS day,
+      |                  floor(value * 100)::BIGINT AS cents FROM events),
+      |b AS (SELECT user_id, count(*)::BIGINT AS n_events,
+      |             count(DISTINCT event_type)::BIGINT AS n_types,
+      |             sum(cents)::BIGINT AS monetary_c, max(day) AS last_day
+      |      FROM e GROUP BY 1),
+      |g AS (SELECT max(last_day) AS gmax FROM b),
+      |w AS (SELECT user_id,
+      |        count(*) OVER (PARTITION BY user_id ORDER BY tsu ASC
+      |          RANGE BETWEEN 60000000 PRECEDING AND CURRENT ROW) AS win_n
+      |      FROM e),
+      |p AS (SELECT user_id, max(win_n)::BIGINT AS peak_per_min FROM w GROUP BY 1),
+      |c AS (SELECT user_id, event_type, count(*)::BIGINT AS ni FROM e GROUP BY 1, 2),
+      |s AS (SELECT user_id, sum(ni)::BIGINT AS sn,
+      |             sum(ni * (ni - 1))::BIGINT AS pairs FROM c GROUP BY 1),
+      |sp AS (SELECT user_id,
+      |         1000000 - (1000000 * pairs) // (sn * (sn - 1)) AS simpson_ppm
+      |       FROM s WHERE sn >= 2)
+      |SELECT b.user_id, n_events, n_types, monetary_c,
+      |       (gmax - last_day)::BIGINT AS recency_days, peak_per_min, simpson_ppm
+      |FROM b JOIN p USING (user_id) JOIN sp USING (user_id) CROSS JOIN g""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q201_coverage_cut" -> (q201CoverageCut _),
+    "q203_feature_store" -> (q203FeatureStore _),
     "q200_recent_history" -> (q200RecentHistory _),
     "q192_windowed_funnel" -> (q192WindowedFunnel _),
     "q193_sequence_match" -> (q193SequenceMatch _),
@@ -2787,6 +2885,8 @@ object EventQueries {
   val oracleSql: Map[String, String] = Map(
     "q192_windowed_funnel" -> q192Oracle,
     "q200_recent_history" -> q200Oracle,
+    "q201_coverage_cut" -> q201Oracle,
+    "q203_feature_store" -> q203Oracle,
     "q193_sequence_match" -> q193Oracle,
     "q189_weighted_median" -> q189Oracle,
     "q190_change_point" -> q190Oracle,
