@@ -448,6 +448,27 @@ class PlanSpec extends SparkSpec {
       s"day predicate did not reach PartitionFilters:\n$plan")
   }
 
+  test("q200 recency truncation runs as WindowGroupLimit before any collect") {
+    val plan = planOf(graft.queries.EventQueries.q200RecentHistory(spark, Sf0001))
+    assert(plan.contains("WindowGroupLimit"),
+      s"rn <= 3 should push into the window as a group limit:\n$plan")
+  }
+
+  test("q183 attribution pair join keys on user_id; no cartesian anywhere") {
+    val plan = planOf(graft.queries.EventQueries.q183LinearAttribution(spark, Sf0001))
+    assert(plan.contains("Join [user_id") || plan.contains("Join [conv_id") ||
+      plan.contains("BroadcastHashJoin"),
+      s"pair join should be hash-keyed:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q190 change-point anchors broadcast; the daily stream joins hash-keyed") {
+    val plan = planOf(graft.queries.EventQueries.q190ChangePoint(spark, Sf0001))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"per-type stats and peaks must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"), plan)
+  }
+
   test("IVF indexed probe plans dynamic partition pruning on the inverted file") {
     withTempDir("plan-ivf") { dir =>
       val e = Tables.embeddings(spark, Sf0001)
