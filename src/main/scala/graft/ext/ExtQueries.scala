@@ -2309,6 +2309,36 @@ object ExtQueries {
     s"""SELECT doc_id, (${audioFpSql("doc_id")})::BIGINT AS fp
        |FROM documents""".stripMargin
 
+  /** q204: the range-normalized HILBERT clustering key over
+    * (l_partkey, l_suppkey) — q116's layout key with the Hilbert walk
+    * instead of Morton ([[ZOrder.hilbertNormalized]], backed by the
+    * codegen'd [[graft.functions.HilbertIndex]] custom expression). The
+    * oracle unrolls the identical masked-rotation rounds as generated
+    * DuckDB lateral-alias SQL — a 16-round loop replayed engine-exact.
+    * The locality property the key exists for (consecutive keys are grid
+    * neighbors; Morton's diagonal jumps are gone) is asserted in
+    * HilbertSpec.
+    */
+  def q204HilbertKey(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+    val b = li.agg(
+      min(col("l_partkey")), max(col("l_partkey")),
+      min(col("l_suppkey")), max(col("l_suppkey"))).head()
+    li.select(col("l_orderkey"), col("l_linenumber"),
+      ZOrder.hilbertNormalized(col("l_partkey"), col("l_suppkey"),
+        b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3)).as("hval"))
+  }
+
+  private def q204Oracle: String =
+    s"""WITH b AS (SELECT min(l_partkey) AS xmn, max(l_partkey) AS xmx,
+       |                  min(l_suppkey) AS ymn, max(l_suppkey) AS ymx FROM lineitem),
+       |n AS (SELECT l_orderkey, l_linenumber,
+       |        ((l_partkey - xmn) * 65535) // greatest(1, xmx - xmn) AS hx,
+       |        ((l_suppkey - ymn) * 65535) // greatest(1, ymx - ymn) AS hy
+       |      FROM lineitem, b),
+       |${ZOrder.hilbertRoundsCtesSql("n", Seq("l_orderkey", "l_linenumber"), 16)}
+       |SELECT l_orderkey, l_linenumber, a::BIGINT AS hval FROM hfinal""".stripMargin
+
   // ---------------- registry ----------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2367,6 +2397,7 @@ object ExtQueries {
     "q184_containment" -> (q184Containment _),
     "q195_embed_norms" -> (q195EmbedNorms _),
     "q198_audio_fingerprint" -> (q198AudioFingerprint _),
+    "q204_hilbert_key" -> (q204HilbertKey _),
     "q196_shard_skew" -> (q196ShardSkew _),
     "q197_token_compression" -> (q197TokenCompression _),
     "q168_freq_decay" -> (q168FreqDecay _),
@@ -2453,6 +2484,7 @@ object ExtQueries {
     "q184_containment" -> q184Oracle,
     "q195_embed_norms" -> q195Oracle,
     "q198_audio_fingerprint" -> q198Oracle,
+    "q204_hilbert_key" -> q204Oracle,
     "q196_shard_skew" -> q196Oracle,
     "q197_token_compression" -> q197Oracle,
     "q168_freq_decay" -> q168Oracle,

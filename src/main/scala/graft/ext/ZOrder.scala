@@ -123,6 +123,63 @@ object ZOrder {
     interleaveN(normed, bits)
   }
 
+  /** Normalized HILBERT key — [[interleaveNormalized]]'s contract with the
+    * Hilbert walk instead of Morton bit interleaving
+    * ([[graft.functions.HilbertIndex]], a codegen'd custom expression: the
+    * per-bit data-dependent rotation has no clean built-in composition).
+    * Same range normalization, same integer exactness; consecutive key
+    * values are grid NEIGHBORS (no Morton diagonal jumps), so a
+    * contiguous key range bounds a tighter tile — file min/max stats
+    * prune better on both dimensions for the same file count.
+    */
+  def hilbertNormalized(
+      x: Column, y: Column,
+      xMin: Long, xMax: Long,
+      yMin: Long, yMax: Long,
+      bits: Int = 16): Column = {
+    val mask = (1L << bits) - 1
+    def norm(v: Column, mn: Long, mx: Long): Column =
+      call_function("div",
+        (v.cast("long") - lit(mn)) * lit(mask), lit(math.max(1L, mx - mn)))
+    graft.functions.GraftFunctions.hilbertIndex(
+      norm(x, xMin, xMax), norm(y, yMin, yMax), bits)
+  }
+
+  /** The identical Hilbert rounds as a chain of MATERIALIZED DuckDB CTEs —
+    * one per bit, each carrying the (x, y, a) state forward. Masked-
+    * rotation formulation: every intermediate is a non-negative integer,
+    * so `//`/`%` replay Spark's shifts exactly (the q116 generated-oracle
+    * pattern, extended from one expression to an unrolled loop).
+    * MATERIALIZED is load-bearing: lateral-alias or plain-CTE forms
+    * inline each round's multiple references to the previous state and
+    * the expression tree grows ~3^bits — materializing per round keeps
+    * the oracle linear. Seed table `from` must provide the key columns
+    * plus normalized `hx`, `hy`; the final CTE is `hfinal(keys, x, y, a)`
+    * with `a` the Hilbert index.
+    */
+  def hilbertRoundsCtesSql(from: String, keyCols: Seq[String], bits: Int = 16): String = {
+    val keys = keyCols.mkString(", ")
+    val sb = new StringBuilder
+    sb.append(s"h${bits - 1} AS MATERIALIZED (SELECT $keys, hx AS x, hy AS y, 0::BIGINT AS a FROM $from)")
+    for (i <- bits - 1 to 0 by -1) {
+      val s = 1L << i
+      val prev = s"h$i"
+      val cur = if (i == 0) "hfinal" else s"h${i - 1}"
+      sb.append(s""",
+         |$cur AS MATERIALIZED (
+         |  SELECT $keys,
+         |    CASE WHEN (y // $s) % 2 = 1 THEN x % $s
+         |         WHEN (x // $s) % 2 = 1 THEN ${s - 1} - (y % $s) ELSE y % $s END AS x,
+         |    CASE WHEN (y // $s) % 2 = 1 THEN y % $s
+         |         WHEN (x // $s) % 2 = 1 THEN ${s - 1} - (x % $s) ELSE x % $s END AS y,
+         |    a + ((CASE WHEN (x // $s) % 2 = 0 AND (y // $s) % 2 = 0 THEN 0
+         |               WHEN (x // $s) % 2 = 0 THEN 1
+         |               WHEN (y // $s) % 2 = 1 THEN 2 ELSE 3 END) * ${s * s}::BIGINT) AS a
+         |  FROM $prev)""".stripMargin)
+    }
+    sb.toString
+  }
+
   /** Dimension bounds for [[writeZOrdered]]: (xMin, xMax, yMin, yMax). */
   final case class Bounds(xMin: Long, xMax: Long, yMin: Long, yMax: Long)
 

@@ -50,6 +50,10 @@ object GraftFunctions {
   /** Every stride-th byte of a binary column (media downsample stub). */
   def byteStride(bin: Column, stride: Int): Column = col(ByteStride(expr(bin), stride))
 
+  /** Hilbert-curve index of (x, y) on the 2^bits grid ([[HilbertIndex]]). */
+  def hilbertIndex(x: Column, y: Column, bits: Int = 16): Column =
+    col(HilbertIndex(expr(x), expr(y), bits))
+
   /** Polynomial rolling hash over codepoints, one pass. */
   def polyRollingHash(t: Column, mult: Long = 31L, mod: Long = 1000000007L): Column =
     col(PolyRollingHash(expr(t), mult, mod))
