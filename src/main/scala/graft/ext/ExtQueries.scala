@@ -2339,6 +2339,98 @@ object ExtQueries {
        |${ZOrder.hilbertRoundsCtesSql("n", Seq("l_orderkey", "l_linenumber"), 16)}
        |SELECT l_orderkey, l_linenumber, a::BIGINT AS hval FROM hfinal""".stripMargin
 
+  /** q205: layout SHOOTOUT — the same conjunctive box predicate (middle
+    * decile of both (l_partkey, l_suppkey) domains) measured against
+    * three file layouts of lineitem: natural insertion order, Morton
+    * z-order (q116's key) and Hilbert (q204's key). Per layout: files,
+    * prunable files, rows skipped and skip_ppm — the number that decides
+    * which clustering a 100 TB table should pay for, produced WITHOUT
+    * writing any of the three layouts (zone stats over the would-be file
+    * assignment). File assignment here is the exact `row_number() div
+    * rows_per_file` over the key order — the AUDIT formulation; the
+    * writers ([[ZOrder.writeZOrdered]]/[[ZOrder.writeHilbertOrdered]])
+    * use `repartitionByRange`, whose sampled splits approximate the same
+    * assignment without a global sort.
+    */
+  def q205LayoutShootout(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+    val b = li.agg(
+      min(col("l_partkey")), max(col("l_partkey")),
+      min(col("l_suppkey")), max(col("l_suppkey"))).head()
+    val (pmn, pmx, smn, smx) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    val (plo, phi) = (pmn + (pmx - pmn) * 45 / 100, pmn + (pmx - pmn) * 55 / 100)
+    val (slo, shi) = (smn + (smx - smn) * 45 / 100, smn + (smx - smn) * 55 / 100)
+    def report(label: String, key: org.apache.spark.sql.Column): DataFrame = {
+      // tiebreak on the FULL attribute tuple: (l_orderkey, l_linenumber)
+      // is not unique in the fixture, and rows tying on the key must be
+      // interchangeable (identical zone contributions) for the file
+      // assignment to be engine-deterministic
+      val rk = li.withColumn("key", key)
+        .withColumn("fid", expr(
+          "(row_number() OVER (ORDER BY key, l_partkey, l_suppkey, " +
+            "l_orderkey, l_linenumber) - 1) div 4000"))
+      val zones = rk.groupBy("fid").agg(
+        min(col("l_partkey")).as("zpmn"), max(col("l_partkey")).as("zpmx"),
+        min(col("l_suppkey")).as("zsmn"), max(col("l_suppkey")).as("zsmx"),
+        count(lit(1)).as("nr"))
+      val pruned = col("zpmx") < plo || col("zpmn") > phi ||
+        col("zsmx") < slo || col("zsmn") > shi
+      zones.agg(
+          count(lit(1)).as("n_files"),
+          sum(pruned.cast("long")).as("n_pruned"),
+          sum(col("nr")).as("rows_total"),
+          sum(when(pruned, col("nr")).otherwise(0L)).as("rows_skipped"))
+        .withColumn("skip_ppm", expr("(1000000 * rows_skipped) div rows_total"))
+        .withColumn("layout", lit(label))
+    }
+    report("natural", col("l_orderkey"))
+      .unionByName(report("morton",
+        ZOrder.interleaveNormalized(col("l_partkey"), col("l_suppkey"), pmn, pmx, smn, smx)))
+      .unionByName(report("hilbert",
+        ZOrder.hilbertNormalized(col("l_partkey"), col("l_suppkey"), pmn, pmx, smn, smx)))
+  }
+
+  private def q205Oracle: String = {
+    def block(name: String, keyExpr: String, from: String): String =
+      s"""rk_$name AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |    (row_number() OVER (ORDER BY $keyExpr, l_partkey, l_suppkey,
+         |       l_orderkey, l_linenumber) - 1) // 4000 AS fid
+         |  FROM $from),
+         |z_$name AS (SELECT fid, min(l_partkey) AS zpmn, max(l_partkey) AS zpmx,
+         |    min(l_suppkey) AS zsmn, max(l_suppkey) AS zsmx, count(*)::BIGINT AS nr
+         |  FROM rk_$name GROUP BY 1),
+         |r_$name AS (SELECT '$name' AS layout, count(*)::BIGINT AS n_files,
+         |    sum((zpmx < plo OR zpmn > phi OR zsmx < slo OR zsmn > shi)::BIGINT)::BIGINT AS n_pruned,
+         |    sum(nr)::BIGINT AS rows_total,
+         |    sum(CASE WHEN zpmx < plo OR zpmn > phi OR zsmx < slo OR zsmn > shi
+         |             THEN nr ELSE 0 END)::BIGINT AS rows_skipped
+         |  FROM z_$name CROSS JOIN pred)""".stripMargin
+    s"""WITH b AS (SELECT min(l_partkey) AS xmn, max(l_partkey) AS xmx,
+       |                  min(l_suppkey) AS ymn, max(l_suppkey) AS ymx FROM lineitem),
+       |pred AS (SELECT xmn + ((xmx - xmn) * 45) // 100 AS plo,
+       |                xmn + ((xmx - xmn) * 55) // 100 AS phi,
+       |                ymn + ((ymx - ymn) * 45) // 100 AS slo,
+       |                ymn + ((ymx - ymn) * 55) // 100 AS shi FROM b),
+       |n AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       |        ${ZOrder.interleaveNormalizedSql("l_partkey", "l_suppkey",
+                  "xmn", "xmx", "ymn", "ymx")} AS k_mor,
+       |        ((l_partkey - xmn) * 65535) // greatest(1, xmx - xmn) AS hx,
+       |        ((l_suppkey - ymn) * 65535) // greatest(1, ymx - ymn) AS hy
+       |      FROM lineitem, b),
+       |${ZOrder.hilbertRoundsCtesSql("n",
+            Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "k_mor"), 16)},
+       |keyed AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, k_mor,
+       |    a AS k_hil FROM hfinal),
+       |${block("natural", "l_orderkey", "keyed")},
+       |${block("morton", "k_mor", "keyed")},
+       |${block("hilbert", "k_hil", "keyed")}
+       |SELECT layout, n_files, n_pruned, rows_total, rows_skipped,
+       |       (1000000 * rows_skipped) // rows_total AS skip_ppm
+       |FROM (SELECT * FROM r_natural UNION ALL SELECT * FROM r_morton
+       |      UNION ALL SELECT * FROM r_hilbert)""".stripMargin
+  }
+
   // ---------------- registry ----------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2398,6 +2490,7 @@ object ExtQueries {
     "q195_embed_norms" -> (q195EmbedNorms _),
     "q198_audio_fingerprint" -> (q198AudioFingerprint _),
     "q204_hilbert_key" -> (q204HilbertKey _),
+    "q205_layout_shootout" -> (q205LayoutShootout _),
     "q196_shard_skew" -> (q196ShardSkew _),
     "q197_token_compression" -> (q197TokenCompression _),
     "q168_freq_decay" -> (q168FreqDecay _),
@@ -2485,6 +2578,7 @@ object ExtQueries {
     "q195_embed_norms" -> q195Oracle,
     "q198_audio_fingerprint" -> q198Oracle,
     "q204_hilbert_key" -> q204Oracle,
+    "q205_layout_shootout" -> q205Oracle,
     "q196_shard_skew" -> q196Oracle,
     "q197_token_compression" -> q197Oracle,
     "q168_freq_decay" -> q168Oracle,

@@ -180,6 +180,33 @@ object ZOrder {
     sb.toString
   }
 
+  /** [[writeZOrdered]] with the Hilbert key: same single-pass /
+    * supplied-bounds contract, same range-partition + within-file sort —
+    * only the clustering key changes. Because consecutive Hilbert keys
+    * are grid neighbors, each file's (x, y) extents are at least as tight
+    * as Morton's for the same file count (q205 measures the skip-fraction
+    * difference on identical predicates).
+    */
+  def writeHilbertOrdered(
+      df: DataFrame,
+      path: String,
+      xCol: String,
+      yCol: String,
+      files: Int,
+      bits: Int = 16,
+      bounds: Option[Bounds] = None): Unit = {
+    val b = bounds.getOrElse {
+      val r = df.agg(min(col(xCol)), max(col(xCol)), min(col(yCol)), max(col(yCol))).head()
+      Bounds(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    df.withColumn("__h", hilbertNormalized(col(xCol), col(yCol),
+        b.xMin, b.xMax, b.yMin, b.yMax, bits))
+      .repartitionByRange(files, col("__h"))
+      .sortWithinPartitions("__h")
+      .drop("__h")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Dimension bounds for [[writeZOrdered]]: (xMin, xMax, yMin, yMax). */
   final case class Bounds(xMin: Long, xMax: Long, yMin: Long, yMax: Long)
 
