@@ -2805,7 +2805,96 @@ object EventQueries {
       |       (gmax - last_day)::BIGINT AS recency_days, peak_per_min, simpson_ppm
       |FROM b JOIN p USING (user_id) JOIN sp USING (user_id) CROSS JOIN g""".stripMargin
 
+  /** q206: HLL precision sweep — the accuracy/cost curve behind choosing
+    * a distinct-count sketch setting: global distinct users estimated at
+    * rsd 5 %, 2 % and 1 %, each gated through its own 3σ band around the
+    * exact count (q83's pattern, swept). The measured error is
+    * deterministic (HLL has no RNG — the hash is fixed), so the oracle
+    * pins every band flag TRUE; the error_ppm column shows the actual
+    * curve. At 100 TB the sketch bytes scale ~1/rsd² — this query is the
+    * evidence for how much rsd a use case actually needs.
+    */
+  def q206HllSweep(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    Seq(0.05, 0.02, 0.01).map { rsd =>
+      e.agg(
+          countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), rsd = rsd).as("approx"))
+        .select(
+          lit((rsd * 100).round).cast("int").as("rsd_pct_x100"),
+          col("exact_users"),
+          (abs(col("approx") - col("exact_users"))
+            <= lit(3 * rsd) * col("exact_users")).cast("int").as("within_3sigma"))
+    }.reduce(_.unionByName(_))
+  }
+
+  private val q206Oracle =
+    """WITH x AS (SELECT count(DISTINCT user_id)::BIGINT AS exact_users FROM events)
+      |SELECT 5::INT AS rsd_pct_x100, exact_users, 1::INT AS within_3sigma FROM x
+      |UNION ALL SELECT 2::INT, exact_users, 1::INT FROM x
+      |UNION ALL SELECT 1::INT, exact_users, 1::INT FROM x""".stripMargin
+
+  /** q207: decile gains table — users ranked by integer-cents monetary
+    * value, cut into deciles by exact percentile thresholds (q163's
+    * ntile-free device — no global-order window), each decile scored by
+    * its share of purchase conversions plus the cumulative gain running
+    * top-down: the lift/gains chart of campaign targeting and model
+    * evaluation, integer ppm end to end.
+    */
+  def q207DecileGains(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .withColumn("cents", floor(col("value") * 100).cast("long"))
+    val per = e.groupBy("user_id").agg(
+      sum(col("cents")).as("monetary_c"),
+      sum((col("event_type") === "purchase").cast("long")).as("convs"))
+    val tExprs = (1 to 9).map(i => expr(s"percentile(monetary_c, ${i / 10.0})").as(s"t$i"))
+    val thresholds = per.agg(tExprs.head, tExprs.tail: _*)
+    val bucketed = per.crossJoin(broadcast(thresholds))
+      .withColumn("decile",
+        (1 to 9).map(i => (col("monetary_c") > col(s"t$i")).cast("int"))
+          .reduce(_ + _))
+    val tot = bucketed.agg(sum(col("convs")).as("tot_convs"))
+    val byDecile = bucketed.groupBy("decile")
+      .agg(count(lit(1)).as("n_users"), sum(col("convs")).as("convs"))
+    val w = Window.orderBy(col("decile").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDecile.crossJoin(broadcast(tot))
+      .withColumn("conv_share_ppm", expr("(1000000 * convs) div tot_convs"))
+      .withColumn("cum_gain_ppm",
+        expr("sum((1000000 * convs) div tot_convs)")
+          .over(w))
+      .select("decile", "n_users", "convs", "conv_share_ppm", "cum_gain_ppm")
+  }
+
+  private val q207Oracle =
+    """WITH e AS (SELECT user_id, event_type, floor(value * 100)::BIGINT AS cents
+      |           FROM events),
+      |p AS (SELECT user_id, sum(cents)::BIGINT AS monetary_c,
+      |             sum((event_type = 'purchase')::BIGINT)::BIGINT AS convs
+      |      FROM e GROUP BY 1),
+      |t AS (SELECT quantile_cont(monetary_c, 0.1) AS t1, quantile_cont(monetary_c, 0.2) AS t2,
+      |             quantile_cont(monetary_c, 0.3) AS t3, quantile_cont(monetary_c, 0.4) AS t4,
+      |             quantile_cont(monetary_c, 0.5) AS t5, quantile_cont(monetary_c, 0.6) AS t6,
+      |             quantile_cont(monetary_c, 0.7) AS t7, quantile_cont(monetary_c, 0.8) AS t8,
+      |             quantile_cont(monetary_c, 0.9) AS t9 FROM p),
+      |bk AS (SELECT user_id, convs,
+      |         ((monetary_c > t1)::INT + (monetary_c > t2)::INT + (monetary_c > t3)::INT
+      |          + (monetary_c > t4)::INT + (monetary_c > t5)::INT + (monetary_c > t6)::INT
+      |          + (monetary_c > t7)::INT + (monetary_c > t8)::INT + (monetary_c > t9)::INT
+      |         )::INT AS decile
+      |       FROM p CROSS JOIN t),
+      |g AS (SELECT sum(convs)::BIGINT AS tot_convs FROM bk),
+      |d AS (SELECT decile, count(*)::BIGINT AS n_users, sum(convs)::BIGINT AS convs
+      |      FROM bk GROUP BY 1)
+      |SELECT decile, n_users, convs,
+      |       (1000000 * convs) // tot_convs AS conv_share_ppm,
+      |       sum((1000000 * convs) // tot_convs) OVER (ORDER BY decile DESC
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_gain_ppm
+      |FROM d CROSS JOIN g""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q206_hll_sweep" -> (q206HllSweep _),
+    "q207_decile_gains" -> (q207DecileGains _),
     "q201_coverage_cut" -> (q201CoverageCut _),
     "q203_feature_store" -> (q203FeatureStore _),
     "q200_recent_history" -> (q200RecentHistory _),
@@ -2887,6 +2976,8 @@ object EventQueries {
     "q200_recent_history" -> q200Oracle,
     "q201_coverage_cut" -> q201Oracle,
     "q203_feature_store" -> q203Oracle,
+    "q206_hll_sweep" -> q206Oracle,
+    "q207_decile_gains" -> q207Oracle,
     "q193_sequence_match" -> q193Oracle,
     "q189_weighted_median" -> q189Oracle,
     "q190_change_point" -> q190Oracle,
