@@ -2892,7 +2892,93 @@ object EventQueries {
       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_gain_ppm
       |FROM d CROSS JOIN g""".stripMargin
 
+  /** q208: weekly percentile BANDS per event type — p50/p90 of value by
+    * (type, epoch-week): the monitoring band chart that catches
+    * distribution shifts a mean line hides. Exact interpolated
+    * percentiles (the q66-pinned `percentile` ≡ `quantile_cont`
+    * premise) over one (type, week) aggregation.
+    */
+  def q208WeeklyBands(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("week", tsWeek)
+      .groupBy("event_type", "week")
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"))
+
+  private val q208Oracle =
+    """SELECT event_type, epoch_us(ts) // 86400000000 // 7 AS week,
+      |       count(*)::BIGINT AS n,
+      |       quantile_cont(value, 0.5) AS p50, quantile_cont(value, 0.9) AS p90
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** q209: DAU decomposition — per day, NEW users (first-ever activity)
+    * vs RETURNING: the first split every growth dashboard draws. The
+    * first-day map is one user_id aggregate broadcast-sized relative to
+    * the daily stream; counts are distinct-per-day.
+    */
+  def q209NewReturning(spark: SparkSession, dir: String): DataFrame = {
+    val days = events(spark, dir).withColumn("day", tsDay)
+      .select("user_id", "day").distinct()
+    val first = days.groupBy("user_id").agg(min(col("day")).as("first_day"))
+    days.join(first, "user_id")
+      .groupBy("day")
+      .agg(
+        sum((col("day") === col("first_day")).cast("long")).as("new_users"),
+        sum((col("day") > col("first_day")).cast("long")).as("returning_users"))
+  }
+
+  private val q209Oracle =
+    """WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |f AS (SELECT user_id, min(day) AS first_day FROM d GROUP BY 1)
+      |SELECT day,
+      |       sum((day = first_day)::BIGINT)::BIGINT AS new_users,
+      |       sum((day > first_day)::BIGINT)::BIGINT AS returning_users
+      |FROM d JOIN f USING (user_id) GROUP BY 1""".stripMargin
+
+  /** q210: growth accounting — each active user-day classified NEW
+    * (first ever), RESURRECTED (returning after > 14 idle days) or
+    * RETAINED (gap ≤ 14), rolled up per day: the standard
+    * new/retained/resurrected decomposition of active users (churn is
+    * its forward-looking complement). One user_id shuffle; the gap is a
+    * lag window over each user's distinct active days.
+    */
+  def q210GrowthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("day").asc)
+    events(spark, dir).withColumn("day", tsDay)
+      .select("user_id", "day").distinct()
+      .withColumn("prev_day", lag(col("day"), 1).over(byUser))
+      .withColumn("state",
+        when(col("prev_day").isNull, "new")
+          .when(col("day") - col("prev_day") > 14, "resurrected")
+          .otherwise("retained"))
+      .groupBy("day")
+      .agg(
+        sum((col("state") === "new").cast("long")).as("n_new"),
+        sum((col("state") === "retained").cast("long")).as("n_retained"),
+        sum((col("state") === "resurrected").cast("long")).as("n_resurrected"))
+  }
+
+  private val q210Oracle =
+    """WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |l AS (SELECT user_id, day,
+      |        lag(day) OVER (PARTITION BY user_id ORDER BY day ASC) AS prev_day
+      |      FROM d),
+      |s AS (SELECT day,
+      |        CASE WHEN prev_day IS NULL THEN 'new'
+      |             WHEN day - prev_day > 14 THEN 'resurrected'
+      |             ELSE 'retained' END AS state
+      |      FROM l)
+      |SELECT day,
+      |       sum((state = 'new')::BIGINT)::BIGINT AS n_new,
+      |       sum((state = 'retained')::BIGINT)::BIGINT AS n_retained,
+      |       sum((state = 'resurrected')::BIGINT)::BIGINT AS n_resurrected
+      |FROM s GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q208_weekly_bands" -> (q208WeeklyBands _),
+    "q209_new_returning" -> (q209NewReturning _),
+    "q210_growth_accounting" -> (q210GrowthAccounting _),
     "q206_hll_sweep" -> (q206HllSweep _),
     "q207_decile_gains" -> (q207DecileGains _),
     "q201_coverage_cut" -> (q201CoverageCut _),
@@ -2978,6 +3064,9 @@ object EventQueries {
     "q203_feature_store" -> q203Oracle,
     "q206_hll_sweep" -> q206Oracle,
     "q207_decile_gains" -> q207Oracle,
+    "q208_weekly_bands" -> q208Oracle,
+    "q209_new_returning" -> q209Oracle,
+    "q210_growth_accounting" -> q210Oracle,
     "q193_sequence_match" -> q193Oracle,
     "q189_weighted_median" -> q189Oracle,
     "q190_change_point" -> q190Oracle,
