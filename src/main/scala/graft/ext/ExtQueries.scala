@@ -2431,6 +2431,85 @@ object ExtQueries {
        |      UNION ALL SELECT * FROM r_hilbert)""".stripMargin
   }
 
+  /** q211: one BPE MERGE ROUND — the tokenizer-induction step itself:
+    * adjacent-char pair counts over all word tokens (overlapping, the
+    * standard BPE statistic), the winning pair (max count, lexicographic
+    * tiebreak via a 1-row broadcast), and the corpus-wide number of
+    * merge APPLICATIONS that pair admits (leftmost non-overlapping —
+    * `replace` semantics, identical in both engines, counted by length
+    * delta). q72 induces an n-gram vocab; this is the missing merge
+    * dynamics: run it k times and you have the BPE trainer.
+    *
+    * Scale shape: pair explosion is per-token map-side work; the winner
+    * is a 1-row TakeOrdered; the application count is a second scan-speed
+    * pass with the winner broadcast.
+    */
+  def q211BpeRound(spark: SparkSession, dir: String): DataFrame = {
+    val toks = fanOut(documents(spark, dir))
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+    val pairs = toks
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+    val winner = pairs.orderBy(col("n").desc, col("pair").asc).limit(1)
+      .select(col("pair").as("top_pair"), col("n").as("pair_count"))
+    toks.crossJoin(broadcast(winner))
+      .select(col("top_pair"), col("pair_count"),
+        ((length(col("w")) - length(expr("replace(w, top_pair, '')"))) / 2)
+          .cast("long").as("apps"))
+      .groupBy("top_pair", "pair_count")
+      .agg(sum(col("apps")).as("n_applications"))
+  }
+
+  private def q211Oracle: String =
+    s"""WITH w AS (SELECT unnest(string_split($DNorm, ' ')) AS w FROM documents),
+       |f AS (SELECT w FROM w WHERE len(w) >= 2),
+       |p AS (SELECT unnest([substr(w, i, 2) FOR i IN range(1, len(w))]) AS pair FROM f),
+       |c AS (SELECT pair, count(*)::BIGINT AS n FROM p GROUP BY 1),
+       |win AS (SELECT pair AS top_pair, n AS pair_count FROM c
+       |        ORDER BY n DESC, pair ASC LIMIT 1)
+       |SELECT top_pair, pair_count,
+       |       sum((len(w) - len(replace(w, top_pair, ''))) // 2)::BIGINT AS n_applications
+       |FROM f CROSS JOIN win GROUP BY 1, 2""".stripMargin
+
+  /** q212: per-source DATASET CARD — the one-table corpus summary a data
+    * release ships: docs, chars, tokens, distinct languages, and the
+    * exact-duplicate rate in ppm (md5 fingerprint groups, q20's
+    * definition) per source. A composition capstone over the shared
+    * normalized-text boundary; every number integer.
+    */
+  def q212DatasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val d = fanOut(documents(spark, dir))
+      .withColumn("fp", md5(TextAnalysis.normalize(col("text"))))
+      .withColumn("n_tok", expr(
+        "size(filter(split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' '), t -> t <> ''))")
+        .cast("long"))
+    val dupPerSource = d.groupBy("source", "fp").agg(count(lit(1)).as("n"))
+      .groupBy("source")
+      .agg(sum(col("n") - 1).as("n_dups"))
+    d.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"),
+        sum(col("n_tok")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"))
+      .join(dupPerSource, "source")
+      .withColumn("dup_ppm", expr("(1000000 * n_dups) div n_docs"))
+  }
+
+  private def q212Oracle: String =
+    s"""WITH d AS (SELECT source, lang, n_chars, md5($DNorm) AS fp,
+       |        len(list_filter(string_split($DNorm, ' '), t -> t <> ''))::BIGINT AS n_tok
+       |      FROM documents),
+       |dup AS (SELECT source, sum(n - 1)::BIGINT AS n_dups FROM (
+       |          SELECT source, fp, count(*)::BIGINT AS n FROM d GROUP BY 1, 2)
+       |        GROUP BY 1)
+       |SELECT source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS n_chars,
+       |       sum(n_tok)::BIGINT AS n_tokens,
+       |       count(DISTINCT lang)::BIGINT AS n_langs,
+       |       n_dups, (1000000 * n_dups) // count(*) AS dup_ppm
+       |FROM d JOIN dup USING (source)
+       |GROUP BY source, n_dups""".stripMargin
+
   // ---------------- registry ----------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2491,6 +2570,8 @@ object ExtQueries {
     "q198_audio_fingerprint" -> (q198AudioFingerprint _),
     "q204_hilbert_key" -> (q204HilbertKey _),
     "q205_layout_shootout" -> (q205LayoutShootout _),
+    "q211_bpe_round" -> (q211BpeRound _),
+    "q212_dataset_card" -> (q212DatasetCard _),
     "q196_shard_skew" -> (q196ShardSkew _),
     "q197_token_compression" -> (q197TokenCompression _),
     "q168_freq_decay" -> (q168FreqDecay _),
@@ -2579,6 +2660,8 @@ object ExtQueries {
     "q198_audio_fingerprint" -> q198Oracle,
     "q204_hilbert_key" -> q204Oracle,
     "q205_layout_shootout" -> q205Oracle,
+    "q211_bpe_round" -> q211Oracle,
+    "q212_dataset_card" -> q212Oracle,
     "q196_shard_skew" -> q196Oracle,
     "q197_token_compression" -> q197Oracle,
     "q168_freq_decay" -> q168Oracle,
