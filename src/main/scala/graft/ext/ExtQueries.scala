@@ -2510,9 +2510,79 @@ object ExtQueries {
        |FROM d JOIN dup USING (source)
        |GROUP BY source, n_dups""".stripMargin
 
+  /** q218: column-encoding advisor — the layout-tuning report a 100 TB
+    * warehouse runs before (re)writing a table: per column, exact NDV,
+    * byte volume, and the value-run count in storage order, folded into a
+    * parquet encoding recommendation (`rle` when runs ≤ 10 % of rows,
+    * else `dict` when NDV ≤ 5 % of rows, else `plain`). Completes the
+    * physical-layout family (q116 z-order, q171 zone maps, q205 layout
+    * shootout) on the encoding axis.
+    *
+    * Runs are counted within 8192-row storage pages (event_id order, the
+    * table's arrival order), partitioned by (column, page) — so the run
+    * scan is embarrassingly parallel; at most one cross-page run per page
+    * boundary is over-counted, matching real parquet pages, which also
+    * reset encoding state per page. Only injectively-stringified columns
+    * participate (longs + strings; no doubles → no formatting drift).
+    *
+    * Scale shape: unpivot (row-local) → one shuffle keyed (column, page)
+    * for the run windows → re-aggregate to 4 rows. NDV rides the same
+    * shuffle via partial distinct on (column, value).
+    */
+  def q218EncodingAdvisor(spark: SparkSession, dir: String): DataFrame = {
+    val unpiv = events(spark, dir)
+      .withColumn("day", tsDay)
+      .withColumn("page", expr("event_id div 8192"))
+      .select(col("page"), col("event_id"),
+        expr("""stack(4,
+          |  'event_id', cast(event_id AS string),
+          |  'user_id', cast(user_id AS string),
+          |  'event_type', event_type,
+          |  'day', cast(day AS string)) AS (col_name, val)""".stripMargin))
+    val w = Window.partitionBy("col_name", "page").orderBy(col("event_id").asc)
+    val runs = unpiv
+      .withColumn("is_run_start",
+        (lag(col("val"), 1).over(w).isNull ||
+          lag(col("val"), 1).over(w) =!= col("val")).cast("long"))
+      .groupBy("col_name")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("val")).as("n_distinct"),
+        sum(length(col("val"))).as("n_bytes"),
+        sum(col("is_run_start")).as("n_runs"))
+    runs.select(col("col_name"), col("n_rows"), col("n_distinct"),
+      col("n_bytes"), col("n_runs"),
+      when(col("n_runs") * 10 <= col("n_rows"), "rle")
+        .when(col("n_distinct") * 20 <= col("n_rows"), "dict")
+        .otherwise("plain").as("encoding"))
+  }
+
+  private val q218Oracle =
+    """WITH u AS (
+      |  SELECT event_id // 8192 AS page, event_id, col_name, val FROM (
+      |    SELECT event_id,
+      |           unnest(['event_id', 'user_id', 'event_type', 'day']) AS col_name,
+      |           unnest([event_id::VARCHAR, user_id::VARCHAR, event_type,
+      |                   (epoch_us(ts) // 86400000000)::VARCHAR]) AS val
+      |    FROM events)),
+      |r AS (SELECT col_name, val,
+      |        (lag(val) OVER (PARTITION BY col_name, page ORDER BY event_id)
+      |           IS DISTINCT FROM val)::BIGINT AS is_run_start
+      |      FROM u),
+      |a AS (SELECT col_name, count(*)::BIGINT AS n_rows,
+      |        count(DISTINCT val)::BIGINT AS n_distinct,
+      |        sum(length(val))::BIGINT AS n_bytes,
+      |        sum(is_run_start)::BIGINT AS n_runs
+      |      FROM r GROUP BY 1)
+      |SELECT col_name, n_rows, n_distinct, n_bytes, n_runs,
+      |       CASE WHEN n_runs * 10 <= n_rows THEN 'rle'
+      |            WHEN n_distinct * 20 <= n_rows THEN 'dict'
+      |            ELSE 'plain' END AS encoding
+      |FROM a""".stripMargin
+
   // ---------------- registry ----------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q218_encoding_advisor" -> (q218EncodingAdvisor _),
     "q20_dedup_exact" -> (q20DedupExact _),
     "q26_dedup_keep" -> (q26DedupKeep _),
     "q27_dup_clusters" -> (q27DupClusters _),
@@ -2604,6 +2674,7 @@ object ExtQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q218_encoding_advisor" -> q218Oracle,
     "q20_dedup_exact" -> q20Oracle,
     "q26_dedup_keep" -> q26Oracle,
     "q27_dup_clusters" -> q27Oracle,

@@ -2975,7 +2975,149 @@ object EventQueries {
       |       sum((state = 'resurrected')::BIGINT)::BIGINT AS n_resurrected
       |FROM s GROUP BY 1""".stripMargin
 
+  /** q216: Kaplan-Meier survival over user lifetimes — the churn-analysis
+    * estimator. A user's duration is `last_day − first_day`; users still
+    * active within 14 days of the observation edge are right-CENSORED
+    * (they leave the risk set without counting as churn) — dropping them
+    * instead would bias survival low, the classic mistake KM exists to fix.
+    * Per distinct duration t: d_t churned, c_t censored, n_t at risk
+    * (everyone with duration ≥ t), and S(t) = Π_{t'≤t} (1 − d_t'/n_t'),
+    * computed as exp of a running sum of logs (rounded 6 dp on both
+    * engines; a saturated risk set maps to −∞ → S = 0 exactly, since
+    * Spark's `log(0)` is null but DuckDB's errors).
+    *
+    * Scale shape: one user_id shuffle to per-user (first, last) — partial
+    * aggs do the heavy lifting — then the windowed product runs over
+    * |distinct durations| rows (bounded by the observation span in days,
+    * not by users), so the unpartitioned window is model-sized.
+    */
+  def q216KaplanMeier(spark: SparkSession, dir: String): DataFrame = {
+    val d = events(spark, dir).withColumn("day", tsDay)
+      .select("user_id", "day").distinct()
+    val u = d.groupBy("user_id")
+      .agg(min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+    val maxDay = d.agg(max(col("day")).as("max_day"))
+    val byDur = u.crossJoin(broadcast(maxDay))
+      .select((col("last_day") - col("first_day")).as("dur"),
+        (col("max_day") - col("last_day") > 14).cast("long").as("churned"))
+      .groupBy("dur")
+      .agg(sum(col("churned")).as("n_churned"), count(lit(1)).as("n_total"))
+    val asc = Window.orderBy(col("dur").asc)
+    byDur
+      .withColumn("n_risk", sum(col("n_total")).over(
+        asc.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("term",
+        when(col("n_churned") === col("n_risk"), lit(Double.NegativeInfinity))
+          .otherwise(log(lit(1.0) -
+            col("n_churned").cast("double") / col("n_risk").cast("double"))))
+      .withColumn("survival", round(exp(sum(col("term")).over(
+        asc.rowsBetween(Window.unboundedPreceding, Window.currentRow))), 6))
+      .select(col("dur"), col("n_risk"), col("n_churned"),
+        (col("n_total") - col("n_churned")).as("n_censored"), col("survival"))
+  }
+
+  private val q216Oracle =
+    """WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |u AS (SELECT user_id, min(day) AS first_day, max(day) AS last_day FROM d GROUP BY 1),
+      |m AS (SELECT max(day) AS max_day FROM d),
+      |p AS (SELECT last_day - first_day AS dur,
+      |             (max_day - last_day > 14)::BIGINT AS churned
+      |      FROM u CROSS JOIN m),
+      |b AS (SELECT dur, sum(churned)::BIGINT AS n_churned,
+      |             count(*)::BIGINT AS n_total FROM p GROUP BY 1),
+      |r AS (SELECT dur, n_churned, n_total,
+      |             sum(n_total) OVER (ORDER BY dur DESC)::BIGINT AS n_risk FROM b),
+      |s AS (SELECT dur, n_risk, n_churned, n_total - n_churned AS n_censored,
+      |             sum(CASE WHEN n_churned = n_risk THEN '-infinity'::DOUBLE
+      |                      ELSE ln(1 - n_churned / n_risk::DOUBLE) END)
+      |               OVER (ORDER BY dur ASC) AS logsum
+      |      FROM r)
+      |SELECT dur, n_risk, n_churned, n_censored::BIGINT AS n_censored,
+      |       round(exp(logsum), 6) AS survival
+      |FROM s""".stripMargin
+
+  /** q217: l-diversity audit — q185's k-anonymity complement. k-anonymity
+    * only bounds group SIZE; a group of 50 users that all share one
+    * sensitive value still leaks it. Per quasi-identifier cell (dow, hour)
+    * over distinct user presences: l = number of DISTINCT sensitive values
+    * (event_type), flagged when l < 3. Published for every cell (flag
+    * column) so the report doubles as the release-gate manifest.
+    *
+    * Scale shape: one shuffle keyed by the QI cell; distinct-user and
+    * distinct-type counts share the Expand-based partial aggregation. The
+    * output is |dow × hour| = 168 rows — model-sized regardless of input.
+    */
+  def q217LDiversity(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("dow", expr("(ts div 1000 div 86400000000) % 7"))
+      .withColumn("hour", expr("(ts div 1000 div 3600000000) % 24"))
+      .select("user_id", "event_type", "dow", "hour").distinct()
+      .groupBy("dow", "hour")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("event_type")).as("l_diversity"))
+      .withColumn("flagged", (col("l_diversity") < 3).cast("long"))
+
+  private val q217Oracle =
+    """WITH d AS (SELECT DISTINCT user_id, event_type,
+      |                  epoch_us(ts) // 86400000000 % 7 AS dow,
+      |                  epoch_us(ts) // 3600000000 % 24 AS hour
+      |           FROM events)
+      |SELECT dow, hour, count(DISTINCT user_id)::BIGINT AS n_users,
+      |       count(DISTINCT event_type)::BIGINT AS l_diversity,
+      |       (count(DISTINCT event_type) < 3)::BIGINT AS flagged
+      |FROM d GROUP BY 1, 2""".stripMargin
+
+  /** q220: position-based (U-shaped) multi-touch attribution — 40 % first
+    * touch, 40 % last touch, 20 % split evenly across middle touches; a
+    * 1- or 2-touch journey splits evenly. Completes the attribution family
+    * (q115 last-touch, q183 linear). Credit is integer basis points
+    * summed per channel (event_type), so the division is exact: middle
+    * touches get `2000 div (n−2)` bp each with the integer remainder
+    * assigned to the LAST middle touch — both engines agree bit-for-bit.
+    *
+    * Scale shape: one user_id shuffle for the per-journey window
+    * (row_number + count over user), then a map-side-combining rollup to
+    * |event_type| rows. No driver-side state.
+    */
+  def q220PositionAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    events(spark, dir)
+      .select("user_id", "event_type", "ts", "event_id")
+      .withColumn("pos", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("user_id")))
+      .withColumn("credit_bp",
+        when(col("n") === 1, lit(10000L))
+          .when(col("n") === 2, lit(5000L))
+          .when(col("pos") === 1 || col("pos") === col("n"), lit(4000L))
+          .when(col("pos") === col("n") - 1,
+            expr("2000 div (n - 2) + 2000 % (n - 2)"))
+          .otherwise(expr("2000 div (n - 2)")))
+      .groupBy("event_type")
+      .agg(sum(col("credit_bp")).as("total_credit_bp"),
+        count(lit(1)).as("n_touches"))
+
+  }
+
+  private val q220Oracle =
+    """WITH j AS (SELECT user_id, event_type,
+      |             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos,
+      |             count(*) OVER (PARTITION BY user_id) AS n
+      |           FROM events),
+      |c AS (SELECT event_type,
+      |        CASE WHEN n = 1 THEN 10000
+      |             WHEN n = 2 THEN 5000
+      |             WHEN pos = 1 OR pos = n THEN 4000
+      |             WHEN pos = n - 1 THEN 2000 // (n - 2) + 2000 % (n - 2)
+      |             ELSE 2000 // (n - 2) END AS credit_bp
+      |      FROM j)
+      |SELECT event_type, sum(credit_bp)::BIGINT AS total_credit_bp,
+      |       count(*)::BIGINT AS n_touches
+      |FROM c GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q216_kaplan_meier" -> (q216KaplanMeier _),
+    "q217_l_diversity" -> (q217LDiversity _),
+    "q220_position_attribution" -> (q220PositionAttribution _),
     "q208_weekly_bands" -> (q208WeeklyBands _),
     "q209_new_returning" -> (q209NewReturning _),
     "q210_growth_accounting" -> (q210GrowthAccounting _),
@@ -3058,6 +3200,9 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q216_kaplan_meier" -> q216Oracle,
+    "q217_l_diversity" -> q217Oracle,
+    "q220_position_attribution" -> q220Oracle,
     "q192_windowed_funnel" -> q192Oracle,
     "q200_recent_history" -> q200Oracle,
     "q201_coverage_cut" -> q201Oracle,

@@ -1070,6 +1070,181 @@ object ParityQueries {
       |FROM pp CROSS JOIN g
       |WHERE total_qty * n_parts * 10 > grand_qty * 12""".stripMargin
 
+  /** q213: TPC-H Q7-shaped volume shipping — bilateral trade volume between
+    * two fixed nations, by supplier-nation/customer-nation direction and
+    * ship year. The fact table joins out to BOTH a supplier dimension chain
+    * and a customer dimension chain, then filters to the 2×2 nation pairs
+    * minus the diagonal (reference surface: cross-entity star joins,
+    * `unload_databricks_data_to_s3.py` §table-join config).
+    *
+    * Scale shape: supplier/customer/nation are broadcast (probe side never
+    * shuffles); the orders join is the one big shuffle, keyed l_orderkey —
+    * the same key q02/q173 shuffle on, so at 100 TB a shared orderkey
+    * bucketing amortizes all three. The nation filter is pushed below the
+    * join via the broadcast dim, so non-qualifying rows die at the scan.
+    */
+  def q213VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val suppNation = supplier(spark, dir)
+      .join(nation(spark, dir).withColumnRenamed("n_name", "supp_nation"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "supp_nation")
+    val custNation = customer(spark, dir)
+      .join(nation(spark, dir).withColumnRenamed("n_name", "cust_nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "cust_nation")
+    lineitem(spark, dir)
+      .join(orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
+      .filter(
+        (col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+        (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+  }
+
+  private val q213Oracle =
+    """SELECT supp_nation, cust_nation, l_year,
+      |       round(sum(volume), 2) AS revenue
+      |FROM (
+      |  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+      |         year(l_shipdate) AS l_year,
+      |         l_extendedprice * (1 - l_discount) AS volume
+      |  FROM lineitem
+      |    JOIN orders   ON l_orderkey = o_orderkey
+      |    JOIN supplier ON l_suppkey = s_suppkey
+      |    JOIN customer ON o_custkey = c_custkey
+      |    JOIN nation ns ON s_nationkey = ns.n_nationkey
+      |    JOIN nation nc ON c_nationkey = nc.n_nationkey
+      |  WHERE (ns.n_name = 'NATION_3' AND nc.n_name = 'NATION_7')
+      |     OR (ns.n_name = 'NATION_7' AND nc.n_name = 'NATION_3'))
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** q214: TPC-H Q8-shaped market share — the share of ASIA-region revenue
+    * on STANDARD-type parts captured by suppliers from one nation, per
+    * order year. The classic conditional-aggregate-over-join pattern:
+    * `sum(CASE WHEN supplier is ours THEN volume END) / sum(volume)`.
+    * Revenue is summed as DECIMAL (exact — float summation ORDER differs
+    * between engines and a 2-dp round can land on a half-cent boundary;
+    * it did, at sf0.01) and published as floor-cents BIGINT; the share is
+    * integer ppm over the cents. Bit-exact on both engines by arithmetic,
+    * not by tolerance.
+    *
+    * Scale shape: part is the selective dim — STANDARD prunes ~5/6 of the
+    * fact early via the broadcast-hash join; customer-region and
+    * supplier-nation are broadcast flags folded into the aggregate, so the
+    * whole query is one shuffle to |years| rows.
+    */
+  def q214MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val stdParts = part(spark, dir)
+      .filter(col("p_type") === "STANDARD").select("p_partkey")
+    val asiaCust = customer(spark, dir)
+      .join(broadcast(nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(spark, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey")
+    val suppFlag = supplier(spark, dir)
+      .join(broadcast(nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), (col("n_name") === "NATION_5").cast("long").as("is_ours"))
+    lineitem(spark, dir)
+      .join(broadcast(stdParts), col("l_partkey") === col("p_partkey"))
+      .join(orders(spark, dir).select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(suppFlag), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("volume",
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(30,10)"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        floor(sum(when(col("is_ours") === 1L, col("volume"))
+          .otherwise(lit(0).cast("decimal(30,10)"))) * 100).cast("long").as("ours_cents"),
+        floor(sum(col("volume")) * 100).cast("long").as("total_cents"))
+      .select(col("o_year"), col("ours_cents"), col("total_cents"),
+        expr("(1000000 * ours_cents) div total_cents").as("share_ppm"))
+  }
+
+  private val q214Oracle =
+    """WITH vol AS (
+      |  SELECT year(o_orderdate) AS o_year,
+      |         (l_extendedprice * (1 - l_discount))::DECIMAL(30,10) AS volume,
+      |         (n2.n_name = 'NATION_5')::BIGINT AS is_ours
+      |  FROM lineitem
+      |    JOIN part     ON l_partkey = p_partkey AND p_type = 'STANDARD'
+      |    JOIN orders   ON l_orderkey = o_orderkey
+      |    JOIN supplier ON l_suppkey = s_suppkey
+      |    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |  WHERE o_custkey IN (
+      |    SELECT c_custkey FROM customer
+      |      JOIN nation ON c_nationkey = n_nationkey
+      |      JOIN region ON n_regionkey = r_regionkey
+      |    WHERE r_name = 'ASIA')),
+      |a AS (SELECT o_year,
+      |        floor(sum(CASE WHEN is_ours = 1 THEN volume
+      |                       ELSE 0::DECIMAL(30,10) END) * 100)::BIGINT AS ours_cents,
+      |        floor(sum(volume) * 100)::BIGINT AS total_cents
+      |      FROM vol GROUP BY 1)
+      |SELECT o_year, ours_cents, total_cents,
+      |       (1000000 * ours_cents) // total_cents AS share_ppm
+      |FROM a""".stripMargin
+
+  /** q215: TPC-H Q21-shaped waiting-supplier audit — suppliers who were the
+    * SOLE late shipper on a finished multi-supplier order. "Late" is
+    * `l_shipdate > o_orderdate + 60 days` (this schema has no
+    * receipt/commit dates; the lateness predicate is the only adaptation —
+    * the join algebra is Q21's exactly: one big-big self semi-join, one
+    * big-big self anti-join, both on l_orderkey).
+    *
+    * Scale shape: the two self-joins reuse the SAME l_orderkey
+    * partitioning — Catalyst plans one Exchange and chains both joins on
+    * it; supplier is broadcast. The `.filter` on lateness runs before
+    * either self-join, shrinking the left side first. Top-100 via the
+    * bounded CollectTopK sort-limit.
+    */
+  def q215WaitingSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir).select("l_orderkey", "l_suppkey", "l_shipdate")
+    val late = li
+      .join(orders(spark, dir)
+          .filter(col("o_orderstatus") === "F").select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(datediff(col("l_shipdate"), col("o_orderdate")) > 60)
+      .select("l_orderkey", "l_suppkey")
+    val l2 = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+    val lateOther = late.select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+    late
+      .join(l2, col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"),
+        "left_semi")
+      .join(lateOther,
+        col("l_orderkey") === col("o3") && col("l_suppkey") =!= col("s3"),
+        "left_anti")
+      .join(broadcast(supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  private val q215Oracle =
+    """SELECT s_name, count(*)::BIGINT AS numwait
+      |FROM lineitem l1
+      |  JOIN orders ON l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+      |  JOIN supplier ON l1.l_suppkey = s_suppkey
+      |WHERE date_diff('day', o_orderdate::DATE, l1.l_shipdate::DATE) > 60
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lineitem l3
+      |      JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey AND o3.o_orderstatus = 'F'
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey
+      |      AND date_diff('day', o3.o_orderdate::DATE, l3.l_shipdate::DATE) > 60)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 100""".stripMargin
+
   /** q178: per-column data profile of the events table — row count,
     * non-null count, exact distinct count and null ppm per column, the
     * export-QA pass a consumer runs on every delivered batch (the
@@ -1223,6 +1398,9 @@ object ParityQueries {
     "q191_partitioned_write" -> (q191PartitionedWrite _),
     "q173_local_supplier" -> (q173LocalSupplierRevenue _),
     "q177_important_parts" -> (q177ImportantParts _),
+    "q213_volume_shipping" -> (q213VolumeShipping _),
+    "q214_market_share" -> (q214MarketShare _),
+    "q215_waiting_supplier" -> (q215WaitingSupplier _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_star_join" -> (q02StarJoin _),
     "q03_window_top_orders" -> (q03WindowTopOrders _),
@@ -1268,6 +1446,9 @@ object ParityQueries {
     "q191_partitioned_write" -> q191Oracle,
     "q173_local_supplier" -> q173Oracle,
     "q177_important_parts" -> q177Oracle,
+    "q213_volume_shipping" -> q213Oracle,
+    "q214_market_share" -> q214Oracle,
+    "q215_waiting_supplier" -> q215Oracle,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty,

@@ -440,6 +440,33 @@ class PlanSpec extends SparkSpec {
       s"date window not applied below the join:\n$plan")
   }
 
+  test("q213 volume shipping: both nation chains broadcast; one orderkey shuffle join") {
+    val plan = planOf(ParityQueries.q213VolumeShipping(spark, Sf0001))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"supplier-nation and customer-nation chains should both broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q215 waiting supplier: self semi- and anti-join both key on l_orderkey") {
+    val plan = planOf(ParityQueries.q215WaitingSupplier(spark, Sf0001))
+    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"),
+      s"Q21 algebra must plan as semi+anti joins, not aggregates:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the non-equi suppkey predicate must ride the orderkey equi-join:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-100 should be the bounded heap operator:\n$plan")
+  }
+
+  test("q218 encoding advisor: run windows are partitioned by (column, page)") {
+    val plan = planOf(graft.ext.ExtQueries.q218EncodingAdvisor(spark, Sf0001))
+    // the lag window must be keyed by (col_name, page) — an unkeyed window
+    // would drag the whole unpivoted table through one partition
+    assert("Window \\[[^\\n]*\\[col_name#\\d+, page#\\d+L?\\]".r
+      .findFirstIn(plan).isDefined,
+      s"run-count window should partition by (col_name, page):\n$plan")
+  }
+
   test("q191 partition-column predicate lands in PartitionFilters, not the data scan") {
     val plan = planOf(ParityQueries.q191PartitionedWrite(spark, Sf0001))
     // directory-level pruning: the day predicate must be a partition filter

@@ -58,11 +58,9 @@ class TablesSpec extends SparkSpec {
         .write.parquet(dir.resolve("tz/events.parquet").toString)
 
       // NOTE: the "nanos" case writes a plain INT64 column, so it exercises
-      // the LongType passthrough branch — NOT the legacy parquet
-      // TIMESTAMP(NANOS) + `nanosAsLong` read path (Spark cannot WRITE
-      // TIMESTAMP(NANOS) parquet, so that leg is only coverable with a
-      // pre-generated foreign fixture; the driver's own testdata is the
-      // de-facto pin whenever it regenerates in that encoding).
+      // the LongType passthrough branch. The legacy parquet
+      // TIMESTAMP(NANOS) + `nanosAsLong` read leg (Spark cannot WRITE that
+      // encoding) is pinned by the pyarrow-generated fixture test below.
       val expected = micros.zipWithIndex.map { case (us, i) => (i.toLong, us * 1000L) }
       for (enc <- Seq("nanos", "ntz", "tz")) {
         val df = Tables.t(spark, dir.resolve(enc).toString, "events")
@@ -71,6 +69,20 @@ class TablesSpec extends SparkSpec {
         assert(canonical(dir, enc) === expected, s"$enc: values drifted")
       }
     }
+  }
+
+  test("legacy TIMESTAMP(NANOS) parquet reads through nanosAsLong as BIGINT nanos") {
+    // Foreign-written fixture (tools/make_nanos_fixture.py, pyarrow, parquet
+    // 2.6): the one encoding Spark can read but not write, and the one
+    // TablesSpec's own three writers cannot cover. Same canonical rows as
+    // the encoding matrix above, so the value assertion is shared.
+    val df = Tables.t(spark, "src/test/resources/fixtures/nanos-legacy", "events")
+    assert(df.schema("ts").dataType === LongType,
+      "TIMESTAMP(NANOS) must surface as BIGINT nanos via nanosAsLong")
+    val got = df.select($"event_id", $"ts").orderBy($"event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expected = micros.zipWithIndex.map { case (us, i) => (i.toLong, us * 1000L) }
+    assert(got === expected, "legacy-nanos values drifted through the boundary")
   }
 
   test("tsUs derives epoch-micros from the canonical column") {
