@@ -2579,9 +2579,44 @@ object ExtQueries {
       |            ELSE 'plain' END AS encoding
       |FROM a""".stripMargin
 
+  /** q221: fuzzy record linkage over part names — blocked Jaro-Winkler
+    * matching, the catalog-dedup / entity-resolution primitive. Distinct
+    * names self-join WITHIN first-token blocks only (never all-pairs; the
+    * block key shuffles both sides once), then the codegen'd
+    * [[graft.functions.JaroWinkler]] scores each candidate pair — the
+    * expression runs inside whole-stage codegen in the join's hot loop,
+    * where a Scala UDF would box every pair. Pairs at sim ≥ 0.85 survive;
+    * similarity is rounded 6 dp on BOTH engines and the gate applies to
+    * the rounded value, so the cut is cross-engine stable.
+    *
+    * At 100 TB: blocking is the standard linkage scale move — candidate
+    * count is Σ|block|², bounded by the blocking key's selectivity; a
+    * skewed block would salt or sub-block (second token) the same way the
+    * dedup ladder's LSH bands do.
+    */
+  def q221FuzzyParts(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.jaroWinkler
+    val names = part(spark, dir).select(col("p_name")).distinct()
+      .withColumn("blk", split(col("p_name"), " ").getItem(0))
+    val right = names.select(col("blk").as("blk_b"), col("p_name").as("name_b"))
+    names.select(col("blk"), col("p_name").as("name_a"))
+      .join(right, col("blk") === col("blk_b") && col("name_a") < col("name_b"))
+      .withColumn("sim", round(jaroWinkler(col("name_a"), col("name_b")), 6))
+      .filter(col("sim") >= 0.85)
+      .select("name_a", "name_b", "sim")
+  }
+
+  private val q221Oracle =
+    """WITH n AS (SELECT DISTINCT p_name, split_part(p_name, ' ', 1) AS blk FROM part)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |       round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS sim
+      |FROM n a JOIN n b ON a.blk = b.blk AND a.p_name < b.p_name
+      |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.85""".stripMargin
+
   // ---------------- registry ----------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q221_fuzzy_parts" -> (q221FuzzyParts _),
     "q218_encoding_advisor" -> (q218EncodingAdvisor _),
     "q20_dedup_exact" -> (q20DedupExact _),
     "q26_dedup_keep" -> (q26DedupKeep _),
@@ -2675,6 +2710,7 @@ object ExtQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q218_encoding_advisor" -> q218Oracle,
+    "q221_fuzzy_parts" -> q221Oracle,
     "q20_dedup_exact" -> q20Oracle,
     "q26_dedup_keep" -> q26Oracle,
     "q27_dup_clusters" -> q27Oracle,

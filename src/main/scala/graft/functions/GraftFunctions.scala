@@ -54,6 +54,9 @@ object GraftFunctions {
   def hilbertIndex(x: Column, y: Column, bits: Int = 16): Column =
     col(HilbertIndex(expr(x), expr(y), bits))
 
+  /** Jaro-Winkler similarity in [0,1], codegen'd ([[JaroWinkler]]). */
+  def jaroWinkler(a: Column, b: Column): Column = col(JaroWinkler(expr(a), expr(b)))
+
   /** Polynomial rolling hash over codepoints, one pass. */
   def polyRollingHash(t: Column, mult: Long = 31L, mod: Long = 1000000007L): Column =
     col(PolyRollingHash(expr(t), mult, mod))
@@ -147,7 +150,11 @@ object GraftFunctions {
       (FunctionIdentifier("char_shingles"),
         info("char_shingles", "char_shingles(text, k) - distinct character k-shingles",
           classOf[CharShingles]),
-        (es: Seq[Expression]) => CharShingles(es(0), intArg(es(1), "k")))
+        (es: Seq[Expression]) => CharShingles(es(0), intArg(es(1), "k"))),
+      (FunctionIdentifier("jaro_winkler"),
+        info("jaro_winkler", "jaro_winkler(a, b) - Jaro-Winkler similarity in [0,1]",
+          classOf[JaroWinkler]),
+        (es: Seq[Expression]) => JaroWinkler(es(0), es(1)))
     )
   }
 
