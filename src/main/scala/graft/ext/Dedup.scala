@@ -153,10 +153,24 @@ object Dedup {
     * buckets (singletons — they can never become candidates).
     */
   private[ext] def minhashBandRows(
-      sh: DataFrame, params: Seq[HashParams], bands: Int, rowsPerBand: Int): DataFrame = {
-    val withSig = sh.select(col("doc_id"),
+      sh: DataFrame, params: Seq[HashParams], bands: Int, rowsPerBand: Int): DataFrame =
+    bandRowsOfSig(minhashSigFrame(sh, params), bands, rowsPerBand)
+
+  /** (doc_id, sig) — the signature stage alone, so a caller sweeping BAND
+    * GROUPINGS of one signature (the [[lshParameterSweep]] report) can pay
+    * for the affine-min kernel once and re-bucket cheaply.
+    */
+  private[ext] def minhashSigFrame(sh: DataFrame, params: Seq[HashParams]): DataFrame =
+    sh.select(col("doc_id"),
       GraftFunctions.minhashSig(col("hs"),
         params.map(_.a), params.map(_.b), Mersenne31).as("sig"))
+
+  /** (doc_id, band, bucket) from a (doc_id, sig) frame; empty/null
+    * signatures get per-doc sentinel buckets (singletons — never
+    * candidates).
+    */
+  private[ext] def bandRowsOfSig(
+      withSig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val buckets = array((0 until bands).map { b =>
       md5(concat_ws(",", (0 until rowsPerBand).map(r => col("sig")(b * rowsPerBand + r)): _*))
     }: _*)
@@ -211,6 +225,16 @@ object Dedup {
     // shared with the incremental path via [[minhashBandRows]])
     val bandRows = minhashBandRows(shingled, params, bands, rowsPerBand)
 
+    bucketPairs(bandRows)
+      .transform(verifyJaccard(_, shingled))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Distinct (doc_a, doc_b), doc_a < doc_b, sharing at least one band
+    * bucket — the candidate-generation stage of the banded LSH.
+    */
+  private[ext] def bucketPairs(bandRows: DataFrame): DataFrame = {
     // in-bucket pair enumeration: sort ids, emit (ids(i), ids(j)) for i < j
     val ids = array_sort(collect_list(col("doc_id")))
     val pairList = transform(col("ids"), (a, i) =>
@@ -220,20 +244,24 @@ object Dedup {
     // heavy in OUTPUT — AQE coalesces the groupBy shuffle by input size and
     // would run the enumeration on one partition; the explicit repartition
     // (REPARTITION_BY_NUM: AQE keeps it) spreads buckets across the cluster
-    val candidates = bandRows
+    bandRows
       .groupBy("band", "bucket")
       .agg(ids.as("ids"))
       .filter(size(col("ids")) > 1)
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .repartition(bandRows.sparkSession.sparkContext.defaultParallelism)
       .select(explode(flatten(pairList)).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .dropDuplicates("doc_a", "doc_b") // a pair can collide in several bands
+  }
 
-    // verify: true Jaccard on the distinct shingle sets. The pair is
-    // exploded to one row per side so `shingled` is scanned ONCE (two
-    // per-side joins would each re-evaluate the shingle pipeline over the
-    // full corpus); the conditional-first regroup shuffles shingle arrays
-    // only for candidate rows, which are few by construction.
+  /** (doc_a, doc_b, jaccard): true hash-space Jaccard for each candidate
+    * pair — the verify stage. The pair is exploded to one row per side so
+    * `shingled` is scanned ONCE (two per-side joins would each re-evaluate
+    * the shingle pipeline over the full corpus); the conditional-first
+    * regroup shuffles shingle arrays only for candidate rows, which are
+    * few by construction.
+    */
+  private[ext] def verifyJaccard(candidates: DataFrame, shingled: DataFrame): DataFrame = {
     val sides = candidates
       .select(col("doc_a"), col("doc_b"),
         explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
@@ -257,10 +285,59 @@ object Dedup {
     // DISTINCT elements, mirroring the oracle's list_distinct formulation
     val inter = size(array_intersect(col("hs_a"), col("hs_b"))).cast("double")
     val union = size(array_union(col("hs_a"), col("hs_b"))).cast("double")
-    paired
-      .withColumn("jaccard", round(inter / union, 4))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+    paired.withColumn("jaccard", round(inter / union, 4))
+  }
+
+  /** LSH band-configuration sweep: for each (bands, rowsPerBand) grouping
+    * of ONE shared 16-hash signature, the measured candidate-pair count,
+    * the true pairs among them (hash-space Jaccard ≥ threshold), and
+    * integer-ppm precision — the empirical counterpart of the
+    * 1−(1−s^r)^b collision curve, measured on the actual corpus before
+    * committing a production banding (the q206 HLL-precision-sweep pattern
+    * applied to the dedup ladder's main tuning knob).
+    *
+    * More bands/fewer rows (8×2) is the high-recall/low-precision end —
+    * candidates explode; fewer bands/more rows (2×8) the opposite. The
+    * report quantifies that trade on real data, where the theoretical
+    * curve needs the (unknown) pair-similarity distribution.
+    *
+    * Scale/cost shape: the shingle and signature stages are computed once
+    * and persisted (signature rows are |docs| × 16 longs); each config
+    * re-buckets the SAME signatures — only the cheap md5-concat and the
+    * candidate join rerun per config. The per-config counts are 1-row
+    * aggregate actions (bounded driver reads, the anchor pattern); the
+    * staged persists are released before return.
+    */
+  def lshParameterSweep(
+      docs: DataFrame,
+      configs: Seq[(Int, Int)] = Seq((2, 8), (4, 4), (8, 2)),
+      k: Int = 5,
+      threshold: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    require(configs.nonEmpty && configs.map(c => c._1 * c._2).distinct.size == 1,
+      "all configs must group the same total signature length")
+    val params = hashParams(configs.head._1 * configs.head._2)
+    val shingled = shingleHashes(docs, "doc_id", "text", k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = minhashSigFrame(shingled, params)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val rows = configs.map { case (bands, rowsPerBand) =>
+        val cand = bucketPairs(bandRowsOfSig(sig, bands, rowsPerBand))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val nCand = cand.count()
+          val nTrue = verifyJaccard(cand, shingled)
+            .filter(col("jaccard") >= threshold).count()
+          val ppm = if (nCand == 0) 0L else (1000000L * nTrue) / nCand
+          (bands, rowsPerBand, nCand, nTrue, ppm)
+        } finally cand.unpersist(false)
+      }
+      import spark.implicits._
+      rows.toDF("bands", "rows_per_band", "n_candidates", "n_true", "precision_ppm")
+        .select(col("bands").cast("long"), col("rows_per_band").cast("long"),
+          col("n_candidates"), col("n_true"), col("precision_ppm"))
+    } finally { sig.unpersist(false); shingled.unpersist(false) }
   }
 
   /** Store-backed-snapshot location for the iterative/staged operators: an

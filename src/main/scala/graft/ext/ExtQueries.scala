@@ -84,14 +84,20 @@ object ExtQueries {
   /** As [[minhashPairsCte]] but shingling an arbitrary (doc_id, text)
     * relation — lets composed oracles (q28) run the chain over a subset.
     */
-  private def minhashPairsCte(docSource: String): String = {
-    val params = Dedup.hashParams(16)
+  private def minhashPairsCte(docSource: String): String =
+    minhashPairsCte(docSource, bands = 4, rowsPerBand = 4)
+
+  /** As above with an explicit band grouping — the q224 sweep replays each
+    * configuration of the SAME 16-hash signature.
+    */
+  private def minhashPairsCte(docSource: String, bands: Int, rowsPerBand: Int): String = {
+    val params = Dedup.hashParams(bands * rowsPerBand)
     val p = Dedup.Mersenne31
     val mh = params.zipWithIndex.map { case (hp, j) =>
       s"list_min(list_transform(hs, h -> (${hp.a} * (h % $p) + ${hp.b}) % $p)) AS mh$j"
     }.mkString(",\n         ")
-    val bandSelects = (0 until 4).map { b =>
-      val slice = (0 until 4).map(r => s"mh${b * 4 + r}").mkString(" || ',' || ")
+    val bandSelects = (0 until bands).map { b =>
+      val slice = (0 until rowsPerBand).map(r => s"mh${b * rowsPerBand + r}").mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band, md5($slice) AS bucket FROM sig"
     }.mkString("\n  UNION ALL ")
     s"""n AS (SELECT doc_id, $DNorm AS t FROM ($docSource) dsrc),
@@ -2579,6 +2585,29 @@ object ExtQueries {
       |            ELSE 'plain' END AS encoding
       |FROM a""".stripMargin
 
+  /** q224: LSH band-configuration sweep — see [[Dedup.lshParameterSweep]].
+    * Measured candidates / true pairs / integer-ppm precision for the
+    * (2×8, 4×4, 8×2) groupings of one shared 16-hash signature; the
+    * oracle replays each configuration's full chain over the identical
+    * md5/affine hash space, so every count is cross-engine exact.
+    */
+  def q224LshSweep(spark: SparkSession, dir: String): DataFrame =
+    Dedup.lshParameterSweep(fanOut(documents(spark, dir)))
+
+  private def q224Oracle: String = {
+    def block(bands: Int, rowsPerBand: Int) =
+      s"""SELECT * FROM (
+         |  WITH ${minhashPairsCte("SELECT doc_id, text FROM documents", bands, rowsPerBand)}
+         |  SELECT ${bands}::BIGINT AS bands, ${rowsPerBand}::BIGINT AS rows_per_band,
+         |         (SELECT count(*) FROM cand)::BIGINT AS n_candidates,
+         |         (SELECT count(*) FROM pairs WHERE jaccard >= 0.5)::BIGINT AS n_true,
+         |         CASE WHEN (SELECT count(*) FROM cand) = 0 THEN 0
+         |              ELSE (1000000 * (SELECT count(*) FROM pairs WHERE jaccard >= 0.5))
+         |                   // (SELECT count(*) FROM cand) END AS precision_ppm
+         |)""".stripMargin
+    Seq(block(2, 8), block(4, 4), block(8, 2)).mkString("\nUNION ALL\n")
+  }
+
   /** q221: fuzzy record linkage over part names — blocked Jaro-Winkler
     * matching, the catalog-dedup / entity-resolution primitive. Distinct
     * names self-join WITHIN first-token blocks only (never all-pairs; the
@@ -2617,6 +2646,7 @@ object ExtQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q221_fuzzy_parts" -> (q221FuzzyParts _),
+    "q224_lsh_sweep" -> (q224LshSweep _),
     "q218_encoding_advisor" -> (q218EncodingAdvisor _),
     "q20_dedup_exact" -> (q20DedupExact _),
     "q26_dedup_keep" -> (q26DedupKeep _),
@@ -2711,6 +2741,7 @@ object ExtQueries {
   val oracleSql: Map[String, String] = Map(
     "q218_encoding_advisor" -> q218Oracle,
     "q221_fuzzy_parts" -> q221Oracle,
+    "q224_lsh_sweep" -> q224Oracle,
     "q20_dedup_exact" -> q20Oracle,
     "q26_dedup_keep" -> q26Oracle,
     "q27_dup_clusters" -> q27Oracle,

@@ -3114,7 +3114,55 @@ object EventQueries {
       |       count(*)::BIGINT AS n_touches
       |FROM c GROUP BY 1""".stripMargin
 
+  /** q222: ordered-pair sequence support — for every ordered event-type
+    * pair (a, b), a ≠ b, how many users ever did a BEFORE b (not
+    * necessarily adjacently): the directional sibling of q165's
+    * co-occurrence basket and the support table sequence-mining starts
+    * from. Containment of a→b reduces to `first_ts(a) < last_ts(b)`, so
+    * the whole query is one user_id-keyed aggregate to |users|×|types|
+    * (first/last per type) and a types×types comparison per user — never a
+    * pairwise event join. Support is also published as ppm of all users.
+    *
+    * Scale shape: one shuffle to the per-(user, type) envelope; the pair
+    * table is |types|² per user (types is a model-sized domain); the final
+    * rollup is map-side combined. The user-count anchor is a 1-row
+    * broadcast.
+    */
+  def q222SequenceSupport(spark: SparkSession, dir: String): DataFrame = {
+    val env = events(spark, dir)
+      .withColumn("us", tsUs)
+      .groupBy("user_id", "event_type")
+      .agg(min(col("us")).as("first_us"), max(col("us")).as("last_us"))
+    val a = env.select(col("user_id"), col("event_type").as("type_a"),
+      col("first_us"))
+    val b = env.select(col("user_id").as("uid_b"), col("event_type").as("type_b"),
+      col("last_us"))
+    val nUsers = events(spark, dir).agg(countDistinct(col("user_id")).as("n_users"))
+    a.join(b, col("user_id") === col("uid_b") && col("type_a") =!= col("type_b"))
+      .filter(col("first_us") < col("last_us"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("support"))
+      .crossJoin(broadcast(nUsers))
+      .select(col("type_a"), col("type_b"), col("support"),
+        expr("(1000000 * support) div n_users").as("support_ppm"))
+  }
+
+  private val q222Oracle =
+    """WITH env AS (SELECT user_id, event_type,
+      |               min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
+      |             FROM events GROUP BY 1, 2),
+      |n AS (SELECT count(DISTINCT user_id)::BIGINT AS n_users FROM events),
+      |s AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |             count(*)::BIGINT AS support
+      |      FROM env a JOIN env b
+      |        ON a.user_id = b.user_id AND a.event_type <> b.event_type
+      |      WHERE a.first_us < b.last_us
+      |      GROUP BY 1, 2)
+      |SELECT type_a, type_b, support, (1000000 * support) // n_users AS support_ppm
+      |FROM s CROSS JOIN n""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q222_sequence_support" -> (q222SequenceSupport _),
     "q216_kaplan_meier" -> (q216KaplanMeier _),
     "q217_l_diversity" -> (q217LDiversity _),
     "q220_position_attribution" -> (q220PositionAttribution _),
@@ -3200,6 +3248,7 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q222_sequence_support" -> q222Oracle,
     "q216_kaplan_meier" -> q216Oracle,
     "q217_l_diversity" -> q217Oracle,
     "q220_position_attribution" -> q220Oracle,

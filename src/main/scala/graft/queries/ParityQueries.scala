@@ -1245,6 +1245,50 @@ object ParityQueries {
       |ORDER BY numwait DESC, s_name
       |LIMIT 100""".stripMargin
 
+  /** q223: functional-dependency profile — for candidate column pairs
+    * det→dep, how many determinant values map to MORE than one dependent
+    * value (violations), plus the worst fan-out. The schema-inference pass
+    * a pipeline runs before trusting a column as a join/partition key or
+    * declaring an FD for layout decisions (q178's per-column profile is
+    * the unary sibling; this is the binary structure). o_orderkey→o_custkey
+    * HOLDS (a real key); the lineitem candidates are all violated — the
+    * report proves both directions.
+    *
+    * Scale shape: per candidate, one det-keyed shuffle with partial
+    * distinct, re-aggregated to ONE row; the union is 4 rows total.
+    */
+  def q223FdProfile(spark: SparkSession, dir: String): DataFrame = {
+    def fd(df: DataFrame, det: String, dep: String): DataFrame =
+      df.groupBy(col(det))
+        .agg(countDistinct(col(dep)).as("ndv"))
+        .agg(count(lit(1)).as("n_det"),
+          sum((col("ndv") > 1).cast("long")).as("n_violating"),
+          max(col("ndv")).as("max_fanout"))
+        .select(lit(s"$det->$dep").as("fd"), col("n_det"), col("n_violating"),
+          expr("(1000000 * n_violating) div n_det").as("violation_ppm"),
+          col("max_fanout"))
+    val li = lineitem(spark, dir)
+    val o = orders(spark, dir)
+    fd(li, "l_orderkey", "l_suppkey")
+      .unionByName(fd(li, "l_partkey", "l_suppkey"))
+      .unionByName(fd(o, "o_orderkey", "o_custkey"))
+      .unionByName(fd(o, "o_custkey", "o_orderpriority"))
+  }
+
+  private val q223Oracle = {
+    def fd(table: String, det: String, dep: String) =
+      s"""SELECT '$det->$dep' AS fd, count(*)::BIGINT AS n_det,
+         |       sum((ndv > 1)::BIGINT)::BIGINT AS n_violating,
+         |       (1000000 * sum((ndv > 1)::BIGINT)) // count(*) AS violation_ppm,
+         |       max(ndv)::BIGINT AS max_fanout
+         |FROM (SELECT $det, count(DISTINCT $dep)::BIGINT AS ndv
+         |      FROM $table GROUP BY 1)""".stripMargin
+    Seq(fd("lineitem", "l_orderkey", "l_suppkey"),
+      fd("lineitem", "l_partkey", "l_suppkey"),
+      fd("orders", "o_orderkey", "o_custkey"),
+      fd("orders", "o_custkey", "o_orderpriority")).mkString("\nUNION ALL\n")
+  }
+
   /** q178: per-column data profile of the events table — row count,
     * non-null count, exact distinct count and null ppm per column, the
     * export-QA pass a consumer runs on every delivered batch (the
@@ -1401,6 +1445,7 @@ object ParityQueries {
     "q213_volume_shipping" -> (q213VolumeShipping _),
     "q214_market_share" -> (q214MarketShare _),
     "q215_waiting_supplier" -> (q215WaitingSupplier _),
+    "q223_fd_profile" -> (q223FdProfile _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_star_join" -> (q02StarJoin _),
     "q03_window_top_orders" -> (q03WindowTopOrders _),
@@ -1449,6 +1494,7 @@ object ParityQueries {
     "q213_volume_shipping" -> q213Oracle,
     "q214_market_share" -> q214Oracle,
     "q215_waiting_supplier" -> q215Oracle,
+    "q223_fd_profile" -> q223Oracle,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty,
