@@ -2642,11 +2642,90 @@ object ExtQueries {
       |FROM n a JOIN n b ON a.blk = b.blk AND a.p_name < b.p_name
       |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.85""".stripMargin
 
+  /** q225: entity clusters over the fuzzy matches — q221's pair list fed
+    * through the SAME large-star/small-star connected-components fixpoint
+    * the dedup ladder uses (q27), so "small ring / small rung / small
+    * ring-ish" variants collapse to one entity id (the lexicographic
+    * minimum name). The record-linkage pipeline end-to-end: block → score
+    * → link.
+    */
+  def q225EntityClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = q221FuzzyParts(spark, dir)
+      .select(col("name_a").as("doc_a"), col("name_b").as("doc_b"))
+    val nodes = part(spark, dir).select(col("p_name").as("name")).distinct()
+    Dedup.duplicateClusters(nodes, pairs, idCol = "name")
+      .select(col("name"), col("cluster_id").as("entity_id"))
+  }
+
+  private val q225Oracle =
+    """WITH RECURSIVE n AS (SELECT DISTINCT p_name, split_part(p_name, ' ', 1) AS blk FROM part),
+      |pr AS (SELECT a.p_name AS doc_a, b.p_name AS doc_b
+      |       FROM n a JOIN n b ON a.blk = b.blk AND a.p_name < b.p_name
+      |       WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.85),
+      |e AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+      |      UNION ALL SELECT doc_b, doc_a FROM pr),
+      |reach(id, lab) AS (
+      |  SELECT p_name, p_name FROM n
+      |  UNION
+      |  SELECT e.dst, reach.lab FROM reach JOIN e ON e.src = reach.id
+      |)
+      |SELECT id AS name, min(lab) AS entity_id FROM reach GROUP BY id""".stripMargin
+
+  /** q226: BM25 relevance against a fixed query — see
+    * [[TextAnalysis.bm25Score]]. Terms chosen to span common and rarer
+    * corpus vocabulary so idf actually differentiates.
+    */
+  def q226Bm25(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25Score(fanOut(documents(spark, dir)),
+      queryTerms = Seq("spark", "shuffle", "window"))
+
+  private val q226Oracle =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split($DNorm, ' ')) AS term
+       |              FROM documents),
+       |t AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+       |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM t GROUP BY 1),
+       |a AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM dl),
+       |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM t
+       |       WHERE term IN ('spark', 'shuffle', 'window') GROUP BY 1, 2),
+       |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+       |w AS (SELECT tf.doc_id,
+       |        ln((n_docs::DOUBLE - df + 0.5) / (df + 0.5) + 1.0)
+       |          * (tf * (1.2 + 1.0))
+       |          / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sum_dl::DOUBLE / n_docs))) AS w
+       |      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN a)
+       |SELECT doc_id, round(sum(w), 4) AS bm25, count(*)::BIGINT AS n_terms_hit
+       |FROM w GROUP BY 1""".stripMargin
+
+  /** q227: bigram conditional commonness — see
+    * [[TextAnalysis.bigramCondCommonness]]; the oracle replays q72's exact
+    * bigram derivation (list comprehension over the normalized split).
+    */
+  def q227BigramCond(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramCondCommonness(fanOut(documents(spark, dir)))
+
+  private val q227Oracle =
+    s"""WITH n AS (SELECT doc_id, string_split($DNorm, ' ') AS tk FROM documents),
+       |g AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
+       |         THEN [tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]
+       |         ELSE [] END) AS bg FROM n),
+       |c2 AS (SELECT bg, count(*)::BIGINT AS c2 FROM g GROUP BY 1),
+       |c1 AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c2)::BIGINT AS c1
+       |       FROM c2 GROUP BY 1),
+       |j AS (SELECT doc_id, (1000000 * c2.c2) // c1.c1 AS cond_ppm
+       |      FROM g JOIN c2 USING (bg)
+       |      JOIN c1 ON split_part(g.bg, ' ', 1) = c1.w1)
+       |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       |       sum(cond_ppm) // count(*) AS avg_cond_ppm
+       |FROM j GROUP BY 1""".stripMargin
+
   // ---------------- registry ----------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q221_fuzzy_parts" -> (q221FuzzyParts _),
     "q224_lsh_sweep" -> (q224LshSweep _),
+    "q225_entity_clusters" -> (q225EntityClusters _),
+    "q226_bm25" -> (q226Bm25 _),
+    "q227_bigram_cond" -> (q227BigramCond _),
     "q218_encoding_advisor" -> (q218EncodingAdvisor _),
     "q20_dedup_exact" -> (q20DedupExact _),
     "q26_dedup_keep" -> (q26DedupKeep _),
@@ -2742,6 +2821,9 @@ object ExtQueries {
     "q218_encoding_advisor" -> q218Oracle,
     "q221_fuzzy_parts" -> q221Oracle,
     "q224_lsh_sweep" -> q224Oracle,
+    "q225_entity_clusters" -> q225Oracle,
+    "q226_bm25" -> q226Oracle,
+    "q227_bigram_cond" -> q227Oracle,
     "q20_dedup_exact" -> q20Oracle,
     "q26_dedup_keep" -> q26Oracle,
     "q27_dup_clusters" -> q27Oracle,

@@ -309,6 +309,84 @@ object TextAnalysis {
         expr("(1000000 * cnt_sum) div (n_tok * n_total)").as("score_ppm"))
   }
 
+  /** BM25 relevance of every document against a fixed query-term set — the
+    * search-engine scoring kernel (Robertson k1/b form with Lucene's
+    * `ln(1 + (N−df+0.5)/(df+0.5))` idf). Published rounded 4 dp; every
+    * INPUT to the float formula (tf, df, dl, N, Σdl) is an exact integer
+    * on both engines, so the only cross-engine surface is the identical
+    * per-row double expression plus a ≤|terms|-element per-doc sum.
+    *
+    * Scale shape: one corpus-sized exploded aggregation for document
+    * lengths (map-side combined), one for the query-term tf rows — the tf
+    * relation is |docs|×|terms| at worst and carries the whole rest of the
+    * query; df and the (N, Σdl) anchors are model-sized broadcasts. The
+    * dl join keys on the id — at 100 TB both sides of that join come from
+    * the SAME exploded scan, so a shared bucketing on the id removes its
+    * exchange entirely.
+    */
+  def bm25Score(
+      docs: DataFrame,
+      queryTerms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty, "BM25 needs at least one query term")
+    val toks = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val anchors = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = toks.filter(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(anchors))
+      .withColumn("idf", log(
+        (col("n_docs").cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+          + lit(1.0)))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("w",
+        col("idf") * (col("tf") * (lit(k1) + lit(1.0))) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("w")), 4).as("bm25"), count(lit(1)).as("n_terms_hit"))
+  }
+
+  /** Per-document average bigram conditional commonness — the bigram-LM
+    * sibling of [[commonnessScore]], kept integer-exact the same way: each
+    * bigram occurrence scores `(10⁶ · c(w₁w₂)) div c(w₁·)` (corpus
+    * conditional probability in floor-ppm — the rational stand-in for
+    * `−log p(w₂|w₁)` surprisal, monotone in it per bigram), and the doc
+    * aggregates the floor-mean. A doc of formulaic adjacent pairs scores
+    * high; novel transitions score low.
+    *
+    * Scale shape: one exploded bigram aggregation for c₂ (map-side
+    * combined), a vocabulary-sized rollup for c₁, then the per-doc score
+    * joins the doc's bigram stream against the two vocab-sized counts
+    * (AQE broadcasts them) and re-aggregates by doc — two corpus-sized
+    * shuffles total, both carrying combined partials.
+    */
+  def bigramCondCommonness(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val bi = docs.select(col(idCol),
+      explode(graft.functions.GraftFunctions.wordNgramsAll(tokens(col(textCol)), 2)).as("bg"))
+    val c2 = bi.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val c1 = c2.withColumn("w1", split(col("bg"), " ").getItem(0))
+      .groupBy("w1").agg(sum(col("c2")).as("c1"))
+    bi.join(c2, "bg")
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .join(c1, "w1")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(expr("(1000000 * c2) div c1")).as("ppm_sum"))
+      .select(col(idCol), col("n_bigrams"),
+        expr("ppm_sum div n_bigrams").as("avg_cond_ppm"))
+  }
+
   /** Corpus bigram collocations by LIFT — the rational form of PMI
     * (`lift = P(ab) / (P(a)·P(b))`, PMI = log lift), kept integer-exact:
     * `lift_4 = (10000 · N_bi · c_ab) div (c_a · c_b)` where `c_a`/`c_b` are
