@@ -138,4 +138,73 @@ object Graph {
     deg.join(perNode, Seq("node"), "left")
       .select(col("node"), col("deg"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
+
+  /** Bounded-round k-core peeling: repeatedly remove every node whose
+    * CURRENT degree is < k (each removal lowers neighbors' degrees, so the
+    * peel cascades), up to `rounds` rounds. Returns one row per node:
+    * `peeled_round` = the round that removed it (1-based) or 0 for k-core
+    * survivors, plus the survivor's final in-core degree. The density
+    * screen community/fraud pipelines run before expensive per-subgraph
+    * work — PageRank (importance), triangles (local clustering) and CC
+    * (reachability) answer different questions than "is this node in a
+    * dense region".
+    *
+    * DETERMINISM over convergence: the round count is FIXED, so two
+    * engines (and two cluster sizes) always produce the identical result
+    * even on inputs where the cascade hasn't finished — an unconverged
+    * survivor simply reports its current degree (which may be < k).
+    * Exact peeling is inherently sequential (degree updates feed the next
+    * round); the round-synchronous form is the standard distributed
+    * relaxation, and real cascades die in O(log n)-ish rounds — the loop
+    * exits early the first time a round peels nobody.
+    *
+    * Scale shape per round: one degree aggregation (map-side combined) and
+    * two anti-joins keyed on the node id; `localCheckpoint` caps lineage
+    * exactly like the CC fixpoint. The per-round emptiness check is a
+    * 1-row action (anchor pattern), never a data collect.
+    */
+  def kCorePeel(
+      edges: DataFrame,
+      k: Long,
+      rounds: Int = 8,
+      srcCol: String = "u",
+      dstCol: String = "v"): DataFrame = {
+    require(k >= 1 && rounds >= 1, "need k >= 1 and at least one round")
+    val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    val nodes = e0.select(col("u").as("node"))
+      .union(e0.select(col("v").as("node"))).distinct().localCheckpoint()
+    var live = e0.localCheckpoint()
+    var liveNodes = nodes
+    // (node, peeled_round) accumulator — starts empty with the right schema
+    var peeled = nodes.limit(0).withColumn("peeled_round", lit(0L))
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val deg = live.select(col("u").as("node"))
+        .union(live.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val toPeel = liveNodes.join(deg, Seq("node"), "left")
+        .filter(coalesce(col("deg"), lit(0L)) < k)
+        .select("node").localCheckpoint()
+      if (toPeel.isEmpty) done = true
+      else {
+        peeled = peeled.unionByName(
+          toPeel.withColumn("peeled_round", lit(r.toLong))).localCheckpoint()
+        liveNodes = liveNodes.join(toPeel, Seq("node"), "left_anti").localCheckpoint()
+        live = live
+          .join(toPeel.withColumnRenamed("node", "u"), Seq("u"), "left_anti")
+          .join(toPeel.withColumnRenamed("node", "v"), Seq("v"), "left_anti")
+          .localCheckpoint()
+      }
+      r += 1
+    }
+    val finalDeg = live.select(col("u").as("node"))
+      .union(live.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    nodes.join(peeled, Seq("node"), "left")
+      .join(finalDeg, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("peeled_round"), lit(0L)).as("peeled_round"),
+        coalesce(col("deg"), lit(0L)).as("core_degree"))
+  }
 }

@@ -1289,6 +1289,55 @@ object ParityQueries {
       fd("orders", "o_custkey", "o_orderpriority")).mkString("\nUNION ALL\n")
   }
 
+  /** q228: k-core decomposition of the part co-purchase graph (edges =
+    * part pairs sharing an order; per-order pair expansion is bounded by
+    * order size²). Bounded-round peel at k=80 — see
+    * [[graft.ext.Graph.kCorePeel]]; at sf0.01 the cascade converges in 6
+    * rounds (97→25→13→7→1→0 peeled) leaving an 1857-node core. The oracle
+    * replays the SAME fixed 8 round-synchronous peels as chained CTEs, so
+    * the comparison is exact whether or not the cascade finished.
+    */
+  def q228KCore(spark: SparkSession, dir: String): DataFrame = {
+    val lp = lineitem(spark, dir).select("l_orderkey", "l_partkey").distinct()
+    val edges = lp
+      .join(lp.select(col("l_orderkey"), col("l_partkey").as("p2")), Seq("l_orderkey"))
+      .filter(col("l_partkey") < col("p2"))
+      .select(col("l_partkey").as("u"), col("p2").as("v")).distinct()
+    graft.ext.Graph.kCorePeel(edges, k = 80, rounds = 8)
+      .withColumnRenamed("node", "part")
+  }
+
+  private def q228Oracle: String = {
+    val k = 80
+    val rounds = 8
+    val head =
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |       FROM lp a JOIN lp b
+        |         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |n0 AS MATERIALIZED (SELECT u AS node FROM e0 UNION SELECT v FROM e0)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      s"""d$r AS MATERIALIZED (SELECT node, count(*)::BIGINT AS deg FROM
+         |  (SELECT u AS node FROM e${r - 1} UNION ALL SELECT v FROM e${r - 1}) GROUP BY 1),
+         |p$r AS MATERIALIZED (SELECT n.node FROM n${r - 1} n LEFT JOIN d$r USING (node)
+         |        WHERE coalesce(deg, 0) < $k),
+         |n$r AS MATERIALIZED (SELECT node FROM n${r - 1}
+         |        WHERE node NOT IN (SELECT node FROM p$r)),
+         |e$r AS MATERIALIZED (SELECT u, v FROM e${r - 1}
+         |        WHERE u IN (SELECT node FROM n$r) AND v IN (SELECT node FROM n$r))""".stripMargin
+    }.mkString(",\n")
+    val peelUnion = (1 to rounds)
+      .map(r => s"SELECT node, $r AS peeled_round FROM p$r").mkString(" UNION ALL ")
+    s"""$head,
+       |$roundCtes,
+       |fd AS (SELECT node, count(*)::BIGINT AS deg FROM
+       |  (SELECT u AS node FROM e$rounds UNION ALL SELECT v FROM e$rounds) GROUP BY 1),
+       |pr AS ($peelUnion)
+       |SELECT n.node AS part, coalesce(pr.peeled_round, 0)::BIGINT AS peeled_round,
+       |       coalesce(fd.deg, 0)::BIGINT AS core_degree
+       |FROM n0 n LEFT JOIN pr USING (node) LEFT JOIN fd USING (node)""".stripMargin
+  }
+
   /** q178: per-column data profile of the events table — row count,
     * non-null count, exact distinct count and null ppm per column, the
     * export-QA pass a consumer runs on every delivered batch (the
@@ -1446,6 +1495,7 @@ object ParityQueries {
     "q214_market_share" -> (q214MarketShare _),
     "q215_waiting_supplier" -> (q215WaitingSupplier _),
     "q223_fd_profile" -> (q223FdProfile _),
+    "q228_kcore" -> (q228KCore _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_star_join" -> (q02StarJoin _),
     "q03_window_top_orders" -> (q03WindowTopOrders _),
@@ -1495,6 +1545,7 @@ object ParityQueries {
     "q214_market_share" -> q214Oracle,
     "q215_waiting_supplier" -> q215Oracle,
     "q223_fd_profile" -> q223Oracle,
+    "q228_kcore" -> q228Oracle,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty,

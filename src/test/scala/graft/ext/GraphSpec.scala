@@ -68,6 +68,35 @@ class GraphSpec extends SparkSpec {
     (2L to 5L).foreach(i => assert(got(i) === ((1L, 0L))))
   }
 
+  test("kCorePeel: pendant peels first, then the cascade takes the triangle") {
+    // triangle a(1)-b(2)-c(3) plus pendant d(4)-a
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)).toDF("u", "v")
+    // k=2: round 1 peels only the pendant; the triangle survives at deg 2
+    val k2 = Graph.kCorePeel(edges, k = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(k2(4L) === ((1L, 0L)))
+    Seq(1L, 2L, 3L).foreach(n => assert(k2(n) === ((0L, 2L)), s"node $n"))
+    // k=3: b, c (deg 2) and d (deg 1) all fall in round 1; a still has
+    // deg 3 THEN — it only cascades in round 2, the round-synchronous
+    // contract (sequential peeling would take a in round 1's tail)
+    val k3 = Graph.kCorePeel(edges, k = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    Seq(2L, 3L, 4L).foreach(n => assert(k3(n) === ((1L, 0L)), s"node $n"))
+    assert(k3(1L) === ((2L, 0L)))
+  }
+
+  test("kCorePeel: unconverged rounds still report deterministically") {
+    // a 6-chain at k=2 peels one endpoint pair per round; rounds=1 stops
+    // mid-cascade and must report survivors with their CURRENT degree
+    val chain = (1L to 5L).map(i => (i, i + 1)).toDF("u", "v")
+    val got = Graph.kCorePeel(chain, k = 2, rounds = 1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) === ((1L, 0L)) && got(6L) === ((1L, 0L)))
+    // 2 and 5 are now chain ends (deg 1 < k) but round 2 never ran
+    assert(got(2L) === ((0L, 1L)) && got(5L) === ((0L, 1L)))
+    assert(got(3L) === ((0L, 2L)) && got(4L) === ((0L, 2L)))
+  }
+
   test("parallel edges weight contributions like a multigraph") {
     val single = Seq((1L, 2L)).toDF("src", "dst")
     val doubled = Seq((1L, 2L), (1L, 2L)).toDF("src", "dst")
