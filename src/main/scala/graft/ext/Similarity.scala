@@ -318,6 +318,109 @@ object Similarity {
     probeIvf(c, queries, centroids, k, nprobe, idCol, vecCol)
   }
 
+  /** Product-quantization ANN: split every vector into `subspaces` equal
+    * slices, learn a tiny per-subspace codebook (`codes` centroids, the
+    * same Lloyd trainer as IVF), encode the corpus as `subspaces` small
+    * integers — a 64-dim float vector compresses to 8 bytes at the
+    * defaults — and answer queries by ADC (asymmetric distance
+    * computation): one (query × subspace × code) lookup table of partial
+    * dot products scores every encoded vector WITHOUT touching raw
+    * floats, a `shortlist` of best approximate candidates is then exact
+    * re-ranked to the final top-k. The standard memory-bound ANN tier
+    * (IVF prunes WHICH vectors to score; PQ shrinks WHAT is stored and
+    * scored — production systems compose them).
+    *
+    * Approximate cosine: v̂ = concat of its subspace centroids, so
+    * score = Σₛ dot(qₛ, ctrₛ) / (‖q‖·√Σₛ‖ctrₛ‖²) — numerator from the
+    * LUT, denominator from per-code norms carried on the encoding.
+    *
+    * 100 TB shape: codebooks are a driver-model (subspaces × codes ×
+    * subdim ≈ KBs); encoding is one broadcast-join pass per subspace over
+    * the corpus (at scale: one combined pass keyed (sub, code)); the LUT
+    * is |queries|·subspaces·codes rows broadcast; ADC scoring shuffles
+    * only (q_id, vec_id, partials) with map-side combine; the shortlist
+    * is a bounded [[graft.functions.GraftFunctions.collectTopK]] heap and
+    * only `shortlist` raw vectors per query are ever fetched for the
+    * exact re-rank. Recall is gated like every approximate tier (q229).
+    */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      subspaces: Int = 8,
+      codes: Int = 16,
+      shortlist: Int = 50,
+      iters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % subspaces == 0, s"dim $dim must split into $subspaces subspaces")
+    val subDim = dim / subspaces
+
+    // per-subspace codebooks — the PQ model (driver-sized)
+    val books: Array[Array[Array[Double]]] = (0 until subspaces).toArray.map { s =>
+      ivfCentroids(
+        corpus.select(col(idCol), slice(col(vecCol), s * subDim + 1, subDim).as(vecCol)),
+        cells = codes, iters = iters, idCol = idCol, vecCol = vecCol)
+    }
+    val bookDf = broadcast(books.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (ctr, c) => (s, c, ctr.toSeq) }
+    }.toSeq.toDF("sub", "code", "ctr"))
+    val codeNorm2 = broadcast(books.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (ctr, c) => (s, c, ctr.map(x => x * x).sum) }
+    }.toSeq.toDF("sub", "code", "cn2"))
+
+    // encode: nearest code per (vector, subspace) — same argmin machinery
+    // as cell assignment
+    val enc = (0 until subspaces).map { s =>
+      val sliced = corpus.select(col(idCol).as("vec_id"),
+        slice(col(vecCol), s * subDim + 1, subDim).as("sv"))
+        .withColumn("__vn", norm(col("sv")))
+      withNearestCell(sliced, "sv", "__vn", "vec_id", books(s))
+        .select(col("vec_id"), lit(s).as("sub"), col("cell").as("code"))
+    }.reduce(_ unionByName _)
+
+    // ADC lookup table: partial dot of each query slice with each code
+    val qRows = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_norm"))
+    val lut = broadcast(qRows.crossJoin(bookDf)
+      .select(col("q_id"), col("q_norm"), col("sub"), col("code"),
+        dot(slice(col("q_vec"), col("sub") * lit(subDim) + lit(1), lit(subDim)),
+          col("ctr")).as("pd")))
+
+    val scored = enc.join(codeNorm2, Seq("sub", "code"))
+      .join(lut, Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum(col("pd")).as("num"), sum(col("cn2")).as("vn2"),
+        first(col("q_norm")).as("qn"))
+      .withColumn("approx", col("num") / (col("qn") * sqrt(col("vn2"))))
+
+    val short = scored
+      .groupBy("q_id")
+      .agg(graft.functions.GraftFunctions.collectTopK(
+        struct(col("approx"), (-col("vec_id")).as("neg_id")), shortlist).as("tk"))
+      .select(col("q_id"), explode(col("tk")).as("t"))
+      .select(col("q_id"), (-col("t.neg_id")).as("vec_id"))
+
+    // exact re-rank of the shortlist only
+    val cvec = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec"),
+      norm(col(vecCol)).as("c_norm"))
+    short.join(cvec, Seq("vec_id"))
+      .join(broadcast(qRows), Seq("q_id"))
+      .withColumn("score",
+        dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+      .groupBy("q_id")
+      .agg(graft.functions.GraftFunctions.collectTopK(
+        struct(col("score"), (-col("vec_id")).as("neg_id")), k).as("tk"))
+      .select(col("q_id"), posexplode(sort_array(col("tk"), asc = false)))
+      .select(col("q_id"), (-col("col.neg_id")).as("vec_id"),
+        (col("pos") + 1).as("rank"),
+        round(col("col.score"), 4).as("score_r"))
+  }
+
   /** Build and persist the IVF index of a corpus version: the centroid
     * MODEL (cells × dim, a parquet table of (cell, ctr)) and the INVERTED
     * FILE — every corpus vector with its precomputed norm, written

@@ -41,6 +41,41 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, f"IVF recall@$k = $recall%.3f < 0.8 (hit=$hit of $total)")
   }
 
+  test("PQ top-k recall@5 >= 0.8 against brute force (q229 parameters)") {
+    val queries = embeds.filter(col("vec_id") < 8)
+    val k = 5
+    val exact = Similarity.bruteForceTopK(embeds, queries, k)
+      .select("q_id", "vec_id")
+    val ann = Similarity.pqTopK(embeds, queries, k, shortlist = 150)
+      .select("q_id", "vec_id")
+    val total = exact.count()
+    val hit = exact.intersect(ann).count()
+    val recall = hit.toDouble / total
+    assert(total === 8L * k)
+    assert(recall >= 0.8, f"PQ recall@$k = $recall%.3f < 0.8 (hit=$hit of $total)")
+  }
+
+  test("PQ output shape: k rows per query, self excluded, exact re-rank scores") {
+    val queries = embeds.filter(col("vec_id") < 2)
+    val k = 3
+    val got = Similarity.pqTopK(embeds, queries, k, shortlist = 150).collect()
+    assert(got.length === 2 * k)
+    got.foreach { r =>
+      assert(r.getLong(0) !== r.getLong(1), "self match must be excluded")
+      assert(r.getInt(2) >= 1 && r.getInt(2) <= k)
+    }
+    // the re-rank is EXACT cosine: every reported score must equal the
+    // brute-force score for the same (q, vec) pair
+    val bf = Similarity.bruteForceTopK(embeds, queries, k = 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    got.foreach { r =>
+      bf.get((r.getLong(0), r.getLong(1))).foreach { s =>
+        assert(math.abs(r.getDouble(3) - s) < 1e-9,
+          s"PQ re-rank score drifted from exact cosine for ${(r.getLong(0), r.getLong(1))}")
+      }
+    }
+  }
+
   test("ivfTopKIndexed over a persisted index equals the in-memory ivfTopK") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-idx")
     try {
