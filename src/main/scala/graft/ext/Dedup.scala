@@ -615,6 +615,44 @@ object Dedup {
       .coalesce(1).write.mode("overwrite").json(s"$path/meta")
   }
 
+  /** Append newly ACCEPTED documents to a [[writeIndex]] corpus index —
+    * the maintenance half of streaming/incremental corpus dedup: each
+    * accepted batch extends the fingerprints, shingles and band rows (all
+    * parquet `append`, no rewrite of the existing index), so the NEXT
+    * batch dedups against everything admitted so far. Sketch parameters
+    * come from the index's own meta sidecar — an appender can never mix
+    * bandings. The mirror of [[Similarity.appendToIvfIndex]] on the dedup
+    * side.
+    */
+  def appendToIndex(
+      accepted: DataFrame,
+      path: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    val spark = accepted.sparkSession
+    val meta = spark.read.json(s"$path/meta").collect().head
+    val (k, bands, rowsPerBand) = (
+      meta.getAs[Long]("k").toInt,
+      meta.getAs[Long]("bands").toInt,
+      meta.getAs[Long]("rows_per_band").toInt)
+    // SEVER the lineage before the first write. The natural caller passes
+    // dedupAgainstIndex's output straight in — a plan that READS this very
+    // index. Spark invalidates path-dependent caches on each append
+    // (CacheManager.recacheByPath), so without the checkpoint the first
+    // append (fingerprints) silently RE-DERIVES `accepted` against the
+    // half-updated index — the batch then dedups against its own
+    // fingerprints and appends EMPTY shingle/band relations. Caught by the
+    // q233 gate: batch 2 stopped seeing batch 1's admissions.
+    val acc = accepted.localCheckpoint()
+    acc.select(TextAnalysis.md5Fingerprint(col(textCol)).as("__fp")).distinct()
+      .write.mode("append").parquet(s"$path/fingerprints")
+    val sh = shingleHashes(acc, idCol, textCol, k).persist()
+    sh.write.mode("append").parquet(s"$path/shingles")
+    minhashBandRows(sh, hashParams(bands * rowsPerBand), bands, rowsPerBand)
+      .write.mode("append").parquet(s"$path/bands")
+    sh.unpersist()
+  }
+
   /** Incremental dedup probing a [[writeIndex]]-persisted corpus index —
     * identical semantics to [[dedupAgainst]] (asserted in DedupSpec), with
     * the existing side read from parquet instead of recomputed. Sketch

@@ -524,6 +524,19 @@ object ExtQueries {
       Similarity.bruteForceTopK(e, q, k = 5))
   }
 
+  /** q230: IVF × PQ composed ANN (the faiss-style architecture) under the
+    * [[annRecallGate]] — cell pruning at nprobe=14/16 over the ADC/code
+    * path, exact re-rank of a 200-candidate shortlist. Stage recalls
+    * multiply, so both knobs sit above their solo-tier settings. See
+    * [[Similarity.ivfPqTopK]].
+    */
+  def q230IvfPqAnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = fanOut(embeddings(spark, dir))
+    val q = e.filter(col("vec_id") < 8)
+    annRecallGate(Similarity.ivfPqTopK(e, q, k = 5, nprobe = 14, shortlist = 200),
+      Similarity.bruteForceTopK(e, q, k = 5))
+  }
+
   /** IVF index built ONCE per JVM per sf dir — backs the probe-only row so
     * its bench number reads as what an ANN service actually serves.
     */
@@ -2659,6 +2672,97 @@ object ExtQueries {
       |FROM n a JOIN n b ON a.blk = b.blk AND a.p_name < b.p_name
       |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.85""".stripMargin
 
+  /** q233: the TENTH streaming gate — streaming corpus dedup against a
+    * GROWING persisted index. An index is built from the first 200 docs;
+    * two further document shards arrive as separate micro-batches (file
+    * source, one file per trigger, mtime-ordered); each `foreachBatch`
+    * dedups the batch against the CURRENT index ([[Dedup.dedupAgainstIndex]]
+    * — exact tier + banded MinHash tier), appends the survivors to the
+    * accepted output AND to the index ([[Dedup.appendToIndex]]) — so batch
+    * 2 is deduped against batch 1's admissions, the property a
+    * non-maintained index misses. The oracle replays both stages
+    * sequentially over the identical hash space.
+    *
+    * At 100 TB this IS the streaming ingest shape for a training corpus:
+    * the index grows append-only (no rewrite), each batch pays
+    * |batch|-sized work against index-sided relations, and the state is
+    * all on storage — no executor memory holds the corpus.
+    */
+  def q233StreamDedupIndex(spark: SparkSession, dir: String): DataFrame = {
+    import graft.queries.Scratch
+    val docs = documents(spark, dir)
+    val inDir = q233Staged.computeIfAbsent(dir, _ => {
+      val in = Scratch.stableDir("q233-in-" + Scratch.md5Hex(dir))
+      def stage(pred: org.apache.spark.sql.Column, name: String): java.nio.file.Path = {
+        val tmp = Scratch.stableDir("q233-tmp-" + Scratch.md5Hex(s"$dir|$name"))
+        docs.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+        java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(in, name))
+      }
+      val first = stage(col("doc_id") >= 200 && col("doc_id") < 350, "a_batch1.parquet")
+      val second = stage(col("doc_id") >= 350, "b_batch2.parquet")
+      // file source orders by modification time: pin batch 2 strictly later
+      java.nio.file.Files.setLastModifiedTime(second,
+        java.nio.file.attribute.FileTime.fromMillis(
+          java.nio.file.Files.getLastModifiedTime(first).toMillis + 10000))
+      in
+    })
+    val work = Scratch.stableDir("q233-work")
+    val idx = s"$work/idx"
+    Dedup.writeIndex(fanOut(docs.filter(col("doc_id") < 200)), idx)
+    val out = s"$work/accepted"
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val query = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val survivors = Dedup.dedupAgainstIndex(fanOut(batch), idx)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          survivors.write.mode("append").parquet(out)
+          Dedup.appendToIndex(survivors, idx)
+        } finally survivors.unpersist(false)
+      }
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.read.parquet(out).select("doc_id", "lang", "source")
+  }
+
+  private val q233Staged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** One sequential-admission stage as a self-contained subquery: docs of
+    * `[lo, hi)` dedup (exact + MinHash) against `oldSrc`; ids in `oldSrc`
+    * are all < `lo`, so the generated pair table's doc_a < doc_b order
+    * discriminates old→new. Carries every document column so a stage's
+    * admissions can BE the next stage's old side.
+    */
+  private def q233Stage(oldSrc: String, lo: Long, hi: String): String =
+    s"""SELECT * FROM (
+       |  WITH old_ AS MATERIALIZED ($oldSrc),
+       |  new_ AS (SELECT * FROM documents WHERE doc_id >= $lo AND doc_id < $hi),
+       |  es AS (SELECT n.* FROM new_ n
+       |         WHERE md5(regexp_replace(lower(trim(n.text)), '\\s+', ' ', 'g')) NOT IN
+       |               (SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) FROM old_)),
+       |  ${minhashPairsCte("SELECT doc_id, text FROM es UNION ALL SELECT doc_id, text FROM old_")},
+       |  dropped AS (SELECT DISTINCT doc_b AS doc_id FROM pairs
+       |              WHERE jaccard >= 0.5 AND doc_a < $lo AND doc_b >= $lo)
+       |  SELECT * FROM es WHERE doc_id NOT IN (SELECT doc_id FROM dropped))""".stripMargin
+
+  private def q233Oracle: String =
+    s"""WITH acc1 AS MATERIALIZED (
+       |${q233Stage("SELECT * FROM documents WHERE doc_id < 200", 200L, "350")}
+       |),
+       |acc2 AS MATERIALIZED (
+       |${q233Stage("SELECT * FROM documents WHERE doc_id < 200 UNION ALL SELECT * FROM acc1",
+          350L, "1000000000")}
+       |)
+       |SELECT doc_id, lang, source FROM acc1
+       |UNION ALL
+       |SELECT doc_id, lang, source FROM acc2""".stripMargin
+
   /** q225: entity clusters over the fuzzy matches — q221's pair list fed
     * through the SAME large-star/small-star connected-components fixpoint
     * the dedup ladder uses (q27), so "small ring / small rung / small
@@ -2744,6 +2848,8 @@ object ExtQueries {
     "q226_bm25" -> (q226Bm25 _),
     "q227_bigram_cond" -> (q227BigramCond _),
     "q229_pq_ann" -> (q229PqAnn _),
+    "q230_ivfpq_ann" -> (q230IvfPqAnn _),
+    "q233_stream_dedup_index" -> (q233StreamDedupIndex _),
     "q218_encoding_advisor" -> (q218EncodingAdvisor _),
     "q20_dedup_exact" -> (q20DedupExact _),
     "q26_dedup_keep" -> (q26DedupKeep _),
@@ -2843,6 +2949,8 @@ object ExtQueries {
     "q226_bm25" -> q226Oracle,
     "q227_bigram_cond" -> q227Oracle,
     "q229_pq_ann" -> annRecallOracle,
+    "q230_ivfpq_ann" -> annRecallOracle,
+    "q233_stream_dedup_index" -> q233Oracle,
     "q20_dedup_exact" -> q20Oracle,
     "q26_dedup_keep" -> q26Oracle,
     "q27_dup_clusters" -> q27Oracle,

@@ -3161,7 +3161,70 @@ object EventQueries {
       |SELECT type_a, type_b, support, (1000000 * support) // n_users AS support_ppm
       |FROM s CROSS JOIN n""".stripMargin
 
+  /** q231: feature hashing (the "hashing trick") — event types hashed into
+    * a fixed 64-bucket signed feature space per user: idx = md5-hash mod
+    * 64, sign = the next hash bit, weight = floor-cents of `value`
+    * (integer — float weights would be summation-order-comparable). The
+    * categorical-encoding primitive that needs NO vocabulary pass: at
+    * 100 TB a new event type never forces a dictionary rebuild, and the
+    * output width is fixed no matter how the domain grows. Collisions are
+    * the accepted trade (the sign bit makes them cancel in expectation) —
+    * with 5 types in 64 buckets there are none here.
+    *
+    * Scale shape: one shuffle keyed (user, idx) with map-side combine; the
+    * hash is the same codegen'd md5-prefix arithmetic as the dedup ladder.
+    */
+  def q231FeatureHash(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("h",
+        expr("cast(conv(substring(md5(event_type), 1, 15), 16, 10) AS bigint)"))
+      .withColumn("cents", floor(col("value") * 100).cast("long"))
+      .groupBy(col("user_id"), expr("h % 64").as("idx"))
+      .agg(sum(expr("(2 * ((h div 64) % 2) - 1) * cents")).as("val_cents"),
+        count(lit(1)).as("n"))
+
+  private val q231Oracle =
+    """WITH f AS (SELECT user_id,
+      |             ('0x' || substr(md5(event_type), 1, 15))::BIGINT AS h,
+      |             floor(value * 100)::BIGINT AS cents
+      |           FROM events)
+      |SELECT user_id, h % 64 AS idx,
+      |       sum((2 * ((h // 64) % 2) - 1) * cents)::BIGINT AS val_cents,
+      |       count(*)::BIGINT AS n
+      |FROM f GROUP BY 1, 2""".stripMargin
+
+  /** q232: leave-one-out target encoding — each event's categorical
+    * `event_type` replaced by the mean target (floor-cents of `value`)
+    * over all OTHER events of that type: `(Σ − own) div (n − 1)`,
+    * integer-exact. The LOO form is the leakage-safe variant (plain
+    * target encoding lets a row see its own label — the classic
+    * train-time leak this operator exists to prevent).
+    *
+    * Scale shape: one |types|-row aggregate broadcast back over the
+    * stream — per-row arithmetic only, no second shuffle.
+    */
+  def q232TargetEncoding(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .withColumn("cents", floor(col("value") * 100).cast("long"))
+    val stats = e.groupBy("event_type")
+      .agg(sum(col("cents")).as("sum_cents"), count(lit(1)).as("n"))
+    e.join(broadcast(stats), "event_type")
+      .select(col("event_id"), col("event_type"),
+        expr("(sum_cents - cents) div (n - 1)").as("loo_cents"))
+  }
+
+  private val q232Oracle =
+    """WITH e AS (SELECT event_id, event_type, floor(value * 100)::BIGINT AS cents
+      |           FROM events),
+      |s AS (SELECT event_type, sum(cents)::BIGINT AS sum_cents,
+      |             count(*)::BIGINT AS n
+      |      FROM e GROUP BY 1)
+      |SELECT event_id, event_type, (sum_cents - cents) // (n - 1) AS loo_cents
+      |FROM e JOIN s USING (event_type)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q231_feature_hash" -> (q231FeatureHash _),
+    "q232_target_encoding" -> (q232TargetEncoding _),
     "q222_sequence_support" -> (q222SequenceSupport _),
     "q216_kaplan_meier" -> (q216KaplanMeier _),
     "q217_l_diversity" -> (q217LDiversity _),
@@ -3248,6 +3311,8 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q231_feature_hash" -> q231Oracle,
+    "q232_target_encoding" -> q232Oracle,
     "q222_sequence_support" -> q222Oracle,
     "q216_kaplan_meier" -> q216Oracle,
     "q217_l_diversity" -> q217Oracle,

@@ -266,6 +266,30 @@ class DedupSpec extends SparkSpec {
     assert(kept === Array(1L, 4L, 5L, 6L))
   }
 
+  test("appendToIndex survives being fed dedupAgainstIndex's own output") {
+    // REGRESSION (q233): survivors' plan READS the index; Spark's
+    // recacheByPath on the first append used to re-derive them against the
+    // half-updated index, dropping every row (the batch deduped against its
+    // own fingerprints) and appending EMPTY shingle/band relations.
+    val idx = graft.queries.Scratch.stableDir("dedupspec-idx")
+    Dedup.writeIndex(docs.filter(col("doc_id") < 100), idx)
+    val before = spark.read.parquet(s"$idx/bands").count()
+    val survivors = Dedup.dedupAgainstIndex(
+      docs.filter(col("doc_id") >= 100 && col("doc_id") < 120), idx)
+    val n = survivors.count()
+    assert(n > 0, "fixture must admit at least one new doc")
+    Dedup.appendToIndex(survivors, idx)
+    assert(spark.read.parquet(s"$idx/fingerprints").count() === 100 + n)
+    assert(spark.read.parquet(s"$idx/bands").count() === before + n * 4,
+      "band rows must grow by 4 per admitted doc — empty append means the " +
+        "accepted plan was re-derived against the half-updated index")
+    // the next batch must now dedup against the admissions: re-feeding the
+    // SAME docs drops every one — admitted docs hit their own fingerprints,
+    // the rest were near-dups of the base index already
+    assert(Dedup.dedupAgainstIndex(
+      docs.filter(col("doc_id") >= 100 && col("doc_id") < 120), idx).count() === 0L)
+  }
+
   test("crossSourceOverlap: distinct shared texts per unordered source pair") {
     import spark.implicits._
     val rows = Seq(

@@ -76,6 +76,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF x PQ composed recall@5 >= 0.8 against brute force (q230 parameters)") {
+    val queries = embeds.filter(col("vec_id") < 8)
+    val k = 5
+    val exact = Similarity.bruteForceTopK(embeds, queries, k)
+      .select("q_id", "vec_id")
+    val ann = Similarity.ivfPqTopK(embeds, queries, k, nprobe = 14, shortlist = 200)
+      .select("q_id", "vec_id")
+    val total = exact.count()
+    val hit = exact.intersect(ann).count()
+    val recall = hit.toDouble / total
+    assert(total === 8L * k)
+    assert(recall >= 0.8, f"IVFPQ recall@$k = $recall%.3f < 0.8 (hit=$hit of $total)")
+  }
+
   test("ivfTopKIndexed over a persisted index equals the in-memory ivfTopK") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-idx")
     try {
