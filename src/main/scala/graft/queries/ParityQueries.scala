@@ -1289,6 +1289,77 @@ object ParityQueries {
       fd("orders", "o_custkey", "o_orderpriority")).mkString("\nUNION ALL\n")
   }
 
+  /** q234: TPC-H Q15-shaped top supplier — suppliers whose 1996 revenue
+    * equals the GLOBAL maximum (the uncorrelated-scalar-subquery-on-a-
+    * grouped-view shape; ties all surface, which is why Q15 can't be a
+    * LIMIT 1). Revenue summed as DECIMAL and published in floor-cents
+    * BIGINT (q214's float-safety posture).
+    *
+    * Scale shape: one shuffle to |suppliers| rows; the max is a 1-row
+    * aggregate broadcast back (never a driver value).
+    */
+  def q234TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = lineitem(spark, dir)
+      .filter(expr("year(l_shipdate) = 1996"))
+      .withColumn("volume",
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(30,10)"))
+      .groupBy("l_suppkey")
+      .agg(floor(sum(col("volume")) * 100).cast("long").as("revenue_cents"))
+    val mx = rev.agg(max(col("revenue_cents")).as("max_cents"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("revenue_cents") === col("max_cents"))
+      .join(broadcast(supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("revenue_cents"))
+  }
+
+  private val q234Oracle =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |         floor(sum(((l_extendedprice * (1 - l_discount))::DECIMAL(30,10))) * 100)::BIGINT
+      |           AS revenue_cents
+      |  FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY 1)
+      |SELECT s_suppkey, s_name, revenue_cents
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE revenue_cents = (SELECT max(revenue_cents) FROM rev)""".stripMargin
+
+  /** q235: TPC-H Q18-shaped large-quantity orders — orders whose total
+    * line quantity clears a threshold, re-joined to customer detail: the
+    * grouped-HAVING-feeding-an-IN shape (the aggregate DEFINES the key
+    * set; the detail join must not re-aggregate). Quantities and price
+    * floored to BIGINT/cents for exactness; top-100 by quantity with full deterministic
+    * tie-break.
+    *
+    * Scale shape: the HAVING side is one l_orderkey shuffle collapsing to
+    * qualifying keys only (a tiny relation — AQE broadcasts it back as a
+    * semi-join), so the orders/customer detail never shuffles on the
+    * aggregate's account; top-100 is the bounded heap.
+    */
+  def q235BigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val bigKeys = lineitem(spark, dir)
+      .withColumn("qty", floor(col("l_quantity")).cast("long"))
+      .groupBy("l_orderkey").agg(sum(col("qty")).as("total_qty"))
+      .filter(col("total_qty") > 150)
+    orders(spark, dir)
+      .join(bigKeys, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("price_cents"),
+        col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
+  private val q235Oracle =
+    """SELECT c_name, c_custkey, o_orderkey,
+      |       floor(o_totalprice * 100)::BIGINT AS price_cents, total_qty
+      |FROM orders
+      |  JOIN (SELECT l_orderkey, sum(floor(l_quantity)::BIGINT)::BIGINT AS total_qty
+      |        FROM lineitem GROUP BY 1 HAVING sum(floor(l_quantity)::BIGINT) > 150) b
+      |    ON o_orderkey = b.l_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |ORDER BY total_qty DESC, o_orderkey ASC
+      |LIMIT 100""".stripMargin
+
   /** q228: k-core decomposition of the part co-purchase graph (edges =
     * part pairs sharing an order; per-order pair expansion is bounded by
     * order size²). Bounded-round peel at k=80 — see
@@ -1496,6 +1567,8 @@ object ParityQueries {
     "q215_waiting_supplier" -> (q215WaitingSupplier _),
     "q223_fd_profile" -> (q223FdProfile _),
     "q228_kcore" -> (q228KCore _),
+    "q234_top_supplier" -> (q234TopSupplier _),
+    "q235_big_orders" -> (q235BigOrders _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_star_join" -> (q02StarJoin _),
     "q03_window_top_orders" -> (q03WindowTopOrders _),
@@ -1546,6 +1619,8 @@ object ParityQueries {
     "q215_waiting_supplier" -> q215Oracle,
     "q223_fd_profile" -> q223Oracle,
     "q228_kcore" -> q228Oracle,
+    "q234_top_supplier" -> q234Oracle,
+    "q235_big_orders" -> q235Oracle,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty,
