@@ -304,39 +304,57 @@ object Dedup {
     * Scale/cost shape: the shingle and signature stages are computed once
     * and persisted (signature rows are |docs| × 16 longs); each config
     * re-buckets the SAME signatures — only the cheap md5-concat and the
-    * candidate join rerun per config. The per-config counts are 1-row
-    * aggregate actions (bounded driver reads, the anchor pattern); the
+    * candidate join rerun per config. Candidate COUNTS are exact, but the
+    * Jaccard-verify tier — the only stage that moves shingle ARRAYS, and
+    * quadratic-ish for the high-recall bandings this sweep exists to
+    * expose (8×2 emits ~500× more candidates than 2×8 here) — runs on a
+    * DETERMINISTIC hash-sample of each candidate set (md5 of the pair id,
+    * so both engines sample the identical pairs), at a PER-CONFIG rate
+    * sized inversely to the banding's expected collision volume (1/1,
+    * 1/4, 1/64 at the defaults — the high-recall config is precisely the
+    * one whose full verify would be quadratic); precision is reported
+    * over the sample with its size published. The per-config
+    * counts are 1-row aggregate actions (bounded driver reads); the
     * staged persists are released before return.
     */
   def lshParameterSweep(
       docs: DataFrame,
-      configs: Seq[(Int, Int)] = Seq((2, 8), (4, 4), (8, 2)),
+      configs: Seq[(Int, Int, Int)] = Seq((2, 8, 1), (4, 4, 4), (8, 2, 64)),
       k: Int = 5,
       threshold: Double = 0.5): DataFrame = {
     val spark = docs.sparkSession
     require(configs.nonEmpty && configs.map(c => c._1 * c._2).distinct.size == 1,
       "all configs must group the same total signature length")
+    require(configs.forall(_._3 >= 1), "sample modulus must be >= 1")
     val params = hashParams(configs.head._1 * configs.head._2)
     val shingled = shingleHashes(docs, "doc_id", "text", k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = minhashSigFrame(shingled, params)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val rows = configs.map { case (bands, rowsPerBand) =>
+      val rows = configs.map { case (bands, rowsPerBand, sampleMod) =>
         val cand = bucketPairs(bandRowsOfSig(sig, bands, rowsPerBand))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           val nCand = cand.count()
-          val nTrue = verifyJaccard(cand, shingled)
-            .filter(col("jaccard") >= threshold).count()
-          val ppm = if (nCand == 0) 0L else (1000000L * nTrue) / nCand
-          (bands, rowsPerBand, nCand, nTrue, ppm)
+          val sampled = cand.filter(expr(
+            s"cast(conv(substring(md5(concat(doc_a, ':', doc_b)), 1, 15), 16, 10) AS bigint) % $sampleMod = 0"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val nSampled = sampled.count()
+            val nTrue = verifyJaccard(sampled, shingled)
+              .filter(col("jaccard") >= threshold).count()
+            val ppm = if (nSampled == 0) 0L else (1000000L * nTrue) / nSampled
+            (bands, rowsPerBand, nCand, nSampled, nTrue, ppm)
+          } finally sampled.unpersist(false)
         } finally cand.unpersist(false)
       }
       import spark.implicits._
-      rows.toDF("bands", "rows_per_band", "n_candidates", "n_true", "precision_ppm")
+      rows.toDF("bands", "rows_per_band", "n_candidates", "n_sampled",
+        "n_true_sampled", "precision_ppm")
         .select(col("bands").cast("long"), col("rows_per_band").cast("long"),
-          col("n_candidates"), col("n_true"), col("precision_ppm"))
+          col("n_candidates"), col("n_sampled"), col("n_true_sampled"),
+          col("precision_ppm"))
     } finally { sig.unpersist(false); shingled.unpersist(false) }
   }
 

@@ -2625,17 +2625,24 @@ object ExtQueries {
     Dedup.lshParameterSweep(fanOut(documents(spark, dir)))
 
   private def q224Oracle: String = {
-    def block(bands: Int, rowsPerBand: Int) =
+    // the same deterministic per-config pair-sample as the Spark side:
+    // md5 of the "a:b" pair id, low-60-bit value mod the config's rate
+    def gate(m: Int) =
+      s"('0x' || substr(md5(doc_a || ':' || doc_b), 1, 15))::BIGINT % $m = 0"
+    def block(bands: Int, rowsPerBand: Int, m: Int) =
       s"""SELECT * FROM (
-         |  WITH ${minhashPairsCte("SELECT doc_id, text FROM documents", bands, rowsPerBand)}
+         |  WITH ${minhashPairsCte("SELECT doc_id, text FROM documents", bands, rowsPerBand)},
+         |  smp AS (SELECT * FROM cand WHERE ${gate(m)}),
+         |  tru AS (SELECT * FROM pairs WHERE jaccard >= 0.5 AND ${gate(m)})
          |  SELECT ${bands}::BIGINT AS bands, ${rowsPerBand}::BIGINT AS rows_per_band,
          |         (SELECT count(*) FROM cand)::BIGINT AS n_candidates,
-         |         (SELECT count(*) FROM pairs WHERE jaccard >= 0.5)::BIGINT AS n_true,
-         |         CASE WHEN (SELECT count(*) FROM cand) = 0 THEN 0
-         |              ELSE (1000000 * (SELECT count(*) FROM pairs WHERE jaccard >= 0.5))
-         |                   // (SELECT count(*) FROM cand) END AS precision_ppm
+         |         (SELECT count(*) FROM smp)::BIGINT AS n_sampled,
+         |         (SELECT count(*) FROM tru)::BIGINT AS n_true_sampled,
+         |         CASE WHEN (SELECT count(*) FROM smp) = 0 THEN 0
+         |              ELSE (1000000 * (SELECT count(*) FROM tru))
+         |                   // (SELECT count(*) FROM smp) END AS precision_ppm
          |)""".stripMargin
-    Seq(block(2, 8), block(4, 4), block(8, 2)).mkString("\nUNION ALL\n")
+    Seq(block(2, 8, 1), block(4, 4, 4), block(8, 2, 64)).mkString("\nUNION ALL\n")
   }
 
   /** q221: fuzzy record linkage over part names — blocked Jaro-Winkler

@@ -467,6 +467,41 @@ class PlanSpec extends SparkSpec {
       s"run-count window should partition by (col_name, page):\n$plan")
   }
 
+  test("q220 attribution windows are user-keyed; credit rollup is two-phase") {
+    val plan = planOf(graft.queries.EventQueries.q220PositionAttribution(spark, Sf0001))
+    assert(plan.contains("user_id#"), plan)
+    // no unpartitioned window anywhere: every Window operator must carry a
+    // partition spec (an empty one renders as "Window [..], [..ORDER BY..]"
+    // with no partition list — assert the user_id key is in each)
+    "Window \\[[^\\n]*\\]".r.findAllIn(plan).foreach { w =>
+      assert(w.contains("user_id"), s"unkeyed window:\n$w")
+    }
+  }
+
+  test("q222 sequence support: envelope self-join keys on user_id, anchors broadcast") {
+    val plan = planOf(graft.queries.EventQueries.q222SequenceSupport(spark, Sf0001))
+    assert(!plan.contains("CartesianProduct") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"types-pair expansion must ride the user_id equi-join:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"the 1-row user-count anchor should broadcast:\n$plan")
+  }
+
+  test("q232 target encoding: the |types| stats relation broadcasts") {
+    val plan = planOf(graft.queries.EventQueries.q232TargetEncoding(spark, Sf0001))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"5-row stats must broadcast back over the event stream:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no data-sized shuffle join:\n$plan")
+  }
+
+  test("q235 big orders: bounded top-100 heap; customer dim broadcast") {
+    val plan = planOf(ParityQueries.q235BigOrders(spark, Sf0001))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-100 should be the bounded heap operator:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).nonEmpty,
+      s"customer should broadcast:\n$plan")
+  }
+
   test("q191 partition-column predicate lands in PartitionFilters, not the data scan") {
     val plan = planOf(ParityQueries.q191PartitionedWrite(spark, Sf0001))
     // directory-level pruning: the day predicate must be a partition filter
