@@ -109,17 +109,50 @@ object Unload {
     log("Physical plan (pre-execution):\n" +
       exportData.queryExecution.executedPlan.toString.trim)
 
+    // K3 count piggyback: when the meta sidecar is requested but no sizing
+    // count was paid (count-free target_partitions mode), ride the row
+    // count on the WRITE pass via Dataset.observe — at 100 TB the
+    // alternative is a SECOND full scan of the export purely to learn a
+    // number the write job already saw every row of. The observation node
+    // is a per-partition accumulator merge: zero shuffle, zero extra scan.
+    val observation = if (config.writeMeta && countedRows.isEmpty) {
+      val o = new org.apache.spark.sql.Observation(
+        s"graft_meta_rows_${System.nanoTime()}")
+      exportData = exportData.observe(o,
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("rows"))
+      Some(o)
+    } else None
+
     log(s"Starting write operation to ${config.outputPath} (${config.format})")
     val t0 = System.nanoTime()
     Writers.writeData(exportData, config.format, config.outputPath)
     log(f"Write complete in ${(System.nanoTime() - t0) / 1e9}%.2f seconds")
 
-    // K3 meta sidecar (opt-in): reuse the sizing count when one was paid;
-    // otherwise pay it here (the flag's owner asked for the number). The
-    // partition count is the planned write fan-out, or the physical
-    // partition count when no strategy resized.
+    // K3 meta sidecar (opt-in): reuse the sizing count when one was paid,
+    // else the write-pass observation; the standalone count() survives only
+    // as the last-resort fallback (e.g. an observation lost to an exotic
+    // writer path). The partition count is the planned write fan-out, or
+    // the physical partition count when no strategy resized.
     if (config.writeMeta) {
-      val eventCount = countedRows.getOrElse(exportData.count())
+      val observed = observation.flatMap { o =>
+        // the listener that materializes the metric fires asynchronously
+        // after the action — await with a bound rather than `get`
+        // (unbounded block) so a lost metric degrades to the fallback
+        // count instead of a hang
+        val rows =
+          try Some(scala.concurrent.Await
+            .result(o.future, scala.concurrent.duration.Duration(10, "s"))
+            .getAs[Long]("rows"))
+          catch { case _: java.util.concurrent.TimeoutException => None }
+        rows.foreach(n => log(
+          s"Meta row count from write-pass observation (no second scan): $n"))
+        rows
+      }
+      val eventCount = countedRows.orElse(observed).getOrElse {
+        log("Meta row count fallback: standalone count() job")
+        exportData.count()
+      }
       val partitions = plannedPartitions.getOrElse(exportData.rdd.getNumPartitions)
       Writers.writeMeta(spark, config.outputPath, eventCount, partitions)
       log(s"Meta sidecar written: event_count=$eventCount partition_count=$partitions")

@@ -147,6 +147,34 @@ class UnloadSpec extends SparkSpec with BeforeAndAfterAll {
     assert(logs.contains("Exchange") || logs.contains("Scan"), logs)
   }
 
+  test("K3 count-free meta: row count rides the write pass via observe") {
+    val cat = freshCatalog("c4o")
+    val out = s"$work/out_meta_obs"
+    Unload.run(spark, cat, JobConfig(
+      tables = Seq(TableVersionRange(table, 2L, 3L)),
+      dataType = Event,
+      sql = s"SELECT id, name FROM $table WHERE id > 0",
+      outputPath = out,
+      format = ParquetFormat,
+      strategy = Repartition,
+      maxRecordsPerFile = 2L,
+      targetPartitions = Some(2), // count-free sizing: no count() was paid
+      writeMeta = true,
+      runId = "metaobs"
+    ))
+    // the sidecar count must be exact...
+    val meta = Files.readString(
+      new java.io.File(s"$out/meta").listFiles()
+        .find(f => f.getName.endsWith(".json") && !f.getName.startsWith("_")).get.toPath)
+    assert(meta.contains("\"event_count\":3"), meta)
+    // ...and must have come from the write-pass observation, not a second
+    // full scan (the log line is the contract; the fallback logs loudly)
+    val logs = Files.readString(
+      Paths.get(out, "logs", "run_metaobs").resolve("logs.txt"))
+    assert(logs.contains("Meta row count from write-pass observation"), logs)
+    assert(!logs.contains("Meta row count fallback"), logs)
+  }
+
   test("property data type keeps post-images through the pipeline") {
     val cat = freshCatalog("c5")
     val out = s"$work/out_prop"
