@@ -2846,6 +2846,55 @@ object ExtQueries {
        |       sum(cond_ppm) // count(*) AS avg_cond_ppm
        |FROM j GROUP BY 1""".stripMargin
 
+  /** q237: exact two-sample Kolmogorov-Smirnov statistic between the even-
+    * and odd-id corpus halves on document length — the distributional
+    * equality check behind every "did my shard/split/sample skew the
+    * data?" question (q196 audits shard VOLUME balance; this audits the
+    * SHAPE). Entirely integer: D = max over observed values of
+    * |F₁·n₂ − F₂·n₁|, published as ppm over n₁·n₂, with the smallest
+    * value attaining the max as the deterministic location.
+    *
+    * Scale shape: one groupBy on the value domain (map-side combined),
+    * then cumulative sums over |distinct values| rows — the value domain,
+    * not the corpus (document lengths: thousands of rows at any sf) — and
+    * a 1-row aggregate. The two-sided totals ride a broadcast.
+    */
+  def q237KsTest(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir).select(col("n_chars"),
+      (col("doc_id") % 2 === 0).cast("long").as("is_a"))
+    val byVal = d.groupBy("n_chars")
+      .agg(sum(col("is_a")).as("ca"), sum(lit(1L) - col("is_a")).as("cb"))
+    val tot = byVal.agg(sum(col("ca")).as("n1"), sum(col("cb")).as("n2"))
+    val w = Window.orderBy(col("n_chars").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byVal
+      .withColumn("f1", sum(col("ca")).over(w))
+      .withColumn("f2", sum(col("cb")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("dev", abs(col("f1") * col("n2") - col("f2") * col("n1")))
+      .agg(max(struct(col("dev"), (-col("n_chars")).as("neg_v"))).as("m"),
+        first(col("n1")).as("n1"), first(col("n2")).as("n2"))
+      .select(col("n1"), col("n2"),
+        expr("(1000000 * m.dev) div (n1 * n2)").as("ks_ppm"),
+        (-col("m.neg_v")).as("at_value"))
+  }
+
+  private val q237Oracle =
+    """WITH d AS (SELECT n_chars, (doc_id % 2 = 0)::BIGINT AS is_a FROM documents),
+      |bv AS (SELECT n_chars, sum(is_a)::BIGINT AS ca,
+      |              sum(1 - is_a)::BIGINT AS cb FROM d GROUP BY 1),
+      |t AS (SELECT sum(ca)::BIGINT AS n1, sum(cb)::BIGINT AS n2 FROM bv),
+      |c AS (SELECT n_chars,
+      |        sum(ca) OVER (ORDER BY n_chars ASC)::BIGINT AS f1,
+      |        sum(cb) OVER (ORDER BY n_chars ASC)::BIGINT AS f2
+      |      FROM bv),
+      |dev AS (SELECT n_chars, abs(f1 * n2 - f2 * n1)::BIGINT AS dev
+      |        FROM c CROSS JOIN t),
+      |mx AS (SELECT max(dev)::BIGINT AS max_dev FROM dev)
+      |SELECT n1, n2, (1000000 * max_dev) // (n1 * n2) AS ks_ppm,
+      |       (SELECT min(n_chars) FROM dev WHERE dev = max_dev)::BIGINT AS at_value
+      |FROM t CROSS JOIN mx""".stripMargin
+
   // ---------------- registry ----------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2857,6 +2906,7 @@ object ExtQueries {
     "q229_pq_ann" -> (q229PqAnn _),
     "q230_ivfpq_ann" -> (q230IvfPqAnn _),
     "q233_stream_dedup_index" -> (q233StreamDedupIndex _),
+    "q237_ks_test" -> (q237KsTest _),
     "q218_encoding_advisor" -> (q218EncodingAdvisor _),
     "q20_dedup_exact" -> (q20DedupExact _),
     "q26_dedup_keep" -> (q26DedupKeep _),
@@ -2958,6 +3008,7 @@ object ExtQueries {
     "q229_pq_ann" -> annRecallOracle,
     "q230_ivfpq_ann" -> annRecallOracle,
     "q233_stream_dedup_index" -> q233Oracle,
+    "q237_ks_test" -> q237Oracle,
     "q20_dedup_exact" -> q20Oracle,
     "q26_dedup_keep" -> q26Oracle,
     "q27_dup_clusters" -> q27Oracle,

@@ -1289,6 +1289,59 @@ object ParityQueries {
       fd("orders", "o_custkey", "o_orderpriority")).mkString("\nUNION ALL\n")
   }
 
+  /** q236: integer eigenvector centrality on the part co-purchase graph —
+    * 3 rounds of power iteration in the same fixed-point integer
+    * discipline as q132's PageRank: v′(u) = Σ_{(u,v)} v(v), then
+    * renormalize `v′·scale div max(v′)` (the max is a 1-row broadcast,
+    * never a driver value). Importance WITHOUT damping/out-degree
+    * normalization — a hub's weight flows whole to its neighbors, the
+    * centrality variant retail/risk graphs usually want next to PageRank.
+    * Bit-exact across engines and cluster sizes by construction.
+    *
+    * Scale shape per round: one edge⋈score join keyed on the node id, one
+    * map-side-combined sum, one broadcast of the 1-row max. Overflow
+    * headroom: score ≤ 2²⁰, degree ≤ 2¹⁰ at this corpus, renorm product
+    * ≤ 2⁵⁰ — long-safe.
+    */
+  def q236Eigencentrality(spark: SparkSession, dir: String): DataFrame = {
+    val scale = 1L << 20
+    val lp = lineitem(spark, dir).select("l_orderkey", "l_partkey").distinct()
+    val e = lp
+      .join(lp.select(col("l_orderkey"), col("l_partkey").as("p2")), Seq("l_orderkey"))
+      .filter(col("l_partkey") < col("p2"))
+      .select(col("l_partkey").as("u"), col("p2").as("v")).distinct()
+    val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    val nodes = sym.select(col("u").as("node")).distinct()
+    var score = nodes.withColumn("s", lit(scale))
+    (1 to 3).foreach { _ =>
+      val raw = sym.join(score.withColumnRenamed("node", "v"), "v")
+        .groupBy(col("u").as("node")).agg(sum(col("s")).as("raw"))
+      val mx = raw.agg(max(col("raw")).as("mx"))
+      score = raw.crossJoin(broadcast(mx))
+        .select(col("node"), expr(s"(raw * $scale) div mx").as("s"))
+    }
+    score.withColumnRenamed("s", "score")
+  }
+
+  private def q236Oracle: String = {
+    val scale = 1L << 20
+    val head =
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |     FROM lp a JOIN lp b
+        |       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |sym AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        |s0 AS (SELECT DISTINCT u AS node, %d::BIGINT AS s FROM sym)"""
+        .stripMargin.format(scale)
+    val rounds = (1 to 3).map { r =>
+      s"""r$r AS MATERIALIZED (SELECT sym.u AS node, sum(s)::BIGINT AS raw
+         |     FROM sym JOIN s${r - 1} ON sym.v = s${r - 1}.node GROUP BY 1),
+         |s$r AS MATERIALIZED (SELECT node,
+         |       (raw * $scale) // (SELECT max(raw) FROM r$r) AS s FROM r$r)""".stripMargin
+    }.mkString(",\n")
+    s"$head,\n$rounds\nSELECT node, s AS score FROM s3"
+  }
+
   /** q234: TPC-H Q15-shaped top supplier — suppliers whose 1996 revenue
     * equals the GLOBAL maximum (the uncorrelated-scalar-subquery-on-a-
     * grouped-view shape; ties all surface, which is why Q15 can't be a
@@ -1568,6 +1621,7 @@ object ParityQueries {
     "q223_fd_profile" -> (q223FdProfile _),
     "q228_kcore" -> (q228KCore _),
     "q234_top_supplier" -> (q234TopSupplier _),
+    "q236_eigencentrality" -> (q236Eigencentrality _),
     "q235_big_orders" -> (q235BigOrders _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_star_join" -> (q02StarJoin _),
@@ -1620,6 +1674,7 @@ object ParityQueries {
     "q223_fd_profile" -> q223Oracle,
     "q228_kcore" -> q228Oracle,
     "q234_top_supplier" -> q234Oracle,
+    "q236_eigencentrality" -> q236Oracle,
     "q235_big_orders" -> q235Oracle,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
