@@ -3222,7 +3222,61 @@ object EventQueries {
       |SELECT event_id, event_type, (sum_cents - cents) // (n - 1) AS loo_cents
       |FROM e JOIN s USING (event_type)""".stripMargin
 
+  /** q239: chi-square test of independence for event_type × day-of-week,
+    * with Cramér's V — "is WHAT users do associated with WHEN they do
+    * it?", the categorical-association screen next to q142's two-sample
+    * z-test and q108's numeric correlation. Fully integer by clearing
+    * denominators: per cell, `(o·N − r·c)²` over `r·c` (each term
+    * ×1000, floored — the documented contract) sums to a milli-scaled
+    * χ², and V² = χ²/(N·min(R−1, C−1)) is published in ppm. No float can
+    * flip a digit on either engine.
+    *
+    * Scale shape: one (type, dow) aggregation with map-side combine;
+    * margins and N re-aggregate the |types|×7 cell table (model-sized)
+    * and broadcast back.
+    */
+  def q239Chi2Independence(spark: SparkSession, dir: String): DataFrame = {
+    val cells = events(spark, dir)
+      .withColumn("dow", expr("(ts div 1000 div 86400000000) % 7"))
+      .groupBy("event_type", "dow").agg(count(lit(1)).as("o"))
+    val rowTot = cells.groupBy("event_type").agg(sum(col("o")).as("r"))
+    val colTot = cells.groupBy("dow").agg(sum(col("o")).as("c"))
+    val n = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("event_type")).as("nr"), countDistinct(col("dow")).as("nc"))
+    cells
+      .join(broadcast(rowTot), "event_type")
+      .join(broadcast(colTot), "dow")
+      .crossJoin(broadcast(n))
+      .withColumn("term",
+        expr("(1000 * (o * n - r * c) * (o * n - r * c)) div (r * c * n)"))
+      .agg(first(col("n")).as("n"),
+        ((first(col("nr")) - 1) * (first(col("nc")) - 1)).as("df"),
+        least(first(col("nr")) - 1, first(col("nc")) - 1).as("mindim"),
+        sum(col("term")).as("chi2_milli"))
+      .select(col("n"), col("df"), col("chi2_milli"),
+        expr("(1000 * chi2_milli) div (n * mindim)").as("v2_ppm"))
+  }
+
+  private val q239Oracle =
+    """WITH cells AS (SELECT event_type,
+      |                epoch_us(ts) // 86400000000 % 7 AS dow,
+      |                count(*)::BIGINT AS o
+      |              FROM events GROUP BY 1, 2),
+      |r AS (SELECT event_type, sum(o)::BIGINT AS r FROM cells GROUP BY 1),
+      |c AS (SELECT dow, sum(o)::BIGINT AS c FROM cells GROUP BY 1),
+      |t AS (SELECT sum(o)::BIGINT AS n,
+      |             count(DISTINCT event_type)::BIGINT AS nr,
+      |             count(DISTINCT dow)::BIGINT AS nc FROM cells),
+      |s AS (SELECT n, (nr - 1) * (nc - 1) AS df, least(nr - 1, nc - 1) AS mindim,
+      |        sum((1000 * (o * n - r.r * c.c) * (o * n - r.r * c.c))
+      |            // (r.r * c.c * n))::BIGINT AS chi2_milli
+      |      FROM cells JOIN r USING (event_type) JOIN c USING (dow) CROSS JOIN t
+      |      GROUP BY 1, 2, 3)
+      |SELECT n, df, chi2_milli, (1000 * chi2_milli) // (n * mindim) AS v2_ppm
+      |FROM s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q239_chi2_independence" -> (q239Chi2Independence _),
     "q231_feature_hash" -> (q231FeatureHash _),
     "q232_target_encoding" -> (q232TargetEncoding _),
     "q222_sequence_support" -> (q222SequenceSupport _),
@@ -3311,6 +3365,7 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q239_chi2_independence" -> q239Oracle,
     "q231_feature_hash" -> q231Oracle,
     "q232_target_encoding" -> q232Oracle,
     "q222_sequence_support" -> q222Oracle,

@@ -1342,6 +1342,64 @@ object ParityQueries {
     s"$head,\n$rounds\nSELECT node, s AS score FROM s3"
   }
 
+  /** q238: HITS hubs & authorities on the customer→part purchase
+    * bipartite graph — 2 rounds of the mutual-reinforcement iteration
+    * (authority(p) = Σ hub(c) over buyers; hub(c) = Σ authority(p) over
+    * basket), in the q132/q236 fixed-point integer discipline: renormalize
+    * `·scale div max` against a 1-row broadcast after every half-step.
+    * Hubs (broad, influential buyers) and authorities (widely-bought
+    * parts) answer different questions than either centrality on the
+    * projected co-purchase graph — the projection destroys the
+    * bipartite structure HITS exploits.
+    *
+    * Scale shape: each half-step is one edge⋈score join on its side's key
+    * + one map-side-combined sum; edges are distinct (customer, part)
+    * pairs. Output is both sides, tagged by role.
+    */
+  def q238Hits(spark: SparkSession, dir: String): DataFrame = {
+    val scale = 1L << 20
+    val edges = lineitem(spark, dir)
+      .join(orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+    def renorm(df: DataFrame, valCol: String): DataFrame = {
+      val mx = df.agg(max(col(valCol)).as("mx"))
+      df.crossJoin(broadcast(mx))
+        .select(df.columns.filterNot(_ == valCol).map(col) :+
+          expr(s"($valCol * $scale) div mx").as(valCol): _*)
+    }
+    var hub = edges.select(col("c")).distinct().withColumn("h", lit(scale))
+    var auth: DataFrame = null
+    (1 to 2).foreach { _ =>
+      auth = renorm(
+        edges.join(hub, "c").groupBy("p").agg(sum(col("h")).as("a")), "a")
+      hub = renorm(
+        edges.join(auth, "p").groupBy("c").agg(sum(col("a")).as("h")), "h")
+    }
+    hub.select(lit("hub").as("role"), col("c").as("id"), col("h").as("score"))
+      .unionByName(auth.select(lit("authority").as("role"), col("p").as("id"),
+        col("a").as("score")))
+  }
+
+  private def q238Oracle: String = {
+    val scale = 1L << 20
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |h0 AS (SELECT DISTINCT c, $scale::BIGINT AS h FROM e),
+       |a1r AS MATERIALIZED (SELECT p, sum(h)::BIGINT AS a FROM e JOIN h0 USING (c) GROUP BY 1),
+       |a1 AS MATERIALIZED (SELECT p, (a * $scale) // (SELECT max(a) FROM a1r) AS a FROM a1r),
+       |h1r AS MATERIALIZED (SELECT c, sum(a)::BIGINT AS h FROM e JOIN a1 USING (p) GROUP BY 1),
+       |h1 AS MATERIALIZED (SELECT c, (h * $scale) // (SELECT max(h) FROM h1r) AS h FROM h1r),
+       |a2r AS MATERIALIZED (SELECT p, sum(h)::BIGINT AS a FROM e JOIN h1 USING (c) GROUP BY 1),
+       |a2 AS MATERIALIZED (SELECT p, (a * $scale) // (SELECT max(a) FROM a2r) AS a FROM a2r),
+       |h2r AS MATERIALIZED (SELECT c, sum(a)::BIGINT AS h FROM e JOIN a2 USING (p) GROUP BY 1),
+       |h2 AS MATERIALIZED (SELECT c, (h * $scale) // (SELECT max(h) FROM h2r) AS h FROM h2r)
+       |SELECT 'hub' AS role, c AS id, h AS score FROM h2
+       |UNION ALL
+       |SELECT 'authority' AS role, p AS id, a AS score FROM a2""".stripMargin
+  }
+
   /** q234: TPC-H Q15-shaped top supplier — suppliers whose 1996 revenue
     * equals the GLOBAL maximum (the uncorrelated-scalar-subquery-on-a-
     * grouped-view shape; ties all surface, which is why Q15 can't be a
@@ -1622,6 +1680,7 @@ object ParityQueries {
     "q228_kcore" -> (q228KCore _),
     "q234_top_supplier" -> (q234TopSupplier _),
     "q236_eigencentrality" -> (q236Eigencentrality _),
+    "q238_hits" -> (q238Hits _),
     "q235_big_orders" -> (q235BigOrders _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_star_join" -> (q02StarJoin _),
@@ -1675,6 +1734,7 @@ object ParityQueries {
     "q228_kcore" -> q228Oracle,
     "q234_top_supplier" -> q234Oracle,
     "q236_eigencentrality" -> q236Oracle,
+    "q238_hits" -> q238Oracle,
     "q235_big_orders" -> q235Oracle,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
