@@ -2895,6 +2895,52 @@ object ExtQueries {
       |       (SELECT min(n_chars) FROM dev WHERE dev = max_dev)::BIGINT AS at_value
       |FROM t CROSS JOIN mx""".stripMargin
 
+  /** q241: term burstiness — variance-to-mean ratio of per-document term
+    * frequency over the WHOLE corpus (absent docs count as 0, via the
+    * closed form `Σ(tf−μ)² = Σtf² − S²/N`): bursty terms (VMR ≫ 1)
+    * concentrate in few docs — topical/boilerplate signals; uniform terms
+    * (VMR ≈ 1, Poisson-like) are function words. The corpus-linguistics
+    * screen next to q75/q227's commonness and q145's novelty. Published
+    * as integer ppm — `10⁶·(N·Σtf² − S²) div (S·(N−1))` — top-50 by VMR,
+    * min corpus count 50 (the q76 noise guard).
+    *
+    * Scale shape: one exploded (doc, term) aggregation with map-side
+    * combine, a vocabulary-sized rollup, the N anchor broadcast, and a
+    * bounded TakeOrderedAndProject head.
+    */
+  def q241Burstiness(spark: SparkSession, dir: String): DataFrame = {
+    val tf = documents(spark, dir)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val n = documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    tf.groupBy("term")
+      .agg(sum(col("tf")).as("s"), sum(expr("tf * tf")).as("sum2"),
+        count(lit(1)).as("n_docs_with"))
+      .filter(col("s") >= 50)
+      .crossJoin(broadcast(n))
+      .select(col("term"), col("s"), col("n_docs_with"),
+        expr("(1000000 * (n_docs * sum2 - s * s)) div (s * (n_docs - 1))")
+          .as("vmr_ppm"))
+      .orderBy(col("vmr_ppm").desc, col("term").asc)
+      .limit(50)
+  }
+
+  private def q241Oracle: String =
+    s"""WITH tk AS (SELECT doc_id, unnest(string_split($DNorm, ' ')) AS term
+       |            FROM documents),
+       |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tk
+       |       WHERE term <> '' GROUP BY 1, 2),
+       |n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+       |v AS (SELECT term, sum(tf)::BIGINT AS s, sum(tf * tf)::BIGINT AS sum2,
+       |             count(*)::BIGINT AS n_docs_with
+       |      FROM tf GROUP BY 1 HAVING sum(tf) >= 50)
+       |SELECT term, s, n_docs_with,
+       |       (1000000 * (n_docs * sum2 - s * s)) // (s * (n_docs - 1)) AS vmr_ppm
+       |FROM v CROSS JOIN n
+       |ORDER BY vmr_ppm DESC, term ASC
+       |LIMIT 50""".stripMargin
+
   // ---------------- registry ----------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2907,6 +2953,7 @@ object ExtQueries {
     "q230_ivfpq_ann" -> (q230IvfPqAnn _),
     "q233_stream_dedup_index" -> (q233StreamDedupIndex _),
     "q237_ks_test" -> (q237KsTest _),
+    "q241_burstiness" -> (q241Burstiness _),
     "q218_encoding_advisor" -> (q218EncodingAdvisor _),
     "q20_dedup_exact" -> (q20DedupExact _),
     "q26_dedup_keep" -> (q26DedupKeep _),
@@ -3009,6 +3056,7 @@ object ExtQueries {
     "q230_ivfpq_ann" -> annRecallOracle,
     "q233_stream_dedup_index" -> q233Oracle,
     "q237_ks_test" -> q237Oracle,
+    "q241_burstiness" -> q241Oracle,
     "q20_dedup_exact" -> q20Oracle,
     "q26_dedup_keep" -> q26Oracle,
     "q27_dup_clusters" -> q27Oracle,

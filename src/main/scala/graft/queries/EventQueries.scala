@@ -3275,7 +3275,65 @@ object EventQueries {
       |SELECT n, df, chi2_milli, (1000 * chi2_milli) // (n * mindim) AS v2_ppm
       |FROM s""".stripMargin
 
+  /** q240: Gini split gain — how much a weekday/weekend split purifies the
+    * event-type distribution: the decision-tree split criterion evaluated
+    * as a data-prep screen (pairs with q232's target encoding; q239
+    * answers "associated at all?", this answers "how much does ONE split
+    * buy?"). Gini impurity `1 − Σ(cₜ/n)²` is published in floor-ppm via
+    * integer arithmetic — `10⁶ − (10⁶·Σcₜ²) div n²`, one floor per node
+    * (the documented contract), and the gain subtracts the size-weighted
+    * child impurities, every product cleared of denominators.
+    *
+    * Scale shape: one (side, type) aggregation with map-side combine; the
+    * 2×|types| cell table re-aggregates to one row.
+    */
+  def q240GiniSplit(spark: SparkSession, dir: String): DataFrame = {
+    val cells = events(spark, dir)
+      .withColumn("side",
+        (expr("(ts div 1000 div 86400000000) % 7") <= 3).cast("long"))
+      .groupBy("side", "event_type").agg(count(lit(1)).as("c"))
+    val bySide = cells.groupBy("side")
+      .agg(sum(col("c")).as("n"),
+        sum(expr("c * c")).as("ss"))
+      .withColumn("gini_ppm",
+        lit(1000000L) - expr("(1000000 * ss) div (n * n)"))
+    val parent = cells.groupBy("event_type").agg(sum(col("c")).as("ct"))
+      .agg(sum(col("ct")).as("n_all"), sum(expr("ct * ct")).as("ss_all"))
+      .withColumn("gini_parent_ppm",
+        lit(1000000L) - expr("(1000000 * ss_all) div (n_all * n_all)"))
+    val sides = bySide
+      .groupBy()
+      .pivot("side", Seq(0L, 1L))
+      .agg(first(col("n")).as("n"), first(col("gini_ppm")).as("gini_ppm"))
+      .toDF("n_r", "gini_r_ppm", "n_l", "gini_l_ppm")
+    sides.crossJoin(broadcast(parent))
+      .select(col("n_all"), col("gini_parent_ppm"),
+        col("n_l"), col("gini_l_ppm"), col("n_r"), col("gini_r_ppm"),
+        (col("gini_parent_ppm") -
+          expr("(n_l * gini_l_ppm + n_r * gini_r_ppm) div n_all")).as("gain_ppm"))
+  }
+
+  private val q240Oracle =
+    """WITH cells AS (SELECT (epoch_us(ts) // 86400000000 % 7 <= 3)::BIGINT AS side,
+      |                event_type, count(*)::BIGINT AS c
+      |              FROM events GROUP BY 1, 2),
+      |bs AS (SELECT side, sum(c)::BIGINT AS n,
+      |         1000000 - (1000000 * sum(c * c)) // (sum(c) * sum(c)) AS gini_ppm
+      |       FROM cells GROUP BY 1),
+      |p AS (SELECT sum(ct)::BIGINT AS n_all,
+      |        1000000 - (1000000 * sum(ct * ct)) // (sum(ct) * sum(ct)) AS gini_parent_ppm
+      |      FROM (SELECT event_type, sum(c)::BIGINT AS ct FROM cells GROUP BY 1)),
+      |w AS (SELECT
+      |        (SELECT n FROM bs WHERE side = 1) AS n_l,
+      |        (SELECT gini_ppm FROM bs WHERE side = 1) AS gini_l_ppm,
+      |        (SELECT n FROM bs WHERE side = 0) AS n_r,
+      |        (SELECT gini_ppm FROM bs WHERE side = 0) AS gini_r_ppm)
+      |SELECT n_all, gini_parent_ppm, n_l, gini_l_ppm, n_r, gini_r_ppm,
+      |       gini_parent_ppm - (n_l * gini_l_ppm + n_r * gini_r_ppm) // n_all AS gain_ppm
+      |FROM w CROSS JOIN p""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q240_gini_split" -> (q240GiniSplit _),
     "q239_chi2_independence" -> (q239Chi2Independence _),
     "q231_feature_hash" -> (q231FeatureHash _),
     "q232_target_encoding" -> (q232TargetEncoding _),
@@ -3365,6 +3423,7 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q240_gini_split" -> q240Oracle,
     "q239_chi2_independence" -> q239Oracle,
     "q231_feature_hash" -> q231Oracle,
     "q232_target_encoding" -> q232Oracle,
