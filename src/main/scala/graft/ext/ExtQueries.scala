@@ -2895,6 +2895,30 @@ object ExtQueries {
       |       (SELECT min(n_chars) FROM dev WHERE dev = max_dev)::BIGINT AS at_value
       |FROM t CROSS JOIN mx""".stripMargin
 
+  /** q242: hard-negative mining — see [[Similarity.hardNegatives]]; the
+    * exact tier over the labeled embedding corpus, top-3 cross-label
+    * neighbors for the vec_id < 8 query batch.
+    */
+  def q242HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = fanOut(embeddings(spark, dir))
+    Similarity.hardNegatives(e, e.filter(col("vec_id") < 8), k = 3)
+  }
+
+  private val q242Oracle =
+    """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv, label AS q_label
+      |           FROM embeddings WHERE vec_id < 8),
+      |c AS (SELECT vec_id, embedding::DOUBLE[] AS cv, label FROM embeddings),
+      |s AS (SELECT q_id, q_label, vec_id,
+      |        list_dot_product(qv, cv)
+      |          / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS score
+      |      FROM q, c WHERE vec_id <> q_id AND label <> q_label),
+      |r AS (SELECT q_id, q_label, vec_id, score,
+      |        row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank
+      |      FROM s)
+      |SELECT q_id, q_label::BIGINT AS q_label, vec_id, rank,
+      |       round(score, 4) AS score_r
+      |FROM r WHERE rank <= 3""".stripMargin
+
   /** q241: term burstiness — variance-to-mean ratio of per-document term
     * frequency over the WHOLE corpus (absent docs count as 0, via the
     * closed form `Σ(tf−μ)² = Σtf² − S²/N`): bursty terms (VMR ≫ 1)
@@ -2954,6 +2978,7 @@ object ExtQueries {
     "q233_stream_dedup_index" -> (q233StreamDedupIndex _),
     "q237_ks_test" -> (q237KsTest _),
     "q241_burstiness" -> (q241Burstiness _),
+    "q242_hard_negatives" -> (q242HardNegatives _),
     "q218_encoding_advisor" -> (q218EncodingAdvisor _),
     "q20_dedup_exact" -> (q20DedupExact _),
     "q26_dedup_keep" -> (q26DedupKeep _),
@@ -3057,6 +3082,7 @@ object ExtQueries {
     "q233_stream_dedup_index" -> q233Oracle,
     "q237_ks_test" -> q237Oracle,
     "q241_burstiness" -> q241Oracle,
+    "q242_hard_negatives" -> q242Oracle,
     "q20_dedup_exact" -> q20Oracle,
     "q26_dedup_keep" -> q26Oracle,
     "q27_dup_clusters" -> q27Oracle,

@@ -542,6 +542,41 @@ object Similarity {
         round(col("col.score"), 4).as("score_r"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query vector,
+    * the top-k most similar corpus vectors with a DIFFERENT label — the
+    * negatives that actually teach a metric-learning model something
+    * (random negatives are trivially far; these sit just across the
+    * decision boundary). The exact tier of the miner: same bounded-heap
+    * shape as [[bruteForceTopK]] with the label inequality folded into
+    * the join predicate, so disqualified pairs die before the dot
+    * product; at 100 TB the candidate side narrows through [[ivfTopK]] /
+    * [[pqTopK]] first and this runs on the shortlist.
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_norm"), col(labelCol).as("q_label")))
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec"),
+      norm(col(vecCol)).as("c_norm"), col(labelCol).as("c_label"))
+    c.join(q, col("vec_id") =!= col("q_id") && col("c_label") =!= col("q_label"))
+      .withColumn("score",
+        dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+      .groupBy("q_id")
+      .agg(first(col("q_label")).as("q_label"),
+        graft.functions.GraftFunctions.collectTopK(
+          struct(col("score"), (-col("vec_id")).as("neg_id")), k).as("tk"))
+      .select(col("q_id"), col("q_label"),
+        posexplode(sort_array(col("tk"), asc = false)))
+      .select(col("q_id"), col("q_label").cast("long").as("q_label"),
+        (-col("col.neg_id")).as("vec_id"),
+        (col("pos") + 1).as("rank"), round(col("col.score"), 4).as("score_r"))
+  }
+
   /** Build and persist the IVF index of a corpus version: the centroid
     * MODEL (cells × dim, a parquet table of (cell, ctr)) and the INVERTED
     * FILE — every corpus vector with its precomputed norm, written
