@@ -2919,6 +2919,74 @@ object ExtQueries {
       |       round(score, 4) AS score_r
       |FROM r WHERE rank <= 3""".stripMargin
 
+  /** q243: multi-round BPE training — q211 ran ONE merge round; this runs
+    * five REAL ones: after each round the winning character pair is
+    * merged corpus-wide into a fresh private-use symbol (U+0100+r), so
+    * the next round's pair statistics see merged symbols as single
+    * characters — the actual BPE recurrence, not five independent counts.
+    * Training runs on the WORD-FREQUENCY table (the standard trainer
+    * optimization: |vocab| rows carry the corpus weight, the corpus is
+    * scanned once), and each round's winner is a 1-row model read (the
+    * anchor pattern). `replace` is leftmost-non-overlapping on both
+    * engines — the q211-established contract.
+    *
+    * Scale shape: one corpus scan to the word-freq table; each round is a
+    * pair explode + weighted count over |vocab| rows (map-side combined)
+    * and a re-aggregation after the merge. 5 rounds of vocab-sized work,
+    * corpus touched once.
+    */
+  def q243BpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    val rounds = 5
+    var words = fanOut(documents(spark, dir))
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .localCheckpoint()
+    val merges = (0 until rounds).map { r =>
+      val sub = (0x100 + r).toChar.toString
+      val winRow = words
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"),
+          col("wc"))
+        .groupBy("pair").agg(sum(col("wc")).as("n"))
+        .orderBy(col("n").desc, col("pair").asc).limit(1)
+        .collect()(0)
+      val (topPair, cnt) = (winRow.getString(0), winRow.getLong(1))
+      val esc = topPair.replace("\\", "\\\\").replace("'", "\\'")
+      words = words
+        .select(expr(s"replace(w, '$esc', '$sub')").as("w"), col("wc"))
+        .groupBy("w").agg(sum(col("wc")).as("wc"))
+        .localCheckpoint()
+      ((r + 1).toLong, topPair, cnt)
+    }
+    import spark.implicits._
+    merges.toDF("round", "merged_pair", "pair_count")
+  }
+
+  private def q243Oracle: String = {
+    val head =
+      s"""w0 AS MATERIALIZED (
+         |  SELECT w, count(*)::BIGINT AS wc FROM (
+         |    SELECT unnest(string_split($DNorm, ' ')) AS w FROM documents)
+         |  WHERE len(w) >= 2 GROUP BY 1)""".stripMargin
+    val rounds = (1 to 5).map { r =>
+      val sub = (0x100 + r - 1).toChar
+      s"""p$r AS MATERIALIZED (
+         |  SELECT pair, sum(wc)::BIGINT AS n FROM (
+         |    SELECT unnest([substr(w, i, 2) FOR i IN range(1, len(w))]) AS pair, wc
+         |    FROM w${r - 1}) GROUP BY 1),
+         |win$r AS MATERIALIZED (SELECT pair, n FROM p$r ORDER BY n DESC, pair ASC LIMIT 1),
+         |w$r AS MATERIALIZED (
+         |  SELECT replace(w, (SELECT pair FROM win$r), '$sub') AS w,
+         |         sum(wc)::BIGINT AS wc
+         |  FROM w${r - 1} GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to 5).map(r =>
+      s"SELECT ${r}::BIGINT AS round, pair AS merged_pair, n AS pair_count FROM win$r")
+      .mkString("\nUNION ALL\n")
+    s"WITH $head,\n$rounds\n$out"
+  }
+
   /** q241: term burstiness — variance-to-mean ratio of per-document term
     * frequency over the WHOLE corpus (absent docs count as 0, via the
     * closed form `Σ(tf−μ)² = Σtf² − S²/N`): bursty terms (VMR ≫ 1)
@@ -2979,6 +3047,7 @@ object ExtQueries {
     "q237_ks_test" -> (q237KsTest _),
     "q241_burstiness" -> (q241Burstiness _),
     "q242_hard_negatives" -> (q242HardNegatives _),
+    "q243_bpe_train" -> (q243BpeTrain _),
     "q218_encoding_advisor" -> (q218EncodingAdvisor _),
     "q20_dedup_exact" -> (q20DedupExact _),
     "q26_dedup_keep" -> (q26DedupKeep _),
@@ -3083,6 +3152,7 @@ object ExtQueries {
     "q237_ks_test" -> q237Oracle,
     "q241_burstiness" -> q241Oracle,
     "q242_hard_negatives" -> q242Oracle,
+    "q243_bpe_train" -> q243Oracle,
     "q20_dedup_exact" -> q20Oracle,
     "q26_dedup_keep" -> q26Oracle,
     "q27_dup_clusters" -> q27Oracle,
