@@ -1310,8 +1310,18 @@ object ParityQueries {
       .join(lp.select(col("l_orderkey"), col("l_partkey").as("p2")), Seq("l_orderkey"))
       .filter(col("l_partkey") < col("p2"))
       .select(col("l_partkey").as("u"), col("p2").as("v")).distinct()
+    // the per-order pair join is the expensive relation and every round
+    // reads it — materialize it ONCE (checkpointing only the per-round
+    // scores would re-run this join per round as separate jobs)
     val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
     val nodes = sym.select(col("u").as("node")).distinct()
+    // rounds chain LAZILY over the materialized edge relation: `raw` is
+    // read twice per round (its own max + the renorm join) but both reads
+    // are vocabulary-sized aggregations over checkpointed `sym`, and
+    // keeping the chain in ONE job lets Spark reuse the round's exchange
+    // for both branches (checkpointing every round was measured slower —
+    // it splits the reuse across jobs)
     var score = nodes.withColumn("s", lit(scale))
     (1 to 3).foreach { _ =>
       val raw = sym.join(score.withColumnRenamed("node", "v"), "v")
@@ -1358,23 +1368,32 @@ object ParityQueries {
     */
   def q238Hits(spark: SparkSession, dir: String): DataFrame = {
     val scale = 1L << 20
+    // materialized once — all four half-steps read it (q236's lesson)
     val edges = lineitem(spark, dir)
       .join(orders(spark, dir).select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+      .localCheckpoint()
     def renorm(df: DataFrame, valCol: String): DataFrame = {
       val mx = df.agg(max(col(valCol)).as("mx"))
       df.crossJoin(broadcast(mx))
         .select(df.columns.filterNot(_ == valCol).map(col) :+
           expr(s"($valCol * $scale) div mx").as(valCol): _*)
     }
+    // localCheckpoint per half-step: each score relation is read TWICE (its
+    // own max + the next join) and the 4-half-step chain would otherwise
+    // re-evaluate upstream aggregations per branch — the same bounded-
+    // lineage discipline as the CC/k-core fixpoints
     var hub = edges.select(col("c")).distinct().withColumn("h", lit(scale))
+      .localCheckpoint()
     var auth: DataFrame = null
     (1 to 2).foreach { _ =>
       auth = renorm(
         edges.join(hub, "c").groupBy("p").agg(sum(col("h")).as("a")), "a")
+        .localCheckpoint()
       hub = renorm(
         edges.join(auth, "p").groupBy("c").agg(sum(col("a")).as("h")), "h")
+        .localCheckpoint()
     }
     hub.select(lit("hub").as("role"), col("c").as("id"), col("h").as("score"))
       .unionByName(auth.select(lit("authority").as("role"), col("p").as("id"),
