@@ -1113,4 +1113,71 @@ object Dedup {
         expr("(10000 * inter) div size(ng_a)").as("cont_ab_4") :+
         expr("(10000 * inter) div size(ng_b)").as("cont_ba_4")): _*)
   }
+
+  /** EXACT token-set similarity join via PREFIX FILTERING (Chaudhuri et
+    * al.'s SSJoin / the PPJoin family's core filter) — every pair with
+    * Jaccard ≥ `tNum/tDen` over DISTINCT normalized tokens, with its exact
+    * similarity in ppm. The third tier of the pair ladder: the id-window
+    * blocks (q23/q184) bound WHICH pairs are comparable, MinHash LSH (q21)
+    * finds likely pairs with banding false negatives — prefix filtering is
+    * EXACT with no window assumption: if Jaccard(A,B) ≥ t, then A and B
+    * MUST share a token among each one's (sz − ⌈t·sz⌉ + 1) RAREST tokens
+    * (if all prefix tokens missed, the intersection is confined to the
+    * suffixes, too small to reach t) — so joining on prefix tokens alone
+    * loses nothing, and rarest-first ordering makes the join fan-out
+    * df-bounded instead of stopword-bounded.
+    *
+    * All threshold math is integer cross-multiplication (`tDen·inter ≥
+    * tNum·union`, ⌈t·sz⌉ = (tNum·sz + tDen − 1) div tDen), so the pair
+    * set and the ppm are hash-exact across engines.
+    *
+    * Scale shape: one token-keyed shuffle for df, one doc-keyed aggregate
+    * to sorted token structs (no per-doc window — `sort_array` orders
+    * (df, tok) inside the row), the candidate self-join keyed on PREFIX
+    * tokens only (with the 5·min ≥ 3·max length filter killing
+    * cross-size pairs before dedup), then a distinct on bare id pairs and
+    * a probe-rejoin to fetch the two token arrays for the exact verify —
+    * arrays never ride through the distinct.
+    */
+  def prefixFilterJaccardPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      tNum: Long = 3L,
+      tDen: Long = 5L): DataFrame = {
+    require(tNum > 0 && tDen > tNum, "threshold must be a rational in (0,1)")
+    val tokRows = docs
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("tok"))
+      .filter(col("tok") =!= "")
+    val df = tokRows.groupBy("tok").agg(count(lit(1)).as("df"))
+    val sorted = tokRows.join(df, "tok")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("arr"))
+      .withColumn("sz", size(col("arr")).cast("long"))
+      .withColumn("toks", expr("transform(arr, x -> x.tok)"))
+      .withColumn("p",
+        col("sz") - expr(s"($tNum * sz + $tDen - 1) div $tDen") + 1)
+      .select(col("doc_id"), col("sz"), col("toks"),
+        expr("slice(toks, 1, int(p))").as("prefix"))
+      .localCheckpoint() // feeds both candidate arms + the verify rejoin
+    val pfx = sorted.select(col("doc_id"), col("sz"),
+      explode(col("prefix")).as("ptok"))
+    val cand = pfx.toDF("doc_a", "sz_a", "ptok")
+      .join(pfx.toDF("doc_b", "sz_b", "ptok"), Seq("ptok"))
+      .filter(col("doc_a") < col("doc_b") &&
+        least(col("sz_a"), col("sz_b")) * tDen >=
+          greatest(col("sz_a"), col("sz_b")) * tNum)
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(sorted.select(col("doc_id").as("doc_a"), col("toks").as("ta"),
+        col("sz").as("sa")), "doc_a")
+      .join(sorted.select(col("doc_id").as("doc_b"), col("toks").as("tb"),
+        col("sz").as("sb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("uni", col("sa") + col("sb") - col("inter"))
+      .filter(col("inter") * tDen >= col("uni") * tNum)
+      .select(col("doc_a"), col("doc_b"),
+        expr("(1000000 * inter) div uni").as("jacc_ppm"))
+  }
 }

@@ -3033,9 +3033,111 @@ object ExtQueries {
        |ORDER BY vmr_ppm DESC, term ASC
        |LIMIT 50""".stripMargin
 
+  /** q259: EXACT Jaccard set-similarity join via prefix filtering
+    * ([[Dedup.prefixFilterJaccardPairs]], t = 3/5) — every surviving
+    * document pair at token-set Jaccard ≥ 0.6 with its exact ppm
+    * similarity. The oracle replays the WHOLE chain (df ranking, integer
+    * prefix length, prefix-token candidates, length filter,
+    * list_intersect verify) — and because prefix filtering is LOSSLESS,
+    * the oracle could equally be the naive all-pairs definition;
+    * replaying the chain additionally pins the candidate algebra,
+    * q224-style.
+    *
+    * The corpus is first thinned with the deterministic md5 gate at
+    * p = 1/5 (q154's DOULION discipline, [[Sampling.hashGate]]): this
+    * synthetic corpus is template-heavy — 28 % of ALL doc pairs clear
+    * t = 0.6 ungated — so the honest output of an exact ALL-pairs
+    * similarity join is Θ(cluster²) BY DEFINITION, not by algorithm
+    * (9.8 M candidate pairs from 5 000 docs at sf0.1). On such corpora
+    * the production pipeline runs exact dedup (q20) first or gates, and
+    * the gate keeps the pair tier's measured cost quadratic-free while
+    * the oracle still replays every step.
+    */
+  def q259PrefixJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.prefixFilterJaccardPairs(
+      documents(spark, dir).filter(Sampling.hashGate(col("doc_id"), 0.2)),
+      tNum = 3L, tDen = 5L)
+
+  private val q259Oracle = {
+    val thr = (0.2 * (1L << 60).toDouble).toLong // same literal as hashGate(_, 0.2)
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split($DNorm, ' '))) AS tok
+       |  FROM documents
+       |  WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT < $thr),
+       |t AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+       |df AS (SELECT tok, count(*)::BIGINT AS df FROM t GROUP BY 1),
+       |r AS (SELECT doc_id, tok,
+       |        row_number() OVER (PARTITION BY doc_id ORDER BY df, tok) AS rk,
+       |        count(*) OVER (PARTITION BY doc_id) AS sz
+       |      FROM t JOIN df USING (tok)),
+       |pfx AS (SELECT doc_id, tok, sz FROM r
+       |        WHERE rk <= sz - (3 * sz + 4) // 5 + 1),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM pfx a JOIN pfx b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |         WHERE 5 * least(a.sz, b.sz) >= 3 * greatest(a.sz, b.sz)),
+       |sets AS (SELECT doc_id, list(tok ORDER BY tok) AS l, count(*)::BIGINT AS sz
+       |         FROM t GROUP BY 1),
+       |v AS (SELECT doc_a, doc_b,
+       |        len(list_intersect(sa.l, sb.l))::BIGINT AS inter,
+       |        (sa.sz + sb.sz)::BIGINT AS szsum
+       |      FROM cand
+       |        JOIN sets sa ON sa.doc_id = doc_a
+       |        JOIN sets sb ON sb.doc_id = doc_b)
+       |SELECT doc_a, doc_b,
+       |       (1000000 * inter) // (szsum - inter) AS jacc_ppm
+       |FROM v WHERE 5 * inter >= 3 * (szsum - inter)""".stripMargin
+  }
+
+  /** q267: majority-vote imputation — the FD-guided repair step next to
+    * q223's FD *profile*: a deterministic residue masks every 7th doc's
+    * `lang` (this corpus ships no real nulls; the mask simulates the
+    * ingest gap), and each hole is filled with its source's most frequent
+    * OBSERVED language, count ties broken lexicographically — the
+    * standard categorical imputer of an ML-prep pipeline, deterministic
+    * by construction. Output is doc-level so the oracle pins every single
+    * fill, not just the fill counts.
+    *
+    * Scale shape: the majority map is a |sources × langs| contraction
+    * with a per-source argmax window over it, broadcast back onto the
+    * corpus — one scan, one model-sized shuffle.
+    */
+  def q267ImputeLang(spark: SparkSession, dir: String): DataFrame = {
+    val masked = documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 7 === 0, lit(null)).otherwise(col("lang")).as("lang_obs"))
+    val wm = Window.partitionBy("source")
+      .orderBy(col("cnt").desc, col("lang_obs").asc)
+    val majority = masked.filter(col("lang_obs").isNotNull)
+      .groupBy("source", "lang_obs").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(wm))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang_obs").as("lang_maj"))
+    masked.join(broadcast(majority), "source")
+      .select(col("doc_id"),
+        coalesce(col("lang_obs"), col("lang_maj")).as("lang_filled"),
+        (col("doc_id") % 7 === 0).as("was_imputed"))
+  }
+
+  private val q267Oracle =
+    """WITH m AS (
+      |  SELECT doc_id, source,
+      |         CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang_obs
+      |  FROM documents),
+      |maj AS (
+      |  SELECT source, lang_obs AS lang_maj FROM (
+      |    SELECT source, lang_obs, count(*) AS cnt
+      |    FROM m WHERE lang_obs IS NOT NULL GROUP BY 1, 2)
+      |  QUALIFY row_number() OVER (PARTITION BY source
+      |                             ORDER BY cnt DESC, lang_obs ASC) = 1)
+      |SELECT doc_id, coalesce(lang_obs, lang_maj) AS lang_filled,
+      |       (doc_id % 7 = 0) AS was_imputed
+      |FROM m JOIN maj USING (source)""".stripMargin
+
   // ---------------- registry ----------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q267_impute_lang" -> (q267ImputeLang _),
+    "q259_prefix_jaccard" -> (q259PrefixJaccard _),
     "q221_fuzzy_parts" -> (q221FuzzyParts _),
     "q224_lsh_sweep" -> (q224LshSweep _),
     "q225_entity_clusters" -> (q225EntityClusters _),
@@ -3140,6 +3242,8 @@ object ExtQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q267_impute_lang" -> q267Oracle,
+    "q259_prefix_jaccard" -> q259Oracle,
     "q218_encoding_advisor" -> q218Oracle,
     "q221_fuzzy_parts" -> q221Oracle,
     "q224_lsh_sweep" -> q224Oracle,

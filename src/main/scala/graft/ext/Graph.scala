@@ -207,4 +207,51 @@ object Graph {
         coalesce(col("peeled_round"), lit(0L)).as("peeled_round"),
         coalesce(col("deg"), lit(0L)).as("core_degree"))
   }
+
+  /** Bounded-round SYNCHRONOUS label propagation (Raghavan et al. 2007's
+    * community detection, in its deterministic round-synchronous form):
+    * every node starts labeled with its own id; each round, every node
+    * adopts the most frequent label among its NEIGHBORS, breaking count
+    * ties by the SMALLEST label — so the result is a pure function of the
+    * graph, never of visit order (the async formulation's coin flips are
+    * exactly what a cross-engine hash gate cannot absorb). Densely
+    * interconnected regions converge onto one label; the label is the
+    * community id.
+    *
+    * DETERMINISM over convergence, like [[kCorePeel]]: the round count is
+    * FIXED (label oscillation on bipartite-ish structures makes "run until
+    * stable" non-terminating in the synchronous model — the known LPA
+    * caveat), so two engines always produce the identical labeling.
+    *
+    * Scale shape per round: one join labels⋈edges on the neighbor key and
+    * one two-level aggregate — (node, label) counts with map-side
+    * partials, then the per-node argmax as a `max(struct(cnt, −label))`
+    * single-pass aggregate (never a window over raw neighbor rows).
+    * The undirected edge set feeds every round: staged once via
+    * localCheckpoint ([[triangleCounts]]'s shared-subtree pattern), and
+    * each round's labels are checkpointed so lineage stays one round deep.
+    */
+  def labelPropagation(
+      edges: DataFrame,
+      rounds: Int = 2,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    require(rounds >= 1, "need at least one round")
+    val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    val und = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint()
+    val nodes = und.select(col("u").as("node")).distinct()
+    var labels = nodes.withColumn("lab", col("node"))
+    (1 to rounds).foreach { _ =>
+      labels = und
+        .join(labels.withColumnRenamed("node", "v"), "v")
+        .groupBy(col("u").as("node"), col("lab"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("node")
+        .agg(max(struct(col("cnt"), (-col("lab")).as("neg"))).as("m"))
+        .select(col("node"), (-col("m.neg")).as("lab"))
+        .localCheckpoint()
+    }
+    labels
+  }
 }

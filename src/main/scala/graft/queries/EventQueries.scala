@@ -3332,7 +3332,322 @@ object EventQueries {
       |       gini_parent_ppm - (n_l * gini_l_ppm + n_r * gini_r_ppm) // n_all AS gain_ppm
       |FROM w CROSS JOIN p""".stripMargin
 
+  /** q256: exact Mann-Whitney U rank-sum test between the 'click' and
+    * 'purchase' value samples — the NONPARAMETRIC two-sample location test
+    * next to q125's z-test (which assumes a mean/variance model) and
+    * q237's KS (which compares whole CDFs): U asks "how often does a
+    * random click value beat a random purchase value". Tie handling is the
+    * textbook average-rank rule made integer: a value with `t` ties and
+    * `B` items below it has average rank `B + (t+1)/2`, so DOUBLED ranks
+    * `2B + t + 1` stay BIGINT — the published statistics are 2·U₁ and
+    * 2·U₂ (their sum must be 2·n₁·n₂, a built-in self-check).
+    *
+    * Scale shape: the value-HISTOGRAM contraction (q189/q237's
+    * discipline) — one shuffle to |distinct cents| rows, and the
+    * single-partition running-sum window runs over that contraction, never
+    * over raw events. The final aggregate is 1 row.
+    */
+  def q256MannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    val h = events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("cents", floor(col("value") * 100).cast("long"))
+      .groupBy("cents")
+      .agg(sum((col("event_type") === "click").cast("long")).as("c1"),
+        sum((col("event_type") === "purchase").cast("long")).as("c2"))
+    val w = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    h.withColumn("below", coalesce(sum(col("c1") + col("c2")).over(w), lit(0L)))
+      .agg(sum("c1").as("n1"), sum("c2").as("n2"),
+        sum(col("c1") * (col("below") * 2 + col("c1") + col("c2") + 1)).as("two_r1"))
+      .select(col("n1"), col("n2"),
+        (col("two_r1") - col("n1") * (col("n1") + 1)).as("u1_x2"),
+        (col("n1") * col("n2") * 2
+          - (col("two_r1") - col("n1") * (col("n1") + 1))).as("u2_x2"))
+  }
+
+  private val q256Oracle =
+    """WITH h AS (
+      |  SELECT floor(value * 100)::BIGINT AS cents,
+      |         sum((event_type = 'click')::BIGINT)::BIGINT AS c1,
+      |         sum((event_type = 'purchase')::BIGINT)::BIGINT AS c2
+      |  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1),
+      |b AS (
+      |  SELECT c1, c2,
+      |         coalesce(sum(c1 + c2) OVER (ORDER BY cents
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS below
+      |  FROM h),
+      |a AS (SELECT sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2,
+      |             sum(c1 * (below * 2 + c1 + c2 + 1))::BIGINT AS two_r1
+      |      FROM b)
+      |SELECT n1, n2,
+      |       (two_r1 - n1 * (n1 + 1))::BIGINT AS u1_x2,
+      |       (n1 * n2 * 2 - (two_r1 - n1 * (n1 + 1)))::BIGINT AS u2_x2
+      |FROM a""".stripMargin
+
+  /** q257: integer exponentially-weighted trailing average — each user's
+    * prediction-time EMA feature over their last 8 events (weights
+    * 2⁷…2⁰, most recent heaviest), computed as `Σvᵢ·2^(7-i) div
+    * Σ2^(7-i)` so partial histories (< 8 events) renormalize over the
+    * weights actually present and everything stays BIGINT — the float
+    * recurrence `α·v + (1−α)·ema` accumulates ulps and can't hash-gate.
+    * The per-user FINAL value ships (q200's prediction-time framing).
+    *
+    * Scale shape: one user_id shuffle; the 8 lags, the forward row_number
+    * and the last-row pick all ride the SAME partition ordering (one sort,
+    * reversed rank via count-over-partition, no second exchange). State
+    * per row is 8 lag slots — constant.
+    */
+  def q257EmaFeature(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(tsUs.asc, col("event_id").asc)
+    val base = events(spark, dir)
+      .withColumn("cents", floor(col("value") * 100).cast("long"))
+    val lagged = (1 to 7).foldLeft(base.withColumn("v0", col("cents"))) {
+      (df, i) => df.withColumn(s"v$i", lag(col("cents"), i).over(w))
+    }
+    val num = (0 to 7).map(i => coalesce(col(s"v$i"), lit(0L)) * lit(1L << (7 - i)))
+      .reduce(_ + _)
+    val den = (0 to 7).map(i => col(s"v$i").isNotNull.cast("long") * lit(1L << (7 - i)))
+      .reduce(_ + _)
+    lagged
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_events", count(lit(1)).over(Window.partitionBy("user_id")))
+      .withColumn("num", num).withColumn("den", den)
+      .filter(col("rn") === col("n_events"))
+      .select(col("user_id"), col("n_events"),
+        expr("num div den").as("ema_cents"))
+  }
+
+  private val q257Oracle = {
+    val lags = (1 to 7).map(i => s"lag(cents, $i) OVER w AS v$i").mkString(",\n      |         ")
+    val num = "cents * 128 + " +
+      (1 to 7).map(i => s"coalesce(v$i, 0) * ${1L << (7 - i)}").mkString(" + ")
+    val den = "128 + " +
+      (1 to 7).map(i => s"(v$i IS NOT NULL)::BIGINT * ${1L << (7 - i)}").mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS us,
+       |         floor(value * 100)::BIGINT AS cents
+       |  FROM events),
+       |l AS (
+       |  SELECT user_id, event_id, us, cents,
+       |         $lags,
+       |         row_number() OVER w AS rn,
+       |         count(*) OVER (PARTITION BY user_id) AS n
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+       |SELECT user_id, n::BIGINT AS n_events,
+       |       (($num) // ($den))::BIGINT AS ema_cents
+       |FROM l WHERE rn = n""".stripMargin
+  }
+
+  /** q258: median/MAD anomaly screen — per event type, the exact LOWER
+    * median of cents, the lower median absolute deviation from it, and
+    * how many events sit beyond 3×MAD: the robust outlier gate (mean/σ —
+    * q128's z-score discipline — moves with the outliers it's hunting;
+    * the median pair doesn't). "Lower median" (smallest value whose
+    * cumulative count reaches ⌈n/2⌉) keeps every statistic an ACTUAL
+    * data value, integer-exact on both engines — no midpoint float.
+    *
+    * Scale shape: both median passes use the value-histogram contraction
+    * (q189's): shuffle to |type × distinct-value| rows, per-type
+    * running-sum window over the contraction, min over qualifiers. The
+    * medians broadcast back as model-sized maps (≤ |types| rows); the
+    * final count is one more pass over the same type-keyed exchange.
+    */
+  def q258MadAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    def lowerMedian(df: DataFrame, valCol: String, out: String): DataFrame = {
+      val h = df.groupBy(col("event_type"), col(valCol).as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val wc = Window.partitionBy("event_type").orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      h.withColumn("cum", sum("cnt").over(wc))
+        .withColumn("n", sum("cnt").over(Window.partitionBy("event_type")))
+        .filter(col("cum") >= expr("(n + 1) div 2"))
+        .groupBy("event_type").agg(min("v").as(out))
+    }
+    val base = events(spark, dir)
+      .select(col("event_type"), floor(col("value") * 100).cast("long").as("cents"))
+    val med = lowerMedian(base, "cents", "med_cents")
+    val devs = base.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("cents") - col("med_cents")))
+    val mad = lowerMedian(devs, "dev", "mad_cents")
+    devs.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(max("med_cents").as("med_cents"), max("mad_cents").as("mad_cents"),
+        sum((col("dev") > col("mad_cents") * 3).cast("long")).as("n_anomalies"))
+  }
+
+  private val q258Oracle =
+    """WITH base AS (
+      |  SELECT event_type, floor(value * 100)::BIGINT AS cents FROM events),
+      |h1 AS (SELECT event_type, cents AS v, count(*)::BIGINT AS cnt
+      |       FROM base GROUP BY 1, 2),
+      |c1 AS (SELECT event_type, v,
+      |         sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |         sum(cnt) OVER (PARTITION BY event_type) AS n
+      |       FROM h1),
+      |med AS (SELECT event_type, min(v)::BIGINT AS med_cents
+      |        FROM c1 WHERE cum >= (n + 1) // 2 GROUP BY 1),
+      |d AS (SELECT base.event_type, med_cents,
+      |             abs(cents - med_cents)::BIGINT AS dev
+      |      FROM base JOIN med USING (event_type)),
+      |h2 AS (SELECT event_type, dev AS v, count(*)::BIGINT AS cnt
+      |       FROM d GROUP BY 1, 2),
+      |c2 AS (SELECT event_type, v,
+      |         sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |         sum(cnt) OVER (PARTITION BY event_type) AS n
+      |       FROM h2),
+      |mad AS (SELECT event_type, min(v)::BIGINT AS mad_cents
+      |        FROM c2 WHERE cum >= (n + 1) // 2 GROUP BY 1)
+      |SELECT event_type, max(med_cents)::BIGINT AS med_cents,
+      |       max(mad_cents)::BIGINT AS mad_cents,
+      |       sum((dev > mad_cents * 3)::BIGINT)::BIGINT AS n_anomalies
+      |FROM d JOIN mad USING (event_type)
+      |GROUP BY 1""".stripMargin
+
+  /** q264: peak session concurrency per day — the SWEEP-LINE interval
+    * aggregation: q12's gap-sessions become (+1 at start, −1 at end)
+    * boundary events, globally ordered (time, starts-before-ends,
+    * user tie-break); the running sum at each boundary is the number of
+    * concurrently open sessions, and the per-day max is the capacity
+    * number a serving fleet is provisioned for. Two engines can disagree
+    * on tie PERMUTATION inside an equal-(time, delta) group, but the
+    * prefix-sum VALUES inside such a group form the same monotone set
+    * either way, so the max is order-insensitive — the statistic is
+    * hash-exact even where per-row attribution isn't.
+    *
+    * Semantics note: the day max is over concurrency AT BOUNDARY INSTANTS
+    * of that day (a session spanning a whole day with no boundary that
+    * day contributes to its boundary days' maxima) — the standard
+    * event-driven reading, identical on both engines.
+    *
+    * Scale shape: one user_id shuffle for sessionization, then the
+    * boundary stream contracts to 2·|sessions| rows; the global
+    * running-sum window is the deliberate single-partition step over that
+    * contraction (q256's discipline), and the day rollup shuffles
+    * |days| rows.
+    */
+  def q264PeakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).withColumn("ts_us", tsUs)
+    val wu = Window.partitionBy("user_id").orderBy(col("ts_us").asc, col("event_id").asc)
+    val sessions = e
+      .withColumn("prev", lag(col("ts_us"), 1).over(wu))
+      .withColumn("brk",
+        (col("prev").isNull || col("ts_us") - col("prev") > SessionGapUs).cast("long"))
+      .withColumn("session_id", sum(col("brk")).over(
+        wu.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(min(col("ts_us")).as("st"), max(col("ts_us")).as("en"))
+    val bounds = sessions
+      .select(col("user_id"), col("st").as("t"), lit(1L).as("delta"))
+      .unionByName(sessions
+        .select(col("user_id"), col("en").as("t"), lit(-1L).as("delta")))
+    val ws = Window.orderBy(col("t").asc, col("delta").desc, col("user_id").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    bounds
+      .withColumn("open", sum(col("delta")).over(ws))
+      .groupBy(expr("t div 86400000000").as("day"))
+      .agg(max(col("open")).as("peak_concurrency"))
+  }
+
+  private val q264Oracle =
+    s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+       |l AS (SELECT user_id, event_id, tsu,
+       |        lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu ASC, event_id ASC) AS prev
+       |      FROM e),
+       |f AS (SELECT user_id, tsu, event_id,
+       |        CASE WHEN prev IS NULL OR tsu - prev > ${SessionGapUs} THEN 1 ELSE 0 END AS brk
+       |      FROM l),
+       |s AS (SELECT user_id, tsu,
+       |        sum(brk) OVER (PARTITION BY user_id ORDER BY tsu ASC, event_id ASC
+       |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |      FROM f),
+       |sess AS (SELECT user_id, sid, min(tsu) AS st, max(tsu) AS en
+       |         FROM s GROUP BY 1, 2),
+       |b AS (SELECT user_id, st AS t, 1 AS delta FROM sess
+       |      UNION ALL SELECT user_id, en, -1 FROM sess),
+       |r AS (SELECT t,
+       |        sum(delta) OVER (ORDER BY t ASC, delta DESC, user_id ASC
+       |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open
+       |      FROM b)
+       |SELECT t // 86400000000 AS day, max(open)::BIGINT AS peak_concurrency
+       |FROM r GROUP BY 1""".stripMargin
+
+  /** q266: RFM segmentation — every user scored 1–5 on Recency (days since
+    * last event vs the corpus's last day), Frequency (event count) and
+    * Monetary (cents sum) by EXACT quintile thresholds, then rolled into
+    * the classic `r·100 + f·10 + m` segment with counts. Thresholds are
+    * ntile-free (q207's discipline — ntile's tie placement is
+    * engine-defined): thr(s) = smallest value whose cumulative user count
+    * reaches ⌈n·s/5⌉, and a user's score is the smallest s with value ≤
+    * thr(s) — ties land identically on both engines by construction.
+    *
+    * Scale shape: one user_id contraction for the three measures; each
+    * threshold chain is a histogram contraction over |distinct measure
+    * values| with a 5-row broadcast back; the segment rollup is ≤ 125
+    * rows. The global last-day anchor is a 1-row broadcast.
+    */
+  def q266RfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    def scores(vals: DataFrame, valCol: String, out: String): DataFrame = {
+      val h = vals.groupBy(col(valCol).as("v")).agg(count(lit(1)).as("cnt"))
+      val wc = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)
+      val thr = h.withColumn("cum", sum("cnt").over(wc))
+        .withColumn("n", sum("cnt").over(
+          Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .crossJoin(broadcast(spark.range(1, 6).select(col("id").as("s"))))
+        .filter(col("cum") * 5 >= col("n") * col("s"))
+        .groupBy("s").agg(min(col("v")).as("thr"))
+      vals.join(broadcast(thr), col(valCol) <= col("thr"))
+        .groupBy("user_id").agg(min(col("s")).as(out))
+    }
+    val anchor = events(spark, dir).agg(max(tsDay).as("last_day"))
+    val perUser = events(spark, dir)
+      .withColumn("cents", floor(col("value") * 100).cast("long"))
+      .groupBy("user_id")
+      .agg(max(tsDay).as("user_last"), count(lit(1)).as("freq"),
+        sum(col("cents")).as("monetary"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("recency", col("last_day") - col("user_last"))
+    perUser
+      .join(scores(perUser.select("user_id", "recency"), "recency", "r"), "user_id")
+      .join(scores(perUser.select("user_id", "freq"), "freq", "f"), "user_id")
+      .join(scores(perUser.select("user_id", "monetary"), "monetary", "m"), "user_id")
+      .groupBy((col("r") * 100 + col("f") * 10 + col("m")).as("segment"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  private val q266Oracle = {
+    def chain(src: String, valCol: String, out: String): String =
+      s"""${out}_h AS (SELECT $valCol AS v, count(*)::BIGINT AS cnt FROM $src GROUP BY 1),
+         |${out}_c AS (SELECT v,
+         |    sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    sum(cnt) OVER () AS n FROM ${out}_h),
+         |${out}_t AS (SELECT s, min(v) AS thr
+         |  FROM ${out}_c CROSS JOIN (SELECT unnest(generate_series(1, 5)) AS s)
+         |  WHERE cum * 5 >= n * s GROUP BY 1),
+         |${out}_s AS (SELECT user_id, min(s)::BIGINT AS $out
+         |  FROM $src JOIN ${out}_t ON $valCol <= thr GROUP BY 1)""".stripMargin
+    s"""WITH pu AS (
+       |  SELECT user_id,
+       |         (SELECT max(epoch_us(ts) // 86400000000) FROM events)
+       |           - max(epoch_us(ts) // 86400000000) AS recency,
+       |         count(*)::BIGINT AS freq,
+       |         sum(floor(value * 100)::BIGINT)::BIGINT AS monetary
+       |  FROM events GROUP BY 1),
+       |${chain("pu", "recency", "r")},
+       |${chain("pu", "freq", "f")},
+       |${chain("pu", "monetary", "m")}
+       |SELECT (r * 100 + f * 10 + m)::BIGINT AS segment, count(*)::BIGINT AS n_users
+       |FROM r_s JOIN f_s USING (user_id) JOIN m_s USING (user_id)
+       |GROUP BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q264_peak_concurrency" -> (q264PeakConcurrency _),
+    "q266_rfm_segments" -> (q266RfmSegments _),
+    "q256_mann_whitney" -> (q256MannWhitney _),
+    "q257_ema_feature" -> (q257EmaFeature _),
+    "q258_mad_anomalies" -> (q258MadAnomalies _),
     "q240_gini_split" -> (q240GiniSplit _),
     "q239_chi2_independence" -> (q239Chi2Independence _),
     "q231_feature_hash" -> (q231FeatureHash _),
@@ -3423,6 +3738,11 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q264_peak_concurrency" -> q264Oracle,
+    "q266_rfm_segments" -> q266Oracle,
+    "q256_mann_whitney" -> q256Oracle,
+    "q257_ema_feature" -> q257Oracle,
+    "q258_mad_anomalies" -> q258Oracle,
     "q240_gini_split" -> q240Oracle,
     "q239_chi2_independence" -> q239Oracle,
     "q231_feature_hash" -> q231Oracle,

@@ -1683,7 +1683,676 @@ object ParityQueries {
       |       sum(CASE WHEN doc_id % 17 <> 0 THEN n_chars ELSE 0 END)::BIGINT AS clean_chars
       |FROM documents""".stripMargin
 
+  /** q244: TPC-H Q4-shaped order-priority check — orders from one year that
+    * had at least one LATE line (`l_shipdate > o_orderdate + 30 d` — this
+    * schema has no commit/receipt dates, same adaptation as q215), counted
+    * per priority class. The correlated-EXISTS shape: the lateness
+    * predicate references BOTH sides, so it rides the semi-join as a
+    * residual condition, never a post-join filter.
+    *
+    * Scale shape: one big-big semi-join on the shared orderkey (the same
+    * exchange family as q02/q173/q215 — bucketing amortizes all of them at
+    * 100 TB); the year filter prunes the orders scan first, and the
+    * semi-join emits each order at most once regardless of line fan-out.
+    */
+  def q244PriorityCheck(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .filter(expr("year(o_orderdate) = 1997"))
+      .join(lineitem(spark, dir).select("l_orderkey", "l_shipdate"),
+        col("o_orderkey") === col("l_orderkey") &&
+          datediff(col("l_shipdate"), col("o_orderdate")) > 30,
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+
+  private val q244Oracle =
+    """SELECT o_orderpriority, count(*)::BIGINT AS order_count
+      |FROM orders
+      |WHERE year(o_orderdate) = 1997
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND date_diff('day', o_orderdate::DATE, l_shipdate::DATE) > 30)
+      |GROUP BY 1""".stripMargin
+
+  /** q245: TPC-H Q9-shaped product-type profit — per supplier-nation ×
+    * order-year profit on parts whose name contains "red". This schema has
+    * no partsupp, so cost is the stated proxy `l_quantity × p_retailprice
+    * / 10`; the JOIN ALGEBRA is Q9's exactly (fact out to part + orders +
+    * supplier + nation with a name filter on part). Both legs are summed
+    * as DECIMAL — denominators cleared by computing `10·volume − cost` so
+    * no decimal division ever runs — and published as floor milli-dollars
+    * BIGINT: bit-exact on both engines by arithmetic.
+    *
+    * Scale shape: the `%red%` part filter prunes ~the fact early through a
+    * broadcast-hash join; orders is the one big shuffle (shared orderkey
+    * family); supplier/nation broadcast; the aggregate is |nations×years|.
+    */
+  def q245ProductProfit(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .join(broadcast(part(spark, dir)
+          .filter(col("p_name").contains("red"))
+          .select("p_partkey", "p_retailprice")),
+        col("l_partkey") === col("p_partkey"))
+      .join(orders(spark, dir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .withColumn("volume",
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(30,10)"))
+      .withColumn("cost",
+        (col("l_quantity") * col("p_retailprice")).cast("decimal(30,10)"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(floor(sum(col("volume") * 10 - col("cost")) * 100).cast("long")
+        .as("profit_milli"))
+
+  private val q245Oracle =
+    """SELECT n_name, year(o_orderdate)::BIGINT AS o_year,
+      |       floor(sum(volume * 10 - cost) * 100)::BIGINT AS profit_milli
+      |FROM (
+      |  SELECT n_name, o_orderdate,
+      |         (l_extendedprice * (1 - l_discount))::DECIMAL(30,10) AS volume,
+      |         (l_quantity * p_retailprice)::DECIMAL(30,10) AS cost
+      |  FROM lineitem
+      |    JOIN part     ON l_partkey = p_partkey AND p_name LIKE '%red%'
+      |    JOIN orders   ON l_orderkey = o_orderkey
+      |    JOIN supplier ON l_suppkey = s_suppkey
+      |    JOIN nation   ON s_nationkey = n_nationkey)
+      |GROUP BY 1, 2""".stripMargin
+
+  /** q246: TPC-H Q12-shaped lateness-by-priority — among LATE lines
+    * (`ship > order + 60 d`, q215's predicate), the split between
+    * critical-priority orders (1-URGENT/2-HIGH) and the rest, per ship
+    * year. Q12's signature CASE-sum pivot: both counters come out of ONE
+    * pass over the joined fact — never two scans.
+    *
+    * Scale shape: one orderkey shuffle (the shared family); the CASE-sums
+    * are partial-aggregated map-side, so the exchange carries
+    * |ship-years| × 2 counters.
+    */
+  def q246LatenessByPriority(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+      .join(orders(spark, dir).select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(datediff(col("l_shipdate"), col("o_orderdate")) > 60)
+      .groupBy(year(col("l_shipdate")).cast("long").as("ship_year"))
+      .agg(
+        sum(col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long"))
+          .as("high_line_count"),
+        sum((!col("o_orderpriority").isin("1-URGENT", "2-HIGH")).cast("long"))
+          .as("low_line_count"))
+
+  private val q246Oracle =
+    """SELECT year(l_shipdate)::BIGINT AS ship_year,
+      |       sum((o_orderpriority IN ('1-URGENT','2-HIGH'))::BIGINT)::BIGINT AS high_line_count,
+      |       sum((o_orderpriority NOT IN ('1-URGENT','2-HIGH'))::BIGINT)::BIGINT AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE date_diff('day', o_orderdate::DATE, l_shipdate::DATE) > 60
+      |GROUP BY 1""".stripMargin
+
+  /** q247: TPC-H Q13-shaped customer order-count distribution — how many
+    * customers placed 0, 1, 2, … orders. The signature LEFT OUTER join
+    * (customers with no orders must survive as c_count = 0 — `count(col)`
+    * counts non-nulls only, which is exactly the semantics that keeps the
+    * zero bucket honest; 257 such customers exist at sf0.01) followed by a
+    * second aggregation over the first's output.
+    *
+    * Scale shape: first aggregate shuffles on custkey to |customers| rows;
+    * the second shuffles |customers| rows to |distinct counts| — a
+    * two-level contraction, each stage strictly smaller. No distinct, no
+    * window, no skew risk beyond the custkey fan-out AQE handles.
+    */
+  def q247OrderCountDist(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir).select("c_custkey")
+      .join(orders(spark, dir).select("o_custkey", "o_orderkey"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+
+  private val q247Oracle =
+    """WITH c_orders AS (
+      |  SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY 1)
+      |SELECT c_count, count(*)::BIGINT AS custdist
+      |FROM c_orders GROUP BY 1""".stripMargin
+
+  /** q248: TPC-H Q14-shaped promo revenue share — the fraction of each ship
+    * month's revenue earned on PROMO-type parts, as integer ppm over exact
+    * DECIMAL floor-cents (Q14 publishes a float percentage; the ppm form is
+    * this engine's cross-engine-exact discipline, q214's).
+    *
+    * Scale shape: part projects to two columns and broadcasts; one
+    * orderkey-free scan-side aggregate — the shuffle carries |months| × 2
+    * decimal partials. The conditional sum folds the promo flag into the
+    * aggregate, so there is exactly one pass.
+    */
+  def q248PromoShare(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .join(broadcast(part(spark, dir).select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .withColumn("volume",
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(30,10)"))
+      .groupBy((year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+        .cast("long").as("ship_month"))
+      .agg(
+        floor(sum(when(col("p_type") === "PROMO", col("volume"))
+          .otherwise(lit(0).cast("decimal(30,10)"))) * 100).cast("long").as("promo_cents"),
+        floor(sum(col("volume")) * 100).cast("long").as("total_cents"))
+      .select(col("ship_month"), col("promo_cents"), col("total_cents"),
+        expr("(1000000 * promo_cents) div total_cents").as("promo_ppm"))
+
+  private val q248Oracle =
+    """WITH v AS (
+      |  SELECT (year(l_shipdate) * 100 + month(l_shipdate))::BIGINT AS ship_month,
+      |         (l_extendedprice * (1 - l_discount))::DECIMAL(30,10) AS volume,
+      |         p_type
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |a AS (
+      |  SELECT ship_month,
+      |         floor(sum(CASE WHEN p_type = 'PROMO' THEN volume
+      |                        ELSE 0::DECIMAL(30,10) END) * 100)::BIGINT AS promo_cents,
+      |         floor(sum(volume) * 100)::BIGINT AS total_cents
+      |  FROM v GROUP BY 1)
+      |SELECT ship_month, promo_cents, total_cents,
+      |       (1000000 * promo_cents) // total_cents AS promo_ppm
+      |FROM a""".stripMargin
+
+  /** q249: TPC-H Q16-shaped supplier variety — distinct suppliers actually
+    * shipping each (brand, type, size) combo for four target sizes,
+    * excluding blacklisted suppliers (negative account balance stands in
+    * for Q16's complaint-comment pattern). The NOT-IN-subquery becomes an
+    * ANTI join (s_suppkey is non-null, so the semantics coincide — the
+    * null-trap NOT IN carries doesn't arise).
+    *
+    * Scale shape: the size/type filter prunes part before its broadcast;
+    * the blacklist is a broadcast anti-join (model-sized); the one shuffle
+    * is the distinct-count on (brand, type, size) — count(DISTINCT)
+    * expands partial-agg-side, carrying (group, suppkey) pairs, which is
+    * the fact's own cardinality upper bound.
+    */
+  def q249SupplierVariety(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir).select("l_partkey", "l_suppkey")
+      .join(broadcast(part(spark, dir)
+          .filter(col("p_size").isin(1, 14, 23, 45) && col("p_type") =!= "PROMO")
+          .select("p_partkey", "p_brand", "p_type", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supplier(spark, dir)
+          .filter(col("s_acctbal") < 0).select("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+
+  private val q249Oracle =
+    """SELECT p_brand, p_type, p_size,
+      |       count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_size IN (1, 14, 23, 45) AND p_type <> 'PROMO'
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** q250: TPC-H Q17-shaped small-quantity revenue — lines of one brand
+    * whose quantity is below 20 % of that part's own average. The
+    * correlated-scalar-subquery becomes a join against the per-part
+    * grouped view, and the threshold is the integer cross-multiplication
+    * `5·qty·n < total` (quantities are integral in this corpus, so every
+    * side is BIGINT — no float average exists anywhere).
+    *
+    * Scale shape: the per-part aggregate and the join back both key on
+    * l_partkey — ONE exchange family, reused (at 100 TB, bucketing
+    * lineitem by partkey makes both legs co-located). The brand filter
+    * applies to the probe side only: the grouped view must average over
+    * ALL lines of the part (Q17's semantics), so it aggregates the
+    * unfiltered fact — the classic subtlety.
+    */
+  def q250SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val perPart = lineitem(spark, dir)
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("l_quantity").cast("long")).as("tot_qty"),
+        count(lit(1)).as("n_lines"))
+    lineitem(spark, dir)
+      .join(broadcast(part(spark, dir).filter(col("p_brand") === "Brand#3")
+          .select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(perPart, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity").cast("long") * col("n_lines") * 5 < col("tot_qty"))
+      .agg(count(lit(1)).as("n_small"),
+        floor(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(30,10)")) * 100).cast("long").as("revenue_cents"))
+  }
+
+  private val q250Oracle =
+    """WITH pq AS (
+      |  SELECT l_partkey AS pk, sum(l_quantity::BIGINT)::BIGINT AS tot_qty,
+      |         count(*)::BIGINT AS n_lines
+      |  FROM lineitem GROUP BY 1)
+      |SELECT count(*)::BIGINT AS n_small,
+      |       floor(sum((l_extendedprice * (1 - l_discount))::DECIMAL(30,10)) * 100)::BIGINT
+      |         AS revenue_cents
+      |FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#3'
+      |  JOIN pq ON l_partkey = pk
+      |WHERE l_quantity::BIGINT * n_lines * 5 < tot_qty""".stripMargin
+
+  /** q251: TPC-H Q19-shaped disjunctive-predicate revenue — revenue over an
+    * OR of three (brand × size-range × quantity-range) conjunctions. Q19
+    * exists to prove the optimizer splits a disjunction: the common
+    * `l_partkey = p_partkey` join survives, and the per-branch part
+    * predicates (`p_size BETWEEN …`) reach the part SCAN as a single ORed
+    * pushed filter instead of evaluating post-join.
+    *
+    * Scale shape: part filters to the union of the three branches before
+    * broadcast; the quantity conjuncts prune the probe scan. One
+    * broadcast join, one 1-row aggregate — scan-bound.
+    */
+  def q251DisjunctRevenue(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .join(broadcast(part(spark, dir).select("p_partkey", "p_brand", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(1, 15)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(10, 25) &&
+          col("l_quantity").between(10, 30)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+          col("l_quantity").between(20, 50)))
+      .agg(count(lit(1)).as("n_lines"),
+        floor(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(30,10)")) * 100).cast("long").as("revenue_cents"))
+
+  private val q251Oracle =
+    """SELECT count(*)::BIGINT AS n_lines,
+      |       floor(sum((l_extendedprice * (1 - l_discount))::DECIMAL(30,10)) * 100)::BIGINT
+      |         AS revenue_cents
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 15)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 25 AND l_quantity BETWEEN 10 AND 30)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)""".stripMargin
+
+  /** q253: TPC-H Q22-shaped lapsed high-balance customers — customers with
+    * NO RECENT orders (none since 2000-01-01; every customer in this
+    * corpus has *some* order, so Q22's "never ordered" arm would be
+    * vacuous — the lapsed-customer reading keeps the anti-join load-bearing)
+    * whose balance beats the average POSITIVE balance, counted per nation
+    * (standing in for Q22's phone country code). The two Q22 mechanics
+    * survive intact: an uncorrelated scalar subquery as the threshold, and
+    * a NOT-EXISTS anti-join. The average never materializes as a float:
+    * `cents·n > total` cross-multiplied in BIGINT over floor-cents.
+    *
+    * Scale shape: the global is a 1-row broadcast; the date filter prunes
+    * the orders side of the anti-join at the scan; the anti-join shuffles
+    * customer vs orders on custkey (big-big, the shared custkey family);
+    * final aggregate is |nations|.
+    */
+  def q253IdleCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cents = floor(col("c_acctbal") * 100).cast("long")
+    val global = customer(spark, dir).filter(col("c_acctbal") > 0)
+      .agg(sum(cents).as("pos_cents"), count(lit(1)).as("n_pos"))
+    customer(spark, dir)
+      .crossJoin(broadcast(global))
+      .filter(cents * col("n_pos") > col("pos_cents"))
+      .join(orders(spark, dir)
+          .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+          .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("numcust"), sum(cents).as("idle_cents"))
+  }
+
+  private val q253Oracle =
+    """WITH g AS (
+      |  SELECT sum(floor(c_acctbal * 100)::BIGINT)::BIGINT AS pos_cents,
+      |         count(*)::BIGINT AS n_pos
+      |  FROM customer WHERE c_acctbal > 0)
+      |SELECT c_nationkey, count(*)::BIGINT AS numcust,
+      |       sum(floor(c_acctbal * 100)::BIGINT)::BIGINT AS idle_cents
+      |FROM customer CROSS JOIN g
+      |WHERE floor(c_acctbal * 100)::BIGINT * n_pos > pos_cents
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+      |GROUP BY 1""".stripMargin
+
+  /** q254: TPC-H Q2-shaped minimum-cost supplier — for every ECONOMY-type
+    * part, the cheapest supplier that actually shipped it (best observed
+    * line price in floor-cents stands in for ps_supplycost; this schema
+    * has no partsupp). Q2's correlated-MIN subquery becomes a per-part
+    * window rank with a deterministic suppkey tie-break — ties in the
+    * minimum don't make the result engine-dependent.
+    *
+    * Scale shape: the (part, supplier) aggregate and the per-part window
+    * both key on l_partkey — one exchange family; the window input is
+    * pre-contracted to |part × supplier| rows, never raw lines, and the
+    * rank-1 filter runs inside WindowGroupLimit (top-1 per key, bounded
+    * state). Dimensions broadcast after the contraction.
+    */
+  def q254MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val offers = lineitem(spark, dir)
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min(floor(col("l_extendedprice") * 100).cast("long")).as("offer_cents"))
+    val w = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("offer_cents").asc, col("l_suppkey").asc)
+    offers
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(broadcast(part(spark, dir).filter(col("p_type") === "ECONOMY")
+          .select("p_partkey", "p_name")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"),
+        col("offer_cents"))
+  }
+
+  private val q254Oracle =
+    """WITH offers AS (
+      |  SELECT l_partkey, l_suppkey,
+      |         min(floor(l_extendedprice * 100)::BIGINT)::BIGINT AS offer_cents
+      |  FROM lineitem GROUP BY 1, 2),
+      |best AS (
+      |  SELECT l_partkey, l_suppkey, offer_cents
+      |  FROM offers
+      |  QUALIFY row_number() OVER (PARTITION BY l_partkey
+      |                             ORDER BY offer_cents ASC, l_suppkey ASC) = 1)
+      |SELECT p_partkey, p_name, s_name, n_name, offer_cents
+      |FROM best
+      |  JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey""".stripMargin
+
+  /** q255: label-propagation communities ([[graft.ext.Graph
+    * .labelPropagation]]) on the customer↔supplier trade graph (q132's
+    * bipartite edge set, treated undirected) — 2 deterministic synchronous
+    * rounds, count ties broken by smallest label. Completes the graph
+    * family's QUESTION coverage: PageRank ranks importance, triangles
+    * measure local clustering, CC answers reachability, k-core finds dense
+    * regions — LPA assigns every node a COMMUNITY. The oracle unrolls the
+    * two identical rounds as chained CTEs with a QUALIFY argmax — the
+    * integer tie-break makes the labeling hash-gateable.
+    */
+  def q255LabelCommunities(spark: SparkSession, dir: String): DataFrame = {
+    val edges = orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    graft.ext.Graph.labelPropagation(edges, rounds = 2)
+  }
+
+  private val q255Oracle = {
+    def round(prev: String, name: String): String =
+      s"""$name AS (
+         |  SELECT u AS node, lab FROM (
+         |    SELECT und.u, l.lab, count(*)::BIGINT AS cnt
+         |    FROM und JOIN $prev l ON und.v = l.node
+         |    GROUP BY 1, 2)
+         |  QUALIFY row_number() OVER (PARTITION BY u
+         |                             ORDER BY cnt DESC, lab ASC) = 1)""".stripMargin
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |und AS (SELECT src AS u, dst AS v FROM e0
+       |        UNION SELECT dst, src FROM e0),
+       |nodes AS (SELECT DISTINCT u AS node FROM und),
+       |l0 AS (SELECT node, node AS lab FROM nodes),
+       |${round("l0", "r1")},
+       |${round("r1", "r2")}
+       |SELECT node, lab FROM r2""".stripMargin
+  }
+
+  /** q260: TPC-H Q3-shaped shipping-priority top-10 — unshipped revenue
+    * (ordered before, shipped after the cut date) for one market segment,
+    * top 10 orders by revenue. The canonical filter→join→agg→top-k
+    * pipeline; revenue is DECIMAL floor-cents so the ordering key is
+    * BIGINT (a float revenue sort can flip equal-cent neighbors per
+    * engine), the date rides as an integer yyyymmdd key, and the
+    * orderkey tie-break pins ties.
+    *
+    * Scale shape: both date predicates prune their scans; customer is a
+    * broadcast semi-join; one orderkey shuffle; the top-10 runs as the
+    * bounded TakeOrderedAndProject heap, never a global sort.
+    */
+  def q260ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cut = "1997-06-01"
+    lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit(cut).cast("timestamp"))
+      .join(orders(spark, dir)
+          .filter(col("o_orderdate") < lit(cut).cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(spark, dir)
+          .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(col("l_orderkey"),
+        (year(col("o_orderdate")) * 10000 + month(col("o_orderdate")) * 100 +
+          dayofmonth(col("o_orderdate"))).cast("long").as("order_ymd"),
+        col("o_orderpriority"))
+      .agg(floor(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(30,10)")) * 100).cast("long").as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  private val q260Oracle =
+    """SELECT l_orderkey,
+      |       (year(o_orderdate) * 10000 + month(o_orderdate) * 100
+      |          + day(o_orderdate))::BIGINT AS order_ymd,
+      |       o_orderpriority,
+      |       floor(sum((l_extendedprice * (1 - l_discount))::DECIMAL(30,10)) * 100)::BIGINT
+      |         AS revenue_cents
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate > TIMESTAMP '1997-06-01'
+      |  AND o_orderdate < TIMESTAMP '1997-06-01'
+      |  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      |GROUP BY 1, 2, 3
+      |ORDER BY revenue_cents DESC, l_orderkey ASC
+      |LIMIT 10""".stripMargin
+
+  /** q261: TPC-H Q6-shaped forecast-revenue delta — one year, a discount
+    * band, small quantities, `sum(extendedprice × discount)`. Q6 exists
+    * as the PURE SCAN benchmark: no join, no window — the whole query is
+    * predicate pushdown + a 1-row aggregate, the shape where a columnar
+    * scan's filter/decode rate is the only cost at 100 TB.
+    */
+  def q261ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .filter(expr("year(l_shipdate) = 1997") &&
+        col("l_discount").between(0.02, 0.06) && col("l_quantity") < 25)
+      .agg(count(lit(1)).as("n_lines"),
+        floor(sum((col("l_extendedprice") * col("l_discount"))
+          .cast("decimal(30,10)")) * 100).cast("long").as("revenue_cents"))
+
+  private val q261Oracle =
+    """SELECT count(*)::BIGINT AS n_lines,
+      |       floor(sum((l_extendedprice * l_discount)::DECIMAL(30,10)) * 100)::BIGINT
+      |         AS revenue_cents
+      |FROM lineitem
+      |WHERE year(l_shipdate) = 1997
+      |  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 25""".stripMargin
+
+  /** q262: TPC-H Q10-shaped returned-item report — the 20 customers losing
+    * the most revenue to returns (`l_returnflag = 'R'`) in a two-quarter
+    * window, with their nation. Floor-cents BIGINT ordering key +
+    * custkey tie-break, q260's discipline.
+    *
+    * Scale shape: the return-flag and date filters prune the fact scan;
+    * one orderkey shuffle, then a custkey contraction to |customers|;
+    * customer/nation broadcast onto the contracted aggregate (never onto
+    * raw lines); top-20 via the bounded heap.
+    */
+  def q262ReturnedItems(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir).filter(col("l_returnflag") === "R")
+      .join(orders(spark, dir)
+          .filter(expr("year(o_orderdate) = 1998 AND month(o_orderdate) <= 6"))
+          .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(floor(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(30,10)")) * 100).cast("long").as("lost_cents"))
+      .join(broadcast(customer(spark, dir).select("c_custkey", "c_name", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"), col("lost_cents"))
+      .orderBy(col("lost_cents").desc, col("c_custkey").asc)
+      .limit(20)
+
+  private val q262Oracle =
+    """SELECT c_custkey, c_name, n_name,
+      |       floor(sum((l_extendedprice * (1 - l_discount))::DECIMAL(30,10)) * 100)::BIGINT
+      |         AS lost_cents
+      |FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND year(o_orderdate) = 1998 AND month(o_orderdate) <= 6
+      |GROUP BY 1, 2, 3
+      |ORDER BY lost_cents DESC, c_custkey ASC
+      |LIMIT 20""".stripMargin
+
+  /** q263: 2-D SKYLINE (Pareto frontier) of the part catalog — the parts no
+    * other part dominates on (cheaper-or-equal price, larger-or-equal
+    * size, one strict). The naive formulation is an all-pairs dominance
+    * anti-join; after contracting to DISTINCT (price, size) points the
+    * skyline is a single running-max sweep: sorted by (price asc, size
+    * desc), a point survives iff its size strictly beats every earlier
+    * point's — O(n log n), the sort-based skyline algorithm
+    * (Börzsönyi et al., ICDE'01's SFS variant).
+    *
+    * The ORACLE is the definitional NOT-EXISTS — deliberately a different
+    * algorithm, so the window algebra is cross-checked against the
+    * definition rather than replayed (q194's self-asserting discipline).
+    *
+    * Scale shape: the distinct-point contraction bounds the sweep input
+    * by the (price-domain × size-domain) grid, not |parts|; the
+    * single-partition window runs over that contraction (q256's
+    * histogram-contraction discipline). Per-point part counts ride the
+    * same contraction aggregate.
+    */
+  def q263PartSkyline(spark: SparkSession, dir: String): DataFrame = {
+    val pts = part(spark, dir)
+      .select(floor(col("p_retailprice") * 100).cast("long").as("price_cents"),
+        col("p_size").cast("long").as("p_size"))
+      .groupBy("price_cents", "p_size").agg(count(lit(1)).as("n_parts"))
+    val w = Window.orderBy(col("price_cents").asc, col("p_size").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pts.withColumn("best_before", max(col("p_size")).over(w))
+      .filter(col("best_before").isNull || col("best_before") < col("p_size"))
+      .select("price_cents", "p_size", "n_parts")
+  }
+
+  private val q263Oracle =
+    """WITH pts AS (
+      |  SELECT floor(p_retailprice * 100)::BIGINT AS price_cents,
+      |         p_size::BIGINT AS p_size, count(*)::BIGINT AS n_parts
+      |  FROM part GROUP BY 1, 2)
+      |SELECT price_cents, p_size, n_parts
+      |FROM pts a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM pts b
+      |  WHERE b.price_cents <= a.price_cents AND b.p_size >= a.p_size
+      |    AND (b.price_cents < a.price_cents OR b.p_size > a.p_size))""".stripMargin
+
+  /** q265: equi-depth histogram + CARDINALITY ESTIMATE self-check — the
+    * engine-internals loop made queryable: build an 8-bucket equi-depth
+    * histogram over order totals (boundaries bᵢ = smallest value whose
+    * cumulative count reaches ⌈n·i/8⌉, via the value-histogram
+    * contraction — no ntile, whose tie placement is engine-defined), then
+    * estimate the selectivity of `total ≤ X` the way an optimizer would
+    * (full buckets below + integer uniform interpolation inside the
+    * containing bucket) and publish estimate AND actual side by side —
+    * the estimator's error is data, not a hidden internal.
+    *
+    * Scale shape: one contraction shuffle to |distinct cents| rows, the
+    * running-sum window over the contraction, an 8-row boundary table
+    * broadcast into two 1-row aggregates.
+    */
+  def q265HistogramEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val xCents = 250000L // the probe predicate: o_totalprice <= $2500.00
+    val h = orders(spark, dir)
+      .select(floor(col("o_totalprice") * 100).cast("long").as("v"))
+      .groupBy("v").agg(count(lit(1)).as("cnt"))
+    val wc = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)
+    val cum = h.withColumn("cum", sum("cnt").over(wc))
+      .withColumn("n", sum("cnt").over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    // bucket boundaries: for i in 1..8 the smallest v with cum >= ceil(n*i/8)
+    val bounds = cum.crossJoin(broadcast(
+        spark.range(1, 9).select(col("id").as("i"))))
+      .filter(col("cum") * 8 >= col("n") * col("i"))
+      .groupBy("i").agg(min(col("v")).as("b"), max(col("n")).as("n"))
+    // per-bucket exact counts: cum at b_i minus cum at b_{i-1}
+    val cumAt = cum.select(col("v"), col("cum"))
+    val buckets = bounds
+      .join(cumAt, col("b") === col("v"))
+      .select(col("i"), col("b"), col("cum").as("cum_b"), col("n"))
+      .withColumn("prev_b", lag(col("b"), 1).over(Window.orderBy(col("i"))))
+      .withColumn("prev_cum", coalesce(lag(col("cum_b"), 1).over(Window.orderBy(col("i"))), lit(0L)))
+    // the optimizer-style estimate for v <= X: full buckets below X's
+    // bucket + floor-linear interpolation inside it
+    val est = buckets
+      .filter(col("b") >= xCents &&
+        (col("prev_b").isNull || col("prev_b") < xCents))
+      .select(
+        (col("prev_cum") +
+          when(col("b") === col("prev_b"), lit(0L)).otherwise(
+            expr(s"((cum_b - prev_cum) * ($xCents - coalesce(prev_b, 0)))" +
+              " div (b - coalesce(prev_b, 0))"))).as("est_rows"))
+      .limit(1)
+    val actual = orders(spark, dir)
+      .filter(floor(col("o_totalprice") * 100) <= xCents)
+      .agg(count(lit(1)).as("actual_rows"))
+    est.crossJoin(broadcast(actual))
+      .select(lit(xCents).as("x_cents"), col("est_rows"), col("actual_rows"))
+  }
+
+  private val q265Oracle =
+    """WITH h AS (
+      |  SELECT floor(o_totalprice * 100)::BIGINT AS v, count(*)::BIGINT AS cnt
+      |  FROM orders GROUP BY 1),
+      |c AS (SELECT v,
+      |        sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |        sum(cnt) OVER () AS n
+      |      FROM h),
+      |bounds AS (
+      |  SELECT i, min(v)::BIGINT AS b, max(n)::BIGINT AS n
+      |  FROM c CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS i)
+      |  WHERE cum * 8 >= n * i
+      |  GROUP BY i),
+      |bk AS (
+      |  SELECT i, b, cum AS cum_b, bounds.n,
+      |         lag(b) OVER (ORDER BY i) AS prev_b,
+      |         coalesce(lag(cum) OVER (ORDER BY i), 0) AS prev_cum
+      |  FROM bounds JOIN c ON b = v),
+      |est AS (
+      |  SELECT (prev_cum + CASE WHEN b = prev_b THEN 0
+      |            ELSE (cum_b - prev_cum) * (250000 - coalesce(prev_b, 0))
+      |                   // (b - coalesce(prev_b, 0)) END)::BIGINT AS est_rows
+      |  FROM bk
+      |  WHERE b >= 250000 AND (prev_b IS NULL OR prev_b < 250000)
+      |  LIMIT 1),
+      |act AS (SELECT count(*)::BIGINT AS actual_rows FROM orders
+      |        WHERE floor(o_totalprice * 100) <= 250000)
+      |SELECT 250000::BIGINT AS x_cents, est_rows, actual_rows
+      |FROM est CROSS JOIN act""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q260_shipping_priority" -> (q260ShippingPriority _),
+    "q261_forecast_revenue" -> (q261ForecastRevenue _),
+    "q262_returned_items" -> (q262ReturnedItems _),
+    "q263_part_skyline" -> (q263PartSkyline _),
+    "q265_histogram_estimate" -> (q265HistogramEstimate _),
+    "q255_label_communities" -> (q255LabelCommunities _),
+    "q244_priority_check" -> (q244PriorityCheck _),
+    "q245_product_profit" -> (q245ProductProfit _),
+    "q246_lateness_by_priority" -> (q246LatenessByPriority _),
+    "q247_order_count_dist" -> (q247OrderCountDist _),
+    "q248_promo_share" -> (q248PromoShare _),
+    "q249_supplier_variety" -> (q249SupplierVariety _),
+    "q250_small_qty_revenue" -> (q250SmallQtyRevenue _),
+    "q251_disjunct_revenue" -> (q251DisjunctRevenue _),
+    "q253_idle_customers" -> (q253IdleCustomers _),
+    "q254_min_cost_supplier" -> (q254MinCostSupplier _),
     "q199_corrupt_records" -> (q199CorruptRecords _),
     "q194_join_size_profile" -> (q194JoinSizeProfile _),
     "q178_column_profile" -> (q178ColumnProfile _),
@@ -1735,6 +2404,22 @@ object ParityQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q260_shipping_priority" -> q260Oracle,
+    "q261_forecast_revenue" -> q261Oracle,
+    "q262_returned_items" -> q262Oracle,
+    "q263_part_skyline" -> q263Oracle,
+    "q265_histogram_estimate" -> q265Oracle,
+    "q255_label_communities" -> q255Oracle,
+    "q244_priority_check" -> q244Oracle,
+    "q245_product_profit" -> q245Oracle,
+    "q246_lateness_by_priority" -> q246Oracle,
+    "q247_order_count_dist" -> q247Oracle,
+    "q248_promo_share" -> q248Oracle,
+    "q249_supplier_variety" -> q249Oracle,
+    "q250_small_qty_revenue" -> q250Oracle,
+    "q251_disjunct_revenue" -> q251Oracle,
+    "q253_idle_customers" -> q253Oracle,
+    "q254_min_cost_supplier" -> q254Oracle,
     // the WHERE predicted=actual clause makes the oracle itself assert the
     // profile against the definitional join count — a mismatch empties it
     "q194_join_size_profile" -> q194Oracle,

@@ -531,6 +531,69 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"), plan)
   }
 
+  test("q244 lateness predicate rides the semi-join as a residual, orders prune first") {
+    val plan = planOf(ParityQueries.q244PriorityCheck(spark, Sf0001))
+    assert(plan.contains("LeftSemi"), s"EXISTS must plan as a semi-join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q245 profit star: part/supplier/nation broadcast; one orderkey shuffle") {
+    val plan = planOf(ParityQueries.q245ProductProfit(spark, Sf0001))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+      s"the three dimension joins must broadcast:\n$plan")
+  }
+
+  test("q251 disjunctive part predicate is pushed to the part scan as one Or filter") {
+    val plan = planOf(ParityQueries.q251DisjunctRevenue(spark, Sf0001))
+    assert(plan.contains("PushedFilters") && plan.contains("Or("),
+      s"the OR-of-ANDs must reach the parquet reader:\n$plan")
+  }
+
+  test("q254 per-part rank-1 runs as WindowGroupLimit over the contracted offers") {
+    val plan = planOf(ParityQueries.q254MinCostSupplier(spark, Sf0001))
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank()=1 must push into WindowGroupLimit:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3, plan)
+  }
+
+  test("q257 lag chain, forward rank and last-row pick share one user_id exchange") {
+    val plan = planOf(graft.queries.EventQueries.q257EmaFeature(spark, Sf0001))
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size == 1,
+      s"all window arms must reuse the single user_id shuffle:\n$plan")
+  }
+
+  test("q255/q259 iterative-label and prefix-candidate joins stay hash-keyed") {
+    Seq(
+      ParityQueries.q255LabelCommunities(spark, Sf0001),
+      Dedup.prefixFilterJaccardPairs(Tables.documents(spark, Sf0001))
+    ).foreach { df =>
+      val plan = planOf(df)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"pair/label joins must be equi-joins:\n$plan")
+    }
+  }
+
+  test("q260/q262 top-k runs as the bounded TakeOrderedAndProject heap") {
+    Seq(
+      ParityQueries.q260ShippingPriority(spark, Sf0001),
+      ParityQueries.q262ReturnedItems(spark, Sf0001)
+    ).foreach { df =>
+      val plan = planOf(df)
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"ORDER BY + LIMIT must plan as the bounded heap, not a global sort:\n$plan")
+    }
+  }
+
+  test("q263 skyline sweeps the distinct-point contraction, not raw parts") {
+    val plan = planOf(ParityQueries.q263PartSkyline(spark, Sf0001))
+    // the Window's child must be the (price, size) aggregate — two-phase
+    // HashAggregate below the Window node
+    val winIdx = plan.indexOf("Window")
+    assert(winIdx >= 0 && plan.indexOf("HashAggregate", winIdx) >= 0,
+      s"the sweep must run over the contracted point set:\n$plan")
+  }
+
   test("IVF indexed probe plans dynamic partition pruning on the inverted file") {
     withTempDir("plan-ivf") { dir =>
       val e = Tables.embeddings(spark, Sf0001)

@@ -322,4 +322,32 @@ class DedupSpec extends SparkSpec {
     val clamped = Dedup.crossSourceOverlap(rows, prefixTokens = Some(99)).collect()
     assert(clamped.isEmpty)
   }
+
+  test("prefixFilterJaccardPairs is LOSSLESS: exactly the brute-force pair set") {
+    import spark.implicits._
+    // hand-enumerated Jaccard over distinct token sets at t = 3/5:
+    // (1,2) 4/6, (1,8) 5/5, (2,8) 4/6, (6,7) 3/5 boundary (>= keeps it);
+    // every other pair is below; doc 9 is whitespace-only (no tokens)
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d f"), (3L, "a b c x y"),
+      (4L, "p q r"), (6L, "a b c z"), (7L, "a b c w"),
+      (8L, "A  b c D e"), (9L, "   ")).toDF("doc_id", "text")
+    val got = Dedup.prefixFilterJaccardPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      (1L, 2L) -> 666666L, (1L, 8L) -> 1000000L,
+      (2L, 8L) -> 666666L, (6L, 7L) -> 600000L))
+  }
+
+  test("prefixFilterJaccardPairs: a stricter rational threshold drops the boundary") {
+    import spark.implicits._
+    // at t = 2/3 the 3/5 and 4/6=2/3 pairs sit ON or BELOW: >= keeps 2/3,
+    // drops 3/5 — the integer cross-multiplication is exact, no epsilon
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d f"),
+      (6L, "a b c z"), (7L, "a b c w")).toDF("doc_id", "text")
+    val got = Dedup.prefixFilterJaccardPairs(docs, tNum = 2L, tDen = 3L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L)))
+  }
 }

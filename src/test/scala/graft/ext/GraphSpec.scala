@@ -108,4 +108,35 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(s(2L) === d(2L))
   }
+
+  test("labelPropagation: barbell graph hand-replayed over two rounds") {
+    // two triangles {1,2,3} {4,5,6} bridged 3-4; labels start as own id
+    // r1 (min label wins every all-singleton tie):
+    //   1<-{2,3}=2  2<-{1,3}=1  3<-{1,2,4}=1  4<-{3,5,6}=3  5<-{4,6}=4  6<-{4,5}=4
+    // r2: 1<-{lab2=1,lab3=1}=1 (true majority)  2<-{1:2,3:1}tie=1  3<-{2,1,3}tie=1
+    //     4<-{3:1,5:4,6:4}=4 (majority)          5<-{4:3,6:4}tie=3  6<-{4:3,5:4}tie=3
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L)).toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 3L, 6L -> 3L))
+  }
+
+  test("labelPropagation: count ties break to the smallest label") {
+    // star 10-{1,2}: center sees two singleton labels -> min(1,2) = 1;
+    // each leaf sees only the center -> 10
+    val edges = Seq((10L, 1L), (10L, 2L)).toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(10L -> 1L, 1L -> 10L, 2L -> 10L))
+  }
+
+  test("labelPropagation: duplicate and reversed edges don't weight the vote") {
+    // (1,3) twice: if duplicates counted, label 3 would beat the tie;
+    // the distinct undirected edge set keeps it a tie -> min = 2
+    val edges = Seq((1L, 3L), (3L, 1L), (1L, 3L), (1L, 2L)).toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) === 2L)
+  }
 }
