@@ -3133,9 +3133,106 @@ object ExtQueries {
       |       (doc_id % 7 = 0) AS was_imputed
       |FROM m JOIN maj USING (source)""".stripMargin
 
+  /** q269: FILTERED ANN under the [[annRecallGate]] —
+    * [[Similarity.ivfTopKWhere]] restricted to `label = 3` over the
+    * full-corpus centroid model (the shared-index pre-filtered search of a
+    * vector database; naive post-filtering of an unfiltered top-k is the
+    * known wrong answer). nprobe = 14/16: a selective filter thins every
+    * cell, so filtered recall needs q230's widest probe — measured
+    * recall@5 ≥ 0.9 at both sf0.01 and sf0.1. Exact side: brute force
+    * over the SAME filtered corpus, recomputed by the oracle.
+    */
+  def q269FilteredAnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = fanOut(embeddings(spark, dir))
+    val q = e.filter(col("vec_id") < 8)
+    annRecallGate(
+      Similarity.ivfTopKWhere(e, q, col("label") === 3, k = 5, nprobe = 14),
+      Similarity.bruteForceTopK(e.filter(col("label") === 3), q, k = 5))
+  }
+
+  private val q269Oracle =
+    """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
+      |c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE label = 3),
+      |s AS (SELECT q_id, vec_id,
+      |        list_dot_product(qv, cv)
+      |          / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS score
+      |      FROM q, c WHERE vec_id <> q_id),
+      |r AS (SELECT q_id, vec_id,
+      |        row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank
+      |      FROM s)
+      |SELECT count(*)::BIGINT AS exact_pairs, 1::INT AS recall_ge_80
+      |FROM r WHERE rank <= 5""".stripMargin
+
+  /** q270: dominant principal direction via INTEGER power iteration — the
+    * embedding-QA step after q169's per-dimension variances: quantize each
+    * coordinate to fixed point (q169's `floor(x·1000)` scheme), build the
+    * exact d×d uncentered second-moment matrix as BIGINT sums, and run two
+    * power-iteration rounds `w ← C·w`, renormalizing to `scale·y div
+    * max|y|` after each — every step integer, so the direction is bit-exact
+    * across engines (float PCA accumulates ulps in both the matrix and the
+    * iterate). Renormalization uses an explicit sign decomposition
+    * (`sign·(|y|·scale div m)`) because Spark's `div` truncates while
+    * DuckDB's `//` floors — they disagree exactly on negative numerators.
+    *
+    * Scale shape: the moment matrix is one self-join on vec_id (per-row
+    * d² pair fan-out, the outer-product expansion) contracted to d² cells
+    * with map-side partials — at 100 TB this is the standard one-pass
+    * Gram-matrix shuffle (d² cells, not data-sized); both iteration
+    * rounds run on the d²-row matrix with a d-row broadcast iterate and a
+    * 1-row max anchor. Overflow headroom: |y| ≤ d·maxC·scale ≈
+    * 64·5·10⁹·2¹⁰ at sf0.1 — `·scale` stays under 2⁶³ up to ~50k vectors.
+    */
+  def q270PowerIteration(spark: SparkSession, dir: String): DataFrame = {
+    val scale = 1024L
+    val qv = fanOut(embeddings(spark, dir))
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i"),
+        floor(col("x").cast("double") * 1000).cast("long").as("q"))
+    val cov = qv.select(col("vec_id"), col("i"), col("q").as("qi"))
+      .join(qv.select(col("vec_id"), col("i").as("j"), col("q").as("qj")), "vec_id")
+      .groupBy("i", "j").agg(sum(col("qi") * col("qj")).as("c"))
+      .localCheckpoint() // both power rounds consume the same d^2 matrix
+    def renorm(y: DataFrame): DataFrame = {
+      val m = y.agg(max(abs(col("y"))).as("m"))
+      y.crossJoin(broadcast(m))
+        .select(col("i"),
+          (signum(col("y")).cast("long") *
+            expr(s"(abs(y) * $scale) div m")).as("w"))
+    }
+    val w1 = renorm(cov
+      .groupBy(col("i")).agg(sum(col("c")).as("y"))) // w0 = all-ones
+    val w2 = renorm(cov
+      .join(broadcast(w1.withColumnRenamed("i", "j")), "j")
+      .groupBy(col("i")).agg(sum(col("c") * col("w")).as("y")))
+    w2
+  }
+
+  private val q270Oracle =
+    """WITH x AS (SELECT vec_id, (generate_subscripts(embedding, 1) - 1)::INT AS i,
+      |                  floor(unnest(embedding)::DOUBLE * 1000)::BIGINT AS q
+      |           FROM embeddings),
+      |cov AS (SELECT a.i, b.i AS j, sum(a.q * b.q)::BIGINT AS c
+      |        FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2),
+      |y1 AS (SELECT i, sum(c)::BIGINT AS y FROM cov GROUP BY 1),
+      |m1 AS (SELECT max(abs(y))::BIGINT AS m FROM y1),
+      |w1 AS (SELECT i,
+      |         (CASE WHEN y < 0 THEN -((-y) * 1024 // m)
+      |               ELSE (y * 1024) // m END)::BIGINT AS w
+      |       FROM y1 CROSS JOIN m1),
+      |y2 AS (SELECT cov.i, sum(c * w)::BIGINT AS y
+      |       FROM cov JOIN w1 ON cov.j = w1.i GROUP BY 1),
+      |m2 AS (SELECT max(abs(y))::BIGINT AS m FROM y2),
+      |w2 AS (SELECT i,
+      |         (CASE WHEN y < 0 THEN -((-y) * 1024 // m)
+      |               ELSE (y * 1024) // m END)::BIGINT AS w
+      |       FROM y2 CROSS JOIN m2)
+      |SELECT i, w FROM w2""".stripMargin
+
   // ---------------- registry ----------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q269_filtered_ann" -> (q269FilteredAnn _),
+    "q270_power_iteration" -> (q270PowerIteration _),
     "q267_impute_lang" -> (q267ImputeLang _),
     "q259_prefix_jaccard" -> (q259PrefixJaccard _),
     "q221_fuzzy_parts" -> (q221FuzzyParts _),
@@ -3242,6 +3339,8 @@ object ExtQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q269_filtered_ann" -> q269Oracle,
+    "q270_power_iteration" -> q270Oracle,
     "q267_impute_lang" -> q267Oracle,
     "q259_prefix_jaccard" -> q259Oracle,
     "q218_encoding_advisor" -> q218Oracle,

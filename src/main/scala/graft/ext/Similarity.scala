@@ -318,6 +318,44 @@ object Similarity {
     probeIvf(c, queries, centroids, k, nprobe, idCol, vecCol)
   }
 
+  /** FILTERED ANN (pre-filtered vector search): [[ivfTopK]] restricted to
+    * corpus rows satisfying `predicate` — the vector-database feature
+    * ("nearest neighbors WHERE label = X") that naive post-filtering gets
+    * wrong (filtering the top-k AFTER an unfiltered search returns fewer
+    * than k rows whenever the filter is selective). The centroid model is
+    * trained on the FULL corpus — the shared index of a production
+    * deployment, where one inverted file serves every predicate — and the
+    * filter is applied to the inverted file BEFORE probing, exactly like a
+    * metadata bitmap filter on the postings: candidates that fail the
+    * predicate are never scored. Cell assignment is per-row deterministic,
+    * so filtering the assigned corpus equals filtering a materialized
+    * inverted file.
+    *
+    * Filtered recall needs a wider probe than unfiltered: a selective
+    * predicate thins each cell, so a true neighbor's cell is easier to
+    * miss — callers should raise `nprobe` as selectivity rises (the gate
+    * query runs 14/16).
+    */
+  def ivfTopKWhere(
+      corpus: DataFrame,
+      queries: DataFrame,
+      predicate: Column,
+      k: Int,
+      cells: Int = 16,
+      nprobe: Int = 14,
+      iters: Int = 2,
+      trainFraction: Double = 1.0,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val centroids = ivfCentroids(corpus, cells, iters, trainFraction, idCol, vecCol)
+    val assigned = withNearestCell(
+      corpus.filter(predicate)
+        .select(col(idCol).as("vec_id"), col(vecCol).as("c_vec"),
+          norm(col(vecCol)).as("c_norm")),
+      "c_vec", "c_norm", "vec_id", centroids)
+    probeIvf(assigned, queries, centroids, k, nprobe, idCol, vecCol)
+  }
+
   /** Product-quantization ANN: split every vector into `subspaces` equal
     * slices, learn a tiny per-subspace codebook (`codes` centroids, the
     * same Lloyd trainer as IVF), encode the corpus as `subspaces` small

@@ -2336,7 +2336,46 @@ object ParityQueries {
       |SELECT 250000::BIGINT AS x_cents, est_rows, actual_rows
       |FROM est CROSS JOIN act""".stripMargin
 
+  /** q268: BAG set operations — `INTERSECT ALL` / `EXCEPT ALL` between the
+    * click and purchase user-id MULTISETS, per user. q05 covers the
+    * DISTINCT set algebra; the ALL variants carry multiplicity
+    * (min(c₁,c₂) and max(c₁−c₂,0) respectively), which is what makes them
+    * usable as "events matched / events unmatched" accounting. Spark's
+    * native intersectAll/exceptAll operators run the engine side; the
+    * ORACLE is the definitional count arithmetic — a different algorithm,
+    * so the engine's bag semantics are checked against the definition
+    * (q263's discipline).
+    *
+    * Scale shape: both bag operators hash-partition on the row value
+    * (user_id) with map-side partial counting — the same single-key
+    * exchange family as every per-user aggregate here.
+    */
+  def q268BagSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.queries.Tables.events(spark, dir)
+    val a = e.filter(col("event_type") === "click").select("user_id")
+    val b = e.filter(col("event_type") === "purchase").select("user_id")
+    val inter = a.intersectAll(b).groupBy("user_id")
+      .agg(count(lit(1)).as("n_inter"))
+    val exc = a.exceptAll(b).groupBy("user_id")
+      .agg(count(lit(1)).as("n_except"))
+    a.distinct()
+      .join(inter, Seq("user_id"), "left")
+      .join(exc, Seq("user_id"), "left")
+      .select(col("user_id"), coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        coalesce(col("n_except"), lit(0L)).as("n_except"))
+  }
+
+  private val q268Oracle =
+    """WITH a AS (SELECT user_id, count(*)::BIGINT AS c1 FROM events
+      |           WHERE event_type = 'click' GROUP BY 1),
+      |b AS (SELECT user_id, count(*)::BIGINT AS c2 FROM events
+      |      WHERE event_type = 'purchase' GROUP BY 1)
+      |SELECT a.user_id, least(c1, coalesce(c2, 0))::BIGINT AS n_inter,
+      |       greatest(c1 - coalesce(c2, 0), 0)::BIGINT AS n_except
+      |FROM a LEFT JOIN b USING (user_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q268_bag_setops" -> (q268BagSetOps _),
     "q260_shipping_priority" -> (q260ShippingPriority _),
     "q261_forecast_revenue" -> (q261ForecastRevenue _),
     "q262_returned_items" -> (q262ReturnedItems _),
@@ -2404,6 +2443,7 @@ object ParityQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q268_bag_setops" -> q268Oracle,
     "q260_shipping_priority" -> q260Oracle,
     "q261_forecast_revenue" -> q261Oracle,
     "q262_returned_items" -> q262Oracle,

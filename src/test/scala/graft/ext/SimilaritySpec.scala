@@ -260,6 +260,35 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("id_bucket"), s"expected id_bucket in the join key:\n$plan")
   }
 
+  test("ivfTopKWhere: only predicate rows returned; filtered recall@5 >= 0.8") {
+    val queries = embeds.filter(col("vec_id") < 8)
+    val k = 5
+    val pred = col("label") === 3
+    val ann = Similarity.ivfTopKWhere(embeds, queries, pred, k, nprobe = 14)
+    // pre-filtered search: every returned neighbor satisfies the predicate
+    val offLabel = ann.join(
+      embeds.filter(!pred).select(col("vec_id")), Seq("vec_id"), "left_semi").count()
+    assert(offLabel === 0L, s"$offLabel neighbors violate the predicate")
+    val exact = Similarity.bruteForceTopK(embeds.filter(pred), queries, k)
+      .select("q_id", "vec_id")
+    val total = exact.count()
+    val hit = exact.intersect(ann.select("q_id", "vec_id")).count()
+    val recall = hit.toDouble / total
+    assert(recall >= 0.8, f"filtered recall@$k = $recall%.3f < 0.8 (hit=$hit of $total)")
+  }
+
+  test("ivfTopKWhere beats post-filtering: k on-label rows even under a selective filter") {
+    // naive post-filter of an UNFILTERED top-k returns < k on-label rows
+    // whenever neighbors are mostly off-label (the known wrong answer);
+    // pre-filtered search must return a full k per query
+    val queries = embeds.filter(col("vec_id") < 8)
+    val perQuery = Similarity
+      .ivfTopKWhere(embeds, queries, col("label") === 3, k = 5, nprobe = 14)
+      .groupBy("q_id").count().collect()
+    assert(perQuery.length === 8 && perQuery.forall(_.getLong(1) === 5L),
+      s"expected 5 on-label neighbors per query: ${perQuery.mkString(",")}")
+  }
+
   test("labelCentroidSeparation: hand-computed centroids and pair cosines") {
     import spark.implicits._
     // label 0: (1,0),(3,0) → centroid (2,0); label 1: (0,2),(0,2) → (0,2);
