@@ -62,4 +62,29 @@ object Expectations {
         sum(col("__c")).as("n_rows"))
       .select(lit(name).as("rule"), col("violations"), col("n_rows"))
   }
+
+  /** Referential-integrity expectation: violations = child rows whose
+    * `fkCol` has no match in the parent's `pkCol` (NULL foreign keys count
+    * as violations — the conservative gate, [[Rule]]'s posture). The third
+    * multi-row shape next to [[check]]'s row predicates and [[unique]]'s
+    * key cardinality; same report schema, so all three union into one
+    * expectation report.
+    *
+    * Scale shape: one LEFT ANTI join keyed on the FK — child key columns
+    * only cross the shuffle, and a broadcast parent collapses even that
+    * when the dimension is model-sized.
+    */
+  def referentialIntegrity(
+      child: DataFrame,
+      parent: DataFrame,
+      fkCol: String,
+      pkCol: String,
+      name: String): DataFrame = {
+    val orphans = child.select(col(fkCol).as("__fk"))
+      .join(parent.select(col(pkCol).as("__fk")).distinct(), Seq("__fk"), "left_anti")
+      .agg(coalesce(count(lit(1)), lit(0L)).as("violations"))
+    child.agg(count(lit(1)).as("n_rows"))
+      .crossJoin(orphans)
+      .select(lit(name).as("rule"), col("violations"), col("n_rows"))
+  }
 }

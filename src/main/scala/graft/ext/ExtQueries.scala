@@ -3044,7 +3044,7 @@ object ExtQueries {
     * q224-style.
     *
     * The corpus is first thinned with the deterministic md5 gate at
-    * p = 1/5 (q154's DOULION discipline, [[Sampling.hashGate]]): this
+    * p = 1/10 (q154's DOULION discipline, [[Sampling.hashGate]]): this
     * synthetic corpus is template-heavy — 28 % of ALL doc pairs clear
     * t = 0.6 ungated — so the honest output of an exact ALL-pairs
     * similarity join is Θ(cluster²) BY DEFINITION, not by algorithm
@@ -3055,11 +3055,11 @@ object ExtQueries {
     */
   def q259PrefixJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.prefixFilterJaccardPairs(
-      documents(spark, dir).filter(Sampling.hashGate(col("doc_id"), 0.2)),
+      documents(spark, dir).filter(Sampling.hashGate(col("doc_id"), 0.1)),
       tNum = 3L, tDen = 5L)
 
   private val q259Oracle = {
-    val thr = (0.2 * (1L << 60).toDouble).toLong // same literal as hashGate(_, 0.2)
+    val thr = (0.1 * (1L << 60).toDouble).toLong // same literal as hashGate(_, 0.1)
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(list_distinct(string_split($DNorm, ' '))) AS tok
        |  FROM documents
@@ -3228,9 +3228,113 @@ object ExtQueries {
       |       FROM y2 CROSS JOIN m2)
       |SELECT i, w FROM w2""".stripMargin
 
+  /** q271: Flesch reading-ease in fixed point — per doc: word count W,
+    * sentence count S (runs of `[.!?]`, floored at 1 so fragments don't
+    * divide by zero), syllable proxy Y (vowel GROUPS — the standard
+    * heuristic), and `FRE_milli = 206835 − 1015·W div S − 84600·Y div W`
+    * with every division integer floor — the readability axis the quality
+    * family (length/punct/stopword, q41) doesn't capture. Vowel groups
+    * count via the collapse trick: `len(collapse each group to one char) −
+    * len(drop groups)` — both engines' regexp_replace replace ALL matches
+    * (DuckDB with 'g'), so the counts are identical by construction.
+    *
+    * Scale shape: pure per-row codegen'd scan — no shuffle, no join; the
+    * doc-level output IS the feature column a quality gate consumes.
+    */
+  def q271Flesch(spark: SparkSession, dir: String): DataFrame = {
+    val t = TextAnalysis.normalize(col("text"))
+    val w = size(split(t, " ")).cast("long")
+    val sRuns = length(regexp_replace(t, "[.!?]+", "S")) -
+      length(regexp_replace(t, "[.!?]+", ""))
+    val s = greatest(sRuns.cast("long"), lit(1L))
+    val y = (length(regexp_replace(t, "[aeiou]+", "V")) -
+      length(regexp_replace(t, "[aeiou]+", ""))).cast("long")
+    documents(spark, dir)
+      .select(col("doc_id"), w.as("w"), s.as("s"), y.as("y"))
+      .withColumn("fre_milli",
+        expr("206835 - (1015 * w) div s - (84600 * y) div w"))
+  }
+
+  private val q271Oracle =
+    s"""SELECT doc_id, w, s, y,
+       |       (206835 - (1015 * w) // s - (84600 * y) // w)::BIGINT AS fre_milli
+       |FROM (
+       |  SELECT doc_id,
+       |         len(string_split($DNorm, ' '))::BIGINT AS w,
+       |         greatest((len(regexp_replace($DNorm, '[.!?]+', 'S', 'g'))
+       |           - len(regexp_replace($DNorm, '[.!?]+', '', 'g')))::BIGINT, 1) AS s,
+       |         (len(regexp_replace($DNorm, '[aeiou]+', 'V', 'g'))
+       |           - len(regexp_replace($DNorm, '[aeiou]+', '', 'g')))::BIGINT AS y
+       |  FROM documents)""".stripMargin
+
+  /** q275: referential-integrity audit ([[Expectations
+    * .referentialIntegrity]]) — the cross-TABLE expectation next to q131's
+    * row rules: the real lineitem→orders edge must come back CLEAN
+    * (0 orphans — the testdata's actual contract), and a residue-corrupted
+    * orders→customer edge (custkey ×7 on every 97th order — keys driven
+    * out of the parent domain) must report exactly the orphan set the
+    * residue created, so a silently-broken checker can't pass on an
+    * all-clean corpus.
+    */
+  def q275RefIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    val corrupted = orders(spark, dir)
+      .select(when(col("o_orderkey") % 97 === 0, col("o_custkey") * 7)
+        .otherwise(col("o_custkey")).as("fk"))
+    Expectations.referentialIntegrity(
+        lineitem(spark, dir), orders(spark, dir),
+        "l_orderkey", "o_orderkey", "lineitem_orders")
+      .unionByName(Expectations.referentialIntegrity(
+        corrupted, customer(spark, dir), "fk", "c_custkey", "orders7_customer"))
+  }
+
+  private val q275Oracle =
+    """SELECT 'lineitem_orders' AS rule,
+      |       (SELECT count(*) FROM lineitem
+      |        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))::BIGINT AS violations,
+      |       (SELECT count(*) FROM lineitem)::BIGINT AS n_rows
+      |UNION ALL
+      |SELECT 'orders7_customer',
+      |       (SELECT count(*) FROM (
+      |          SELECT CASE WHEN o_orderkey % 97 = 0 THEN o_custkey * 7
+      |                      ELSE o_custkey END AS fk FROM orders)
+      |        WHERE fk NOT IN (SELECT c_custkey FROM customer))::BIGINT,
+      |       (SELECT count(*) FROM orders)::BIGINT""".stripMargin
+
+  /** q276: transposition-aware fuzzy linkage — blocked FULL
+    * Damerau-Levenshtein pairs over distinct part names (codegen'd
+    * [[graft.functions.DamerauLevenshtein]] in the pair hot loop, q221's
+    * join shape with the NOUN token as the block), kept at distance ≤ 3.
+    * The typo model plain `levenshtein` (q95's tier) understates: a
+    * swapped-letter name is distance 1 here, 2 there. DuckDB ships the
+    * same Lowrance–Wagner algorithm natively (`damerau_levenshtein` —
+    * `CA→ABC = 2`, verified), so every pair's distance is cross-engine
+    * EXACT — the q221 discipline for a second custom expression.
+    */
+  def q276DamerauPairs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.damerauLevenshtein
+    val names = part(spark, dir).select(col("p_name")).distinct()
+      .withColumn("blk", split(col("p_name"), " ").getItem(1))
+    val right = names.select(col("blk").as("blk_b"), col("p_name").as("name_b"))
+    names.select(col("blk"), col("p_name").as("name_a"))
+      .join(right, col("blk") === col("blk_b") && col("name_a") < col("name_b"))
+      .withColumn("dist", damerauLevenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= 3)
+      .select("name_a", "name_b", "dist")
+  }
+
+  private val q276Oracle =
+    """WITH n AS (SELECT DISTINCT p_name, split_part(p_name, ' ', 2) AS blk FROM part)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |       damerau_levenshtein(a.p_name, b.p_name)::BIGINT AS dist
+      |FROM n a JOIN n b ON a.blk = b.blk AND a.p_name < b.p_name
+      |WHERE damerau_levenshtein(a.p_name, b.p_name) <= 3""".stripMargin
+
   // ---------------- registry ----------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q276_damerau_pairs" -> (q276DamerauPairs _),
+    "q271_flesch" -> (q271Flesch _),
+    "q275_ref_integrity" -> (q275RefIntegrity _),
     "q269_filtered_ann" -> (q269FilteredAnn _),
     "q270_power_iteration" -> (q270PowerIteration _),
     "q267_impute_lang" -> (q267ImputeLang _),
@@ -3339,6 +3443,9 @@ object ExtQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q276_damerau_pairs" -> q276Oracle,
+    "q271_flesch" -> q271Oracle,
+    "q275_ref_integrity" -> q275Oracle,
     "q269_filtered_ann" -> q269Oracle,
     "q270_power_iteration" -> q270Oracle,
     "q267_impute_lang" -> q267Oracle,

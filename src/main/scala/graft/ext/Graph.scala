@@ -228,8 +228,12 @@ object Graph {
     * partials, then the per-node argmax as a `max(struct(cnt, −label))`
     * single-pass aggregate (never a window over raw neighbor rows).
     * The undirected edge set feeds every round: staged once via
-    * localCheckpoint ([[triangleCounts]]'s shared-subtree pattern), and
-    * each round's labels are checkpointed so lineage stays one round deep.
+    * localCheckpoint ([[triangleCounts]]'s shared-subtree pattern).
+    * Rounds chain LAZILY — each label relation feeds exactly the next
+    * round, so a short chain is one linear plan with no materialization
+    * barrier — and every third round is checkpointed so a LONG run's
+    * lineage (and its re-execution cost under failure) stays bounded,
+    * the [[kCorePeel]] discipline without paying a barrier per round.
     */
   def labelPropagation(
       edges: DataFrame,
@@ -242,7 +246,7 @@ object Graph {
       .distinct().localCheckpoint()
     val nodes = und.select(col("u").as("node")).distinct()
     var labels = nodes.withColumn("lab", col("node"))
-    (1 to rounds).foreach { _ =>
+    (1 to rounds).foreach { r =>
       labels = und
         .join(labels.withColumnRenamed("node", "v"), "v")
         .groupBy(col("u").as("node"), col("lab"))
@@ -250,7 +254,7 @@ object Graph {
         .groupBy("node")
         .agg(max(struct(col("cnt"), (-col("lab")).as("neg"))).as("m"))
         .select(col("node"), (-col("m.neg")).as("lab"))
-        .localCheckpoint()
+      if (r % 3 == 0 && r < rounds) labels = labels.localCheckpoint()
     }
     labels
   }

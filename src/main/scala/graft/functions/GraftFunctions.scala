@@ -57,6 +57,10 @@ object GraftFunctions {
   /** Jaro-Winkler similarity in [0,1], codegen'd ([[JaroWinkler]]). */
   def jaroWinkler(a: Column, b: Column): Column = col(JaroWinkler(expr(a), expr(b)))
 
+  /** Full Damerau-Levenshtein distance, codegen'd ([[DamerauLevenshtein]]). */
+  def damerauLevenshtein(a: Column, b: Column): Column =
+    col(DamerauLevenshtein(expr(a), expr(b)))
+
   /** Polynomial rolling hash over codepoints, one pass. */
   def polyRollingHash(t: Column, mult: Long = 31L, mod: Long = 1000000007L): Column =
     col(PolyRollingHash(expr(t), mult, mod))
@@ -154,7 +158,12 @@ object GraftFunctions {
       (FunctionIdentifier("jaro_winkler"),
         info("jaro_winkler", "jaro_winkler(a, b) - Jaro-Winkler similarity in [0,1]",
           classOf[JaroWinkler]),
-        (es: Seq[Expression]) => JaroWinkler(es(0), es(1)))
+        (es: Seq[Expression]) => JaroWinkler(es(0), es(1))),
+      (FunctionIdentifier("damerau_levenshtein"),
+        info("damerau_levenshtein",
+          "damerau_levenshtein(a, b) - full Damerau-Levenshtein edit distance",
+          classOf[DamerauLevenshtein]),
+        (es: Seq[Expression]) => DamerauLevenshtein(es(0), es(1)))
     )
   }
 

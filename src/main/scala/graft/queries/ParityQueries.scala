@@ -2374,7 +2374,105 @@ object ParityQueries {
       |       greatest(c1 - coalesce(c2, 0), 0)::BIGINT AS n_except
       |FROM a LEFT JOIN b USING (user_id)""".stripMargin
 
+  /** q273: SCHEMA EVOLUTION read — two parquet generations of the same
+    * table (gen-1 lacks the later `cents` column) read back as ONE relation
+    * via `mergeSchema`: old files surface the new column as NULL, new files
+    * carry it, and nothing is rewritten — the schema-on-read contract a
+    * long-lived 100 TB table lives by (the reference inherits it from
+    * Delta's schema evolution; a raw-parquet engine must prove the merged
+    * read). Generation membership is the even/odd event residue, so the
+    * oracle derives both generations' aggregates closed-form.
+    */
+  private val q273Staged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q273SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val path = q273Staged.computeIfAbsent(dir, _ => {
+      val p = Scratch.stableDir("q273-gen-" + Scratch.md5Hex(dir))
+      val e = events(spark, dir)
+      e.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("user_id"))
+        .write.mode("overwrite").parquet(s"$p/g1")
+      e.filter(col("event_id") % 2 === 1)
+        .select(col("event_id"), col("user_id"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .write.mode("overwrite").parquet(s"$p/g2")
+      p
+    })
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$path/g1", s"$path/g2")
+      .groupBy((col("cents").isNotNull).as("has_cents"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"),
+        sum(coalesce(col("cents"), lit(0L))).as("sum_cents"))
+  }
+
+  private val q273Oracle =
+    """SELECT (event_id % 2 = 1) AS has_cents, count(*)::BIGINT AS n,
+      |       sum(event_id)::BIGINT AS sum_id,
+      |       sum(CASE WHEN event_id % 2 = 1 THEN floor(value * 100)::BIGINT
+      |                ELSE 0 END)::BIGINT AS sum_cents
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** q274: BFS hop distance from a seed (bounded frontier expansion) — the
+    * DISTANCE question the graph family still lacked: PageRank ranks,
+    * triangles cluster, CC/LPA partition, k-core densifies — BFS answers
+    * "how far". 3 synchronous rounds from customer 0 over the undirected
+    * trade graph (q132's edge set): round r labels every unlabeled
+    * neighbor of the r−1 frontier with distance r; unreached nodes are
+    * excluded (they'd be labeled by a later round — the bounded-round
+    * honesty of kCorePeel). Output is (node, dist ≤ 3).
+    *
+    * Scale shape per round: one join frontier⋈edges on the node key + one
+    * anti-join against the visited set — both model-bounded by the
+    * frontier, the Pregel round shape; the visited accumulator is
+    * checkpointed per round, capping lineage.
+    */
+  def q274BfsHops(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val und = e0.select(col("src").as("u"), col("dst").as("v"))
+      .union(e0.select(col("dst").as("u"), col("src").as("v")))
+      .localCheckpoint()
+    var visited = und.sparkSession.range(1)
+      .select(lit(0L).as("node"), lit(0L).as("dist"))
+    (1L to 3L).foreach { r =>
+      val frontier = visited.filter(col("dist") === r - 1)
+      val next = und
+        .join(frontier.withColumnRenamed("node", "u").select("u"), "u")
+        .select(col("v").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .withColumn("dist", lit(r))
+      visited = visited.unionByName(next).localCheckpoint()
+    }
+    visited
+  }
+
+  private val q274Oracle = {
+    def round(prev: String, name: String, r: Int): String =
+      s"""$name AS (
+         |  SELECT * FROM $prev
+         |  UNION ALL
+         |  SELECT DISTINCT und.v AS node, $r AS dist
+         |  FROM und JOIN $prev f ON und.u = f.node AND f.dist = ${r - 1}
+         |  WHERE und.v NOT IN (SELECT node FROM $prev))""".stripMargin
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |und AS (SELECT src AS u, dst AS v FROM e0
+       |        UNION ALL SELECT dst, src FROM e0),
+       |d0 AS (SELECT 0::BIGINT AS node, 0::BIGINT AS dist),
+       |${round("d0", "d1", 1)},
+       |${round("d1", "d2", 2)},
+       |${round("d2", "d3", 3)}
+       |SELECT node, dist FROM d3""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q273_schema_evolution" -> (q273SchemaEvolution _),
+    "q274_bfs_hops" -> (q274BfsHops _),
     "q268_bag_setops" -> (q268BagSetOps _),
     "q260_shipping_priority" -> (q260ShippingPriority _),
     "q261_forecast_revenue" -> (q261ForecastRevenue _),
@@ -2443,6 +2541,8 @@ object ParityQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q273_schema_evolution" -> q273Oracle,
+    "q274_bfs_hops" -> q274Oracle,
     "q268_bag_setops" -> q268Oracle,
     "q260_shipping_priority" -> q260Oracle,
     "q261_forecast_revenue" -> q261Oracle,

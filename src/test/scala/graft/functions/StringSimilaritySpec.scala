@@ -80,4 +80,32 @@ class StringSimilaritySpec extends SparkSpec {
       "SELECT jaro_winkler('MARTHA', 'MARHTA') AS s").head().getDouble(0)
     assert(math.abs(got - 0.9611111111111111) < 1e-15)
   }
+
+  private def dl(a: String, b: String): Int =
+    SimOps.damerauLevenshtein(UTF8String.fromString(a), UTF8String.fromString(b))
+
+  test("damerau-levenshtein: FULL (Lowrance-Wagner) semantics, not OSA") {
+    // the discriminating case: OSA says 3, full DL says 2 — DuckDB (the
+    // q276 oracle side) returns 2
+    assert(dl("CA", "ABC") === 2)
+    assert(dl("ab", "ba") === 1)
+    assert(dl("abc", "acb") === 1)
+    // transposition-free inputs degrade to plain levenshtein
+    assert(dl("kitten", "sitting") === 3)
+    assert(dl("", "abc") === 3 && dl("abc", "") === 3)
+    assert(dl("same", "same") === 0)
+    // substitution is never beaten by a fake double-transposition
+    assert(dl("abcd", "abed") === 1)
+  }
+
+  test("damerau-levenshtein expression: compiled codegen matches the kernel") {
+    val e = DamerauLevenshtein(
+      BoundReference(0, StringType, nullable = true),
+      BoundReference(1, StringType, nullable = true))
+    val proj = GenerateMutableProjection.generate(Seq(e))
+    val out = proj(InternalRow(
+      UTF8String.fromString("small ring"), UTF8String.fromString("small rign")))
+    assert(out.getInt(0) === 1, "adjacent swap must cost one edit")
+    assert(out.getInt(0) === dl("small ring", "small rign"))
+  }
 }
