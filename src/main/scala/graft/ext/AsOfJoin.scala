@@ -42,6 +42,16 @@ object AsOfJoin {
     *                   must not collide with `left`'s column names
     * @param tolerance  max allowed `leftTs - rightTs` (same unit as ts)
     */
+  /** @param forward    false (default): classic BACKWARD as-of — latest
+    *                   right with `rightTs <= leftTs`. true: FORWARD
+    *                   as-of — EARLIEST right with `rightTs >= leftTs`
+    *                   (the "next event after" enrichment: next purchase
+    *                   after a view, next deploy after a commit); the
+    *                   union-and-fill machinery is identical with the scan
+    *                   order reversed, and `tolerance` bounds
+    *                   `rightTs − leftTs` instead. Both directions are
+    *                   inclusive at equal ts.
+    */
   def asOf(
       left: DataFrame,
       right: DataFrame,
@@ -49,7 +59,8 @@ object AsOfJoin {
       leftTs: String,
       rightTs: String,
       valueCols: Seq[String],
-      tolerance: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None,
+      forward: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "as-of join needs at least one key column")
     val overlap = valueCols.toSet.intersect(left.columns.toSet)
     require(overlap.isEmpty,
@@ -76,16 +87,17 @@ object AsOfJoin {
       .select(l.columns.toIndexedSeq.map(col): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").asc, col("__side").asc)
+      .orderBy(if (forward) col("__ts").desc else col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val filled = l.unionByName(r)
       .withColumn("__f", last(col("__vs"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
 
+    val gap: Column =
+      if (forward) col("__f.__rts") - col("__ts") else col("__ts") - col("__f.__rts")
     val inTol: Column = tolerance match {
-      case Some(t) =>
-        col("__f").isNotNull && (col("__ts") - col("__f.__rts")) <= lit(t)
+      case Some(t) => col("__f").isNotNull && gap <= lit(t)
       case None => col("__f").isNotNull
     }
     filled.select(

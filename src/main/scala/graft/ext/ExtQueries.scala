@@ -1614,6 +1614,37 @@ object ExtQueries {
       |SELECT p.event_id, p.user_id, p.tsu, s.sig_value
       |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.tsu >= s.tsu""".stripMargin
 
+  /** q277: FORWARD as-of join — each view enriched with the user's NEXT
+    * purchase time within 2 h ([[AsOfJoin.asOf]] `forward = true`: the
+    * "what happened next" enrichment, the mirror of q61's backward state
+    * attach). Same union-and-fill machinery, scan order reversed — still
+    * one user_id shuffle, never an inequality nested loop. DuckDB verifies
+    * with its NATIVE forward `ASOF LEFT JOIN … ON l.ts <= r.ts`, pinning
+    * the direction semantics (inclusive at equal ts) to a reference
+    * implementation.
+    */
+  def q277NextPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).withColumn("tsu", tsUs)
+    val views = e.filter(col("event_type") === "view")
+      .select("event_id", "user_id", "tsu")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tsu")).distinct()
+      .withColumn("pts", col("tsu"))
+    AsOfJoin.asOf(views, purchases, keys = Seq("user_id"),
+      leftTs = "tsu", rightTs = "tsu", valueCols = Seq("pts"),
+      tolerance = Some(7200L * 1000 * 1000), forward = true)
+      .withColumn("lag_us", col("pts") - col("tsu"))
+  }
+
+  private val q277Oracle =
+    """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu FROM events),
+      |v AS (SELECT event_id, user_id, tsu FROM e WHERE event_type = 'view'),
+      |p AS (SELECT DISTINCT user_id, tsu AS pts FROM e WHERE event_type = 'purchase')
+      |SELECT v.event_id, v.user_id, v.tsu,
+      |       CASE WHEN p.pts - v.tsu <= 7200000000 THEN p.pts END AS pts,
+      |       CASE WHEN p.pts - v.tsu <= 7200000000 THEN p.pts - v.tsu END AS lag_us
+      |FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.tsu <= p.pts""".stripMargin
+
   /** Bucketed range join: lineitem unit prices matched into ±0.1 bands
     * around part retail prices — an equi-join on quantized buckets instead
     * of the nested-loop BETWEEN Spark would otherwise plan.
@@ -3332,6 +3363,7 @@ object ExtQueries {
   // ---------------- registry ----------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q277_next_purchase" -> (q277NextPurchase _),
     "q276_damerau_pairs" -> (q276DamerauPairs _),
     "q271_flesch" -> (q271Flesch _),
     "q275_ref_integrity" -> (q275RefIntegrity _),
@@ -3443,6 +3475,7 @@ object ExtQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q277_next_purchase" -> q277Oracle,
     "q276_damerau_pairs" -> q276Oracle,
     "q271_flesch" -> q271Oracle,
     "q275_ref_integrity" -> q275Oracle,

@@ -31,13 +31,22 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 object LevenshteinPrefilter extends Rule[LogicalPlan] with PredicateHelper {
 
-  /** Extract (left, right, k) from a 2-arg bounded-levenshtein conjunct. */
+  /** Extract (left, right, k) from a bounded edit-distance conjunct —
+    * 2-arg `levenshtein` or the engine's full `damerau_levenshtein`
+    * ([[graft.functions.DamerauLevenshtein]]). The length lower bound
+    * holds for BOTH metrics: a transposition changes no lengths, so
+    * `dl(a,b) >= abs(len(a)-len(b))` by the same unit-cost argument.
+    */
   private def boundOf(e: Expression): Option[(Expression, Expression, Expression)] =
     e match {
       case LessThanOrEqual(lev: Levenshtein, k: Literal) if lev.children.size == 2 =>
         Some((lev.children(0), lev.children(1), k))
       case LessThan(lev: Levenshtein, k: Literal) if lev.children.size == 2 =>
         Some((lev.children(0), lev.children(1), k))
+      case LessThanOrEqual(dl: graft.functions.DamerauLevenshtein, k: Literal) =>
+        Some((dl.left, dl.right, k))
+      case LessThan(dl: graft.functions.DamerauLevenshtein, k: Literal) =>
+        Some((dl.left, dl.right, k))
       case _ => None
     }
 

@@ -3642,7 +3642,86 @@ object EventQueries {
        |GROUP BY 1""".stripMargin
   }
 
+  /** q278: time-to-convert percentiles — per converting user the lag from
+    * FIRST signup to the first purchase at-or-after it, then the exact
+    * lower median and lower p90 of those lags (rank ⌈q·n⌉ via the
+    * value-histogram contraction, q258's discipline — a funnel's
+    * "how long does conversion take" companion to q13's "does it happen").
+    * Both percentile picks fold into ONE aggregate over the cumulated
+    * histogram — no second pass.
+    */
+  def q278ConvertLag(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).withColumn("tsu", tsUs)
+    val s0 = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("tsu")).as("s0"))
+    val lags = e.filter(col("event_type") === "purchase")
+      .select("user_id", "tsu")
+      .join(s0, "user_id")
+      .filter(col("tsu") >= col("s0"))
+      .groupBy("user_id").agg(min(col("tsu") - col("s0")).as("lag"))
+    val wc = Window.orderBy(col("lag")).rowsBetween(Window.unboundedPreceding, 0)
+    lags.groupBy("lag").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(wc))
+      .withColumn("n", sum("cnt").over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .agg(max(col("n")).as("n_converted"),
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("lag"))).as("med_lag_us"),
+        min(when(col("cum") * 10 >= col("n") * 9, col("lag"))).as("p90_lag_us"))
+  }
+
+  private val q278Oracle =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+      |s0 AS (SELECT user_id, min(tsu) AS s0 FROM e WHERE event_type = 'signup' GROUP BY 1),
+      |lags AS (
+      |  SELECT e.user_id, min(tsu - s0)::BIGINT AS lag
+      |  FROM e JOIN s0 USING (user_id)
+      |  WHERE event_type = 'purchase' AND tsu >= s0
+      |  GROUP BY 1),
+      |h AS (SELECT lag, count(*)::BIGINT AS cnt FROM lags GROUP BY 1),
+      |c AS (SELECT lag,
+      |        sum(cnt) OVER (ORDER BY lag ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |        sum(cnt) OVER () AS n
+      |      FROM h)
+      |SELECT max(n)::BIGINT AS n_converted,
+      |       min(CASE WHEN cum >= (n + 1) // 2 THEN lag END)::BIGINT AS med_lag_us,
+      |       min(CASE WHEN cum * 10 >= n * 9 THEN lag END)::BIGINT AS p90_lag_us
+      |FROM c""".stripMargin
+
+  /** q279: dwell time per event type — the gap to the user's NEXT event
+    * (any type), averaged per the CURRENT event's type in integer
+    * microseconds (`Σgap div n`): how long users linger after each kind of
+    * action, the per-step engagement feature between q12's session bounds
+    * and q186's arrival lags. Last events per user have no successor and
+    * are excluded — stated, not imputed.
+    *
+    * Scale shape: one user_id shuffle; the lead window rides the same
+    * sort as every per-user sequence query; the rollup is |types| rows.
+    */
+  def q279DwellTime(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("tsu").asc, col("event_id").asc)
+    events(spark, dir).withColumn("tsu", tsUs)
+      .withColumn("nxt", lead(col("tsu"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .withColumn("dwell", col("nxt") - col("tsu"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("dwell")).as("dwell_sum_us"))
+      .withColumn("mean_dwell_us", expr("dwell_sum_us div n"))
+  }
+
+  private val q279Oracle =
+    """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu FROM events),
+      |l AS (SELECT event_type, tsu,
+      |        lead(tsu) OVER (PARTITION BY user_id ORDER BY tsu ASC, event_id ASC) AS nxt
+      |      FROM e)
+      |SELECT event_type, count(*)::BIGINT AS n,
+      |       sum(nxt - tsu)::BIGINT AS dwell_sum_us,
+      |       (sum(nxt - tsu) // count(*))::BIGINT AS mean_dwell_us
+      |FROM l WHERE nxt IS NOT NULL
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q278_convert_lag" -> (q278ConvertLag _),
+    "q279_dwell_time" -> (q279DwellTime _),
     "q264_peak_concurrency" -> (q264PeakConcurrency _),
     "q266_rfm_segments" -> (q266RfmSegments _),
     "q256_mann_whitney" -> (q256MannWhitney _),
@@ -3738,6 +3817,8 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q278_convert_lag" -> q278Oracle,
+    "q279_dwell_time" -> q279Oracle,
     "q264_peak_concurrency" -> q264Oracle,
     "q266_rfm_segments" -> q266Oracle,
     "q256_mann_whitney" -> q256Oracle,

@@ -28,6 +28,29 @@ class JoinsSpec extends SparkSpec {
     ))
   }
 
+  test("forward asOf matches earliest right at-or-after; inclusive ties; tolerance nulls") {
+    val left = Seq((1L, 10L), (1L, 20L), (1L, 40L), (2L, 50L)).toDF("k", "ts")
+    val right = Seq((1L, 10L, "a"), (1L, 25L, "b"), (3L, 1L, "z")).toDF("k", "rts", "v")
+    val got = AsOfJoin.asOf(left, right, Seq("k"), "ts", "rts", Seq("v"),
+        tolerance = Some(5L), forward = true)
+      .select("k", "ts", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) null else r.getString(2)))
+      .toSet
+    assert(got === Set(
+      (1L, 10L, "a"),  // tie at equal ts matches (inclusive), gap 0 <= 5
+      (1L, 20L, "b"),  // next right at 25, gap 5 within tolerance
+      (1L, 40L, null), // nothing at-or-after
+      (2L, 50L, null)  // key has no right rows at all
+    ))
+    // without tolerance the 20 -> 25 match stays; a 6-wide gap is dropped
+    val tight = AsOfJoin.asOf(left, right, Seq("k"), "ts", "rts", Seq("v"),
+        tolerance = Some(4L), forward = true)
+      .select("k", "ts", "v").collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(2)) null else r.getString(2))).toMap
+    assert(tight(20L) === null, "gap 5 must fail a tolerance of 4")
+    assert(tight(10L) === "a")
+  }
+
   test("asOf attaches the true latest right row even when its value is NULL") {
     val left = Seq((1L, 3L)).toDF("k", "ts")
     val right = Seq((1L, 1L, Some("a")), (1L, 2L, None))

@@ -47,6 +47,25 @@ class LevenshteinPrefilterSpec extends SparkSpec {
     assert("abs\\(".r.findAllIn(optimized).size === 1, optimized)
   }
 
+  test("damerau_levenshtein <= k gets the same length guard, results intact") {
+    installed()
+    import graft.functions.GraftFunctions.damerauLevenshtein
+    val names = Tables.part(spark, Sf0001).select(col("p_name")).distinct()
+    val pairs = names.toDF("a").crossJoin(names.toDF("b")).filter(col("a") < col("b"))
+    val df = pairs.filter(damerauLevenshtein(col("a"), col("b")) <= 3)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("abs(") && optimized.contains("length("),
+      s"prefilter missing for damerau_levenshtein:\n$optimized")
+    // the guard never drops a qualifying pair: dl >= abs(len diff)
+    val guarded = df.select("a", "b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val reference = pairs
+      .withColumn("d", damerauLevenshtein(col("a"), col("b")))
+      .collect().filter(_.getInt(2) <= 3)
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(guarded === reference)
+  }
+
   test("rule is a no-op on already-guarded and on 3-arg banded predicates") {
     val guarded = spark.sql(
       "SELECT * FROM VALUES ('ab','abc') AS t(a, b) " +
