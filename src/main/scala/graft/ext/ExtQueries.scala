@@ -3360,9 +3360,120 @@ object ExtQueries {
       |FROM n a JOIN n b ON a.blk = b.blk AND a.p_name < b.p_name
       |WHERE damerau_levenshtein(a.p_name, b.p_name) <= 3""".stripMargin
 
+  /** q281: BPE-ish regex PRETOKENIZER counts — per doc, token counts under
+    * the GPT-2-style class split (letter runs / digit runs / single
+    * non-alphanumeric marks) via `regexp_extract_all` on the normalized
+    * text: the pre-tokenization pass every BPE trainer (q211/q243) runs
+    * before merging, and the context-budget estimator's input (whitespace
+    * counting — q197's basis — undercounts punctuation-heavy text, which
+    * is exactly what this splits out). The three class patterns are plain
+    * character classes, semantics-identical across Java and RE2 regex
+    * engines — the cross-engine contract that makes a regex tokenizer
+    * oracle-able at all.
+    *
+    * Scale shape: pure per-row scan, no shuffle; the doc-level counts are
+    * the feature columns a packing planner (q58) consumes.
+    */
+  def q281Pretokenizer(spark: SparkSession, dir: String): DataFrame = {
+    val t = TextAnalysis.normalize(col("text"))
+    def n(pat: String): org.apache.spark.sql.Column =
+      size(regexp_extract_all(t, lit(pat), lit(0))).cast("long")
+    documents(spark, dir)
+      .select(col("doc_id"),
+        n("[a-z]+").as("n_alpha"),
+        n("[0-9]+").as("n_num"),
+        n("[^a-z0-9 ]").as("n_mark"))
+      .withColumn("n_tokens", col("n_alpha") + col("n_num") + col("n_mark"))
+  }
+
+  private val q281Oracle =
+    s"""SELECT doc_id,
+       |       len(regexp_extract_all($DNorm, '[a-z]+'))::BIGINT AS n_alpha,
+       |       len(regexp_extract_all($DNorm, '[0-9]+'))::BIGINT AS n_num,
+       |       len(regexp_extract_all($DNorm, '[^a-z0-9 ]'))::BIGINT AS n_mark,
+       |       (len(regexp_extract_all($DNorm, '[a-z]+'))
+       |        + len(regexp_extract_all($DNorm, '[0-9]+'))
+       |        + len(regexp_extract_all($DNorm, '[^a-z0-9 ]')))::BIGINT AS n_tokens
+       |FROM documents""".stripMargin
+
+  /** q282: training-MIX REBALANCER — given per-source target WEIGHTS
+    * (deterministic from the source name's digits here, `(num mod 4) + 1`),
+    * derive the per-source keep fractions that hit the target token
+    * proportions by DOWNSAMPLING only: `keep_s = c·w_s/tokens_s` with the
+    * binding source (min tokens/w, the one kept whole) at exactly 10⁶ ppm.
+    * The argmin runs on the exact integer key `tokens·(12/w)` (w ∈ 1..4,
+    * so 12/w clears the denominator — no float rational anywhere), and
+    * every published fraction is the cross-multiplied integer
+    * `(10⁶·w_s·tokens_b) div (w_b·tokens_s)`. This PLANS the ratios that
+    * [[Sampling.weightedMix]] then executes — the missing half of the
+    * mixing story (q57 applies given fractions; this derives them).
+    *
+    * Scale shape: one |sources|-row contraction, a 1-row argmin broadcast,
+    * pure integer arithmetic back on the model-sized table.
+    */
+  def q282MixRebalancer(spark: SparkSession, dir: String): DataFrame = {
+    val toks = documents(spark, dir)
+      .groupBy("source")
+      .agg(sum(size(TextAnalysis.tokens(col("text")))).cast("long").as("tokens"))
+      .withColumn("w", expr("cast(substring(source, 4) AS long) % 4 + 1"))
+    val binding = toks
+      .withColumn("key", col("tokens") * (lit(12L) / col("w")).cast("long"))
+      .orderBy(col("key").asc, col("source").asc).limit(1)
+      .select(col("tokens").as("tok_b"), col("w").as("w_b"))
+    toks.crossJoin(broadcast(binding))
+      .select(col("source"), col("tokens"), col("w"),
+        expr("(1000000 * w * tok_b) div (w_b * tokens)").as("keep_ppm"))
+      .withColumn("kept_tokens_est", expr("(tokens * keep_ppm) div 1000000"))
+  }
+
+  private val q282Oracle =
+    s"""WITH t AS (
+       |  SELECT source, sum(len(string_split($DNorm, ' ')))::BIGINT AS tokens,
+       |         (substring(source, 4)::BIGINT % 4 + 1)::BIGINT AS w
+       |  FROM documents GROUP BY source),
+       |b AS (SELECT tokens AS tok_b, w AS w_b FROM t
+       |      ORDER BY tokens * (12 // w) ASC, source ASC LIMIT 1)
+       |SELECT source, tokens, w,
+       |       (1000000 * w * tok_b) // (w_b * tokens) AS keep_ppm,
+       |       (tokens * ((1000000 * w * tok_b) // (w_b * tokens))) // 1000000
+       |         AS kept_tokens_est
+       |FROM t CROSS JOIN b""".stripMargin
+
+  /** q283: exact-dup STORAGE-SAVINGS report — the dedup family's cost-
+    * benefit rollup: per duplicate-cluster size k, how many clusters, their
+    * total raw chars, and the chars RECLAIMED by keeping only each
+    * cluster's min-id copy (duplicates by NORMALIZED text can differ in
+    * raw length, so the keeper's own raw chars — carried via a
+    * min-by-struct aggregate, never a second join — are what survive).
+    * The "dedup saves X%" number a curation run reports before it runs.
+    */
+  def q283DedupSavings(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .groupBy(TextAnalysis.md5Fingerprint(col("text")).as("fingerprint"))
+      .agg(count(lit(1)).as("copies"), sum(col("n_chars")).as("chars"),
+        min(struct(col("doc_id"), col("n_chars"))).as("kp"))
+      .groupBy("copies")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("chars")).as("total_chars"),
+        sum(col("chars") - col("kp.n_chars")).as("reclaim_chars"))
+
+  private val q283Oracle =
+    s"""WITH g AS (
+       |  SELECT md5($DNorm) AS fp, count(*)::BIGINT AS copies,
+       |         sum(n_chars)::BIGINT AS chars,
+       |         min({'d': doc_id, 'c': n_chars}).c AS keeper_chars
+       |  FROM documents GROUP BY 1)
+       |SELECT copies, count(*)::BIGINT AS n_clusters,
+       |       sum(chars)::BIGINT AS total_chars,
+       |       sum(chars - keeper_chars)::BIGINT AS reclaim_chars
+       |FROM g GROUP BY 1""".stripMargin
+
   // ---------------- registry ----------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q282_mix_rebalancer" -> (q282MixRebalancer _),
+    "q283_dedup_savings" -> (q283DedupSavings _),
+    "q281_pretokenizer" -> (q281Pretokenizer _),
     "q277_next_purchase" -> (q277NextPurchase _),
     "q276_damerau_pairs" -> (q276DamerauPairs _),
     "q271_flesch" -> (q271Flesch _),
@@ -3475,6 +3586,9 @@ object ExtQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q282_mix_rebalancer" -> q282Oracle,
+    "q283_dedup_savings" -> q283Oracle,
+    "q281_pretokenizer" -> q281Oracle,
     "q277_next_purchase" -> q277Oracle,
     "q276_damerau_pairs" -> q276Oracle,
     "q271_flesch" -> q271Oracle,

@@ -3719,7 +3719,43 @@ object EventQueries {
       |FROM l WHERE nxt IS NOT NULL
       |GROUP BY 1""".stripMargin
 
+  /** q280: per-user activity BITMAP — each user's 30-day presence packed
+    * into one BIGINT via `bit_or(1 << day_offset)` (the roaring-bitmap
+    * idea at word scale: engagement history as a single machine word), plus
+    * `bit_count` active days. Downstream pattern queries (weekday-only
+    * users, burst-then-churn shapes) become bitwise ANDs against constant
+    * masks — no re-scan of events. The day offset anchors to the corpus
+    * min day (1-row broadcast), and the 29-day span is asserted < 64 by
+    * the filter, loudly dropping nothing here.
+    *
+    * Scale shape: one user_id shuffle with map-side `bit_or` partials —
+    * the aggregate state per user is ONE long, the cheapest possible
+    * engagement-history representation.
+    */
+  def q280ActivityBitmap(spark: SparkSession, dir: String): DataFrame = {
+    val anchor = events(spark, dir).agg(min(tsDay).as("day0"))
+    events(spark, dir)
+      .select(col("user_id"), tsDay.as("day"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("off", col("day") - col("day0"))
+      .filter(col("off") >= 0 && col("off") < 64)
+      .groupBy("user_id")
+      .agg(expr("bit_or(shiftleft(1L, cast(off AS int)))").as("mask"))
+      .withColumn("n_active_days", expr("bit_count(mask)").cast("long"))
+  }
+
+  private val q280Oracle =
+    """WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |a AS (SELECT min(day) AS day0 FROM d)
+      |SELECT user_id,
+      |       bit_or(1::BIGINT << (day - day0)::INT)::BIGINT AS mask,
+      |       bit_count(bit_or(1::BIGINT << (day - day0)::INT))::BIGINT AS n_active_days
+      |FROM d CROSS JOIN a
+      |WHERE day - day0 >= 0 AND day - day0 < 64
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q280_activity_bitmap" -> (q280ActivityBitmap _),
     "q278_convert_lag" -> (q278ConvertLag _),
     "q279_dwell_time" -> (q279DwellTime _),
     "q264_peak_concurrency" -> (q264PeakConcurrency _),
@@ -3817,6 +3853,7 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q280_activity_bitmap" -> q280Oracle,
     "q278_convert_lag" -> q278Oracle,
     "q279_dwell_time" -> q279Oracle,
     "q264_peak_concurrency" -> q264Oracle,
