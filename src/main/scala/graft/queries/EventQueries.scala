@@ -3754,7 +3754,91 @@ object EventQueries {
       |WHERE day - day0 >= 0 AND day - day0 < 64
       |GROUP BY 1""".stripMargin
 
+  /** q284: Spearman rank correlation between the daily click and purchase
+    * volumes — "do busy click days line up with busy purchase days", the
+    * nonparametric trend-coupling statistic. Pearson on raw values cannot
+    * clear its denominators inside 64 bits (the squared moment products
+    * overflow), but Spearman on a tie-free rank PERMUTATION is exactly
+    * `ρ_ppm = 10⁶ − (6·Σd²·10⁶) div (n·(n²−1))` — BIGINT end to end. Ranks
+    * are made a permutation by the deterministic (volume, day) tie-break,
+    * stated in the contract, so the d² formula is exact by construction.
+    *
+    * Scale shape: the |days|-row contraction carries everything; the two
+    * rank windows run over that contraction (q256's discipline), and the
+    * statistic is a 1-row aggregate.
+    */
+  def q284Spearman(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(tsDay.as("day"))
+      .agg(sum((col("event_type") === "click").cast("long")).as("clicks"),
+        sum((col("event_type") === "purchase").cast("long")).as("purchases"))
+    val rc = Window.orderBy(col("clicks").asc, col("day").asc)
+    val rp = Window.orderBy(col("purchases").asc, col("day").asc)
+    daily
+      .withColumn("ra", row_number().over(rc).cast("long"))
+      .withColumn("rb", row_number().over(rp).cast("long"))
+      .withColumn("d2", (col("ra") - col("rb")) * (col("ra") - col("rb")))
+      .agg(count(lit(1)).as("n_days"), sum(col("d2")).as("sum_d2"))
+      .select(col("n_days"), col("sum_d2"),
+        expr("1000000 - (6 * sum_d2 * 1000000) div (n_days * (n_days * n_days - 1))")
+          .as("rho_ppm"))
+  }
+
+  private val q284Oracle =
+    """WITH daily AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day,
+      |         sum((event_type = 'click')::BIGINT)::BIGINT AS clicks,
+      |         sum((event_type = 'purchase')::BIGINT)::BIGINT AS purchases
+      |  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1),
+      |r AS (SELECT
+      |        row_number() OVER (ORDER BY clicks ASC, day ASC) AS ra,
+      |        row_number() OVER (ORDER BY purchases ASC, day ASC) AS rb
+      |      FROM daily),
+      |a AS (SELECT count(*)::BIGINT AS n_days,
+      |             sum((ra - rb) * (ra - rb))::BIGINT AS sum_d2 FROM r)
+      |SELECT n_days, sum_d2,
+      |       (1000000 - (6 * sum_d2 * 1000000) // (n_days * (n_days * n_days - 1)))::BIGINT
+      |         AS rho_ppm
+      |FROM a""".stripMargin
+
+  /** q286: half-life-decayed engagement score — each user's
+    * `Σ cents·2^(30−age_days) div 2^30`: yesterday's spend counts double
+    * tomorrow's, the classic exponential-decay recency weighting, with the
+    * half-life a POWER OF TWO so the weights are exact integer shifts (a
+    * float `exp(−λ·age)` can't hash-gate). Ages anchor to the corpus max
+    * day (1-row broadcast); the 29-day span keeps the shifted numerator
+    * far inside 64 bits (documented headroom: Σcents·2³⁰ per user).
+    */
+  def q286DecayedScore(spark: SparkSession, dir: String): DataFrame = {
+    val anchor = events(spark, dir).agg(max(tsDay).as("last_day"))
+    events(spark, dir)
+      .select(col("user_id"), tsDay.as("day"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("age", col("last_day") - col("day"))
+      .filter(col("age") >= 0 && col("age") <= 30)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("cents * shiftleft(1L, cast(30 - age AS int))")).as("num"))
+      .select(col("user_id"), col("n_events"),
+        expr("num div shiftleft(1L, 30)").as("decayed_cents"))
+  }
+
+  private val q286Oracle =
+    """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |                  floor(value * 100)::BIGINT AS cents FROM events),
+      |a AS (SELECT max(day) AS last_day FROM e)
+      |SELECT user_id, count(*)::BIGINT AS n_events,
+      |       (sum(cents * (1::BIGINT << (30 - (last_day - day))::INT))
+      |          // (1::BIGINT << 30))::BIGINT AS decayed_cents
+      |FROM e CROSS JOIN a
+      |WHERE last_day - day BETWEEN 0 AND 30
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q284_spearman" -> (q284Spearman _),
+    "q286_decayed_score" -> (q286DecayedScore _),
     "q280_activity_bitmap" -> (q280ActivityBitmap _),
     "q278_convert_lag" -> (q278ConvertLag _),
     "q279_dwell_time" -> (q279DwellTime _),
@@ -3853,6 +3937,8 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q284_spearman" -> q284Oracle,
+    "q286_decayed_score" -> q286Oracle,
     "q280_activity_bitmap" -> q280Oracle,
     "q278_convert_lag" -> q278Oracle,
     "q279_dwell_time" -> q279Oracle,

@@ -2470,7 +2470,42 @@ object ParityQueries {
        |SELECT node, dist FROM d3""".stripMargin
   }
 
+  /** q285: "people also bought" top-3 — per part, the 3 parts most often
+    * sharing an order with it (count ties broken by the smaller partkey):
+    * the item-item co-occurrence recommender baseline, the PART-level
+    * companion of q180's type-affinity matrix. Directed pairs (both
+    * orientations) so every part gets its own ranked list.
+    *
+    * Scale shape: the pair fan-out is per-order lines² — bounded by the
+    * lines-per-order constant, never |parts|² (the cart-bomb guard q154
+    * notes); pair counts contract on (pa, pb) with map-side partials, and
+    * the rank-3 cut runs inside WindowGroupLimit over the contraction.
+    */
+  def q285AlsoBought(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir).select("l_orderkey", "l_partkey").distinct()
+    val w = Window.partitionBy("pa").orderBy(col("n_co").desc, col("pb").asc)
+    li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("pb")), "l_orderkey")
+      .filter(col("pa") =!= col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("n_co"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("pa"), col("rnk").cast("long").as("rnk"), col("pb"), col("n_co"))
+  }
+
+  private val q285Oracle =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |co AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*)::BIGINT AS n_co
+      |       FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |                          AND a.l_partkey <> b.l_partkey
+      |       GROUP BY 1, 2)
+      |SELECT pa, row_number() OVER w AS rnk, pb, n_co
+      |FROM co
+      |WINDOW w AS (PARTITION BY pa ORDER BY n_co DESC, pb ASC)
+      |QUALIFY row_number() OVER w <= 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q285_also_bought" -> (q285AlsoBought _),
     "q273_schema_evolution" -> (q273SchemaEvolution _),
     "q274_bfs_hops" -> (q274BfsHops _),
     "q268_bag_setops" -> (q268BagSetOps _),
@@ -2541,6 +2576,7 @@ object ParityQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q285_also_bought" -> q285Oracle,
     "q273_schema_evolution" -> q273Oracle,
     "q274_bfs_hops" -> q274Oracle,
     "q268_bag_setops" -> q268Oracle,
