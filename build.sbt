@@ -30,8 +30,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // embeddings) GC-thrashes in small heaps and corrupts bench timings; the
   // machine has 128 GiB, so default generously.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-  // 42 queries x whole-stage-codegen classes overflow the default 240 MB
-  // JIT code cache mid-bench; once full the compiler shuts off and later
-  // queries run interpreted with wild run-to-run variance.
-  "-XX:ReservedCodeCacheSize=1g",
+  // Whole-stage-codegen classes overflow the JIT code cache mid-bench;
+  // once full the compiler shuts off and later queries run interpreted
+  // with wild run-to-run variance. 42 queries broke the 240 MB default;
+  // the 277-query surface measurably degraded mid-run at 1g (2-13x
+  // inflation on alphabetically-late queries, gone when re-run in
+  // isolation) — 2g is the JVM maximum.
+  "-XX:ReservedCodeCacheSize=2g",
+  // generated classes also churn class metadata; keep unloading healthy
+  "-XX:+ClassUnloadingWithConcurrentMark",
 )

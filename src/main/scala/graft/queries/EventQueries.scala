@@ -3836,7 +3836,49 @@ object EventQueries {
       |WHERE last_day - day BETWEEN 0 AND 30
       |GROUP BY 1""".stripMargin
 
+  /** q287: daily bounce rate — the share of q12's gap-sessions holding
+    * exactly ONE event, per session-start day, in integer ppm: the
+    * engagement-quality headline a web-analytics surface leads with.
+    * Composes the canonical sessionization (same user_id shuffle + window
+    * family), then contracts to |days|.
+    */
+  def q287BounceRate(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).withColumn("tsu", tsUs)
+    val wu = Window.partitionBy("user_id").orderBy(col("tsu").asc, col("event_id").asc)
+    e.withColumn("prev", lag(col("tsu"), 1).over(wu))
+      .withColumn("brk",
+        (col("prev").isNull || col("tsu") - col("prev") > SessionGapUs).cast("long"))
+      .withColumn("sid", sum(col("brk")).over(
+        wu.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n_events"), min(col("tsu")).as("st"))
+      .groupBy(expr("st div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum((col("n_events") === 1).cast("long")).as("n_bounce"))
+      .withColumn("bounce_ppm", expr("(1000000 * n_bounce) div n_sessions"))
+  }
+
+  private val q287Oracle =
+    s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+       |l AS (SELECT user_id, event_id, tsu,
+       |        lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu ASC, event_id ASC) AS prev
+       |      FROM e),
+       |f AS (SELECT user_id, tsu, event_id,
+       |        CASE WHEN prev IS NULL OR tsu - prev > ${SessionGapUs} THEN 1 ELSE 0 END AS brk
+       |      FROM l),
+       |s AS (SELECT user_id, tsu,
+       |        sum(brk) OVER (PARTITION BY user_id ORDER BY tsu ASC, event_id ASC
+       |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |      FROM f),
+       |sess AS (SELECT user_id, sid, count(*)::BIGINT AS n_events, min(tsu) AS st
+       |         FROM s GROUP BY 1, 2)
+       |SELECT st // 86400000000 AS day, count(*)::BIGINT AS n_sessions,
+       |       sum((n_events = 1)::BIGINT)::BIGINT AS n_bounce,
+       |       (1000000 * sum((n_events = 1)::BIGINT)) // count(*) AS bounce_ppm
+       |FROM sess GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q287_bounce_rate" -> (q287BounceRate _),
     "q284_spearman" -> (q284Spearman _),
     "q286_decayed_score" -> (q286DecayedScore _),
     "q280_activity_bitmap" -> (q280ActivityBitmap _),
@@ -3937,6 +3979,7 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q287_bounce_rate" -> q287Oracle,
     "q284_spearman" -> q284Oracle,
     "q286_decayed_score" -> q286Oracle,
     "q280_activity_bitmap" -> q280Oracle,

@@ -2504,7 +2504,53 @@ object ParityQueries {
       |WINDOW w AS (PARTITION BY pa ORDER BY n_co DESC, pb ASC)
       |QUALIFY row_number() OVER w <= 3""".stripMargin
 
+  /** q288: Gini coefficient of customer spend — revenue-inequality in
+    * integer ppm via the sorted-cumulative (rank) formula
+    * `G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx)` with ranks made a permutation by
+    * the (cents, custkey) tie-break: the "what share of revenue do the top
+    * customers hold" concentration number, exact (a Lorenz-curve float
+    * integration can't hash-gate). Complements q240's Gini IMPURITY
+    * (categorical) with the economic inequality reading (continuous).
+    *
+    * Scale shape: one custkey contraction; the rank window runs over the
+    * |customers| contraction (single-partition by design, q256's
+    * discipline — at 100 TB swap in a two-pass range-partitioned rank);
+    * the statistic is 1 row. Overflow headroom: Σi·xᵢ ≤ n²·max_cents.
+    */
+  def q288SpendGini(spark: SparkSession, dir: String): DataFrame = {
+    val spend = orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val w = Window.orderBy(col("cents").asc, col("o_custkey").asc)
+    spend
+      .withColumn("i", row_number().over(w).cast("long"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("total_cents"),
+        sum(col("i") * col("cents")).as("rank_weighted"))
+      .select(col("n_customers"), col("total_cents"),
+        // divide by n FIRST: 10⁶·(2RW − (n+1)T) overflows 64 bits at scale
+        // (RW ≤ n·T); 10⁶·(diff div n) ≤ 10⁶·T stays inside. diff ≥ 0 by
+        // the ascending sort, so Spark's truncating div and DuckDB's
+        // flooring // agree. The two-step floor is the DEFINED statistic
+        // on both engines — identical by construction.
+        expr("(1000000 * ((2 * rank_weighted - (n_customers + 1) * total_cents)" +
+          " div n_customers)) div total_cents").as("gini_ppm"))
+  }
+
+  private val q288Oracle =
+    """WITH s AS (SELECT o_custkey, sum(floor(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+      |           FROM orders GROUP BY 1),
+      |r AS (SELECT cents,
+      |        row_number() OVER (ORDER BY cents ASC, o_custkey ASC) AS i
+      |      FROM s),
+      |a AS (SELECT count(*)::BIGINT AS n_customers, sum(cents)::BIGINT AS total_cents,
+      |             sum(i * cents)::BIGINT AS rank_weighted FROM r)
+      |SELECT n_customers, total_cents,
+      |       ((1000000 * ((2 * rank_weighted - (n_customers + 1) * total_cents)
+      |          // n_customers)) // total_cents)::BIGINT AS gini_ppm
+      |FROM a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q288_spend_gini" -> (q288SpendGini _),
     "q285_also_bought" -> (q285AlsoBought _),
     "q273_schema_evolution" -> (q273SchemaEvolution _),
     "q274_bfs_hops" -> (q274BfsHops _),
@@ -2576,6 +2622,7 @@ object ParityQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q288_spend_gini" -> q288Oracle,
     "q285_also_bought" -> q285Oracle,
     "q273_schema_evolution" -> q273Oracle,
     "q274_bfs_hops" -> q274Oracle,
