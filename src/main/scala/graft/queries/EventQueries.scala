@@ -3877,7 +3877,64 @@ object EventQueries {
        |       (1000000 * sum((n_events = 1)::BIGINT)) // count(*) AS bounce_ppm
        |FROM sess GROUP BY 1""".stripMargin
 
+  /** q292: the ELEVENTH streaming gate — streaming activity-bitmap
+    * maintenance ([[graft.streaming.CdcStream.bitmapStream]]). The corpus
+    * splits `event_id % 3` into an initial per-user mask plus two staged
+    * micro-batches (file source, one per trigger, mtime-ordered); each
+    * batch's (user, day-offset) rows pack to `bit_or` masks and OR into
+    * the persisted state — the commutative-IDEMPOTENT merge whose replay
+    * safety needs no correction terms (OR-ing a batch twice is a no-op —
+    * the property sums don't have). Gate: the streamed state must land
+    * exactly on q280's one-shot batch bitmap, which is the oracle.
+    */
+  private val q292Staged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q292StreamBitmap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.queries.Scratch
+    val anchor = events(spark, dir).agg(min(tsDay).as("day0"))
+    val offs = events(spark, dir)
+      .select(col("event_id"), col("user_id"), tsDay.as("day"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("off", col("day") - col("day0"))
+      .filter(col("off") >= 0 && col("off") < 64)
+      .select("event_id", "user_id", "off")
+    val inDir = q292Staged.computeIfAbsent(dir, _ => {
+      val in = Scratch.stableDir("q292-in-" + Scratch.md5Hex(dir))
+      def stage(m: Long, name: String): java.nio.file.Path = {
+        val tmp = Scratch.stableDir("q292-tmp-" + Scratch.md5Hex(s"$dir|$m"))
+        offs.filter(col("event_id") % 3 === m)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+        java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(in, name))
+      }
+      val first = stage(1L, "a_shard1.parquet")
+      val second = stage(2L, "b_shard2.parquet")
+      java.nio.file.Files.setLastModifiedTime(second,
+        java.nio.file.attribute.FileTime.fromMillis(
+          java.nio.file.Files.getLastModifiedTime(first).toMillis + 10000))
+      in
+    })
+    val work = Scratch.stableDir("q292")
+    val initial = offs.filter(col("event_id") % 3 === 0)
+      .groupBy("user_id")
+      .agg(expr("bit_or(shiftleft(1L, cast(off AS int)))").as("mask"))
+    val stream = spark.readStream
+      .schema("event_id LONG, user_id LONG, off LONG")
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val query = graft.streaming.CdcStream.bitmapStream(
+        stream, initial, stateDir = s"$work/state")
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    graft.streaming.CdcStream.currentMaterializedState(spark, s"$work/state")
+      .withColumn("n_active_days", expr("bit_count(mask)").cast("long"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q292_stream_bitmap" -> (q292StreamBitmap _),
     "q287_bounce_rate" -> (q287BounceRate _),
     "q284_spearman" -> (q284Spearman _),
     "q286_decayed_score" -> (q286DecayedScore _),
@@ -3979,6 +4036,8 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the streamed bitmap must land exactly on the one-shot batch bitmap
+    "q292_stream_bitmap" -> q280Oracle,
     "q287_bounce_rate" -> q287Oracle,
     "q284_spearman" -> q284Oracle,
     "q286_decayed_score" -> q286Oracle,

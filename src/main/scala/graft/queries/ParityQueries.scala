@@ -2549,7 +2549,112 @@ object ParityQueries {
       |          // n_customers)) // total_cents)::BIGINT AS gini_ppm
       |FROM a""".stripMargin
 
+  /** q289: relative-rank window family — `rank`, `percent_rank` and
+    * `cume_dist` over customer balances per market segment, the remaining
+    * corner of §2.6's window surface (q03 covers row_number, q118 the
+    * top-k cut). The two fractional functions are published as
+    * cross-multiplied integers — `(rank−1)·10⁶ div (n−1)`, and cume_dist
+    * via the rank identity `cd_num = n − rank_desc + 1` (rank over the
+    * DESCENDING value alone, so every value-peer shares it) with
+    * `cd_num·10⁶ div n`: the native float cume_dist really does differ by
+    * an ulp across engines (measured: 280276 vs 280277 ppm), so the
+    * fractional functions ship as integers or not at all. The
+    * (cents, custkey) tie-break keeps rank gaps deterministic; rank itself
+    * (WITH gaps, unlike row_number) is pinned by duplicate balances.
+    */
+  def q289RelativeRanks(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("cents").asc, col("c_custkey").asc)
+    val wn = Window.partitionBy("c_mktsegment")
+    customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") * 100).cast("long").as("cents"))
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wn))
+      .withColumn("pr_ppm", expr("((rnk - 1) * 1000000) div (n - 1)"))
+      .withColumn("rnk_desc", rank().over(Window.partitionBy("c_mktsegment")
+        .orderBy(col("cents").desc)).cast("long"))
+      .withColumn("cd_ppm", expr("((n - rnk_desc + 1) * 1000000) div n"))
+      .select("c_custkey", "c_mktsegment", "cents", "rnk", "pr_ppm", "cd_ppm")
+  }
+
+  private val q289Oracle =
+    """SELECT c_custkey, c_mktsegment, floor(c_acctbal * 100)::BIGINT AS cents,
+      |       rank() OVER w AS rnk,
+      |       ((rank() OVER w - 1) * 1000000)
+      |         // (count(*) OVER (PARTITION BY c_mktsegment) - 1) AS pr_ppm,
+      |       ((count(*) OVER (PARTITION BY c_mktsegment)
+      |          - rank() OVER wd + 1) * 1000000)
+      |         // count(*) OVER (PARTITION BY c_mktsegment) AS cd_ppm
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment
+      |             ORDER BY floor(c_acctbal * 100)::BIGINT ASC, c_custkey ASC),
+      |       wd AS (PARTITION BY c_mktsegment
+      |              ORDER BY floor(c_acctbal * 100)::BIGINT DESC)""".stripMargin
+
+  /** q290: ntile parity — `ntile(7)` over a UNIQUE total order (cents,
+    * custkey), where the SQL-standard distribution rule (the first
+    * `n mod k` tiles take one extra row) is fully determined — pinning
+    * that both engines implement the same rule. 7 deliberately doesn't
+    * divide the row count. Output is the per-tile contraction (tile,
+    * rows, min/max cents) — the boundary placement IS the check.
+    */
+  def q290NtileParity(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("cents").asc, col("c_custkey").asc)
+    customer(spark, dir)
+      .select(col("c_custkey"), floor(col("c_acctbal") * 100).cast("long").as("cents"))
+      .withColumn("tile", ntile(7).over(w).cast("long"))
+      .groupBy("tile")
+      .agg(count(lit(1)).as("n_rows"), min(col("cents")).as("lo_cents"),
+        max(col("cents")).as("hi_cents"))
+  }
+
+  private val q290Oracle =
+    """WITH t AS (
+      |  SELECT floor(c_acctbal * 100)::BIGINT AS cents,
+      |         ntile(7) OVER (ORDER BY floor(c_acctbal * 100)::BIGINT ASC,
+      |                        c_custkey ASC) AS tile
+      |  FROM customer)
+      |SELECT tile::BIGINT AS tile, count(*)::BIGINT AS n_rows,
+      |       min(cents)::BIGINT AS lo_cents, max(cents)::BIGINT AS hi_cents
+      |FROM t GROUP BY 1""".stripMargin
+
+  /** q291: OUTER explode semantics — `explode_outer` must keep a parent
+    * row whose array is EMPTY (yielding a null element) where plain
+    * `explode` drops it: the left-join-lateral contract that keeps
+    * zero-token docs visible in token-level accounting. The fixture keeps
+    * only long (≥ 8-char) words — 106 of 500 docs have none, so both arms
+    * of the semantics carry weight; the oracle replays with
+    * DuckDB's LEFT JOIN LATERAL unnest — its native spelling of the same
+    * semantics. Output: per doc, elements kept under each semantics.
+    */
+  def q291ExplodeOuter(spark: SparkSession, dir: String): DataFrame = {
+    val toks = expr("filter(split(lower(text), ' '), t -> t RLIKE '^[a-z]{8,}$')")
+    val base = graft.queries.Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("nums"))
+    val outer = base.select(col("doc_id"), explode_outer(col("nums")).as("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_outer_rows"), count(col("tok")).as("n_elems"))
+    outer
+  }
+
+  private val q291Oracle =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split(lower(text), ' '),
+      |                     t -> regexp_full_match(t, '[a-z]{8,}')) AS nums
+      |  FROM documents),
+      |ex AS (
+      |  SELECT doc_id, u.tok
+      |  FROM base LEFT JOIN LATERAL (SELECT unnest(nums) AS tok) u ON true)
+      |SELECT doc_id, count(*)::BIGINT AS n_outer_rows,
+      |       count(tok)::BIGINT AS n_elems
+      |FROM ex GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q289_relative_ranks" -> (q289RelativeRanks _),
+    "q290_ntile_parity" -> (q290NtileParity _),
+    "q291_explode_outer" -> (q291ExplodeOuter _),
     "q288_spend_gini" -> (q288SpendGini _),
     "q285_also_bought" -> (q285AlsoBought _),
     "q273_schema_evolution" -> (q273SchemaEvolution _),
@@ -2622,6 +2727,9 @@ object ParityQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q289_relative_ranks" -> q289Oracle,
+    "q290_ntile_parity" -> q290Oracle,
+    "q291_explode_outer" -> q291Oracle,
     "q288_spend_gini" -> q288Oracle,
     "q285_also_bought" -> q285Oracle,
     "q273_schema_evolution" -> q273Oracle,

@@ -237,6 +237,37 @@ object CdcStream {
         agg, batch, groupCols, valueCol, nCol, sumCol)
     }
 
+  /** Streaming ACTIVITY-BITMAP maintenance: each micro-batch's
+    * (key, day-offset) rows are packed to per-key `bit_or` masks and
+    * merged into the persisted bitmap state with a full-outer join +
+    * bitwise OR — the commutative-idempotent merge that makes per-key
+    * engagement history maintainable under at-least-once replay with NO
+    * correction terms (OR-ing a replayed batch is a no-op, unlike a sum:
+    * the merge's idempotence is itself the exactly-once story). The
+    * q280 batch bitmap is the gate: streamed state must land exactly on
+    * the one-shot aggregate.
+    *
+    * Scale shape per batch: the batch contracts to |batch keys| masks
+    * map-side, the merge joins state⋈batch on the key — state stays one
+    * long per key, the cheapest per-entity state any engagement store
+    * carries.
+    */
+  def bitmapStream(
+      changes: DataFrame,
+      initial: DataFrame,
+      stateDir: String,
+      keyCol: String = "user_id",
+      offCol: String = "off",
+      maskCol: String = "mask"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    versionedFold(changes, initial, stateDir) { (state, batch) =>
+      val bm = batch.groupBy(col(keyCol))
+        .agg(expr(s"bit_or(shiftleft(1L, cast($offCol AS int)))").as("__bm"))
+      state.join(bm, Seq(keyCol), "full_outer")
+        .select(col(keyCol),
+          coalesce(col(maskCol), lit(0L))
+            .bitwiseOR(coalesce(col("__bm"), lit(0L))).as(maskCol))
+    }
+
   /** The shared `foreachBatch` fold behind [[materializeStream]] and
     * [[aggregateStream]]: per micro-batch, `fold(currentState, batch)` is
     * written to `state_<batchId>` and the `_latest` pointer swaps
