@@ -3933,7 +3933,80 @@ object EventQueries {
       .withColumn("n_active_days", expr("bit_count(mask)").cast("long"))
   }
 
+  /** q293: NULL-ordering parity — engines DISAGREE by default (Spark sorts
+    * nulls FIRST ascending, DuckDB LAST), so any ordering over a nullable
+    * key silently diverges unless the placement is explicit. The query
+    * makes nulls the interesting rows (each user's first event has no
+    * lag-value), then ranks with EXPLICIT `NULLS FIRST` ascending and
+    * takes each user's top-2 — pinning that both engines honor the
+    * explicit placement identically. Every future nullable ordering in
+    * this engine spells its null placement; this row is the contract.
+    */
+  def q293NullOrdering(spark: SparkSession, dir: String): DataFrame = {
+    val wu = Window.partitionBy("user_id").orderBy(col("tsu").asc, col("event_id").asc)
+    val wr = Window.partitionBy("user_id")
+      .orderBy(col("prev_cents").asc_nulls_first, col("event_id").asc)
+    events(spark, dir).withColumn("tsu", tsUs)
+      .withColumn("cents", floor(col("value") * 100).cast("long"))
+      .withColumn("prev_cents", lag(col("cents"), 1).over(wu))
+      .withColumn("rn", row_number().over(wr))
+      .filter(col("rn") <= 2)
+      .select("user_id", "rn", "event_id", "prev_cents")
+  }
+
+  private val q293Oracle =
+    """WITH e AS (
+      |  SELECT user_id, event_id, floor(value * 100)::BIGINT AS cents,
+      |         epoch_us(ts) AS tsu
+      |  FROM events),
+      |l AS (SELECT user_id, event_id,
+      |        lag(cents) OVER (PARTITION BY user_id
+      |                         ORDER BY tsu ASC, event_id ASC) AS prev_cents
+      |      FROM e),
+      |r AS (SELECT user_id, event_id, prev_cents,
+      |        row_number() OVER (PARTITION BY user_id
+      |          ORDER BY prev_cents ASC NULLS FIRST, event_id ASC) AS rn
+      |      FROM l)
+      |SELECT user_id, rn::BIGINT AS rn, event_id, prev_cents
+      |FROM r WHERE rn <= 2""".stripMargin
+
+  /** q294: right-to-be-forgotten sweep audit — the GDPR deletion flow as
+    * one auditable query: a deterministic forget-set (every 13th user),
+    * the events table swept by ANTI join, and the audit row a regulator
+    * asks for: rows deleted per event type plus the surviving table's
+    * user count and row count (proving the forgotten users are GONE from
+    * the rebuilt aggregate, not just flagged). Completes the privacy
+    * family: q10's VOID scrub erases FIELDS, this erases SUBJECTS.
+    *
+    * Scale shape: the forget-set is a model-sized broadcast; both the
+    * deletion count and the survivor rebuild ride one scan each.
+    */
+  def q294ForgetAudit(spark: SparkSession, dir: String): DataFrame = {
+    val forget = events(spark, dir).select("user_id").distinct()
+      .filter(col("user_id") % 13 === 0)
+    val deleted = events(spark, dir)
+      .join(broadcast(forget), Seq("user_id"), "left_semi")
+      .groupBy("event_type").agg(count(lit(1)).as("n_deleted"))
+    val survivors = events(spark, dir)
+      .join(broadcast(forget), Seq("user_id"), "left_anti")
+    val post = survivors.agg(count(lit(1)).as("n_rows_after"),
+      countDistinct(col("user_id")).as("n_users_after"))
+    deleted.crossJoin(broadcast(post))
+  }
+
+  private val q294Oracle =
+    """WITH f AS (SELECT DISTINCT user_id FROM events WHERE user_id % 13 = 0),
+      |d AS (SELECT event_type, count(*)::BIGINT AS n_deleted
+      |      FROM events WHERE user_id IN (SELECT user_id FROM f) GROUP BY 1),
+      |p AS (SELECT count(*)::BIGINT AS n_rows_after,
+      |             count(DISTINCT user_id)::BIGINT AS n_users_after
+      |      FROM events WHERE user_id NOT IN (SELECT user_id FROM f))
+      |SELECT event_type, n_deleted, n_rows_after, n_users_after
+      |FROM d CROSS JOIN p""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q293_null_ordering" -> (q293NullOrdering _),
+    "q294_forget_audit" -> (q294ForgetAudit _),
     "q292_stream_bitmap" -> (q292StreamBitmap _),
     "q287_bounce_rate" -> (q287BounceRate _),
     "q284_spearman" -> (q284Spearman _),
@@ -4036,6 +4109,8 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q293_null_ordering" -> q293Oracle,
+    "q294_forget_audit" -> q294Oracle,
     // the streamed bitmap must land exactly on the one-shot batch bitmap
     "q292_stream_bitmap" -> q280Oracle,
     "q287_bounce_rate" -> q287Oracle,
