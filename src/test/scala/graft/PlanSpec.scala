@@ -594,6 +594,26 @@ class PlanSpec extends SparkSpec {
       s"the sweep must run over the contracted point set:\n$plan")
   }
 
+  test("q280 bitmap packs with two-phase bit_or on one user_id exchange") {
+    val plan = planOf(graft.queries.EventQueries.q280ActivityBitmap(spark, Sf0001))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"bit_or must partial-aggregate map-side:\n$plan")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("q285 also-bought rank-3 cut runs inside WindowGroupLimit") {
+    val plan = planOf(ParityQueries.q285AlsoBought(spark, Sf0001))
+    assert(plan.contains("WindowGroupLimit"),
+      s"the top-3 cut must bound state per key:\n$plan")
+  }
+
+  test("q294 forget sweep: semi and anti arms both broadcast the forget-set") {
+    val plan = planOf(graft.queries.EventQueries.q294ForgetAudit(spark, Sf0001))
+    assert("BroadcastHashJoin.*LeftSemi".r.findAllIn(plan).nonEmpty &&
+      "BroadcastHashJoin.*LeftAnti".r.findAllIn(plan).nonEmpty,
+      s"forget-set must broadcast into both arms:\n$plan")
+  }
+
   test("IVF indexed probe plans dynamic partition pruning on the inverted file") {
     withTempDir("plan-ivf") { dir =>
       val e = Tables.embeddings(spark, Sf0001)

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path => JPath}
+import java.nio.file.{Files, Path => JPath, Paths}
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -456,5 +456,42 @@ class CdcStreamSpec extends SparkSpec with BeforeAndAfterAll with TimeLimits {
     drain()
     assert(Files.readString(pointer).trim.matches("state_\\d+"))
     assert(state() === Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  stest("bitmapStream: OR-merge folds batches; replaying a batch is a no-op") {
+    val dir = s"$work/bitmap"
+    val in = Files.createDirectories(Paths.get(s"$dir/in"))
+    def stage(rows: Seq[(Long, Long)], name: String): Unit = {
+      val tmp = s"$dir/tmp-$name"
+      rows.toDF("user_id", "off").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+      Files.copy(part.toPath, in.resolve(name))
+    }
+    val initial = Seq((1L, 1L)).toDF("user_id", "mask") // user 1: day 0 seen
+    def drain(): Unit = {
+      val stream = spark.readStream.schema("user_id LONG, off LONG")
+        .option("maxFilesPerTrigger", 1).parquet(in.toString)
+      val q = CdcStream.bitmapStream(stream, initial, stateDir = s"$dir/state")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def state(): Map[Long, Long] =
+      CdcStream.currentMaterializedState(spark, s"$dir/state")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // batch 1: user 1 day 2 (joins existing mask), user 7 day 0 (NEW key
+    // arrives via the full-outer arm)
+    stage(Seq((1L, 2L), (7L, 0L)), "a.parquet")
+    drain()
+    assert(state() === Map(1L -> 5L, 7L -> 1L)) // 1|4 = 5
+    // REPLAY the identical rows as a new file: OR is idempotent — the
+    // state must not change (a SUM fold would double-count here)
+    stage(Seq((1L, 2L), (7L, 0L)), "b.parquet")
+    drain()
+    assert(state() === Map(1L -> 5L, 7L -> 1L),
+      "replaying a batch changed the bitmap — the merge lost idempotence")
   }
 }
