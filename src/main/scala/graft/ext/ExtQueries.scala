@@ -3468,9 +3468,54 @@ object ExtQueries {
        |       sum(chars - keeper_chars)::BIGINT AS reclaim_chars
        |FROM g GROUP BY 1""".stripMargin
 
+  /** q295: span-corruption MASK PLANNER (T5-style) — for every complete
+    * 10-token window of each doc, a deterministic 2-token span to mask,
+    * its offset drawn from the engine's standard md5 hash of
+    * `doc_id_window` (`mod (W−L+1)`, so spans never straddle windows and
+    * the plan is non-overlapping BY CONSTRUCTION — no rejection loop, the
+    * property a distributed masker needs). One row per span plus the
+    * per-doc coverage ppm: the training-objective prep step between
+    * cleaning (q41) and packing (q58) — the mask plan ships WITH the
+    * corpus so every epoch masks identically.
+    *
+    * Scale shape: sequence+explode fan-out is n/W rows per doc (a 10×
+    * CONTRACTION of the corpus); everything else is per-row hash
+    * arithmetic in codegen.
+    */
+  def q295SpanMaskPlan(spark: SparkSession, dir: String): DataFrame = {
+    val W = 10
+    val L = 2
+    documents(spark, dir)
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") >= W)
+      .select(col("doc_id"), col("n_tokens"),
+        explode(expr(s"sequence(0L, n_tokens div $W - 1)")).as("w"))
+      .withColumn("span_start",
+        col("w") * W +
+          Dedup.baseHash(concat_ws("_", col("doc_id"), col("w"))) % (W - L + 1))
+      .select(col("doc_id"), col("w"), col("span_start"),
+        lit(L.toLong).as("span_len"),
+        expr(s"(1000000 * $L * (n_tokens div $W)) div n_tokens").as("mask_ppm"))
+  }
+
+  private val q295Oracle =
+    s"""WITH d AS (
+       |  SELECT doc_id, len(string_split($DNorm, ' '))::BIGINT AS n_tokens
+       |  FROM documents),
+       |w AS (SELECT doc_id, n_tokens, unnest(range(n_tokens // 10)) AS w
+       |      FROM d WHERE n_tokens >= 10)
+       |SELECT doc_id, w,
+       |       w * 10 + ('0x' || substr(md5(doc_id::VARCHAR || '_' || w::VARCHAR), 1, 15))::BIGINT % 9
+       |         AS span_start,
+       |       2::BIGINT AS span_len,
+       |       (1000000 * 2 * (n_tokens // 10)) // n_tokens AS mask_ppm
+       |FROM w""".stripMargin
+
   // ---------------- registry ----------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q295_span_mask_plan" -> (q295SpanMaskPlan _),
     "q282_mix_rebalancer" -> (q282MixRebalancer _),
     "q283_dedup_savings" -> (q283DedupSavings _),
     "q281_pretokenizer" -> (q281Pretokenizer _),
@@ -3586,6 +3631,7 @@ object ExtQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q295_span_mask_plan" -> q295Oracle,
     "q282_mix_rebalancer" -> q282Oracle,
     "q283_dedup_savings" -> q283Oracle,
     "q281_pretokenizer" -> q281Oracle,
