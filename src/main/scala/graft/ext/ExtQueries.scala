@@ -3512,9 +3512,64 @@ object ExtQueries {
        |       (1000000 * 2 * (n_tokens // 10)) // n_tokens AS mask_ppm
        |FROM w""".stripMargin
 
+  /** q297: top-terms CHURN between corpus halves — overlap@k of the top-50
+    * token lists of the even- and odd-doc halves, plus per-rank agreement:
+    * the text-distribution-shift detector (a vocabulary whose head churns
+    * between two samples of "the same" corpus is drifting; q237's KS
+    * checks SHAPE on numbers, this checks the HEAD on tokens). Both
+    * top-50 lists cut by (count desc, term asc) — deterministic ties —
+    * and the overlap statistics are pure integers. Output: one row —
+    * overlap@50, rank-exact agreements, and the two halves' token totals.
+    *
+    * Scale shape: two token-keyed contractions (one per half, same
+    * shuffle family), each cut to 50 rows by the bounded
+    * TakeOrderedAndProject heap; the comparison joins two 50-row sides.
+    */
+  def q297TermChurn(spark: SparkSession, dir: String): DataFrame = {
+    def top(half: Long): DataFrame =
+      documents(spark, dir).filter(col("doc_id") % 2 === half)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok").asc).limit(50)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("cnt").desc, col("tok").asc)))
+    val a = top(0L).select(col("tok"), col("rnk").as("rnk_a"), col("cnt").as("cnt_a"))
+    val b = top(1L).select(col("tok"), col("rnk").as("rnk_b"), col("cnt").as("cnt_b"))
+    a.join(b, Seq("tok"), "full_outer")
+      .agg(
+        sum((col("rnk_a").isNotNull && col("rnk_b").isNotNull).cast("long"))
+          .as("overlap_at_50"),
+        sum((col("rnk_a") === col("rnk_b")).cast("long")).as("rank_exact"),
+        sum(coalesce(col("cnt_a"), lit(0L))).as("head_tokens_even"),
+        sum(coalesce(col("cnt_b"), lit(0L))).as("head_tokens_odd"))
+  }
+
+  private val q297Oracle =
+    s"""WITH ta AS (
+       |  SELECT tok, count(*)::BIGINT AS cnt
+       |  FROM (SELECT unnest(string_split($DNorm, ' ')) AS tok
+       |        FROM documents WHERE doc_id % 2 = 0)
+       |  WHERE tok <> '' GROUP BY 1 ORDER BY cnt DESC, tok ASC LIMIT 50),
+       |tb AS (
+       |  SELECT tok, count(*)::BIGINT AS cnt
+       |  FROM (SELECT unnest(string_split($DNorm, ' ')) AS tok
+       |        FROM documents WHERE doc_id % 2 = 1)
+       |  WHERE tok <> '' GROUP BY 1 ORDER BY cnt DESC, tok ASC LIMIT 50),
+       |ra AS (SELECT tok, cnt AS cnt_a,
+       |         row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rnk_a FROM ta),
+       |rb AS (SELECT tok, cnt AS cnt_b,
+       |         row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rnk_b FROM tb)
+       |SELECT sum((rnk_a IS NOT NULL AND rnk_b IS NOT NULL)::BIGINT)::BIGINT AS overlap_at_50,
+       |       sum((rnk_a = rnk_b)::BIGINT)::BIGINT AS rank_exact,
+       |       sum(coalesce(cnt_a, 0))::BIGINT AS head_tokens_even,
+       |       sum(coalesce(cnt_b, 0))::BIGINT AS head_tokens_odd
+       |FROM ra FULL OUTER JOIN rb USING (tok)""".stripMargin
+
   // ---------------- registry ----------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q297_term_churn" -> (q297TermChurn _),
     "q295_span_mask_plan" -> (q295SpanMaskPlan _),
     "q282_mix_rebalancer" -> (q282MixRebalancer _),
     "q283_dedup_savings" -> (q283DedupSavings _),
@@ -3631,6 +3686,7 @@ object ExtQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q297_term_churn" -> q297Oracle,
     "q295_span_mask_plan" -> q295Oracle,
     "q282_mix_rebalancer" -> q282Oracle,
     "q283_dedup_savings" -> q283Oracle,

@@ -2651,7 +2651,54 @@ object ParityQueries {
       |       count(tok)::BIGINT AS n_elems
       |FROM ex GROUP BY 1""".stripMargin
 
+  /** q296: hierarchical percent-of-parent — every nation's revenue as ppm
+    * of its REGION's and of the corpus total, plus the region's own share
+    * of total: the drill-down ratio tree every BI surface renders. Shares
+    * at each level are integer ppm over floor-cents (never a float of a
+    * float); the parent totals come back as two window sums over the
+    * |nations| contraction — no second scan of the fact.
+    */
+  def q296HierarchyShares(spark: SparkSession, dir: String): DataFrame = {
+    val perNation = lineitem(spark, dir)
+      .join(orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(floor(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(30,10)")) * 100).cast("long").as("cents"))
+    val wr = Window.partitionBy("r_name")
+    val wt = Window.partitionBy()
+    perNation
+      .withColumn("region_cents", sum(col("cents")).over(wr))
+      .withColumn("total_cents", sum(col("cents")).over(wt))
+      .select(col("r_name"), col("n_name"), col("cents"),
+        expr("(1000000 * cents) div region_cents").as("of_region_ppm"),
+        expr("(1000000 * cents) div total_cents").as("of_total_ppm"),
+        expr("(1000000 * region_cents) div total_cents").as("region_of_total_ppm"))
+  }
+
+  private val q296Oracle =
+    """WITH n AS (
+      |  SELECT r_name, n_name,
+      |         floor(sum((l_extendedprice * (1 - l_discount))::DECIMAL(30,10)) * 100)::BIGINT
+      |           AS cents
+      |  FROM lineitem
+      |    JOIN orders ON l_orderkey = o_orderkey
+      |    JOIN customer ON o_custkey = c_custkey
+      |    JOIN nation ON c_nationkey = n_nationkey
+      |    JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY 1, 2)
+      |SELECT r_name, n_name, cents,
+      |       (1000000 * cents) // sum(cents) OVER (PARTITION BY r_name) AS of_region_ppm,
+      |       (1000000 * cents) // sum(cents) OVER () AS of_total_ppm,
+      |       (1000000 * sum(cents) OVER (PARTITION BY r_name))
+      |         // sum(cents) OVER () AS region_of_total_ppm
+      |FROM n""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q296_hierarchy_shares" -> (q296HierarchyShares _),
     "q289_relative_ranks" -> (q289RelativeRanks _),
     "q290_ntile_parity" -> (q290NtileParity _),
     "q291_explode_outer" -> (q291ExplodeOuter _),
@@ -2727,6 +2774,7 @@ object ParityQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q296_hierarchy_shares" -> q296Oracle,
     "q289_relative_ranks" -> q289Oracle,
     "q290_ntile_parity" -> q290Oracle,
     "q291_explode_outer" -> q291Oracle,
