@@ -3566,9 +3566,61 @@ object ExtQueries {
        |       sum(coalesce(cnt_b, 0))::BIGINT AS head_tokens_odd
        |FROM ra FULL OUTER JOIN rb USING (tok)""".stripMargin
 
+  /** q298: the mix plan EXECUTED — q282's derived keep-ppm fractions
+    * applied per doc through the deterministic md5 modulo gate
+    * (`baseHash(doc_id) mod 10⁶ < keep_ppm` — hashGate's arithmetic with a
+    * COLUMNAR threshold), then the achieved per-source token shares laid
+    * next to the targets: the plan→execute→audit loop of a corpus
+    * rebalancing run in one oracled query. Achieved shares track targets
+    * only as well as the hash gate samples — the audit making that
+    * deviation VISIBLE is the point.
+    */
+  def q298MixExecuted(spark: SparkSession, dir: String): DataFrame = {
+    val plan = q282MixRebalancer(spark, dir).select("source", "w", "keep_ppm")
+    val wSum = plan.agg(sum(col("w")).as("w_sum"))
+    val kept = documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"))
+      .join(broadcast(plan), "source")
+      .filter(Dedup.baseHash(col("doc_id").cast("string")) % 1000000 < col("keep_ppm"))
+      .groupBy("source")
+      .agg(max(col("w")).as("w"), count(lit(1)).as("n_docs_kept"),
+        sum(col("n_toks")).as("kept_tokens"))
+    val total = kept.agg(sum(col("kept_tokens")).as("total_kept"))
+    kept.crossJoin(broadcast(total)).crossJoin(broadcast(wSum))
+      .select(col("source"), col("n_docs_kept"), col("kept_tokens"),
+        expr("(1000000 * kept_tokens) div total_kept").as("achieved_ppm"),
+        expr("(1000000 * w) div w_sum").as("target_ppm"))
+  }
+
+  private val q298Oracle =
+    s"""WITH t AS (
+       |  SELECT source, sum(len(string_split($DNorm, ' ')))::BIGINT AS tokens,
+       |         (substring(source, 4)::BIGINT % 4 + 1)::BIGINT AS w
+       |  FROM documents GROUP BY source),
+       |b AS (SELECT tokens AS tok_b, w AS w_b FROM t
+       |      ORDER BY tokens * (12 // w) ASC, source ASC LIMIT 1),
+       |plan AS (SELECT source, w,
+       |           (1000000 * w * tok_b) // (w_b * tokens) AS keep_ppm
+       |         FROM t CROSS JOIN b),
+       |ws AS (SELECT sum(w)::BIGINT AS w_sum FROM plan),
+       |kept AS (
+       |  SELECT d.source, max(p.w)::BIGINT AS w, count(*)::BIGINT AS n_docs_kept,
+       |         sum(len(string_split($DNorm, ' ')))::BIGINT AS kept_tokens
+       |  FROM documents d JOIN plan p USING (source)
+       |  WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT % 1000000
+       |          < p.keep_ppm
+       |  GROUP BY 1),
+       |tot AS (SELECT sum(kept_tokens)::BIGINT AS total_kept FROM kept)
+       |SELECT source, n_docs_kept, kept_tokens,
+       |       (1000000 * kept_tokens) // total_kept AS achieved_ppm,
+       |       (1000000 * w) // w_sum AS target_ppm
+       |FROM kept CROSS JOIN tot CROSS JOIN ws""".stripMargin
+
   // ---------------- registry ----------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q298_mix_executed" -> (q298MixExecuted _),
     "q297_term_churn" -> (q297TermChurn _),
     "q295_span_mask_plan" -> (q295SpanMaskPlan _),
     "q282_mix_rebalancer" -> (q282MixRebalancer _),
@@ -3686,6 +3738,7 @@ object ExtQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q298_mix_executed" -> q298Oracle,
     "q297_term_churn" -> q297Oracle,
     "q295_span_mask_plan" -> q295Oracle,
     "q282_mix_rebalancer" -> q282Oracle,
