@@ -3617,9 +3617,167 @@ object ExtQueries {
        |       (1000000 * w) // w_sum AS target_ppm
        |FROM kept CROSS JOIN tot CROSS JOIN ws""".stripMargin
 
+  /** q299: BPE ENCODE — q243 trains five merge rounds; this applies the
+    * learned merges to the whole corpus, corpus-wide in merge order (each
+    * merge is one `replace`, leftmost-non-overlapping — the q211/q243
+    * contract — so sequential application reproduces the trainer's end
+    * state exactly), and reports the per-source compression the learned
+    * vocabulary actually buys: chars in → symbols out → saved ppm. The
+    * train→apply loop of a tokenizer build in one oracled query.
+    *
+    * Scale shape: the trainer's one corpus scan to the word-frequency
+    * table plus five vocab-sized rounds (each winner a 1-row anchor
+    * read); encode is ONE more corpus scan with a five-deep columnar
+    * `replace` chain (codegen'd, no per-row interpretation), aggregated
+    * per source with map-side combine. Merged symbols are single
+    * private-use chars, so `length` after the chain IS the symbol count.
+    */
+  def q299BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val rounds = 5
+    var words = fanOut(documents(spark, dir))
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .localCheckpoint()
+    def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+    val merges = (0 until rounds).map { r =>
+      val sub = (0x100 + r).toChar.toString
+      val topPair = words
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"),
+          col("wc"))
+        .groupBy("pair").agg(sum(col("wc")).as("n"))
+        .orderBy(col("n").desc, col("pair").asc).limit(1)
+        .collect()(0).getString(0)
+      words = words
+        .select(expr(s"replace(w, '${esc(topPair)}', '$sub')").as("w"), col("wc"))
+        .groupBy("w").agg(sum(col("wc")).as("wc"))
+        .localCheckpoint()
+      (topPair, sub)
+    }
+    val encSql = merges.foldLeft("w") { case (acc, (pair, sub)) =>
+      s"replace($acc, '${esc(pair)}', '$sub')"
+    }
+    documents(spark, dir)
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .select(col("source"), length(col("w")).cast("long").as("before"),
+        length(expr(encSql)).cast("long").as("after"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("before")).as("chars_before"),
+        sum(col("after")).as("symbols_after"))
+      .withColumn("saved_ppm",
+        expr("(1000000 * (chars_before - symbols_after)) div chars_before"))
+  }
+
+  private def q299Oracle: String = {
+    // win1..win5 CTEs exactly as the q243 trainer oracle builds them
+    val head =
+      s"""w0 AS MATERIALIZED (
+         |  SELECT w, count(*)::BIGINT AS wc FROM (
+         |    SELECT unnest(string_split($DNorm, ' ')) AS w FROM documents)
+         |  WHERE len(w) >= 2 GROUP BY 1)""".stripMargin
+    val rounds = (1 to 5).map { r =>
+      val sub = (0x100 + r - 1).toChar
+      s"""p$r AS MATERIALIZED (
+         |  SELECT pair, sum(wc)::BIGINT AS n FROM (
+         |    SELECT unnest([substr(w, i, 2) FOR i IN range(1, len(w))]) AS pair, wc
+         |    FROM w${r - 1}) GROUP BY 1),
+         |win$r AS MATERIALIZED (SELECT pair, n FROM p$r ORDER BY n DESC, pair ASC LIMIT 1),
+         |w$r AS MATERIALIZED (
+         |  SELECT replace(w, (SELECT pair FROM win$r), '$sub') AS w,
+         |         sum(wc)::BIGINT AS wc
+         |  FROM w${r - 1} GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val enc = (1 to 5).foldLeft("w") { (acc, r) =>
+      s"replace($acc, (SELECT pair FROM win$r), '${(0x100 + r - 1).toChar}')"
+    }
+    s"""WITH $head,
+       |$rounds,
+       |tk AS (SELECT source, unnest(string_split($DNorm, ' ')) AS w FROM documents),
+       |e AS (SELECT source, len(w)::BIGINT AS before, len($enc)::BIGINT AS after
+       |      FROM tk WHERE w <> '')
+       |SELECT source, count(*)::BIGINT AS n_tokens,
+       |       sum(before)::BIGINT AS chars_before,
+       |       sum(after)::BIGINT AS symbols_after,
+       |       (1000000 * (sum(before) - sum(after))) // sum(before) AS saved_ppm
+       |FROM e GROUP BY 1""".stripMargin
+  }
+
+  /** q300: DSIR-style data selection — importance weights from hashed
+    * unigram distributions (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling"): every token hashes into one of
+    * 1024 buckets; the target distribution comes from the `src0` slice,
+    * the raw distribution from the whole corpus; a document's score is
+    * its mean per-token likelihood ratio. All arithmetic is integer —
+    * bucket probabilities in parts-per-billion with Laplace smoothing,
+    * ratios in ppm CLIPPED at 100× (importance-weight clipping, the
+    * standard variance guard) — so both engines agree bit-for-bit.
+    * Output: the top-50 selected documents.
+    *
+    * Scale shape: one exploded token scan builds raw+target bucket counts
+    * in a SINGLE aggregation (conditional sum, map-side combined); the
+    * 1024-row bucket model and its totals broadcast back onto the same
+    * token stream; per-doc agg then a bounded TakeOrderedAndProject head.
+    * The ppb-first formulation (`divide before multiply`) keeps every
+    * intermediate inside 64 bits at 100 TB token counts, and the 100×
+    * clip bounds a document's sum at n_tok·10⁸.
+    */
+  def q300DsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val toks = fanOut(documents(spark, dir))
+      .select(col("doc_id"), col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .withColumn("b", Dedup.baseHash(col("term")) % 1024)
+    val buckets = toks.groupBy("b").agg(
+      count(lit(1)).as("cnt_r"),
+      sum(when(col("source") === "src0", 1L).otherwise(0L)).as("cnt_t"))
+    // corpus totals as an empty-frame window over the ≤1024-row bucket
+    // contraction — bounded by construction, and it keeps the model build
+    // at ONE corpus scan (a separate .agg would re-execute the lineage)
+    val w = Window.partitionBy()
+    val rated = buckets
+      .withColumn("tot_r", sum(col("cnt_r")).over(w))
+      .withColumn("tot_t", sum(col("cnt_t")).over(w))
+      .select(col("b"),
+      expr("""least(
+              |  (1000000 * greatest((1000000000 * (cnt_t + 1)) div (tot_t + 1024), 1))
+              |    div greatest((1000000000 * (cnt_r + 1)) div (tot_r + 1024), 1),
+              |  100000000)""".stripMargin).as("ratio_ppm"))
+    toks.join(broadcast(rated), "b")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_tok"), sum(col("ratio_ppm")).as("ratio_sum"))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        expr("ratio_sum div n_tok").as("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("doc_id").asc).limit(50)
+  }
+
+  private val q300Oracle =
+    s"""WITH tk AS (SELECT doc_id, source, unnest(string_split($DNorm, ' ')) AS term
+       |            FROM documents),
+       |t2 AS (SELECT doc_id, source, term,
+       |         ('0x' || substr(md5(term), 1, 15))::BIGINT % 1024 AS b
+       |       FROM tk WHERE term <> ''),
+       |bk AS (SELECT b, count(*)::BIGINT AS cnt_r,
+       |         sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)::BIGINT AS cnt_t
+       |       FROM t2 GROUP BY 1),
+       |tot AS (SELECT sum(cnt_r)::BIGINT AS tot_r, sum(cnt_t)::BIGINT AS tot_t FROM bk),
+       |r AS (SELECT b,
+       |        least((1000000 * greatest((1000000000 * (cnt_t + 1)) // (tot_t + 1024), 1))
+       |                // greatest((1000000000 * (cnt_r + 1)) // (tot_r + 1024), 1),
+       |              100000000)::BIGINT AS ratio_ppm
+       |      FROM bk CROSS JOIN tot),
+       |d AS (SELECT doc_id, source, count(*)::BIGINT AS n_tok,
+       |        sum(ratio_ppm)::BIGINT AS ratio_sum
+       |      FROM t2 JOIN r USING (b) GROUP BY 1, 2)
+       |SELECT doc_id, source, n_tok, (ratio_sum // n_tok)::BIGINT AS score_ppm
+       |FROM d ORDER BY score_ppm DESC, doc_id ASC LIMIT 50""".stripMargin
+
   // ---------------- registry ----------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q300_dsir_select" -> (q300DsirSelect _),
+    "q299_bpe_encode" -> (q299BpeEncode _),
     "q298_mix_executed" -> (q298MixExecuted _),
     "q297_term_churn" -> (q297TermChurn _),
     "q295_span_mask_plan" -> (q295SpanMaskPlan _),
@@ -3738,6 +3896,8 @@ object ExtQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q300_dsir_select" -> q300Oracle,
+    "q299_bpe_encode" -> q299Oracle,
     "q298_mix_executed" -> q298Oracle,
     "q297_term_churn" -> q297Oracle,
     "q295_span_mask_plan" -> q295Oracle,

@@ -632,4 +632,31 @@ class PlanSpec extends SparkSpec {
         s"centroid scoring should be a broadcast model join:\n$plan")
     }
   }
+
+  test("q299 encode pass: columnar replace chain, two-phase per-source agg") {
+    val plan = planOf(graft.ext.ExtQueries.q299BpeEncode(spark, Sf0001))
+    // the five-merge chain must stay a scalar expression over the exploded
+    // tokens — no join against a merges table, no per-row interpretation
+    assert(!plan.contains("Join"), s"encode must not join a merge table:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"per-source totals must partial-aggregate map-side:\n$plan")
+    assert("Exchange hashpartitioning\\(source".r.findAllIn(plan).size == 1,
+      s"encode should cost exactly one source exchange:\n$plan")
+  }
+
+  test("q300 DSIR: bucket model broadcasts back onto the token stream; bounded head") {
+    val plan = planOf(graft.ext.ExtQueries.q300DsirSelect(spark, Sf0001))
+    // the 1024-row ratio model must ride a broadcast, never shuffle the
+    // token stream by bucket
+    assert(plan.contains("BroadcastHashJoin"),
+      s"ratio model must broadcast-join the token stream:\n$plan")
+    // exactly one bucket-id exchange: the model build's combined partials
+    // (≤1024 rows per map task) — the probe-side token stream itself must
+    // never shuffle on b, and totals must come from the bucket contraction,
+    // not a second corpus scan
+    assert("Exchange hashpartitioning\\(b[,#]".r.findAllIn(plan).size == 1,
+      s"only the model build may exchange on bucket id:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-50 must run as the bounded heap:\n$plan")
+  }
 }
