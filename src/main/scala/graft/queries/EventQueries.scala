@@ -4004,7 +4004,74 @@ object EventQueries {
       |SELECT event_type, n_deleted, n_rows_after, n_users_after
       |FROM d CROSS JOIN p""".stripMargin
 
+  /** q301: the TWELFTH streaming gate — `transformWithState`, Spark 4's
+    * arbitrary-state v2 API ([[graft.streaming.CdcStream.runningTotals]]).
+    * The events table splits by `event_id` parity into two mtime-ordered
+    * files (one per trigger), so EVERY user's lifetime totals accumulate
+    * across two micro-batches — the cross-batch `ValueState` round trip is
+    * what the gate proves, on the RocksDB provider the API requires. Each
+    * batch appends cumulative rows; `max` per user collapses them to the
+    * lifetime totals, which must land exactly on the batch
+    * count/max-timestamp aggregate (the oracle). Replay after failure only
+    * re-appends rows the max already absorbs — idempotent by construction.
+    */
+  def q301StreamTws(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val inDir = stagedInput("q301", dir) { in =>
+      def stage(parity: Long, name: String): java.nio.file.Path = {
+        val tmp = Scratch.stableDir("q301-tmp-" + Scratch.md5Hex(s"$dir|$parity"))
+        events(spark, dir).filter(col("event_id") % 2 === parity)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+        java.nio.file.Files.copy(part.toPath, in.resolve(name))
+      }
+      val first = stage(0L, "a_even.parquet")
+      val second = stage(1L, "b_odd.parquet")
+      java.nio.file.Files.setLastModifiedTime(second,
+        java.nio.file.attribute.FileTime.fromMillis(
+          java.nio.file.Files.getLastModifiedTime(first).toMillis + 10000))
+    }
+    val work = Scratch.stableDir("q301")
+    val schema = events(spark, dir).schema
+    // transformWithState REQUIRES the RocksDB provider; set it for this
+    // query and restore after (the other gates are provider-agnostic —
+    // CdcStreamSpec proves identical semantics under both)
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+        .select(col("user_id"), tsUs.as("ts_us"))
+        .as[graft.streaming.CdcStream.Ev]
+      val query = graft.streaming.CdcStream.runningTotals(stream)
+        .writeStream
+        .format("parquet")
+        .option("path", s"$work/out")
+        .option("checkpointLocation", s"$work/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    } finally prevProv match {
+      case Some(p) => spark.conf.set(provKey, p)
+      case None => spark.conf.unset(provKey)
+    }
+    spark.read.parquet(s"$work/out")
+      .groupBy("user_id")
+      .agg(max(col("n_events")).as("n_events"),
+        max(col("last_ts_us")).as("last_ts_us"))
+  }
+
+  private val q301Oracle =
+    """SELECT user_id, count(*)::BIGINT AS n_events,
+      |       max(epoch_us(ts))::BIGINT AS last_ts_us
+      |FROM events GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q301_stream_tws" -> (q301StreamTws _),
     "q293_null_ordering" -> (q293NullOrdering _),
     "q294_forget_audit" -> (q294ForgetAudit _),
     "q292_stream_bitmap" -> (q292StreamBitmap _),
@@ -4111,6 +4178,8 @@ object EventQueries {
   val oracleSql: Map[String, String] = Map(
     "q293_null_ordering" -> q293Oracle,
     "q294_forget_audit" -> q294Oracle,
+    // the transformWithState totals must land exactly on the batch aggregate
+    "q301_stream_tws" -> q301Oracle,
     // the streamed bitmap must land exactly on the one-shot batch bitmap
     "q292_stream_bitmap" -> q280Oracle,
     "q287_bounce_rate" -> q287Oracle,

@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 import graft.engine.{CdcFilter, VersionedCatalog}
 import graft.engine.JobSpec.DataType
@@ -486,5 +487,50 @@ object CdcStream {
             }
           }
       }
+  }
+
+  final case class UserTotal(user_id: Long, n_events: Long, last_ts_us: Long)
+
+  /** Arbitrary-state v2 processor for [[runningTotals]]: per-user lifetime
+    * event count + last-seen timestamp in a single `ValueState` slot,
+    * emitting the CUMULATIVE totals for every user touched by the batch.
+    * The `StatefulProcessor` API (Spark 4's `transformWithState`) replaces
+    * `GroupState` with named, individually-evolvable state variables behind
+    * a handle — this gate pins the engine's integration with it.
+    *
+    * State is per-user O(1) (two longs); no timers — totals are lifetime
+    * aggregates, eviction would change the answer. `TTLConfig.NONE` says so
+    * explicitly. At 100 TB keyspace the RocksDB provider (REQUIRED by
+    * `transformWithState`) keeps the map off-heap and changelog-checkpointed.
+    */
+  class RunningTotalsProcessor
+      extends StatefulProcessor[Long, Ev, UserTotal] {
+    @transient private var totals: ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Long)](
+        "totals", Encoders.product[(Long, Long)], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timers: TimerValues): Iterator[UserTotal] = {
+      val (c0, m0) = if (totals.exists()) totals.get() else (0L, Long.MinValue)
+      var c = c0
+      var m = m0
+      rows.foreach { e => c += 1; if (e.ts_us > m) m = e.ts_us }
+      totals.update((c, m))
+      Iterator.single(UserTotal(key, c, m))
+    }
+  }
+
+  /** Streaming per-user lifetime totals via `transformWithState` — the
+    * twelfth gate's transform. Each micro-batch appends one cumulative row
+    * per user WITH data in that batch, so the latest row per user (max
+    * count) is the lifetime total; replay after failure only re-appends
+    * rows the max-aggregation already absorbs — idempotent by construction,
+    * the q292 contract carried onto the v2 state API.
+    */
+  def runningTotals(events: Dataset[Ev]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor, TimeMode.None(), OutputMode.Append())
   }
 }

@@ -231,6 +231,37 @@ class CdcStreamSpec extends SparkSpec with BeforeAndAfterAll with TimeLimits {
     } finally query.stop()
   }
 
+  stest("transformWithState running totals accumulate across micro-batches (v2 state API)") {
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(confKey)
+    // transformWithState refuses the default HDFS-backed provider
+    spark.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[CdcStream.Ev](spark)
+      val totals = CdcStream.runningTotals(input.toDS())
+      val query = totals.writeStream
+        .format("memory").queryName("tws_totals").outputMode("append").start()
+      try {
+        input.addData(CdcStream.Ev(1L, 100L), CdcStream.Ev(1L, 50L), CdcStream.Ev(2L, 10L))
+        query.processAllAvailable()
+        input.addData(CdcStream.Ev(1L, 70L))
+        query.processAllAvailable()
+        val out = spark.sql("SELECT user_id, n_events, last_ts_us FROM tws_totals")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(out === Set(
+          (1L, 2L, 100L), // batch-1 cumulative
+          (2L, 1L, 10L),
+          // batch 2: the count continues from ValueState across the batch
+          // boundary; the running max keeps 100 (70 arrived late)
+          (1L, 3L, 100L)))
+      } finally query.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set(confKey, p)
+      case None => spark.conf.unset(confKey)
+    }
+  }
+
   /** One compact pass over the three stateful-operator families (dedup
     * state, windowed-agg state, flatMapGroupsWithState keyed state) under a
     * given state-store provider. The operators never touch the provider API,
