@@ -4070,8 +4070,167 @@ object EventQueries {
       |       max(epoch_us(ts))::BIGINT AS last_ts_us
       |FROM events GROUP BY 1""".stripMargin
 
+  /** q302: t-closeness audit — the third rung of the privacy ladder.
+    * q185 bounds group SIZE (k-anonymity), q217 bounds distinct sensitive
+    * VALUES (l-diversity); t-closeness bounds how far a cell's sensitive
+    * DISTRIBUTION may drift from the corpus-wide one (Li et al., ICDE
+    * 2007) — a 50-user cell with 3 distinct values still leaks if 96 % of
+    * it is one value. Per (dow, hour) QI cell, two distances in integer
+    * ppm: total-variation for the categorical attribute (event_type,
+    * `Σ|p_cell − p_global| div 2`) and the ordered earth-mover's distance
+    * for spend deciles (`Σ|cumΔ| div (m−1)` over 10 cents-buckets —
+    * ground distance 1 between neighbors), flagged at t = 0.2.
+    *
+    * Scale shape: ONE corpus scan to the (cell × type × bucket)
+    * contraction (≤ 168·|types|·10 rows, map-side combined, pinned with
+    * `localCheckpoint` so the four marginals don't re-scan the corpus);
+    * everything after is contraction-sized — broadcast global marginals,
+    * an empty-frame window for totals, per-cell windows for the EMD
+    * cumsum. Absent (cell, value) pairs contribute |0 − p_global| via the
+    * cells × values grid, never silently dropped. Probabilities are
+    * ppm-first (divide before compare) so intermediates stay in 64 bits
+    * at any corpus size.
+    */
+  def q302TCloseness(spark: SparkSession, dir: String): DataFrame = {
+    val base = events(spark, dir)
+      .withColumn("dow", expr("(ts div 1000 div 86400000000) % 7"))
+      .withColumn("hour", expr("(ts div 1000 div 3600000000) % 24"))
+      .withColumn("bkt", least(expr("floor(value * 100) div 5000"), lit(9L)))
+      .groupBy("dow", "hour", "event_type", "bkt")
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val wAll = Window.partitionBy()
+    val cells = base.groupBy("dow", "hour").agg(sum(col("n")).as("n_cell"))
+    val gType = base.groupBy("event_type").agg(sum(col("n")).as("g_n"))
+      .withColumn("g_tot", sum(col("g_n")).over(wAll))
+    val cType = base.groupBy("dow", "hour", "event_type").agg(sum(col("n")).as("c_n"))
+    val tvd = cells.crossJoin(broadcast(gType))
+      .join(cType, Seq("dow", "hour", "event_type"), "left")
+      .na.fill(0L, Seq("c_n"))
+      .withColumn("diff",
+        abs(expr("(1000000 * c_n) div n_cell - (1000000 * g_n) div g_tot")))
+      .groupBy("dow", "hour")
+      .agg(expr("sum(diff) div 2").as("tvd_type_ppm"))
+    val gBkt = base.groupBy("bkt").agg(sum(col("n")).as("g_n"))
+      .withColumn("g_tot", sum(col("g_n")).over(wAll))
+    val cBkt = base.groupBy("dow", "hour", "bkt").agg(sum(col("n")).as("c_n"))
+    val wCum = Window.partitionBy("dow", "hour").orderBy(col("bkt").asc)
+    val emd = cells.crossJoin(broadcast(gBkt))
+      .join(cBkt, Seq("dow", "hour", "bkt"), "left")
+      .na.fill(0L, Seq("c_n"))
+      .withColumn("d",
+        expr("(1000000 * c_n) div n_cell - (1000000 * g_n) div g_tot"))
+      .withColumn("cum", sum(col("d")).over(wCum))
+      .groupBy("dow", "hour")
+      .agg(expr("sum(abs(cum)) div 9").as("emd_spend_ppm"))
+    cells.join(tvd, Seq("dow", "hour")).join(emd, Seq("dow", "hour"))
+      .withColumn("flagged",
+        (greatest(col("tvd_type_ppm"), col("emd_spend_ppm")) > 200000).cast("long"))
+  }
+
+  private val q302Oracle =
+    """WITH b AS (
+      |  SELECT epoch_us(ts) // 86400000000 % 7 AS dow,
+      |         epoch_us(ts) // 3600000000 % 24 AS hour,
+      |         event_type,
+      |         least(floor(value * 100)::BIGINT // 5000, 9) AS bkt,
+      |         count(*)::BIGINT AS n
+      |  FROM events GROUP BY 1, 2, 3, 4),
+      |cells AS (SELECT dow, hour, sum(n)::BIGINT AS n_cell FROM b GROUP BY 1, 2),
+      |gt AS (SELECT event_type, sum(n)::BIGINT AS g_n FROM b GROUP BY 1),
+      |gtt AS (SELECT event_type, g_n, (SELECT sum(g_n) FROM gt)::BIGINT AS g_tot FROM gt),
+      |ct AS (SELECT dow, hour, event_type, sum(n)::BIGINT AS c_n FROM b GROUP BY 1, 2, 3),
+      |tvd AS (
+      |  SELECT dow, hour,
+      |         sum(abs((1000000 * coalesce(c_n, 0)) // n_cell
+      |                 - (1000000 * g_n) // g_tot)) // 2 AS tvd_type_ppm
+      |  FROM cells CROSS JOIN gtt
+      |  LEFT JOIN ct USING (dow, hour, event_type)
+      |  GROUP BY 1, 2),
+      |gb AS (SELECT bkt, sum(n)::BIGINT AS g_n FROM b GROUP BY 1),
+      |gbt AS (SELECT bkt, g_n, (SELECT sum(g_n) FROM gb)::BIGINT AS g_tot FROM gb),
+      |cb AS (SELECT dow, hour, bkt, sum(n)::BIGINT AS c_n FROM b GROUP BY 1, 2, 3),
+      |dgrid AS (
+      |  SELECT dow, hour, bkt,
+      |         (1000000 * coalesce(c_n, 0)) // n_cell - (1000000 * g_n) // g_tot AS d
+      |  FROM cells CROSS JOIN gbt
+      |  LEFT JOIN cb USING (dow, hour, bkt)),
+      |cum AS (
+      |  SELECT dow, hour,
+      |         sum(d) OVER (PARTITION BY dow, hour ORDER BY bkt ASC
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      |  FROM dgrid),
+      |emd AS (SELECT dow, hour, sum(abs(c)) // 9 AS emd_spend_ppm FROM cum GROUP BY 1, 2)
+      |SELECT dow, hour, n_cell,
+      |       tvd_type_ppm::BIGINT AS tvd_type_ppm,
+      |       emd_spend_ppm::BIGINT AS emd_spend_ppm,
+      |       (greatest(tvd_type_ppm, emd_spend_ppm) > 200000)::BIGINT AS flagged
+      |FROM cells JOIN tvd USING (dow, hour) JOIN emd USING (dow, hour)""".stripMargin
+
+  /** Poisson(1) CDF thresholds in ppm — the inverse-CDF lookup both the
+    * Spark CASE chain and the DuckDB oracle are generated from, so the
+    * bootstrap weights are the identical integers on both engines.
+    * P(X ≤ k) · 10⁶ for k = 0..8; u ≥ the last threshold draws weight 9.
+    */
+  private val PoissonPpm =
+    Seq(367879L, 735759L, 919699L, 981012L, 996340L, 999406L, 999917L, 999990L, 999999L)
+
+  private def poissonWeightSql(u: String): String =
+    PoissonPpm.zipWithIndex
+      .map { case (t, k) => s"WHEN $u < $t THEN $k" }
+      .mkString("CASE ", " ", s" ELSE ${PoissonPpm.size} END")
+
+  /** q303: Poisson bootstrap — the standard-error machinery that actually
+    * scales (Chamandy et al., "Estimating uncertainty for massive data
+    * streams", Google 2012): classical bootstrap resampling needs n draws
+    * WITH replacement per replica (a shuffle per replica); the Poisson
+    * approximation gives each row an independent Poisson(1) weight per
+    * replica instead, so ALL B replicas ride one scan. Weights are
+    * DETERMINISTIC — `u = md5(event_id | replica) mod 10⁶` through the
+    * shared inverse-CDF threshold chain [[PoissonPpm]] — so both engines
+    * draw bit-identical resamples: the replica spread (here B = 16 means
+    * of purchase cents, in integer ppm) IS the sampling distribution of
+    * the mean, no RNG, no oracle tolerance.
+    *
+    * Scale shape: one corpus scan, a 16-way generator explode inside
+    * codegen, map-side-combined aggregation straight to 16 rows. No
+    * shuffle wider than 16 groups; every arithmetic step is BIGINT.
+    */
+  def q303PoissonBootstrap(spark: SparkSession, dir: String): DataFrame = {
+    val u = "conv(substring(md5(concat(cast(event_id AS string), '|', " +
+      "cast(replica AS string))), 1, 15), 16, 10) % 1000000"
+    events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .withColumn("cents", floor(col("value") * 100).cast("long"))
+      .withColumn("replica", explode(expr("sequence(0, 15)")))
+      .withColumn("w", expr(poissonWeightSql(u)).cast("long"))
+      .groupBy("replica")
+      .agg(sum(col("w")).as("n_eff"), sum(expr("w * cents")).as("sum_cents"))
+      .withColumn("mean_cents_ppm", expr("(1000000 * sum_cents) div n_eff"))
+      .select(col("replica").cast("long").as("replica"), col("n_eff"),
+        col("sum_cents"), col("mean_cents_ppm"))
+  }
+
+  private val q303Oracle = {
+    val u = "('0x' || substr(md5(event_id::VARCHAR || '|' || replica::VARCHAR), 1, 15))" +
+      "::BIGINT % 1000000"
+    s"""WITH p AS (SELECT event_id, floor(value * 100)::BIGINT AS cents
+       |           FROM events WHERE event_type = 'purchase'),
+       |r AS (SELECT unnest(range(0, 16)) AS replica),
+       |x AS (SELECT replica, cents, ${poissonWeightSql(u)}::BIGINT AS w
+       |      FROM p CROSS JOIN r),
+       |g AS (SELECT replica, sum(w)::BIGINT AS n_eff,
+       |             sum(w * cents)::BIGINT AS sum_cents
+       |      FROM x GROUP BY 1)
+       |SELECT replica::BIGINT AS replica, n_eff, sum_cents,
+       |       (1000000 * sum_cents) // n_eff AS mean_cents_ppm
+       |FROM g""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q303_poisson_bootstrap" -> (q303PoissonBootstrap _),
     "q301_stream_tws" -> (q301StreamTws _),
+    "q302_t_closeness" -> (q302TCloseness _),
     "q293_null_ordering" -> (q293NullOrdering _),
     "q294_forget_audit" -> (q294ForgetAudit _),
     "q292_stream_bitmap" -> (q292StreamBitmap _),
@@ -4180,6 +4339,8 @@ object EventQueries {
     "q294_forget_audit" -> q294Oracle,
     // the transformWithState totals must land exactly on the batch aggregate
     "q301_stream_tws" -> q301Oracle,
+    "q302_t_closeness" -> q302Oracle,
+    "q303_poisson_bootstrap" -> q303Oracle,
     // the streamed bitmap must land exactly on the one-shot batch bitmap
     "q292_stream_bitmap" -> q280Oracle,
     "q287_bounce_rate" -> q287Oracle,
