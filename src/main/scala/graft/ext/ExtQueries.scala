@@ -3773,9 +3773,234 @@ object ExtQueries {
        |SELECT doc_id, source, n_tok, (ratio_sum // n_tok)::BIGINT AS score_ppm
        |FROM d ORDER BY score_ppm DESC, doc_id ASC LIMIT 50""".stripMargin
 
+  /** q304: hybrid search — reciprocal-rank fusion (Cormack et al., SIGIR
+    * 2009) of a lexical and a vector arm, the shape every modern RAG
+    * retrieval stack runs: BM25 top-50 (q226's scorer, ranked on the
+    * ROUNDED score so float summation order can't reorder engines) fused
+    * with cosine top-50 against the `vec_id = 0` query embedding
+    * (`RRF = Σ 10⁶ div (60 + rank)`, integer so fusion is exact), top-20
+    * out. Documents present in only one arm keep the other arm's
+    * contribution at 0 — the full-outer union of the two rank lists.
+    *
+    * Scale shape: each arm ends in a bounded top-50 cut
+    * (TakeOrderedAndProject / the collectTopK heap); the rank assignment
+    * and fusion run on ≤100 rows. The corpus is scanned once per arm.
+    */
+  def q304HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val text = TextAnalysis.bm25Score(fanOut(documents(spark, dir)),
+      queryTerms = Seq("spark", "shuffle", "window"))
+      .withColumn("bm", round(col("bm25"), 4))
+    val tRank = text.orderBy(col("bm").desc, col("doc_id").asc).limit(50)
+      .withColumn("rank_text",
+        row_number().over(Window.orderBy(col("bm").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("rank_text"))
+    val e = fanOut(embeddings(spark, dir))
+    val vRank = Similarity.bruteForceTopK(e, e.filter(col("vec_id") === 0), k = 50)
+      .select(col("vec_id").as("doc_id"), col("rank").as("rank_vec"))
+    tRank.join(vRank, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_ppm",
+        expr("coalesce(1000000 div (60 + rank_text), 0)" +
+          " + coalesce(1000000 div (60 + rank_vec), 0)"))
+      .orderBy(col("rrf_ppm").desc, col("doc_id").asc).limit(20)
+      .select("doc_id", "rank_text", "rank_vec", "rrf_ppm")
+  }
+
+  private val q304Oracle =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split($DNorm, ' ')) AS term
+       |              FROM documents),
+       |t AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+       |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM t GROUP BY 1),
+       |a AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM dl),
+       |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM t
+       |       WHERE term IN ('spark', 'shuffle', 'window') GROUP BY 1, 2),
+       |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+       |w AS (SELECT tf.doc_id,
+       |        ln((n_docs::DOUBLE - df + 0.5) / (df + 0.5) + 1.0)
+       |          * (tf * (1.2 + 1.0))
+       |          / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sum_dl::DOUBLE / n_docs))) AS w
+       |      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN a),
+       |bm AS (SELECT doc_id, round(sum(w), 4) AS bm FROM w GROUP BY 1),
+       |tr AS (SELECT doc_id,
+       |         row_number() OVER (ORDER BY bm DESC, doc_id ASC) AS rank_text
+       |       FROM bm ORDER BY bm DESC, doc_id ASC LIMIT 50),
+       |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+       |s AS (SELECT vec_id,
+       |        list_dot_product(qv, embedding::DOUBLE[])
+       |          / (sqrt(list_dot_product(qv, qv))
+       |             * sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS sc
+       |      FROM embeddings CROSS JOIN q WHERE vec_id <> 0),
+       |vr AS (SELECT vec_id AS doc_id,
+       |         row_number() OVER (ORDER BY sc DESC, vec_id ASC) AS rank_vec
+       |       FROM s ORDER BY sc DESC, vec_id ASC LIMIT 50),
+       |f AS (SELECT doc_id, rank_text, rank_vec,
+       |        coalesce(1000000 // (60 + rank_text), 0)
+       |          + coalesce(1000000 // (60 + rank_vec), 0) AS rrf_ppm
+       |      FROM tr FULL OUTER JOIN vr USING (doc_id))
+       |SELECT doc_id, rank_text, rank_vec, rrf_ppm
+       |FROM f ORDER BY rrf_ppm DESC, doc_id ASC LIMIT 20""".stripMargin
+
+  /** Ideal DCG@10 for graded relevance 10..1 — one shared double literal
+    * inlined into BOTH engines' SQL so the normalization constant cannot
+    * drift between them.
+    */
+  private val Idcg10: Double =
+    (1 to 10).map(r => (11.0 - r) / (math.log(r + 1.0) / math.log(2.0))).sum
+
+  /** q305: rank-quality metrics of a compressed index — NDCG@10 and MRR of
+    * the SQ8 asymmetric-distance ranking against the exact ranking, the
+    * IR-evaluation harness every retrieval stack needs next to its recall
+    * gates (q31/q32): recall says WHETHER the true neighbors surface, NDCG
+    * says how well their ORDER survives quantization, MRR how deep the
+    * first true hit sits. Relevance is graded from the exact arm
+    * (rel = 11 − exact_rank for the top-10); the approx arm ranks by
+    * cosine against the SQ8-RECONSTRUCTED corpus (`mn + c·(mx−mn)/255` —
+    * the asymmetric scheme: raw query, quantized corpus). MRR in integer
+    * ppm; DCG normalized by the shared [[Idcg10]] literal and rounded to
+    * 4 decimals (sums of ≤10 doubles — rounding absorbs association
+    * order).
+    *
+    * Scale shape: two broadcast-query brute-force passes ending in
+    * bounded collectTopK heaps; metric aggregation on ≤80 rows.
+    */
+  def q305RankMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val e = fanOut(embeddings(spark, dir))
+    val q = e.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(e, q, k = 10)
+      .select(col("q_id"), col("vec_id"), (lit(11) - col("rank")).as("rel"))
+    val recon = e
+      .select(col("vec_id"), Similarity.sq8(col("embedding")).as("qz"))
+      .select(col("vec_id"),
+        expr("transform(qz.codes, c -> qz.mn + c * (qz.mx - qz.mn) / 255.0)")
+          .as("embedding"))
+    val approx = Similarity.bruteForceTopK(recon,
+      q.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")),
+      k = 10)
+    approx.select(col("q_id"), col("vec_id"), col("rank").as("apx_rank"))
+      .join(exact, Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(
+        count(col("rel")).as("n_hits"),
+        coalesce(
+          expr("1000000 div min(CASE WHEN rel IS NOT NULL THEN apx_rank END)"),
+          lit(0L)).as("mrr_ppm"),
+        round(
+          expr("sum(CASE WHEN rel IS NOT NULL THEN rel / log2(apx_rank + 1) ELSE 0.0 END)")
+            / lit(Idcg10), 4).as("ndcg_4"))
+  }
+
+  private def q305Oracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+       |sx AS (SELECT q_id, vec_id,
+       |         list_dot_product(qv, v)
+       |           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS sc
+       |       FROM e JOIN q ON vec_id <> q_id),
+       |ex AS (SELECT q_id, vec_id, 11 - rk AS rel FROM (
+       |         SELECT q_id, vec_id,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY sc DESC, vec_id ASC) AS rk
+       |         FROM sx) WHERE rk <= 10),
+       |rc AS (SELECT vec_id, list_min(v) AS mn, list_max(v) AS mx,
+       |         list_transform(v, x -> CASE WHEN list_max(v) = list_min(v) THEN 0
+       |           ELSE least(floor((x - list_min(v)) * 255.0 / (list_max(v) - list_min(v))),
+       |                      255.0)::INT END) AS codes
+       |       FROM e),
+       |rv AS (SELECT vec_id,
+       |         list_transform(codes, c -> mn + c * (mx - mn) / 255.0) AS v2
+       |       FROM rc),
+       |sa AS (SELECT q_id, vec_id,
+       |         list_dot_product(qv, v2)
+       |           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v2, v2))) AS sc
+       |       FROM rv JOIN q ON vec_id <> q_id),
+       |ap AS (SELECT q_id, vec_id, rk AS apx_rank FROM (
+       |         SELECT q_id, vec_id,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY sc DESC, vec_id ASC) AS rk
+       |         FROM sa) WHERE rk <= 10),
+       |j AS (SELECT ap.q_id, ap.apx_rank, ex.rel
+       |      FROM ap LEFT JOIN ex ON ap.q_id = ex.q_id AND ap.vec_id = ex.vec_id)
+       |SELECT q_id, count(rel)::BIGINT AS n_hits,
+       |       coalesce(1000000 // min(CASE WHEN rel IS NOT NULL THEN apx_rank END),
+       |                0)::BIGINT AS mrr_ppm,
+       |       round(sum(CASE WHEN rel IS NOT NULL
+       |                      THEN rel / log2(apx_rank + 1) ELSE 0.0 END) / $Idcg10,
+       |             4) AS ndcg_4
+       |FROM j GROUP BY 1""".stripMargin
+
+  /** q306: classifier evaluation — confusion-marginal precision / recall /
+    * F1 per class for the q77 kNN classifier run leave-one-out over the
+    * WHOLE labeled corpus (self excluded by the knn join), in integer ppm:
+    * the model-QA report that closes the loop on the classify tier the
+    * same way q305 closes it on the retrieval tier. Zero-prediction and
+    * zero-support classes are guarded to 0 explicitly (an integer
+    * `div 0` would error on the oracle engine, null on Spark — the guard
+    * pins one behavior).
+    *
+    * Scale shape: the knn pass is the broadcast-query brute-force tier
+    * (queries = the labeled evaluation batch — model-sized by contract);
+    * everything after is a |labels|-row contraction.
+    */
+  def q306ClassifierEval(spark: SparkSession, dir: String): DataFrame = {
+    val e = fanOut(embeddings(spark, dir))
+    val pred = Similarity.knnClassify(e, e, k = 5)
+    val byTrue = pred.groupBy(col("true_label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_true"), sum(col("correct").cast("long")).as("tp"))
+    val byPred = pred.groupBy(col("pred_label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_pred"))
+    byTrue.join(byPred, Seq("label"), "full_outer")
+      .na.fill(0L, Seq("n_true", "tp", "n_pred"))
+      .withColumn("precision_ppm",
+        expr("CASE WHEN n_pred = 0 THEN 0 ELSE (1000000 * tp) div n_pred END"))
+      .withColumn("recall_ppm",
+        expr("CASE WHEN n_true = 0 THEN 0 ELSE (1000000 * tp) div n_true END"))
+      .withColumn("f1_ppm",
+        expr("CASE WHEN precision_ppm + recall_ppm = 0 THEN 0" +
+          " ELSE (2 * precision_ppm * recall_ppm) div (precision_ppm + recall_ppm) END"))
+  }
+
+  private val q306Oracle =
+    """WITH q AS (SELECT vec_id AS q_id, label AS true_label,
+      |                  embedding::DOUBLE[] AS qv FROM embeddings),
+      |c AS (SELECT vec_id, label, embedding::DOUBLE[] AS cv FROM embeddings),
+      |s AS (SELECT q_id, true_label, vec_id, c.label AS lab,
+      |        list_dot_product(qv, cv)
+      |          / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sc
+      |      FROM q JOIN c ON vec_id <> q_id),
+      |r AS (SELECT q_id, true_label, lab,
+      |        row_number() OVER (PARTITION BY q_id ORDER BY sc DESC, vec_id ASC) AS rk
+      |      FROM s),
+      |v AS (SELECT q_id, true_label, lab, count(*)::BIGINT AS votes
+      |      FROM r WHERE rk <= 5 GROUP BY 1, 2, 3),
+      |p AS (SELECT q_id, true_label, lab AS pred_label FROM (
+      |        SELECT q_id, true_label, lab,
+      |          row_number() OVER (PARTITION BY q_id
+      |                             ORDER BY votes DESC, lab ASC) AS rn
+      |        FROM v) WHERE rn = 1),
+      |bt AS (SELECT true_label AS label, count(*)::BIGINT AS n_true,
+      |         sum((pred_label = true_label)::BIGINT)::BIGINT AS tp
+      |       FROM p GROUP BY 1),
+      |bp AS (SELECT pred_label AS label, count(*)::BIGINT AS n_pred
+      |       FROM p GROUP BY 1),
+      |m AS (SELECT label::BIGINT AS label,
+      |        coalesce(n_true, 0)::BIGINT AS n_true, coalesce(tp, 0)::BIGINT AS tp,
+      |        coalesce(n_pred, 0)::BIGINT AS n_pred
+      |      FROM bt FULL OUTER JOIN bp USING (label)),
+      |x AS (SELECT label, n_true, tp, n_pred,
+      |        CASE WHEN n_pred = 0 THEN 0
+      |             ELSE (1000000 * tp) // n_pred END::BIGINT AS precision_ppm,
+      |        CASE WHEN n_true = 0 THEN 0
+      |             ELSE (1000000 * tp) // n_true END::BIGINT AS recall_ppm
+      |      FROM m)
+      |SELECT label, n_true, tp, n_pred, precision_ppm, recall_ppm,
+      |       CASE WHEN precision_ppm + recall_ppm = 0 THEN 0
+      |            ELSE (2 * precision_ppm * recall_ppm)
+      |                   // (precision_ppm + recall_ppm) END::BIGINT AS f1_ppm
+      |FROM x""".stripMargin
+
   // ---------------- registry ----------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q306_classifier_eval" -> (q306ClassifierEval _),
+    "q305_rank_metrics" -> (q305RankMetrics _),
+    "q304_hybrid_rrf" -> (q304HybridRrf _),
     "q300_dsir_select" -> (q300DsirSelect _),
     "q299_bpe_encode" -> (q299BpeEncode _),
     "q298_mix_executed" -> (q298MixExecuted _),
@@ -3896,6 +4121,9 @@ object ExtQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q306_classifier_eval" -> q306Oracle,
+    "q305_rank_metrics" -> q305Oracle,
+    "q304_hybrid_rrf" -> q304Oracle,
     "q300_dsir_select" -> q300Oracle,
     "q299_bpe_encode" -> q299Oracle,
     "q298_mix_executed" -> q298Oracle,
