@@ -3995,9 +3995,126 @@ object ExtQueries {
       |                   // (precision_ppm + recall_ppm) END::BIGINT AS f1_ppm
       |FROM x""".stripMargin
 
+  /** q307: calibration / reliability report with ECE — the q306 companion
+    * every scored classifier needs: the kNN vote share IS a confidence
+    * (votes/k), so per confidence level the report lays empirical accuracy
+    * beside stated confidence (both integer ppm) and rolls the expected
+    * calibration error up as the n-weighted absolute gap — all on the
+    * |k| = 5-row contraction of the leave-one-out predictions. An
+    * over-confident tier shows up as conf ≫ acc on its own row rather
+    * than hiding inside one corpus-wide accuracy number.
+    */
+  def q307Calibration(spark: SparkSession, dir: String): DataFrame = {
+    val e = fanOut(embeddings(spark, dir))
+    val pred = Similarity.knnClassify(e, e, k = 5)
+    val w = Window.partitionBy()
+    pred.groupBy(col("votes"))
+      .agg(count(lit(1)).as("n"), sum(col("correct").cast("long")).as("n_correct"))
+      .withColumn("conf_ppm", expr("(1000000 * votes) div 5"))
+      .withColumn("acc_ppm", expr("(1000000 * n_correct) div n"))
+      .withColumn("gap_ppm", abs(col("acc_ppm") - col("conf_ppm")))
+      // ECE over the 5-row contraction: empty-frame window, bounded by k
+      .withColumn("ece_ppm",
+        (sum(col("n") * col("gap_ppm")).over(w) / sum(col("n")).over(w)).cast("long"))
+      .select(col("votes").cast("long").as("votes"), col("n"), col("n_correct"),
+        col("conf_ppm"), col("acc_ppm"), col("gap_ppm"), col("ece_ppm"))
+  }
+
+  private val q307Oracle =
+    """WITH q AS (SELECT vec_id AS q_id, label AS true_label,
+      |                  embedding::DOUBLE[] AS qv FROM embeddings),
+      |c AS (SELECT vec_id, label, embedding::DOUBLE[] AS cv FROM embeddings),
+      |s AS (SELECT q_id, true_label, vec_id, c.label AS lab,
+      |        list_dot_product(qv, cv)
+      |          / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sc
+      |      FROM q JOIN c ON vec_id <> q_id),
+      |r AS (SELECT q_id, true_label, lab,
+      |        row_number() OVER (PARTITION BY q_id ORDER BY sc DESC, vec_id ASC) AS rk
+      |      FROM s),
+      |v AS (SELECT q_id, true_label, lab, count(*)::BIGINT AS votes
+      |      FROM r WHERE rk <= 5 GROUP BY 1, 2, 3),
+      |p AS (SELECT q_id, votes, (lab = true_label)::BIGINT AS correct FROM (
+      |        SELECT q_id, true_label, lab, votes,
+      |          row_number() OVER (PARTITION BY q_id
+      |                             ORDER BY votes DESC, lab ASC) AS rn
+      |        FROM v) WHERE rn = 1),
+      |g AS (SELECT votes, count(*)::BIGINT AS n, sum(correct)::BIGINT AS n_correct
+      |      FROM p GROUP BY 1),
+      |t AS (SELECT sum(n)::BIGINT AS nt,
+      |             sum(n * abs((1000000 * n_correct) // n
+      |                         - (1000000 * votes) // 5))::BIGINT AS wgap
+      |      FROM g)
+      |SELECT votes, n, n_correct,
+      |       (1000000 * votes) // 5 AS conf_ppm,
+      |       (1000000 * n_correct) // n AS acc_ppm,
+      |       abs((1000000 * n_correct) // n - (1000000 * votes) // 5) AS gap_ppm,
+      |       (wgap // nt)::BIGINT AS ece_ppm
+      |FROM g CROSS JOIN t""".stripMargin
+
+  /** q308: Matryoshka truncation evaluation (Kusupati et al. 2022) — can
+    * the first 16 of 64 embedding dimensions stand in for the full vector
+    * in first-stage retrieval? Per query: recall@5 of the truncated
+    * ranking against the full-dimension top-5 (integer ppm) and the mean
+    * rank the true top-5 land at under truncation (ppm, absent → rank 51
+    * — the list-length penalty, so a lost neighbor costs a bounded,
+    * engine-exact amount). The decision report for MRL-style tiered
+    * retrieval: serve the cheap prefix, re-rank with the full vector.
+    *
+    * Scale shape: `slice` is codegen'd per row before the broadcast-query
+    * join; both arms end in bounded collectTopK heaps (truncated arm
+    * keeps top-50 so the penalty assignment is a bounded left join, never
+    * a rescan).
+    */
+  def q308MatryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = fanOut(embeddings(spark, dir))
+    val q = e.filter(col("vec_id") < 8)
+    val full = Similarity.bruteForceTopK(e, q, k = 5)
+      .select(col("q_id"), col("vec_id"))
+    val trunc16 = e.select(col("vec_id"),
+      expr("slice(embedding, 1, 16)").as("embedding"))
+    val qTrunc = q.select(col("vec_id"), expr("slice(embedding, 1, 16)").as("embedding"))
+    val apx = Similarity.bruteForceTopK(trunc16, qTrunc, k = 50)
+      .select(col("q_id"), col("vec_id"), col("rank").as("t_rank"))
+    full.join(apx, Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(
+        expr("(1000000 * sum(CASE WHEN t_rank <= 5 THEN 1 ELSE 0 END)) div 5")
+          .as("recall5_ppm"),
+        expr("(1000000 * sum(coalesce(t_rank, 51))) div 5").as("mean_true_rank_ppm"))
+  }
+
+  private val q308Oracle =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+      |sf AS (SELECT q_id, vec_id,
+      |         list_dot_product(qv, v)
+      |           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS sc
+      |       FROM e JOIN q ON vec_id <> q_id),
+      |fl AS (SELECT q_id, vec_id FROM (
+      |         SELECT q_id, vec_id,
+      |           row_number() OVER (PARTITION BY q_id ORDER BY sc DESC, vec_id ASC) AS rk
+      |         FROM sf) WHERE rk <= 5),
+      |et AS (SELECT vec_id, v[1:16] AS v FROM e),
+      |qt AS (SELECT q_id, qv[1:16] AS qv FROM q),
+      |st AS (SELECT q_id, vec_id,
+      |         list_dot_product(qv, v)
+      |           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS sc
+      |       FROM et JOIN qt ON vec_id <> q_id),
+      |tr AS (SELECT q_id, vec_id, rk AS t_rank FROM (
+      |         SELECT q_id, vec_id,
+      |           row_number() OVER (PARTITION BY q_id ORDER BY sc DESC, vec_id ASC) AS rk
+      |         FROM st) WHERE rk <= 50)
+      |SELECT fl.q_id,
+      |       (1000000 * sum(CASE WHEN t_rank <= 5 THEN 1 ELSE 0 END)) // 5 AS recall5_ppm,
+      |       (1000000 * sum(coalesce(t_rank, 51))) // 5 AS mean_true_rank_ppm
+      |FROM fl LEFT JOIN tr ON fl.q_id = tr.q_id AND fl.vec_id = tr.vec_id
+      |GROUP BY 1""".stripMargin
+
   // ---------------- registry ----------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q308_matryoshka_recall" -> (q308MatryoshkaRecall _),
+    "q307_calibration" -> (q307Calibration _),
     "q306_classifier_eval" -> (q306ClassifierEval _),
     "q305_rank_metrics" -> (q305RankMetrics _),
     "q304_hybrid_rrf" -> (q304HybridRrf _),
@@ -4121,6 +4238,8 @@ object ExtQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q308_matryoshka_recall" -> q308Oracle,
+    "q307_calibration" -> q307Oracle,
     "q306_classifier_eval" -> q306Oracle,
     "q305_rank_metrics" -> q305Oracle,
     "q304_hybrid_rrf" -> q304Oracle,
