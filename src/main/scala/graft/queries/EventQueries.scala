@@ -4227,7 +4227,138 @@ object EventQueries {
        |FROM g""".stripMargin
   }
 
+  /** Floor division by 10⁶ spelled out as a CASE so BOTH engines run the
+    * identical semantics: Spark's `div` truncates toward zero while the
+    * oracle engine's `//` floors — on the negative intermediate values a
+    * trend recurrence produces, those differ by 1. `op` is the engine's
+    * integer-division operator.
+    */
+  private def holtFdiv(x: String, op: String): String =
+    s"(CASE WHEN ($x) >= 0 THEN ($x) $op 1000000" +
+      s" ELSE -((-($x) + 999999) $op 1000000) END)"
+
+  /** Holt level update in ppm: α = 0.3. */
+  private def holtL(l: String, b: String, y: String, op: String): String =
+    holtFdiv(s"300000 * ($y) + 700000 * (($l) + ($b))", op)
+
+  /** Holt trend update in ppm: β = 0.1. */
+  private def holtB(l: String, newL: String, b: String, op: String): String =
+    holtFdiv(s"100000 * (($newL) - ($l)) + 900000 * ($b)", op)
+
+  /** q309: Holt double-exponential smoothing — the level+trend forecaster
+    * one rung above q174's OLS line (which fits ONE slope to the whole
+    * history; Holt's recency-weighted level and trend adapt, the standard
+    * short-horizon operational forecast). The recurrence runs entirely in
+    * ppm integers (α = 0.3, β = 0.1; `l₁ = y₁, b₁ = 0`) with floor
+    * division spelled as a shared CASE — Spark `div` truncates, the
+    * oracle floors, and the negative trend intermediates would otherwise
+    * drift engines by 1. Output: the 7-day-ahead forecasts
+    * `l + h·b` from the final state.
+    *
+    * Scale shape: the corpus contracts to per-day revenue (map-side
+    * combined); the sequential recurrence folds over the |days| ordered
+    * array — bounded by the calendar horizon, not the data — inside ONE
+    * `aggregate` HOF on a 1-row frame (interpreted, but over ~10² array
+    * elements once; the fold is inherently sequential — this is the
+    * contraction-sized tail where a HOF is the right tool, not the
+    * corpus-sized path where codegen matters). The oracle replays the
+    * identical recurrence as a recursive CTE generated from the same
+    * formula strings.
+    */
+  def q309HoltForecast(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .withColumn("day", tsDay)
+      .withColumn("cents", floor(col("value") * 100).cast("long"))
+      .groupBy("day").agg(sum(col("cents")).as("cents"))
+    val nl = holtL("a.l", "a.b", "y.cents", "div")
+    val step =
+      s"""(a, y) -> CASE WHEN a.i = 0L
+         |  THEN named_struct('i', 1L, 'l', y.cents, 'b', 0L)
+         |  ELSE named_struct('i', a.i + 1L, 'l', $nl,
+         |         'b', ${holtB("a.l", nl, "a.b", "div")}) END""".stripMargin
+    daily
+      .agg(expr("sort_array(collect_list(struct(day, cents)))").as("series"))
+      .select(expr(
+        s"aggregate(series, named_struct('i', 0L, 'l', 0L, 'b', 0L), $step)").as("st"))
+      .select(explode(expr("sequence(1, 7)")).as("h"),
+        col("st.l").as("level_cents"), col("st.b").as("trend_cents"))
+      .select(col("h").cast("long").as("h"), col("level_cents"), col("trend_cents"),
+        expr("level_cents + h * trend_cents").as("forecast_cents"))
+  }
+
+  private val q309Oracle = {
+    val nl = holtL("h.l", "h.b", "o.cents", "//")
+    s"""WITH RECURSIVE d AS (
+       |  SELECT epoch_us(ts) // 86400000000 AS day,
+       |         sum(floor(value * 100)::BIGINT)::BIGINT AS cents
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |o AS (SELECT row_number() OVER (ORDER BY day ASC) AS i, cents FROM d),
+       |h(i, l, b) AS (
+       |  SELECT 1::BIGINT, cents, 0::BIGINT FROM o WHERE i = 1
+       |  UNION ALL
+       |  SELECT o.i::BIGINT, ($nl)::BIGINT,
+       |         (${holtB("h.l", nl, "h.b", "//")})::BIGINT
+       |  FROM h JOIN o ON o.i = h.i + 1),
+       |f AS (SELECT l AS level_cents, b AS trend_cents FROM h ORDER BY i DESC LIMIT 1)
+       |SELECT g.h::BIGINT AS h, level_cents, trend_cents,
+       |       (level_cents + g.h * trend_cents)::BIGINT AS forecast_cents
+       |FROM f CROSS JOIN (SELECT unnest(range(1, 8)) AS h) g""".stripMargin
+  }
+
+  /** Two-sided-geometric (discrete Laplace, α = 1/2 ⇒ ε = ln 2) CDF
+    * thresholds in ppm, truncated at |k| ≤ 10 (tail mass 0.00065 folds
+    * into +10). Computed once and interpolated into BOTH engines' CASE
+    * chains, the [[PoissonPpm]] pattern.
+    */
+  private val DpGeomPpm: Seq[(Int, Long)] = {
+    val a = 0.5
+    val ps = (-10 to 10).map(k => (k, (1 - a) / (1 + a) * math.pow(a, math.abs(k))))
+    ps.scanLeft((0, 0.0)) { case ((_, cum), (k, p)) => (k, cum + p) }.tail
+      .map { case (k, cum) => (k, math.floor(cum * 1e6).toLong) }
+  }
+
+  private def dpNoiseSql(u: String): String =
+    DpGeomPpm.init
+      .map { case (k, t) => s"WHEN $u < $t THEN ($k)" }
+      .mkString("CASE ", " ", " ELSE 10 END")
+
+  /** q310: differentially-private count release — per-event-type counts
+    * under the GEOMETRIC mechanism (Ghosh-Roughgarden-Sundararajan 2009:
+    * the discrete Laplace, the utility-optimal mechanism for integer
+    * counts), ε = ln 2, noise drawn through the shared inverse-CDF
+    * threshold chain [[DpGeomPpm]] and clamped at 0. The noise uniform is
+    * derived from `md5('dp1|' || event_type)` so the release is
+    * REPRODUCIBLE and oracle-replayable — which also means it is NOT
+    * private against an adversary who knows the salt: a production
+    * release swaps the hash for a real RNG (one line); everything else —
+    * sensitivity-1 counts, the mechanism, the post-processing clamp — is
+    * the deployed shape. `n_true` ships alongside for the gate's delta
+    * audit; a real release drops that column.
+    *
+    * Scale shape: one map-side-combined count to the |event_types|
+    * contraction; the noise CASE runs on that model-sized result.
+    */
+  def q310DpRelease(spark: SparkSession, dir: String): DataFrame = {
+    val u = "conv(substring(md5(concat('dp1|', event_type)), 1, 15), 16, 10) % 1000000"
+    events(spark, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_true"))
+      .withColumn("noise", expr(dpNoiseSql(u)).cast("long"))
+      .withColumn("n_noisy", greatest(col("n_true") + col("noise"), lit(0L)))
+  }
+
+  private val q310Oracle = {
+    val u = "('0x' || substr(md5('dp1|' || event_type), 1, 15))::BIGINT % 1000000"
+    s"""SELECT event_type, count(*)::BIGINT AS n_true,
+       |       ${dpNoiseSql(u)}::BIGINT AS noise,
+       |       greatest(count(*) + ${dpNoiseSql(u)}, 0)::BIGINT AS n_noisy
+       |FROM events GROUP BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q310_dp_release" -> (q310DpRelease _),
+    "q309_holt_forecast" -> (q309HoltForecast _),
     "q303_poisson_bootstrap" -> (q303PoissonBootstrap _),
     "q301_stream_tws" -> (q301StreamTws _),
     "q302_t_closeness" -> (q302TCloseness _),
@@ -4341,6 +4472,8 @@ object EventQueries {
     "q301_stream_tws" -> q301Oracle,
     "q302_t_closeness" -> q302Oracle,
     "q303_poisson_bootstrap" -> q303Oracle,
+    "q309_holt_forecast" -> q309Oracle,
+    "q310_dp_release" -> q310Oracle,
     // the streamed bitmap must land exactly on the one-shot batch bitmap
     "q292_stream_bitmap" -> q280Oracle,
     "q287_bounce_rate" -> q287Oracle,
