@@ -4356,7 +4356,128 @@ object EventQueries {
        |FROM events GROUP BY 1""".stripMargin
   }
 
+  private val MkChannels = Seq("click", "error", "signup", "view")
+  private val MkSrcs = "start" +: MkChannels
+  private val MkDsts = MkChannels :+ "conv"
+
+  /** q311: Markov-chain (removal-effect) attribution — the data-driven
+    * attribution model (Anderl et al. 2014) that completes the heuristic
+    * family (q115 last-touch, q183 linear, q220 U-shaped): journeys build
+    * a first-order transition matrix (START → touches → CONV on purchase /
+    * NULL at history end; a purchase restarts the journey), conversion
+    * probability comes from 40 steps of value iteration in ppm integers,
+    * and each channel's credit is its REMOVAL EFFECT — how much conversion
+    * drops when visits to that channel are forced unconverting — normalized
+    * to shares. Both engines run the identical iteration count and floored
+    * arithmetic, so the fixpoint integers match exactly; removal can only
+    * lower a monotone iteration, so effects are non-negative by
+    * construction.
+    *
+    * Scale shape: the corpus-sized work is ONE user_id-shuffled window
+    * pass to transition PAIRS and a map-side-combined count to the
+    * ≤ |states|² = 30-row matrix; that contraction is a bounded model read
+    * (the IVF-centroid pattern), and the 7-state × 40-step × 5-scenario
+    * algebra is driver-side arithmetic on it. The oracle replays the
+    * same iteration as a recursive CTE over a PIVOTED 1-row matrix
+    * (aggregates are illegal in a recursive member), generated from the
+    * same state lists.
+    */
+  def q311MarkovAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wAsc = Window.partitionBy("user_id").orderBy(col("tsu").asc, col("event_id").asc)
+    val wDesc = Window.partitionBy("user_id").orderBy(col("tsu").desc, col("event_id").desc)
+    val ev = events(spark, dir).withColumn("tsu", tsUs)
+      .select(col("user_id"), col("event_id"), col("tsu"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(wAsc))
+      .withColumn("rd", row_number().over(wDesc))
+    val pairs = ev.select(
+      when(col("prev").isNull || col("prev") === "purchase", lit("start"))
+        .otherwise(col("prev")).as("src"),
+      when(col("event_type") === "purchase", lit("conv"))
+        .otherwise(col("event_type")).as("dst"))
+    val ends = ev.filter(col("rd") === 1 && col("event_type") =!= "purchase")
+      .select(col("event_type").as("src"), lit("null").as("dst"))
+    val counts = pairs.union(ends).groupBy("src", "dst").agg(count(lit(1)).as("c"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val rowSum = MkSrcs.map(s =>
+      s -> (MkDsts :+ "null").map(d => counts.getOrElse((s, d), 0L)).sum).toMap
+    val t = (for {
+      s <- MkSrcs; d <- MkDsts
+      c = counts.getOrElse((s, d), 0L) if rowSum(s) > 0
+    } yield (s, d) -> 1000000L * c / rowSum(s)).toMap
+    def convPpm(removed: Option[String]): Long = {
+      var v = MkSrcs.map(_ -> 0L).toMap
+      for (_ <- 1 to 40) v = MkSrcs.map { s =>
+        s -> (if (removed.contains(s)) 0L
+        else (MkChannels.map(d => t.getOrElse((s, d), 0L) * v(d)).sum
+          + t.getOrElse((s, "conv"), 0L) * 1000000L) / 1000000L)
+      }.toMap
+      v("start")
+    }
+    val base = convPpm(None)
+    val re = MkChannels.map(c => (c, convPpm(Some(c))))
+    val total = re.map { case (_, r) => base - r }.sum
+    re.map { case (c, r) =>
+      (c, base, r, base - r,
+        if (total == 0) 0L else 1000000L * (base - r) / total)
+    }.toDF("channel", "base_conv_ppm", "removed_conv_ppm",
+      "removal_effect_ppm", "attribution_ppm")
+  }
+
+  private val q311Oracle = {
+    val tmCols = (for (s <- MkSrcs; d <- MkDsts) yield
+      s"coalesce(sum(CASE WHEN src = '$s' AND dst = '$d' THEN t_ppm END), 0)" +
+        s"::BIGINT AS t_${s}_$d").mkString(",\n|        ")
+    def vnext(s: String) =
+      s"CASE WHEN '$s' = it.r THEN 0 ELSE (" +
+        (MkChannels.map(d => s"tm.t_${s}_$d * it.v_$d") :+
+          s"tm.t_${s}_conv * 1000000").mkString(" + ") +
+        ") // 1000000 END"
+    val vCols = MkSrcs.map(s => s"v_$s").mkString(", ")
+    s"""WITH RECURSIVE e AS (
+       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu FROM events),
+       |l AS (SELECT user_id, event_type,
+       |        lag(event_type) OVER (PARTITION BY user_id
+       |                              ORDER BY tsu ASC, event_id ASC) AS prev,
+       |        row_number() OVER (PARTITION BY user_id
+       |                           ORDER BY tsu DESC, event_id DESC) AS rd
+       |      FROM e),
+       |tr AS (
+       |  SELECT CASE WHEN prev IS NULL OR prev = 'purchase' THEN 'start'
+       |              ELSE prev END AS src,
+       |         CASE WHEN event_type = 'purchase' THEN 'conv'
+       |              ELSE event_type END AS dst
+       |  FROM l
+       |  UNION ALL
+       |  SELECT event_type, 'null' FROM l WHERE rd = 1 AND event_type <> 'purchase'),
+       |cnt AS (SELECT src, dst, count(*)::BIGINT AS c FROM tr GROUP BY 1, 2),
+       |tp AS (SELECT src, dst,
+       |         (1000000 * c) // (sum(c) OVER (PARTITION BY src)) AS t_ppm
+       |       FROM cnt),
+       |tm AS (SELECT $tmCols
+       |       FROM tp),
+       |rem AS (SELECT unnest(['none', 'click', 'error', 'signup', 'view']) AS r),
+       |it(r, i, $vCols) AS (
+       |  SELECT r, 0, ${MkSrcs.map(_ => "0::BIGINT").mkString(", ")} FROM rem
+       |  UNION ALL
+       |  SELECT it.r, it.i + 1, ${MkSrcs.map(vnext).mkString(",\n|         ")}
+       |  FROM it CROSS JOIN tm WHERE it.i < 40),
+       |p AS (SELECT r, v_start FROM it WHERE i = 40),
+       |b AS (SELECT v_start AS base_v FROM p WHERE r = 'none'),
+       |re AS (SELECT r AS channel, v_start AS removed_v, base_v,
+       |              base_v - v_start AS re_v
+       |       FROM p CROSS JOIN b WHERE r <> 'none'),
+       |tot AS (SELECT sum(re_v)::BIGINT AS t FROM re)
+       |SELECT channel, base_v::BIGINT AS base_conv_ppm,
+       |       removed_v::BIGINT AS removed_conv_ppm,
+       |       re_v::BIGINT AS removal_effect_ppm,
+       |       CASE WHEN t = 0 THEN 0
+       |            ELSE (1000000 * re_v) // t END::BIGINT AS attribution_ppm
+       |FROM re CROSS JOIN tot""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q311_markov_attribution" -> (q311MarkovAttribution _),
     "q310_dp_release" -> (q310DpRelease _),
     "q309_holt_forecast" -> (q309HoltForecast _),
     "q303_poisson_bootstrap" -> (q303PoissonBootstrap _),
@@ -4474,6 +4595,7 @@ object EventQueries {
     "q303_poisson_bootstrap" -> q303Oracle,
     "q309_holt_forecast" -> q309Oracle,
     "q310_dp_release" -> q310Oracle,
+    "q311_markov_attribution" -> q311Oracle,
     // the streamed bitmap must land exactly on the one-shot batch bitmap
     "q292_stream_bitmap" -> q280Oracle,
     "q287_bounce_rate" -> q287Oracle,
