@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.EventQueries
+
+/** Semantic invariants for the statistical/attribution operators — the
+  * properties that must hold for ANY input, pinned independently of the
+  * DuckDB hash-match (which verifies exact values for ONE dataset and
+  * would silently keep passing if an invariant-breaking change landed on
+  * both engines symmetrically).
+  */
+class AnalyticsInvariantsSpec extends SparkSpec {
+
+  test("q303 bootstrap: replica sizes concentrate around the true count") {
+    val truth = graft.queries.Tables.events(spark, Sf0001)
+      .filter(col("event_type") === "purchase").count()
+    val rows = EventQueries.q303PoissonBootstrap(spark, Sf0001).collect()
+    assert(rows.length === 16)
+    rows.foreach { r =>
+      val nEff = r.getAs[Long]("n_eff")
+      // Poisson(1) per row: E[n_eff] = n, sd = sqrt(n); 6 sigma on a
+      // deterministic draw is a hard bound, not a flaky one
+      assert(math.abs(nEff - truth) <= 6 * math.sqrt(truth.toDouble).ceil.toLong,
+        s"replica size $nEff vs truth $truth")
+    }
+  }
+
+  test("q307 calibration: ECE is the n-weighted mean gap of its own rows") {
+    val rows = graft.ext.ExtQueries.q307Calibration(spark, Sf0001).collect()
+    val n = rows.map(_.getAs[Long]("n")).sum
+    val wgap = rows.map(r => r.getAs[Long]("n") * r.getAs[Long]("gap_ppm")).sum
+    val expected = wgap / n
+    rows.foreach(r => assert(r.getAs[Long]("ece_ppm") === expected))
+  }
+
+  test("q309 Holt: forecasts are the level plus h trend steps, 7 horizons") {
+    val rows = EventQueries.q309HoltForecast(spark, Sf0001).collect()
+    assert(rows.map(_.getAs[Long]("h")).sorted.toSeq === (1L to 7L))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("forecast_cents") ===
+        r.getAs[Long]("level_cents") + r.getAs[Long]("h") * r.getAs[Long]("trend_cents"))
+    }
+    // one shared level/trend state: the fold ran once, not per horizon
+    assert(rows.map(_.getAs[Long]("level_cents")).distinct.length === 1)
+  }
+
+  test("q310 DP release: noise is inside the truncated support, clamp holds") {
+    val rows = EventQueries.q310DpRelease(spark, Sf0001).collect()
+    rows.foreach { r =>
+      val noise = r.getAs[Long]("noise")
+      assert(noise >= -10 && noise <= 10, s"noise $noise outside truncation")
+      assert(r.getAs[Long]("n_noisy") >= 0)
+      assert(r.getAs[Long]("n_noisy") ===
+        math.max(r.getAs[Long]("n_true") + noise, 0L))
+    }
+  }
+
+  test("q311 Markov: removal only lowers conversion; shares partition the credit") {
+    val rows = EventQueries.q311MarkovAttribution(spark, Sf0001).collect()
+    assert(rows.length === 4)
+    val base = rows.map(_.getAs[Long]("base_conv_ppm")).distinct
+    assert(base.length === 1, "one shared base conversion probability")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("removed_conv_ppm") <= base.head,
+        "removal must not raise conversion")
+      assert(r.getAs[Long]("removal_effect_ppm") >= 0)
+    }
+    // integer-floored shares: sum in (1e6 - |channels|, 1e6]
+    val shareSum = rows.map(_.getAs[Long]("attribution_ppm")).sum
+    assert(shareSum <= 1000000L && shareSum > 1000000L - 4,
+      s"shares must partition the credit, got $shareSum")
+  }
+}
