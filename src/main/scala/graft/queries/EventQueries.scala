@@ -4476,7 +4476,56 @@ object EventQueries {
        |FROM re CROSS JOIN tot""".stripMargin
   }
 
+  /** q312: TIME-DECAY multi-touch attribution — the fifth and last member
+    * of the attribution family (q115 last-touch, q183 linear, q220
+    * U-shaped, q311 Markov): each touch in the 7-day pre-conversion
+    * window weighs `10⁶ div 2^age_days` (one-day half-life — exact
+    * integer powers of two, no float decay), normalized per conversion so
+    * a conversion's credits sum to ≤ 10⁶ with the remainder truncated
+    * identically on both engines, then rolled up per channel.
+    *
+    * Scale shape: q183's exact join geometry — user_id-keyed
+    * touch⋈conversion pairs with the window as a residual range, per-user
+    * fan-out never |events|²; the per-conversion weight sum is a second
+    * aggregate on the conversion id.
+    */
+  def q312TimeDecayAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val windowUs = 7L * 86400L * 1000000L
+    val e = events(spark, dir).withColumn("ts_us", tsUs)
+    val conv = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("conv_id"), col("ts_us").as("conv_ts"))
+    val touch = e.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_type").as("channel"), col("ts_us").as("touch_ts"))
+    val pairs = touch.join(conv, Seq("user_id"))
+      .filter(col("touch_ts") <= col("conv_ts") &&
+        col("conv_ts") - col("touch_ts") <= windowUs)
+      .withColumn("w_ppm", expr(
+        "1000000 div shiftleft(1L, cast((conv_ts - touch_ts) div 86400000000 AS int))"))
+      .select("channel", "conv_id", "w_ppm")
+    val perConv = pairs.groupBy("conv_id").agg(sum(col("w_ppm")).as("w_sum"))
+    pairs.join(perConv, "conv_id")
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(expr("(1000000 * w_ppm) div w_sum")).as("credit_ppm"))
+  }
+
+  private val q312Oracle =
+    """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu FROM events),
+      |conv AS (SELECT user_id, event_id AS conv_id, tsu AS cts FROM e
+      |         WHERE event_type = 'purchase'),
+      |t AS (SELECT user_id, event_type AS channel, tsu AS tts FROM e
+      |      WHERE event_type <> 'purchase'),
+      |p AS (SELECT channel, conv_id,
+      |        1000000 // (1::BIGINT << ((cts - tts) // 86400000000)) AS w_ppm
+      |      FROM t JOIN conv USING (user_id)
+      |      WHERE tts <= cts AND cts - tts <= 604800000000),
+      |n AS (SELECT conv_id, sum(w_ppm)::BIGINT AS w_sum FROM p GROUP BY 1)
+      |SELECT channel, count(*)::BIGINT AS n_pairs,
+      |       sum((1000000 * w_ppm) // w_sum)::BIGINT AS credit_ppm
+      |FROM p JOIN n USING (conv_id) GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q312_time_decay_attribution" -> (q312TimeDecayAttribution _),
     "q311_markov_attribution" -> (q311MarkovAttribution _),
     "q310_dp_release" -> (q310DpRelease _),
     "q309_holt_forecast" -> (q309HoltForecast _),
@@ -4596,6 +4645,7 @@ object EventQueries {
     "q309_holt_forecast" -> q309Oracle,
     "q310_dp_release" -> q310Oracle,
     "q311_markov_attribution" -> q311Oracle,
+    "q312_time_decay_attribution" -> q312Oracle,
     // the streamed bitmap must land exactly on the one-shot batch bitmap
     "q292_stream_bitmap" -> q280Oracle,
     "q287_bounce_rate" -> q287Oracle,

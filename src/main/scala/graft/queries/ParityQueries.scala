@@ -2697,7 +2697,61 @@ object ParityQueries {
       |         // sum(cents) OVER () AS region_of_total_ppm
       |FROM n""".stripMargin
 
+  /** Per-table (numeric, string) column split for the broadcast advisor —
+    * ONE list drives both the Spark aggregates and the generated oracle,
+    * so the size model cannot drift between engines.
+    */
+  private val BcastSpecs: Seq[(String, Seq[String], Seq[String])] = Seq(
+    ("region", Seq("r_regionkey"), Seq("r_name")),
+    ("nation", Seq("n_nationkey", "n_regionkey"), Seq("n_name")),
+    ("supplier", Seq("s_suppkey", "s_nationkey", "s_acctbal"), Seq("s_name")),
+    ("customer", Seq("c_custkey", "c_nationkey", "c_acctbal"),
+      Seq("c_name", "c_mktsegment")),
+    ("part", Seq("p_partkey", "p_size", "p_retailprice"),
+      Seq("p_name", "p_brand", "p_type")),
+    ("orders", Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"),
+      Seq("o_orderstatus", "o_orderpriority")))
+
+  private val BcastThreshold = 10L * 1024 * 1024
+
+  /** q313: broadcast-join advisor — the planning decision this engine's own
+    * star joins ride (q02's scaladoc asserts the dims broadcast; this query
+    * PUBLISHES the size model that justifies it): per table, an in-memory
+    * size estimate from the same shape Spark's statistics use — 8 bytes per
+    * numeric/date column per row plus measured string bytes with 4-byte
+    * overhead — laid against the 10 MiB `autoBroadcastJoinThreshold`
+    * default. The report is the 100 TB join-strategy worksheet: dims that
+    * stay under the line broadcast at any fact size; `orders` crossing it
+    * is what forces the fact side onto shuffle joins.
+    *
+    * Scale shape: one map-side-combined aggregate per table (row count +
+    * string-length sums), a |tables|-row union. Scans prune to the string
+    * columns only.
+    */
+  def q313BroadcastAdvisor(spark: SparkSession, dir: String): DataFrame =
+    BcastSpecs.map { case (table, nums, strs) =>
+      val strBytes = strs
+        .map(c => sum(length(col(c)) + 4).cast("long"))
+        .reduce(_ + _)
+      t(spark, dir, table)
+        .agg(count(lit(1)).as("n_rows"), strBytes.as("str_bytes"))
+        .select(lit(table).as("tbl"), col("n_rows"),
+          (col("n_rows") * lit(8L * nums.size) + col("str_bytes")).as("est_bytes"))
+        .withColumn("broadcastable",
+          (col("est_bytes") <= BcastThreshold).cast("long"))
+    }.reduce(_ unionAll _)
+
+  private val q313Oracle = BcastSpecs.map { case (table, nums, strs) =>
+    val strBytes = strs.map(c => s"sum(len($c) + 4)").mkString(" + ")
+    s"""SELECT '$table' AS tbl, count(*)::BIGINT AS n_rows,
+       |  (count(*) * ${8 * nums.size} + $strBytes)::BIGINT AS est_bytes,
+       |  ((count(*) * ${8 * nums.size} + $strBytes) <= $BcastThreshold)::BIGINT
+       |    AS broadcastable
+       |FROM $table""".stripMargin
+  }.mkString("\nUNION ALL\n")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q313_broadcast_advisor" -> (q313BroadcastAdvisor _),
     "q296_hierarchy_shares" -> (q296HierarchyShares _),
     "q289_relative_ranks" -> (q289RelativeRanks _),
     "q290_ntile_parity" -> (q290NtileParity _),
@@ -2774,6 +2828,7 @@ object ParityQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q313_broadcast_advisor" -> q313Oracle,
     "q296_hierarchy_shares" -> q296Oracle,
     "q289_relative_ranks" -> q289Oracle,
     "q290_ntile_parity" -> q290Oracle,
