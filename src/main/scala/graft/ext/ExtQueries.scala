@@ -4110,9 +4110,52 @@ object ExtQueries {
       |FROM fl LEFT JOIN tr ON fl.q_id = tr.q_id AND fl.vec_id = tr.vec_id
       |GROUP BY 1""".stripMargin
 
+  /** q315: reshard-cost report — growing the shard count 8 → 12 under two
+    * placement functions, from one hash pass: MODULO placement
+    * (`u mod N`) scrambles nearly every key's shard, while MONOTONE RANGE
+    * placement (`⌊u·N div 10⁶⌋` — fixed-point jump-style bucketing) moves
+    * only the keys whose bucket boundary shifted (≈ 1 − 8/12 = a third).
+    * The report quantifies exactly that migration bill per strategy —
+    * the reason production shard layouts (and [[Sampling.shardAppend]]'s
+    * manifest) avoid raw modulo: at 100 TB, "docs moved" is re-written
+    * bytes.
+    *
+    * Scale shape: one scan, per-row integer arithmetic, a 2-row output
+    * via a single map-side-combined aggregate per strategy.
+    */
+  def q315ReshardPlan(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir)
+      .select((Dedup.baseHash(col("doc_id").cast("string")) % 1000000).as("u"))
+    val modulo = d.agg(count(lit(1)).as("n_docs"),
+      sum(when(col("u") % 8 =!= col("u") % 12, 1L).otherwise(0L)).as("n_moved"))
+      .select(lit("modulo").as("strategy"), col("n_docs"), col("n_moved"))
+    val range = d.agg(count(lit(1)).as("n_docs"),
+      sum(when(expr("(u * 8) div 1000000") =!= expr("(u * 12) div 1000000"), 1L)
+        .otherwise(0L)).as("n_moved"))
+      .select(lit("range").as("strategy"), col("n_docs"), col("n_moved"))
+    modulo.unionAll(range)
+      .withColumn("moved_ppm", expr("(1000000 * n_moved) div n_docs"))
+  }
+
+  private val q315Oracle =
+    """WITH d AS (SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+      |             % 1000000 AS u
+      |           FROM documents)
+      |SELECT 'modulo' AS strategy, count(*)::BIGINT AS n_docs,
+      |       sum((u % 8 <> u % 12)::BIGINT)::BIGINT AS n_moved,
+      |       (1000000 * sum((u % 8 <> u % 12)::BIGINT)) // count(*) AS moved_ppm
+      |FROM d
+      |UNION ALL
+      |SELECT 'range', count(*)::BIGINT,
+      |       sum(((u * 8) // 1000000 <> (u * 12) // 1000000)::BIGINT)::BIGINT,
+      |       (1000000 * sum(((u * 8) // 1000000 <> (u * 12) // 1000000)::BIGINT))
+      |         // count(*)
+      |FROM d""".stripMargin
+
   // ---------------- registry ----------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q315_reshard_plan" -> (q315ReshardPlan _),
     "q308_matryoshka_recall" -> (q308MatryoshkaRecall _),
     "q307_calibration" -> (q307Calibration _),
     "q306_classifier_eval" -> (q306ClassifierEval _),
@@ -4238,6 +4281,7 @@ object ExtQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q315_reshard_plan" -> q315Oracle,
     "q308_matryoshka_recall" -> q308Oracle,
     "q307_calibration" -> q307Oracle,
     "q306_classifier_eval" -> q306Oracle,

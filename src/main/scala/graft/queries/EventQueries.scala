@@ -4524,7 +4524,42 @@ object EventQueries {
       |       sum((1000000 * w_ppm) // w_sum)::BIGINT AS credit_ppm
       |FROM p JOIN n USING (conv_id) GROUP BY 1""".stripMargin
 
+  /** q314: VARIANT storage round trip — Spark 4's binary semi-structured
+    * type as the STORAGE format for JSON columns (the open-format answer
+    * to string-typed props): `parse_json` shreds the text to variant
+    * binary, the parquet write/read round-trips it (the physical-format
+    * exercise, q100/q101's family), and typed `variant_get` paths replace
+    * per-row JSON re-parsing downstream. The gate aggregates the
+    * extracted field, so a shredding bug anywhere in the chain lands on
+    * the oracle (which reads the ORIGINAL strings — the round trip must
+    * be semantically lossless).
+    *
+    * Scale shape: parse once at ingest, query many — the variant read
+    * path prunes to (event_type, v) and the aggregation is map-side
+    * combined; at 100 TB the win is parsing JSON once at write time
+    * instead of per query.
+    */
+  def q314VariantRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val work = Scratch.stableDir("q314")
+    events(spark, dir)
+      .select(col("event_id"), col("event_type"), expr("parse_json(props)").as("v"))
+      .write.mode("overwrite").parquet(s"$work/variant")
+    spark.read.parquet(s"$work/variant")
+      .select(col("event_type"), expr("variant_get(v, '$.k', 'int')").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("k").cast("long")).as("sum_k"),
+        min(col("k")).cast("long").as("min_k"), max(col("k")).cast("long").as("max_k"))
+  }
+
+  private val q314Oracle =
+    """SELECT event_type, count(*)::BIGINT AS n,
+      |       sum(json_extract_string(props, '$.k')::INT)::BIGINT AS sum_k,
+      |       min(json_extract_string(props, '$.k')::INT)::BIGINT AS min_k,
+      |       max(json_extract_string(props, '$.k')::INT)::BIGINT AS max_k
+      |FROM events GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q314_variant_roundtrip" -> (q314VariantRoundtrip _),
     "q312_time_decay_attribution" -> (q312TimeDecayAttribution _),
     "q311_markov_attribution" -> (q311MarkovAttribution _),
     "q310_dp_release" -> (q310DpRelease _),
@@ -4646,6 +4681,7 @@ object EventQueries {
     "q310_dp_release" -> q310Oracle,
     "q311_markov_attribution" -> q311Oracle,
     "q312_time_decay_attribution" -> q312Oracle,
+    "q314_variant_roundtrip" -> q314Oracle,
     // the streamed bitmap must land exactly on the one-shot batch bitmap
     "q292_stream_bitmap" -> q280Oracle,
     "q287_bounce_rate" -> q287Oracle,

@@ -665,6 +665,60 @@ object ParityQueries {
       |       (CASE WHEN event_id % 2 = 0 THEN 3 END)::BIGINT
       |FROM e WHERE event_id % 3 = 1""".stripMargin
 
+  /** q316: POINT-IN-TIME join against SCD2 history — the feature-store
+    * lookup q124's timeline exists to serve: each fact row carries an
+    * as-of version (deterministic `1 + event_id % 3`) and joins to the
+    * ONE image valid at it (`valid_from ≤ v < valid_to`, open `valid_to`
+    * = current) — the leakage-free "dimension as it was" join that
+    * training-data builds require (q61's as-of join over event time, here
+    * over COMMIT time against a versioned dimension). Keys whose as-of
+    * version precedes their first image (commit-2 inserts probed at v=1)
+    * drop out of the inner join — exactly the rows a feature store must
+    * NOT fabricate. SCD2 interval disjointness guarantees ≤ 1 match per
+    * fact row; Scd2PitSpec-style checks ride the oracle hash.
+    *
+    * Scale shape: equi-join on the key with the interval test as a
+    * residual predicate — never a range-only join; the history side is
+    * the |keys × versions| contraction of the CDC log.
+    */
+  def q316PitJoin(spark: SparkSession, dir: String): DataFrame = {
+    val catalog = VersionedCatalog(q123CatalogRoot(spark, dir))
+    val hist = CdcMaterialize.scd2History(
+        catalog.snapshot(spark, Q123Table, 1L),
+        catalog.changes(spark, Q123Table, 2L, 3L),
+        keyCols = Seq("event_id"), snapshotVersion = 1L)
+      .select(col("event_id").as("h_event_id"),
+        floor(col("value") * 100).cast("long").as("cents"),
+        col("valid_from"), col("valid_to"))
+    val facts = events(spark, dir)
+      .select(col("event_id"), (lit(1) + col("event_id") % 3).cast("long").as("asof_v"))
+    facts.join(hist,
+        col("event_id") === col("h_event_id") &&
+          col("valid_from") <= col("asof_v") &&
+          (col("valid_to").isNull || col("asof_v") < col("valid_to")))
+      .select(col("event_id"), col("asof_v"), col("cents"))
+  }
+
+  private val q316Oracle =
+    """WITH e AS (SELECT event_id, value FROM events),
+      |hist AS (
+      |  SELECT event_id, floor(value * 100)::BIGINT AS cents,
+      |         1::BIGINT AS valid_from,
+      |         (CASE WHEN event_id % 6 = 0 THEN 3 END)::BIGINT AS valid_to
+      |  FROM e WHERE event_id % 3 = 0
+      |  UNION ALL
+      |  SELECT event_id, floor((value + 1000) * 100)::BIGINT, 3::BIGINT, NULL::BIGINT
+      |  FROM e WHERE event_id % 6 = 0
+      |  UNION ALL
+      |  SELECT event_id, floor(value * 100)::BIGINT, 2::BIGINT,
+      |         (CASE WHEN event_id % 2 = 0 THEN 3 END)::BIGINT
+      |  FROM e WHERE event_id % 3 = 1),
+      |f AS (SELECT event_id, (1 + event_id % 3)::BIGINT AS asof_v FROM events)
+      |SELECT f.event_id, f.asof_v, h.cents
+      |FROM f JOIN hist h ON h.event_id = f.event_id
+      |  AND h.valid_from <= f.asof_v
+      |  AND (h.valid_to IS NULL OR f.asof_v < h.valid_to)""".stripMargin
+
   /** q135: snapshot DIFF ([[CdcMaterialize.diffSnapshots]]) — CDC
     * GENERATION: the exact change set between the q123 fixture's snapshot
     * and its fully-materialized final state. The oracle derives every
@@ -2752,6 +2806,7 @@ object ParityQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q313_broadcast_advisor" -> (q313BroadcastAdvisor _),
+    "q316_pit_join" -> (q316PitJoin _),
     "q296_hierarchy_shares" -> (q296HierarchyShares _),
     "q289_relative_ranks" -> (q289RelativeRanks _),
     "q290_ntile_parity" -> (q290NtileParity _),
@@ -2829,6 +2884,7 @@ object ParityQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q313_broadcast_advisor" -> q313Oracle,
+    "q316_pit_join" -> q316Oracle,
     "q296_hierarchy_shares" -> q296Oracle,
     "q289_relative_ranks" -> q289Oracle,
     "q290_ntile_parity" -> q290Oracle,
