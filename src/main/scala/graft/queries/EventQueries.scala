@@ -4558,7 +4558,109 @@ object EventQueries {
       |       max(json_extract_string(props, '$.k')::INT)::BIGINT AS max_k
       |FROM events GROUP BY 1""".stripMargin
 
+  /** q317: CLUSTER (user-level) Poisson bootstrap — q303 resamples ROWS,
+    * which understates uncertainty when events correlate within a user
+    * (they do: one user's purchases share taste, session, lifecycle); the
+    * methodologically-right unit for user-level metrics is the USER, so
+    * the Poisson(1) weight is drawn once per (user, replica) and applied
+    * to ALL that user's events. Metric: revenue per active user —
+    * a RATIO of two weighted sums, which the bootstrap handles and a
+    * closed-form variance does not. Same deterministic inverse-CDF
+    * machinery ([[PoissonPpm]]); the replica spread is visibly WIDER than
+    * q303's row bootstrap on the same data — that widening is the point.
+    *
+    * Scale shape: per-user totals first (one user_id-combined aggregate),
+    * then the 16-way explode runs over the |users| contraction, not the
+    * event stream.
+    */
+  def q317ClusterBootstrap(spark: SparkSession, dir: String): DataFrame = {
+    val u = "conv(substring(md5(concat(cast(user_id AS string), '|', " +
+      "cast(replica AS string))), 1, 15), 16, 10) % 1000000"
+    events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .withColumn("cents", floor(col("value") * 100).cast("long"))
+      .groupBy("user_id").agg(sum(col("cents")).as("user_cents"))
+      .withColumn("replica", explode(expr("sequence(0, 15)")))
+      .withColumn("w", expr(poissonWeightSql(u)).cast("long"))
+      .groupBy("replica")
+      .agg(sum(col("w")).as("n_users_eff"),
+        sum(expr("w * user_cents")).as("sum_cents"))
+      .withColumn("rev_per_user_ppm", expr("(1000000 * sum_cents) div n_users_eff"))
+      .select(col("replica").cast("long").as("replica"), col("n_users_eff"),
+        col("sum_cents"), col("rev_per_user_ppm"))
+  }
+
+  private val q317Oracle = {
+    val u = "('0x' || substr(md5(user_id::VARCHAR || '|' || replica::VARCHAR), 1, 15))" +
+      "::BIGINT % 1000000"
+    s"""WITH p AS (SELECT user_id, sum(floor(value * 100)::BIGINT)::BIGINT AS user_cents
+       |           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |r AS (SELECT unnest(range(0, 16)) AS replica),
+       |x AS (SELECT replica, user_cents, ${poissonWeightSql(u)}::BIGINT AS w
+       |      FROM p CROSS JOIN r),
+       |g AS (SELECT replica, sum(w)::BIGINT AS n_users_eff,
+       |             sum(w * user_cents)::BIGINT AS sum_cents
+       |      FROM x GROUP BY 1)
+       |SELECT replica::BIGINT AS replica, n_users_eff, sum_cents,
+       |       (1000000 * sum_cents) // n_users_eff AS rev_per_user_ppm
+       |FROM g""".stripMargin
+  }
+
+  /** q318: A/B sample-size (power) calculator — the design-time companion
+    * to q142's z-test: from the MEASURED baseline conversion rate
+    * (users with a purchase / all users, integer ppm), the required users
+    * per arm for relative MDEs of 1/2/5/10 % at α = 0.05, power = 0.8 via
+    * the rule of 16 (`n = 16·p(1−p)/δ²` — van Belle; exact integer in ppm:
+    * `16·p·(10⁶−p) div δ²`), plus the runtime that implies at the
+    * corpus's observed users-per-day rate. Every figure derives from the
+    * data and integer arithmetic — both engines agree exactly.
+    *
+    * Scale shape: two scalar aggregates (user counts + active-day span)
+    * broadcast onto a 4-row MDE grid.
+    */
+  def q318PowerAnalysis(spark: SparkSession, dir: String): DataFrame = {
+    val base = events(spark, dir).agg(
+      countDistinct(col("user_id")).as("n_users"),
+      countDistinct(when(col("event_type") === "purchase", col("user_id")))
+        .as("n_converted"),
+      (max(tsDay) - min(tsDay) + 1).as("n_days"))
+    base
+      .withColumn("p_ppm", expr("(1000000 * n_converted) div n_users"))
+      .crossJoin(broadcast(
+        spark.range(1).select(explode(expr("array(10000, 20000, 50000, 100000)"))
+          .as("mde_rel_ppm"))))
+      .withColumn("delta_ppm", expr("(p_ppm * mde_rel_ppm) div 1000000"))
+      .withColumn("n_per_arm",
+        expr("(16 * p_ppm * (1000000 - p_ppm)) div (delta_ppm * delta_ppm)"))
+      .withColumn("days_needed",
+        expr("(2 * n_per_arm * n_days + n_users - 1) div n_users"))
+      .select("mde_rel_ppm", "p_ppm", "delta_ppm", "n_per_arm", "days_needed")
+  }
+
+  private val q318Oracle =
+    """WITH b AS (
+      |  SELECT count(DISTINCT user_id)::BIGINT AS n_users,
+      |         count(DISTINCT CASE WHEN event_type = 'purchase'
+      |                             THEN user_id END)::BIGINT AS n_converted,
+      |         (max(epoch_us(ts) // 86400000000)
+      |          - min(epoch_us(ts) // 86400000000) + 1)::BIGINT AS n_days
+      |  FROM events),
+      |p AS (SELECT n_users, n_days,
+      |             (1000000 * n_converted) // n_users AS p_ppm FROM b),
+      |m AS (SELECT unnest([10000, 20000, 50000, 100000]) AS mde_rel_ppm),
+      |x AS (SELECT mde_rel_ppm::BIGINT AS mde_rel_ppm, p_ppm,
+      |             (p_ppm * mde_rel_ppm) // 1000000 AS delta_ppm,
+      |             n_users, n_days
+      |      FROM p CROSS JOIN m)
+      |SELECT mde_rel_ppm, p_ppm, delta_ppm,
+      |       (16 * p_ppm * (1000000 - p_ppm)) // (delta_ppm * delta_ppm) AS n_per_arm,
+      |       (2 * ((16 * p_ppm * (1000000 - p_ppm)) // (delta_ppm * delta_ppm))
+      |          * n_days + n_users - 1) // n_users AS days_needed
+      |FROM x""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q318_power_analysis" -> (q318PowerAnalysis _),
+    "q317_cluster_bootstrap" -> (q317ClusterBootstrap _),
     "q314_variant_roundtrip" -> (q314VariantRoundtrip _),
     "q312_time_decay_attribution" -> (q312TimeDecayAttribution _),
     "q311_markov_attribution" -> (q311MarkovAttribution _),
@@ -4682,6 +4784,8 @@ object EventQueries {
     "q311_markov_attribution" -> q311Oracle,
     "q312_time_decay_attribution" -> q312Oracle,
     "q314_variant_roundtrip" -> q314Oracle,
+    "q317_cluster_bootstrap" -> q317Oracle,
+    "q318_power_analysis" -> q318Oracle,
     // the streamed bitmap must land exactly on the one-shot batch bitmap
     "q292_stream_bitmap" -> q280Oracle,
     "q287_bounce_rate" -> q287Oracle,
