@@ -4112,45 +4112,67 @@ object ExtQueries {
 
   /** q315: reshard-cost report — growing the shard count 8 → 12 under two
     * placement functions, from one hash pass: MODULO placement
-    * (`u mod N`) scrambles nearly every key's shard, while MONOTONE RANGE
-    * placement (`⌊u·N div 10⁶⌋` — fixed-point jump-style bucketing) moves
-    * only the keys whose bucket boundary shifted (≈ 1 − 8/12 = a third).
-    * The report quantifies exactly that migration bill per strategy —
-    * the reason production shard layouts (and [[Sampling.shardAppend]]'s
-    * manifest) avoid raw modulo: at 100 TB, "docs moved" is re-written
-    * bytes.
+    * (`u mod N`) re-homes nearly every key because the residue scrambles,
+    * while CONSISTENT HASHING (Karger et al. 1997: each shard owns the
+    * ring arc before its md5-placed token; growing keeps the original 8
+    * tokens FIXED and only adds 4) moves exactly the keys inside the
+    * arcs the new tokens steal — ≈ the 4/12 a minimal migration costs.
+    * The report quantifies that bill per strategy — the reason
+    * production shard layouts (and [[Sampling.shardAppend]]'s manifest)
+    * avoid raw modulo: at 100 TB, "docs moved" is re-written bytes.
+    * Clockwise-owner argmin ties break on the composite
+    * `dist·100 + shard` so both engines pick the same owner.
     *
-    * Scale shape: one scan, per-row integer arithmetic, a 2-row output
-    * via a single map-side-combined aggregate per strategy.
+    * Scale shape: one scan; the 12-token ring broadcasts onto the doc
+    * stream, owners reduce per doc with map-side combine, the verdict is
+    * a 2-row aggregate.
     */
   def q315ReshardPlan(spark: SparkSession, dir: String): DataFrame = {
     val d = documents(spark, dir)
-      .select((Dedup.baseHash(col("doc_id").cast("string")) % 1000000).as("u"))
+      .select(col("doc_id"),
+        (Dedup.baseHash(col("doc_id").cast("string")) % 1000000).as("u"))
+    val toks = d.sparkSession.range(12).select(col("id").as("shard"),
+      (Dedup.baseHash(concat(lit("shard"), col("id").cast("string"))) % 1000000)
+        .as("pos"))
+    val owners = d.crossJoin(broadcast(toks))
+      .withColumn("ord", expr("((pos - u + 1000000) % 1000000) * 100 + shard"))
+      .groupBy("doc_id")
+      .agg(expr("min_by(shard, CASE WHEN shard < 8 THEN ord END)").as("own8"),
+        expr("min_by(shard, ord)").as("own12"))
+    val ring = owners.agg(count(lit(1)).as("n_docs"),
+      sum(when(col("own8") =!= col("own12"), 1L).otherwise(0L)).as("n_moved"))
+      .select(lit("ring").as("strategy"), col("n_docs"), col("n_moved"))
     val modulo = d.agg(count(lit(1)).as("n_docs"),
       sum(when(col("u") % 8 =!= col("u") % 12, 1L).otherwise(0L)).as("n_moved"))
       .select(lit("modulo").as("strategy"), col("n_docs"), col("n_moved"))
-    val range = d.agg(count(lit(1)).as("n_docs"),
-      sum(when(expr("(u * 8) div 1000000") =!= expr("(u * 12) div 1000000"), 1L)
-        .otherwise(0L)).as("n_moved"))
-      .select(lit("range").as("strategy"), col("n_docs"), col("n_moved"))
-    modulo.unionAll(range)
+    modulo.unionAll(ring)
       .withColumn("moved_ppm", expr("(1000000 * n_moved) div n_docs"))
   }
 
   private val q315Oracle =
-    """WITH d AS (SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
-      |             % 1000000 AS u
-      |           FROM documents)
+    """WITH d AS (SELECT doc_id,
+      |             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+      |               % 1000000 AS u
+      |           FROM documents),
+      |tk AS (SELECT s AS shard,
+      |         ('0x' || substr(md5('shard' || s), 1, 15))::BIGINT % 1000000 AS pos
+      |       FROM (SELECT unnest(range(0, 12)) AS s)),
+      |x AS (SELECT doc_id, u, shard,
+      |        ((pos - u + 1000000) % 1000000) * 100 + shard AS ord
+      |      FROM d CROSS JOIN tk),
+      |own AS (SELECT doc_id,
+      |          arg_min(shard, CASE WHEN shard < 8 THEN ord END) AS own8,
+      |          arg_min(shard, ord) AS own12
+      |        FROM x GROUP BY 1)
       |SELECT 'modulo' AS strategy, count(*)::BIGINT AS n_docs,
       |       sum((u % 8 <> u % 12)::BIGINT)::BIGINT AS n_moved,
       |       (1000000 * sum((u % 8 <> u % 12)::BIGINT)) // count(*) AS moved_ppm
       |FROM d
       |UNION ALL
-      |SELECT 'range', count(*)::BIGINT,
-      |       sum(((u * 8) // 1000000 <> (u * 12) // 1000000)::BIGINT)::BIGINT,
-      |       (1000000 * sum(((u * 8) // 1000000 <> (u * 12) // 1000000)::BIGINT))
-      |         // count(*)
-      |FROM d""".stripMargin
+      |SELECT 'ring', count(*)::BIGINT,
+      |       sum((own8 <> own12)::BIGINT)::BIGINT,
+      |       (1000000 * sum((own8 <> own12)::BIGINT)) // count(*)
+      |FROM own""".stripMargin
 
   // ---------------- registry ----------------
 

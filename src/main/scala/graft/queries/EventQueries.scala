@@ -4607,55 +4607,57 @@ object EventQueries {
   }
 
   /** q318: A/B sample-size (power) calculator — the design-time companion
-    * to q142's z-test: from the MEASURED baseline conversion rate
-    * (users with a purchase / all users, integer ppm), the required users
-    * per arm for relative MDEs of 1/2/5/10 % at α = 0.05, power = 0.8 via
-    * the rule of 16 (`n = 16·p(1−p)/δ²` — van Belle; exact integer in ppm:
-    * `16·p·(10⁶−p) div δ²`), plus the runtime that implies at the
-    * corpus's observed users-per-day rate. Every figure derives from the
-    * data and integer arithmetic — both engines agree exactly.
+    * to q142's z-test: from the MEASURED baseline conversion rate at the
+    * USER-DAY grain (user-days with a purchase / active user-days — the
+    * user grain saturates at p = 1 in this corpus, a degenerate binomial;
+    * an invariant spec pins p strictly inside (0, 10⁶)), the required
+    * user-days per arm for relative MDEs of 1/2/5/10 % at α = 0.05,
+    * power = 0.8 via the rule of 16 (`n = 16·p(1−p)/δ²` — van Belle;
+    * exact integer in ppm: `16·p·(10⁶−p) div δ²`), plus the runtime that
+    * implies at the corpus's observed active-user-days-per-day rate.
+    * Every figure derives from the data in integer arithmetic.
     *
-    * Scale shape: two scalar aggregates (user counts + active-day span)
-    * broadcast onto a 4-row MDE grid.
+    * Scale shape: one distinct-(user, day) contraction, two scalar
+    * anchors broadcast onto a 4-row MDE grid.
     */
   def q318PowerAnalysis(spark: SparkSession, dir: String): DataFrame = {
-    val base = events(spark, dir).agg(
-      countDistinct(col("user_id")).as("n_users"),
-      countDistinct(when(col("event_type") === "purchase", col("user_id")))
-        .as("n_converted"),
-      (max(tsDay) - min(tsDay) + 1).as("n_days"))
+    val ud = events(spark, dir)
+      .select(col("user_id"), tsDay.as("day"),
+        (col("event_type") === "purchase").cast("long").as("purch"))
+      .groupBy("user_id", "day").agg(max(col("purch")).as("converted"))
+    val base = ud.agg(count(lit(1)).as("n_ud"), sum(col("converted")).as("n_conv"),
+      (max(col("day")) - min(col("day")) + 1).as("n_days"))
     base
-      .withColumn("p_ppm", expr("(1000000 * n_converted) div n_users"))
+      .withColumn("p_ppm", expr("(1000000 * n_conv) div n_ud"))
       .crossJoin(broadcast(
-        spark.range(1).select(explode(expr("array(10000, 20000, 50000, 100000)"))
+        spark.range(1).select(explode(expr("array(10000L, 20000L, 50000L, 100000L)"))
           .as("mde_rel_ppm"))))
       .withColumn("delta_ppm", expr("(p_ppm * mde_rel_ppm) div 1000000"))
       .withColumn("n_per_arm",
         expr("(16 * p_ppm * (1000000 - p_ppm)) div (delta_ppm * delta_ppm)"))
       .withColumn("days_needed",
-        expr("(2 * n_per_arm * n_days + n_users - 1) div n_users"))
+        expr("(2 * n_per_arm * n_days + n_ud - 1) div n_ud"))
       .select("mde_rel_ppm", "p_ppm", "delta_ppm", "n_per_arm", "days_needed")
   }
 
   private val q318Oracle =
-    """WITH b AS (
-      |  SELECT count(DISTINCT user_id)::BIGINT AS n_users,
-      |         count(DISTINCT CASE WHEN event_type = 'purchase'
-      |                             THEN user_id END)::BIGINT AS n_converted,
-      |         (max(epoch_us(ts) // 86400000000)
-      |          - min(epoch_us(ts) // 86400000000) + 1)::BIGINT AS n_days
-      |  FROM events),
-      |p AS (SELECT n_users, n_days,
-      |             (1000000 * n_converted) // n_users AS p_ppm FROM b),
+    """WITH ud AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |         max((event_type = 'purchase')::BIGINT)::BIGINT AS converted
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT count(*)::BIGINT AS n_ud, sum(converted)::BIGINT AS n_conv,
+      |             (max(day) - min(day) + 1)::BIGINT AS n_days
+      |      FROM ud),
+      |p AS (SELECT n_ud, n_days, (1000000 * n_conv) // n_ud AS p_ppm FROM b),
       |m AS (SELECT unnest([10000, 20000, 50000, 100000]) AS mde_rel_ppm),
       |x AS (SELECT mde_rel_ppm::BIGINT AS mde_rel_ppm, p_ppm,
       |             (p_ppm * mde_rel_ppm) // 1000000 AS delta_ppm,
-      |             n_users, n_days
+      |             n_ud, n_days
       |      FROM p CROSS JOIN m)
       |SELECT mde_rel_ppm, p_ppm, delta_ppm,
       |       (16 * p_ppm * (1000000 - p_ppm)) // (delta_ppm * delta_ppm) AS n_per_arm,
       |       (2 * ((16 * p_ppm * (1000000 - p_ppm)) // (delta_ppm * delta_ppm))
-      |          * n_days + n_users - 1) // n_users AS days_needed
+      |          * n_days + n_ud - 1) // n_ud AS days_needed
       |FROM x""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

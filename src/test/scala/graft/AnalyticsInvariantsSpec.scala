@@ -71,4 +71,52 @@ class AnalyticsInvariantsSpec extends SparkSpec {
     assert(shareSum <= 1000000L && shareSum > 1000000L - 4,
       s"shares must partition the credit, got $shareSum")
   }
+
+  test("q315 reshard: the consistent-hash ring moves strictly fewer docs than modulo") {
+    val rows = graft.ext.ExtQueries.q315ReshardPlan(spark, Sf0001).collect()
+      .map(r => r.getAs[String]("strategy") -> r.getAs[Long]("moved_ppm")).toMap
+    assert(rows("ring") < rows("modulo"),
+      s"ring ${rows("ring")} should beat modulo ${rows("modulo")}")
+    // only keys inside the arcs the 4 new tokens steal may move; with
+    // md5-placed tokens those arcs are uneven but always a strict minority
+    assert(rows("ring") > 0 && rows("ring") < 500000,
+      s"ring moved ${rows("ring")} ppm")
+  }
+
+  test("q316 PIT join: at most one SCD2 image matches each fact row") {
+    val df = graft.queries.ParityQueries.q316PitJoin(spark, Sf0001)
+    val dupes = df.groupBy("event_id").count().filter(col("count") > 1).count()
+    assert(dupes === 0, "SCD2 interval disjointness must yield unique matches")
+  }
+
+  test("q317 cluster bootstrap spreads wider than the q303 row bootstrap") {
+    // resampling whole users inflates replica variance relative to
+    // independent rows — the methodological point of the cluster bootstrap;
+    // compare relative spread (max-min over median) of the two replica sets
+    def relSpreadPpm(vals: Seq[Long]): Long = {
+      val sorted = vals.sorted
+      val med = sorted(sorted.length / 2)
+      (sorted.last - sorted.head) * 1000000L / med
+    }
+    val row = relSpreadPpm(EventQueries.q303PoissonBootstrap(spark, Sf0001)
+      .collect().map(_.getAs[Long]("mean_cents_ppm")).toSeq)
+    val cluster = relSpreadPpm(EventQueries.q317ClusterBootstrap(spark, Sf0001)
+      .collect().map(_.getAs[Long]("rev_per_user_ppm")).toSeq)
+    assert(cluster > row,
+      s"cluster spread $cluster ppm should exceed row spread $row ppm")
+  }
+
+  test("q318 power: baseline rate non-degenerate; larger effects need fewer samples") {
+    val rows = EventQueries.q318PowerAnalysis(spark, Sf0001).collect()
+      .sortBy(_.getAs[Long]("mde_rel_ppm"))
+    // the binomial variance p(1-p) degenerates at 0 or 1 — the grain must
+    // keep the measured baseline strictly inside the open interval
+    val p = rows.map(_.getAs[Long]("p_ppm")).distinct
+    assert(p.length === 1 && p.head > 0 && p.head < 1000000L,
+      s"baseline saturated: ${p.mkString(",")}")
+    val ns = rows.map(_.getAs[Long]("n_per_arm"))
+    assert(ns.forall(_ > 0))
+    assert(ns.zip(ns.tail).forall { case (a, b) => b < a },
+      s"n_per_arm must strictly decrease with MDE: ${ns.mkString(",")}")
+  }
 }
