@@ -4660,7 +4660,138 @@ object EventQueries {
       |          * n_days + n_ud - 1) // n_ud AS days_needed
       |FROM x""".stripMargin
 
+  /** O'Brien-Fleming two-sided α = 0.05 z² boundaries for K = 4 interims,
+    * in milli-units — shared literals inlined into both engines (the
+    * [[PoissonPpm]] pattern); z_k = 4.049, 2.863, 2.338, 2.024.
+    */
+  private val ObfZ2Milli = Seq(16394L, 8197L, 5466L, 4097L)
+
+  /** q319: group-sequential interim analysis — peeking at an experiment
+    * without α-inflation (O'Brien-Fleming spending, Pocock's framing):
+    * the corpus's day span splits into 4 interim windows; at each, the
+    * cumulative two-arm user-day conversion difference is tested against
+    * that interim's OBF boundary. Arms come from the deterministic
+    * user-level hash split (the q44 gate); the statistic is compared as
+    * z² in milli-units with DIVIDE-FIRST variance
+    * (`p(10⁶−p) div n₁ + p(10⁶−p) div n₂` — each term bounded, no
+    * n-scaled product), so the whole monitoring table is 64-bit integer
+    * and engine-exact. The runtime companion to q318's design-time
+    * calculator and q142's fixed-horizon z-test.
+    *
+    * Scale shape: one distinct-(user, day, arm) contraction; cumulative
+    * interim sums are a 4-row grid join over day quartile anchors.
+    */
+  def q319SequentialTest(spark: SparkSession, dir: String): DataFrame = {
+    val ud = events(spark, dir)
+      .select(col("user_id"), tsDay.as("day"),
+        (col("event_type") === "purchase").cast("long").as("purch"))
+      .groupBy("user_id", "day").agg(max(col("purch")).as("conv"))
+      .withColumn("arm",
+        (graft.ext.Dedup.baseHash(concat(lit("ab1|"), col("user_id").cast("string")))
+          % 2).cast("long"))
+    val span = ud.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val interims = spark.range(1, 5).select(col("id").as("k"))
+    val bounds = ObfZ2Milli.zipWithIndex
+      .map { case (b, i) => s"WHEN k = ${i + 1} THEN ${b}L" }
+      .mkString("CASE ", " ", " END")
+    val grid = interims.crossJoin(broadcast(span))
+      .withColumn("cut", expr("d0 + ((d1 - d0 + 1) * k) div 4 - 1"))
+    val cum = ud.crossJoin(broadcast(grid))
+      .filter(col("day") <= col("cut"))
+      .groupBy("k")
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("c1"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("c2"))
+      .withColumn("p1_ppm", expr("(1000000 * c1) div n1"))
+      .withColumn("p2_ppm", expr("(1000000 * c2) div n2"))
+      .withColumn("p_ppm", expr("(1000000 * (c1 + c2)) div (n1 + n2)"))
+      .withColumn("vr",
+        expr("(p_ppm * (1000000 - p_ppm)) div n1 + (p_ppm * (1000000 - p_ppm)) div n2"))
+      .withColumn("z2_milli",
+        expr("(1000 * (p1_ppm - p2_ppm) * (p1_ppm - p2_ppm)) div vr"))
+      .withColumn("bound_milli", expr(bounds))
+      .withColumn("crossed", (col("z2_milli") >= col("bound_milli")).cast("long"))
+    cum.select("k", "n1", "c1", "n2", "c2", "p1_ppm", "p2_ppm",
+      "z2_milli", "bound_milli", "crossed")
+  }
+
+  private val q319Oracle = {
+    val bounds = ObfZ2Milli.zipWithIndex
+      .map { case (b, i) => s"WHEN k = ${i + 1} THEN $b" }
+      .mkString("CASE ", " ", " END")
+    s"""WITH ud AS (
+       |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+       |         max((event_type = 'purchase')::BIGINT)::BIGINT AS conv
+       |  FROM events GROUP BY 1, 2),
+       |a AS (SELECT user_id, day, conv,
+       |        ('0x' || substr(md5('ab1|' || user_id::VARCHAR), 1, 15))::BIGINT
+       |          % 2 AS arm
+       |      FROM ud),
+       |s AS (SELECT min(day)::BIGINT AS d0, max(day)::BIGINT AS d1 FROM a),
+       |g AS (SELECT k::BIGINT AS k, d0 + ((d1 - d0 + 1) * k) // 4 - 1 AS cut
+       |      FROM s CROSS JOIN (SELECT unnest(range(1, 5)) AS k)),
+       |c AS (SELECT k,
+       |        sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n1,
+       |        sum(CASE WHEN arm = 0 THEN conv ELSE 0 END)::BIGINT AS c1,
+       |        sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n2,
+       |        sum(CASE WHEN arm = 1 THEN conv ELSE 0 END)::BIGINT AS c2
+       |      FROM a CROSS JOIN g WHERE day <= cut GROUP BY 1),
+       |x AS (SELECT k, n1, c1, n2, c2,
+       |        (1000000 * c1) // n1 AS p1_ppm,
+       |        (1000000 * c2) // n2 AS p2_ppm,
+       |        (1000000 * (c1 + c2)) // (n1 + n2) AS p_ppm
+       |      FROM c),
+       |y AS (SELECT *,
+       |        (p_ppm * (1000000 - p_ppm)) // n1
+       |          + (p_ppm * (1000000 - p_ppm)) // n2 AS vr
+       |      FROM x)
+       |SELECT k, n1, c1, n2, c2, p1_ppm, p2_ppm,
+       |       (1000 * (p1_ppm - p2_ppm) * (p1_ppm - p2_ppm)) // vr AS z2_milli,
+       |       ($bounds)::BIGINT AS bound_milli,
+       |       ((1000 * (p1_ppm - p2_ppm) * (p1_ppm - p2_ppm)) // vr
+       |          >= $bounds)::BIGINT AS crossed
+       |FROM y""".stripMargin
+  }
+
+  /** q320: sample-ratio-mismatch check — the A/B health gate run before
+    * any effect readout (Fabijan et al. 2019: a skewed split means the
+    * assignment or logging is broken and every downstream stat is
+    * garbage): 2-arm goodness-of-fit against 50/50 collapses to
+    * `χ² = (n₁−n₂)²/n`, compared in centi-units against 3.84 (α = 0.05)
+    * and 6.63 (α = 0.01) — all integers. Run at the USER grain (the
+    * assignment unit), on the same hash split as q319.
+    */
+  def q320SrmCheck(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("user_id")).distinct()
+      .withColumn("arm",
+        (graft.ext.Dedup.baseHash(concat(lit("ab1|"), col("user_id").cast("string")))
+          % 2).cast("long"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n2"))
+      .withColumn("chi2_centi",
+        expr("(100 * (n1 - n2) * (n1 - n2)) div (n1 + n2)"))
+      .withColumn("srm_p05", (col("chi2_centi") >= 384L).cast("long"))
+      .withColumn("srm_p01", (col("chi2_centi") >= 663L).cast("long"))
+
+  private val q320Oracle =
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      |a AS (SELECT sum((('0x' || substr(md5('ab1|' || user_id::VARCHAR), 1, 15))
+      |                   ::BIGINT % 2 = 0)::BIGINT)::BIGINT AS n1,
+      |             sum((('0x' || substr(md5('ab1|' || user_id::VARCHAR), 1, 15))
+      |                   ::BIGINT % 2 = 1)::BIGINT)::BIGINT AS n2
+      |      FROM u)
+      |SELECT n1, n2,
+      |       (100 * (n1 - n2) * (n1 - n2)) // (n1 + n2) AS chi2_centi,
+      |       ((100 * (n1 - n2) * (n1 - n2)) // (n1 + n2) >= 384)::BIGINT AS srm_p05,
+      |       ((100 * (n1 - n2) * (n1 - n2)) // (n1 + n2) >= 663)::BIGINT AS srm_p01
+      |FROM a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q320_srm_check" -> (q320SrmCheck _),
+    "q319_sequential_test" -> (q319SequentialTest _),
     "q318_power_analysis" -> (q318PowerAnalysis _),
     "q317_cluster_bootstrap" -> (q317ClusterBootstrap _),
     "q314_variant_roundtrip" -> (q314VariantRoundtrip _),
@@ -4788,6 +4919,8 @@ object EventQueries {
     "q314_variant_roundtrip" -> q314Oracle,
     "q317_cluster_bootstrap" -> q317Oracle,
     "q318_power_analysis" -> q318Oracle,
+    "q319_sequential_test" -> q319Oracle,
+    "q320_srm_check" -> q320Oracle,
     // the streamed bitmap must land exactly on the one-shot batch bitmap
     "q292_stream_bitmap" -> q280Oracle,
     "q287_bounce_rate" -> q287Oracle,
