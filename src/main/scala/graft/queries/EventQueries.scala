@@ -4789,7 +4789,128 @@ object EventQueries {
       |       ((100 * (n1 - n2) * (n1 - n2)) // (n1 + n2) >= 663)::BIGINT AS srm_p01
       |FROM a""".stripMargin
 
+  /** q321: Mann-Kendall trend test — the nonparametric IS-there-a-trend
+    * companion to q174's OLS slope and q309's Holt forecast (both assume
+    * a trend; this tests it): `S = Σ_{i<j} sign(y_j − y_i)` over the
+    * daily-revenue series, tie-corrected variance
+    * `18·Var(S) = n(n−1)(2n+5) − Σt(t−1)(2t+5)`, significance via the
+    * cross-multiplied integer comparison
+    * `10⁴·18·(|S|−1)² ≥ 38415·Var18` (z² ≥ 3.8415, α = 0.05) — no
+    * square roots, engine-exact. Kendall's τ ships in ppm.
+    *
+    * Scale shape: the pair join runs over the |days| CONTRACTION
+    * (calendar-bounded, never data-bounded), so the O(n²) is O(days²) —
+    * model-sized at any corpus scale.
+    */
+  def q321MannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .withColumn("day", tsDay)
+      .withColumn("cents", floor(col("value") * 100).cast("long"))
+      .groupBy("day").agg(sum(col("cents")).as("y"))
+    val a = daily.select(col("day").as("di"), col("y").as("yi"))
+    val b = daily.select(col("day").as("dj"), col("y").as("yj"))
+    val s = a.crossJoin(b).filter(col("di") < col("dj"))
+      .agg(sum(signum(col("yj") - col("yi")).cast("long")).as("s_stat"))
+    val ties = daily.groupBy("y").agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(expr("t * (t - 1) * (2 * t + 5)")), lit(0L)).as("tie_term"))
+    val n = daily.agg(count(lit(1)).as("n_days"))
+    s.crossJoin(broadcast(n)).crossJoin(broadcast(ties))
+      .withColumn("var18",
+        expr("n_days * (n_days - 1) * (2 * n_days + 5) - tie_term"))
+      .withColumn("tau_ppm",
+        expr("(1000000 * s_stat) div ((n_days * (n_days - 1)) div 2)"))
+      .withColumn("significant",
+        expr("(10000 * 18 * (abs(s_stat) - 1) * (abs(s_stat) - 1)" +
+          " >= 38415 * var18)").cast("long"))
+      .select("n_days", "s_stat", "var18", "tau_ppm", "significant")
+  }
+
+  private val q321Oracle =
+    """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+      |                  sum(floor(value * 100)::BIGINT)::BIGINT AS y
+      |           FROM events GROUP BY 1),
+      |s AS (SELECT sum(sign(b.y - a.y))::BIGINT AS s_stat
+      |      FROM d a JOIN d b ON a.day < b.day),
+      |t AS (SELECT coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)::BIGINT AS tie_term
+      |      FROM (SELECT count(*)::BIGINT AS t FROM d GROUP BY y)),
+      |n AS (SELECT count(*)::BIGINT AS n_days FROM d)
+      |SELECT n_days, s_stat,
+      |       (n_days * (n_days - 1) * (2 * n_days + 5) - tie_term)::BIGINT AS var18,
+      |       (1000000 * s_stat) // ((n_days * (n_days - 1)) // 2) AS tau_ppm,
+      |       (10000 * 18 * (abs(s_stat) - 1) * (abs(s_stat) - 1)
+      |          >= 38415 * (n_days * (n_days - 1) * (2 * n_days + 5) - tie_term)
+      |       )::BIGINT AS significant
+      |FROM s CROSS JOIN t CROSS JOIN n""".stripMargin
+
+  /** q322: permutation test for the CUSUM changepoint — q190 finds the
+    * peak-|CUSUM| day but not whether that peak is LARGER THAN CHANCE;
+    * the permutation test answers it without distributional assumptions:
+    * 32 DETERMINISTIC permutations (day order = md5(day|replica) rank —
+    * the hash-derived shuffles both engines replay) each yield a null
+    * max-|CUSUM|, and the p-value is the standard add-one rank
+    * `(1 + #{null ≥ observed}) div (R + 1)` in ppm. Deviations pre-scale
+    * by n (`n·y − S`, q190's discipline) so the statistic is BIGINT
+    * throughout.
+    *
+    * Scale shape: everything after the daily contraction is |days|×32
+    * rows — windows per replica over a calendar-bounded partition.
+    */
+  def q322PermutationTest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .withColumn("day", tsDay)
+      .withColumn("cents", floor(col("value") * 100).cast("long"))
+      .groupBy("day").agg(sum(col("cents")).as("y"))
+    val stats = daily.agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+    val wObs = Window.orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val obs = daily.crossJoin(broadcast(stats))
+      .withColumn("cusum", sum(col("n") * col("y") - col("s")).over(wObs))
+      .agg(max(abs(col("cusum"))).as("obs_stat"))
+    val wPerm = Window.partitionBy("r").orderBy(col("h").asc, col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perm = daily.crossJoin(broadcast(stats))
+      .withColumn("r", explode(expr("sequence(1, 32)")))
+      .withColumn("h", graft.ext.Dedup.baseHash(
+        concat(col("day").cast("string"), lit("|"), col("r").cast("string"))))
+      .withColumn("cusum", sum(col("n") * col("y") - col("s")).over(wPerm))
+      .groupBy("r").agg(max(abs(col("cusum"))).as("null_stat"))
+    perm.crossJoin(broadcast(obs))
+      .agg(count(lit(1)).as("n_perm"),
+        sum(when(col("null_stat") >= col("obs_stat"), 1L).otherwise(0L)).as("n_ge"),
+        max(col("obs_stat")).as("obs_stat"))
+      .withColumn("p_ppm", expr("(1000000 * (1 + n_ge)) div (n_perm + 1)"))
+      .select("obs_stat", "n_perm", "n_ge", "p_ppm")
+  }
+
+  private val q322Oracle =
+    """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+      |                  sum(floor(value * 100)::BIGINT)::BIGINT AS y
+      |           FROM events GROUP BY 1),
+      |st AS (SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS s FROM d),
+      |oc AS (SELECT sum(n * y - s) OVER (ORDER BY day ASC
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+      |       FROM d CROSS JOIN st),
+      |ob AS (SELECT max(abs(cusum))::BIGINT AS obs_stat FROM oc),
+      |x AS (SELECT day, y, n, s, r,
+      |        ('0x' || substr(md5(day::VARCHAR || '|' || r::VARCHAR), 1, 15))::BIGINT
+      |          AS h
+      |      FROM d CROSS JOIN st
+      |      CROSS JOIN (SELECT unnest(range(1, 33)) AS r)),
+      |pc AS (SELECT r, sum(n * y - s) OVER (PARTITION BY r ORDER BY h ASC, day ASC
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+      |       FROM x),
+      |pm AS (SELECT r, max(abs(cusum))::BIGINT AS null_stat FROM pc GROUP BY 1),
+      |g AS (SELECT count(*)::BIGINT AS n_perm,
+      |             sum((null_stat >= obs_stat)::BIGINT)::BIGINT AS n_ge,
+      |             max(obs_stat)::BIGINT AS obs_stat
+      |      FROM pm CROSS JOIN ob)
+      |SELECT obs_stat, n_perm, n_ge,
+      |       (1000000 * (1 + n_ge)) // (n_perm + 1) AS p_ppm
+      |FROM g""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q322_permutation_test" -> (q322PermutationTest _),
+    "q321_mann_kendall" -> (q321MannKendall _),
     "q320_srm_check" -> (q320SrmCheck _),
     "q319_sequential_test" -> (q319SequentialTest _),
     "q318_power_analysis" -> (q318PowerAnalysis _),
@@ -4921,6 +5042,8 @@ object EventQueries {
     "q318_power_analysis" -> q318Oracle,
     "q319_sequential_test" -> q319Oracle,
     "q320_srm_check" -> q320Oracle,
+    "q321_mann_kendall" -> q321Oracle,
+    "q322_permutation_test" -> q322Oracle,
     // the streamed bitmap must land exactly on the one-shot batch bitmap
     "q292_stream_bitmap" -> q280Oracle,
     "q287_bounce_rate" -> q287Oracle,
