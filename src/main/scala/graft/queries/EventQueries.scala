@@ -4908,7 +4908,78 @@ object EventQueries {
       |       (1000000 * (1 + n_ge)) // (n_perm + 1) AS p_ppm
       |FROM g""".stripMargin
 
+  /** q323: Theil-Sen robust slope — the median of all pairwise slopes
+    * (Sen 1968), the estimator that shrugs off the outlier days that
+    * drag q174's least-squares line: each day pair contributes
+    * `slope_ppm = 10⁶·Δcents div Δdays` (integer), the estimate is the
+    * LOWER MEDIAN by (slope, day-pair) order — a deterministic pick both
+    * engines make identically, no averaging of middle elements. Reported
+    * beside the OLS slope so the robust-vs-classical gap is the outlier
+    * diagnostic. Completes the trend toolkit: q174 fits, q321 tests,
+    * q309 forecasts, q323 fits robustly.
+    *
+    * Scale shape: the pair join is |days|² over the calendar-bounded
+    * contraction (q321's shape); the median is one sort of that bounded
+    * pair set.
+    */
+  def q323TheilSen(spark: SparkSession, dir: String): DataFrame = {
+    val raw = events(spark, dir)
+      .withColumn("day", tsDay)
+      .withColumn("cents", floor(col("value") * 100).cast("long"))
+      .groupBy("day").agg(sum(col("cents")).as("y"))
+    val d0 = raw.agg(min(col("day")).as("d0"))
+    // center x on the first day and publish slopes in MILLI units: the
+    // raw-epoch-day · 10⁶ formulation overflows 64 bits already at sf0.1
+    // (the q288 divide-first discipline applied to regression moments);
+    // at petabyte daily sums, coarsen y's currency unit first.
+    val daily = raw.crossJoin(broadcast(d0))
+      .select((col("day") - col("d0")).as("x"), col("y"))
+    val a = daily.select(col("x").as("xi"), col("y").as("yi"))
+    val b = daily.select(col("x").as("xj"), col("y").as("yj"))
+    val slopes = a.crossJoin(b).filter(col("xi") < col("xj"))
+      .select(expr("(1000 * (yj - yi)) div (xj - xi)").as("slope_milli"),
+        col("xi"), col("xj"))
+    val wr = Window.orderBy(col("slope_milli").asc, col("xi").asc, col("xj").asc)
+    val ranked = slopes.withColumn("rn", row_number().over(wr))
+    val cnt = slopes.agg(count(lit(1)).as("n_pairs"))
+    val median = ranked.crossJoin(broadcast(cnt))
+      .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+      .select(col("slope_milli").as("theil_sen_milli"), col("n_pairs"))
+    // OLS slope in the same milli units for the robustness gap:
+    // beta = (n·Σxy − ΣxΣy) div (n·Σx² − (Σx)²)
+    val ols = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"), sum(expr("x * y")).as("sxy"),
+      sum(expr("x * x")).as("sxx"))
+      .select(expr("(1000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx)")
+        .as("ols_milli"))
+    median.crossJoin(broadcast(ols))
+      .withColumn("gap_milli", abs(col("theil_sen_milli") - col("ols_milli")))
+  }
+
+  private val q323Oracle =
+    """WITH d0 AS (SELECT epoch_us(ts) // 86400000000 AS day,
+      |                   sum(floor(value * 100)::BIGINT)::BIGINT AS y
+      |            FROM events GROUP BY 1),
+      |d AS (SELECT (day - (SELECT min(day) FROM d0))::BIGINT AS x, y FROM d0),
+      |p AS (SELECT (1000 * (b.y - a.y)) // (b.x - a.x) AS slope_milli,
+      |             a.x AS xi, b.x AS xj
+      |      FROM d a JOIN d b ON a.x < b.x),
+      |r AS (SELECT slope_milli,
+      |        row_number() OVER (ORDER BY slope_milli ASC, xi ASC, xj ASC) AS rn
+      |      FROM p),
+      |c AS (SELECT count(*)::BIGINT AS n_pairs FROM p),
+      |m AS (SELECT slope_milli AS theil_sen_milli, n_pairs
+      |      FROM r CROSS JOIN c WHERE rn = (n_pairs + 1) // 2),
+      |o AS (SELECT ((1000 * (count(*) * sum(x * y) - sum(x) * sum(y)))
+      |               // (count(*) * sum(x * x) - sum(x) * sum(x)))::BIGINT
+      |               AS ols_milli
+      |      FROM d)
+      |SELECT theil_sen_milli, n_pairs, ols_milli,
+      |       abs(theil_sen_milli - ols_milli)::BIGINT AS gap_milli
+      |FROM m CROSS JOIN o""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q323_theil_sen" -> (q323TheilSen _),
     "q322_permutation_test" -> (q322PermutationTest _),
     "q321_mann_kendall" -> (q321MannKendall _),
     "q320_srm_check" -> (q320SrmCheck _),
@@ -5044,6 +5115,7 @@ object EventQueries {
     "q320_srm_check" -> q320Oracle,
     "q321_mann_kendall" -> q321Oracle,
     "q322_permutation_test" -> q322Oracle,
+    "q323_theil_sen" -> q323Oracle,
     // the streamed bitmap must land exactly on the one-shot batch bitmap
     "q292_stream_bitmap" -> q280Oracle,
     "q287_bounce_rate" -> q287Oracle,
