@@ -644,6 +644,37 @@ class PlanSpec extends SparkSpec {
       s"encode should cost exactly one source exchange:\n$plan")
   }
 
+  test("q303 bootstrap: purchase filter reaches the scan; 16-way explode combines map-side") {
+    val plan = planOf(graft.queries.EventQueries.q303PoissonBootstrap(spark, Sf0001))
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("EqualTo(event_type,purchase)"),
+      s"purchase filter must push into the parquet reader:\n$plan")
+    // all 16 replicas ride one scan: a single Generate, then two-phase agg
+    assert("Generate explode".r.findAllIn(plan).size == 1, plan)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"replica sums must partial-aggregate before the 16-group exchange:\n$plan")
+  }
+
+  test("q313 advisor: numeric columns are never read — scans prune to strings") {
+    val plan = planOf(graft.queries.ParityQueries.q313BroadcastAdvisor(spark, Sf0001))
+    // the size model needs count(*) + string lengths only; reading the
+    // numeric columns would defeat the pruning the report exists to prove
+    assert(!plan.contains("r_regionkey") && !plan.contains("o_totalprice"),
+      s"numeric columns must be pruned from the advisor scans:\n$plan")
+    assert(plan.contains("ReadSchema"), plan)
+  }
+
+  test("q312 decay pairs join on user_id, never cartesian; q319 grid broadcasts") {
+    val p312 = planOf(graft.queries.EventQueries.q312TimeDecayAttribution(spark, Sf0001))
+    assert(!p312.contains("CartesianProduct"),
+      s"touch-conversion pairing must key on user_id:\n$p312")
+    val p319 = planOf(graft.queries.EventQueries.q319SequentialTest(spark, Sf0001))
+    // the 4-row interim grid rides a broadcast onto the user-day contraction
+    assert(p319.contains("BroadcastNestedLoopJoin"),
+      s"the interim grid must broadcast:\n$p319")
+    assert(!p319.contains("CartesianProduct"), p319)
+  }
+
   test("q300 DSIR: bucket model broadcasts back onto the token stream; bounded head") {
     val plan = planOf(graft.ext.ExtQueries.q300DsirSelect(spark, Sf0001))
     // the 1024-row ratio model must ride a broadcast, never shuffle the
