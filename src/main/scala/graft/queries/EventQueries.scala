@@ -4265,22 +4265,31 @@ object EventQueries {
     * identical recurrence as a recursive CTE generated from the same
     * formula strings.
     */
-  def q309HoltForecast(spark: SparkSession, dir: String): DataFrame = {
-    val daily = events(spark, dir)
-      .filter(col("event_type") === "purchase")
-      .withColumn("day", tsDay)
-      .withColumn("cents", floor(col("value") * 100).cast("long"))
-      .groupBy("day").agg(sum(col("cents")).as("cents"))
+  /** The full Holt fold as one Spark SQL expression over a sorted
+    * `series` array of (day, cents) structs — shared by the q309 forecast
+    * and the q325 backtest so the recurrence cannot fork.
+    */
+  private def holtFoldSql: String = {
     val nl = holtL("a.l", "a.b", "y.cents", "div")
     val step =
       s"""(a, y) -> CASE WHEN a.i = 0L
          |  THEN named_struct('i', 1L, 'l', y.cents, 'b', 0L)
          |  ELSE named_struct('i', a.i + 1L, 'l', $nl,
          |         'b', ${holtB("a.l", nl, "a.b", "div")}) END""".stripMargin
-    daily
+    s"aggregate(series, named_struct('i', 0L, 'l', 0L, 'b', 0L), $step)"
+  }
+
+  private def holtDaily(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .withColumn("day", tsDay)
+      .withColumn("cents", floor(col("value") * 100).cast("long"))
+      .groupBy("day").agg(sum(col("cents")).as("cents"))
+
+  def q309HoltForecast(spark: SparkSession, dir: String): DataFrame = {
+    holtDaily(spark, dir)
       .agg(expr("sort_array(collect_list(struct(day, cents)))").as("series"))
-      .select(expr(
-        s"aggregate(series, named_struct('i', 0L, 'l', 0L, 'b', 0L), $step)").as("st"))
+      .select(expr(holtFoldSql).as("st"))
       .select(explode(expr("sequence(1, 7)")).as("h"),
         col("st.l").as("level_cents"), col("st.b").as("trend_cents"))
       .select(col("h").cast("long").as("h"), col("level_cents"), col("trend_cents"),
@@ -4978,7 +4987,145 @@ object EventQueries {
       |       abs(theil_sen_milli - ols_milli)::BIGINT AS gap_milli
       |FROM m CROSS JOIN o""".stripMargin
 
+  /** q324: Kitagawa rate decomposition — "conversion moved 2 points: MIX
+    * or RATE?" (Kitagawa 1955, the Oaxaca-Blinder ancestor): between the
+    * first and second half of the day span, the overall user-day
+    * conversion change splits per day-of-week segment into a mix effect
+    * (the segment's share of traffic moved, rates held at the midpoint)
+    * and a rate effect (the segment's own rate moved, share held at the
+    * midpoint) — `Δ = Σ (r̄·Δw + w̄·Δr)`, midpoint weighting so the
+    * decomposition carries no interaction residual. All shares and rates
+    * in ppm; the signed products divide through the shared floor-division
+    * CASE ([[holtFdiv]]) because Δw/Δr go negative and truncating vs
+    * flooring engines would drift by one there.
+    *
+    * Scale shape: one distinct-(user, day) contraction, a |dow| = 7-row
+    * segment table, scalar anchors broadcast.
+    */
+  def q324RateDecomposition(spark: SparkSession, dir: String): DataFrame = {
+    val ud = events(spark, dir)
+      .select(col("user_id"), tsDay.as("day"),
+        (col("event_type") === "purchase").cast("long").as("purch"))
+      .groupBy("user_id", "day").agg(max(col("purch")).as("conv"))
+      .withColumn("dow", col("day") % 7)
+    val span = ud.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val halves = ud.crossJoin(broadcast(span))
+      .withColumn("period",
+        when(col("day") <= expr("d0 + (d1 - d0) div 2"), 1L).otherwise(2L))
+    val seg = halves.groupBy("dow", "period")
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+    val tot = seg.groupBy("period").agg(sum(col("n")).as("nt"))
+    val wide = seg.join(broadcast(tot), "period")
+      .withColumn("w_ppm", expr("(1000000 * n) div nt"))
+      .withColumn("r_ppm", expr("(1000000 * c) div n"))
+      .groupBy("dow")
+      .agg(
+        sum(when(col("period") === 1, col("w_ppm")).otherwise(0L)).as("w1"),
+        sum(when(col("period") === 1, col("r_ppm")).otherwise(0L)).as("r1"),
+        sum(when(col("period") === 2, col("w_ppm")).otherwise(0L)).as("w2"),
+        sum(when(col("period") === 2, col("r_ppm")).otherwise(0L)).as("r2"))
+    wide
+      .withColumn("mix_ppm",
+        expr(holtFdiv("((r1 + r2) div 2) * (w2 - w1)", "div")))
+      .withColumn("rate_ppm",
+        expr(holtFdiv("((w1 + w2) div 2) * (r2 - r1)", "div")))
+      .select("dow", "w1", "r1", "w2", "r2", "mix_ppm", "rate_ppm")
+  }
+
+  private val q324Oracle =
+    """WITH ud AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |         max((event_type = 'purchase')::BIGINT)::BIGINT AS conv
+      |  FROM events GROUP BY 1, 2),
+      |s AS (SELECT min(day)::BIGINT AS d0, max(day)::BIGINT AS d1 FROM ud),
+      |h AS (SELECT day % 7 AS dow, conv,
+      |        CASE WHEN day <= d0 + (d1 - d0) // 2 THEN 1 ELSE 2 END AS period
+      |      FROM ud CROSS JOIN s),
+      |seg AS (SELECT dow, period, count(*)::BIGINT AS n, sum(conv)::BIGINT AS c
+      |        FROM h GROUP BY 1, 2),
+      |t AS (SELECT period, sum(n)::BIGINT AS nt FROM seg GROUP BY 1),
+      |x AS (SELECT dow, period,
+      |        (1000000 * n) // nt AS w_ppm, (1000000 * c) // n AS r_ppm
+      |      FROM seg JOIN t USING (period)),
+      |wdf AS (SELECT dow,
+      |          sum(CASE WHEN period = 1 THEN w_ppm ELSE 0 END)::BIGINT AS w1,
+      |          sum(CASE WHEN period = 1 THEN r_ppm ELSE 0 END)::BIGINT AS r1,
+      |          sum(CASE WHEN period = 2 THEN w_ppm ELSE 0 END)::BIGINT AS w2,
+      |          sum(CASE WHEN period = 2 THEN r_ppm ELSE 0 END)::BIGINT AS r2
+      |        FROM x GROUP BY 1)
+      |SELECT dow, w1, r1, w2, r2,
+      |       FDIVMIX::BIGINT AS mix_ppm,
+      |       FDIVRATE::BIGINT AS rate_ppm
+      |FROM wdf""".stripMargin
+      .replace("FDIVMIX", holtFdiv("((r1 + r2) // 2) * (w2 - w1)", "//"))
+      .replace("FDIVRATE", holtFdiv("((w1 + w2) // 2) * (r2 - r1)", "//"))
+
+  /** q325: forecast BACKTEST — a forecaster unevaluated is a liability;
+    * the standard holdout protocol: fit q309's Holt recurrence (the SAME
+    * [[holtFoldSql]] expression — the recurrence cannot fork between fit
+    * and eval) on the first 80 % of the day span, project `l + h·b` over
+    * the held-out tail, and publish per-day absolute percentage error
+    * plus the overall MAPE, all integer ppm with a `greatest(actual, 1)`
+    * zero-guard. The model-QA row for the forecasting tier, next to
+    * q305/q306/q307 for retrieval and classification.
+    *
+    * Scale shape: the train fold runs over the ≤|days| contraction; the
+    * test join is a 2-scalar broadcast onto the tail contraction; MAPE an
+    * empty-frame window over the bounded test set.
+    */
+  def q325ForecastBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = holtDaily(spark, dir)
+    val cutDf = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(expr("d0 + ((d1 - d0) * 4) div 5").as("cut"))
+    val st = daily.crossJoin(broadcast(cutDf)).filter(col("day") <= col("cut"))
+      .agg(expr("sort_array(collect_list(struct(day, cents)))").as("series"))
+      .select(expr(holtFoldSql).as("st"))
+      .select(col("st.l").as("l"), col("st.b").as("b"))
+    val w = Window.partitionBy()
+    daily.crossJoin(broadcast(cutDf)).filter(col("day") > col("cut"))
+      .crossJoin(broadcast(st))
+      .withColumn("h", col("day") - col("cut"))
+      .withColumn("forecast_cents", expr("l + h * b"))
+      .withColumn("ape_ppm",
+        expr("(1000000 * abs(forecast_cents - cents)) div greatest(cents, 1)"))
+      .withColumn("ape_sum", sum(col("ape_ppm")).over(w))
+      .withColumn("n_test", count(lit(1)).over(w))
+      .select(col("day"), col("h"), col("cents").as("actual_cents"),
+        col("forecast_cents"), col("ape_ppm"),
+        expr("ape_sum div n_test").as("mape_ppm"))
+  }
+
+  private val q325Oracle = {
+    val nl = holtL("h.l", "h.b", "tr.cents", "//")
+    s"""WITH RECURSIVE d AS (
+       |  SELECT epoch_us(ts) // 86400000000 AS day,
+       |         sum(floor(value * 100)::BIGINT)::BIGINT AS cents
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |c AS (SELECT min(day) + ((max(day) - min(day)) * 4) // 5 AS cut FROM d),
+       |tr AS (SELECT row_number() OVER (ORDER BY day ASC) AS i, cents
+       |       FROM d CROSS JOIN c WHERE day <= cut),
+       |h(i, l, b) AS (
+       |  SELECT 1::BIGINT, cents, 0::BIGINT FROM tr WHERE i = 1
+       |  UNION ALL
+       |  SELECT tr.i::BIGINT, ($nl)::BIGINT,
+       |         (${holtB("h.l", nl, "h.b", "//")})::BIGINT
+       |  FROM h JOIN tr ON tr.i = h.i + 1),
+       |f AS (SELECT l, b FROM h ORDER BY i DESC LIMIT 1),
+       |te AS (SELECT day, cents, (day - cut)::BIGINT AS hh
+       |       FROM d CROSS JOIN c WHERE day > cut),
+       |x AS (SELECT day, hh, cents, (l + hh * b)::BIGINT AS forecast_cents,
+       |        ((1000000 * abs(l + hh * b - cents))
+       |          // greatest(cents, 1))::BIGINT AS ape_ppm
+       |      FROM te CROSS JOIN f),
+       |m AS (SELECT sum(ape_ppm)::BIGINT AS s, count(*)::BIGINT AS n FROM x)
+       |SELECT day, hh AS h, cents AS actual_cents, forecast_cents, ape_ppm,
+       |       (s // n)::BIGINT AS mape_ppm
+       |FROM x CROSS JOIN m""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q325_forecast_backtest" -> (q325ForecastBacktest _),
+    "q324_rate_decomposition" -> (q324RateDecomposition _),
     "q323_theil_sen" -> (q323TheilSen _),
     "q322_permutation_test" -> (q322PermutationTest _),
     "q321_mann_kendall" -> (q321MannKendall _),
@@ -5116,6 +5263,8 @@ object EventQueries {
     "q321_mann_kendall" -> q321Oracle,
     "q322_permutation_test" -> q322Oracle,
     "q323_theil_sen" -> q323Oracle,
+    "q324_rate_decomposition" -> q324Oracle,
+    "q325_forecast_backtest" -> q325Oracle,
     // the streamed bitmap must land exactly on the one-shot batch bitmap
     "q292_stream_bitmap" -> q280Oracle,
     "q287_bounce_rate" -> q287Oracle,
