@@ -4174,9 +4174,54 @@ object ExtQueries {
       |       (1000000 * sum((own8 <> own12)::BIGINT)) // count(*)
       |FROM own""".stripMargin
 
+  /** q326: language-ID evaluation — the q306 protocol applied to the text
+    * tier: the q40 stopword classifier's guesses laid against the
+    * DECLARED `lang` column as a full confusion matrix with overall
+    * accuracy in ppm. The heuristic's failure geography (which language
+    * pairs it confuses, what `und` absorbs) is the actionable output —
+    * a single accuracy number would hide it.
+    *
+    * Scale shape: the per-doc guess is the same shuffle-free codegen'd
+    * expression q40 runs; the matrix is a |langs|²-bounded aggregate.
+    */
+  def q326LangidEval(spark: SparkSession, dir: String): DataFrame = {
+    val scores = TextAnalysis.langScores(col("text"))
+    val pred = fanOut(documents(spark, dir)).select(
+      col("lang"), TextAnalysis.langGuess(scores).as("lang_guess"))
+    val w = Window.partitionBy()
+    pred.groupBy("lang", "lang_guess").agg(count(lit(1)).as("n"))
+      .withColumn("n_total", sum(col("n")).over(w))
+      .withColumn("n_correct",
+        sum(when(col("lang") === col("lang_guess"), col("n")).otherwise(0L)).over(w))
+      .select(col("lang"), col("lang_guess"), col("n"),
+        expr("(1000000 * n_correct) div n_total").as("accuracy_ppm"))
+  }
+
+  private def q326Oracle: String = {
+    val langs = TextAnalysis.LangStopwords.map(_._1)
+    val cases = langs.map { l =>
+      val conds = langs.filterNot(_ == l)
+        .map(o => s"${l}_hits >= ${o}_hits").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("\n         ")
+    s"""WITH h AS (SELECT doc_id, lang,
+       |        ${langs.map(l => s"${dHits(l)} AS ${l}_hits").mkString(",\n        ")}
+       |           FROM documents),
+       |g AS (SELECT lang, CASE $cases ELSE 'und' END AS lang_guess FROM h),
+       |c AS (SELECT lang, lang_guess, count(*)::BIGINT AS n FROM g GROUP BY 1, 2),
+       |t AS (SELECT sum(n)::BIGINT AS n_total,
+       |             sum(CASE WHEN lang = lang_guess THEN n ELSE 0 END)::BIGINT
+       |               AS n_correct
+       |      FROM c)
+       |SELECT lang, lang_guess, n,
+       |       (1000000 * n_correct) // n_total AS accuracy_ppm
+       |FROM c CROSS JOIN t""".stripMargin
+  }
+
   // ---------------- registry ----------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q326_langid_eval" -> (q326LangidEval _),
     "q315_reshard_plan" -> (q315ReshardPlan _),
     "q308_matryoshka_recall" -> (q308MatryoshkaRecall _),
     "q307_calibration" -> (q307Calibration _),
@@ -4303,6 +4348,7 @@ object ExtQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q326_langid_eval" -> q326Oracle,
     "q315_reshard_plan" -> q315Oracle,
     "q308_matryoshka_recall" -> q308Oracle,
     "q307_calibration" -> q307Oracle,
