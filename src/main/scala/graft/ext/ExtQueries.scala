@@ -4218,9 +4218,64 @@ object ExtQueries {
        |FROM c CROSS JOIN t""".stripMargin
   }
 
+  /** q327: duplication × quality cross-tab — the curation question the
+    * dedup and quality tiers answer only together: ARE duplicates
+    * low-quality? Per quality decile (q41's score, ×10⁴ then floored to
+    * 10 buckets), the fraction of docs sitting in an exact-duplicate
+    * group (copies ≥ 2) in ppm. If the low deciles carry the duplicate
+    * mass, dedup and quality filtering overlap and the combined keep-rate
+    * is NOT the product of the individual ones — the interaction this
+    * table makes visible before anyone multiplies filter rates.
+    *
+    * Scale shape: one corpus scan; group size via a window over the
+    * fingerprint partition (one fp shuffle, no second scan, no join);
+    * the cross-tab is a 10-row aggregate.
+    */
+  def q327DupQualityCross(spark: SparkSession, dir: String): DataFrame = {
+    val text = col("text")
+    val nTok = TextAnalysis.tokenCount(text)
+    val punct = TextAnalysis.punctCount(text)
+    val stop = TextAnalysis.stopwordHits(
+      TextAnalysis.tokens(text), TextAnalysis.LangStopwords.head._2)
+    val docs = fanOut(documents(spark, dir)).select(
+      TextAnalysis.qualityScore(nTok, punct, stop, col("n_chars")).as("quality"),
+      TextAnalysis.md5Fingerprint(text).as("fp"))
+    docs
+      .withColumn("copies", count(lit(1)).over(Window.partitionBy("fp")))
+      .withColumn("bucket",
+        expr("least(cast(round(quality * 10000, 0) AS bigint) div 1000, 9)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("copies") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_ppm", expr("(1000000 * n_dup) div n_docs"))
+  }
+
+  private def q327Oracle: String = {
+    val en = dHits("en")
+    s"""WITH c AS (SELECT doc_id, md5($DNorm) AS fp,
+       |        len(string_split($DNorm, ' '))::INT AS n_tokens,
+       |        len(regexp_extract_all(text, '[.,!?;:]'))::INT AS punct,
+       |        $en AS stop_hits
+       |      FROM documents),
+       |q AS (SELECT fp,
+       |        round(0.3 * least(1.0, n_tokens::DOUBLE / 100.0)
+       |            + 0.4 * (1.0 - least(1.0, punct::DOUBLE / greatest(n_tokens::DOUBLE, 1.0)))
+       |            + 0.3 * least(1.0, 4.0 * stop_hits::DOUBLE / greatest(n_tokens::DOUBLE, 1.0)), 4)
+       |          AS quality
+       |      FROM c),
+       |w AS (SELECT quality, count(*) OVER (PARTITION BY fp) AS copies FROM q),
+       |b AS (SELECT least(round(quality * 10000)::BIGINT // 1000, 9) AS bucket,
+       |             (copies >= 2)::BIGINT AS is_dup
+       |      FROM w)
+       |SELECT bucket, count(*)::BIGINT AS n_docs, sum(is_dup)::BIGINT AS n_dup,
+       |       (1000000 * sum(is_dup)) // count(*) AS dup_ppm
+       |FROM b GROUP BY 1""".stripMargin
+  }
+
   // ---------------- registry ----------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q327_dup_quality_cross" -> (q327DupQualityCross _),
     "q326_langid_eval" -> (q326LangidEval _),
     "q315_reshard_plan" -> (q315ReshardPlan _),
     "q308_matryoshka_recall" -> (q308MatryoshkaRecall _),
@@ -4348,6 +4403,7 @@ object ExtQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q327_dup_quality_cross" -> q327Oracle,
     "q326_langid_eval" -> q326Oracle,
     "q315_reshard_plan" -> q315Oracle,
     "q308_matryoshka_recall" -> q308Oracle,
