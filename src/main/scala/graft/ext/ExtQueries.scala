@@ -4272,9 +4272,79 @@ object ExtQueries {
        |FROM b GROUP BY 1""".stripMargin
   }
 
+  /** q328: cross-modality QA — Spearman rank correlation between a
+    * document's embedding energy (q195's integer squared norm) and its
+    * text quality (q41's score): degenerate embeddings co-occurring with
+    * junk text means the embedding pipeline inherited the corpus's
+    * quality problem, and norm-filtering would double-count the quality
+    * filter. Tie-free rank permutations via the (value, doc_id) break, so
+    * the exact d² identity `ρ = 10⁶ − 6·Σd²·10⁶ div (n(n²−1))` applies
+    * BIGINT end to end (the q284 discipline, here across TWO tables).
+    *
+    * Scale shape: one scan each side, an id-equi join, two rank windows
+    * over the |docs-with-embeddings| contraction, a 1-row statistic.
+    */
+  def q328ModalityQa(spark: SparkSession, dir: String): DataFrame = {
+    val text = col("text")
+    val nTok = TextAnalysis.tokenCount(text)
+    val punct = TextAnalysis.punctCount(text)
+    val stop = TextAnalysis.stopwordHits(
+      TextAnalysis.tokens(text), TextAnalysis.LangStopwords.head._2)
+    val qdocs = documents(spark, dir).select(col("doc_id"),
+      (round(TextAnalysis.qualityScore(nTok, punct, stop, col("n_chars")) * 10000, 0))
+        .cast("long").as("q4"))
+    val norms = embeddings(spark, dir).select(col("vec_id").as("doc_id"),
+      expr(
+        """aggregate(
+          |  transform(embedding, v -> CAST(floor(CAST(v AS double) * 1000) AS bigint)),
+          |  0L, (a, x) -> a + x * x)""".stripMargin).as("nq"))
+    val j = qdocs.join(norms, "doc_id")
+    val rq = Window.orderBy(col("q4").asc, col("doc_id").asc)
+    val rn = Window.orderBy(col("nq").asc, col("doc_id").asc)
+    j.withColumn("ra", row_number().over(rq).cast("long"))
+      .withColumn("rb", row_number().over(rn).cast("long"))
+      .withColumn("d2", (col("ra") - col("rb")) * (col("ra") - col("rb")))
+      .agg(count(lit(1)).as("n_docs"), sum(col("d2")).as("sum_d2"))
+      .select(col("n_docs"), col("sum_d2"),
+        expr("1000000 - (6 * sum_d2 * 1000000) div (n_docs * (n_docs * n_docs - 1))")
+          .as("rho_ppm"))
+  }
+
+  private def q328Oracle: String = {
+    val en = dHits("en")
+    s"""WITH c AS (SELECT doc_id,
+       |        len(string_split($DNorm, ' '))::INT AS n_tokens,
+       |        len(regexp_extract_all(text, '[.,!?;:]'))::INT AS punct,
+       |        $en AS stop_hits
+       |      FROM documents),
+       |q AS (SELECT doc_id,
+       |        round(10000 * (0.3 * least(1.0, n_tokens::DOUBLE / 100.0)
+       |            + 0.4 * (1.0 - least(1.0, punct::DOUBLE / greatest(n_tokens::DOUBLE, 1.0)))
+       |            + 0.3 * least(1.0, 4.0 * stop_hits::DOUBLE / greatest(n_tokens::DOUBLE, 1.0))
+       |          ))::BIGINT AS q4
+       |      FROM c),
+       |nm AS (SELECT vec_id AS doc_id,
+       |         list_sum(list_transform(embedding,
+       |           v -> floor(v::DOUBLE * 1000)::BIGINT * floor(v::DOUBLE * 1000)::BIGINT
+       |         ))::BIGINT AS nq
+       |       FROM embeddings),
+       |j AS (SELECT q.doc_id, q4, nq FROM q JOIN nm USING (doc_id)),
+       |r AS (SELECT
+       |        row_number() OVER (ORDER BY q4 ASC, doc_id ASC) AS ra,
+       |        row_number() OVER (ORDER BY nq ASC, doc_id ASC) AS rb
+       |      FROM j),
+       |a AS (SELECT count(*)::BIGINT AS n_docs,
+       |             sum((ra - rb) * (ra - rb))::BIGINT AS sum_d2 FROM r)
+       |SELECT n_docs, sum_d2,
+       |       1000000 - (6 * sum_d2 * 1000000) // (n_docs * (n_docs * n_docs - 1))
+       |         AS rho_ppm
+       |FROM a""".stripMargin
+  }
+
   // ---------------- registry ----------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q328_modality_qa" -> (q328ModalityQa _),
     "q327_dup_quality_cross" -> (q327DupQualityCross _),
     "q326_langid_eval" -> (q326LangidEval _),
     "q315_reshard_plan" -> (q315ReshardPlan _),
@@ -4403,6 +4473,7 @@ object ExtQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q328_modality_qa" -> q328Oracle,
     "q327_dup_quality_cross" -> q327Oracle,
     "q326_langid_eval" -> q326Oracle,
     "q315_reshard_plan" -> q315Oracle,
