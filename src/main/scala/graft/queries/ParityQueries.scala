@@ -2804,7 +2804,63 @@ object ParityQueries {
        |FROM $table""".stripMargin
   }.mkString("\nUNION ALL\n")
 
+  /** Shared recursive-hierarchy SQL body — ONE string runs on both
+    * engines (only the cents-flooring differs by dialect via `floorFn`),
+    * so the recursion cannot fork. Nodes encode as `key·4 + level` to
+    * keep the three levels disjoint in one BIGINT id space.
+    */
+  private def q329Sql(floorCents: String): String =
+    s"""WITH RECURSIVE edges AS (
+       |  SELECT CAST(n_regionkey * 4 AS BIGINT) AS parent,
+       |         CAST(n_nationkey * 4 + 1 AS BIGINT) AS child,
+       |         CAST(0 AS BIGINT) AS cents
+       |  FROM nation
+       |  UNION ALL
+       |  SELECT CAST(c_nationkey * 4 + 1 AS BIGINT),
+       |         CAST(c_custkey * 4 + 2 AS BIGINT),
+       |         $floorCents
+       |  FROM customer),
+       |walk(node, root, depth, cents) AS (
+       |  SELECT CAST(r_regionkey * 4 AS BIGINT), CAST(r_regionkey AS BIGINT),
+       |         CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+       |  FROM region
+       |  UNION ALL
+       |  SELECT e.child, w.root, w.depth + 1, e.cents
+       |  FROM walk w JOIN edges e ON e.parent = w.node)
+       |SELECT root AS region_key, depth, COUNT(*) AS n_nodes,
+       |       SUM(cents) AS sum_cents
+       |FROM walk GROUP BY root, depth""".stripMargin
+
+  /** q329: recursive hierarchy rollup — Spark 4's NATIVE `WITH RECURSIVE`
+    * (new in the 4.x line; the engine's whole recursion, not a driver
+    * loop): the region → nation → customer containment tree walked as a
+    * recursive CTE carrying a measure, so each region reports its node
+    * count and account-balance cents PER DEPTH — the org-chart/BOM shape
+    * recursive SQL exists for. The recursion is UNION ALL over a TREE
+    * (unique parents), so the working set is bounded by the hierarchy
+    * itself — the explosion-free regime; cyclic/graph walks stay on the
+    * q274-style bounded-round DataFrame loops until UNION-distinct
+    * recursion lands.
+    *
+    * Scale shape: per recursion round one join of the frontier against
+    * the edge relation on the parent key — the Pregel round shape, now
+    * planned by the engine itself.
+    */
+  def q329RecursiveRollup(spark: SparkSession, dir: String): DataFrame = {
+    region(spark, dir).createOrReplaceTempView("q329_region")
+    nation(spark, dir).createOrReplaceTempView("q329_nation")
+    customer(spark, dir).createOrReplaceTempView("q329_customer")
+    val sql = q329Sql("CAST(floor(c_acctbal * 100) AS BIGINT)")
+      .replace("FROM nation", "FROM q329_nation")
+      .replace("FROM customer", "FROM q329_customer")
+      .replace("FROM region", "FROM q329_region")
+    spark.sql(sql)
+  }
+
+  private val q329Oracle = q329Sql("floor(c_acctbal * 100)::BIGINT")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q329_recursive_rollup" -> (q329RecursiveRollup _),
     "q313_broadcast_advisor" -> (q313BroadcastAdvisor _),
     "q316_pit_join" -> (q316PitJoin _),
     "q296_hierarchy_shares" -> (q296HierarchyShares _),
@@ -2884,6 +2940,7 @@ object ParityQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q313_broadcast_advisor" -> q313Oracle,
+    "q329_recursive_rollup" -> q329Oracle,
     "q316_pit_join" -> q316Oracle,
     "q296_hierarchy_shares" -> q296Oracle,
     "q289_relative_ranks" -> q289Oracle,
