@@ -5123,7 +5123,126 @@ object EventQueries {
        |FROM x CROSS JOIN m""".stripMargin
   }
 
+  /** q330: forecast bake-off with MASE (Hyndman-Koehler 2006) — a
+    * forecaster is only good RELATIVE to the naive baseline it must beat:
+    * on q325's 80/20 holdout, Holt's mean absolute error against the
+    * NAIVE last-train-value forecast, as `MASE_ppm = 10⁶·MAE_h div
+    * MAE_n`. Under 10⁶ means the model earns its complexity; over means
+    * ship the naive. The errors are integer cents; a zero naive error
+    * (constant series) guards to 1.
+    *
+    * Scale shape: q325's fold + contraction geometry; the naive forecast
+    * is ONE more broadcast scalar (the last train value).
+    */
+  def q330ForecastMase(spark: SparkSession, dir: String): DataFrame = {
+    val daily = holtDaily(spark, dir)
+    val cutDf = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(expr("d0 + ((d1 - d0) * 4) div 5").as("cut"))
+    val train = daily.crossJoin(broadcast(cutDf)).filter(col("day") <= col("cut"))
+    val st = train
+      .agg(expr("sort_array(collect_list(struct(day, cents)))").as("series"))
+      .select(expr(holtFoldSql).as("st"))
+      .select(col("st.l").as("l"), col("st.b").as("b"))
+    val naive = train.orderBy(col("day").desc).limit(1)
+      .select(col("cents").as("last_train"))
+    daily.crossJoin(broadcast(cutDf)).filter(col("day") > col("cut"))
+      .crossJoin(broadcast(st)).crossJoin(broadcast(naive))
+      .withColumn("h", col("day") - col("cut"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(abs(expr("l + h * b") - col("cents"))).as("abs_err_holt"),
+        sum(abs(col("last_train") - col("cents"))).as("abs_err_naive"))
+      .select(col("n_test"), col("abs_err_holt"), col("abs_err_naive"),
+        expr("(1000000 * abs_err_holt) div greatest(abs_err_naive, 1)")
+          .as("mase_ppm"))
+  }
+
+  private val q330Oracle = {
+    val nl = holtL("h.l", "h.b", "tr.cents", "//")
+    s"""WITH RECURSIVE d AS (
+       |  SELECT epoch_us(ts) // 86400000000 AS day,
+       |         sum(floor(value * 100)::BIGINT)::BIGINT AS cents
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |c AS (SELECT min(day) + ((max(day) - min(day)) * 4) // 5 AS cut FROM d),
+       |tr AS (SELECT row_number() OVER (ORDER BY day ASC) AS i, cents
+       |       FROM d CROSS JOIN c WHERE day <= cut),
+       |h(i, l, b) AS (
+       |  SELECT 1::BIGINT, cents, 0::BIGINT FROM tr WHERE i = 1
+       |  UNION ALL
+       |  SELECT tr.i::BIGINT, ($nl)::BIGINT,
+       |         (${holtB("h.l", nl, "h.b", "//")})::BIGINT
+       |  FROM h JOIN tr ON tr.i = h.i + 1),
+       |f AS (SELECT l, b FROM h ORDER BY i DESC LIMIT 1),
+       |nv AS (SELECT cents AS last_train FROM tr ORDER BY i DESC LIMIT 1),
+       |te AS (SELECT (day - cut)::BIGINT AS hh, cents
+       |       FROM d CROSS JOIN c WHERE day > cut),
+       |g AS (SELECT count(*)::BIGINT AS n_test,
+       |        sum(abs(l + hh * b - cents))::BIGINT AS abs_err_holt,
+       |        sum(abs(last_train - cents))::BIGINT AS abs_err_naive
+       |      FROM te CROSS JOIN f CROSS JOIN nv)
+       |SELECT n_test, abs_err_holt, abs_err_naive,
+       |       (1000000 * abs_err_holt) // greatest(abs_err_naive, 1) AS mase_ppm
+       |FROM g""".stripMargin
+  }
+
+  /** q331: Wald-Wolfowitz runs test — is the daily-revenue sequence
+    * RANDOM around its median, or does it trend/cluster (too few runs)
+    * and oscillate (too many)? The randomness check q321's trend test and
+    * q322's changepoint test both implicitly assume an answer to. Runs of
+    * above/below-median days counted by a lag window; significance via
+    * the cross-multiplied integer z² (`z² = (R−E)²/Var` with
+    * `E = 2ab/n + 1`, `Var = 2ab(2ab−n)/(n²(n−1))` — every comparison
+    * cleared of denominators, no roots). Median-equal days drop, the
+    * standard convention, so a + b = n exactly.
+    *
+    * Scale shape: everything after the daily contraction is
+    * calendar-bounded; the run count is one lag window over it.
+    */
+  def q331RunsTest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .withColumn("day", tsDay)
+      .withColumn("cents", floor(col("value") * 100).cast("long"))
+      .groupBy("day").agg(sum(col("cents")).as("y"))
+    val med = daily.agg(expr("percentile(y, 0.5)").as("m"))
+    val signed = daily.crossJoin(broadcast(med))
+      .filter(col("y") =!= col("m"))
+      .withColumn("s", (col("y") > col("m")).cast("long"))
+    val w = Window.orderBy(col("day").asc)
+    signed
+      .withColumn("prev_s", lag(col("s"), 1).over(w))
+      .agg(
+        sum(col("s")).as("a"),
+        sum(lit(1L) - col("s")).as("b"),
+        (sum(when(col("prev_s").isNull || col("prev_s") =!= col("s"), 1L)
+          .otherwise(0L))).as("runs"))
+      .withColumn("n", col("a") + col("b"))
+      // z² ≥ 3.8415  ⟺  10⁴·(R·n − (2ab+n))²·(n−1) ≥ 38415·2ab·(2ab−n)
+      .withColumn("significant",
+        expr("(10000 * (runs * n - (2 * a * b + n)) * (runs * n - (2 * a * b + n))" +
+          " * (n - 1) >= 38415 * 2 * a * b * (2 * a * b - n))").cast("long"))
+      .select("a", "b", "runs", "significant")
+  }
+
+  private val q331Oracle =
+    """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+      |                  sum(floor(value * 100)::BIGINT)::BIGINT AS y
+      |           FROM events GROUP BY 1),
+      |m AS (SELECT quantile_cont(y, 0.5) AS m FROM d),
+      |s AS (SELECT day, (y > m)::BIGINT AS s FROM d CROSS JOIN m WHERE y <> m),
+      |l AS (SELECT s, lag(s) OVER (ORDER BY day ASC) AS prev_s FROM s),
+      |g AS (SELECT sum(s)::BIGINT AS a, sum(1 - s)::BIGINT AS b,
+      |        sum(CASE WHEN prev_s IS NULL OR prev_s <> s THEN 1 ELSE 0 END)::BIGINT
+      |          AS runs
+      |      FROM l),
+      |x AS (SELECT a, b, runs, (a + b)::BIGINT AS n FROM g)
+      |SELECT a, b, runs,
+      |       (10000 * (runs * n - (2 * a * b + n)) * (runs * n - (2 * a * b + n))
+      |          * (n - 1) >= 38415 * 2 * a * b * (2 * a * b - n))::BIGINT
+      |         AS significant
+      |FROM x""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q330_forecast_mase" -> (q330ForecastMase _),
+    "q331_runs_test" -> (q331RunsTest _),
     "q325_forecast_backtest" -> (q325ForecastBacktest _),
     "q324_rate_decomposition" -> (q324RateDecomposition _),
     "q323_theil_sen" -> (q323TheilSen _),
@@ -5265,6 +5384,8 @@ object EventQueries {
     "q323_theil_sen" -> q323Oracle,
     "q324_rate_decomposition" -> q324Oracle,
     "q325_forecast_backtest" -> q325Oracle,
+    "q330_forecast_mase" -> q330Oracle,
+    "q331_runs_test" -> q331Oracle,
     // the streamed bitmap must land exactly on the one-shot batch bitmap
     "q292_stream_bitmap" -> q280Oracle,
     "q287_bounce_rate" -> q287Oracle,
