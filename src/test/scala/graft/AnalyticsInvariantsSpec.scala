@@ -106,6 +106,26 @@ class AnalyticsInvariantsSpec extends SparkSpec {
       s"cluster spread $cluster ppm should exceed row spread $row ppm")
   }
 
+  test("q330 MASE reconciles with q325's holdout; q331 runs are range-valid") {
+    val mase = EventQueries.q330ForecastMase(spark, Sf0001).collect()(0)
+    val backtest = EventQueries.q325ForecastBacktest(spark, Sf0001).collect()
+    // same holdout: the bake-off must see exactly the backtest's test days
+    assert(mase.getAs[Long]("n_test") === backtest.length.toLong)
+    // Holt's absolute error must be the sum of the backtest's per-day errors
+    val holtErr = backtest
+      .map(r => math.abs(r.getAs[Long]("forecast_cents") - r.getAs[Long]("actual_cents")))
+      .sum
+    assert(mase.getAs[Long]("abs_err_holt") === holtErr)
+    assert(mase.getAs[Long]("mase_ppm") > 0)
+    val runs = EventQueries.q331RunsTest(spark, Sf0001).collect()(0)
+    val (a, b, r) = (runs.getAs[Long]("a"), runs.getAs[Long]("b"),
+      runs.getAs[Long]("runs"))
+    // a run count is at least 1 and at most the sequence length; both signs
+    // must appear for the test to be defined on this fixture
+    assert(a > 0 && b > 0, s"degenerate sign split a=$a b=$b")
+    assert(r >= 1 && r <= a + b, s"runs $r outside [1, ${a + b}]")
+  }
+
   test("q318 power: baseline rate non-degenerate; larger effects need fewer samples") {
     val rows = EventQueries.q318PowerAnalysis(spark, Sf0001).collect()
       .sortBy(_.getAs[Long]("mde_rel_ppm"))
