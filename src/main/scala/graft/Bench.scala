@@ -206,7 +206,11 @@ object Bench {
     val flagMap = worstFlagged
       .map { case (k, p, v) => s"${q(k)}:{${q("prev")}:${s3(p)},${q("cur")}:${s3(v)}}" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},"n_err":${errored.size},"err_queries":$errList,"qsec":$qSec,"qsec_order":"sorted benched query names","flagged":$flagMap,"n_flagged":${flagged.size},"prev_recorded":${prev.nonEmpty},"sf":${q(sfDir)},"trials":$trials,"load_before":${q(loadBefore)},"load_after":${q(loadAfter)}}""")
+    // Verdict-critical scalars (value/n_err/n_queries) go AFTER the long
+    // qsec array: the driver's stdout tail keeps the SUFFIX of a truncated
+    // headline, so the end of the line must carry the round total (round-9
+    // verdict item 4 — r09's leading "value" field was truncated away).
+    println(s"""{"metric":"total","unit":"sec","err_queries":$errList,"qsec":$qSec,"qsec_order":"sorted benched query names","flagged":$flagMap,"n_flagged":${flagged.size},"prev_recorded":${prev.nonEmpty},"sf":${q(sfDir)},"trials":$trials,"load_before":${q(loadBefore)},"load_after":${q(loadAfter)},"n_queries":${ok.size},"n_err":${errored.size},"value":$total}""")
     // Record this run as the next baseline — only a FULL (unfiltered) run
     // qualifies, and only its own sf's entry is replaced, so a filtered or
     // small-sf local iteration can never clobber the sf0.1 record.

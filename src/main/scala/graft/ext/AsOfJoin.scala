@@ -41,8 +41,7 @@ object AsOfJoin {
     * @param valueCols  right columns to attach (null when nothing matches);
     *                   must not collide with `left`'s column names
     * @param tolerance  max allowed `leftTs - rightTs` (same unit as ts)
-    */
-  /** @param forward    false (default): classic BACKWARD as-of — latest
+    * @param forward    false (default): classic BACKWARD as-of — latest
     *                   right with `rightTs <= leftTs`. true: FORWARD
     *                   as-of — EARLIEST right with `rightTs >= leftTs`
     *                   (the "next event after" enrichment: next purchase

@@ -2333,7 +2333,7 @@ object ExtQueries {
        |       WHERE term <> '' GROUP BY 1)
        |SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS chars,
        |       sum(coalesce(n_tok, 0))::BIGINT AS tokens,
-       |       (10000 * sum(n_chars)) // sum(coalesce(n_tok, 0)) AS chars_per_tok_4
+       |       ((10000 * sum(n_chars)) // sum(coalesce(n_tok, 0)))::BIGINT AS chars_per_tok_4
        |FROM documents LEFT JOIN tk USING (doc_id)
        |GROUP BY 1""".stripMargin
 
@@ -2874,7 +2874,7 @@ object ExtQueries {
        |      FROM g JOIN c2 USING (bg)
        |      JOIN c1 ON split_part(g.bg, ' ', 1) = c1.w1)
        |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
-       |       sum(cond_ppm) // count(*) AS avg_cond_ppm
+       |       (sum(cond_ppm) // count(*))::BIGINT AS avg_cond_ppm
        |FROM j GROUP BY 1""".stripMargin
 
   /** q237: exact two-sample Kolmogorov-Smirnov statistic between the even-
@@ -3700,7 +3700,7 @@ object ExtQueries {
        |SELECT source, count(*)::BIGINT AS n_tokens,
        |       sum(before)::BIGINT AS chars_before,
        |       sum(after)::BIGINT AS symbols_after,
-       |       (1000000 * (sum(before) - sum(after))) // sum(before) AS saved_ppm
+       |       ((1000000 * (sum(before) - sum(after))) // sum(before))::BIGINT AS saved_ppm
        |FROM e GROUP BY 1""".stripMargin
   }
 
@@ -4105,8 +4105,8 @@ object ExtQueries {
       |           row_number() OVER (PARTITION BY q_id ORDER BY sc DESC, vec_id ASC) AS rk
       |         FROM st) WHERE rk <= 50)
       |SELECT fl.q_id,
-      |       (1000000 * sum(CASE WHEN t_rank <= 5 THEN 1 ELSE 0 END)) // 5 AS recall5_ppm,
-      |       (1000000 * sum(coalesce(t_rank, 51))) // 5 AS mean_true_rank_ppm
+      |       ((1000000 * sum(CASE WHEN t_rank <= 5 THEN 1 ELSE 0 END)) // 5)::BIGINT AS recall5_ppm,
+      |       ((1000000 * sum(coalesce(t_rank, 51))) // 5)::BIGINT AS mean_true_rank_ppm
       |FROM fl LEFT JOIN tr ON fl.q_id = tr.q_id AND fl.vec_id = tr.vec_id
       |GROUP BY 1""".stripMargin
 
@@ -4166,12 +4166,12 @@ object ExtQueries {
       |        FROM x GROUP BY 1)
       |SELECT 'modulo' AS strategy, count(*)::BIGINT AS n_docs,
       |       sum((u % 8 <> u % 12)::BIGINT)::BIGINT AS n_moved,
-      |       (1000000 * sum((u % 8 <> u % 12)::BIGINT)) // count(*) AS moved_ppm
+      |       ((1000000 * sum((u % 8 <> u % 12)::BIGINT)) // count(*))::BIGINT AS moved_ppm
       |FROM d
       |UNION ALL
       |SELECT 'ring', count(*)::BIGINT,
       |       sum((own8 <> own12)::BIGINT)::BIGINT,
-      |       (1000000 * sum((own8 <> own12)::BIGINT)) // count(*)
+      |       ((1000000 * sum((own8 <> own12)::BIGINT)) // count(*))::BIGINT
       |FROM own""".stripMargin
 
   /** q326: language-ID evaluation — the q306 protocol applied to the text
@@ -4268,7 +4268,7 @@ object ExtQueries {
        |             (copies >= 2)::BIGINT AS is_dup
        |      FROM w)
        |SELECT bucket, count(*)::BIGINT AS n_docs, sum(is_dup)::BIGINT AS n_dup,
-       |       (1000000 * sum(is_dup)) // count(*) AS dup_ppm
+       |       ((1000000 * sum(is_dup)) // count(*))::BIGINT AS dup_ppm
        |FROM b GROUP BY 1""".stripMargin
   }
 

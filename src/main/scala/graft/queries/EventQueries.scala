@@ -284,6 +284,26 @@ object EventQueries {
     java.nio.file.Files.copy(part.toPath, in.resolve(fileName))
   }
 
+  /** Run `body` with `spark.sql.shuffle.partitions` pinned to `n`, then
+    * restore. The stateful streaming gates size their STATE STORE count
+    * from this conf at query start: at fixture scale the dominant cost is
+    * per-partition store instantiation + per-batch commit (a stream-stream
+    * join keeps four stores per partition), not data volume, so the gates
+    * pin a small value. On a real cluster the same queries would size it
+    * to the keyspace — the conf is the knob either way; semantics (and the
+    * oracle) are partition-count-invariant.
+    */
+  private def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, n.toString)
+    try body
+    finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   private def stagedInput(name: String, dir: String)(
       build: java.nio.file.Path => Unit): java.nio.file.Path =
     stagedInputs.computeIfAbsent(s"$name|$dir", _ => {
@@ -540,19 +560,21 @@ object EventQueries {
           col("user_id").as(s"${prefix}_user"),
           timestamp_micros(tsUs).as(s"${prefix}_tsm"))
         .withWatermark(s"${prefix}_tsm", "12 hours")
-    val joined = side("click", "c").join(
-      side("purchase", "p"),
-      col("c_user") === col("p_user") &&
-        col("p_tsm") >= col("c_tsm") &&
-        col("p_tsm") <= col("c_tsm") + expr("INTERVAL 6 HOURS"))
-    val query = joined.writeStream
-      .format("parquet")
-      .option("path", s"$work/out")
-      .option("checkpointLocation", s"$work/ckpt")
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    withShufflePartitions(spark, 8) {
+      val joined = side("click", "c").join(
+        side("purchase", "p"),
+        col("c_user") === col("p_user") &&
+          col("p_tsm") >= col("c_tsm") &&
+          col("p_tsm") <= col("c_tsm") + expr("INTERVAL 6 HOURS"))
+      val query = joined.writeStream
+        .format("parquet")
+        .option("path", s"$work/out")
+        .option("checkpointLocation", s"$work/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
     spark.read.parquet(s"$work/out")
       .select(col("c_id").as("click_id"), col("p_id").as("purchase_id"),
         col("c_user").as("user_id"),
@@ -1063,21 +1085,23 @@ object EventQueries {
       .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
       .withColumn("tsm", timestamp_micros(tsUs))
       .withWatermark("tsm", "30 minutes")
-    val sessions = stream
-      .groupBy(col("user_id"), session_window(col("tsm"), "30 minutes"))
-      .agg(count(lit(1)).as("n_events"))
-      .select(col("user_id"),
-        unix_micros(col("session_window.start")).as("start_us"),
-        unix_micros(col("session_window.end")).as("end_us"),
-        col("n_events"))
-    val query = sessions.writeStream
-      .format("parquet")
-      .option("path", s"$work/out")
-      .option("checkpointLocation", s"$work/ckpt")
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    withShufflePartitions(spark, 8) {
+      val sessions = stream
+        .groupBy(col("user_id"), session_window(col("tsm"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"),
+          col("n_events"))
+      val query = sessions.writeStream
+        .format("parquet")
+        .option("path", s"$work/out")
+        .option("checkpointLocation", s"$work/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
     spark.read.parquet(s"$work/out")
   }
 
@@ -3328,8 +3352,10 @@ object EventQueries {
       |        (SELECT gini_ppm FROM bs WHERE side = 1) AS gini_l_ppm,
       |        (SELECT n FROM bs WHERE side = 0) AS n_r,
       |        (SELECT gini_ppm FROM bs WHERE side = 0) AS gini_r_ppm)
-      |SELECT n_all, gini_parent_ppm, n_l, gini_l_ppm, n_r, gini_r_ppm,
-      |       gini_parent_ppm - (n_l * gini_l_ppm + n_r * gini_r_ppm) // n_all AS gain_ppm
+      |SELECT n_all, gini_parent_ppm::BIGINT AS gini_parent_ppm,
+      |       n_l, gini_l_ppm::BIGINT AS gini_l_ppm, n_r, gini_r_ppm::BIGINT AS gini_r_ppm,
+      |       (gini_parent_ppm
+      |         - (n_l * gini_l_ppm + n_r * gini_r_ppm) // n_all)::BIGINT AS gain_ppm
       |FROM w CROSS JOIN p""".stripMargin
 
   /** q256: exact Mann-Whitney U rank-sum test between the 'click' and
@@ -3874,7 +3900,7 @@ object EventQueries {
        |         FROM s GROUP BY 1, 2)
        |SELECT st // 86400000000 AS day, count(*)::BIGINT AS n_sessions,
        |       sum((n_events = 1)::BIGINT)::BIGINT AS n_bounce,
-       |       (1000000 * sum((n_events = 1)::BIGINT)) // count(*) AS bounce_ppm
+       |       ((1000000 * sum((n_events = 1)::BIGINT)) // count(*))::BIGINT AS bounce_ppm
        |FROM sess GROUP BY 1""".stripMargin
 
   /** q292: the ELEVENTH streaming gate — streaming activity-bitmap

@@ -1333,7 +1333,7 @@ object ParityQueries {
     def fd(table: String, det: String, dep: String) =
       s"""SELECT '$det->$dep' AS fd, count(*)::BIGINT AS n_det,
          |       sum((ndv > 1)::BIGINT)::BIGINT AS n_violating,
-         |       (1000000 * sum((ndv > 1)::BIGINT)) // count(*) AS violation_ppm,
+         |       ((1000000 * sum((ndv > 1)::BIGINT)) // count(*))::BIGINT AS violation_ppm,
          |       max(ndv)::BIGINT AS max_fanout
          |FROM (SELECT $det, count(DISTINCT $dep)::BIGINT AS ndv
          |      FROM $table GROUP BY 1)""".stripMargin
@@ -2745,10 +2745,10 @@ object ParityQueries {
       |    JOIN region ON n_regionkey = r_regionkey
       |  GROUP BY 1, 2)
       |SELECT r_name, n_name, cents,
-      |       (1000000 * cents) // sum(cents) OVER (PARTITION BY r_name) AS of_region_ppm,
-      |       (1000000 * cents) // sum(cents) OVER () AS of_total_ppm,
-      |       (1000000 * sum(cents) OVER (PARTITION BY r_name))
-      |         // sum(cents) OVER () AS region_of_total_ppm
+      |       ((1000000 * cents) // sum(cents) OVER (PARTITION BY r_name))::BIGINT AS of_region_ppm,
+      |       ((1000000 * cents) // sum(cents) OVER ())::BIGINT AS of_total_ppm,
+      |       ((1000000 * sum(cents) OVER (PARTITION BY r_name))
+      |         // sum(cents) OVER ())::BIGINT AS region_of_total_ppm
       |FROM n""".stripMargin
 
   /** Per-table (numeric, string) column split for the broadcast advisor —
@@ -2828,7 +2828,7 @@ object ParityQueries {
        |  SELECT e.child, w.root, w.depth + 1, e.cents
        |  FROM walk w JOIN edges e ON e.parent = w.node)
        |SELECT root AS region_key, depth, COUNT(*) AS n_nodes,
-       |       SUM(cents) AS sum_cents
+       |       SUM(cents)::BIGINT AS sum_cents
        |FROM walk GROUP BY root, depth""".stripMargin
 
   /** q329: recursive hierarchy rollup — Spark 4's NATIVE `WITH RECURSIVE`

@@ -261,8 +261,14 @@ object CdcStream {
       offCol: String = "off",
       maskCol: String = "mask"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     versionedFold(changes, initial, stateDir) { (state, batch) =>
+      // shiftleft wraps its shift amount mod 64, so an out-of-range offset
+      // would silently OR the WRONG bit into persisted state — fail the
+      // batch instead (replay-safe: the pointer never advances past it).
+      val safeOff = s"CASE WHEN $offCol BETWEEN 0 AND 63 THEN cast($offCol AS int) " +
+        s"ELSE cast(raise_error(concat('bitmapStream: $offCol out of [0,64): ', " +
+        s"cast($offCol AS string))) AS int) END"
       val bm = batch.groupBy(col(keyCol))
-        .agg(expr(s"bit_or(shiftleft(1L, cast($offCol AS int)))").as("__bm"))
+        .agg(expr(s"bit_or(shiftleft(1L, $safeOff))").as("__bm"))
       state.join(bm, Seq(keyCol), "full_outer")
         .select(col(keyCol),
           coalesce(col(maskCol), lit(0L))

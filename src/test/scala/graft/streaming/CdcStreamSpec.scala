@@ -525,4 +525,34 @@ class CdcStreamSpec extends SparkSpec with BeforeAndAfterAll with TimeLimits {
     assert(state() === Map(1L -> 5L, 7L -> 1L),
       "replaying a batch changed the bitmap — the merge lost idempotence")
   }
+
+  stest("bitmapStream: out-of-range day offset FAILS the batch (shiftleft wraps mod 64)") {
+    val dir = s"$work/bitmap-guard"
+    val in = Files.createDirectories(Paths.get(s"$dir/in"))
+    val tmp = s"$dir/tmp"
+    Seq((1L, 64L)).toDF("user_id", "off") // 1L << 64 would wrap to bit 0
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+    Files.copy(part.toPath, in.resolve("a.parquet"))
+    val stream = spark.readStream.schema("user_id LONG, off LONG")
+      .option("maxFilesPerTrigger", 1).parquet(in.toString)
+    val q = CdcStream.bitmapStream(stream, Seq.empty[(Long, Long)].toDF("user_id", "mask"),
+        stateDir = s"$dir/state")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("out of [0,64)")),
+      s"expected the guard's raise_error, got: ${messages(e).mkString(" | ")}")
+    // and the state was never corrupted: no state dir was ever committed
+    val noState = intercept[IllegalArgumentException] {
+      CdcStream.currentMaterializedState(spark, s"$dir/state")
+    }
+    assert(noState.getMessage.contains("no materialized state"))
+  }
 }

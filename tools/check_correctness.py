@@ -26,11 +26,29 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 def values_equal(a, b) -> bool:
     if a is None and b is None:
         return True
-    if isinstance(a, float) and isinstance(b, float):
+    a_float, b_float = isinstance(a, float), isinstance(b, float)
+    # Dtype-strict (round-9 verdict): the driver's hash is rendering-exact,
+    # so int 5 vs float 5.0 must FAIL here too — no cross-type equality.
+    if a_float != b_float:
+        return False
+    if a_float and b_float:
         if math.isnan(a) and math.isnan(b):
             return True
         return a == b or abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
     return a == b
+
+
+def dtype_mismatch(got: pd.DataFrame, want: pd.DataFrame):
+    """Columns where one side is integer and the other float — the exact
+    HUGEINT->float64 leak class the driver hash fails on (round-9 verdict:
+    DuckDB promotes SUM(BIGINT) / BIGINT `//` chains to int128, pandas
+    renders int128 as float64, Spark emits int64)."""
+    bad = []
+    for col in got.columns:
+        gk, wk = got[col].dtype.kind, want[col].dtype.kind
+        if {gk, wk} <= {"i", "u", "f"} and ("f" in (gk, wk)) != (gk == wk == "f"):
+            bad.append((col, str(got[col].dtype), str(want[col].dtype)))
+    return bad
 
 
 def main() -> int:
@@ -89,6 +107,15 @@ def main() -> int:
             continue
         if len(got_n) != len(want_n):
             print(f"FAIL  {name}: row count differs: spark={len(got_n)} duckdb={len(want_n)}")
+            failures += 1
+            continue
+        bad_types = dtype_mismatch(got_n, want_n)
+        if bad_types:
+            col, gt, wt = bad_types[0]
+            msg = f"FAIL  {name}: dtype mismatch col={col}: spark={gt} duckdb={wt}"
+            if len(bad_types) > 1:
+                msg += f" (+{len(bad_types) - 1} more)"
+            print(msg)
             failures += 1
             continue
         mismatch = None
