@@ -966,6 +966,57 @@ object Dedup {
       .drop("__fp", "__prev")
   }
 
+  // ---------------- content-defined chunking ----------------
+
+  /** Content-defined chunking (CDC) over normalized word tokens: a chunk
+    * boundary falls AFTER every token whose 60-bit md5 hash is ≡ 0 mod
+    * `boundaryMod`, so the expected chunk length is `boundaryMod` tokens
+    * and — the property fixed-size chunking lacks — every boundary
+    * decision depends only on the token under it. An insertion or deletion
+    * reshapes the one chunk it lands in (and at most its successor when it
+    * adds/removes a boundary token); every other chunk re-fingerprints
+    * byte-identically, so chunk-level dedup catches shared runs between
+    * document VERSIONS and incremental crawl snapshots that whole-document
+    * fingerprints miss entirely (the LBFS principle — Muthitacharoen et
+    * al., SOSP 2001 — applied to corpus text).
+    *
+    * Returns one row per (doc, chunk): id, `extraCols`, chunk_idx,
+    * n_tokens, and `fp` = md5 of the chunk's space-joined token run.
+    * Chunk-level dedup downstream is tier-1 machinery: a hash groupBy on
+    * `fp`, with all the [[exactGroups]] scale properties.
+    *
+    * Scale shape: posexplode is map-side; ONE shuffle on the id orders
+    * each document's tokens for the running boundary count (a per-doc
+    * prefix sum — never a global window); the (doc, chunk) contraction
+    * rides the same partitioning. Per-chunk state is `boundaryMod`-bounded
+    * in expectation; no all-pairs anywhere.
+    */
+  def cdcChunks(
+      docs: DataFrame,
+      boundaryMod: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      extraCols: Seq[String] = Seq("source")): DataFrame = {
+    require(boundaryMod >= 2, "boundaryMod must be >= 2 (1 would split every token)")
+    val keep = (idCol +: extraCols).map(col)
+    val toks = docs
+      .select(keep :+ posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "term")): _*)
+      .filter(col("term") =!= "")
+    // boundary AFTER a matching token ⇒ a token's chunk counts only the
+    // boundaries strictly BEFORE it: an exclusive running sum
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("__b", (baseHash(col("term")) % boundaryMod === 0).cast("long"))
+      .withColumn("chunk_idx", coalesce(sum(col("__b")).over(w), lit(0L)))
+      .groupBy(keep :+ col("chunk_idx"): _*)
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("term")))),
+            x => x.getField("term")), " ")).as("fp"))
+  }
+
   // ---------------- n-gram Jaccard ----------------
 
   /** Distinct word n-grams over an ALREADY-TOKENIZED column (space-joined,

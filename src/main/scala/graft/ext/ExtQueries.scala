@@ -4341,9 +4341,133 @@ object ExtQueries {
        |FROM a""".stripMargin
   }
 
+  /** q332: content-defined chunk dedup ([[Dedup.cdcChunks]]) — per-source
+    * chunk-level duplication report. Documents are split at content-defined
+    * boundaries (md5-gated tokens, expected run length 8), each chunk
+    * fingerprinted, and the per-source report counts total vs distinct
+    * chunk fingerprints corpus-wide: the dedup signal whole-document
+    * fingerprints (q20) and even MinHash (q21) miss — long shared RUNS
+    * inside otherwise-distinct documents (boilerplate paragraphs, quoted
+    * replies, re-crawled page sections), surfaced without any pairwise
+    * comparison. `n_uniq` counts a fingerprint once per source it appears
+    * in, so `dup_ppm` is the WITHIN-source chunk redundancy; the
+    * cross-source contamination view of the same fingerprints is q48's
+    * machinery.
+    *
+    * Scale shape: [[Dedup.cdcChunks]]'s one doc-keyed shuffle, then a
+    * chunk-fingerprint groupBy with map-side combine — tier-1 dedup cost
+    * on chunk granularity.
+    */
+  def q332CdcChunkDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.cdcChunks(fanOut(documents(spark, dir)), boundaryMod = 8)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        countDistinct(col("fp")).as("n_uniq"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("dup_ppm",
+        expr("(1000000 * (n_chunks - n_uniq)) div n_chunks"))
+
+  private def q332Oracle: String =
+    s"""WITH tk AS (SELECT doc_id, source, toks[i] AS term, i AS pos
+       |            FROM (SELECT doc_id, source, string_split($DNorm, ' ') AS toks
+       |                  FROM documents),
+       |                 unnest(range(1, len(toks) + 1)) AS t(i)
+       |            WHERE toks[i] <> ''),
+       |b AS (SELECT doc_id, source, pos, term,
+       |        (('0x' || substr(md5(term), 1, 15))::BIGINT % 8 = 0)::BIGINT AS bdry
+       |      FROM tk),
+       |c AS (SELECT doc_id, source, term, pos,
+       |        coalesce(sum(bdry) OVER (PARTITION BY doc_id ORDER BY pos ASC
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+       |      FROM b),
+       |g AS (SELECT doc_id, source, chunk_idx, count(*)::BIGINT AS n_tok,
+       |        md5(string_agg(term, ' ' ORDER BY pos ASC)) AS fp
+       |      FROM c GROUP BY 1, 2, 3)
+       |SELECT source, count(*)::BIGINT AS n_chunks,
+       |       count(DISTINCT fp)::BIGINT AS n_uniq,
+       |       sum(n_tok)::BIGINT AS n_tokens,
+       |       ((1000000 * (count(*) - count(DISTINCT fp))) // count(*))::BIGINT AS dup_ppm
+       |FROM g GROUP BY 1""".stripMargin
+
+  /** q333: embedding-dimension covariance/correlation profile — exact
+    * scaled-integer second moments over the first 6 dimensions (21
+    * unordered pairs): `scov = n·Σxy − Σx·Σy` on `floor(v·10³)`
+    * quantization, with the correlation in integer per-mille via
+    * floor-sqrt standard deviations. The embedding-health screen next to
+    * q195's norm profile: a pair of dimensions with |corr| near 1000 is a
+    * collapsed/duplicated feature direction (dead encoder units, rank
+    * collapse), and a profile drift between two corpus snapshots flags an
+    * embedding-model change upstream. IEEE sqrt is correctly rounded and
+    * both engines floor the same BIGINT→DOUBLE conversion, so `corr_pm`
+    * is bit-equal cross-engine; `scov` itself never leaves BIGINT
+    * (|q| ≤ ~10³ ⇒ n·Σxy fits until n ~ 10¹²).
+    *
+    * Scale shape: ONE full-corpus aggregate producing a 28-field row
+    * (count + 6 sums + 21 product sums, all map-side combined), then the
+    * 21 pair rows are derived from that single row — the data pass is
+    * O(corpus), the pair algebra is O(dims²) on one row. No joins, no
+    * window, no shuffle beyond the one agg.
+    */
+  def q333CovarianceProfile(spark: SparkSession, dir: String): DataFrame = {
+    val dims = 1 to 6
+    val pairs = for { i <- dims; j <- dims if j >= i } yield (i, j)
+    val qCols = dims.map(i =>
+      floor(element_at(col("embedding"), i).cast("double") * 1000)
+        .cast("long").as(s"q$i"))
+    val sums = dims.map(i => sum(col(s"q$i")).as(s"s$i"))
+    val prods = pairs.map { case (i, j) =>
+      sum(col(s"q$i") * col(s"q$j")).as(s"p${i}_$j") }
+    val agg = embeddings(spark, dir).select(qCols: _*)
+      .agg(count(lit(1)).as("n"), (sums ++ prods): _*)
+    val pairRows = pairs.map { case (i, j) =>
+      struct(lit(i).as("dim_i"), lit(j).as("dim_j"), col("n"),
+        col(s"s$i").as("sx"), col(s"s$j").as("sy"),
+        col(s"p${i}_$j").as("sxy"),
+        col(s"p${i}_$i").as("sxx"), col(s"p${j}_$j").as("syy"))
+    }
+    agg.select(explode(array(pairRows: _*)).as("r")).select(col("r.*"))
+      .withColumn("scov", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("__vx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("__vy", col("n") * col("syy") - col("sy") * col("sy"))
+      .withColumn("__sdx", floor(sqrt(col("__vx").cast("double"))).cast("long"))
+      .withColumn("__sdy", floor(sqrt(col("__vy").cast("double"))).cast("long"))
+      .withColumn("corr_pm",
+        expr("CASE WHEN __sdx * __sdy = 0 THEN NULL " +
+          "ELSE (1000 * scov) div (__sdx * __sdy) END"))
+      .select(col("dim_i"), col("dim_j"), col("n"), col("scov"), col("corr_pm"))
+  }
+
+  private def q333Oracle: String = {
+    val dims = 1 to 6
+    val pairs = for { i <- dims; j <- dims if j >= i } yield (i, j)
+    val sums = dims.map(i => s"sum(v[$i])::BIGINT AS s$i")
+    val prods = pairs.map { case (i, j) => s"sum(v[$i] * v[$j])::BIGINT AS p${i}_$j" }
+    val branches = pairs.map { case (i, j) =>
+      s"""SELECT $i AS dim_i, $j AS dim_j, n,
+         |       (n * p${i}_$j - s$i * s$j)::BIGINT AS scov,
+         |       CASE WHEN floor(sqrt((n * p${i}_$i - s$i * s$i)::DOUBLE))::BIGINT
+         |                 * floor(sqrt((n * p${j}_$j - s$j * s$j)::DOUBLE))::BIGINT = 0
+         |            THEN NULL
+         |            ELSE ((1000 * (n * p${i}_$j - s$i * s$j))
+         |              // (floor(sqrt((n * p${i}_$i - s$i * s$i)::DOUBLE))::BIGINT
+         |                * floor(sqrt((n * p${j}_$j - s$j * s$j)::DOUBLE))::BIGINT))::BIGINT
+         |       END AS corr_pm
+         |FROM a""".stripMargin
+    }
+    s"""WITH q AS (SELECT list_transform(embedding::DOUBLE[],
+       |             x -> floor(x * 1000)::BIGINT) AS v FROM embeddings),
+       |a AS (SELECT count(*)::BIGINT AS n,
+       |        ${(sums ++ prods).mkString(",\n        ")}
+       |      FROM q)
+       |${branches.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   // ---------------- registry ----------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q332_cdc_chunk_dedup" -> (q332CdcChunkDedup _),
+    "q333_cov_profile" -> (q333CovarianceProfile _),
     "q328_modality_qa" -> (q328ModalityQa _),
     "q327_dup_quality_cross" -> (q327DupQualityCross _),
     "q326_langid_eval" -> (q326LangidEval _),
@@ -4473,6 +4597,8 @@ object ExtQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q332_cdc_chunk_dedup" -> q332Oracle,
+    "q333_cov_profile" -> q333Oracle,
     "q328_modality_qa" -> q328Oracle,
     "q327_dup_quality_cross" -> q327Oracle,
     "q326_langid_eval" -> q326Oracle,

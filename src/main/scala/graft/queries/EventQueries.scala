@@ -5266,7 +5266,125 @@ object EventQueries {
       |         AS significant
       |FROM x""".stripMargin
 
+  /** q334: stationary distribution of the event-type Markov chain — where
+    * user behavior settles in the long run, from q137's transition matrix
+    * via POWER ITERATION in exact integer ppm: v₀ is uniform (remainder
+    * pinned on the lexicographically-first state so Σv₀ is exactly 10⁶),
+    * and each of 10 rounds applies `v'[t] = Σ_s (v[s]·m[s→t]) div
+    * outdeg[s]` — per-term floor division, so both engines run the
+    * identical integer recurrence and the gate is hash-exact with no
+    * float fixpoint anywhere. Complements q137 (one-step probabilities)
+    * and q311 (absorbing-chain removal effects): this is the ergodic
+    * long-run view. States are data-driven (every type observed as a
+    * transition source), not a hardcoded list.
+    *
+    * Scale shape: the transition-count aggregate is one user-keyed
+    * shuffle with map-side combine; the collected matrix is
+    * |types|² — a bounded MODEL, not data (the q311/IVF-centroid
+    * discipline) — and the 10-round iteration runs on that tiny model
+    * driver-side, exactly where an O(k²) fixpoint belongs.
+    */
+  def q334MarkovStationary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val iters = 10
+    val w = Window.partitionBy("user_id").orderBy(col("tsu").asc, col("event_id").asc)
+    val m = events(spark, dir).withColumn("tsu", tsUs)
+      .select(col("user_id"), col("event_id"), col("tsu"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy("prev", "event_type").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val outdeg = m.groupBy(_._1).map { case (s, rows) => s -> rows.map(_._3).sum }
+    val states = outdeg.keys.toSeq.sorted
+    val base = 1000000L / states.size
+    var v: Map[String, Long] = states.zipWithIndex.map { case (s, i) =>
+      s -> (if (i == 0) base + 1000000L % states.size else base)
+    }.toMap
+    for (_ <- 1 to iters)
+      v = m.filter { case (s, _, _) => v.contains(s) }
+        .groupBy(_._2).map { case (t, rows) =>
+          t -> rows.map { case (s, _, c) => v(s) * c / outdeg(s) }.sum
+        }
+    v.toSeq.map { case (s, p) => (s, outdeg.getOrElse(s, 0L), p) }
+      .toDF("state", "n_out", "stat_ppm")
+  }
+
+  private val q334Oracle = {
+    val iters = 10
+    val vi = (1 to iters).map(i =>
+      s"""v$i AS (SELECT m.cur AS st, sum((v.v * m.c) // r.tot)::BIGINT AS v
+         |      FROM v${i - 1} v JOIN m ON m.prev = v.st JOIN r ON r.prev = v.st
+         |      GROUP BY 1)""".stripMargin).mkString(",\n")
+    s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu
+       |           FROM events),
+       |p AS (SELECT event_type AS cur,
+       |        lag(event_type) OVER (PARTITION BY user_id
+       |                              ORDER BY tsu ASC, event_id ASC) AS prev
+       |      FROM e),
+       |m AS (SELECT prev, cur, count(*)::BIGINT AS c FROM p
+       |      WHERE prev IS NOT NULL GROUP BY 1, 2),
+       |r AS (SELECT prev, sum(c)::BIGINT AS tot FROM m GROUP BY 1),
+       |k AS (SELECT count(*)::BIGINT AS n, min(prev) AS first FROM r),
+       |v0 AS (SELECT prev AS st,
+       |         (1000000 // n
+       |           + CASE WHEN prev = first THEN 1000000 % n ELSE 0 END)::BIGINT AS v
+       |       FROM r, k),
+       |$vi
+       |SELECT v$iters.st AS state, coalesce(r.tot, 0)::BIGINT AS n_out,
+       |       v$iters.v::BIGINT AS stat_ppm
+       |FROM v$iters LEFT JOIN r ON r.prev = v$iters.st""".stripMargin
+  }
+
+  /** q335: distribution-drift monitor — the event-type mix of the
+    * corpus's first time-half against its second (split at the midpoint
+    * of the observed span), per-type share delta plus the total-variation
+    * distance, all in exact integer ppm. The data-quality tripwire run
+    * between crawl/export snapshots before training on the union: TVD
+    * near 0 says the mix is stable; a large single-type `drift_ppm`
+    * points at the pipeline change (a collector outage, a new event
+    * source) that caused it. Kin to q237's KS (which compares VALUE
+    * distributions); this compares CATEGORY mixes.
+    *
+    * Scale shape: one bounds aggregate (2 longs broadcast), one
+    * map-side-combined (type, half) count, and the share/TVD algebra on
+    * the |types| contraction — the single-partition windows run over
+    * ≤|types| rows, never the corpus.
+    */
+  def q335DriftMonitor(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).withColumn("tsu", tsUs)
+    val bounds = ev.agg(min(col("tsu")).as("mn"), max(col("tsu")).as("mx"))
+    val counts = ev.crossJoin(broadcast(bounds))
+      .withColumn("h", (col("tsu") >= expr("(mn + mx) div 2")).cast("long"))
+      .groupBy("event_type")
+      .agg(sum(when(col("h") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("h") === 1, 1L).otherwise(0L)).as("c1"))
+    val all = Window.partitionBy()
+    counts
+      .withColumn("share0_ppm", expr("(1000000 * c0) div sum(c0) OVER ()"))
+      .withColumn("share1_ppm", expr("(1000000 * c1) div sum(c1) OVER ()"))
+      .withColumn("drift_ppm", abs(col("share1_ppm") - col("share0_ppm")))
+      .withColumn("tvd_ppm", expr("sum(drift_ppm) OVER () div 2"))
+  }
+
+  private val q335Oracle =
+    """WITH e AS (SELECT event_type, epoch_us(ts) AS tsu FROM events),
+      |b AS (SELECT min(tsu) AS mn, max(tsu) AS mx FROM e),
+      |c AS (SELECT event_type,
+      |        sum((tsu <  (mn + mx) // 2)::BIGINT)::BIGINT AS c0,
+      |        sum((tsu >= (mn + mx) // 2)::BIGINT)::BIGINT AS c1
+      |      FROM e CROSS JOIN b GROUP BY 1),
+      |s AS (SELECT event_type, c0, c1,
+      |        ((1000000 * c0) // sum(c0) OVER ())::BIGINT AS share0_ppm,
+      |        ((1000000 * c1) // sum(c1) OVER ())::BIGINT AS share1_ppm
+      |      FROM c)
+      |SELECT event_type, c0, c1, share0_ppm, share1_ppm,
+      |       abs(share1_ppm - share0_ppm)::BIGINT AS drift_ppm,
+      |       (sum(abs(share1_ppm - share0_ppm)) OVER () // 2)::BIGINT AS tvd_ppm
+      |FROM s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q334_markov_stationary" -> (q334MarkovStationary _),
+    "q335_drift_monitor" -> (q335DriftMonitor _),
     "q330_forecast_mase" -> (q330ForecastMase _),
     "q331_runs_test" -> (q331RunsTest _),
     "q325_forecast_backtest" -> (q325ForecastBacktest _),
@@ -5410,6 +5528,8 @@ object EventQueries {
     "q323_theil_sen" -> q323Oracle,
     "q324_rate_decomposition" -> q324Oracle,
     "q325_forecast_backtest" -> q325Oracle,
+    "q334_markov_stationary" -> q334Oracle,
+    "q335_drift_monitor" -> q335Oracle,
     "q330_forecast_mase" -> q330Oracle,
     "q331_runs_test" -> q331Oracle,
     // the streamed bitmap must land exactly on the one-shot batch bitmap

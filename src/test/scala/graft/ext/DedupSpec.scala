@@ -350,4 +350,47 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === Set((1L, 2L)))
   }
+
+  test("cdcChunks: chunks partition each doc; identical docs chunk identically") {
+    import spark.implicits._
+    val d = docs.limit(50)
+    val chunks = Dedup.cdcChunks(d, boundaryMod = 8)
+    val perDoc = chunks.groupBy("doc_id")
+      .agg(sum("n_tokens").as("tok_sum"), count(lit(1)).as("n_chunks"),
+        max("chunk_idx").as("max_idx"))
+    val expected = d.select(col("doc_id"),
+      size(filter(TextAnalysis.tokens(col("text")), t => t =!= "")).as("n_tok"))
+    // token-partition: chunk token counts sum back to the doc's token count,
+    // and chunk indexes are dense 0..n-1
+    val joined = perDoc.join(expected, "doc_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("tok_sum") === r.getAs[Int]("n_tok").toLong)
+      assert(r.getAs[Long]("max_idx") === r.getAs[Long]("n_chunks") - 1)
+    }
+    // determinism: same text ⇒ same fingerprint multiset
+    val dup = d.withColumn("doc_id", col("doc_id") + 100000L)
+    val a = chunks.groupBy("fp").count()
+    val b = Dedup.cdcChunks(dup, boundaryMod = 8).groupBy("fp").count()
+    assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+  }
+
+  test("cdcChunks edit-locality: an inserted token leaves distant chunks intact") {
+    import spark.implicits._
+    // long synthetic doc: 400 distinct tokens
+    val words = (0 until 400).map(i => s"w$i").mkString(" ")
+    val edited = (0 until 400).map(i => s"w$i")
+      .patch(200, Seq("INSERTED"), 0).mkString(" ")
+    val base = Seq((1L, words, "s")).toDF("doc_id", "text", "source")
+    val ed = Seq((1L, edited, "s")).toDF("doc_id", "text", "source")
+    def fps(df: DataFrame): Set[String] =
+      Dedup.cdcChunks(df, boundaryMod = 8).select("fp").as[String].collect().toSet
+    val (a, b) = (fps(base), fps(ed))
+    // the edit must NOT reshuffle everything: most chunks survive unchanged
+    // (fixed-size chunking would shift every chunk after the insertion)
+    val shared = a.intersect(b).size
+    assert(shared >= (a.size * 3) / 4,
+      s"edit reshaped too many chunks: ${a.size} before, ${b.size} after, $shared shared")
+    assert(a != b, "an insertion must change at least the chunk it lands in")
+  }
 }
