@@ -4368,22 +4368,30 @@ object ExtQueries {
       .withColumn("dup_ppm",
         expr("(1000000 * (n_chunks - n_uniq)) div n_chunks"))
 
-  private def q332Oracle: String =
-    s"""WITH tk AS (SELECT doc_id, source, toks[i] AS term, i AS pos
+  /** DuckDB CTE chain replaying [[Dedup.cdcChunks]] over `documents WHERE
+    * pred` — the terminal CTE `g$sfx` holds (doc_id, source, chunk_idx,
+    * n_tok, fp). Shared by q332 (whole corpus) and q339 (base/delta
+    * snapshots) so the chunking recurrence cannot fork between gates.
+    */
+  private def cdcChunkCte(sfx: String, pred: String): String =
+    s"""tk$sfx AS (SELECT doc_id, source, toks[i] AS term, i AS pos
        |            FROM (SELECT doc_id, source, string_split($DNorm, ' ') AS toks
-       |                  FROM documents),
+       |                  FROM documents WHERE $pred),
        |                 unnest(range(1, len(toks) + 1)) AS t(i)
        |            WHERE toks[i] <> ''),
-       |b AS (SELECT doc_id, source, pos, term,
+       |b$sfx AS (SELECT doc_id, source, pos, term,
        |        (('0x' || substr(md5(term), 1, 15))::BIGINT % 8 = 0)::BIGINT AS bdry
-       |      FROM tk),
-       |c AS (SELECT doc_id, source, term, pos,
+       |      FROM tk$sfx),
+       |c$sfx AS (SELECT doc_id, source, term, pos,
        |        coalesce(sum(bdry) OVER (PARTITION BY doc_id ORDER BY pos ASC
        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
-       |      FROM b),
-       |g AS (SELECT doc_id, source, chunk_idx, count(*)::BIGINT AS n_tok,
+       |      FROM b$sfx),
+       |g$sfx AS (SELECT doc_id, source, chunk_idx, count(*)::BIGINT AS n_tok,
        |        md5(string_agg(term, ' ' ORDER BY pos ASC)) AS fp
-       |      FROM c GROUP BY 1, 2, 3)
+       |      FROM c$sfx GROUP BY 1, 2, 3)""".stripMargin
+
+  private def q332Oracle: String =
+    s"""WITH ${cdcChunkCte("", "TRUE")}
        |SELECT source, count(*)::BIGINT AS n_chunks,
        |       count(DISTINCT fp)::BIGINT AS n_uniq,
        |       sum(n_tok)::BIGINT AS n_tokens,
@@ -4463,10 +4471,192 @@ object ExtQueries {
        |${branches.mkString("\nUNION ALL\n")}""".stripMargin
   }
 
+  /** q339: INCREMENTAL chunk-level dedup across crawl snapshots — the
+    * operation [[Dedup.cdcChunks]] exists to enable: yesterday's corpus
+    * (the ~75% of docs outside the q44 md5 gate — hash-distributed, so
+    * every source contributes to both snapshots) provides the known-chunk
+    * fingerprint set; today's delta (the gated ~25%) chunks against it,
+    * and the per-source report
+    * counts how many delta chunks (and tokens) are REUSE — already stored,
+    * skippable — versus genuinely new. Because boundaries are
+    * content-defined, a re-crawled page with one edited paragraph
+    * re-fingerprints every untouched chunk identically and scores ~full
+    * reuse; fixed-width chunking would shift every boundary after the
+    * edit and report it all as new (the q332 edit-locality property, now
+    * doing its production job).
+    *
+    * Scale shape: two cdcChunks passes (each one doc-keyed shuffle); the
+    * reuse check is a LEFT ANTI hash join on the chunk fingerprint
+    * against the base's distinct-fp contraction — tier-1 join cost, no
+    * pairwise anything.
+    */
+  def q339ChunkIncrement(spark: SparkSession, dir: String): DataFrame = {
+    val docs = fanOut(documents(spark, dir))
+    val gate = Sampling.hashGate(col("doc_id"), fraction = 0.25)
+    val baseFp = Dedup.cdcChunks(docs.filter(!gate), boundaryMod = 8)
+      .select("fp").distinct()
+    val delta = Dedup.cdcChunks(docs.filter(gate), boundaryMod = 8)
+    val fresh = delta.join(baseFp, Seq("fp"), "left_anti")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_new"), sum(col("n_tokens")).as("new_tokens"))
+    delta.groupBy("source")
+      .agg(count(lit(1)).as("n_chunks"), sum(col("n_tokens")).as("n_tokens"))
+      .join(fresh, Seq("source"), "left")
+      .select(col("source"), col("n_chunks"), col("n_tokens"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("new_tokens"), lit(0L)).as("new_tokens"))
+      .withColumn("reuse_ppm",
+        expr("(1000000 * (n_tokens - new_tokens)) div n_tokens"))
+  }
+
+  private val q339Threshold: Long = (0.25 * (1L << 60).toDouble).toLong
+
+  private def q339Oracle: String =
+    s"""WITH ${cdcChunkCte("b", s"('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT >= $q339Threshold")},
+       |${cdcChunkCte("d", s"('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT < $q339Threshold")},
+       |bf AS (SELECT DISTINCT fp FROM gb)
+       |SELECT source, count(*)::BIGINT AS n_chunks, sum(n_tok)::BIGINT AS n_tokens,
+       |       sum((bf.fp IS NULL)::BIGINT)::BIGINT AS n_new,
+       |       sum(CASE WHEN bf.fp IS NULL THEN n_tok ELSE 0 END)::BIGINT AS new_tokens,
+       |       ((1000000 * sum(CASE WHEN bf.fp IS NOT NULL THEN n_tok ELSE 0 END))
+       |          // sum(n_tok))::BIGINT AS reuse_ppm
+       |FROM gd LEFT JOIN bf ON gd.fp = bf.fp
+       |GROUP BY 1""".stripMargin
+
+  /** q340: KMV (k-minimum-values) set-overlap sketch — per source-pair
+    * union-size and Jaccard ESTIMATES from 64-value bottom-k sketches of
+    * the 57-bit document-fingerprint hash space (Bar-Yossef et al. 2002;
+    * Beyer et al. SIGMOD 2007 `(k−1)·M div t` unbiased union estimator),
+    * published beside the exact Jaccard so the sketch's error is itself
+    * machine-checked. THE mergeable-sketch answer to "how much do two
+    * 100 TB sources overlap?": each source carries 64 longs of state
+    * (vs HLL this also gives intersection/Jaccard, not just cardinality),
+    * sketches merge by sorted-union-truncate, and the estimate is exact
+    * integer arithmetic — deterministic cross-engine, no float anywhere.
+    * When the union of two sketches holds fewer than k values both sides
+    * are fully enumerated and the "estimates" collapse to exact values
+    * (the small-set regime), which both engines also replay identically.
+    *
+    * Scale shape: per-source bottom-64 is bounded window state on the
+    * distinct-hash contraction; the pair stage cross-joins |sources|
+    * 64-long ARRAYS (model-sized rows), so pair cost is |sources|²·k —
+    * independent of corpus size. The exact-Jaccard gate column joins the
+    * full hash sets once (fixture-affordable; at production scale you
+    * ship only the sketch columns — the exact side is the verification
+    * harness, the q229/q230 discipline).
+    */
+  def q340KmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val maxEst = 63L << 57 // (k-1)·2^57 — fits BIGINT; 2^60 would not
+    val hs = fanOut(documents(spark, dir))
+      .select(col("source"),
+        Dedup.baseHash(TextAnalysis.normalize(col("text"))).as("__h60"))
+      .withColumn("h", expr("__h60 div 8")) // 57-bit space
+      .select("source", "h").distinct()
+    val n = hs.groupBy("source").agg(count(lit(1)).as("n"))
+    val sk = hs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(col("h").asc)))
+      .filter(col("rk") <= k)
+      .groupBy("source").agg(sort_array(collect_list(col("h"))).as("sk"))
+      .join(n, "source")
+    val pairs = sk.toDF("sa", "ska", "na").crossJoin(sk.toDF("sb", "skb", "nb"))
+      .filter(col("sa") < col("sb"))
+    val inter = hs.toDF("sa", "h").join(hs.toDF("sb", "h2"),
+        col("h") === col("h2") && col("sa") < col("sb"))
+      .groupBy("sa", "sb").agg(count(lit(1)).as("inter"))
+    pairs.join(inter, Seq("sa", "sb"), "left")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .withColumn("u", array_sort(array_union(col("ska"), col("skb"))))
+      .withColumn("n_u", size(col("u")).cast("long"))
+      .withColumn("su", slice(col("u"), 1, k))
+      .withColumn("t", element_at(col("u"), least(col("n_u"), lit(k.toLong)).cast("int")))
+      .withColumn("both_topk",
+        size(array_intersect(col("su"),
+          array_intersect(col("ska"), col("skb")))).cast("long"))
+      .withColumn("union_est",
+        when(col("n_u") < k, col("n_u"))
+          .otherwise(expr(s"$maxEst div greatest(t, 1)")))
+      .withColumn("jacc_est_ppm",
+        expr(s"(1000000 * both_topk) div CASE WHEN n_u < $k THEN n_u ELSE $k END"))
+      .withColumn("jacc_exact_ppm",
+        expr("(1000000 * inter) div (na + nb - inter)"))
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        col("n_u"), col("union_est"), col("jacc_est_ppm"), col("jacc_exact_ppm"))
+  }
+
+  private def q340Oracle: String =
+    s"""WITH hs AS (SELECT DISTINCT source,
+       |              ('0x' || substr(md5($DNorm), 1, 15))::BIGINT // 8 AS h
+       |            FROM documents),
+       |n AS (SELECT source, count(*)::BIGINT AS n FROM hs GROUP BY 1),
+       |rk AS (SELECT source, h,
+       |         row_number() OVER (PARTITION BY source ORDER BY h ASC) AS rk
+       |       FROM hs),
+       |sk AS (SELECT source, h FROM rk WHERE rk <= 64),
+       |prs AS (SELECT a.source AS sa, b.source AS sb
+       |        FROM n a JOIN n b ON a.source < b.source),
+       |uh AS (SELECT p.sa, p.sb, s.h
+       |       FROM prs p JOIN sk s ON s.source IN (p.sa, p.sb)
+       |       GROUP BY 1, 2, 3),
+       |ur AS (SELECT sa, sb, h,
+       |         row_number() OVER (PARTITION BY sa, sb ORDER BY h ASC) AS rk,
+       |         count(*) OVER (PARTITION BY sa, sb) AS n_u
+       |       FROM uh),
+       |su AS (SELECT sa, sb, h, n_u FROM ur WHERE rk <= 64),
+       |tt AS (SELECT sa, sb, max(h) AS t, max(n_u)::BIGINT AS n_u FROM su GROUP BY 1, 2),
+       |ix AS (SELECT su.sa, su.sb, count(*)::BIGINT AS both_topk
+       |       FROM su JOIN sk x ON x.source = su.sa AND x.h = su.h
+       |               JOIN sk y ON y.source = su.sb AND y.h = su.h
+       |       GROUP BY 1, 2),
+       |ex AS (SELECT x.source AS sa, y.source AS sb, count(*)::BIGINT AS inter
+       |       FROM hs x JOIN hs y ON x.h = y.h AND x.source < y.source
+       |       GROUP BY 1, 2)
+       |SELECT tt.sa AS source_a, tt.sb AS source_b, tt.n_u,
+       |       (CASE WHEN tt.n_u < 64 THEN tt.n_u
+       |             ELSE ${63L << 57} // greatest(tt.t, 1) END)::BIGINT AS union_est,
+       |       ((1000000 * coalesce(ix.both_topk, 0))
+       |          // CASE WHEN tt.n_u < 64 THEN tt.n_u ELSE 64 END)::BIGINT AS jacc_est_ppm,
+       |       ((1000000 * coalesce(ex.inter, 0))
+       |          // (na.n + nb.n - coalesce(ex.inter, 0)))::BIGINT AS jacc_exact_ppm
+       |FROM tt
+       |LEFT JOIN ix ON ix.sa = tt.sa AND ix.sb = tt.sb
+       |LEFT JOIN ex ON ex.sa = tt.sa AND ex.sb = tt.sb
+       |JOIN n na ON na.source = tt.sa
+       |JOIN n nb ON nb.source = tt.sb""".stripMargin
+
+  /** q336: weighted priority sample ([[Sampling.prioritySample]]) — a
+    * deterministic 50-doc draw with inclusion odds proportional to
+    * `n_chars`, the "prefer long documents" corpus draw. Complements the
+    * UNIFORM samplers (q44 hash gate, q45 stratified quota): here the
+    * weight column shapes the distribution, with the Duffield-Lund-Thorup
+    * priority construction keeping everything integer-exact and
+    * partitioning-independent.
+    *
+    * Scale shape: map-side priority arithmetic + `TakeOrderedAndProject`
+    * (per-partition k-heap, k rows of reduce state) — no full sort, no
+    * shuffle beyond the k-row merge.
+    */
+  def q336PrioritySample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.prioritySample(fanOut(documents(spark, dir)), k = 50,
+      weight = col("n_chars"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("priority"))
+
+  private val q336Oracle =
+    """SELECT doc_id, source, n_chars,
+      |       ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+      |         // greatest(n_chars, 1) AS priority
+      |FROM documents
+      |ORDER BY priority ASC, doc_id ASC
+      |LIMIT 50""".stripMargin
+
   // ---------------- registry ----------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q332_cdc_chunk_dedup" -> (q332CdcChunkDedup _),
+    "q336_priority_sample" -> (q336PrioritySample _),
+    "q339_chunk_increment" -> (q339ChunkIncrement _),
+    "q340_kmv_overlap" -> (q340KmvOverlap _),
     "q333_cov_profile" -> (q333CovarianceProfile _),
     "q328_modality_qa" -> (q328ModalityQa _),
     "q327_dup_quality_cross" -> (q327DupQualityCross _),
@@ -4598,6 +4788,9 @@ object ExtQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q332_cdc_chunk_dedup" -> q332Oracle,
+    "q336_priority_sample" -> q336Oracle,
+    "q339_chunk_increment" -> q339Oracle,
+    "q340_kmv_overlap" -> q340Oracle,
     "q333_cov_profile" -> q333Oracle,
     "q328_modality_qa" -> q328Oracle,
     "q327_dup_quality_cross" -> q327Oracle,

@@ -294,4 +294,33 @@ object Sampling {
     require(k > 0 && k <= Int.MaxValue, s"degenerate min class count: $k")
     stratifiedQuota(df, Seq(labelCol), k.toInt, idCol)
   }
+
+  /** WEIGHTED k-sample via priority sampling (Duffield, Lund & Thorup,
+    * JACM 2007): each row draws priority `hash(id) div max(weight, 1)`
+    * from the 60-bit md5 space and the k SMALLEST priorities win — higher
+    * weight ⇒ proportionally smaller expected priority ⇒ proportionally
+    * higher inclusion odds, the integer-exact stand-in for the
+    * `u^(1/w)` exponential-keys scheme (whose float pow would not
+    * reproduce across engines). The quality-weighted corpus draw:
+    * "sample 50k docs, preferring long/high-quality ones" with
+    * deterministic, partitioning-independent output.
+    *
+    * Scale shape: priorities are map-side arithmetic; the global bottom-k
+    * is a per-partition top-k heap merged on the driver-side single
+    * reducer (`TakeOrderedAndProject` — k rows of state per partition,
+    * never a full sort). Ties break on the id, so the sample is unique.
+    */
+  def prioritySample(
+      df: DataFrame,
+      k: Int,
+      weight: Column,
+      idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, "k must be positive")
+    df.withColumn("__h", Dedup.baseHash(col(idCol).cast("string")))
+      .withColumn("__w", greatest(weight.cast("long"), lit(1L)))
+      .withColumn("priority", expr("__h div __w"))
+      .drop("__h", "__w")
+      .orderBy(col("priority").asc, col(idCol).asc)
+      .limit(k)
+  }
 }

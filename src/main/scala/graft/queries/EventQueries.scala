@@ -5382,7 +5382,75 @@ object EventQueries {
       |       (sum(abs(share1_ppm - share0_ppm)) OVER () // 2)::BIGINT AS tvd_ppm
       |FROM s""".stripMargin
 
+  /** q337: HyperLogLog accuracy gate — per-type `approx_count_distinct`
+    * (rsd 0.01) beside the exact distinct-user count, gated on a
+    * machine-checked within-±3% flag. The oracle cannot reproduce the HLL
+    * estimate (it is engine-internal), so — the q31/q83 recall-gate
+    * protocol — the gated columns are the exact count and the tolerance
+    * VERDICT the oracle pins TRUE: a sketch drifting out of tolerance
+    * fails the hash gate, which is precisely the claim a user of the
+    * sketch needs held. HLL is THE count-distinct at 100 TB (fixed
+    * registers, map-side merge, no distinct shuffle); this row keeps its
+    * error contract honest.
+    */
+  def q337HllAccuracy(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).as("n_exact"),
+        approx_count_distinct(col("user_id"), rsd = 0.01).as("__est"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("__est") - col("n_exact")) * 100 <= col("n_exact") * 3)
+          .as("within_3pct"))
+
+  private val q337Oracle =
+    """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact,
+      |       TRUE AS within_3pct
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** q338: rolling active users — per day, the exact distinct-user count
+    * for that day (DAU) and for the trailing 7-day window (WAU), plus the
+    * DAU/WAU stickiness ratio in ppm: the engagement surface every
+    * analytics product ships. The trailing-window distinct is computed by
+    * the explode-to-target-days trick — each (user, day) contraction row
+    * fans to the ≤7 window ends it can serve, then one distinct count per
+    * target day — which keeps the window EXACT without any
+    * distinct-over-range window function (no engine has one) and without
+    * per-day set state.
+    *
+    * Scale shape: the (user, day) distinct is the big contraction (one
+    * shuffle, map-side combine); the ×7 fan-out rides that contraction,
+    * never the raw event stream; final counts are map-side-combinable
+    * per-day aggregates joined back to DAU on the |days| table.
+    */
+  def q338RollingActive(spark: SparkSession, dir: String): DataFrame = {
+    val ud = events(spark, dir)
+      .select(expr("(ts div 1000) div 86400000000").as("day"), col("user_id"))
+      .distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(explode(sequence(col("day"), col("day") + 6)).as("t_day"), col("user_id"))
+      .groupBy("t_day").agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, dau("day") === wau("t_day"))
+      .select(col("day"), col("dau"), col("wau"),
+        expr("(1000000 * dau) div wau").as("stickiness_ppm"))
+  }
+
+  private val q338Oracle =
+    """WITH ud AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+      |            FROM events),
+      |dau AS (SELECT day, count(*)::BIGINT AS dau FROM ud GROUP BY 1),
+      |f AS (SELECT day + i AS t_day, user_id
+      |      FROM ud, unnest(range(0, 7)) AS t(i)),
+      |wau AS (SELECT t_day, count(DISTINCT user_id)::BIGINT AS wau
+      |        FROM f GROUP BY 1)
+      |SELECT day, dau, wau,
+      |       ((1000000 * dau) // wau)::BIGINT AS stickiness_ppm
+      |FROM dau JOIN wau ON day = t_day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q337_hll_accuracy" -> (q337HllAccuracy _),
+    "q338_rolling_active" -> (q338RollingActive _),
     "q334_markov_stationary" -> (q334MarkovStationary _),
     "q335_drift_monitor" -> (q335DriftMonitor _),
     "q330_forecast_mase" -> (q330ForecastMase _),
@@ -5528,6 +5596,8 @@ object EventQueries {
     "q323_theil_sen" -> q323Oracle,
     "q324_rate_decomposition" -> q324Oracle,
     "q325_forecast_backtest" -> q325Oracle,
+    "q337_hll_accuracy" -> q337Oracle,
+    "q338_rolling_active" -> q338Oracle,
     "q334_markov_stationary" -> q334Oracle,
     "q335_drift_monitor" -> q335Oracle,
     "q330_forecast_mase" -> q330Oracle,
