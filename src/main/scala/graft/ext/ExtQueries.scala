@@ -4625,6 +4625,96 @@ object ExtQueries {
        |JOIN n na ON na.source = tt.sa
        |JOIN n nb ON nb.source = tt.sb""".stripMargin
 
+  /** q341: the THIRTEENTH streaming gate — KMV sketch maintenance
+    * ([[graft.streaming.CdcStream.kmvStream]]). The corpus streams in as
+    * two md5-gated micro-batches; each folds its (source, 57-bit
+    * fingerprint hash) rows into the persisted per-source bottom-64
+    * sketch by sorted-union-truncate — the idempotent semilattice merge
+    * that makes sketch state safe under at-least-once replay with no
+    * correction terms (the [[graft.queries.EventQueries]] q292 bitmap
+    * argument, now for an ESTIMATING structure). The gate: streamed
+    * sketch state must land exactly on q340's batch bottom-k, so the
+    * published per-source distinct ESTIMATE (exact below k, the
+    * Beyer et al. `(k−1)·M div t` form at k) replays bit-identically in
+    * the oracle — mergeability, replay-safety and estimator arithmetic
+    * all machine-checked in one row set.
+    */
+  def q341StreamKmvSketch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.queries.Scratch
+    val docs = documents(spark, dir)
+    val inDir = q341Staged.computeIfAbsent(dir, _ => {
+      val in = Scratch.stableDir("q341-in-" + Scratch.md5Hex(dir))
+      def stage(pred: org.apache.spark.sql.Column, name: String): java.nio.file.Path = {
+        val tmp = Scratch.stableDir("q341-tmp-" + Scratch.md5Hex(s"$dir|$name"))
+        docs.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+        java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(in, name))
+      }
+      val gate = Sampling.hashGate(col("doc_id"), fraction = 0.5)
+      val first = stage(gate, "a_batch1.parquet")
+      val second = stage(!gate, "b_batch2.parquet")
+      java.nio.file.Files.setLastModifiedTime(second,
+        java.nio.file.attribute.FileTime.fromMillis(
+          java.nio.file.Files.getLastModifiedTime(first).toMillis + 10000))
+      in
+    })
+    val work = Scratch.stableDir("q341-work")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+      .select(col("source"),
+        Dedup.baseHash(TextAnalysis.normalize(col("text"))).as("__h60"))
+      .withColumn("h", expr("__h60 div 8"))
+      .select("source", "h")
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("h",
+          org.apache.spark.sql.types.LongType))))
+    val q = graft.streaming.CdcStream
+      .kmvStream(stream, empty, stateDir = s"$work/state", k = 64)
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val maxEst = 63L << 57
+    val sk = graft.streaming.CdcStream.currentMaterializedState(spark, s"$work/state")
+    val n = fanOut(docs)
+      .select(col("source"),
+        Dedup.baseHash(TextAnalysis.normalize(col("text"))).as("__h60"))
+      .withColumn("h", expr("__h60 div 8"))
+      .select("source", "h").distinct()
+      .groupBy("source").agg(count(lit(1)).as("n_exact"))
+    sk.groupBy("source")
+      .agg(count(lit(1)).as("k_held"), max(col("h")).as("__t"))
+      .withColumn("est_distinct",
+        when(col("k_held") < 64, col("k_held"))
+          .otherwise(expr(s"$maxEst div greatest(__t, 1)")))
+      .join(n, "source")
+      .select(col("source"), col("k_held"), col("est_distinct"), col("n_exact"))
+  }
+
+  private val q341Staged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def q341Oracle: String =
+    s"""WITH hs AS (SELECT DISTINCT source,
+       |              ('0x' || substr(md5($DNorm), 1, 15))::BIGINT // 8 AS h
+       |            FROM documents),
+       |rk AS (SELECT source, h,
+       |         row_number() OVER (PARTITION BY source ORDER BY h ASC) AS rk
+       |       FROM hs),
+       |sk AS (SELECT source, h FROM rk WHERE rk <= 64),
+       |a AS (SELECT source, count(*)::BIGINT AS k_held, max(h) AS t FROM sk GROUP BY 1),
+       |n AS (SELECT source, count(*)::BIGINT AS n_exact FROM hs GROUP BY 1)
+       |SELECT a.source, k_held,
+       |       (CASE WHEN k_held < 64 THEN k_held
+       |             ELSE ${63L << 57} // greatest(t, 1) END)::BIGINT AS est_distinct,
+       |       n.n_exact
+       |FROM a JOIN n USING (source)""".stripMargin
+
   /** q336: weighted priority sample ([[Sampling.prioritySample]]) — a
     * deterministic 50-doc draw with inclusion odds proportional to
     * `n_chars`, the "prefer long documents" corpus draw. Complements the
@@ -4657,6 +4747,7 @@ object ExtQueries {
     "q336_priority_sample" -> (q336PrioritySample _),
     "q339_chunk_increment" -> (q339ChunkIncrement _),
     "q340_kmv_overlap" -> (q340KmvOverlap _),
+    "q341_stream_kmv" -> (q341StreamKmvSketch _),
     "q333_cov_profile" -> (q333CovarianceProfile _),
     "q328_modality_qa" -> (q328ModalityQa _),
     "q327_dup_quality_cross" -> (q327DupQualityCross _),
@@ -4791,6 +4882,7 @@ object ExtQueries {
     "q336_priority_sample" -> q336Oracle,
     "q339_chunk_increment" -> q339Oracle,
     "q340_kmv_overlap" -> q340Oracle,
+    "q341_stream_kmv" -> q341Oracle,
     "q333_cov_profile" -> q333Oracle,
     "q328_modality_qa" -> q328Oracle,
     "q327_dup_quality_cross" -> q327Oracle,

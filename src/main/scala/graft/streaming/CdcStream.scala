@@ -275,6 +275,42 @@ object CdcStream {
             .bitwiseOR(coalesce(col("__bm"), lit(0L))).as(maskCol))
     }
 
+  /** Streaming KMV-SKETCH maintenance: the per-key bottom-k distinct-hash
+    * sketch ([[graft.ext.ExtQueries.q340KmvOverlap]]'s state) folded under
+    * the stream — each micro-batch's (key, hash) rows union into the
+    * persisted sketch and the bottom-k survive per key. The merge is a
+    * semilattice join (sorted-union-truncate: commutative, associative,
+    * IDEMPOTENT), so like [[bitmapStream]]'s OR it needs no correction
+    * terms under at-least-once replay — re-merging a replayed batch is a
+    * no-op by algebra, not by bookkeeping. This is how sketch state is
+    * actually maintained over an unbounded firehose: k longs per key,
+    * estimates (distinct counts, pairwise unions/Jaccard) readable at any
+    * time from state alone.
+    *
+    * Scale shape per batch: the batch contracts to ≤k rows per touched
+    * key BEFORE the state join (window over the batch-key partition);
+    * state stays ≤k rows per key forever.
+    */
+  def kmvStream(
+      changes: DataFrame,
+      initial: DataFrame,
+      stateDir: String,
+      k: Int = 64,
+      keyCol: String = "source",
+      hashCol: String = "h"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    versionedFold(changes, initial, stateDir) { (state, batch) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(keyCol)).orderBy(col(hashCol).asc)
+      // pre-truncate the batch to its own bottom-k per key (anything past
+      // k can never survive the merge), then merge-truncate with state
+      val bk = batch.select(col(keyCol), col(hashCol)).distinct()
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= k).drop("__rk")
+      state.select(col(keyCol), col(hashCol)).union(bk).distinct()
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= k).drop("__rk")
+    }
+
   /** The shared `foreachBatch` fold behind [[materializeStream]] and
     * [[aggregateStream]]: per micro-batch, `fold(currentState, batch)` is
     * written to `state_<batchId>` and the `_latest` pointer swaps
