@@ -179,6 +179,37 @@ object ParityQueries {
     spark.sql(rewritten)
   }
 
+  /** q342: SQL PIPE syntax — Spark 4's `|>` operator chain (SPARK-49555),
+    * the FROM-first composable query form: scan |> filter |> extend
+    * |> aggregate, each stage lowering onto the same Catalyst logical
+    * operators orthodox SQL produces. The gate's point is exactly that
+    * lowering: the oracle is the orthodox formulation, so pipe-frontend
+    * semantics (stage order, EXTEND column scoping, AGGREGATE's
+    * keys-then-aggregates output) are machine-checked against the
+    * classical plan rather than taken on faith. Cents arithmetic keeps
+    * the comparison integer-exact.
+    *
+    * Scale shape: identical to the orthodox query — one scan with the
+    * filter pushed down, one map-side-combined aggregate; the pipe syntax
+    * is frontend sugar, not a different plan.
+    */
+  def q342PipeSyntax(spark: SparkSession, dir: String): DataFrame = {
+    lineitem(spark, dir).createOrReplaceTempView("q342_lineitem")
+    spark.sql(
+      """FROM q342_lineitem
+        ||> WHERE l_quantity > 10
+        ||> EXTEND CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+        ||> AGGREGATE count(*) AS n, sum(cents) AS sum_cents
+        |   GROUP BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  private val q342Oracle =
+    """SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n,
+      |       sum(floor(l_extendedprice * 100)::BIGINT)::BIGINT AS sum_cents
+      |FROM lineitem
+      |WHERE l_quantity > 10
+      |GROUP BY 1, 2""".stripMargin
+
   /** q19: CUBE with grouping() indicators — completes the grouping-set
     * family next to q06's ROLLUP (SURVEY §2.5): all four grouping sets are
     * produced in one pass, and `grouping()` disambiguates genuine NULL keys
@@ -2916,6 +2947,7 @@ object ParityQueries {
     "q09_cdc_property" -> (q09CdcProperty _),
     "q10_void_scrub" -> (q10VoidScrub _),
     "q11_sql_rewrite" -> (q11SqlRewrite _),
+    "q342_pipe_syntax" -> (q342PipeSyntax _),
     "q18_semi_anti" -> (q18SemiAnti _),
     "q19_cube" -> (q19Cube _),
     "q82_grouping_sets" -> (q82GroupingSets _),
@@ -2939,6 +2971,7 @@ object ParityQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q342_pipe_syntax" -> q342Oracle,
     "q313_broadcast_advisor" -> q313Oracle,
     "q329_recursive_rollup" -> q329Oracle,
     "q316_pit_join" -> q316Oracle,
