@@ -5448,7 +5448,87 @@ object EventQueries {
       |       ((1000000 * dau) // wau)::BIGINT AS stickiness_ppm
       |FROM dau JOIN wau ON day = t_day""".stripMargin
 
+  /** q344: time-weighted average value (TWAP) per user — each event's
+    * cents value weighted by how long it REMAINED the latest observation
+    * (until the user's next event), the correct mean for irregularly
+    * sampled state (prices, feature values, sensor readings): an
+    * arithmetic mean over-weights bursts, the duration weighting doesn't.
+    * The last event of a user carries no duration and drops — the
+    * standard right-open convention. Integer-exact:
+    * `Σ(cents·dur_us) div Σ(dur_us)` with cents = `floor(value·100)`.
+    * |cents| ≤ 10⁵, span ≤ months of micros ⇒ products stay far inside
+    * BIGINT.
+    *
+    * Scale shape: ONE user-keyed shuffle for the `lead` window, then a
+    * map-side-combinable per-user aggregate riding the same partitioning
+    * — no join, no second shuffle.
+    */
+  def q344Twap(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("tsu").asc, col("event_id").asc)
+    events(spark, dir).withColumn("tsu", tsUs)
+      .withColumn("cents", floor(col("value") * 100).cast("long"))
+      .withColumn("nxt", lead(col("tsu"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .withColumn("dur", col("nxt") - col("tsu"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("dur")).as("span_us"),
+        sum(col("cents") * col("dur")).as("__wsum"))
+      .withColumn("twap_cents", expr("__wsum div span_us"))
+      .select("user_id", "n_obs", "span_us", "twap_cents")
+  }
+
+  private val q344Oracle =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu,
+      |             floor(value * 100)::BIGINT AS cents
+      |           FROM events),
+      |l AS (SELECT user_id, cents, tsu,
+      |        lead(tsu) OVER (PARTITION BY user_id
+      |                        ORDER BY tsu ASC, event_id ASC) AS nxt
+      |      FROM e)
+      |SELECT user_id, count(*)::BIGINT AS n_obs,
+      |       sum(nxt - tsu)::BIGINT AS span_us,
+      |       (sum(cents * (nxt - tsu)) // sum(nxt - tsu))::BIGINT AS twap_cents
+      |FROM l WHERE nxt IS NOT NULL
+      |GROUP BY 1""".stripMargin
+
+  /** q345: daily OHLC bars — open/high/low/close of the purchase value
+    * (cents) per day, the bar aggregation every time-series store ships
+    * (candlesticks, telemetry rollups). Open/close are `min_by`/`max_by`
+    * on the full (ts, event_id) event order — ONE combinable aggregate
+    * carrying a single struct of state each, not a window-sort over the
+    * day (the two formulations agree; the aggregate survives 100 TB days,
+    * a per-day sort does not). The (tsu, event_id) tie-break makes
+    * open/close deterministic under equal timestamps.
+    */
+  def q345OhlcBars(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).filter(col("event_type") === "purchase")
+      .withColumn("tsu", tsUs)
+      .withColumn("cents", floor(col("value") * 100).cast("long"))
+      .withColumn("day", expr("tsu div 86400000000"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"),
+        min_by(col("cents"), struct(col("tsu"), col("event_id"))).as("open_c"),
+        max(col("cents")).as("high_c"),
+        min(col("cents")).as("low_c"),
+        max_by(col("cents"), struct(col("tsu"), col("event_id"))).as("close_c"))
+
+  private val q345Oracle =
+    """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day,
+      |             lpad(epoch_us(ts)::VARCHAR, 20, '0')
+      |               || lpad(event_id::VARCHAR, 12, '0') AS ord,
+      |             floor(value * 100)::BIGINT AS cents
+      |           FROM events WHERE event_type = 'purchase')
+      |SELECT day, count(*)::BIGINT AS n,
+      |       arg_min(cents, ord)::BIGINT AS open_c,
+      |       max(cents)::BIGINT AS high_c,
+      |       min(cents)::BIGINT AS low_c,
+      |       arg_max(cents, ord)::BIGINT AS close_c
+      |FROM e GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q344_twap" -> (q344Twap _),
+    "q345_ohlc_bars" -> (q345OhlcBars _),
     "q337_hll_accuracy" -> (q337HllAccuracy _),
     "q338_rolling_active" -> (q338RollingActive _),
     "q334_markov_stationary" -> (q334MarkovStationary _),
@@ -5596,6 +5676,8 @@ object EventQueries {
     "q323_theil_sen" -> q323Oracle,
     "q324_rate_decomposition" -> q324Oracle,
     "q325_forecast_backtest" -> q325Oracle,
+    "q344_twap" -> q344Oracle,
+    "q345_ohlc_bars" -> q345Oracle,
     "q337_hll_accuracy" -> q337Oracle,
     "q338_rolling_active" -> q338Oracle,
     "q334_markov_stationary" -> q334Oracle,

@@ -210,6 +210,48 @@ object ParityQueries {
       |WHERE l_quantity > 10
       |GROUP BY 1, 2""".stripMargin
 
+  /** q343: correlated LATERAL subquery — per nation, the account-balance
+    * maximum and the count of positive-balance customers via a LATERAL
+    * derived table referencing the outer row (the SQL:1999 form Spark
+    * decorrelates into a join+aggregate; DuckDB executes it natively).
+    * The gate pins Spark's decorrelation OUTPUT, not its mechanics: both
+    * engines must land on the identical per-nation aggregates, including
+    * nations with zero qualifying customers (the LEFT-lateral NULL/zero
+    * contract the decorrelator must preserve).
+    *
+    * Scale shape: the decorrelated plan is a pre-aggregated customer
+    * contraction joined to the 25-row nation table — no per-outer-row
+    * re-execution survives optimization; that collapse is exactly what
+    * the gate certifies.
+    */
+  def q343LateralAgg(spark: SparkSession, dir: String): DataFrame = {
+    nation(spark, dir).createOrReplaceTempView("q343_nation")
+    customer(spark, dir).createOrReplaceTempView("q343_customer")
+    spark.sql(
+      """SELECT n_name,
+        |       coalesce(l.max_bal_cents, 0) AS max_bal_cents,
+        |       coalesce(l.n_pos, 0) AS n_pos
+        |FROM q343_nation
+        |LEFT JOIN LATERAL (
+        |  SELECT CAST(max(floor(c_acctbal * 100)) AS BIGINT) AS max_bal_cents,
+        |         count(CASE WHEN c_acctbal > 0 THEN 1 END) AS n_pos
+        |  FROM q343_customer
+        |  WHERE c_nationkey = n_nationkey
+        |) l ON TRUE""".stripMargin)
+  }
+
+  private val q343Oracle =
+    """SELECT n_name,
+      |       coalesce(l.max_bal_cents, 0)::BIGINT AS max_bal_cents,
+      |       coalesce(l.n_pos, 0)::BIGINT AS n_pos
+      |FROM nation
+      |LEFT JOIN LATERAL (
+      |  SELECT max(floor(c_acctbal * 100))::BIGINT AS max_bal_cents,
+      |         count(CASE WHEN c_acctbal > 0 THEN 1 END)::BIGINT AS n_pos
+      |  FROM customer
+      |  WHERE c_nationkey = n_nationkey
+      |) l ON TRUE""".stripMargin
+
   /** q19: CUBE with grouping() indicators — completes the grouping-set
     * family next to q06's ROLLUP (SURVEY §2.5): all four grouping sets are
     * produced in one pass, and `grouping()` disambiguates genuine NULL keys
@@ -2948,6 +2990,7 @@ object ParityQueries {
     "q10_void_scrub" -> (q10VoidScrub _),
     "q11_sql_rewrite" -> (q11SqlRewrite _),
     "q342_pipe_syntax" -> (q342PipeSyntax _),
+    "q343_lateral_agg" -> (q343LateralAgg _),
     "q18_semi_anti" -> (q18SemiAnti _),
     "q19_cube" -> (q19Cube _),
     "q82_grouping_sets" -> (q82GroupingSets _),
@@ -2972,6 +3015,7 @@ object ParityQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q342_pipe_syntax" -> q342Oracle,
+    "q343_lateral_agg" -> q343Oracle,
     "q313_broadcast_advisor" -> q313Oracle,
     "q329_recursive_rollup" -> q329Oracle,
     "q316_pit_join" -> q316Oracle,
