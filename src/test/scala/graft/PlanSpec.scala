@@ -690,4 +690,38 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-50 must run as the bounded heap:\n$plan")
   }
+
+  test("q336 priority sample: bounded top-k heap directly over the scan, no full sort") {
+    val plan = planOf(graft.ext.Sampling.prioritySample(
+      Tables.documents(spark, Sf0001), 50, weight = col("n_chars")))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"weighted sample must be the k-heap, not a sort+limit:\n$plan")
+    assert(!"(?m)^\\s*[*+:-]*\\(?\\d*\\)?\\s*Sort ".r.findFirstIn(plan).isDefined,
+      s"full sort in the priority-sample plan:\n$plan")
+  }
+
+  test("q332 cdc chunking: one doc-keyed window shuffle, no cartesian anywhere") {
+    val plan = planOf(Dedup.cdcChunks(Tables.documents(spark, Sf0001)))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"chunking must stay linear:\n$plan")
+    assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(plan).size == 1,
+      s"exactly ONE doc-keyed exchange feeds the boundary prefix sum:\n$plan")
+  }
+
+  test("q344 TWAP: single window pass, aggregate rides the window partitioning") {
+    val plan = planOf(graft.queries.EventQueries.queries("q344_twap")(spark, Sf0001))
+    assert("(?m)Window ".r.findAllIn(plan).size == 1, s"one lead window only:\n$plan")
+    assert(!plan.contains("Join"), s"TWAP must not join:\n$plan")
+    // the per-user aggregate must not re-shuffle what the window partitioned
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size == 1,
+      s"aggregate must reuse the window's user partitioning:\n$plan")
+  }
+
+  test("q340 KMV: exact-side self-join hashes on the fingerprint, pair stage is model-sized") {
+    val plan = planOf(graft.ext.ExtQueries.queries("q340_kmv_overlap")(spark, Sf0001))
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"exact-intersection join must be a hash/merge join on h:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"only the broadcast pair stage may be non-equi:\n$plan")
+  }
 }

@@ -182,4 +182,28 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.getInt(0)).sorted
     assert(folds.toSeq === Seq(0, 1, 2, 3, 4))
   }
+
+  test("prioritySample equals the naive full-sort selection; ids unique; weights bias inclusion") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, Sf0001)
+    val k = 30
+    val got = Sampling.prioritySample(docs, k, weight = col("n_chars"))
+      .select("doc_id", "priority").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // naive: compute every priority, sort fully, take k
+    val naive = docs
+      .withColumn("__h", Dedup.baseHash(col("doc_id").cast("string")))
+      .withColumn("p", expr("__h div greatest(n_chars, 1)"))
+      .select("doc_id", "p").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, p) => (p, id) }.take(k)
+    assert(got.sortBy { case (id, p) => (p, id) }.toSeq === naive.toSeq)
+    assert(got.map(_._1).distinct.length === k, "sample must not repeat ids")
+    // weighting bias: under a constant weight the same hash draws a DIFFERENT
+    // (uniform) sample; the weighted draw must prefer longer docs on average
+    val uni = Sampling.prioritySample(docs, k, weight = lit(1L))
+      .select("doc_id").as[Long].collect().toSet
+    val meanChars = (ids: Set[Long]) => docs.filter(col("doc_id").isin(ids.toSeq: _*))
+      .agg(avg("n_chars")).head().getDouble(0)
+    assert(meanChars(got.map(_._1).toSet) > meanChars(uni),
+      "n_chars-weighted sample should average longer docs than the uniform draw")
+  }
 }

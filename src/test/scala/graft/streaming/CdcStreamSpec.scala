@@ -526,6 +526,49 @@ class CdcStreamSpec extends SparkSpec with BeforeAndAfterAll with TimeLimits {
       "replaying a batch changed the bitmap — the merge lost idempotence")
   }
 
+  stest("kmvStream: batch-split invariance and replay idempotence of the sketch merge") {
+    val dir = s"$work/kmv"
+    def stage(in: java.nio.file.Path, rows: Seq[(String, Long)], name: String, mt: Long): Unit = {
+      val tmp = s"$dir/tmp-$name"
+      rows.toDF("source", "h").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+      val staged = Files.copy(part.toPath, in.resolve(name))
+      Files.setLastModifiedTime(staged,
+        java.nio.file.attribute.FileTime.fromMillis(mt))
+    }
+    def drain(tag: String): Map[(String, Long), Int] = {
+      val in = Paths.get(s"$dir/$tag/in")
+      val stream = spark.readStream.schema("source STRING, h LONG")
+        .option("maxFilesPerTrigger", 1).parquet(in.toString)
+      val q = CdcStream.kmvStream(stream,
+          Seq.empty[(String, Long)].toDF("source", "h"),
+          stateDir = s"$dir/$tag/state", k = 4)
+        .option("checkpointLocation", s"$dir/$tag/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      CdcStream.currentMaterializedState(spark, s"$dir/$tag/state")
+        .collect().map(r => (r.getString(0), r.getLong(1))).groupBy(identity)
+        .view.mapValues(_.length).toMap
+    }
+    val a = Seq(("s1", 50L), ("s1", 10L), ("s1", 90L), ("s2", 7L))
+    val b = Seq(("s1", 5L), ("s1", 70L), ("s1", 10L), ("s2", 3L)) // 10 repeats across batches
+    val inSplit = Files.createDirectories(Paths.get(s"$dir/split/in"))
+    stage(inSplit, a, "a.parquet", 1000000); stage(inSplit, b, "b.parquet", 2000000)
+    val inOne = Files.createDirectories(Paths.get(s"$dir/one/in"))
+    stage(inOne, a ++ b, "ab.parquet", 1000000)
+    val split = drain("split")
+    val one = drain("one")
+    // merge is associative over batch boundaries; duplicates collapse
+    assert(split === one, s"split=$split one=$one")
+    assert(split === Map(("s1", 5L) -> 1, ("s1", 10L) -> 1, ("s1", 50L) -> 1,
+      ("s1", 70L) -> 1, ("s2", 3L) -> 1, ("s2", 7L) -> 1))
+    // replay: re-staging batch b verbatim must not change the sketch
+    stage(inSplit, b, "b2.parquet", 3000000)
+    assert(drain("split") === split, "re-merging a replayed batch changed the sketch")
+  }
+
   stest("bitmapStream: out-of-range day offset FAILS the batch (shiftleft wraps mod 64)") {
     val dir = s"$work/bitmap-guard"
     val in = Files.createDirectories(Paths.get(s"$dir/in"))
