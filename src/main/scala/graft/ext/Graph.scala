@@ -170,10 +170,12 @@ object Graph {
       srcCol: String = "u",
       dstCol: String = "v"): DataFrame = {
     require(k >= 1 && rounds >= 1, "need k >= 1 and at least one round")
-    val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
-    val nodes = e0.select(col("u").as("node"))
-      .union(e0.select(col("v").as("node"))).distinct().localCheckpoint()
-    var live = e0.localCheckpoint()
+    // checkpoint the edge set FIRST and derive nodes from the checkpoint:
+    // deriving both from the raw plan would run the caller's (possibly
+    // expensive) edge-building join twice
+    var live = edges.select(col(srcCol).as("u"), col(dstCol).as("v")).localCheckpoint()
+    val nodes = live.select(col("u").as("node"))
+      .union(live.select(col("v").as("node"))).distinct().localCheckpoint()
     var liveNodes = nodes
     // (node, peeled_round) accumulator — starts empty with the right schema
     var peeled = nodes.limit(0).withColumn("peeled_round", lit(0L))
@@ -188,8 +190,10 @@ object Graph {
         .select("node").localCheckpoint()
       if (toPeel.isEmpty) done = true
       else {
+        // peeled is a union of ≤`rounds` already-checkpointed toPeel sets —
+        // lineage stays shallow without its own per-round checkpoint job
         peeled = peeled.unionByName(
-          toPeel.withColumn("peeled_round", lit(r.toLong))).localCheckpoint()
+          toPeel.withColumn("peeled_round", lit(r.toLong)))
         liveNodes = liveNodes.join(toPeel, Seq("node"), "left_anti").localCheckpoint()
         live = live
           .join(toPeel.withColumnRenamed("node", "u"), Seq("u"), "left_anti")

@@ -1631,8 +1631,14 @@ object ParityQueries {
       .join(lp.select(col("l_orderkey"), col("l_partkey").as("p2")), Seq("l_orderkey"))
       .filter(col("l_partkey") < col("p2"))
       .select(col("l_partkey").as("u"), col("p2").as("v")).distinct()
-    graft.ext.Graph.kCorePeel(edges, k = 80, rounds = 8)
-      .withColumnRenamed("node", "part")
+    // the peel's ~8 rounds each shuffle a shrinking node set: at fixture
+    // scale per-partition task overhead dominates, so the rounds run at 8
+    // partitions (same knob a cluster run sizes to the graph; results are
+    // partition-count-invariant and the peel materializes inside the block)
+    EventQueries.withShufflePartitions(spark, 8) {
+      graft.ext.Graph.kCorePeel(edges, k = 80, rounds = 8)
+        .withColumnRenamed("node", "part")
+    }
   }
 
   private def q228Oracle: String = {
