@@ -4715,6 +4715,59 @@ object ExtQueries {
        |       n.n_exact
        |FROM a JOIN n USING (source)""".stripMargin
 
+  /** q346: incremental-ingest pipeline — the round's new operators
+    * COMPOSED into the production shape they exist for: today's delta
+    * snapshot (q44 md5 gate) is chunked content-defined ([[Dedup
+    * .cdcChunks]]), each document scored by how much of its token mass is
+    * NEW against the base corpus's chunk-fingerprint set (q339's
+    * machinery, per-doc), mostly-recrawled documents (< 50 % new) are
+    * dropped, and the survivors are priority-sampled k=20 by length
+    * ([[Sampling.prioritySample]]) — "ingest only what's genuinely new,
+    * prefer substantial documents", one pipeline. Composition gets its own
+    * oracle (the q28/q102 discipline): every stage is individually gated
+    * elsewhere; this row pins their interaction.
+    *
+    * Scale shape: the chunk stages are q332/q339's (one doc-keyed shuffle
+    * + tier-1 fp anti-join); the per-doc score is a map-side-combined agg
+    * on the same doc key; the final draw is the k-heap. Nothing here
+    * exceeds the component queries' cost envelopes.
+    */
+  def q346IncrementalIngest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = fanOut(documents(spark, dir))
+    val gate = Sampling.hashGate(col("doc_id"), fraction = 0.25)
+    val baseFp = Dedup.cdcChunks(docs.filter(!gate), boundaryMod = 8)
+      .select("fp").distinct()
+    val perDoc = Dedup.cdcChunks(docs.filter(gate), boundaryMod = 8)
+      .join(baseFp.withColumn("__seen", lit(1)), Seq("fp"), "left")
+      .groupBy("doc_id")
+      .agg(sum(col("n_tokens")).as("tok"),
+        sum(when(col("__seen").isNull, col("n_tokens")).otherwise(0L)).as("new_tok"))
+      .withColumn("new_ppm", expr("(1000000 * new_tok) div tok"))
+      .filter(col("new_ppm") >= 500000)
+    Sampling.prioritySample(
+        docs.join(perDoc.select("doc_id", "new_ppm"), "doc_id"),
+        k = 20, weight = col("n_chars"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("new_ppm"),
+        col("priority"))
+  }
+
+  private def q346Oracle: String =
+    s"""WITH ${cdcChunkCte("b", s"('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT >= $q339Threshold")},
+       |${cdcChunkCte("d", s"('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT < $q339Threshold")},
+       |bf AS (SELECT DISTINCT fp FROM gb),
+       |pd AS (SELECT doc_id, sum(n_tok)::BIGINT AS tok,
+       |         sum(CASE WHEN bf.fp IS NULL THEN n_tok ELSE 0 END)::BIGINT AS new_tok
+       |       FROM gd LEFT JOIN bf ON gd.fp = bf.fp
+       |       GROUP BY 1),
+       |kept AS (SELECT doc_id, ((1000000 * new_tok) // tok)::BIGINT AS new_ppm
+       |         FROM pd WHERE (1000000 * new_tok) // tok >= 500000)
+       |SELECT d.doc_id, d.source, d.n_chars, kept.new_ppm,
+       |       (('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT
+       |          // greatest(d.n_chars, 1))::BIGINT AS priority
+       |FROM documents d JOIN kept ON d.doc_id = kept.doc_id
+       |ORDER BY priority ASC, d.doc_id ASC
+       |LIMIT 20""".stripMargin
+
   /** q336: weighted priority sample ([[Sampling.prioritySample]]) — a
     * deterministic 50-doc draw with inclusion odds proportional to
     * `n_chars`, the "prefer long documents" corpus draw. Complements the
@@ -4748,6 +4801,7 @@ object ExtQueries {
     "q339_chunk_increment" -> (q339ChunkIncrement _),
     "q340_kmv_overlap" -> (q340KmvOverlap _),
     "q341_stream_kmv" -> (q341StreamKmvSketch _),
+    "q346_incremental_ingest" -> (q346IncrementalIngest _),
     "q333_cov_profile" -> (q333CovarianceProfile _),
     "q328_modality_qa" -> (q328ModalityQa _),
     "q327_dup_quality_cross" -> (q327DupQualityCross _),
@@ -4883,6 +4937,7 @@ object ExtQueries {
     "q339_chunk_increment" -> q339Oracle,
     "q340_kmv_overlap" -> q340Oracle,
     "q341_stream_kmv" -> q341Oracle,
+    "q346_incremental_ingest" -> q346Oracle,
     "q333_cov_profile" -> q333Oracle,
     "q328_modality_qa" -> q328Oracle,
     "q327_dup_quality_cross" -> q327Oracle,
