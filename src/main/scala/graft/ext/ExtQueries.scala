@@ -4554,11 +4554,12 @@ object ExtQueries {
       .withColumn("h", expr("__h60 div 8")) // 57-bit space
       .select("source", "h").distinct()
     val n = hs.groupBy("source").agg(count(lit(1)).as("n"))
-    val sk = hs
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("source").orderBy(col("h").asc)))
-      .filter(col("rk") <= k)
-      .groupBy("source").agg(sort_array(collect_list(col("h"))).as("sk"))
+    // bottom-k per source via the BOUNDED-STATE heap aggregate (k longs of
+    // state per group, merged map-side) — a row_number window would ship
+    // every source's full hash set to one task before discarding all but k
+    val sk = hs.groupBy("source")
+      .agg(sort_array(graft.functions.GraftFunctions
+        .collectTopK(col("h"), k, reverse = true)).as("sk"))
       .join(n, "source")
     val pairs = sk.toDF("sa", "ska", "na").crossJoin(sk.toDF("sb", "skb", "nb"))
       .filter(col("sa") < col("sb"))

@@ -299,16 +299,17 @@ object CdcStream {
       keyCol: String = "source",
       hashCol: String = "h"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     versionedFold(changes, initial, stateDir) { (state, batch) =>
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col(keyCol)).orderBy(col(hashCol).asc)
-      // pre-truncate the batch to its own bottom-k per key (anything past
-      // k can never survive the merge), then merge-truncate with state
-      val bk = batch.select(col(keyCol), col(hashCol)).distinct()
-        .withColumn("__rk", row_number().over(w))
-        .filter(col("__rk") <= k).drop("__rk")
-      state.select(col(keyCol), col(hashCol)).union(bk).distinct()
-        .withColumn("__rk", row_number().over(w))
-        .filter(col("__rk") <= k).drop("__rk")
+      // bottom-k per key via the bounded-state heap aggregate (k longs of
+      // state per group, merged map-side — never a per-key window sort);
+      // state rows ride along so the merge-truncate is ONE aggregate over
+      // the distinct union of old sketch + new batch
+      state.select(col(keyCol), col(hashCol))
+        .union(batch.select(col(keyCol), col(hashCol)))
+        .distinct()
+        .groupBy(col(keyCol))
+        .agg(graft.functions.GraftFunctions
+          .collectTopK(col(hashCol), k, reverse = true).as("__sk"))
+        .select(col(keyCol), explode(col("__sk")).as(hashCol))
     }
 
   /** The shared `foreachBatch` fold behind [[materializeStream]] and

@@ -723,5 +723,11 @@ class PlanSpec extends SparkSpec {
       s"exact-intersection join must be a hash/merge join on h:\n$plan")
     assert(!plan.contains("CartesianProduct"),
       s"only the broadcast pair stage may be non-equi:\n$plan")
+    // bottom-k sketches come from the bounded-state heap aggregate — a
+    // row_number window would ship each source's full hash set to one task
+    assert(plan.contains("ObjectHashAggregate"),
+      s"sketch stage must be the heap aggregate:\n$plan")
+    assert(!plan.contains("Window"),
+      s"window sort crept back into the sketch stage:\n$plan")
   }
 }
