@@ -5448,6 +5448,107 @@ object EventQueries {
       |       ((1000000 * dau) // wau)::BIGINT AS stickiness_ppm
       |FROM dau JOIN wau ON day = t_day""".stripMargin
 
+  /** Holt-Winters level update in ppm (α = 0.3): the seasonal y−s[idx]
+    * replaces Holt's raw y. */
+  private def hwL(l: String, b: String, y: String, sIdx: String, op: String): String =
+    holtFdiv(s"300000 * (($y) - ($sIdx)) + 700000 * (($l) + ($b))", op)
+
+  /** Holt-Winters seasonal-slot update in ppm (γ = 0.2). */
+  private def hwS(s: String, y: String, newL: String, op: String): String =
+    holtFdiv(s"200000 * (($y) - ($newL)) + 800000 * ($s)", op)
+
+  /** The full Holt-Winters fold (additive, weekly m = 7) as one Spark SQL
+    * expression over the sorted `series` array: the first 7 days buffer and
+    * initialize (l = floor-mean, b = 0, s = deviations from the mean), then
+    * each day updates level/trend and ITS weekday's seasonal slot. Shares
+    * [[holtFdiv]]/[[holtB]] with q309/q325/q330 so the floor-division
+    * discipline cannot fork.
+    */
+  private def hwFoldSql: String = {
+    val idx = "cast(a.i % 7L AS INT)"
+    val sIdx = s"element_at(a.s, $idx + 1)"
+    val nl = hwL("a.l", "a.b", "y.cents", sIdx, "div")
+    val nb = holtB("a.l", nl, "a.b", "div")
+    val ns = hwS(sIdx, "y.cents", nl, "div")
+    val buf7 = "array_append(a.buf, y.cents)"
+    val lbar = s"(aggregate($buf7, 0L, (acc, bv) -> acc + bv) div 7L)"
+    s"""aggregate(series,
+       |  named_struct('i', 0L, 'l', 0L, 'b', 0L,
+       |    's', array_repeat(0L, 7), 'buf', cast(array() AS ARRAY<BIGINT>)),
+       |  (a, y) -> CASE
+       |    WHEN a.i < 6L THEN named_struct('i', a.i + 1L, 'l', 0L, 'b', 0L,
+       |      's', a.s, 'buf', array_append(a.buf, y.cents))
+       |    WHEN a.i = 6L THEN named_struct('i', 7L, 'l', $lbar, 'b', 0L,
+       |      's', transform($buf7, sv -> sv - $lbar),
+       |      'buf', cast(array() AS ARRAY<BIGINT>))
+       |    ELSE named_struct('i', a.i + 1L, 'l', $nl, 'b', $nb,
+       |      's', transform(a.s, (sv, j) -> CASE WHEN j = $idx THEN $ns ELSE sv END),
+       |      'buf', a.buf) END)""".stripMargin
+  }
+
+  /** q347: Holt-Winters triple-exponential smoothing — the SEASONAL rung
+    * of the forecasting ladder (q174 OLS → q309 Holt → here): weekly
+    * additive seasonality (m = 7, γ = 0.2) on top of q309's level+trend,
+    * initialized from the first week (level = floor-mean, seasonal slots =
+    * deviations) and folded over the per-day revenue series entirely in
+    * ppm integers. Output: the 7-day-ahead forecasts `l + h·b +
+    * s[(n+h−1) mod 7]`, each with its level/trend/season decomposition —
+    * so a day-of-week revenue cycle that Holt smears into trend error is
+    * carried explicitly. The q325/q330 backtest machinery applies
+    * unchanged if a seasonal bake-off is wanted later.
+    *
+    * Scale shape: identical to q309 — the corpus contracts map-side to
+    * |days| rows, the inherently-sequential fold runs once over that
+    * bounded array in ONE `aggregate` HOF; the oracle replays the same
+    * recurrence as a recursive CTE with the seven seasonal slots as
+    * columns, generated from the SAME formula strings.
+    */
+  def q347HoltWinters(spark: SparkSession, dir: String): DataFrame =
+    holtDaily(spark, dir)
+      .agg(expr("sort_array(collect_list(struct(day, cents)))").as("series"))
+      .select(expr("cast(size(series) AS BIGINT)").as("n"),
+        expr(hwFoldSql).as("st"))
+      .select(col("n"), col("st"), explode(expr("sequence(1L, 7L)")).as("h"))
+      .select(col("h"),
+        col("st.l").as("level_cents"), col("st.b").as("trend_cents"),
+        expr("element_at(st.s, cast((n + h - 1) % 7 AS INT) + 1)").as("season_cents"),
+        expr("st.l + h * st.b + element_at(st.s, cast((n + h - 1) % 7 AS INT) + 1)")
+          .as("forecast_cents"))
+
+  private val q347Oracle = {
+    val sIdx = "(CASE h.i % 7 " +
+      (0 to 6).map(k => s"WHEN $k THEN h.s$k").mkString(" ") + " END)"
+    val nl = hwL("h.l", "h.b", "o.cents", sIdx, "//")
+    val nb = holtB("h.l", nl, "h.b", "//")
+    val ns = hwS(sIdx, "o.cents", nl, "//")
+    val sUpd = (0 to 6).map(k =>
+      s"(CASE WHEN (h.i % 7) = $k THEN ($ns) ELSE h.s$k END)::BIGINT")
+      .mkString(",\n|         ")
+    val sInit = (1 to 7).map(k => s"(f7[$k] - lbar)::BIGINT").mkString(", ")
+    val sFin = "(CASE (nn.n + g.h - 1) % 7 " +
+      (0 to 6).map(k => s"WHEN $k THEN fin.s$k").mkString(" ") + " END)"
+    s"""WITH RECURSIVE d AS (
+       |  SELECT epoch_us(ts) // 86400000000 AS day,
+       |         sum(floor(value * 100)::BIGINT)::BIGINT AS cents
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |o AS (SELECT row_number() OVER (ORDER BY day ASC) AS i, cents FROM d),
+       |nn AS (SELECT max(i)::BIGINT AS n FROM o),
+       |ini AS (SELECT (sum(cents) // 7)::BIGINT AS lbar,
+       |               list(cents ORDER BY i ASC) AS f7
+       |        FROM o WHERE i <= 7),
+       |h(i, l, b, s0, s1, s2, s3, s4, s5, s6) AS (
+       |  SELECT 7::BIGINT, lbar, 0::BIGINT, $sInit FROM ini
+       |  UNION ALL
+       |  SELECT o.i::BIGINT, ($nl)::BIGINT, ($nb)::BIGINT,
+       |         $sUpd
+       |  FROM h JOIN o ON o.i = h.i + 1),
+       |fin AS (SELECT * FROM h ORDER BY i DESC LIMIT 1)
+       |SELECT g.h::BIGINT AS h, fin.l AS level_cents, fin.b AS trend_cents,
+       |       $sFin::BIGINT AS season_cents,
+       |       (fin.l + g.h * fin.b + $sFin)::BIGINT AS forecast_cents
+       |FROM fin CROSS JOIN nn CROSS JOIN (SELECT unnest(range(1, 8)) AS h) g""".stripMargin
+  }
+
   /** q344: time-weighted average value (TWAP) per user — each event's
     * cents value weighted by how long it REMAINED the latest observation
     * (until the user's next event), the correct mean for irregularly
@@ -5528,6 +5629,7 @@ object EventQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q344_twap" -> (q344Twap _),
+    "q347_holt_winters" -> (q347HoltWinters _),
     "q345_ohlc_bars" -> (q345OhlcBars _),
     "q337_hll_accuracy" -> (q337HllAccuracy _),
     "q338_rolling_active" -> (q338RollingActive _),
@@ -5677,6 +5779,7 @@ object EventQueries {
     "q324_rate_decomposition" -> q324Oracle,
     "q325_forecast_backtest" -> q325Oracle,
     "q344_twap" -> q344Oracle,
+    "q347_holt_winters" -> q347Oracle,
     "q345_ohlc_bars" -> q345Oracle,
     "q337_hll_accuracy" -> q337Oracle,
     "q338_rolling_active" -> q338Oracle,
