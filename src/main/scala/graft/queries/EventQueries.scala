@@ -5549,6 +5549,83 @@ object EventQueries {
        |FROM fin CROSS JOIN nn CROSS JOIN (SELECT unnest(range(1, 8)) AS h) g""".stripMargin
   }
 
+  /** q348: seasonal bake-off on a 6-day holdout — q330's MASE discipline
+    * applied to q347: Holt-Winters fit on the first n−6 days forecasts the
+    * last 6, judged against the SEASONAL-NAIVE baseline (last observed
+    * same-weekday value from the train window — the correct null model for
+    * a seasonal forecaster; beating plain naive is not enough). Output:
+    * per-holdout-day actual vs both forecasts, plus the
+    * `10⁶·ΣAE_hw div ΣAE_sn` ratio (< 10⁶ ⇒ the seasonality earned its
+    * complexity) repeated per row. Same shared formula strings as q347,
+    * so fit and eval cannot fork.
+    *
+    * Scale shape: q347's — one |days| contraction, one fold over the
+    * train prefix, a 6-row eval join; the ratio is a window over 6 rows.
+    */
+  def q348SeasonalBakeoff(spark: SparkSession, dir: String): DataFrame =
+    holtDaily(spark, dir)
+      .agg(expr("sort_array(collect_list(struct(day, cents)))").as("series"))
+      .select(expr("cast(size(series) AS BIGINT)").as("n"), col("series"))
+      .select(col("n"), col("series"),
+        expr("cast(size(series) AS BIGINT) - 6L").as("tn"),
+        expr(hwFoldSql.replace("aggregate(series,",
+          "aggregate(slice(series, 1, size(series) - 6),")).as("st"))
+      .select(col("tn"), col("series"), col("st"),
+        explode(expr("sequence(1L, 6L)")).as("h"))
+      .select(col("h"),
+        expr("element_at(series, cast(tn + h AS INT)).cents").as("actual_cents"),
+        expr("st.l + h * st.b + element_at(st.s, cast((tn + h - 1) % 7 AS INT) + 1)")
+          .as("hw_cents"),
+        expr("element_at(series, cast(tn + h - 7 AS INT)).cents").as("sn_cents"))
+      .withColumn("ratio_ppm",
+        expr("""CASE WHEN sum(abs(actual_cents - sn_cents)) OVER () = 0 THEN NULL
+                |ELSE (1000000 * sum(abs(actual_cents - hw_cents)) OVER ())
+                |  div sum(abs(actual_cents - sn_cents)) OVER () END""".stripMargin))
+
+  private val q348Oracle = {
+    val sIdx = "(CASE h.i % 7 " +
+      (0 to 6).map(k => s"WHEN $k THEN h.s$k").mkString(" ") + " END)"
+    val nl = hwL("h.l", "h.b", "o.cents", sIdx, "//")
+    val nb = holtB("h.l", nl, "h.b", "//")
+    val ns = hwS(sIdx, "o.cents", nl, "//")
+    val sUpd = (0 to 6).map(k =>
+      s"(CASE WHEN (h.i % 7) = $k THEN ($ns) ELSE h.s$k END)::BIGINT")
+      .mkString(",\n|         ")
+    val sInit = (1 to 7).map(k => s"(f7[$k] - lbar)::BIGINT").mkString(", ")
+    val sFin = "(CASE (nn.tn + g.h - 1) % 7 " +
+      (0 to 6).map(k => s"WHEN $k THEN fin.s$k").mkString(" ") + " END)"
+    s"""WITH RECURSIVE d AS (
+       |  SELECT epoch_us(ts) // 86400000000 AS day,
+       |         sum(floor(value * 100)::BIGINT)::BIGINT AS cents
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |oo AS (SELECT row_number() OVER (ORDER BY day ASC) AS i, cents FROM d),
+       |nn AS (SELECT (max(i) - 6)::BIGINT AS tn FROM oo),
+       |o AS (SELECT i, cents FROM oo CROSS JOIN nn WHERE i <= tn),
+       |ini AS (SELECT (sum(cents) // 7)::BIGINT AS lbar,
+       |               list(cents ORDER BY i ASC) AS f7
+       |        FROM o WHERE i <= 7),
+       |h(i, l, b, s0, s1, s2, s3, s4, s5, s6) AS (
+       |  SELECT 7::BIGINT, lbar, 0::BIGINT, $sInit FROM ini
+       |  UNION ALL
+       |  SELECT o.i::BIGINT, ($nl)::BIGINT, ($nb)::BIGINT,
+       |         $sUpd
+       |  FROM h JOIN o ON o.i = h.i + 1),
+       |fin AS (SELECT * FROM h ORDER BY i DESC LIMIT 1),
+       |ev AS (SELECT g.h::BIGINT AS h,
+       |         a.cents AS actual_cents,
+       |         (fin.l + g.h * fin.b + $sFin)::BIGINT AS hw_cents,
+       |         sn.cents AS sn_cents
+       |       FROM fin CROSS JOIN nn
+       |       CROSS JOIN (SELECT unnest(range(1, 7)) AS h) g
+       |       JOIN oo a ON a.i = nn.tn + g.h
+       |       JOIN oo sn ON sn.i = nn.tn + g.h - 7)
+       |SELECT h, actual_cents, hw_cents, sn_cents,
+       |       (CASE WHEN sum(abs(actual_cents - sn_cents)) OVER () = 0 THEN NULL
+       |        ELSE (1000000 * sum(abs(actual_cents - hw_cents)) OVER ())
+       |          // sum(abs(actual_cents - sn_cents)) OVER () END)::BIGINT AS ratio_ppm
+       |FROM ev""".stripMargin
+  }
+
   /** q344: time-weighted average value (TWAP) per user — each event's
     * cents value weighted by how long it REMAINED the latest observation
     * (until the user's next event), the correct mean for irregularly
@@ -5630,6 +5707,7 @@ object EventQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q344_twap" -> (q344Twap _),
     "q347_holt_winters" -> (q347HoltWinters _),
+    "q348_seasonal_bakeoff" -> (q348SeasonalBakeoff _),
     "q345_ohlc_bars" -> (q345OhlcBars _),
     "q337_hll_accuracy" -> (q337HllAccuracy _),
     "q338_rolling_active" -> (q338RollingActive _),
@@ -5780,6 +5858,7 @@ object EventQueries {
     "q325_forecast_backtest" -> q325Oracle,
     "q344_twap" -> q344Oracle,
     "q347_holt_winters" -> q347Oracle,
+    "q348_seasonal_bakeoff" -> q348Oracle,
     "q345_ohlc_bars" -> q345Oracle,
     "q337_hll_accuracy" -> q337Oracle,
     "q338_rolling_active" -> q338Oracle,
