@@ -4440,6 +4440,9 @@ object ExtQueries {
       .withColumn("__vy", col("n") * col("syy") - col("sy") * col("sy"))
       .withColumn("__sdx", floor(sqrt(col("__vx").cast("double"))).cast("long"))
       .withColumn("__sdy", floor(sqrt(col("__vy").cast("double"))).cast("long"))
+      // negative numerators are safe here: DuckDB's integer `//` truncates
+      // toward zero exactly like Spark's `div` (verified; the holtFdiv CASE
+      // is only needed where one side FLOORS — e.g. HUGEINT paths)
       .withColumn("corr_pm",
         expr("CASE WHEN __sdx * __sdy = 0 THEN NULL " +
           "ELSE (1000 * scov) div (__sdx * __sdy) END"))

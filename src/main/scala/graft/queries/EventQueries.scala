@@ -5626,6 +5626,77 @@ object EventQueries {
        |FROM ev""".stripMargin
   }
 
+  /** q349: lead-lag cross-correlation — at which day offset does the
+    * click series best explain the purchase series? For every lag L in
+    * −7..7, the scaled-integer covariance `n·Σ(c_t·p_{t+L}) − Σc·Σp`
+    * over the overlapping days and its per-mille normalization by the
+    * floor-sqrt variances (the q333 discipline applied to a LAGGED pair),
+    * plus the argmax lag repeated per row. The marketing/ops question
+    * ("does activity lead conversions, and by how much?") that
+    * same-day correlation cannot answer; the whole ±7 sweep costs one
+    * 15-way fan-out of the |days| contraction.
+    *
+    * Scale shape: two map-side-combined daily counts, a ±7 explode of the
+    * |days| table, one equi-join on (lag, day), per-lag 1-row aggregates;
+    * the argmax is a window over 15 rows.
+    */
+  def q349LeadLag(spark: SparkSession, dir: String): DataFrame = {
+    def daily(t: String, as: String) = events(spark, dir)
+      .filter(col("event_type") === t)
+      .groupBy(tsDay.as("day")).agg(count(lit(1)).as(as))
+    val c = daily("click", "c")
+    val p = daily("purchase", "p")
+    val lagged = c
+      .select(col("day"), col("c"), explode(expr("sequence(-7L, 7L)")).as("lag"))
+      .withColumn("p_day", col("day") + col("lag"))
+      .join(p.select(col("day").as("p_day"), col("p")), Seq("p_day"))
+    val perLag = lagged.groupBy("lag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("c")).as("sc"), sum(col("p")).as("sp"),
+        sum(col("c") * col("p")).as("scp"),
+        sum(col("c") * col("c")).as("scc"),
+        sum(col("p") * col("p")).as("spp"))
+      .withColumn("scov", expr("n * scp - sc * sp"))
+      .withColumn("__sdc", floor(sqrt(expr("cast(n * scc - sc * sc AS DOUBLE)"))).cast("long"))
+      .withColumn("__sdp", floor(sqrt(expr("cast(n * spp - sp * sp AS DOUBLE)"))).cast("long"))
+      // negative numerators are safe: DuckDB's integer `//` truncates
+      // toward zero exactly like Spark's `div`
+      .withColumn("corr_pm",
+        expr("CASE WHEN __sdc * __sdp = 0 THEN NULL" +
+          " ELSE (1000 * scov) div (__sdc * __sdp) END"))
+    // argmax by (corr_pm, -|lag|, lag): the strongest correlation, ties to
+    // the smallest absolute (then signed) lag — deterministic
+    perLag.withColumn("best_lag",
+        expr("max_by(lag, struct(corr_pm, -abs(lag), -lag)) OVER ()"))
+      .select("lag", "n", "scov", "corr_pm", "best_lag")
+  }
+
+  private val q349Oracle =
+    """WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day FROM events),
+      |c AS (SELECT day, count(*)::BIGINT AS c FROM e WHERE event_type = 'click' GROUP BY 1),
+      |p AS (SELECT day, count(*)::BIGINT AS p FROM e WHERE event_type = 'purchase' GROUP BY 1),
+      |j AS (SELECT g.lag, c.c, p.p
+      |      FROM c CROSS JOIN (SELECT unnest(range(-7, 8)) AS lag) g
+      |      JOIN p ON p.day = c.day + g.lag),
+      |a AS (SELECT lag, count(*)::BIGINT AS n,
+      |        sum(c)::BIGINT AS sc, sum(p)::BIGINT AS sp,
+      |        sum(c * p)::BIGINT AS scp, sum(c * c)::BIGINT AS scc,
+      |        sum(p * p)::BIGINT AS spp
+      |      FROM j GROUP BY 1),
+      |x AS (SELECT lag, n, (n * scp - sc * sp)::BIGINT AS scov,
+      |        floor(sqrt((n * scc - sc * sc)::DOUBLE))::BIGINT AS sdc,
+      |        floor(sqrt((n * spp - sp * sp)::DOUBLE))::BIGINT AS sdp
+      |      FROM a),
+      |y AS (SELECT lag::BIGINT AS lag, n, scov,
+      |        (CASE WHEN sdc * sdp = 0 THEN NULL
+      |              ELSE (1000 * scov) // (sdc * sdp) END)::BIGINT AS corr_pm
+      |      FROM x)
+      |SELECT lag, n, scov, corr_pm,
+      |       (arg_max(lag, lpad((corr_pm + 2000)::VARCHAR, 8, '0')
+      |           || lpad((7 - abs(lag))::VARCHAR, 2, '0')
+      |           || lpad((7 - lag)::VARCHAR, 2, '0')) OVER ())::BIGINT AS best_lag
+      |FROM y""".stripMargin
+
   /** q344: time-weighted average value (TWAP) per user — each event's
     * cents value weighted by how long it REMAINED the latest observation
     * (until the user's next event), the correct mean for irregularly
@@ -5708,6 +5779,7 @@ object EventQueries {
     "q344_twap" -> (q344Twap _),
     "q347_holt_winters" -> (q347HoltWinters _),
     "q348_seasonal_bakeoff" -> (q348SeasonalBakeoff _),
+    "q349_lead_lag" -> (q349LeadLag _),
     "q345_ohlc_bars" -> (q345OhlcBars _),
     "q337_hll_accuracy" -> (q337HllAccuracy _),
     "q338_rolling_active" -> (q338RollingActive _),
@@ -5859,6 +5931,7 @@ object EventQueries {
     "q344_twap" -> q344Oracle,
     "q347_holt_winters" -> q347Oracle,
     "q348_seasonal_bakeoff" -> q348Oracle,
+    "q349_lead_lag" -> q349Oracle,
     "q345_ohlc_bars" -> q345Oracle,
     "q337_hll_accuracy" -> q337Oracle,
     "q338_rolling_active" -> q338Oracle,
