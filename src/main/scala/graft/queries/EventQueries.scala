@@ -4295,14 +4295,18 @@ object EventQueries {
     * `series` array of (day, cents) structs — shared by the q309 forecast
     * and the q325 backtest so the recurrence cannot fork.
     */
-  private def holtFoldSql: String = {
+  private def holtFoldSql: String = holtFoldOn("series")
+
+  /** [[holtFoldSql]] over an arbitrary series-array expression — q350's
+    * per-prefix residual pass folds `slice(series, 1, t-1)` for every t. */
+  private def holtFoldOn(seriesExpr: String): String = {
     val nl = holtL("a.l", "a.b", "y.cents", "div")
     val step =
       s"""(a, y) -> CASE WHEN a.i = 0L
          |  THEN named_struct('i', 1L, 'l', y.cents, 'b', 0L)
          |  ELSE named_struct('i', a.i + 1L, 'l', $nl,
          |         'b', ${holtB("a.l", nl, "a.b", "div")}) END""".stripMargin
-    s"aggregate(series, named_struct('i', 0L, 'l', 0L, 'b', 0L), $step)"
+    s"aggregate($seriesExpr, named_struct('i', 0L, 'l', 0L, 'b', 0L), $step)"
   }
 
   private def holtDaily(spark: SparkSession, dir: String): DataFrame =
@@ -5697,6 +5701,67 @@ object EventQueries {
       |           || lpad((7 - lag)::VARCHAR, 2, '0')) OVER ())::BIGINT AS best_lag
       |FROM y""".stripMargin
 
+  /** q350: forecast PREDICTION INTERVALS — the uncertainty the point
+    * forecasts (q309/q347) lack: in-sample one-step-ahead residuals
+    * `y_t − (l_{t−1} + b_{t−1})` for every t ≥ 2, their exact discrete
+    * P10/P50/P90 (sorted-array indexing, identical convention both
+    * engines), and the 7-day-ahead Holt forecasts published as
+    * lo/mid/hi bands. The operational "will revenue stay inside the
+    * cone?" readout; a breach is the alert condition.
+    *
+    * Scale shape: the residual pass re-folds each length-(t−1) prefix of
+    * the |days| array — O(|days|²) lambda steps on a ~30-element array
+    * inside ONE interpreted expression on a 1-row frame (the
+    * contraction-sized tail where that is free); the oracle reads the
+    * same states off its recursion table h directly. Formula strings
+    * shared with q309, so the recurrence cannot fork.
+    */
+  def q350ForecastIntervals(spark: SparkSession, dir: String): DataFrame = {
+    val prefixFold = holtFoldOn("slice(series, 1, cast(t AS INT) - 1)")
+    def rq(p: Double, as: String) =
+      expr(s"element_at(res, cast(floor((size(res) - 1) * $p) AS INT) + 1)").as(as)
+    holtDaily(spark, dir)
+      .agg(expr("sort_array(collect_list(struct(day, cents)))").as("series"))
+      .select(expr(holtFoldSql).as("st"),
+        expr(s"""array_sort(transform(sequence(2L, cast(size(series) AS BIGINT)),
+          | t -> element_at(series, cast(t AS INT)).cents
+          |      - $prefixFold.l - $prefixFold.b))""".stripMargin).as("res"))
+      .select(col("st"), rq(0.1, "r10"), rq(0.5, "r50"), rq(0.9, "r90"),
+        explode(expr("sequence(1L, 7L)")).as("h"))
+      .select(col("h"),
+        expr("st.l + h * st.b").as("forecast_cents"),
+        expr("st.l + h * st.b + r10").as("lo_cents"),
+        expr("st.l + h * st.b + r50").as("mid_cents"),
+        expr("st.l + h * st.b + r90").as("hi_cents"))
+  }
+
+  private val q350Oracle = {
+    val nl = holtL("h.l", "h.b", "o.cents", "//")
+    def rq(p: Double) = s"rs[cast(floor((m - 1) * $p) AS INT) + 1]"
+    s"""WITH RECURSIVE d AS (
+       |  SELECT epoch_us(ts) // 86400000000 AS day,
+       |         sum(floor(value * 100)::BIGINT)::BIGINT AS cents
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |o AS (SELECT row_number() OVER (ORDER BY day ASC) AS i, cents FROM d),
+       |h(i, l, b) AS (
+       |  SELECT 1::BIGINT, cents, 0::BIGINT FROM o WHERE i = 1
+       |  UNION ALL
+       |  SELECT o.i::BIGINT, ($nl)::BIGINT,
+       |         (${holtB("h.l", nl, "h.b", "//")})::BIGINT
+       |  FROM h JOIN o ON o.i = h.i + 1),
+       |res AS (SELECT (o.cents - hp.l - hp.b)::BIGINT AS r
+       |        FROM o JOIN h hp ON hp.i = o.i - 1 WHERE o.i >= 2),
+       |rl AS (SELECT list(r ORDER BY r ASC) AS rs, count(*)::BIGINT AS m FROM res),
+       |fin AS (SELECT l, b FROM h ORDER BY i DESC LIMIT 1)
+       |SELECT g.h::BIGINT AS h,
+       |       (fin.l + g.h * fin.b)::BIGINT AS forecast_cents,
+       |       (fin.l + g.h * fin.b + ${rq(0.1)})::BIGINT AS lo_cents,
+       |       (fin.l + g.h * fin.b + ${rq(0.5)})::BIGINT AS mid_cents,
+       |       (fin.l + g.h * fin.b + ${rq(0.9)})::BIGINT AS hi_cents
+       |FROM fin CROSS JOIN rl
+       |CROSS JOIN (SELECT unnest(range(1, 8)) AS h) g""".stripMargin
+  }
+
   /** q344: time-weighted average value (TWAP) per user — each event's
     * cents value weighted by how long it REMAINED the latest observation
     * (until the user's next event), the correct mean for irregularly
@@ -5780,6 +5845,7 @@ object EventQueries {
     "q347_holt_winters" -> (q347HoltWinters _),
     "q348_seasonal_bakeoff" -> (q348SeasonalBakeoff _),
     "q349_lead_lag" -> (q349LeadLag _),
+    "q350_forecast_intervals" -> (q350ForecastIntervals _),
     "q345_ohlc_bars" -> (q345OhlcBars _),
     "q337_hll_accuracy" -> (q337HllAccuracy _),
     "q338_rolling_active" -> (q338RollingActive _),
@@ -5932,6 +5998,7 @@ object EventQueries {
     "q347_holt_winters" -> q347Oracle,
     "q348_seasonal_bakeoff" -> q348Oracle,
     "q349_lead_lag" -> q349Oracle,
+    "q350_forecast_intervals" -> q350Oracle,
     "q345_ohlc_bars" -> q345Oracle,
     "q337_hll_accuracy" -> q337Oracle,
     "q338_rolling_active" -> q338Oracle,
