@@ -126,6 +126,27 @@ class AnalyticsInvariantsSpec extends SparkSpec {
     assert(r >= 1 && r <= a + b, s"runs $r outside [1, ${a + b}]")
   }
 
+  test("q350 intervals: bands are ordered, constant-width, and centered on q309's line") {
+    val rows = EventQueries.q350ForecastIntervals(spark, Sf0001).collect()
+      .sortBy(_.getAs[Long]("h"))
+    assert(rows.map(_.getAs[Long]("h")).toSeq === (1L to 7L))
+    rows.foreach { r =>
+      val (f, lo, mid, hi) = (r.getAs[Long]("forecast_cents"),
+        r.getAs[Long]("lo_cents"), r.getAs[Long]("mid_cents"), r.getAs[Long]("hi_cents"))
+      // residual quantiles are order statistics: P10 <= P50 <= P90
+      assert(lo <= mid && mid <= hi, s"band disordered at h=${r.getAs[Long]("h")}")
+      // additive residual band: each bound is forecast + a fixed quantile,
+      // so the offsets must be identical across horizons
+      assert(lo - f === rows.head.getAs[Long]("lo_cents") - rows.head.getAs[Long]("forecast_cents"))
+      assert(hi - f === rows.head.getAs[Long]("hi_cents") - rows.head.getAs[Long]("forecast_cents"))
+    }
+    // the center line IS q309's Holt point forecast — shared fold, same states
+    val point = EventQueries.q309HoltForecast(spark, Sf0001).collect()
+      .map(r => r.getAs[Long]("h") -> r.getAs[Long]("forecast_cents")).toMap
+    rows.foreach(r => assert(r.getAs[Long]("forecast_cents") === point(r.getAs[Long]("h")),
+      s"q350 center diverged from q309 at h=${r.getAs[Long]("h")}"))
+  }
+
   test("q318 power: baseline rate non-degenerate; larger effects need fewer samples") {
     val rows = EventQueries.q318PowerAnalysis(spark, Sf0001).collect()
       .sortBy(_.getAs[Long]("mde_rel_ppm"))
