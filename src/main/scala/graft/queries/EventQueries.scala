@@ -5762,6 +5762,230 @@ object EventQueries {
        |CROSS JOIN (SELECT unnest(range(1, 8)) AS h) g""".stripMargin
   }
 
+  /** q351: Kaplan-Meier churn survival curve (Kaplan & Meier JASA 1958) —
+    * the product-limit estimator over user lifetimes: a user is BORN on
+    * their first event day, CHURNS at their last if it precedes the
+    * observation horizon (the corpus' max day), and is CENSORED at the
+    * horizon otherwise — the censoring-aware answer to "what fraction of
+    * users survive past t days?" that a naive lifetime histogram biases
+    * low (it counts still-active users as already gone). Survival in
+    * exact integer ppm: `s_t = s_{t-1} · (n_t − d_t) div n_t` with
+    * at-risk `n_t` peeled front-to-back, plus the discrete hazard
+    * `10⁶·d_t div n_t` per lifetime day.
+    *
+    * Scale shape: ONE user-keyed groupBy contracts 100 TB of events to
+    * |users| lifetime rows, immediately re-contracted to the bounded
+    * ≤|days|² (first_day, last_day) pair table — so the horizon anchor is
+    * an `OVER ()` on THAT contraction, not a second scan of the event log
+    * (the crossJoin-a-1-row-anchor pattern would recompute the whole
+    * user aggregation for one max). The KM recurrence then folds the
+    * ≤|days| life table inside a single expression on a 1-row frame — no
+    * global window over big data, no driver iteration. The oracle
+    * replays the identical integer recurrence on its recursion table.
+    */
+  def q351KaplanMeier(spark: SparkSession, dir: String): DataFrame = {
+    val outT = "array<struct<t:bigint,at_risk:bigint,churned:bigint," +
+      "censored:bigint,surv_ppm:bigint,hazard_ppm:bigint>>"
+    events(spark, dir)
+      .withColumn("day", tsDay)
+      .groupBy("user_id")
+      .agg(min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+      .groupBy("first_day", "last_day").agg(count(lit(1)).as("m"))
+      .withColumn("churn",
+        (col("last_day") < max(col("last_day")).over(Window.partitionBy())).cast("long"))
+      .select((col("last_day") - col("first_day") + lit(1L)).as("t"),
+        col("m"), col("churn"))
+      .groupBy("t")
+      .agg(sum(col("m") * col("churn")).as("d"),
+        sum(col("m") * (lit(1L) - col("churn"))).as("c"))
+      .agg(expr("sort_array(collect_list(struct(t, d, c)))").as("a"))
+      .select(explode(expr(
+        s"""aggregate(a,
+           |  named_struct('n', aggregate(a, 0L, (s, x) -> s + x.d + x.c),
+           |    's', 1000000L, 'out', cast(array() AS $outT)),
+           |  (acc, x) -> named_struct(
+           |    'n', acc.n - x.d - x.c,
+           |    's', (acc.s * (acc.n - x.d)) div acc.n,
+           |    'out', concat(acc.out, array(named_struct(
+           |      't', x.t, 'at_risk', acc.n, 'churned', x.d, 'censored', x.c,
+           |      'surv_ppm', (acc.s * (acc.n - x.d)) div acc.n,
+           |      'hazard_ppm', (1000000L * x.d) div acc.n)))),
+           |  acc -> acc.out)""".stripMargin)).as("r"))
+      .select(col("r.t").as("t"), col("r.at_risk").as("at_risk"),
+        col("r.churned").as("churned"), col("r.censored").as("censored"),
+        col("r.surv_ppm").as("surv_ppm"), col("r.hazard_ppm").as("hazard_ppm"))
+  }
+
+  private val q351Oracle =
+    """WITH RECURSIVE l AS (
+      |  SELECT user_id, min(epoch_us(ts) // 86400000000) AS fd,
+      |         max(epoch_us(ts) // 86400000000) AS ld
+      |  FROM events GROUP BY 1),
+      |h AS (SELECT max(ld) AS hd FROM l),
+      |u AS (SELECT (ld - fd + 1) AS t,
+      |             CASE WHEN ld < hd THEN 1 ELSE 0 END AS churn
+      |      FROM l CROSS JOIN h),
+      |tb AS (SELECT t, sum(churn)::BIGINT AS d,
+      |              (count(*) - sum(churn))::BIGINT AS c
+      |       FROM u GROUP BY 1),
+      |o AS (SELECT row_number() OVER (ORDER BY t ASC) AS i, t, d, c FROM tb),
+      |tot AS (SELECT sum(d + c)::BIGINT AS n0 FROM o),
+      |km(i, t, n, d, c, s) AS (
+      |  SELECT o.i, o.t, tot.n0, o.d, o.c,
+      |         ((1000000 * (tot.n0 - o.d)) // tot.n0)::BIGINT
+      |  FROM o CROSS JOIN tot WHERE o.i = 1
+      |  UNION ALL
+      |  SELECT o.i, o.t, (km.n - km.d - km.c)::BIGINT, o.d, o.c,
+      |         ((km.s * (km.n - km.d - km.c - o.d))
+      |            // (km.n - km.d - km.c))::BIGINT
+      |  FROM km JOIN o ON o.i = km.i + 1)
+      |SELECT t::BIGINT AS t, n::BIGINT AS at_risk, d::BIGINT AS churned,
+      |       c::BIGINT AS censored, s::BIGINT AS surv_ppm,
+      |       ((1000000 * d) // n)::BIGINT AS hazard_ppm
+      |FROM km""".stripMargin
+
+  /** q352: stratified treatment-effect estimate with a positivity guard —
+    * the observational-causal readout the A/B tier (q304 z-test, q318
+    * power) cannot give when assignment wasn't randomized: does EARLY
+    * FRICTION (an `error` among the user's first five events) depress
+    * purchase revenue, adjusting for the activity confounder (active
+    * users both hit more errors AND buy more)? Users stratify by
+    * event-count bucket (`n_ev div 4`); within each stratum the
+    * treated/control purchase-cents means difference is exact in
+    * micro-cents (`10⁶·Σy div n`, truncating div — verified identical to
+    * DuckDB `//` on negatives); the ATE is the user-weighted mean of
+    * per-stratum diffs over ON-SUPPORT strata only (both arms present —
+    * the discrete-propensity IPW estimand), published beside the NAIVE
+    * unadjusted diff so the confounding bias is machine-visible, plus
+    * off-support strata/user counts (the positivity violations IPW
+    * silently extrapolates over).
+    *
+    * Scale shape: treatment needs the first-5 rank — one USER-keyed
+    * window (partitioned, never global); then one user-keyed groupBy
+    * contracts the event log, one |strata|-keyed count lands the bounded
+    * stratum table, and the ATE is a 1-row aggregate over it — no
+    * global window, no join, no collect.
+    */
+  def q352StratifiedAte(spark: SparkSession, dir: String): DataFrame = {
+    val ok = "n1 > 0 AND n0 > 0"
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    events(spark, dir)
+      .select(col("user_id"), Tables.tsUs.as("ts_us"), col("event_id"),
+        col("event_type"), col("value"))
+      .withColumn("i", row_number().over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_ev"),
+        max((col("event_type") === "error" && col("i") <= 5).cast("long")).as("z"),
+        sum(when(col("event_type") === "purchase",
+          floor(col("value") * 100).cast("long")).otherwise(0L)).as("y"))
+      .groupBy(expr("n_ev div 4").as("stratum"))
+      .agg(sum(col("z")).as("n1"), (count(lit(1)) - sum(col("z"))).as("n0"),
+        sum(col("y") * col("z")).as("y1"),
+        sum(col("y") * (lit(1L) - col("z"))).as("y0"))
+      .agg(
+        expr(s"sum(CASE WHEN $ok THEN n1 + n0 ELSE 0L END)").as("users_on"),
+        // greatest(.,1) is a no-op on the taken branch (the guard pins
+        // n1,n0 > 0) but keeps ANSI div alive when aggregate-codegen CSE
+        // hoists the division out of the CASE on an empty-arm stratum
+        expr(s"""sum(CASE WHEN $ok THEN (n1 + n0) *
+             |  ((1000000L * y1) div greatest(n1, 1L)
+             |   - (1000000L * y0) div greatest(n0, 1L))
+             |  ELSE 0L END)""".stripMargin).as("ate_num"),
+        expr(s"sum(CASE WHEN $ok THEN 1L ELSE 0L END)").as("n_strata_on"),
+        expr(s"sum(CASE WHEN $ok THEN 0L ELSE 1L END)").as("n_strata_off"),
+        expr(s"sum(CASE WHEN $ok THEN 0L ELSE n1 + n0 END)").as("users_off"),
+        sum(col("y1")).as("ty1"), sum(col("n1")).as("tn1"),
+        sum(col("y0")).as("ty0"), sum(col("n0")).as("tn0"))
+      .select(expr("ate_num div users_on").as("ate_ucents"),
+        expr("(1000000L * ty1) div tn1 - (1000000L * ty0) div tn0")
+          .as("naive_ucents"),
+        col("n_strata_on"), col("n_strata_off"),
+        col("users_on"), col("users_off"))
+  }
+
+  private val q352Oracle =
+    """WITH r AS (
+      |  SELECT user_id, event_type, value,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY epoch_us(ts), event_id) AS i
+      |  FROM events),
+      |u AS (
+      |  SELECT user_id, count(*) AS n_ev,
+      |         max(CASE WHEN event_type = 'error' AND i <= 5
+      |             THEN 1 ELSE 0 END) AS z,
+      |         sum(CASE WHEN event_type = 'purchase'
+      |             THEN floor(value * 100)::BIGINT ELSE 0 END)::BIGINT AS y
+      |  FROM r GROUP BY 1),
+      |s AS (
+      |  SELECT n_ev // 4 AS stratum, sum(z)::BIGINT AS n1,
+      |         (count(*) - sum(z))::BIGINT AS n0,
+      |         sum(y * z)::BIGINT AS y1, sum(y * (1 - z))::BIGINT AS y0
+      |  FROM u GROUP BY 1),
+      |g AS (
+      |  SELECT sum(CASE WHEN n1 > 0 AND n0 > 0 THEN n1 + n0 ELSE 0 END)::BIGINT AS users_on,
+      |         sum(CASE WHEN n1 > 0 AND n0 > 0 THEN (n1 + n0) *
+      |             ((1000000 * y1) // n1 - (1000000 * y0) // n0)
+      |             ELSE 0 END)::BIGINT AS ate_num,
+      |         sum(CASE WHEN n1 > 0 AND n0 > 0 THEN 1 ELSE 0 END)::BIGINT AS n_strata_on,
+      |         sum(CASE WHEN n1 > 0 AND n0 > 0 THEN 0 ELSE 1 END)::BIGINT AS n_strata_off,
+      |         sum(CASE WHEN n1 > 0 AND n0 > 0 THEN 0 ELSE n1 + n0 END)::BIGINT AS users_off,
+      |         sum(y1)::BIGINT AS ty1, sum(n1)::BIGINT AS tn1,
+      |         sum(y0)::BIGINT AS ty0, sum(n0)::BIGINT AS tn0
+      |  FROM s)
+      |SELECT (ate_num // users_on)::BIGINT AS ate_ucents,
+      |       ((1000000 * ty1) // tn1 - (1000000 * ty0) // tn0)::BIGINT AS naive_ucents,
+      |       n_strata_on, n_strata_off, users_on, users_off
+      |FROM g""".stripMargin
+
+  /** q353: top event PATHS (Amplitude Pathfinder analogue) — the most
+    * common 3-step in-session journeys: per-user time-ordered event-type
+    * trigrams counted corpus-wide, top 10 by support with the path string
+    * as the deterministic tie-break, each with its share of all trigrams
+    * in exact ppm. The transition matrix (q137) says where users go NEXT;
+    * paths say which full ROUTES dominate — the difference between "30%
+    * of clicks lead to views" and "click→view→purchase is the #1 journey".
+    *
+    * Scale shape: trigram construction is two `lead`s over the USER-keyed
+    * window (partitioned, never global), support is one map-side-combined
+    * groupBy onto the tiny |types|³ key space, the share total is an
+    * `OVER ()` on THAT contraction (a 1-row-anchor crossJoin would run
+    * the whole scan+window+groupBy pipeline a second time), and top-10 is
+    * `TakeOrderedAndProject` — a per-partition k-heap, no full sort.
+    */
+  def q353TopPaths(spark: SparkSession, dir: String): DataFrame = {
+    // order on MICROS (not raw nanos) + event_id so both engines break
+    // sub-microsecond ties identically — epoch_us is DuckDB's grain
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    events(spark, dir)
+      .select(col("user_id"), Tables.tsUs.as("ts_us"), col("event_id"),
+        col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("support"))
+      .select(col("path"), col("support"),
+        expr("(1000000L * support) div sum(support) OVER ()").as("share_ppm"))
+      .orderBy(col("support").desc, col("path").asc)
+      .limit(10)
+  }
+
+  private val q353Oracle =
+    """WITH e AS (
+      |  SELECT user_id, event_type,
+      |         lead(event_type, 1) OVER w AS e2,
+      |         lead(event_type, 2) OVER w AS e3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      |g AS (SELECT event_type || '>' || e2 || '>' || e3 AS path,
+      |             count(*)::BIGINT AS support
+      |      FROM e WHERE e3 IS NOT NULL GROUP BY 1),
+      |t AS (SELECT sum(support)::BIGINT AS tot FROM g)
+      |SELECT path, support,
+      |       ((1000000 * support) // tot)::BIGINT AS share_ppm
+      |FROM g CROSS JOIN t
+      |ORDER BY support DESC, path ASC LIMIT 10""".stripMargin
+
   /** q344: time-weighted average value (TWAP) per user — each event's
     * cents value weighted by how long it REMAINED the latest observation
     * (until the user's next event), the correct mean for irregularly
@@ -5846,6 +6070,9 @@ object EventQueries {
     "q348_seasonal_bakeoff" -> (q348SeasonalBakeoff _),
     "q349_lead_lag" -> (q349LeadLag _),
     "q350_forecast_intervals" -> (q350ForecastIntervals _),
+    "q351_kaplan_meier" -> (q351KaplanMeier _),
+    "q352_stratified_ate" -> (q352StratifiedAte _),
+    "q353_top_paths" -> (q353TopPaths _),
     "q345_ohlc_bars" -> (q345OhlcBars _),
     "q337_hll_accuracy" -> (q337HllAccuracy _),
     "q338_rolling_active" -> (q338RollingActive _),
@@ -5999,6 +6226,9 @@ object EventQueries {
     "q348_seasonal_bakeoff" -> q348Oracle,
     "q349_lead_lag" -> q349Oracle,
     "q350_forecast_intervals" -> q350Oracle,
+    "q351_kaplan_meier" -> q351Oracle,
+    "q352_stratified_ate" -> q352Oracle,
+    "q353_top_paths" -> q353Oracle,
     "q345_ohlc_bars" -> q345Oracle,
     "q337_hll_accuracy" -> q337Oracle,
     "q338_rolling_active" -> q338Oracle,

@@ -147,6 +147,33 @@ class AnalyticsInvariantsSpec extends SparkSpec {
       s"q350 center diverged from q309 at h=${r.getAs[Long]("h")}"))
   }
 
+  test("q351 KM: risk set telescopes, survival is monotone, ledger covers all users") {
+    val users = graft.queries.Tables.events(spark, Sf0001)
+      .select(col("user_id")).distinct().count()
+    val rows = EventQueries.q351KaplanMeier(spark, Sf0001).collect()
+      .sortBy(_.getAs[Long]("t"))
+    // the first risk set is everyone; each later one is the previous minus
+    // the users who exited (churned or censored) at the previous lifetime
+    assert(rows.head.getAs[Long]("at_risk") === users)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("at_risk") ===
+        a.getAs[Long]("at_risk") - a.getAs[Long]("churned") - a.getAs[Long]("censored"))
+    }
+    // everyone exits somewhere; survival is a non-increasing product in [0, 1e6]
+    assert(rows.map(r => r.getAs[Long]("churned") + r.getAs[Long]("censored")).sum === users)
+    val s = rows.map(_.getAs[Long]("surv_ppm"))
+    assert(s.forall(v => v >= 0 && v <= 1000000L))
+    assert(s.zip(s.tail).forall { case (a, b) => b <= a }, s"survival rose: ${s.mkString(",")}")
+  }
+
+  test("q352 ATE: on/off-support user ledger partitions the population") {
+    val users = graft.queries.Tables.events(spark, Sf0001)
+      .select(col("user_id")).distinct().count()
+    val r = EventQueries.q352StratifiedAte(spark, Sf0001).collect()(0)
+    assert(r.getAs[Long]("users_on") + r.getAs[Long]("users_off") === users)
+    assert(r.getAs[Long]("n_strata_on") >= 1)
+  }
+
   test("q318 power: baseline rate non-degenerate; larger effects need fewer samples") {
     val rows = EventQueries.q318PowerAnalysis(spark, Sf0001).collect()
       .sortBy(_.getAs[Long]("mde_rel_ppm"))

@@ -730,4 +730,19 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"),
       s"window sort crept back into the sketch stage:\n$plan")
   }
+
+  test("q351 KM / q353 paths: ONE event scan each — no anchor-side recompute") {
+    // the horizon/share anchors ride OVER () on bounded contractions; a
+    // crossJoin'd 1-row aggregate would re-run the full scan pipeline
+    for (q <- Seq("q351_kaplan_meier", "q353_top_paths")) {
+      val plan = planOf(graft.queries.EventQueries.queries(q)(spark, Sf0001))
+      assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size == 1,
+        s"$q must shuffle the event log on user exactly once:\n$plan")
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+        s"$q anchor must not be a crossJoin:\n$plan")
+    }
+    val paths = planOf(graft.queries.EventQueries.queries("q353_top_paths")(spark, Sf0001))
+    assert(paths.contains("TakeOrderedAndProject"),
+      s"top-10 must be the k-heap, not a full sort:\n$paths")
+  }
 }
