@@ -5986,6 +5986,94 @@ object EventQueries {
       |FROM g CROSS JOIN t
       |ORDER BY support DESC, path ASC LIMIT 10""".stripMargin
 
+  /** q354: time-to-convert histogram — among users whose FIRST view
+    * precedes their FIRST purchase, the hour-bucketed distribution of
+    * that delay with exact cumulative ppm: the "how long does conversion
+    * take?" readout the funnel tier (q13/q106/q192) counts but never
+    * times. Bucketed, not quantiled, on purpose: exact percentiles over
+    * |converted-users| delays would need a full sort or a collected
+    * array, while the bounded |buckets| histogram carries the same
+    * operational answer ("90 % convert within N hours" reads off cum_ppm)
+    * with ONE user-keyed groupBy and windows only over the contraction.
+    */
+  def q354TimeToConvert(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("user_id"), Tables.tsUs.as("ts_us"), col("event_type"))
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("ts_us"))).as("v"),
+        min(when(col("event_type") === "purchase", col("ts_us"))).as("p"))
+      .filter(col("v").isNotNull && col("p").isNotNull && col("p") > col("v"))
+      .select(expr("(p - v) div 3600000000L").as("bucket_h"))
+      .groupBy("bucket_h").agg(count(lit(1)).as("n"))
+      .select(col("bucket_h"), col("n"),
+        expr("(1000000L * sum(n) OVER (ORDER BY bucket_h)) div sum(n) OVER ()")
+          .as("cum_ppm"))
+
+  private val q354Oracle =
+    """WITH f AS (
+      |  SELECT user_id,
+      |         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v,
+      |         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p
+      |  FROM events GROUP BY 1),
+      |g AS (SELECT (p - v) // 3600000000 AS bucket_h, count(*)::BIGINT AS n
+      |      FROM f WHERE v IS NOT NULL AND p IS NOT NULL AND p > v
+      |      GROUP BY 1)
+      |SELECT bucket_h::BIGINT AS bucket_h, n,
+      |       ((1000000 * sum(n) OVER (ORDER BY bucket_h))
+      |          // sum(n) OVER ())::BIGINT AS cum_ppm
+      |FROM g""".stripMargin
+
+  /** q355: inter-event time analysis — the point-process view of the
+    * event log: consecutive same-user gaps in whole minutes, their exact
+    * mean, and the coefficient of variation in ppm via the cross-
+    * multiplied second moment (`CoV² = (n·Σg² − (Σg)²)/(Σg)²`, so
+    * `cov_ppm = 10⁶·⌊√(nQ−S²)⌋ div S` — the floor-sqrt applied to an
+    * integer < 2⁵², where IEEE doubles are exact, q333's convention).
+    * CoV ≈ 1 is the exponential/Poisson signature; the published
+    * `is_memoryless` verdict pins |cov−10⁶| ≤ 150000, the assumption
+    * behind "rate × time" capacity math — bursty (CoV ≫ 1) traffic
+    * breaks it. Gaps land in MINUTES so nQ stays far inside long range
+    * at every tested scale (µs gaps would overflow by sf0.1).
+    *
+    * Scale shape: one lag over the USER-keyed window, one map-side-
+    * combined 3-field global aggregate — no contraction wider than a row.
+    */
+  def q355Interarrival(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    events(spark, dir)
+      .select(col("user_id"), Tables.tsUs.as("ts_us"), col("event_id"))
+      .withColumn("prev", lag(col("ts_us"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(expr("(ts_us - prev) div 60000000L").as("g"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("g")).as("s"),
+        sum(col("g") * col("g")).as("q"))
+      .withColumn("isq",
+        floor(sqrt((col("n_gaps") * col("q") - col("s") * col("s")).cast("double")))
+          .cast("long"))
+      .select(col("n_gaps"), expr("s div n_gaps").as("mean_gap_min"),
+        expr("(1000000L * isq) div s").as("cov_ppm"),
+        expr("CASE WHEN abs((1000000L * isq) div s - 1000000L) <= 150000L " +
+          "THEN 1L ELSE 0L END").as("is_memoryless"))
+  }
+
+  private val q355Oracle =
+    """WITH e AS (
+      |  SELECT (epoch_us(ts) - lag(epoch_us(ts)) OVER
+      |            (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)) AS d
+      |  FROM events),
+      |a AS (SELECT count(*)::BIGINT AS n_gaps,
+      |             sum(d // 60000000)::BIGINT AS s,
+      |             sum((d // 60000000) * (d // 60000000))::BIGINT AS q
+      |      FROM e WHERE d IS NOT NULL),
+      |c AS (SELECT n_gaps, s, q,
+      |             ((1000000 * floor(sqrt((n_gaps * q - s * s)::DOUBLE))::BIGINT)
+      |                // s)::BIGINT AS cov_ppm
+      |      FROM a)
+      |SELECT n_gaps, (s // n_gaps)::BIGINT AS mean_gap_min, cov_ppm,
+      |       (CASE WHEN abs(cov_ppm - 1000000) <= 150000
+      |        THEN 1 ELSE 0 END)::BIGINT AS is_memoryless
+      |FROM c""".stripMargin
+
   /** q344: time-weighted average value (TWAP) per user — each event's
     * cents value weighted by how long it REMAINED the latest observation
     * (until the user's next event), the correct mean for irregularly
@@ -6073,6 +6161,8 @@ object EventQueries {
     "q351_kaplan_meier" -> (q351KaplanMeier _),
     "q352_stratified_ate" -> (q352StratifiedAte _),
     "q353_top_paths" -> (q353TopPaths _),
+    "q354_time_to_convert" -> (q354TimeToConvert _),
+    "q355_interarrival" -> (q355Interarrival _),
     "q345_ohlc_bars" -> (q345OhlcBars _),
     "q337_hll_accuracy" -> (q337HllAccuracy _),
     "q338_rolling_active" -> (q338RollingActive _),
@@ -6229,6 +6319,8 @@ object EventQueries {
     "q351_kaplan_meier" -> q351Oracle,
     "q352_stratified_ate" -> q352Oracle,
     "q353_top_paths" -> q353Oracle,
+    "q354_time_to_convert" -> q354Oracle,
+    "q355_interarrival" -> q355Oracle,
     "q345_ohlc_bars" -> q345Oracle,
     "q337_hll_accuracy" -> q337Oracle,
     "q338_rolling_active" -> q338Oracle,
