@@ -6074,6 +6074,57 @@ object EventQueries {
       |        THEN 1 ELSE 0 END)::BIGINT AS is_memoryless
       |FROM c""".stripMargin
 
+  /** q356: engagement concentration — exact Gini and top-decile share of
+    * events-per-user: "does 10 % of the user base generate most of the
+    * traffic?" — the capacity-planning and abuse-detection readout. Gini
+    * from GROUPED data, integer-exact: with users bucketed by their event
+    * count c (multiplicity m_c, ascending cum F), the rank-sum identity
+    * `G = (Σ m_c·c·(2F_before + m_c + 1) − S(n+1)) / (nS)` needs no
+    * per-user rank; the top-decile share takes whole users off the
+    * descending cum — the boundary group's users all share the same c, so
+    * the partial take `min(m_c, k − cum_above)·c` stays exact.
+    *
+    * Scale shape: one user-keyed groupBy, then a second contraction onto
+    * the ≤max-events-per-user distinct-count table — every window and
+    * cum runs over THAT bounded frame, never over |users|. A per-user
+    * global rank (the textbook Gini) would be a full sort of the user
+    * base; the grouped identity removes it.
+    */
+  def q356EngagementGini(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("c"))
+      .groupBy("c").agg(count(lit(1)).as("m"))
+      .select(col("c"), col("m"),
+        expr("coalesce(sum(m) OVER (ORDER BY c ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L)").as("f_before"),
+        expr("coalesce(sum(m) OVER (ORDER BY c DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L)").as("cum_above"),
+        expr("sum(m) OVER ()").as("n_all"))
+      .agg(sum(col("m")).as("n"), sum(col("m") * col("c")).as("s"),
+        sum(col("m") * col("c") * (lit(2L) * col("f_before") + col("m") + lit(1L)))
+          .as("n2"),
+        sum(expr("greatest(0L, least(m, n_all div 10 - cum_above)) * c")).as("top_s"))
+      .select(col("n").as("n_users"), col("s").as("total_events"),
+        expr("(1000000L * (n2 - s * (n + 1L))) div (n * s)").as("gini_ppm"),
+        expr("(1000000L * top_s) div s").as("top_decile_share_ppm"))
+
+  private val q356Oracle =
+    """WITH u AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+      |g AS (SELECT c, count(*)::BIGINT AS m FROM u GROUP BY 1),
+      |w AS (SELECT c, m,
+      |        coalesce(sum(m) OVER (ORDER BY c ASC
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS f_before,
+      |        coalesce(sum(m) OVER (ORDER BY c DESC
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_above,
+      |        (sum(m) OVER ())::BIGINT AS n_all
+      |      FROM g),
+      |a AS (SELECT sum(m)::BIGINT AS n, sum(m * c)::BIGINT AS s,
+      |             sum(m * c * (2 * f_before + m + 1))::BIGINT AS n2,
+      |             sum(greatest(0, least(m, n_all // 10 - cum_above)) * c)::BIGINT AS top_s
+      |      FROM w)
+      |SELECT n AS n_users, s AS total_events,
+      |       ((1000000 * (n2 - s * (n + 1))) // (n * s))::BIGINT AS gini_ppm,
+      |       ((1000000 * top_s) // s)::BIGINT AS top_decile_share_ppm
+      |FROM a""".stripMargin
+
   /** q344: time-weighted average value (TWAP) per user — each event's
     * cents value weighted by how long it REMAINED the latest observation
     * (until the user's next event), the correct mean for irregularly
@@ -6163,6 +6214,7 @@ object EventQueries {
     "q353_top_paths" -> (q353TopPaths _),
     "q354_time_to_convert" -> (q354TimeToConvert _),
     "q355_interarrival" -> (q355Interarrival _),
+    "q356_engagement_gini" -> (q356EngagementGini _),
     "q345_ohlc_bars" -> (q345OhlcBars _),
     "q337_hll_accuracy" -> (q337HllAccuracy _),
     "q338_rolling_active" -> (q338RollingActive _),
@@ -6321,6 +6373,7 @@ object EventQueries {
     "q353_top_paths" -> q353Oracle,
     "q354_time_to_convert" -> q354Oracle,
     "q355_interarrival" -> q355Oracle,
+    "q356_engagement_gini" -> q356Oracle,
     "q345_ohlc_bars" -> q345Oracle,
     "q337_hll_accuracy" -> q337Oracle,
     "q338_rolling_active" -> q338Oracle,
