@@ -4474,6 +4474,93 @@ object ExtQueries {
        |${branches.mkString("\nUNION ALL\n")}""".stripMargin
   }
 
+  /** q357: leading principal component of the embedding covariance —
+    * integer power iteration on q333's exact second moments: 12 rounds of
+    * `w = C·v`, max-abs renormalization to ±10⁵, and a final Rayleigh
+    * quotient `⌊v·Cv / v·v⌋` — the dominant variance direction that tells
+    * a curation pipeline whether the embedding space has collapsed onto
+    * one axis (one giant eigenvalue) or spreads (q333 shows PAIRWISE
+    * structure; this is the SPECTRAL summary). Every division truncates
+    * toward zero in both engines, so the recurrence is replayed, not
+    * approximated: the covariance is pre-scaled by `div n²` (bounding
+    * entries by the data's variance scale regardless of corpus size — at
+    * 100 TB the matrix entries stay ~10⁶, no overflow), the ±10⁵ vector
+    * scale keeps `10⁵·w` far inside long range.
+    *
+    * Scale shape: ONE map-side-combined 28-field aggregate over the
+    * embedding scan (identical to q333's), then the 6×6 matrix is a
+    * bounded collected MODEL and the O(k²·rounds) iteration runs
+    * driver-side where it belongs (q334's precedent). The oracle replays
+    * the same 12 rounds as generated unrolled CTEs.
+    */
+  def q357PowerIteration(spark: SparkSession, dir: String): DataFrame = {
+    val dims = 1 to 6
+    val pairs = for { i <- dims; j <- dims if j >= i } yield (i, j)
+    val qCols = dims.map(i =>
+      floor(element_at(col("embedding"), i).cast("double") * 1000)
+        .cast("long").as(s"q$i"))
+    val sums = dims.map(i => sum(col(s"q$i")).as(s"s$i"))
+    val prods = pairs.map { case (i, j) =>
+      sum(col(s"q$i") * col(s"q$j")).as(s"p${i}_$j") }
+    val row = embeddings(spark, dir).select(qCols: _*)
+      .agg(count(lit(1)).as("n"), (sums ++ prods): _*)
+      .collect()(0)
+    val n = row.getAs[Long]("n")
+    val s = dims.map(i => row.getAs[Long](s"s$i")).toArray
+    def p(i: Int, j: Int): Long =
+      row.getAs[Long](s"p${math.min(i, j)}_${math.max(i, j)}")
+    val c = Array.tabulate(6, 6)((a, b) =>
+      (n * p(a + 1, b + 1) - s(a) * s(b)) / (n * n))
+    def mul(v: Array[Long]): Array[Long] =
+      Array.tabulate(6)(a => (0 until 6).map(b => c(a)(b) * v(b)).sum)
+    var v = Array.fill(6)(100000L)
+    for (_ <- 1 to 12) {
+      val w = mul(v)
+      val m = math.max(w.map(math.abs).max, 1L)
+      v = w.map(x => 100000L * x / m)
+    }
+    val w = mul(v)
+    val eig = v.zip(w).map { case (a, b) => a * b }.sum /
+      math.max(v.map(x => x * x).sum, 1L)
+    import spark.implicits._
+    dims.map(i => (i.toLong, v(i - 1), eig)).toDF("dim", "vec_1e5", "eig_c")
+  }
+
+  private def q357Oracle: String = {
+    val dims = 1 to 6
+    def pn(i: Int, j: Int) = s"p${math.min(i, j)}_${math.max(i, j)}"
+    val pairs = for { i <- dims; j <- dims if j >= i } yield (i, j)
+    val sums = dims.map(i => s"sum(v[$i])::BIGINT AS s$i")
+    val prods = pairs.map { case (i, j) => s"sum(v[$i] * v[$j])::BIGINT AS ${pn(i, j)}" }
+    val cRows = (for { i <- dims; j <- dims } yield
+      s"SELECT $i AS i, $j AS j, ((n * ${pn(i, j)} - s$i * s$j) // (n * n))::BIGINT AS cij FROM a"
+      ).mkString("\nUNION ALL\n")
+    val v0 = dims.map(i => s"SELECT $i AS i, 100000::BIGINT AS val").mkString(" UNION ALL ")
+    val rounds = (1 to 12).map { r =>
+      s"""w$r AS MATERIALIZED (SELECT c.i AS i, sum(c.cij * v${r - 1}.val)::BIGINT AS w
+         |  FROM c JOIN v${r - 1} ON c.j = v${r - 1}.i GROUP BY 1),
+         |m$r AS (SELECT greatest(max(abs(w)), 1)::BIGINT AS m FROM w$r),
+         |v$r AS MATERIALIZED (SELECT i, ((100000 * w) // m)::BIGINT AS val
+         |  FROM w$r CROSS JOIN m$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT list_transform(embedding::DOUBLE[],
+       |             x -> floor(x * 1000)::BIGINT) AS v FROM embeddings),
+       |a AS MATERIALIZED (SELECT count(*)::BIGINT AS n,
+       |        ${(sums ++ prods).mkString(",\n        ")}
+       |      FROM q),
+       |c AS MATERIALIZED ($cRows),
+       |v0 AS ($v0),
+       |$rounds,
+       |wf AS MATERIALIZED (SELECT c.i AS i, sum(c.cij * v12.val)::BIGINT AS w
+       |  FROM c JOIN v12 ON c.j = v12.i GROUP BY 1),
+       |r AS (SELECT (sum(a.val * b.w))::BIGINT AS num,
+       |             greatest(sum(a.val * a.val), 1)::BIGINT AS den
+       |      FROM v12 a JOIN wf b ON a.i = b.i)
+       |SELECT v12.i::BIGINT AS dim, v12.val::BIGINT AS vec_1e5,
+       |       (r.num // r.den)::BIGINT AS eig_c
+       |FROM v12 CROSS JOIN r""".stripMargin
+  }
+
   /** q339: INCREMENTAL chunk-level dedup across crawl snapshots — the
     * operation [[Dedup.cdcChunks]] exists to enable: yesterday's corpus
     * (the ~75% of docs outside the q44 md5 gate — hash-distributed, so
@@ -4807,6 +4894,7 @@ object ExtQueries {
     "q341_stream_kmv" -> (q341StreamKmvSketch _),
     "q346_incremental_ingest" -> (q346IncrementalIngest _),
     "q333_cov_profile" -> (q333CovarianceProfile _),
+    "q357_power_iteration" -> (q357PowerIteration _),
     "q328_modality_qa" -> (q328ModalityQa _),
     "q327_dup_quality_cross" -> (q327DupQualityCross _),
     "q326_langid_eval" -> (q326LangidEval _),
@@ -4943,6 +5031,7 @@ object ExtQueries {
     "q341_stream_kmv" -> q341Oracle,
     "q346_incremental_ingest" -> q346Oracle,
     "q333_cov_profile" -> q333Oracle,
+    "q357_power_iteration" -> q357Oracle,
     "q328_modality_qa" -> q328Oracle,
     "q327_dup_quality_cross" -> q327Oracle,
     "q326_langid_eval" -> q326Oracle,
