@@ -6125,6 +6125,70 @@ object EventQueries {
       |       ((1000000 * top_s) // s)::BIGINT AS top_decile_share_ppm
       |FROM a""".stripMargin
 
+  /** q358: hour-of-week traffic profile with a χ² uniformity gate — the
+    * 168-slot calendar fingerprint behind capacity planning and the
+    * seasonality assumption q347's Holt-Winters leans on: per-slot
+    * counts over a FULL slot frame (a zero hour still counts against
+    * uniformity — the sequence join supplies missing slots), the exact
+    * integer χ² `Σ(168·O−n)² div (168·n)` against the uniform null,
+    * deterministic peak/trough slots (min slot among ties), their ratio
+    * in ppm, and a pinned verdict against the χ²₁₆₇ ≈ 230 (α≈0.001)
+    * critical value. At 100 TB the (168·O−n)² cross-term needs DECIMAL —
+    * at every tested scale it sits far inside long range.
+    *
+    * Scale shape: one map-side-combined groupBy onto 168 keys, a
+    * broadcast 168-row frame join, windows and the final fold only over
+    * that fixed contraction.
+    */
+  def q358HourOfWeek(spark: SparkSession, dir: String): DataFrame = {
+    val frame = spark.range(168).select(col("id").as("slot"))
+    val counts = events(spark, dir)
+      .select(expr("(ts div 1000 div 3600000000) % 168").as("slot"))
+      .groupBy("slot").agg(count(lit(1)).as("o"))
+    frame.join(counts, Seq("slot"), "left")
+      .select(col("slot"), coalesce(col("o"), lit(0L)).as("o"))
+      .select(col("slot"), col("o"), expr("sum(o) OVER ()").as("n"),
+        expr("max(o) OVER ()").as("mx"), expr("min(o) OVER ()").as("mn"))
+      .agg(max(col("n")).as("n"),
+        sum((lit(168L) * col("o") - col("n")) * (lit(168L) * col("o") - col("n")))
+          .as("num"),
+        expr("min(CASE WHEN o = mx THEN slot END)").as("peak_slot"),
+        max(col("mx")).as("peak_n"),
+        expr("min(CASE WHEN o = mn THEN slot END)").as("trough_slot"),
+        min(col("mn")).as("trough_n"))
+      .select(col("n"), expr("num div (168L * n)").as("chi2"),
+        lit(167L).as("df"), col("peak_slot"), col("peak_n"),
+        col("trough_slot"), col("trough_n"),
+        expr("(1000000L * peak_n) div greatest(trough_n, 1L)").as("peak_trough_ppm"),
+        expr("CASE WHEN num div (168L * n) <= 230L THEN 1L ELSE 0L END")
+          .as("is_uniform"))
+  }
+
+  private val q358Oracle =
+    """WITH g AS (
+      |  SELECT (epoch_us(ts) // 3600000000) % 168 AS slot,
+      |         count(*)::BIGINT AS o
+      |  FROM events GROUP BY 1),
+      |f AS (SELECT t.slot, coalesce(g.o, 0)::BIGINT AS o
+      |      FROM (SELECT unnest(range(0, 168)) AS slot) t
+      |      LEFT JOIN g ON g.slot = t.slot),
+      |w AS (SELECT slot, o, (sum(o) OVER ())::BIGINT AS n,
+      |             (max(o) OVER ())::BIGINT AS mx,
+      |             (min(o) OVER ())::BIGINT AS mn
+      |      FROM f),
+      |a AS (SELECT max(n)::BIGINT AS n,
+      |             sum((168 * o - n) * (168 * o - n))::BIGINT AS num,
+      |             min(CASE WHEN o = mx THEN slot END)::BIGINT AS peak_slot,
+      |             max(mx)::BIGINT AS peak_n,
+      |             min(CASE WHEN o = mn THEN slot END)::BIGINT AS trough_slot,
+      |             min(mn)::BIGINT AS trough_n
+      |      FROM w)
+      |SELECT n, (num // (168 * n))::BIGINT AS chi2, 167::BIGINT AS df,
+      |       peak_slot, peak_n, trough_slot, trough_n,
+      |       ((1000000 * peak_n) // greatest(trough_n, 1))::BIGINT AS peak_trough_ppm,
+      |       (CASE WHEN num // (168 * n) <= 230 THEN 1 ELSE 0 END)::BIGINT AS is_uniform
+      |FROM a""".stripMargin
+
   /** q344: time-weighted average value (TWAP) per user — each event's
     * cents value weighted by how long it REMAINED the latest observation
     * (until the user's next event), the correct mean for irregularly
@@ -6215,6 +6279,7 @@ object EventQueries {
     "q354_time_to_convert" -> (q354TimeToConvert _),
     "q355_interarrival" -> (q355Interarrival _),
     "q356_engagement_gini" -> (q356EngagementGini _),
+    "q358_hour_of_week" -> (q358HourOfWeek _),
     "q345_ohlc_bars" -> (q345OhlcBars _),
     "q337_hll_accuracy" -> (q337HllAccuracy _),
     "q338_rolling_active" -> (q338RollingActive _),
@@ -6374,6 +6439,7 @@ object EventQueries {
     "q354_time_to_convert" -> q354Oracle,
     "q355_interarrival" -> q355Oracle,
     "q356_engagement_gini" -> q356Oracle,
+    "q358_hour_of_week" -> q358Oracle,
     "q345_ohlc_bars" -> q345Oracle,
     "q337_hll_accuracy" -> q337Oracle,
     "q338_rolling_active" -> q338Oracle,
