@@ -6189,6 +6189,59 @@ object EventQueries {
       |       (CASE WHEN num // (168 * n) <= 230 THEN 1 ELSE 0 END)::BIGINT AS is_uniform
       |FROM a""".stripMargin
 
+  /** q359: association rules over (user, day) event baskets — exact
+    * support / confidence / lift in ppm for every directed event-type
+    * pair: "users who error also purchase, same day, 1.3× base rate" —
+    * the market-basket readout between q137's SEQUENTIAL transitions
+    * (order matters) and q353's paths (this one ignores order inside the
+    * day). Lift is the cross-multiplied `10⁶·s_ab·N div (s_a·s_b)` so no
+    * intermediate rate ever floors early.
+    *
+    * Scale shape: baskets come from one distinct on (user, day, type);
+    * the pair stage is a SELF-JOIN ON THE BASKET KEY — co-partitioned by
+    * the same shuffle, and bounded ×|types|² per basket, never
+    * cross-basket; supports and N are |types|-sized and 1-row
+    * contractions broadcast back onto the ≤|types|² rule table.
+    */
+  def q359AssociationRules(spark: SparkSession, dir: String): DataFrame = {
+    val b = events(spark, dir)
+      .select(col("user_id"), tsDay.as("day"), col("event_type"))
+      .distinct()
+    val pairs = b.as("x").join(b.as("y"),
+        col("x.user_id") === col("y.user_id") && col("x.day") === col("y.day") &&
+          col("x.event_type") =!= col("y.event_type"))
+      .groupBy(col("x.event_type").as("a"), col("y.event_type").as("c"))
+      .agg(count(lit(1)).as("s_ac"))
+    val supp = b.groupBy(col("event_type")).agg(count(lit(1)).as("s"))
+    val nB = b.select(col("user_id"), col("day")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    pairs
+      .join(broadcast(supp.select(col("event_type").as("a"), col("s").as("s_a"))), "a")
+      .join(broadcast(supp.select(col("event_type").as("c"), col("s").as("s_c"))), "c")
+      .crossJoin(broadcast(nB))
+      .select(col("a"), col("c"), col("s_ac"),
+        expr("(1000000L * s_ac) div s_a").as("conf_ppm"),
+        expr("(1000000L * s_ac * n_baskets) div (s_a * s_c)").as("lift_ppm"))
+  }
+
+  private val q359Oracle =
+    """WITH b AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day, event_type
+      |  FROM events),
+      |p AS (SELECT x.event_type AS a, y.event_type AS c, count(*)::BIGINT AS s_ac
+      |      FROM b x JOIN b y ON x.user_id = y.user_id AND x.day = y.day
+      |                        AND x.event_type <> y.event_type
+      |      GROUP BY 1, 2),
+      |s AS (SELECT event_type, count(*)::BIGINT AS s FROM b GROUP BY 1),
+      |n AS (SELECT count(*)::BIGINT AS n_baskets
+      |      FROM (SELECT DISTINCT user_id, day FROM b))
+      |SELECT p.a, p.c, p.s_ac,
+      |       ((1000000 * p.s_ac) // sa.s)::BIGINT AS conf_ppm,
+      |       ((1000000 * p.s_ac * n.n_baskets) // (sa.s * sc.s))::BIGINT AS lift_ppm
+      |FROM p JOIN s sa ON sa.event_type = p.a
+      |       JOIN s sc ON sc.event_type = p.c
+      |       CROSS JOIN n""".stripMargin
+
   /** q344: time-weighted average value (TWAP) per user — each event's
     * cents value weighted by how long it REMAINED the latest observation
     * (until the user's next event), the correct mean for irregularly
@@ -6280,6 +6333,7 @@ object EventQueries {
     "q355_interarrival" -> (q355Interarrival _),
     "q356_engagement_gini" -> (q356EngagementGini _),
     "q358_hour_of_week" -> (q358HourOfWeek _),
+    "q359_association_rules" -> (q359AssociationRules _),
     "q345_ohlc_bars" -> (q345OhlcBars _),
     "q337_hll_accuracy" -> (q337HllAccuracy _),
     "q338_rolling_active" -> (q338RollingActive _),
@@ -6440,6 +6494,7 @@ object EventQueries {
     "q355_interarrival" -> q355Oracle,
     "q356_engagement_gini" -> q356Oracle,
     "q358_hour_of_week" -> q358Oracle,
+    "q359_association_rules" -> q359Oracle,
     "q345_ohlc_bars" -> q345Oracle,
     "q337_hll_accuracy" -> q337Oracle,
     "q338_rolling_active" -> q338Oracle,
