@@ -6320,6 +6320,370 @@ object EventQueries {
       |       arg_max(cents, ord)::BIGINT AS close_c
       |FROM e GROUP BY 1""".stripMargin
 
+  /** q360: Shapley-value conversion attribution — the game-theoretic rung
+    * that completes the attribution ladder (last-touch q115, linear q183,
+    * position q220, Markov q311, time-decay q312): each non-purchase
+    * channel's exact Shapley share of conversions under the coalition
+    * value `v(S) = |converted users whose pre-conversion touched-channel
+    * set ⊆ S|` (Shapley 1953; the marketing formulation of Zhao et al.
+    * 2018). With 4 channels the coalition lattice is 16 rows, so the
+    * entire computation after ONE user-keyed pass is algebra on a
+    * broadcast-sized contraction: φ_i = Σ_{S∌i} |S|!·(n−1−|S|)!·
+    * (v(S∪{i})−v(S)) kept as an exact integer with the common
+    * denominator n! = 24 — `phi_micro = 10⁶·φ_num div 24` is exact
+    * micro-conversions, and Σφ_num = 24·(v(N)−v(∅)) makes the published
+    * shares sum to ~10⁶ by construction. Conversions with NO prior touch
+    * (mask 0) are unattributable and published as `baseline_conv`.
+    *
+    * Scale shape: one user-keyed shuffle (window first-purchase + groupBy
+    * mask ride the same key), a ≤16-row mask contraction, then all joins
+    * are broadcast over ≤16×16 rows.
+    */
+  def q360ShapleyAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    val masks = events(spark, dir)
+      .select(col("user_id"), tsUs.as("tsu"), col("event_type"))
+      .withColumn("fp",
+        min(when(col("event_type") === "purchase", col("tsu"))).over(w))
+      .filter(col("fp").isNotNull)
+      .groupBy("user_id")
+      .agg(expr("bit_or(CASE WHEN event_type <> 'purchase' AND tsu < fp THEN " +
+        "CASE event_type WHEN 'click' THEN 1L WHEN 'error' THEN 2L " +
+        "WHEN 'signup' THEN 4L WHEN 'view' THEN 8L ELSE 0L END " +
+        "ELSE 0L END)").as("mask"))
+    val cm = masks.groupBy("mask").agg(count(lit(1)).as("c"))
+    val coal = spark.range(16).select(col("id").as("coal"))
+    val v = coal.join(broadcast(cm), expr("(mask & coal) = mask"), "left")
+      .groupBy("coal").agg(coalesce(sum("c"), lit(0L)).as("v_s"))
+    val ch = spark.range(4).select(
+      expr("CASE id WHEN 0 THEN 'click' WHEN 1 THEN 'error' " +
+        "WHEN 2 THEN 'signup' ELSE 'view' END").as("channel"),
+      expr("shiftleft(1L, cast(id AS INT))").as("bit"))
+    val vs = v.select(col("coal").as("s"), col("v_s"))
+    val vi = v.select(col("coal").as("si"), col("v_s").as("v_si"))
+    val tot = v.agg(
+      sum(when(col("coal") === 0, col("v_s"))).as("v0"),
+      sum(when(col("coal") === 15, col("v_s"))).as("v_all"))
+    ch.crossJoin(broadcast(vs)).filter(expr("(s & bit) = 0"))
+      .join(broadcast(vi), expr("si = (s | bit)"))
+      // n=4 coalition weights |S|!·(n−1−|S|)!: 0→6, 1→2, 2→2, 3→6 (sum 24)
+      .withColumn("wgt", expr("CASE bit_count(s) WHEN 0 THEN 6L " +
+        "WHEN 1 THEN 2L WHEN 2 THEN 2L ELSE 6L END"))
+      .groupBy("channel")
+      .agg(sum(expr("wgt * (v_si - v_s)")).as("phi_num"))
+      .crossJoin(broadcast(tot))
+      .select(col("channel"), col("phi_num"),
+        expr("(1000000L * phi_num) div 24L").as("phi_micro"),
+        expr("(1000000L * phi_num) div (24L * greatest(v_all - v0, 1L))")
+          .as("share_ppm"),
+        col("v0").as("baseline_conv"), col("v_all").as("total_conv"))
+  }
+
+  private val q360Oracle =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_type FROM events),
+      |u AS (SELECT user_id,
+      |             min(CASE WHEN event_type = 'purchase' THEN tsu END) AS fp
+      |      FROM e GROUP BY 1),
+      |m AS (SELECT e.user_id,
+      |        bit_or(CASE WHEN e.event_type <> 'purchase' AND e.tsu < u.fp THEN
+      |          CASE e.event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+      |            WHEN 'signup' THEN 4 WHEN 'view' THEN 8 ELSE 0 END
+      |          ELSE 0 END)::BIGINT AS mask
+      |      FROM e JOIN u USING (user_id) WHERE u.fp IS NOT NULL GROUP BY 1),
+      |cm AS (SELECT mask, count(*)::BIGINT AS c FROM m GROUP BY 1),
+      |coal AS (SELECT unnest(range(0, 16))::BIGINT AS coal),
+      |v AS (SELECT coal, coalesce(sum(c), 0)::BIGINT AS v_s
+      |      FROM coal LEFT JOIN cm ON (cm.mask & coal.coal) = cm.mask
+      |      GROUP BY coal),
+      |ch AS (SELECT * FROM (VALUES ('click', 1), ('error', 2),
+      |                             ('signup', 4), ('view', 8)) t(channel, bit)),
+      |tot AS (SELECT sum(CASE WHEN coal = 0 THEN v_s END)::BIGINT AS v0,
+      |               sum(CASE WHEN coal = 15 THEN v_s END)::BIGINT AS v_all
+      |        FROM v),
+      |phi AS (SELECT ch.channel,
+      |          sum((CASE bit_count(vs.coal) WHEN 0 THEN 6 WHEN 1 THEN 2
+      |               WHEN 2 THEN 2 ELSE 6 END) * (vi.v_s - vs.v_s))::BIGINT
+      |            AS phi_num
+      |        FROM ch JOIN v vs ON (vs.coal & ch.bit) = 0
+      |                JOIN v vi ON vi.coal = (vs.coal | ch.bit)
+      |        GROUP BY 1)
+      |SELECT channel, phi_num,
+      |       ((1000000 * phi_num) // 24)::BIGINT AS phi_micro,
+      |       ((1000000 * phi_num) // (24 * greatest(v_all - v0, 1)))::BIGINT
+      |         AS share_ppm,
+      |       v0 AS baseline_conv, v_all AS total_conv
+      |FROM phi CROSS JOIN tot""".stripMargin
+
+  /** q361: per-user activity coverage — the gaps-and-islands interval
+    * union: every event opens a 30-minute presence interval, overlapping
+    * intervals merge (running `max(end)` over preceding rows, strict-gap
+    * island flag, running island id), and the user's islands contract to
+    * exact covered time, island count, longest island and utilization of
+    * the first→last span. The MERGED union is what concurrency queries
+    * (q159/q264) cannot read off: `covered_us` is the deduplicated
+    * wall-clock a billing/SLA readout needs, not the sum of raw spans.
+    *
+    * Scale shape: ONE user-keyed shuffle; both windows and both groupBys
+    * ride the same user partitioning (the island groupBy key is a
+    * superset of it); nothing global, no driver state.
+    */
+  def q361IntervalCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("user_id")
+      .orderBy(col("tsu").asc, col("event_id").asc)
+    val prev = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val cur = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(spark, dir)
+      .select(col("user_id"), tsUs.as("tsu"), col("event_id"))
+      .withColumn("fin", col("tsu") + lit(SessionGapUs))
+      .withColumn("pmax", max(col("fin")).over(prev))
+      .withColumn("isl",
+        sum(when(col("pmax").isNull || col("tsu") > col("pmax"), 1L)
+          .otherwise(0L)).over(cur))
+      .groupBy(col("user_id"), col("isl"))
+      .agg(min("tsu").as("s"), max("fin").as("e"), count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("e") - col("s")).as("covered_us"),
+        max(col("e") - col("s")).as("longest_us"),
+        sum("n").as("n_events"),
+        min("s").as("first_s"), max("e").as("last_e"))
+      .select(col("user_id"), col("n_islands"), col("covered_us"),
+        col("longest_us"), col("n_events"),
+        expr("(1000000L * covered_us) div (last_e - first_s)").as("util_ppm"))
+  }
+
+  private val q361Oracle =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id,
+      |             epoch_us(ts) + 1800000000 AS fin
+      |           FROM events),
+      |w AS (SELECT user_id, tsu, event_id, fin,
+      |        max(fin) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      |      FROM e),
+      |i AS (SELECT user_id, tsu, fin,
+      |        sum(CASE WHEN pmax IS NULL OR tsu > pmax THEN 1 ELSE 0 END)
+      |          OVER (PARTITION BY user_id ORDER BY tsu, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      |      FROM w),
+      |g AS (SELECT user_id, isl, min(tsu) AS s, max(fin) AS e,
+      |             count(*)::BIGINT AS n
+      |      FROM i GROUP BY 1, 2)
+      |SELECT user_id, count(*)::BIGINT AS n_islands,
+      |       sum(e - s)::BIGINT AS covered_us,
+      |       max(e - s)::BIGINT AS longest_us,
+      |       sum(n)::BIGINT AS n_events,
+      |       ((1000000 * sum(e - s)) // (max(e) - min(s)))::BIGINT AS util_ppm
+      |FROM g GROUP BY 1""".stripMargin
+
+  /** q362: autocorrelation function + Ljung-Box portmanteau — lags 1..7
+    * of the daily event-count series in exact ppm, plus the Box-Pierce/
+    * Ljung-Box white-noise test (Ljung & Box, Biometrika 1978) the
+    * forecasting tier (q309/q347/q350) implicitly assumes when it models
+    * residuals as noise. Everything is integer-exact via the n-scaled
+    * centering `c_t = n·y_t − Σy` (so no fractional mean exists):
+    * `ρ_k = 10⁶·Σc_t·c_{t−k} div Σc_t²` — negative numerators are safe,
+    * Spark `div` and the oracle's `//` both truncate toward zero
+    * (verified) — and `Q·10¹² = n(n+2)·Σ(ρ_ppm² div (n−k))` gates
+    * against the χ²₇ 95 % critical value 14.067·10¹². At 100 TB the
+    * c·c cross-terms need DECIMAL once a day exceeds ~10⁸ events; at
+    * every tested scale they sit far inside long range.
+    *
+    * Scale shape: one map-side-combined groupBy onto |days| keys; the
+    * lag pairing is a self-join of that contraction with itself
+    * (broadcast both sides); the final fold is 7 rows.
+    */
+  def q362AcfLjungBox(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir).groupBy(tsDay.as("day"))
+      .agg(count(lit(1)).as("y"))
+    val stats = daily.agg(count(lit(1)).as("n"), sum("y").as("s"))
+    val c = daily.crossJoin(broadcast(stats))
+      .select(col("day"), expr("n * y - s").as("c"), col("n"))
+    val den = c.agg(max("n").as("n"), sum(expr("c * c")).as("den"))
+    c.select(col("day"), col("c"))
+      .withColumn("k", explode(expr("sequence(1L, 7L)")))
+      .withColumn("pday", col("day") - col("k"))
+      .join(broadcast(c.select(col("day").as("pday"), col("c").as("cp"))),
+        Seq("pday"))
+      .groupBy("k").agg(sum(expr("c * cp")).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("k").as("lag"), col("n"), col("num"),
+        expr("(1000000L * num) div den").as("rho_ppm"))
+      .withColumn("lb_term", expr("(rho_ppm * rho_ppm) div (n - lag)"))
+      .withColumn("q_scaled", expr("n * (n + 2L) * (sum(lb_term) OVER ())"))
+      .withColumn("is_white",
+        expr("CASE WHEN n * (n + 2L) * (sum(lb_term) OVER ()) " +
+          "<= 14067000000000L THEN 1L ELSE 0L END"))
+  }
+
+  private val q362Oracle =
+    """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+      |             count(*)::BIGINT AS y
+      |           FROM events GROUP BY 1),
+      |st AS (SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS s FROM d),
+      |c AS (SELECT day, (st.n * y - st.s)::BIGINT AS c, st.n
+      |      FROM d CROSS JOIN st),
+      |den AS (SELECT max(n)::BIGINT AS n, sum(c * c)::BIGINT AS den FROM c),
+      |p AS (SELECT k.k, sum(a.c * b.c)::BIGINT AS num
+      |      FROM (SELECT unnest(range(1, 8))::BIGINT AS k) k
+      |      JOIN c a ON true
+      |      JOIN c b ON b.day = a.day - k.k
+      |      GROUP BY 1),
+      |r AS (SELECT p.k AS lag, den.n, p.num,
+      |             ((1000000 * p.num) // den.den)::BIGINT AS rho_ppm
+      |      FROM p CROSS JOIN den),
+      |t AS (SELECT lag, n, num, rho_ppm,
+      |             ((rho_ppm * rho_ppm) // (n - lag))::BIGINT AS lb_term
+      |      FROM r)
+      |SELECT lag, n, num, rho_ppm, lb_term,
+      |       (n * (n + 2) * (sum(lb_term) OVER ()))::BIGINT AS q_scaled,
+      |       (CASE WHEN n * (n + 2) * (sum(lb_term) OVER ())
+      |          <= 14067000000000 THEN 1 ELSE 0 END)::BIGINT AS is_white
+      |FROM t""".stripMargin
+
+  /** q363: log-histogram quantile sketch with a machine-checked error
+    * bound — the DDSketch idea (Masson et al., VLDB 2019) at γ=2: bucket
+    * every positive purchase-cents value by `floor(log₂ x)` (computed
+    * EXACTLY as `length(bin(x))−1` — no floating log near a power-of-two
+    * boundary), read P50/P90/P99 off the ≤⌈log₂ max⌉-bucket histogram as
+    * the bucket midpoint `3·2^(b−1)`, and gate each estimate against the
+    * EXACT quantile from the value-grouped counts: the midpoint of
+    * [2^b, 2^(b+1)) is provably within [0.75×, 1.5×] of anything in the
+    * bucket, so `10⁶·est div exact ∈ [750000, 1500000]` must hold — a
+    * sketch whose bound fails is a wrong sketch, not an unlucky one.
+    * Exact rank convention: the ⌈q·n/100⌉-th order statistic.
+    *
+    * Scale shape: the sketch side is a ≤64-key map-side groupBy (the
+    * mergeable, fixed-size summary that survives 100 TB); the exact side
+    * groups by value — bounded by the cents DOMAIN, not row count — and
+    * windows only over that contraction.
+    */
+  def q363LogHistQuantile(spark: SparkSession, dir: String): DataFrame = {
+    val cents = events(spark, dir).filter(col("event_type") === "purchase")
+      .select(floor(col("value") * 100).cast("long").as("cents"))
+      .filter(col("cents") > 0)
+    val byVal = cents.groupBy("cents").agg(count(lit(1)).as("cnt"))
+    val wv = Window.orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byVal.withColumn("cum", sum("cnt").over(wv))
+    val byB = cents.select(expr("cast(length(bin(cents)) - 1 AS BIGINT)").as("b"))
+      .groupBy("b").agg(count(lit(1)).as("cnt"))
+    val wb = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bcum = byB.withColumn("bcum", sum("cnt").over(wb))
+    val n1 = byVal.agg(sum("cnt").as("n"))
+    val qs = spark.range(3).select(
+      expr("CASE id WHEN 0 THEN 50L WHEN 1 THEN 90L ELSE 99L END").as("q"))
+      .crossJoin(broadcast(n1))
+      .withColumn("r", expr("(q * n + 99L) div 100L"))
+    val exact = qs.join(broadcast(cum), col("cum") >= col("r"))
+      .groupBy("q", "n").agg(min("cents").as("exact_q"))
+    val sk = qs.join(broadcast(bcum), col("bcum") >= col("r"))
+      .groupBy("q").agg(min("b").as("b_q"))
+    exact.join(sk, Seq("q"))
+      .select(col("q"), col("n"), col("exact_q"), col("b_q"),
+        expr("CASE WHEN b_q = 0 THEN 1L " +
+          "ELSE 3L * shiftleft(1L, cast(b_q - 1 AS INT)) END").as("est_q"))
+      .withColumn("rel_err_ppm",
+        expr("(1000000L * abs(est_q - exact_q)) div exact_q"))
+      .withColumn("within_bound",
+        expr("CASE WHEN (1000000L * est_q) div exact_q " +
+          "BETWEEN 750000L AND 1500000L THEN 1L ELSE 0L END"))
+  }
+
+  private val q363Oracle =
+    """WITH cents AS (SELECT floor(value * 100)::BIGINT AS cents
+      |               FROM events
+      |               WHERE event_type = 'purchase' AND floor(value * 100) > 0),
+      |bv AS (SELECT cents, count(*)::BIGINT AS cnt FROM cents GROUP BY 1),
+      |cum AS (SELECT cents, sum(cnt) OVER (ORDER BY cents
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+      |        FROM bv),
+      |bb AS (SELECT length(format('{:b}', cents)) - 1 AS b,
+      |              count(*)::BIGINT AS cnt
+      |       FROM cents GROUP BY 1),
+      |bcum AS (SELECT b, sum(cnt) OVER (ORDER BY b
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+      |             AS bcum
+      |         FROM bb),
+      |n1 AS (SELECT sum(cnt)::BIGINT AS n FROM bv),
+      |qs AS (SELECT q::BIGINT AS q, n, ((q * n + 99) // 100)::BIGINT AS r
+      |       FROM (SELECT unnest([50, 90, 99]) AS q) CROSS JOIN n1),
+      |ex AS (SELECT q, n, min(cents)::BIGINT AS exact_q
+      |       FROM qs JOIN cum ON cum.cum >= qs.r GROUP BY 1, 2),
+      |sk AS (SELECT q, min(b)::BIGINT AS b_q
+      |       FROM qs JOIN bcum ON bcum.bcum >= qs.r GROUP BY 1),
+      |j AS (SELECT ex.q, ex.n, ex.exact_q, sk.b_q,
+      |        (CASE WHEN sk.b_q = 0 THEN 1
+      |              ELSE 3 * (1 << (sk.b_q - 1)) END)::BIGINT AS est_q
+      |      FROM ex JOIN sk USING (q))
+      |SELECT q, n, exact_q, b_q, est_q,
+      |       ((1000000 * abs(est_q - exact_q)) // exact_q)::BIGINT
+      |         AS rel_err_ppm,
+      |       (CASE WHEN (1000000 * est_q) // exact_q
+      |          BETWEEN 750000 AND 1500000 THEN 1 ELSE 0 END)::BIGINT
+      |         AS within_bound
+      |FROM j""".stripMargin
+
+  /** q364: NULL-handling SQL-surface parity — the modifiers every
+    * migration trips over, gated head-to-head against the oracle engine:
+    * a running `last_value(...) IGNORE NULLS` window (last-observation-
+    * carried-forward of a sparse column), `FILTER (WHERE ...)` aggregate
+    * clauses (SQL:2003 — counts/sums over a predicate WITHOUT a self-join
+    * or CASE-NULL idiom), and `count(col)` null-skipping vs `count(*)`.
+    * The per-user reduction of the filled column goes through
+    * `coalesce(..., −1)` before `max_by`/`arg_max` then `nullif` back:
+    * the two engines disagree on whether an all-NULL value column yields
+    * the max-key row or skips it, so NULLs must not reach the arg-max —
+    * that asymmetry is exactly why this gate exists.
+    *
+    * Scale shape: one user-keyed shuffle; window and groupBy ride it.
+    */
+  def q364NullHandlingParity(spark: SparkSession, dir: String): DataFrame = {
+    val cur = Window.partitionBy("user_id")
+      .orderBy(col("tsu").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(spark, dir)
+      .select(col("user_id"), tsUs.as("tsu"), col("event_id"),
+        col("event_type"),
+        when(col("event_type") === "purchase",
+          floor(col("value") * 100).cast("long")).as("cents"))
+      .withColumn("filled", last(col("cents"), ignoreNulls = true).over(cur))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        count(col("cents")).as("n_purch"),
+        expr("count(*) FILTER (WHERE event_type = 'view')").as("n_views"),
+        expr("sum(cents) FILTER (WHERE cents > 500)").as("big_purch_cents"),
+        expr("count(*) FILTER (WHERE filled IS NULL)").as("pre_first_purch"),
+        max_by(expr("coalesce(filled, -1L)"),
+          struct(col("tsu"), col("event_id"))).as("lk"))
+      .select(col("user_id"), col("n_events"), col("n_purch"), col("n_views"),
+        col("big_purch_cents"), col("pre_first_purch"),
+        expr("nullif(lk, -1L)").as("last_known_cents"))
+  }
+
+  private val q364Oracle =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id, event_type,
+      |             CASE WHEN event_type = 'purchase'
+      |               THEN floor(value * 100)::BIGINT END AS cents,
+      |             lpad(epoch_us(ts)::VARCHAR, 20, '0')
+      |               || lpad(event_id::VARCHAR, 12, '0') AS ord
+      |           FROM events),
+      |f AS (SELECT user_id, event_type, cents, ord,
+      |        last_value(cents IGNORE NULLS) OVER (PARTITION BY user_id
+      |          ORDER BY tsu, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      |      FROM e)
+      |SELECT user_id, count(*)::BIGINT AS n_events,
+      |       count(cents)::BIGINT AS n_purch,
+      |       (count(*) FILTER (WHERE event_type = 'view'))::BIGINT AS n_views,
+      |       (sum(cents) FILTER (WHERE cents > 500))::BIGINT
+      |         AS big_purch_cents,
+      |       (count(*) FILTER (WHERE filled IS NULL))::BIGINT
+      |         AS pre_first_purch,
+      |       nullif(arg_max(coalesce(filled, -1), ord), -1)::BIGINT
+      |         AS last_known_cents
+      |FROM f GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q344_twap" -> (q344Twap _),
     "q347_holt_winters" -> (q347HoltWinters _),
@@ -6334,6 +6698,11 @@ object EventQueries {
     "q356_engagement_gini" -> (q356EngagementGini _),
     "q358_hour_of_week" -> (q358HourOfWeek _),
     "q359_association_rules" -> (q359AssociationRules _),
+    "q360_shapley_attribution" -> (q360ShapleyAttribution _),
+    "q361_interval_coverage" -> (q361IntervalCoverage _),
+    "q362_acf_ljung_box" -> (q362AcfLjungBox _),
+    "q363_log_hist_quantile" -> (q363LogHistQuantile _),
+    "q364_null_handling" -> (q364NullHandlingParity _),
     "q345_ohlc_bars" -> (q345OhlcBars _),
     "q337_hll_accuracy" -> (q337HllAccuracy _),
     "q338_rolling_active" -> (q338RollingActive _),
@@ -6495,6 +6864,11 @@ object EventQueries {
     "q356_engagement_gini" -> q356Oracle,
     "q358_hour_of_week" -> q358Oracle,
     "q359_association_rules" -> q359Oracle,
+    "q360_shapley_attribution" -> q360Oracle,
+    "q361_interval_coverage" -> q361Oracle,
+    "q362_acf_ljung_box" -> q362Oracle,
+    "q363_log_hist_quantile" -> q363Oracle,
+    "q364_null_handling" -> q364Oracle,
     "q345_ohlc_bars" -> q345Oracle,
     "q337_hll_accuracy" -> q337Oracle,
     "q338_rolling_active" -> q338Oracle,

@@ -187,4 +187,75 @@ class AnalyticsInvariantsSpec extends SparkSpec {
     assert(ns.zip(ns.tail).forall { case (a, b) => b < a },
       s"n_per_arm must strictly decrease with MDE: ${ns.mkString(",")}")
   }
+
+  test("q360 Shapley: efficiency axiom — the numerators partition 24·(v(N)−v(∅))") {
+    val rows = EventQueries.q360ShapleyAttribution(spark, Sf0001).collect()
+    assert(rows.length === 4)
+    val vAll = rows.map(_.getAs[Long]("total_conv")).distinct
+    val v0 = rows.map(_.getAs[Long]("baseline_conv")).distinct
+    assert(vAll.length === 1 && v0.length === 1)
+    // Shapley efficiency: Σφ = v(N) − v(∅), exactly, in the ×24 integers
+    assert(rows.map(_.getAs[Long]("phi_num")).sum === 24L * (vAll.head - v0.head))
+    // monotone game (v is a subset-count): every marginal sum is ≥ 0
+    rows.foreach(r => assert(r.getAs[Long]("phi_num") >= 0))
+  }
+
+  test("q361 intervals: union ≤ span, longest ≤ covered, islands ≥ 1") {
+    val rows = EventQueries.q361IntervalCoverage(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val covered = r.getAs[Long]("covered_us")
+      val longest = r.getAs[Long]("longest_us")
+      assert(r.getAs[Long]("n_islands") >= 1)
+      assert(longest >= 1800L * 1000 * 1000, "an island is at least one TTL long")
+      assert(longest <= covered)
+      // covered ≤ n_events · TTL (each event contributes at most its own TTL)
+      assert(covered <= r.getAs[Long]("n_events") * 1800L * 1000 * 1000)
+      assert(r.getAs[Long]("util_ppm") >= 0 && r.getAs[Long]("util_ppm") <= 1000000L)
+    }
+  }
+
+  test("q362 ACF: correlations are bounded, Q accumulates the lag terms") {
+    val rows = EventQueries.q362AcfLjungBox(spark, Sf0001).collect()
+    assert(rows.map(_.getAs[Long]("lag")).sorted.toSeq === (1L to 7L))
+    // |ρ| ≤ 1 by Cauchy-Schwarz — the ppm integers must respect it
+    rows.foreach(r => assert(math.abs(r.getAs[Long]("rho_ppm")) <= 1000000L))
+    val q = rows.map(_.getAs[Long]("q_scaled")).distinct
+    assert(q.length === 1 && q.head >= 0)
+    val n = rows.head.getAs[Long]("n")
+    assert(q.head === n * (n + 2) * rows.map(_.getAs[Long]("lb_term")).sum)
+  }
+
+  test("q363 log-hist sketch: the 2× relative-error guarantee actually holds") {
+    val rows = EventQueries.q363LogHistQuantile(spark, Sf0001).collect()
+    assert(rows.map(_.getAs[Long]("q")).sorted.toSeq === Seq(50L, 90L, 99L))
+    rows.foreach { r =>
+      // the bound is a THEOREM for a γ=2 midpoint sketch; a violation is a bug
+      assert(r.getAs[Long]("within_bound") === 1L,
+        s"q${r.getAs[Long]("q")}: est ${r.getAs[Long]("est_q")} vs exact ${r.getAs[Long]("exact_q")}")
+      // exact quantile lives in the estimated bucket's [2^b, 2^(b+1)) range
+      val b = r.getAs[Long]("b_q").toInt
+      val exact = r.getAs[Long]("exact_q")
+      assert(exact >= (1L << b) && exact < (2L << b))
+    }
+  }
+
+  test("q364 null handling: FILTER counts and LOCF reconcile per user") {
+    val rows = EventQueries.q364NullHandlingParity(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nEvents = r.getAs[Long]("n_events")
+      val nPurch = r.getAs[Long]("n_purch")
+      assert(nPurch <= nEvents)
+      assert(r.getAs[Long]("n_views") <= nEvents)
+      // rows before the first purchase are exactly the NULL-filled prefix
+      assert(r.getAs[Long]("pre_first_purch") <= nEvents)
+      if (nPurch === 0L) {
+        assert(r.getAs[Long]("pre_first_purch") === nEvents)
+        assert(r.isNullAt(r.fieldIndex("last_known_cents")))
+      } else {
+        assert(!r.isNullAt(r.fieldIndex("last_known_cents")))
+      }
+    }
+  }
 }
