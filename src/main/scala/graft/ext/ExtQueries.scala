@@ -2855,6 +2855,66 @@ object ExtQueries {
        |SELECT doc_id, round(sum(w), 4) AS bm25, count(*)::BIGINT AS n_terms_hit
        |FROM w GROUP BY 1""".stripMargin
 
+  /** q366: TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004) —
+    * corpus keywords as the top-20 PageRank tokens of the token
+    * co-occurrence graph: adjacent-token pairs (q227's exact bigram
+    * derivation), symmetrized, GROUPED to (src, dst, count) and ranked by
+    * [[Graph.pageRankIntWeighted]] — 3 rounds, TextRank's canonical 0.85
+    * damping as the exact rational 17/20 (scale 20·2¹⁶ keeps the base
+    * integral), every step integer so the oracle unrolls the identical
+    * three iterations and the scores match bit-for-bit. Ties at the
+    * top-20 boundary break by token, so the cut is deterministic.
+    *
+    * Scale shape: the expansion (all bigram occurrences) exists only
+    * inside ONE map-side-combined groupBy; the iterated edge table is the
+    * vocabulary-bounded grouped graph, and each round is two node-keyed
+    * hash joins + a re-contraction — the Pregel shape, no driver state.
+    */
+  def q366TextRank(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = fanOut(documents(spark, dir)).select(
+        explode(graft.functions.GraftFunctions.wordNgramsAll(
+          TextAnalysis.tokens(col("text")), 2)).as("bg"))
+      .select(split(col("bg"), " ").getItem(0).as("a"),
+        split(col("bg"), " ").getItem(1).as("b"))
+    val und = e0.select(col("a").as("src"), col("b").as("dst"))
+      .union(e0.select(col("b").as("src"), col("a").as("dst")))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    Graph.pageRankIntWeighted(und, iters = 3,
+        scale = 1310720L, dampNum = 17L, dampDen = 20L)
+      .orderBy(col("score").desc, col("node").asc).limit(20)
+      .select(col("node").as("token"), col("score"))
+  }
+
+  private val q366Oracle = {
+    def iter(prev: String, name: String): String =
+      s"""$name AS (
+         |  SELECT n.node,
+         |         (196608 + coalesce(sum(e.w * ((s.score * 17) // (20 * o.outw))), 0))::BIGINT
+         |           AS score
+         |  FROM nodes n
+         |  LEFT JOIN ew e ON e.dst = n.node
+         |  LEFT JOIN $prev s ON e.src = s.node
+         |  LEFT JOIN ow o ON e.src = o.src
+         |  GROUP BY n.node)""".stripMargin
+    s"""WITH n AS (SELECT string_split($DNorm, ' ') AS tk FROM documents),
+       |g AS (SELECT unnest(CASE WHEN len(tk) >= 2
+       |         THEN [tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]
+       |         ELSE [] END) AS bg FROM n),
+       |e0 AS (SELECT split_part(bg, ' ', 1) AS a, split_part(bg, ' ', 2) AS b
+       |       FROM g),
+       |ew AS (SELECT src, dst, count(*)::BIGINT AS w FROM (
+       |         SELECT a AS src, b AS dst FROM e0
+       |         UNION ALL SELECT b, a FROM e0) GROUP BY 1, 2),
+       |nodes AS (SELECT src AS node FROM ew UNION SELECT dst FROM ew),
+       |ow AS (SELECT src, sum(w)::BIGINT AS outw FROM ew GROUP BY 1),
+       |s0 AS (SELECT node, 1310720::BIGINT AS score FROM nodes),
+       |${iter("s0", "it1")},
+       |${iter("it1", "it2")},
+       |${iter("it2", "it3")}
+       |SELECT node AS token, score FROM it3
+       |ORDER BY score DESC, token ASC LIMIT 20""".stripMargin
+  }
+
   /** q227: bigram conditional commonness — see
     * [[TextAnalysis.bigramCondCommonness]]; the oracle replays q72's exact
     * bigram derivation (list comprehension over the normalized split).
@@ -4925,6 +4985,7 @@ object ExtQueries {
     "q225_entity_clusters" -> (q225EntityClusters _),
     "q226_bm25" -> (q226Bm25 _),
     "q227_bigram_cond" -> (q227BigramCond _),
+    "q366_textrank" -> (q366TextRank _),
     "q229_pq_ann" -> (q229PqAnn _),
     "q230_ivfpq_ann" -> (q230IvfPqAnn _),
     "q233_stream_dedup_index" -> (q233StreamDedupIndex _),
@@ -5063,6 +5124,7 @@ object ExtQueries {
     "q225_entity_clusters" -> q225Oracle,
     "q226_bm25" -> q226Oracle,
     "q227_bigram_cond" -> q227Oracle,
+    "q366_textrank" -> q366Oracle,
     "q229_pq_ann" -> annRecallOracle,
     "q230_ivfpq_ann" -> annRecallOracle,
     "q233_stream_dedup_index" -> q233Oracle,

@@ -67,6 +67,50 @@ object Graph {
     scores
   }
 
+  /** `iters` rounds of integer PageRank over WEIGHTED edges (src, dst, w) —
+    * the exact multigraph equivalent of [[pageRankIntFixed]] with `w`
+    * parallel copies of each edge, at the cost of the GROUPED edge table
+    * instead of the expanded one (a co-occurrence graph's expansion is the
+    * corpus size; its grouping is the vocabulary²-bounded edge set):
+    * contribution per grouped edge is `w · ((score·dampNum) div
+    * (dampDen·outw))` with `outw = Σw` over the source's out-edges — the
+    * floored per-copy term is identical for every parallel copy, so
+    * grouping first changes nothing (spec-pinned against the expanded
+    * multigraph in GraphSpec).
+    */
+  def pageRankIntWeighted(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      wCol: String = "w",
+      iters: Int = 3,
+      scale: Long = 1L << 20,
+      dampNum: Long = 1L,
+      dampDen: Long = 2L): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    require(dampNum > 0 && dampDen > dampNum, "damping must be a rational in (0,1)")
+    require(scale % dampDen == 0, "scale must be a multiple of dampDen (exact base)")
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
+      col(wCol).as("__w"))
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst").as("node"))).distinct()
+    val outw = e.groupBy("__src").agg(sum("__w").as("__outw"))
+    val base = scale / dampDen * (dampDen - dampNum)
+    var scores = nodes.withColumn("score", lit(scale))
+    (1 to iters).foreach { _ =>
+      val contribs = e
+        .join(scores.withColumnRenamed("node", "__src"), "__src")
+        .join(outw, "__src")
+        .select(col("__dst").as("node"),
+          expr(s"__w * ((score * $dampNum) div ($dampDen * __outw))").as("__c"))
+        .groupBy("node").agg(sum("__c").as("__in"))
+      scores = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + coalesce(col("__in"), lit(0L))).as("score"))
+    }
+    scores
+  }
+
   /** Exact per-node triangle counts via DEGREE ORIENTATION — the classic
     * O(m^1.5) formulation (Chiba–Nishizeki; the shape MapReduce triangle
     * counters use): orient every undirected edge from its lower-(degree,

@@ -2938,7 +2938,70 @@ object ParityQueries {
 
   private val q329Oracle = q329Sql("floor(c_acctbal * 100)::BIGINT")
 
+  /** q365: single-source CHEAPEST path — bounded Bellman-Ford over the
+    * weighted trade graph, the question q274's BFS (fewest hops) cannot
+    * answer once edges carry costs: edge weight = the cheapest lineitem
+    * cents linking the customer↔supplier pair, 4 synchronous relaxation
+    * rounds from customer 0, so the output is the exact min-cost over all
+    * paths of ≤ 4 edges (the bounded-round honesty of q274/kCorePeel —
+    * unreached-or-improvable-later nodes are what a 5th round would add).
+    *
+    * Scale shape per round: relax = dist ⋈ edges on the node key + a
+    * groupBy-min re-contraction to one row per node — the Pregel
+    * min-plus round; `localCheckpoint` per round caps lineage. The
+    * oracle unrolls the identical four min-plus rounds as MATERIALIZED
+    * CTEs (un-materialized, the reference tree re-executes
+    * exponentially — q357's lesson).
+    */
+  def q365SsspCheapest(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"),
+        floor(col("l_extendedprice") * 100).cast("long").as("cents")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .agg(min("cents").as("w"))
+    val und = e0.select(col("src").as("u"), col("dst").as("v"), col("w"))
+      .union(e0.select(col("dst").as("u"), col("src").as("v"), col("w")))
+      .localCheckpoint()
+    var dist = und.sparkSession.range(1)
+      .select(lit(0L).as("node"), lit(0L).as("d"))
+    (1 to 4).foreach { _ =>
+      val relax = und
+        .join(dist.withColumnRenamed("node", "u"), "u")
+        .select(col("v").as("node"), (col("d") + col("w")).as("d"))
+      dist = dist.unionByName(relax)
+        .groupBy("node").agg(min("d").as("d")).localCheckpoint()
+    }
+    dist
+  }
+
+  private val q365Oracle = {
+    def round(prev: String, name: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT node, min(d)::BIGINT AS d FROM (
+         |    SELECT node, d FROM $prev
+         |    UNION ALL
+         |    SELECT e.v AS node, f.d + e.w AS d
+         |    FROM und e JOIN $prev f ON e.u = f.node)
+         |  GROUP BY 1)""".stripMargin
+    s"""WITH e0 AS (
+       |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+       |         min(floor(l_extendedprice * 100)::BIGINT) AS w
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  GROUP BY 1, 2),
+       |und AS (SELECT src AS u, dst AS v, w FROM e0
+       |        UNION ALL SELECT dst, src, w FROM e0),
+       |d0 AS (SELECT 0::BIGINT AS node, 0::BIGINT AS d),
+       |${round("d0", "d1")},
+       |${round("d1", "d2")},
+       |${round("d2", "d3")},
+       |${round("d3", "d4")}
+       |SELECT node, d FROM d4""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q365_sssp_cheapest" -> (q365SsspCheapest _),
     "q329_recursive_rollup" -> (q329RecursiveRollup _),
     "q313_broadcast_advisor" -> (q313BroadcastAdvisor _),
     "q316_pit_join" -> (q316PitJoin _),
@@ -3020,6 +3083,7 @@ object ParityQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q365_sssp_cheapest" -> q365Oracle,
     "q342_pipe_syntax" -> q342Oracle,
     "q343_lateral_agg" -> q343Oracle,
     "q313_broadcast_advisor" -> q313Oracle,

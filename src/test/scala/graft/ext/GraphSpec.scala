@@ -109,6 +109,22 @@ class GraphSpec extends SparkSpec {
     assert(s(2L) === d(2L))
   }
 
+  test("pageRankIntWeighted is exactly the expanded multigraph's pageRankIntFixed") {
+    // grouped (src, dst, w) vs the same graph written as w parallel edges —
+    // the documented equivalence that justifies iterating the grouped table
+    val weighted = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 2L))
+      .toDF("src", "dst", "w")
+    val expanded = Seq.fill(3)((1L, 2L)).concat(Seq((1L, 3L)))
+      .concat(Seq.fill(2)((2L, 3L))).toDF("src", "dst")
+    val w = Graph.pageRankIntWeighted(weighted, iters = 3, scale = 40L,
+      dampNum = 17L, dampDen = 20L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e = Graph.pageRankIntFixed(expanded, iters = 3, scale = 40L,
+      dampNum = 17L, dampDen = 20L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w === e)
+  }
+
   test("labelPropagation: barbell graph hand-replayed over two rounds") {
     // two triangles {1,2,3} {4,5,6} bridged 3-4; labels start as own id
     // r1 (min label wins every all-singleton tie):
