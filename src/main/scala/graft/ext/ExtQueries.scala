@@ -4866,6 +4866,118 @@ object ExtQueries {
        |       n.n_exact
        |FROM a JOIN n USING (source)""".stripMargin
 
+  /** q369: FOURTEENTH streaming gate — Misra-Gries heavy-hitter
+    * maintenance ([[graft.streaming.CdcStream.mgStream]]): the token
+    * firehose of the document corpus streams in two mtime-ordered
+    * micro-batches (the deterministic md5 half-split), the ≤16-counter
+    * summary folds under [[graft.streaming.CdcStream.versionedFold]],
+    * and the gate checks BOTH the exact streamed counters (the oracle
+    * replays the identical two-batch add-then-subtract fold — state is
+    * batch-split-dependent, so the replay must follow the same split)
+    * AND the theorem: for the top-10 exact tokens,
+    * `mg ≤ exact` and `exact − mg ≤ n_total div (k+1)` — the
+    * mergeable-summaries guarantee that makes a 16-row state an honest
+    * answer over an unbounded, 100 TB-scale token stream. k=16 sits
+    * BELOW the fixture's 31-token vocabulary, so the subtraction rung
+    * actually fires and the undercount is real, not vacuous.
+    */
+  def q369StreamHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import graft.queries.Scratch
+    val docs = documents(spark, dir)
+    val inDir = q369Staged.computeIfAbsent(dir, _ => {
+      val in = Scratch.stableDir("q369-in-" + Scratch.md5Hex(dir))
+      def stage(pred: org.apache.spark.sql.Column, name: String): java.nio.file.Path = {
+        val tmp = Scratch.stableDir("q369-tmp-" + Scratch.md5Hex(s"$dir|$name"))
+        docs.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+        java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(in, name))
+      }
+      val gate = Sampling.hashGate(col("doc_id"), fraction = 0.5)
+      val first = stage(gate, "a_batch1.parquet")
+      val second = stage(!gate, "b_batch2.parquet")
+      java.nio.file.Files.setLastModifiedTime(second,
+        java.nio.file.attribute.FileTime.fromMillis(
+          java.nio.file.Files.getLastModifiedTime(first).toMillis + 10000))
+      in
+    })
+    val work = Scratch.stableDir("q369-work")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("item"))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("item",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("c",
+          org.apache.spark.sql.types.LongType))))
+    val q = graft.streaming.CdcStream
+      .mgStream(stream, empty, stateDir = s"$work/state", k = 16)
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val mg = graft.streaming.CdcStream
+      .currentMaterializedState(spark, s"$work/state")
+    val toks = fanOut(docs)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("item"))
+    val exact = toks.groupBy("item").agg(count(lit(1)).as("exact_n"))
+    val nTot = toks.agg(count(lit(1)).as("n_total"))
+    exact.orderBy(col("exact_n").desc, col("item").asc).limit(10)
+      .join(mg.withColumnRenamed("c", "mg_n"), Seq("item"), "left")
+      .na.fill(0L, Seq("mg_n"))
+      .crossJoin(broadcast(nTot))
+      .select(col("item"), col("exact_n"), col("mg_n"), col("n_total"),
+        expr("CASE WHEN mg_n <= exact_n THEN 1L ELSE 0L END").as("ok_upper"),
+        expr("CASE WHEN exact_n - mg_n <= n_total div 17L THEN 1L ELSE 0L END")
+          .as("ok_lower"))
+  }
+
+  private val q369Staged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def q369Oracle: String = {
+    val thr = (0.5 * (1L << 60).toDouble).toLong
+    s"""WITH t1 AS (SELECT unnest(string_split($DNorm, ' ')) AS item
+       |            FROM documents
+       |            WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+       |              < $thr),
+       |t2 AS (SELECT unnest(string_split($DNorm, ' ')) AS item
+       |       FROM documents
+       |       WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+       |         >= $thr),
+       |c1 AS (SELECT item, count(*)::BIGINT AS c FROM t1 GROUP BY 1),
+       |d1 AS (SELECT coalesce(max(c), 0)::BIGINT AS d FROM (
+       |         SELECT c, row_number() OVER (ORDER BY c DESC) AS rn FROM c1)
+       |       WHERE rn = 17),
+       |s1 AS (SELECT item, (c - d)::BIGINT AS c FROM c1 CROSS JOIN d1
+       |       WHERE c > d),
+       |c2 AS (SELECT item, sum(c)::BIGINT AS c FROM (
+       |         SELECT item, c FROM s1
+       |         UNION ALL
+       |         SELECT item, count(*)::BIGINT FROM t2 GROUP BY 1)
+       |       GROUP BY 1),
+       |d2 AS (SELECT coalesce(max(c), 0)::BIGINT AS d FROM (
+       |         SELECT c, row_number() OVER (ORDER BY c DESC) AS rn FROM c2)
+       |       WHERE rn = 17),
+       |s2 AS (SELECT item, (c - d)::BIGINT AS c FROM c2 CROSS JOIN d2
+       |       WHERE c > d),
+       |toks AS (SELECT unnest(string_split($DNorm, ' ')) AS item
+       |         FROM documents),
+       |ex AS (SELECT item, count(*)::BIGINT AS exact_n FROM toks GROUP BY 1),
+       |nt AS (SELECT count(*)::BIGINT AS n_total FROM toks),
+       |top AS (SELECT item, exact_n FROM ex
+       |        ORDER BY exact_n DESC, item ASC LIMIT 10)
+       |SELECT top.item, top.exact_n, coalesce(s2.c, 0)::BIGINT AS mg_n,
+       |       nt.n_total,
+       |       (CASE WHEN coalesce(s2.c, 0) <= top.exact_n
+       |          THEN 1 ELSE 0 END)::BIGINT AS ok_upper,
+       |       (CASE WHEN top.exact_n - coalesce(s2.c, 0) <= nt.n_total // 17
+       |          THEN 1 ELSE 0 END)::BIGINT AS ok_lower
+       |FROM top LEFT JOIN s2 ON s2.item = top.item CROSS JOIN nt""".stripMargin
+  }
+
   /** q346: incremental-ingest pipeline — the round's new operators
     * COMPOSED into the production shape they exist for: today's delta
     * snapshot (q44 md5 gate) is chunked content-defined ([[Dedup
@@ -4986,6 +5098,7 @@ object ExtQueries {
     "q226_bm25" -> (q226Bm25 _),
     "q227_bigram_cond" -> (q227BigramCond _),
     "q366_textrank" -> (q366TextRank _),
+    "q369_stream_heavy_hitters" -> (q369StreamHeavyHitters _),
     "q229_pq_ann" -> (q229PqAnn _),
     "q230_ivfpq_ann" -> (q230IvfPqAnn _),
     "q233_stream_dedup_index" -> (q233StreamDedupIndex _),
@@ -5125,6 +5238,7 @@ object ExtQueries {
     "q226_bm25" -> q226Oracle,
     "q227_bigram_cond" -> q227Oracle,
     "q366_textrank" -> q366Oracle,
+    "q369_stream_heavy_hitters" -> q369Oracle,
     "q229_pq_ann" -> annRecallOracle,
     "q230_ivfpq_ann" -> annRecallOracle,
     "q233_stream_dedup_index" -> q233Oracle,

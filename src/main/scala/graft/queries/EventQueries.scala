@@ -6684,7 +6684,62 @@ object EventQueries {
       |         AS last_known_cents
       |FROM f GROUP BY 1""".stripMargin
 
+  /** q367: additive seasonal-trend decomposition (STL-lite — the
+    * Cleveland et al. 1990 decomposition with the loess smoothers
+    * replaced by their integer-exact classical ancestors): trend = the
+    * CENTERED 7-day moving average (defined only where the full ±3-day
+    * window exists — no edge extrapolation), detrended = y − trend,
+    * seasonal = the per-weekday floor-mean of the detrended series
+    * (negative-safe: both engines truncate toward zero), remainder =
+    * detrended − seasonal. The readout behind "is this dip weekday
+    * seasonality or a real regression?" — and the additive identity
+    * `y = trend + seasonal + remainder + (y − trend − detrended ≡ 0)`
+    * is spec-pinned exactly.
+    *
+    * Scale shape: one map-side groupBy onto |days| keys; the MA window,
+    * the weekday contraction and the final join all ride the ≤|days|
+    * frame (broadcast back) — nothing touches raw events twice.
+    */
+  def q367StlDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    val daily = events(spark, dir).groupBy(tsDay.as("day"))
+      .agg(count(lit(1)).as("y"))
+    val trended = daily
+      .withColumn("w_n", count(lit(1)).over(w7))
+      .withColumn("trend",
+        when(col("w_n") === 7, expr("(sum(y) OVER (ORDER BY day " +
+          "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) div 7")))
+      .filter(col("trend").isNotNull)
+      .withColumn("detrended", col("y") - col("trend"))
+      .withColumn("wday", expr("day % 7"))
+    val seasonal = trended.groupBy("wday")
+      .agg(expr("sum(detrended) div count(*)").as("seasonal"))
+    trended.join(broadcast(seasonal), Seq("wday"))
+      .select(col("day"), col("y"), col("trend"), col("seasonal"),
+        (col("detrended") - col("seasonal")).as("remainder"))
+  }
+
+  private val q367Oracle =
+    """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+      |             count(*)::BIGINT AS y
+      |           FROM events GROUP BY 1),
+      |t AS (SELECT day, y,
+      |        count(*) OVER w7 AS w_n,
+      |        (sum(y) OVER w7 // 7)::BIGINT AS ma
+      |      FROM d
+      |      WINDOW w7 AS (ORDER BY day
+      |        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |tr AS (SELECT day, y, ma AS trend, (y - ma)::BIGINT AS detrended,
+      |              day % 7 AS wday
+      |       FROM t WHERE w_n = 7),
+      |s AS (SELECT wday, (sum(detrended) // count(*))::BIGINT AS seasonal
+      |      FROM tr GROUP BY 1)
+      |SELECT day, y, trend, seasonal,
+      |       (detrended - seasonal)::BIGINT AS remainder
+      |FROM tr JOIN s USING (wday)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q367_stl_decompose" -> (q367StlDecompose _),
     "q344_twap" -> (q344Twap _),
     "q347_holt_winters" -> (q347HoltWinters _),
     "q348_seasonal_bakeoff" -> (q348SeasonalBakeoff _),
@@ -6851,6 +6906,7 @@ object EventQueries {
     "q323_theil_sen" -> q323Oracle,
     "q324_rate_decomposition" -> q324Oracle,
     "q325_forecast_backtest" -> q325Oracle,
+    "q367_stl_decompose" -> q367Oracle,
     "q344_twap" -> q344Oracle,
     "q347_holt_winters" -> q347Oracle,
     "q348_seasonal_bakeoff" -> q348Oracle,

@@ -3000,7 +3000,43 @@ object ParityQueries {
        |SELECT node, d FROM d4""".stripMargin
   }
 
+  /** q368: modern SQL-sugar parity — `GROUP BY ALL` (group on every
+    * non-aggregate select item), `ORDER BY ALL` (order by every output
+    * column left-to-right, which makes the LIMIT cut deterministic
+    * without naming columns) and star-projection exclusion, gated
+    * head-to-head through `spark.sql` (q329's temp-view discipline, not
+    * the DataFrame API — the parser surface is the thing under test).
+    * The engines spell exclusion differently — Spark `* EXCEPT (c)`,
+    * DuckDB `* EXCLUDE (c)` — so the gate pins the shared SEMANTICS, and
+    * the excluded column is deliberately a float-derived average that
+    * never reaches the hashed output.
+    */
+  def q368SqlSugar(spark: SparkSession, dir: String): DataFrame = {
+    lineitem(spark, dir).createOrReplaceTempView("q368_lineitem")
+    spark.sql(
+      """WITH g AS (
+        |  SELECT l_returnflag, l_linestatus, CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+        |         count(*) AS n,
+        |         CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+        |           AS BIGINT) AS cents,
+        |         CAST(floor(avg(l_quantity)) AS BIGINT) AS avg_qty
+        |  FROM q368_lineitem
+        |  GROUP BY ALL)
+        |SELECT * EXCEPT (avg_qty) FROM g ORDER BY ALL LIMIT 50""".stripMargin)
+  }
+
+  private val q368Oracle =
+    """WITH g AS (
+      |  SELECT l_returnflag, l_linestatus, year(l_shipdate)::BIGINT AS ship_year,
+      |         count(*)::BIGINT AS n,
+      |         sum(floor(l_extendedprice * 100)::BIGINT)::BIGINT AS cents,
+      |         floor(avg(l_quantity))::BIGINT AS avg_qty
+      |  FROM lineitem
+      |  GROUP BY ALL)
+      |SELECT * EXCLUDE (avg_qty) FROM g ORDER BY ALL LIMIT 50""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q368_sql_sugar" -> (q368SqlSugar _),
     "q365_sssp_cheapest" -> (q365SsspCheapest _),
     "q329_recursive_rollup" -> (q329RecursiveRollup _),
     "q313_broadcast_advisor" -> (q313BroadcastAdvisor _),
@@ -3083,6 +3119,7 @@ object ParityQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q368_sql_sugar" -> q368Oracle,
     "q365_sssp_cheapest" -> q365Oracle,
     "q342_pipe_syntax" -> q342Oracle,
     "q343_lateral_agg" -> q343Oracle,

@@ -312,6 +312,46 @@ object CdcStream {
         .select(col(keyCol), explode(col("__sk")).as(hashCol))
     }
 
+  /** Streaming MISRA-GRIES heavy-hitter maintenance: the k-counter
+    * deterministic frequency summary (Misra & Gries 1982) folded under
+    * the stream with the MERGEABLE-summaries combine (Agarwal et al.,
+    * PODS 2012): each micro-batch's exact item counts add into the
+    * persisted counters, then the (k+1)-th largest counter value is
+    * subtracted from ALL and non-positive counters drop — state stays
+    * ≤ k rows forever and every item's counter obeys
+    * `true − n/(k+1) ≤ c ≤ true` regardless of how many merges happened
+    * (the bound the batch gate q369 machine-checks). Unlike
+    * [[bitmapStream]]/[[kmvStream]] the fold is NOT idempotent — it is
+    * merely deterministic, and [[versionedFold]]'s batch-id pointer is
+    * what closes the at-least-once replay window (q130's argument).
+    *
+    * Scale shape per batch: the batch contracts map-side to per-item
+    * counts before touching state; the subtraction threshold is ONE
+    * bounded collectTopK aggregate (k+1 longs) broadcast back; no
+    * per-key window sort anywhere.
+    */
+  def mgStream(
+      changes: DataFrame,
+      initial: DataFrame,
+      stateDir: String,
+      k: Int = 64,
+      itemCol: String = "item",
+      cntCol: String = "c"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    versionedFold(changes, initial, stateDir) { (state, batch) =>
+      val bc = batch.groupBy(col(itemCol)).agg(count(lit(1)).as(cntCol))
+      val merged = state.select(col(itemCol), col(cntCol))
+        .union(bc)
+        .groupBy(col(itemCol)).agg(sum(col(cntCol)).as(cntCol))
+      val thr = merged
+        .agg(graft.functions.GraftFunctions
+          .collectTopK(col(cntCol), k + 1).as("__sk"))
+        .select(expr(s"CASE WHEN size(__sk) >= ${k + 1} " +
+          s"THEN element_at(__sk, ${k + 1}) ELSE 0L END").as("__d"))
+      merged.crossJoin(broadcast(thr))
+        .filter(col(cntCol) > col("__d"))
+        .select(col(itemCol), (col(cntCol) - col("__d")).as(cntCol))
+    }
+
   /** The shared `foreachBatch` fold behind [[materializeStream]] and
     * [[aggregateStream]]: per micro-batch, `fold(currentState, batch)` is
     * written to `state_<batchId>` and the `_latest` pointer swaps

@@ -188,6 +188,21 @@ class AnalyticsInvariantsSpec extends SparkSpec {
       s"n_per_arm must strictly decrease with MDE: ${ns.mkString(",")}")
   }
 
+  test("q367 STL: additive identity holds exactly, edges are trimmed") {
+    val rows = EventQueries.q367StlDecompose(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // y = trend + seasonal + remainder, exactly — the decomposition
+      // invents and loses nothing (floor residue lives in `remainder`)
+      assert(r.getAs[Long]("y") === r.getAs[Long]("trend") +
+        r.getAs[Long]("seasonal") + r.getAs[Long]("remainder"))
+    }
+    // centered ±3 MA: exactly 6 edge days (3 each side) are trimmed
+    val days = rows.map(_.getAs[Long]("day"))
+    assert(days.length === (days.max - days.min + 1).toInt,
+      "interior days must be contiguous")
+  }
+
   test("q360 Shapley: efficiency axiom — the numerators partition 24·(v(N)−v(∅))") {
     val rows = EventQueries.q360ShapleyAttribution(spark, Sf0001).collect()
     assert(rows.length === 4)

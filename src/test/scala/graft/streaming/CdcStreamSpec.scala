@@ -569,6 +569,43 @@ class CdcStreamSpec extends SparkSpec with BeforeAndAfterAll with TimeLimits {
     assert(drain("split") === split, "re-merging a replayed batch changed the sketch")
   }
 
+  stest("mgStream: hand-replayed two-batch Misra-Gries fold with the k+1 subtraction") {
+    val dir = s"$work/mg"
+    def stage(in: java.nio.file.Path, rows: Seq[String], name: String, mt: Long): Unit = {
+      val tmp = s"$dir/tmp-$name"
+      rows.toDF("item").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+      val staged = Files.copy(part.toPath, in.resolve(name))
+      Files.setLastModifiedTime(staged,
+        java.nio.file.attribute.FileTime.fromMillis(mt))
+    }
+    val in = Files.createDirectories(Paths.get(s"$dir/in"))
+    // batch 1: a×4 b×3 c×2 d×1; k=2 -> d = 3rd largest = 2
+    //   survivors: a->2, b->1 (c,d drop)
+    // batch 2: c×5 b×1; merged: a->2, b->2, c->5; d = 3rd largest = 2
+    //   survivors: c->3 (a,b hit exactly d and drop)
+    stage(in, Seq.fill(4)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c") ++ Seq("d"),
+      "a_b1.parquet", 1000000)
+    stage(in, Seq.fill(5)("c") ++ Seq("b"), "b_b2.parquet", 2000000)
+    val stream = spark.readStream.schema("item STRING")
+      .option("maxFilesPerTrigger", 1).parquet(in.toString)
+    val q = CdcStream.mgStream(stream,
+        Seq.empty[(String, Long)].toDF("item", "c"),
+        stateDir = s"$dir/state", k = 2)
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = CdcStream.currentMaterializedState(spark, s"$dir/state")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("c" -> 3L), s"got $got")
+    // the theorem on the stream it saw: n = 16, undercount <= 16/3 = 5
+    // exact: a=4 b=4 c=7 d=1; counters: a=0<=4, b=0<=4, c=3<=7 — all
+    // within n div (k+1) of exact
+    assert(7L - got("c") <= 16L / 3)
+  }
+
   stest("bitmapStream: out-of-range day offset FAILS the batch (shiftleft wraps mod 64)") {
     val dir = s"$work/bitmap-guard"
     val in = Files.createDirectories(Paths.get(s"$dir/in"))
