@@ -6738,7 +6738,226 @@ object EventQueries {
       |       (detrended - seasonal)::BIGINT AS remainder
       |FROM tr JOIN s USING (wday)""".stripMargin
 
+  /** q370: Kruskal-Wallis rank test — "does `value` differ across the
+    * five event types?" without a normality assumption (Kruskal & Wallis,
+    * JASA 1952), the k-group generalization of q256's Mann-Whitney. Ranks
+    * are MIDRANKS over the value domain kept integral by doubling:
+    * `r2(v) = 2·cum_before(v) + cnt(v) + 1` (twice the midrank — exact,
+    * no .5 ever exists), per-group rank sums `R2_j = Σ cnt_jv·r2_v`, and
+    * the H statistic through the SHARED floor chain
+    * `h_int = (3·Σ R2_j·(R2_j div n_j)) div (n·(n+1)) − 3·(n+1)` — the
+    * inner div is the only deviation from the exact rational (whose
+    * numerator overflows long at sf0.1) and both engines replay it
+    * bit-identically. `is_sig` pins `h_int > 9`, the integer-conservative
+    * cut at the χ²₄ 95 % critical value 9.488. No tie correction
+    * (published as-is — the uncorrected H is conservative under ties).
+    *
+    * Scale shape: one groupBy on the (cents, type) domain, cumulative
+    * windows only over the |distinct cents| contraction, 5-row rank-sum
+    * table, 1-row fold broadcast back.
+    */
+  def q370KruskalWallis(spark: SparkSession, dir: String): DataFrame = {
+    val d = events(spark, dir)
+      .select(col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents"))
+    val byVal = d.groupBy("cents").agg(count(lit(1)).as("cnt"))
+    val wv = Window.orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val r2 = byVal
+      .withColumn("cum_before", coalesce(sum("cnt").over(wv), lit(0L)))
+      .select(col("cents"),
+        (lit(2L) * col("cum_before") + col("cnt") + 1L).as("r2"))
+    val perGroup = d.groupBy("event_type", "cents")
+      .agg(count(lit(1)).as("cj"))
+      .join(broadcast(r2), Seq("cents"))
+      .groupBy("event_type")
+      .agg(sum(col("cj") * col("r2")).as("r2_sum"), sum("cj").as("n_j"))
+    val h = perGroup.agg(
+      sum("n_j").as("n"),
+      sum(expr("r2_sum * (r2_sum div n_j)")).as("s"))
+      .select(col("n"),
+        expr("(3L * s) div (n * (n + 1L)) - 3L * (n + 1L)").as("h_int"))
+    perGroup.crossJoin(broadcast(h))
+      .select(col("event_type"), col("n_j"), col("r2_sum"),
+        expr("(500L * r2_sum) div n_j").as("mean_rank_milli"),
+        col("n"), col("h_int"), lit(4L).as("df"),
+        expr("CASE WHEN h_int > 9L THEN 1L ELSE 0L END").as("is_sig"))
+  }
+
+  private val q370Oracle =
+    """WITH d AS (SELECT event_type, floor(value * 100)::BIGINT AS cents
+      |           FROM events),
+      |bv AS (SELECT cents, count(*)::BIGINT AS cnt FROM d GROUP BY 1),
+      |r2 AS (SELECT cents,
+      |         (2 * coalesce(sum(cnt) OVER (ORDER BY cents
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |          + cnt + 1)::BIGINT AS r2
+      |       FROM bv),
+      |pg AS (SELECT event_type, sum(cj * r2)::BIGINT AS r2_sum,
+      |              sum(cj)::BIGINT AS n_j
+      |       FROM (SELECT event_type, cents, count(*)::BIGINT AS cj
+      |             FROM d GROUP BY 1, 2) g
+      |       JOIN r2 USING (cents) GROUP BY 1),
+      |h AS (SELECT n, ((3 * s) // (n * (n + 1)) - 3 * (n + 1))::BIGINT AS h_int
+      |      FROM (SELECT sum(n_j)::BIGINT AS n,
+      |                   sum(r2_sum * (r2_sum // n_j))::BIGINT AS s
+      |            FROM pg) t)
+      |SELECT event_type, n_j, r2_sum,
+      |       ((500 * r2_sum) // n_j)::BIGINT AS mean_rank_milli,
+      |       n, h_int, 4::BIGINT AS df,
+      |       (CASE WHEN h_int > 9 THEN 1 ELSE 0 END)::BIGINT AS is_sig
+      |FROM pg CROSS JOIN h""".stripMargin
+
+  /** q371: McNemar's paired test (McNemar, Psychometrika 1947) — marginal
+    * homogeneity of two binary outcomes measured on the SAME users:
+    * "is clicking more prevalent than purchasing?" asked correctly, on
+    * the discordant pairs only (a two-proportion z on overlapping samples
+    * — q142's tool — is WRONG here; the pairing is the point). Exact
+    * integer statistic `chi2_milli = (1000·(b−c)²) div (b+c)` over
+    * b = click-only and c = purchase-only users, `is_sig` at the χ²₁
+    * 95 % cut 3.841. The 2×2 concordance table is published whole.
+    *
+    * Scale shape: ONE user-keyed groupBy to per-user flags, then a 1-row
+    * map-side fold — nothing else.
+    */
+  def q371McNemar(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "click", 1L).otherwise(0L)).as("a"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("b"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(expr("CASE WHEN a = 1 AND b = 1 THEN 1L ELSE 0L END")).as("n_both"),
+        sum(expr("CASE WHEN a = 1 AND b = 0 THEN 1L ELSE 0L END")).as("a_only"),
+        sum(expr("CASE WHEN a = 0 AND b = 1 THEN 1L ELSE 0L END")).as("b_only"),
+        sum(expr("CASE WHEN a = 0 AND b = 0 THEN 1L ELSE 0L END")).as("n_neither"))
+      .select(col("n_users"), col("n_both"), col("a_only"), col("b_only"),
+        col("n_neither"),
+        expr("(1000L * (a_only - b_only) * (a_only - b_only)) " +
+          "div greatest(a_only + b_only, 1L)").as("chi2_milli"),
+        expr("CASE WHEN (1000L * (a_only - b_only) * (a_only - b_only)) " +
+          "div greatest(a_only + b_only, 1L) > 3841L THEN 1L ELSE 0L END")
+          .as("is_sig"))
+
+  private val q371Oracle =
+    """WITH u AS (SELECT user_id,
+      |             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+      |             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+      |           FROM events GROUP BY 1),
+      |t AS (SELECT count(*)::BIGINT AS n_users,
+      |             sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)::BIGINT AS n_both,
+      |             sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)::BIGINT AS a_only,
+      |             sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)::BIGINT AS b_only,
+      |             sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END)::BIGINT AS n_neither
+      |      FROM u)
+      |SELECT n_users, n_both, a_only, b_only, n_neither,
+      |       ((1000 * (a_only - b_only) * (a_only - b_only))
+      |          // greatest(a_only + b_only, 1))::BIGINT AS chi2_milli,
+      |       (CASE WHEN (1000 * (a_only - b_only) * (a_only - b_only))
+      |          // greatest(a_only + b_only, 1) > 3841
+      |          THEN 1 ELSE 0 END)::BIGINT AS is_sig
+      |FROM t""".stripMargin
+
+  /** q372: CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM
+    * 2013) — the experimentation-platform workhorse the A/B tier
+    * (q142/q318/q319) still lacked: adjust the experiment-period metric
+    * (per-user purchase dollars, days ≥ split) by the PRE-period covariate
+    * (per-user event count, days < split) via `Ŷ = Y − θ(X − X̄)`,
+    * θ = cov(X,Y)/var(X). Everything from one pass of second moments:
+    * `theta_milli = 1000·covNum div varXNum` (cross-multiplied, no
+    * fractional mean), correlation through q349's floor-sqrt convention,
+    * and the headline `red_pm ≈ 1000·ρ²` — the fraction of metric
+    * variance the covariate removes, i.e. how much smaller the
+    * experiment can be. Published per arm (user_id % 2): naive vs
+    * CUPED-adjusted mean micro-cents through one shared floor chain —
+    * the adjusted diff is the debiased readout.
+    *
+    * Scale shape: ONE user-keyed groupBy (both periods in conditional
+    * aggregates — no second scan), a 1-row moment fold, and a 2-row arm
+    * table; anchors broadcast.
+    */
+  def q372Cuped(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = events(spark, dir)
+      .select(col("user_id"), tsDay.as("day"),
+        col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .withColumn("d0", min("day").over(Window.partitionBy()))
+      .groupBy("user_id")
+      .agg(sum(when(col("day") < col("d0") + 15, 1L).otherwise(0L)).as("x"),
+        // y in whole dollars (cents div 100): keeps n·Σy² inside long at
+        // every tested scale — with cents the square fold overflows at sf0.1
+        expr("sum(CASE WHEN day >= d0 + 15 AND event_type = 'purchase' " +
+          "THEN cents ELSE 0L END) div 100L").as("y"))
+      .withColumn("arm", expr("user_id % 2"))
+    val m = perUser.agg(count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(expr("x * x")).as("sxx"), sum(expr("x * y")).as("sxy"),
+      sum(expr("y * y")).as("syy"))
+      .select(col("n"), col("sx"), col("sy"),
+        expr("n * sxy - sx * sy").as("cov_num"),
+        expr("n * sxx - sx * sx").as("varx_num"),
+        expr("n * syy - sy * sy").as("vary_num"))
+      .select(col("n"), col("sx"),
+        expr("(1000L * cov_num) div greatest(varx_num, 1L)").as("theta_milli"),
+        expr("(1000L * cov_num) div greatest(" +
+          "cast(floor(sqrt(cast(varx_num AS DOUBLE))) AS BIGINT) * " +
+          "cast(floor(sqrt(cast(vary_num AS DOUBLE))) AS BIGINT), 1L)")
+          .as("rho_pm"))
+      .withColumn("red_pm", expr("(rho_pm * rho_pm) div 1000L"))
+    perUser.groupBy("arm")
+      .agg(count(lit(1)).as("n_a"), sum("x").as("sx_a"), sum("y").as("sy_a"))
+      .crossJoin(broadcast(m))
+      .select(col("arm"), col("n_a"),
+        expr("(1000000L * sy_a) div n_a").as("y_mean_micro"),
+        expr("(1000L * sx_a) div n_a").as("x_mean_milli"),
+        expr("(1000000L * sy_a) div n_a - (theta_milli * " +
+          "((1000000L * sx_a) div n_a - (1000000L * sx) div n)) div 1000L")
+          .as("adj_mean_micro"),
+        col("theta_milli"), col("rho_pm"), col("red_pm"))
+  }
+
+  private val q372Oracle =
+    """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |             event_type, floor(value * 100)::BIGINT AS cents,
+      |             min(epoch_us(ts) // 86400000000) OVER () AS d0
+      |           FROM events),
+      |u AS (SELECT user_id,
+      |        sum(CASE WHEN day < d0 + 15 THEN 1 ELSE 0 END)::BIGINT AS x,
+      |        (sum(CASE WHEN day >= d0 + 15 AND event_type = 'purchase'
+      |            THEN cents ELSE 0 END) // 100)::BIGINT AS y,
+      |        user_id % 2 AS arm
+      |      FROM e GROUP BY 1),
+      |m0 AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+      |              sum(y)::BIGINT AS sy, sum(x * x)::BIGINT AS sxx,
+      |              sum(x * y)::BIGINT AS sxy, sum(y * y)::BIGINT AS syy
+      |       FROM u),
+      |m1 AS (SELECT n, sx,
+      |         (n * sxy - sx * sy)::BIGINT AS cov_num,
+      |         (n * sxx - sx * sx)::BIGINT AS varx_num,
+      |         (n * syy - sy * sy)::BIGINT AS vary_num
+      |       FROM m0),
+      |m AS (SELECT n, sx,
+      |        ((1000 * cov_num) // greatest(varx_num, 1))::BIGINT
+      |          AS theta_milli,
+      |        ((1000 * cov_num) // greatest(
+      |          floor(sqrt(varx_num::DOUBLE))::BIGINT *
+      |          floor(sqrt(vary_num::DOUBLE))::BIGINT, 1))::BIGINT AS rho_pm
+      |      FROM m1)
+      |SELECT arm, count(*)::BIGINT AS n_a,
+      |       ((1000000 * sum(y)) // count(*))::BIGINT AS y_mean_micro,
+      |       ((1000 * sum(x)) // count(*))::BIGINT AS x_mean_milli,
+      |       ((1000000 * sum(y)) // count(*)
+      |         - (m.theta_milli * ((1000000 * sum(x)) // count(*)
+      |             - (1000000 * m.sx) // m.n)) // 1000)::BIGINT
+      |         AS adj_mean_micro,
+      |       m.theta_milli, m.rho_pm,
+      |       ((m.rho_pm * m.rho_pm) // 1000)::BIGINT AS red_pm
+      |FROM u CROSS JOIN m
+      |GROUP BY arm, m.theta_milli, m.rho_pm, m.sx, m.n""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q370_kruskal_wallis" -> (q370KruskalWallis _),
+    "q371_mcnemar" -> (q371McNemar _),
+    "q372_cuped" -> (q372Cuped _),
     "q367_stl_decompose" -> (q367StlDecompose _),
     "q344_twap" -> (q344Twap _),
     "q347_holt_winters" -> (q347HoltWinters _),
@@ -6906,6 +7125,9 @@ object EventQueries {
     "q323_theil_sen" -> q323Oracle,
     "q324_rate_decomposition" -> q324Oracle,
     "q325_forecast_backtest" -> q325Oracle,
+    "q370_kruskal_wallis" -> q370Oracle,
+    "q371_mcnemar" -> q371Oracle,
+    "q372_cuped" -> q372Oracle,
     "q367_stl_decompose" -> q367Oracle,
     "q344_twap" -> q344Oracle,
     "q347_holt_winters" -> q347Oracle,

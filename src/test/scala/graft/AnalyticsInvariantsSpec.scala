@@ -188,6 +188,40 @@ class AnalyticsInvariantsSpec extends SparkSpec {
       s"n_per_arm must strictly decrease with MDE: ${ns.mkString(",")}")
   }
 
+  test("q370 KW: doubled rank sums telescope to n(n+1); group sizes partition n") {
+    val rows = EventQueries.q370KruskalWallis(spark, Sf0001).collect()
+    assert(rows.length === 5)
+    val n = rows.head.getAs[Long]("n")
+    // Σ over groups of the doubled rank sums = 2·(1+…+n) = n(n+1), exactly
+    assert(rows.map(_.getAs[Long]("r2_sum")).sum === n * (n + 1))
+    assert(rows.map(_.getAs[Long]("n_j")).sum === n)
+    assert(rows.map(_.getAs[Long]("h_int")).distinct.length === 1)
+  }
+
+  test("q371 McNemar: the 2×2 table partitions the user population") {
+    val users = graft.queries.Tables.events(spark, Sf0001)
+      .select(col("user_id")).distinct().count()
+    val r = EventQueries.q371McNemar(spark, Sf0001).collect()(0)
+    assert(r.getAs[Long]("n_users") === users)
+    assert(r.getAs[Long]("n_both") + r.getAs[Long]("a_only") +
+      r.getAs[Long]("b_only") + r.getAs[Long]("n_neither") === users)
+    assert(r.getAs[Long]("chi2_milli") >= 0)
+  }
+
+  test("q372 CUPED: arms partition users; adjustment preserves the grand mean direction") {
+    val users = graft.queries.Tables.events(spark, Sf0001)
+      .select(col("user_id")).distinct().count()
+    val rows = EventQueries.q372Cuped(spark, Sf0001).collect()
+    assert(rows.length === 2)
+    assert(rows.map(_.getAs[Long]("n_a")).sum === users)
+    // ρ² ∈ [0, 1] in per-mille; shared constants across arms
+    rows.foreach { r =>
+      val red = r.getAs[Long]("red_pm")
+      assert(red >= 0 && red <= 1000L)
+    }
+    assert(rows.map(_.getAs[Long]("theta_milli")).distinct.length === 1)
+  }
+
   test("q367 STL: additive identity holds exactly, edges are trimmed") {
     val rows = EventQueries.q367StlDecompose(spark, Sf0001).collect()
     assert(rows.nonEmpty)
