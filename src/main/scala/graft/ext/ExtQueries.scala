@@ -4978,6 +4978,69 @@ object ExtQueries {
        |FROM top LEFT JOIN s2 ON s2.item = top.item CROSS JOIN nt""".stripMargin
   }
 
+  /** q374: snake-balanced shard packing — the LOAD-balance answer to
+    * q150's hash sharding (reproducible but size-blind) and q196's skew
+    * audit: rank documents by descending weight (n_chars, doc_id
+    * tie-break) and deal them boustrophedon over 16 shards (positions
+    * 0..15 forward, 16..31 reverse, repeat) — the deterministic,
+    * shuffle-free cousin of LPT greedy packing that pairs heavy ranks
+    * with light ones inside every 32-stride. The gate publishes both
+    * spreads (max·10⁶ div min load) side by side with the md5-hash
+    * assignment's, and `snake_tighter` pins that the size-aware deal
+    * beats size-blind hashing on this corpus — machine-checked, not
+    * assumed. The global rank window is the q288 discipline: a
+    * |docs|-row single-partition sort at fixture scale, swapped for a
+    * two-pass range-partitioned rank at 100 TB (the snake only needs
+    * RANKS, which range partitioning delivers without a global window).
+    */
+  def q374SnakePacking(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("n_chars").desc, col("doc_id").asc)
+    val ranked = documents(spark, dir).select(col("doc_id"), col("n_chars"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("pos", expr("(rnk - 1) % 32"))
+      .withColumn("shard",
+        expr("CASE WHEN pos < 16 THEN pos ELSE 31L - pos END"))
+      .withColumn("hash_shard",
+        pmod(Dedup.baseHash(col("doc_id").cast("string")), lit(16L)))
+    val snake = ranked.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("w_sum"))
+    val snakeSpread = snake.agg(
+      expr("(1000000L * max(w_sum)) div min(w_sum)").as("snake_spread_ppm"))
+    val hashSpread = ranked.groupBy("hash_shard")
+      .agg(sum("n_chars").as("hw"))
+      .agg(expr("(1000000L * max(hw)) div min(hw)").as("hash_spread_ppm"))
+    snake.crossJoin(broadcast(snakeSpread)).crossJoin(broadcast(hashSpread))
+      .select(col("shard"), col("n_docs"), col("w_sum"),
+        col("snake_spread_ppm"), col("hash_spread_ppm"),
+        expr("CASE WHEN snake_spread_ppm <= hash_spread_ppm " +
+          "THEN 1L ELSE 0L END").as("snake_tighter"))
+  }
+
+  private val q374Oracle =
+    """WITH r AS (SELECT doc_id, n_chars,
+      |             row_number() OVER (ORDER BY n_chars DESC, doc_id ASC)
+      |               ::BIGINT AS rnk,
+      |             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 16
+      |               AS hash_shard
+      |           FROM documents),
+      |s AS (SELECT *, (rnk - 1) % 32 AS pos,
+      |        (CASE WHEN (rnk - 1) % 32 < 16 THEN (rnk - 1) % 32
+      |              ELSE 31 - (rnk - 1) % 32 END)::BIGINT AS shard
+      |      FROM r),
+      |sn AS (SELECT shard, count(*)::BIGINT AS n_docs,
+      |              sum(n_chars)::BIGINT AS w_sum
+      |       FROM s GROUP BY 1),
+      |sp AS (SELECT ((1000000 * max(w_sum)) // min(w_sum))::BIGINT
+      |         AS snake_spread_ppm FROM sn),
+      |hp AS (SELECT ((1000000 * max(hw)) // min(hw))::BIGINT
+      |         AS hash_spread_ppm
+      |       FROM (SELECT hash_shard, sum(n_chars)::BIGINT AS hw
+      |             FROM s GROUP BY 1) h)
+      |SELECT shard, n_docs, w_sum, snake_spread_ppm, hash_spread_ppm,
+      |       (CASE WHEN snake_spread_ppm <= hash_spread_ppm
+      |          THEN 1 ELSE 0 END)::BIGINT AS snake_tighter
+      |FROM sn CROSS JOIN sp CROSS JOIN hp""".stripMargin
+
   /** q346: incremental-ingest pipeline — the round's new operators
     * COMPOSED into the production shape they exist for: today's delta
     * snapshot (q44 md5 gate) is chunked content-defined ([[Dedup
@@ -5099,6 +5162,7 @@ object ExtQueries {
     "q227_bigram_cond" -> (q227BigramCond _),
     "q366_textrank" -> (q366TextRank _),
     "q369_stream_heavy_hitters" -> (q369StreamHeavyHitters _),
+    "q374_snake_packing" -> (q374SnakePacking _),
     "q229_pq_ann" -> (q229PqAnn _),
     "q230_ivfpq_ann" -> (q230IvfPqAnn _),
     "q233_stream_dedup_index" -> (q233StreamDedupIndex _),
@@ -5239,6 +5303,7 @@ object ExtQueries {
     "q227_bigram_cond" -> q227Oracle,
     "q366_textrank" -> q366Oracle,
     "q369_stream_heavy_hitters" -> q369Oracle,
+    "q374_snake_packing" -> q374Oracle,
     "q229_pq_ann" -> annRecallOracle,
     "q230_ivfpq_ann" -> annRecallOracle,
     "q233_stream_dedup_index" -> q233Oracle,

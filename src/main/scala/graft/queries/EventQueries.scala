@@ -6954,7 +6954,116 @@ object EventQueries {
       |FROM u CROSS JOIN m
       |GROUP BY arm, m.theta_milli, m.rho_pm, m.sx, m.n""".stripMargin
 
+  /** q373: Benjamini-Hochberg FDR over a FAMILY of tests (Benjamini &
+    * Hochberg, JRSS-B 1995) — the multiple-testing correction the
+    * experimentation tier owes once it runs five tests at once: per
+    * event type, an exact permutation test of the arm (user_id % 2)
+    * difference in per-user event counts — q322's deterministic
+    * md5-permutation machinery, 32 draws, `p = (1+#{null ≥ obs})/33`
+    * exact — then the BH step-up entirely cross-multiplied: rank the 5
+    * p's ascending (type as tie-break), pass_i ⇔ `100·p_num ≤ 33·i`
+    * (α=0.05, m=5 ⇒ p ≤ i/100), reject ranks ≤ max passing rank. No
+    * float p-value ever exists, so the whole correction hash-gates.
+    *
+    * Scale shape: per-user-type counts are one groupBy; the 32-draw
+    * explode lives on the |users|- and (user,type)-contractions, never
+    * on raw events; the BH fold is a 5-row window.
+    */
+  def q373BhFdr(spark: SparkSession, dir: String): DataFrame = {
+    val ut = events(spark, dir).groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+    val users = events(spark, dir).select("user_id").distinct()
+    val nTot = users.agg(count(lit(1)).as("n"),
+      sum(expr("user_id % 2")).as("n1"))
+    val sByType = ut.groupBy("event_type").agg(sum("cnt").as("s_i"))
+    val s1ByType = ut.filter(expr("user_id % 2 = 1"))
+      .groupBy("event_type").agg(sum("cnt").as("s1_i"))
+    val obs = sByType.join(s1ByType, Seq("event_type"), "left")
+      .na.fill(0L, Seq("s1_i"))
+      .crossJoin(broadcast(nTot))
+      .select(col("event_type"), col("s_i"),
+        abs(expr("n * s1_i - n1 * s_i")).as("obs_stat"))
+    val ur = users.withColumn("r", explode(expr("sequence(1, 128)")))
+      .withColumn("parm", pmod(graft.ext.Dedup.baseHash(
+        concat(col("user_id").cast("string"), lit("|"), col("r").cast("string"))),
+        lit(2L)))
+    val n1r = ur.groupBy("r").agg(sum("parm").as("n1_r"))
+    val s1r = ut.withColumn("r", explode(expr("sequence(1, 128)")))
+      .withColumn("parm", pmod(graft.ext.Dedup.baseHash(
+        concat(col("user_id").cast("string"), lit("|"), col("r").cast("string"))),
+        lit(2L)))
+      .filter(col("parm") === 1)
+      .groupBy("event_type", "r").agg(sum("cnt").as("s1_ir"))
+    val frame = sByType.select("event_type", "s_i")
+      .withColumn("r", explode(expr("sequence(1, 128)")))
+    val nulls = frame
+      .join(s1r, Seq("event_type", "r"), "left").na.fill(0L, Seq("s1_ir"))
+      .join(broadcast(n1r), Seq("r"))
+      .crossJoin(broadcast(nTot.select("n")))
+      .select(col("event_type"),
+        abs(expr("n * s1_ir - n1_r * s_i")).as("null_stat"))
+    val p = nulls.join(broadcast(obs), Seq("event_type"))
+      .groupBy("event_type")
+      .agg((sum(when(col("null_stat") >= col("obs_stat"), 1L).otherwise(0L))
+        + 1L).as("p_num"),
+        max("obs_stat").as("obs_stat"))
+    val wRank = Window.orderBy(col("p_num").asc, col("event_type").asc)
+    p.withColumn("rnk", row_number().over(wRank).cast("long"))
+      .withColumn("pass", expr("CASE WHEN 100L * p_num <= 129L * rnk " +
+        "THEN 1L ELSE 0L END"))
+      .withColumn("k", expr("coalesce(max(CASE WHEN pass = 1 THEN rnk END) " +
+        "OVER (), 0L)"))
+      .select(col("event_type"), col("obs_stat"), col("p_num"),
+        lit(129L).as("p_den"), col("rnk"), col("pass"),
+        expr("CASE WHEN rnk <= k THEN 1L ELSE 0L END").as("is_rejected"))
+  }
+
+  private val q373Oracle =
+    """WITH ut AS (SELECT user_id, event_type, count(*)::BIGINT AS cnt
+      |            FROM events GROUP BY 1, 2),
+      |us AS (SELECT DISTINCT user_id FROM events),
+      |nt AS (SELECT count(*)::BIGINT AS n, sum(user_id % 2)::BIGINT AS n1
+      |       FROM us),
+      |si AS (SELECT event_type, sum(cnt)::BIGINT AS s_i FROM ut GROUP BY 1),
+      |s1 AS (SELECT event_type, sum(cnt)::BIGINT AS s1_i FROM ut
+      |       WHERE user_id % 2 = 1 GROUP BY 1),
+      |ob AS (SELECT si.event_type, si.s_i,
+      |         abs(nt.n * coalesce(s1.s1_i, 0) - nt.n1 * si.s_i)::BIGINT
+      |           AS obs_stat
+      |       FROM si LEFT JOIN s1 USING (event_type) CROSS JOIN nt),
+      |rr AS (SELECT unnest(range(1, 129))::BIGINT AS r),
+      |n1r AS (SELECT r, sum(('0x' || substr(md5(user_id::VARCHAR || '|'
+      |            || r::VARCHAR), 1, 15))::BIGINT % 2)::BIGINT AS n1_r
+      |        FROM us CROSS JOIN rr GROUP BY 1),
+      |s1r AS (SELECT event_type, r, sum(cnt)::BIGINT AS s1_ir
+      |        FROM ut CROSS JOIN rr
+      |        WHERE ('0x' || substr(md5(user_id::VARCHAR || '|'
+      |            || r::VARCHAR), 1, 15))::BIGINT % 2 = 1
+      |        GROUP BY 1, 2),
+      |nl AS (SELECT f.event_type,
+      |         abs(nt.n * coalesce(s1r.s1_ir, 0) - n1r.n1_r * f.s_i)::BIGINT
+      |           AS null_stat
+      |       FROM (SELECT event_type, s_i, r FROM si CROSS JOIN rr) f
+      |       LEFT JOIN s1r USING (event_type, r)
+      |       JOIN n1r USING (r) CROSS JOIN nt),
+      |p AS (SELECT nl.event_type,
+      |        (sum(CASE WHEN nl.null_stat >= ob.obs_stat THEN 1 ELSE 0 END)
+      |          + 1)::BIGINT AS p_num,
+      |        max(ob.obs_stat)::BIGINT AS obs_stat
+      |      FROM nl JOIN ob USING (event_type) GROUP BY 1),
+      |rk AS (SELECT event_type, obs_stat, p_num,
+      |         row_number() OVER (ORDER BY p_num ASC, event_type ASC)::BIGINT
+      |           AS rnk
+      |       FROM p),
+      |ps AS (SELECT *, (CASE WHEN 100 * p_num <= 129 * rnk
+      |                  THEN 1 ELSE 0 END)::BIGINT AS pass FROM rk)
+      |SELECT event_type, obs_stat, p_num, 129::BIGINT AS p_den, rnk, pass,
+      |       (CASE WHEN rnk <= coalesce(max(CASE WHEN pass = 1 THEN rnk END)
+      |          OVER (), 0) THEN 1 ELSE 0 END)::BIGINT AS is_rejected
+      |FROM ps""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q373_bh_fdr" -> (q373BhFdr _),
     "q370_kruskal_wallis" -> (q370KruskalWallis _),
     "q371_mcnemar" -> (q371McNemar _),
     "q372_cuped" -> (q372Cuped _),
@@ -7125,6 +7234,7 @@ object EventQueries {
     "q323_theil_sen" -> q323Oracle,
     "q324_rate_decomposition" -> q324Oracle,
     "q325_forecast_backtest" -> q325Oracle,
+    "q373_bh_fdr" -> q373Oracle,
     "q370_kruskal_wallis" -> q370Oracle,
     "q371_mcnemar" -> q371Oracle,
     "q372_cuped" -> q372Oracle,

@@ -188,6 +188,32 @@ class AnalyticsInvariantsSpec extends SparkSpec {
       s"n_per_arm must strictly decrease with MDE: ${ns.mkString(",")}")
   }
 
+  test("q373 BH: rejections are a prefix of the p-ranking; p's are proper") {
+    val rows = EventQueries.q373BhFdr(spark, Sf0001).collect()
+      .sortBy(_.getAs[Long]("rnk"))
+    assert(rows.map(_.getAs[Long]("rnk")).toSeq === (1L to 5L))
+    val ps = rows.map(_.getAs[Long]("p_num"))
+    assert(ps.forall(p => p >= 1 && p <= 129))
+    assert(ps.zip(ps.tail).forall { case (a, b) => a <= b },
+      "p must be non-decreasing in rank")
+    // step-up property: the rejection set is exactly ranks 1..k
+    val rej = rows.map(_.getAs[Long]("is_rejected"))
+    assert(rej.zip(rej.tail).forall { case (a, b) => a >= b },
+      s"rejections must be a prefix: ${rej.mkString(",")}")
+  }
+
+  test("q374 snake packing: shards partition the corpus; spread gate is internally consistent") {
+    val docs = graft.queries.Tables.documents(spark, Sf0001).count()
+    val rows = graft.ext.ExtQueries.q374SnakePacking(spark, Sf0001).collect()
+    assert(rows.length === 16)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs)
+    val loads = rows.map(_.getAs[Long]("w_sum"))
+    val spread = rows.head.getAs[Long]("snake_spread_ppm")
+    assert(spread === 1000000L * loads.max / loads.min,
+      "published spread must be the loads' own max/min")
+    assert(rows.map(_.getAs[Long]("snake_tighter")).distinct.length === 1)
+  }
+
   test("q370 KW: doubled rank sums telescope to n(n+1); group sizes partition n") {
     val rows = EventQueries.q370KruskalWallis(spark, Sf0001).collect()
     assert(rows.length === 5)
