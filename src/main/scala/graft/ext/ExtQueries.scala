@@ -5041,6 +5041,83 @@ object ExtQueries {
       |          THEN 1 ELSE 0 END)::BIGINT AS snake_tighter
       |FROM sn CROSS JOIN sp CROSS JOIN hp""".stripMargin
 
+  /** q375: rendezvous (highest-random-weight) resharding — the OTHER
+    * minimal-movement assignment scheme beside q315's consistent-hash
+    * ring (Thaler & Ravishankar 1996, the scheme memcached/Ceph-style
+    * placement uses): every doc goes to `argmax over shards of
+    * md5(doc|shard)`, and adding a 17th shard moves ONLY docs whose new
+    * argmax IS the new shard — that is a THEOREM of HRW (existing
+    * shards' weights are unchanged, so a changed argmax can only be the
+    * newcomer), and the gate machine-checks it exactly
+    * (`all_moves_to_new` = 1) alongside the measured move fraction
+    * (ideal 1/17 ≈ 58823 ppm) and the 17-way balance spread.
+    *
+    * Scale shape: a ×17 generator explode contracted straight back by a
+    * doc-keyed max_by — no global state, no ring metadata at all (the
+    * operational advantage over the ring: nothing to store or rebalance).
+    */
+  def q375RendezvousShard(spark: SparkSession, dir: String): DataFrame = {
+    def assign(nShards: Int, as: String): DataFrame =
+      documents(spark, dir).select(col("doc_id"))
+        .withColumn("shard", explode(expr(s"sequence(0L, ${nShards - 1}L)")))
+        .withColumn("h", Dedup.baseHash(
+          concat(col("doc_id").cast("string"), lit("|"),
+            col("shard").cast("string"))))
+        .groupBy("doc_id")
+        .agg(max_by(col("shard"), struct(col("h"), col("shard"))).as(as))
+    val both = assign(16, "a16").join(assign(17, "a17"), "doc_id")
+    val moves = both.agg(count(lit(1)).as("n_docs"),
+      sum(when(col("a16") =!= col("a17"), 1L).otherwise(0L)).as("moved"),
+      sum(when(col("a16") =!= col("a17") && col("a17") =!= 16, 1L)
+        .otherwise(0L)).as("bad_moves"))
+      .select(col("n_docs"), col("moved"),
+        expr("(1000000L * moved) div n_docs").as("moved_ppm"),
+        expr("CASE WHEN bad_moves = 0 THEN 1L ELSE 0L END")
+          .as("all_moves_to_new"))
+    val loads = both.groupBy(col("a17").as("shard"))
+      .agg(count(lit(1)).as("n_docs17"))
+    val spread = loads.agg(
+      expr("(1000000L * max(n_docs17)) div min(n_docs17)").as("spread17_ppm"))
+    loads.crossJoin(broadcast(moves)).crossJoin(broadcast(spread))
+      .select(col("shard"), col("n_docs17"), col("n_docs"), col("moved"),
+        col("moved_ppm"), col("all_moves_to_new"), col("spread17_ppm"))
+  }
+
+  private val q375Oracle =
+    """WITH sh16 AS (SELECT unnest(range(0, 16))::BIGINT AS shard),
+      |sh17 AS (SELECT unnest(range(0, 17))::BIGINT AS shard),
+      |a16 AS (SELECT doc_id, shard AS a16 FROM (
+      |          SELECT d.doc_id, s.shard,
+      |            row_number() OVER (PARTITION BY d.doc_id ORDER BY
+      |              ('0x' || substr(md5(d.doc_id::VARCHAR || '|' ||
+      |                 s.shard::VARCHAR), 1, 15))::BIGINT DESC,
+      |              s.shard DESC) AS rn
+      |          FROM documents d CROSS JOIN sh16 s) t WHERE rn = 1),
+      |a17 AS (SELECT doc_id, shard AS a17 FROM (
+      |          SELECT d.doc_id, s.shard,
+      |            row_number() OVER (PARTITION BY d.doc_id ORDER BY
+      |              ('0x' || substr(md5(d.doc_id::VARCHAR || '|' ||
+      |                 s.shard::VARCHAR), 1, 15))::BIGINT DESC,
+      |              s.shard DESC) AS rn
+      |          FROM documents d CROSS JOIN sh17 s) t WHERE rn = 1),
+      |b AS (SELECT a16.doc_id, a16.a16, a17.a17
+      |      FROM a16 JOIN a17 USING (doc_id)),
+      |mv AS (SELECT count(*)::BIGINT AS n_docs,
+      |         sum(CASE WHEN a16 <> a17 THEN 1 ELSE 0 END)::BIGINT AS moved,
+      |         sum(CASE WHEN a16 <> a17 AND a17 <> 16 THEN 1 ELSE 0 END)
+      |           ::BIGINT AS bad_moves
+      |       FROM b),
+      |ld AS (SELECT a17 AS shard, count(*)::BIGINT AS n_docs17
+      |       FROM b GROUP BY 1),
+      |sp AS (SELECT ((1000000 * max(n_docs17)) // min(n_docs17))::BIGINT
+      |         AS spread17_ppm FROM ld)
+      |SELECT shard, n_docs17, mv.n_docs, mv.moved,
+      |       ((1000000 * mv.moved) // mv.n_docs)::BIGINT AS moved_ppm,
+      |       (CASE WHEN mv.bad_moves = 0 THEN 1 ELSE 0 END)::BIGINT
+      |         AS all_moves_to_new,
+      |       sp.spread17_ppm
+      |FROM ld CROSS JOIN mv CROSS JOIN sp""".stripMargin
+
   /** q346: incremental-ingest pipeline — the round's new operators
     * COMPOSED into the production shape they exist for: today's delta
     * snapshot (q44 md5 gate) is chunked content-defined ([[Dedup
@@ -5163,6 +5240,7 @@ object ExtQueries {
     "q366_textrank" -> (q366TextRank _),
     "q369_stream_heavy_hitters" -> (q369StreamHeavyHitters _),
     "q374_snake_packing" -> (q374SnakePacking _),
+    "q375_rendezvous_shard" -> (q375RendezvousShard _),
     "q229_pq_ann" -> (q229PqAnn _),
     "q230_ivfpq_ann" -> (q230IvfPqAnn _),
     "q233_stream_dedup_index" -> (q233StreamDedupIndex _),
@@ -5304,6 +5382,7 @@ object ExtQueries {
     "q366_textrank" -> q366Oracle,
     "q369_stream_heavy_hitters" -> q369Oracle,
     "q374_snake_packing" -> q374Oracle,
+    "q375_rendezvous_shard" -> q375Oracle,
     "q229_pq_ann" -> annRecallOracle,
     "q230_ivfpq_ann" -> annRecallOracle,
     "q233_stream_dedup_index" -> q233Oracle,

@@ -7062,7 +7062,76 @@ object EventQueries {
       |          OVER (), 0) THEN 1 ELSE 0 END)::BIGINT AS is_rejected
       |FROM ps""".stripMargin
 
+  /** q376: A/A calibration sweep — the experimentation-platform health
+    * check that must run BEFORE any A/B readout is trusted (Kohavi et
+    * al.'s "trustworthy online experiments" discipline): 16 independent
+    * md5 splits of the user base into two null arms, the two-proportion
+    * z² on conversion computed EXACTLY by cross-multiplication
+    * `z2_milli = (1000·n·(c1·n0 − c0·n1)²) div (n1·n0·c·(n−c))` — no
+    * float p ever exists — and each split flagged at the χ²₁ 95 % cut
+    * 3.841. Under the null ~5 % of splits should flag;
+    * `ok_calibrated` pins `n_sig ≤ 3` (P[Binom(16, .05) > 3] ≈ 7·10⁻⁴ —
+    * more flags means the harness, not the treatment, is broken).
+    *
+    * Scale shape: ONE user-keyed groupBy to (user, converted), a ×16
+    * generator explode on that |users| contraction, 16-row fold.
+    */
+  def q376AaCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val u = events(spark, dir).groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("conv"))
+    val per = u.withColumn("s", explode(expr("sequence(1L, 16L)")))
+      .withColumn("arm", pmod(graft.ext.Dedup.baseHash(
+        concat(col("user_id").cast("string"), lit("#"), col("s").cast("string"))),
+        lit(2L)))
+      .groupBy("s")
+      .agg(sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("c1"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("c0"))
+      .withColumn("z2_milli",
+        expr("(1000L * (n1 + n0) * (c1 * n0 - c0 * n1) * (c1 * n0 - c0 * n1)) " +
+          "div greatest(n1 * n0 * (c1 + c0) * (n1 + n0 - c1 - c0), 1L)"))
+      .withColumn("is_sig",
+        expr("CASE WHEN z2_milli > 3841L THEN 1L ELSE 0L END"))
+    per.select(col("s").as("split"), col("n1"), col("c1"), col("n0"),
+        col("c0"), col("z2_milli"), col("is_sig"))
+      .withColumn("n_sig", expr("sum(is_sig) OVER ()"))
+      .withColumn("ok_calibrated",
+        expr("CASE WHEN sum(is_sig) OVER () <= 3L THEN 1L ELSE 0L END"))
+  }
+
+  private val q376Oracle =
+    """WITH u AS (SELECT user_id,
+      |             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |               ::BIGINT AS conv
+      |           FROM events GROUP BY 1),
+      |x AS (SELECT u.user_id, u.conv, s.s,
+      |        ('0x' || substr(md5(u.user_id::VARCHAR || '#' || s.s::VARCHAR),
+      |           1, 15))::BIGINT % 2 AS arm
+      |      FROM u CROSS JOIN (SELECT unnest(range(1, 17))::BIGINT AS s) s),
+      |g AS (SELECT s,
+      |        sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+      |        sum(CASE WHEN arm = 1 THEN conv ELSE 0 END)::BIGINT AS c1,
+      |        sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+      |        sum(CASE WHEN arm = 0 THEN conv ELSE 0 END)::BIGINT AS c0
+      |      FROM x GROUP BY 1),
+      |z AS (SELECT *,
+      |        ((1000 * (n1 + n0) * (c1 * n0 - c0 * n1) * (c1 * n0 - c0 * n1))
+      |          // greatest(n1 * n0 * (c1 + c0) * (n1 + n0 - c1 - c0), 1))
+      |          ::BIGINT AS z2_milli
+      |      FROM g),
+      |f AS (SELECT s AS split, n1, c1, n0, c0, z2_milli,
+      |        (CASE WHEN z2_milli > 3841 THEN 1 ELSE 0 END)::BIGINT AS is_sig
+      |      FROM z)
+      |SELECT split, n1, c1, n0, c0, z2_milli, is_sig,
+      |       (sum(is_sig) OVER ())::BIGINT AS n_sig,
+      |       (CASE WHEN sum(is_sig) OVER () <= 3 THEN 1 ELSE 0 END)::BIGINT
+      |         AS ok_calibrated
+      |FROM f""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q376_aa_calibration" -> (q376AaCalibration _),
     "q373_bh_fdr" -> (q373BhFdr _),
     "q370_kruskal_wallis" -> (q370KruskalWallis _),
     "q371_mcnemar" -> (q371McNemar _),
@@ -7234,6 +7303,7 @@ object EventQueries {
     "q323_theil_sen" -> q323Oracle,
     "q324_rate_decomposition" -> q324Oracle,
     "q325_forecast_backtest" -> q325Oracle,
+    "q376_aa_calibration" -> q376Oracle,
     "q373_bh_fdr" -> q373Oracle,
     "q370_kruskal_wallis" -> q370Oracle,
     "q371_mcnemar" -> q371Oracle,

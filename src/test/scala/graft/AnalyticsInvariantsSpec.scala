@@ -188,6 +188,33 @@ class AnalyticsInvariantsSpec extends SparkSpec {
       s"n_per_arm must strictly decrease with MDE: ${ns.mkString(",")}")
   }
 
+  test("q375 HRW: shard loads partition the corpus; the no-stranger-moves theorem holds") {
+    val docs = graft.queries.Tables.documents(spark, Sf0001).count()
+    val rows = graft.ext.ExtQueries.q375RendezvousShard(spark, Sf0001).collect()
+    assert(rows.length === 17)
+    assert(rows.map(_.getAs[Long]("n_docs17")).sum === docs)
+    assert(rows.map(_.getAs[Long]("n_docs")).distinct === Array(docs))
+    // HRW's defining property — every move lands on the NEW shard
+    assert(rows.head.getAs[Long]("all_moves_to_new") === 1L)
+    // and the new shard's load is exactly the moved count
+    val newShard = rows.find(_.getAs[Long]("shard") === 16L).get
+    assert(newShard.getAs[Long]("n_docs17") === rows.head.getAs[Long]("moved"))
+  }
+
+  test("q376 A/A: arms partition users per split; n_sig is its own rows' sum") {
+    val users = graft.queries.Tables.events(spark, Sf0001)
+      .select(col("user_id")).distinct().count()
+    val rows = EventQueries.q376AaCalibration(spark, Sf0001).collect()
+    assert(rows.length === 16)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n1") + r.getAs[Long]("n0") === users)
+      assert(r.getAs[Long]("c1") <= r.getAs[Long]("n1"))
+      assert(r.getAs[Long]("c0") <= r.getAs[Long]("n0"))
+    }
+    assert(rows.head.getAs[Long]("n_sig") ===
+      rows.map(_.getAs[Long]("is_sig")).sum)
+  }
+
   test("q373 BH: rejections are a prefix of the p-ranking; p's are proper") {
     val rows = EventQueries.q373BhFdr(spark, Sf0001).collect()
       .sortBy(_.getAs[Long]("rnk"))
