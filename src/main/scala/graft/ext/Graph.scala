@@ -111,6 +111,76 @@ object Graph {
     scores
   }
 
+  /** Seed-sampled, k-hop-bounded betweenness centrality — Brandes'
+    * dependency accumulation (Brandes, J. Math. Sociol. 2001) with the
+    * standard sampling estimator (Brandes & Pich 2007: a few sources
+    * stand in for all-sources) and a bounded BFS depth, both of which
+    * are what makes betweenness runnable at scale at all. Forward pass:
+    * `depth` synchronous BFS rounds per seed accumulating shortest-path
+    * counts `σ(v) = Σ_{u∈pred(v)} σ(u)` (level-(r−1) neighbors minus
+    * visited — the q274 round shape). Backward pass: per level from deep
+    * to shallow, `δ(v) = Σ_{w∈succ(v)} (σ(v)·(scale + δ(w))) div σ(w)`
+    * — Brandes' recurrence in scaled integers through ONE shared floor
+    * chain, so the oracle replays it bit-identically (a float δ could
+    * not hash-gate). Returns (node, bc) = Σ over seeds of δ, seeds
+    * excluded from their own accumulation; `bc` is in `scale`-ths of a
+    * path ("ppm of dependency" at the default).
+    *
+    * Scale shape: every round is a frontier⋈edges join + groupBy on the
+    * node key with an anti-join against the visited set, per-round
+    * `localCheckpoint` capping lineage; the backward pass joins adjacent
+    * LEVELS only (the BFS DAG edges), never the whole graph.
+    */
+  def betweennessSampled(
+      edges: DataFrame,
+      seeds: Seq[Long],
+      depth: Int = 3,
+      scale: Long = 1000000L): DataFrame = {
+    require(seeds.nonEmpty, "need at least one seed")
+    require(depth >= 2, "depth < 2 leaves no interior node to score")
+    val e = edges.select(col("u"), col("v"))
+    val spark = edges.sparkSession
+    val seedDf = spark.range(seeds.length)
+      .select(expr(s"element_at(array(${seeds.mkString(",")}), " +
+        "cast(id + 1 AS INT))").cast("long").as("seed"))
+      .select(col("seed"), col("seed").as("node"),
+        lit(0).as("lvl"), lit(1L).as("sg"))
+    var visited = seedDf.localCheckpoint()
+    (1 to depth).foreach { r =>
+      val frontier = visited.filter(col("lvl") === r - 1)
+        .select(col("seed"), col("node").as("u"), col("sg"))
+      val next = e.join(frontier, "u")
+        .groupBy(col("seed"), col("v").as("node"))
+        .agg(sum("sg").as("sg"))
+        .join(visited.select("seed", "node"), Seq("seed", "node"), "left_anti")
+        .select(col("seed"), col("node"), lit(r).as("lvl"), col("sg"))
+      visited = visited.unionByName(next).localCheckpoint()
+    }
+    // backward: deepest level has δ = 0; each shallower level pulls from
+    // its successor level through the scaled Brandes recurrence
+    var deltas = visited.filter(col("lvl") === depth)
+      .select(col("seed"), col("node"), col("sg"), lit(0L).as("delta"))
+    var acc = deltas
+    ((depth - 1) to 1 by -1).foreach { r =>
+      val cur = visited.filter(col("lvl") === r)
+        .select(col("seed"), col("node"), col("sg"))
+      val succ = deltas
+        .select(col("seed"), col("node").as("v"),
+          col("sg").as("sg_w"), col("delta").as("delta_w"))
+      val pulled = e.select(col("u").as("node"), col("v"))
+        .join(succ, "v")
+        .select(col("seed"), col("node"), col("sg_w"), col("delta_w"))
+      deltas = cur.join(pulled, Seq("seed", "node"), "left")
+        .groupBy(col("seed"), col("node"))
+        .agg(max("sg").as("sg"),
+          coalesce(sum(expr(s"(sg * ($scale + delta_w)) div sg_w")), lit(0L))
+            .as("delta"))
+        .localCheckpoint()
+      acc = acc.unionByName(deltas)
+    }
+    acc.groupBy("node").agg(sum("delta").as("bc"))
+  }
+
   /** Exact per-node triangle counts via DEGREE ORIENTATION — the classic
     * O(m^1.5) formulation (Chiba–Nishizeki; the shape MapReduce triangle
     * counters use): orient every undirected edge from its lower-(degree,

@@ -3035,7 +3035,88 @@ object ParityQueries {
       |  GROUP BY ALL)
       |SELECT * EXCLUDE (avg_qty) FROM g ORDER BY ALL LIMIT 50""".stripMargin
 
+  /** q377: seed-sampled bounded betweenness centrality over the trade
+    * graph ([[graft.ext.Graph.betweennessSampled]] — Brandes 2001 with
+    * the Brandes-Pich 2007 source-sampling estimator and 3-hop bounding,
+    * the two standard concessions that make betweenness tractable at
+    * scale): σ path counts forward (q274's BFS round shape), the δ
+    * dependency recurrence backward through one shared integer floor
+    * chain, summed over seeds {customer 0, customer 1} — the BROKERAGE
+    * ranking (who sits on shortest paths) the centrality family still
+    * lacked: PageRank ranks influence, k-core density, HITS authority;
+    * betweenness ranks chokepoints. Top-20 with the node tie-break, so
+    * the cut is deterministic.
+    */
+  def q377Betweenness(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val und = e0.select(col("src").as("u"), col("dst").as("v"))
+      .union(e0.select(col("dst").as("u"), col("src").as("v")))
+      .localCheckpoint()
+    graft.ext.Graph.betweennessSampled(und, Seq(0L, 2L), depth = 3)
+      .orderBy(col("bc").desc, col("node").asc).limit(20)
+  }
+
+  private val q377Oracle = {
+    def seedChain(s: Long, tag: String): String =
+      s"""l0_$tag AS (SELECT $s::BIGINT AS node, 1::BIGINT AS sg),
+         |l1_$tag AS MATERIALIZED (
+         |  SELECT und.v AS node, sum(l.sg)::BIGINT AS sg
+         |  FROM und JOIN l0_$tag l ON und.u = l.node
+         |  WHERE und.v NOT IN (SELECT node FROM l0_$tag)
+         |  GROUP BY 1),
+         |l2_$tag AS MATERIALIZED (
+         |  SELECT und.v AS node, sum(l.sg)::BIGINT AS sg
+         |  FROM und JOIN l1_$tag l ON und.u = l.node
+         |  WHERE und.v NOT IN (SELECT node FROM l0_$tag
+         |                      UNION ALL SELECT node FROM l1_$tag)
+         |  GROUP BY 1),
+         |l3_$tag AS MATERIALIZED (
+         |  SELECT und.v AS node, sum(l.sg)::BIGINT AS sg
+         |  FROM und JOIN l2_$tag l ON und.u = l.node
+         |  WHERE und.v NOT IN (SELECT node FROM l0_$tag
+         |                      UNION ALL SELECT node FROM l1_$tag
+         |                      UNION ALL SELECT node FROM l2_$tag)
+         |  GROUP BY 1),
+         |d2_$tag AS MATERIALIZED (
+         |  SELECT c.node, c.sg,
+         |         coalesce(sum((c.sg * 1000000) // p.sg), 0)::BIGINT AS delta
+         |  FROM l2_$tag c
+         |  LEFT JOIN (SELECT und.u AS node, w.sg
+         |             FROM und JOIN l3_$tag w ON und.v = w.node) p
+         |    ON p.node = c.node
+         |  GROUP BY 1, 2),
+         |d1_$tag AS MATERIALIZED (
+         |  SELECT c.node, c.sg,
+         |         coalesce(sum((c.sg * (1000000 + p.delta)) // p.sg), 0)::BIGINT
+         |           AS delta
+         |  FROM l1_$tag c
+         |  LEFT JOIN (SELECT und.u AS node, w.sg, w.delta
+         |             FROM und JOIN d2_$tag w ON und.v = w.node) p
+         |    ON p.node = c.node
+         |  GROUP BY 1, 2)""".stripMargin
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |und AS (SELECT src AS u, dst AS v FROM e0
+       |        UNION ALL SELECT dst, src FROM e0),
+       |${seedChain(0L, "a")},
+       |${seedChain(2L, "b")},
+       |acc AS (SELECT node, delta FROM d1_a
+       |        UNION ALL SELECT node, delta FROM d2_a
+       |        UNION ALL SELECT node, 0 FROM l3_a
+       |        UNION ALL SELECT node, delta FROM d1_b
+       |        UNION ALL SELECT node, delta FROM d2_b
+       |        UNION ALL SELECT node, 0 FROM l3_b)
+       |SELECT node, sum(delta)::BIGINT AS bc FROM acc GROUP BY 1
+       |ORDER BY bc DESC, node ASC LIMIT 20""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q377_betweenness" -> (q377Betweenness _),
     "q368_sql_sugar" -> (q368SqlSugar _),
     "q365_sssp_cheapest" -> (q365SsspCheapest _),
     "q329_recursive_rollup" -> (q329RecursiveRollup _),
@@ -3119,6 +3200,7 @@ object ParityQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q377_betweenness" -> q377Oracle,
     "q368_sql_sugar" -> q368Oracle,
     "q365_sssp_cheapest" -> q365Oracle,
     "q342_pipe_syntax" -> q342Oracle,

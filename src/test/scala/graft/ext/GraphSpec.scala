@@ -125,6 +125,25 @@ class GraphSpec extends SparkSpec {
     assert(w === e)
   }
 
+  test("betweennessSampled: path graph — the middle node carries the full dependency") {
+    // 1-2-3 undirected, seeds {1,3}, depth 2: from each end δ(2) = 10⁶,
+    // endpoints at the deep level carry 0 — bc(2) = 2·10⁶
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("u", "v")
+    val got = Graph.betweennessSampled(edges, Seq(1L, 3L), depth = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 2000000L, 3L -> 0L))
+  }
+
+  test("betweennessSampled: diamond splits dependency by path counts (σ division)") {
+    // 1-{2,3}-4, seed 1, depth 2: σ(4) = 2, so each middle gets
+    // (1·10⁶) div 2 = 500000 — Brandes' σv/σw weighting, floor-chained
+    val raw = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+    val edges = (raw ++ raw.map(_.swap)).toDF("u", "v")
+    val got = Graph.betweennessSampled(edges, Seq(1L), depth = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(2L -> 500000L, 3L -> 500000L, 4L -> 0L))
+  }
+
   test("labelPropagation: barbell graph hand-replayed over two rounds") {
     // two triangles {1,2,3} {4,5,6} bridged 3-4; labels start as own id
     // r1 (min label wins every all-singleton tie):
