@@ -1231,4 +1231,68 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         expr("(1000000 * inter) div uni").as("jacc_ppm"))
   }
+
+  // ---------------- exact substring (span-level) ----------------
+
+  /** Exact duplicated-SPAN detection — the token-span tier of the ladder
+    * (Lee, Ippolito, Nystrom, Zhang, Eck, Callison-Burch & Carlini,
+    * "Deduplicating Training Data Makes Language Models Better", ACL 2022:
+    * the ExactSubstr operator): duplicated runs of ≥ `minSpanTokens` tokens
+    * INSIDE otherwise-unique documents, which the document tiers
+    * (fingerprint / MinHash / SimHash) and the line tier
+    * ([[dedupLinesAcross]]) both miss — boilerplate headers, licence
+    * blocks, templated paragraphs repeated across a crawl.
+    *
+    * The paper builds one corpus-wide suffix array — inherently
+    * sequential. The distributed formulation: every token position
+    * contributes its k-token gram's 60-bit md5 hash; a gram occurring ≥ 2
+    * times ANYWHERE in the corpus (including twice inside one document —
+    * the paper counts self-repeats as duplication) marks its start
+    * position; maximal runs of consecutive marked positions extend to
+    * spans of `run_length + k − 1` tokens (gaps-and-islands). Every
+    * duplicated substring of length ≥ k marks ALL its k-grams, so every
+    * duplicated span of ≥ minSpanTokens (≥ k) is found exactly; a false
+    * positive requires two DISTINCT grams to collide in the 60-bit hash —
+    * negligible, and IDENTICAL in the DuckDB replay, so the oracle gate
+    * stays hash-exact.
+    *
+    * Scale shape: |tokens| gram rows (narrow: id + int + long); one
+    * groupBy on the gram hash with map-side combine (contracts to
+    * |distinct grams|); one equi-join back; a per-DOCUMENT window for the
+    * island merge (partition = one document's marked positions, bounded
+    * by document length); one groupBy per (doc, island). No all-pairs
+    * step and no global order anywhere; the hottest key is the most
+    * frequent gram, the same skew bound as the MinHash band buckets.
+    *
+    * Returns one row per maximal duplicated span:
+    * (idCol, span_start — 0-based token position, span_tokens).
+    */
+  def exactSubstrSpans(
+      docs: DataFrame,
+      k: Int = 8,
+      minSpanTokens: Int = 16,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k >= 2, "gram width k must be >= 2")
+    require(minSpanTokens >= k, "minSpanTokens must be >= k (shorter spans are invisible)")
+    val grams = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= k)
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0), size(col("__toks")) - k),
+          i => baseHash(array_join(slice(col("__toks"), i + 1, lit(k)), " "))))
+          .as(Seq("pos", "gh")))
+    val dupGrams = grams.groupBy("gh").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2).select("gh")
+    val marked = grams.join(dupGrams, "gh").select(col(idCol), col("pos"))
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    marked
+      .withColumn("__isl", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) - min(col("pos")) + k).cast("long").as("span_tokens"))
+      .filter(col("span_tokens") >= minSpanTokens)
+      .select(col(idCol), col("span_start"), col("span_tokens"))
+  }
 }

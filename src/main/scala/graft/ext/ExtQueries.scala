@@ -4341,8 +4341,10 @@ object ExtQueries {
     * the exact d² identity `ρ = 10⁶ − 6·Σd²·10⁶ div (n(n²−1))` applies
     * BIGINT end to end (the q284 discipline, here across TWO tables).
     *
-    * Scale shape: one scan each side, an id-equi join, two rank windows
-    * over the |docs-with-embeddings| contraction, a 1-row statistic.
+    * Scale shape: one scan each side, an id-equi join, two
+    * [[RangeRank.rank]] passes (range-partitioned two-pass ranks — no
+    * single-partition global window) over the |docs-with-embeddings|
+    * contraction, a 1-row statistic.
     */
   def q328ModalityQa(spark: SparkSession, dir: String): DataFrame = {
     val text = col("text")
@@ -4359,10 +4361,8 @@ object ExtQueries {
           |  transform(embedding, v -> CAST(floor(CAST(v AS double) * 1000) AS bigint)),
           |  0L, (a, x) -> a + x * x)""".stripMargin).as("nq"))
     val j = qdocs.join(norms, "doc_id")
-    val rq = Window.orderBy(col("q4").asc, col("doc_id").asc)
-    val rn = Window.orderBy(col("nq").asc, col("doc_id").asc)
-    j.withColumn("ra", row_number().over(rq).cast("long"))
-      .withColumn("rb", row_number().over(rn).cast("long"))
+    val ra = RangeRank.rank(j, Seq(col("q4").asc, col("doc_id").asc), "ra")
+    RangeRank.rank(ra, Seq(col("nq").asc, col("doc_id").asc), "rb")
       .withColumn("d2", (col("ra") - col("rb")) * (col("ra") - col("rb")))
       .agg(count(lit(1)).as("n_docs"), sum(col("d2")).as("sum_d2"))
       .select(col("n_docs"), col("sum_d2"),
@@ -4988,15 +4988,15 @@ object ExtQueries {
     * spreads (max·10⁶ div min load) side by side with the md5-hash
     * assignment's, and `snake_tighter` pins that the size-aware deal
     * beats size-blind hashing on this corpus — machine-checked, not
-    * assumed. The global rank window is the q288 discipline: a
-    * |docs|-row single-partition sort at fixture scale, swapped for a
-    * two-pass range-partitioned rank at 100 TB (the snake only needs
-    * RANKS, which range partitioning delivers without a global window).
+    * assumed. The global rank is [[RangeRank.rank]] — the two-pass
+    * range-partitioned form (sampled boundaries, per-partition local rank,
+    * broadcast offsets), never a single-partition global window; the snake
+    * only needs RANKS, which range partitioning delivers in parallel.
     */
   def q374SnakePacking(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("n_chars").desc, col("doc_id").asc)
-    val ranked = documents(spark, dir).select(col("doc_id"), col("n_chars"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
+    val ranked = RangeRank.rank(
+      documents(spark, dir).select(col("doc_id"), col("n_chars")),
+      Seq(col("n_chars").desc, col("doc_id").asc), "rnk")
       .withColumn("pos", expr("(rnk - 1) % 32"))
       .withColumn("shard",
         expr("CASE WHEN pos < 16 THEN pos ELSE 31L - pos END"))
@@ -5040,6 +5040,38 @@ object ExtQueries {
       |       (CASE WHEN snake_spread_ppm <= hash_spread_ppm
       |          THEN 1 ELSE 0 END)::BIGINT AS snake_tighter
       |FROM sn CROSS JOIN sp CROSS JOIN hp""".stripMargin
+
+  /** q378: exact substring-level dedup ([[Dedup.exactSubstrSpans]] — the
+    * Lee et al. ACL 2022 ExactSubstr tier): maximal duplicated token
+    * spans ≥ 16 tokens built from duplicated 8-gram runs, the span-level
+    * signal the document tiers (q20/q21/q22) and line tier (q95-family)
+    * both miss. One row per span (doc_id, span_start, span_tokens); the
+    * oracle replays the gram hashing, the ≥2 occurrence gate, and the
+    * gaps-and-islands run merge in SQL, so the span extraction itself is
+    * hash-gated, not just row counts.
+    */
+  def q378ExactSubstr(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactSubstrSpans(fanOut(documents(spark, dir)),
+      k = 8, minSpanTokens = 16)
+
+  private val q378Oracle =
+    s"""WITH t AS (SELECT doc_id, string_split($DNorm, ' ') AS toks
+       |           FROM documents),
+       |g0 AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 8 + 2)) AS i
+       |       FROM t WHERE len(toks) >= 8),
+       |g AS (SELECT doc_id, i - 1 AS pos,
+       |        ('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 15))::BIGINT AS gh
+       |      FROM g0),
+       |d AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+       |m AS (SELECT doc_id, pos FROM g JOIN d USING (gh)),
+       |r AS (SELECT doc_id, pos,
+       |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+       |      FROM m),
+       |s AS (SELECT doc_id, min(pos)::BIGINT AS span_start,
+       |        (max(pos) - min(pos) + 8)::BIGINT AS span_tokens
+       |      FROM r GROUP BY doc_id, isl)
+       |SELECT doc_id, span_start, span_tokens
+       |FROM s WHERE span_tokens >= 16""".stripMargin
 
   /** q375: rendezvous (highest-random-weight) resharding — the OTHER
     * minimal-movement assignment scheme beside q315's consistent-hash
@@ -5241,6 +5273,7 @@ object ExtQueries {
     "q369_stream_heavy_hitters" -> (q369StreamHeavyHitters _),
     "q374_snake_packing" -> (q374SnakePacking _),
     "q375_rendezvous_shard" -> (q375RendezvousShard _),
+    "q378_exact_substr" -> (q378ExactSubstr _),
     "q229_pq_ann" -> (q229PqAnn _),
     "q230_ivfpq_ann" -> (q230IvfPqAnn _),
     "q233_stream_dedup_index" -> (q233StreamDedupIndex _),
@@ -5383,6 +5416,7 @@ object ExtQueries {
     "q369_stream_heavy_hitters" -> q369Oracle,
     "q374_snake_packing" -> q374Oracle,
     "q375_rendezvous_shard" -> q375Oracle,
+    "q378_exact_substr" -> q378Oracle,
     "q229_pq_ann" -> annRecallOracle,
     "q230_ivfpq_ann" -> annRecallOracle,
     "q233_stream_dedup_index" -> q233Oracle,

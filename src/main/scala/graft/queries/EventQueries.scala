@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.ext.RangeRank
+
 /** Event-stream analytics over the `events` table — the product-analytics
   * shapes the reference's ecosystem consumes downstream (sessionization,
   * funnels, JSON property extraction, date/scalar transforms).
@@ -3548,10 +3550,10 @@ object EventQueries {
     * event-driven reading, identical on both engines.
     *
     * Scale shape: one user_id shuffle for sessionization, then the
-    * boundary stream contracts to 2·|sessions| rows; the global
-    * running-sum window is the deliberate single-partition step over that
-    * contraction (q256's discipline), and the day rollup shuffles
-    * |days| rows.
+    * boundary stream contracts to 2·|sessions| rows; the global running
+    * sum over that contraction is [[RangeRank.prefix]] — two-pass
+    * range-partitioned, ROWS-frame-exact, never a single-partition
+    * window — and the day rollup shuffles |days| rows.
     */
   def q264PeakConcurrency(spark: SparkSession, dir: String): DataFrame = {
     val e = events(spark, dir).withColumn("ts_us", tsUs)
@@ -3568,10 +3570,9 @@ object EventQueries {
       .select(col("user_id"), col("st").as("t"), lit(1L).as("delta"))
       .unionByName(sessions
         .select(col("user_id"), col("en").as("t"), lit(-1L).as("delta")))
-    val ws = Window.orderBy(col("t").asc, col("delta").desc, col("user_id").asc)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    bounds
-      .withColumn("open", sum(col("delta")).over(ws))
+    RangeRank.prefix(bounds,
+        Seq(col("t").asc, col("delta").desc, col("user_id").asc),
+        col("delta"), "open")
       .groupBy(expr("t div 86400000000").as("day"))
       .agg(max(col("open")).as("peak_concurrency"))
   }
@@ -3611,15 +3612,19 @@ object EventQueries {
     * Scale shape: one user_id contraction for the three measures; each
     * threshold chain is a histogram contraction over |distinct measure
     * values| with a 5-row broadcast back; the segment rollup is ≤ 125
-    * rows. The global last-day anchor is a 1-row broadcast.
+    * rows. The global last-day anchor is a 1-row broadcast. The monetary
+    * histogram's value domain is per-user SUMS — |users|-scale, not a
+    * bounded price grid — so the cumulative count rides
+    * [[graft.ext.RangeRank.prefix]] (two-pass range-partitioned, r11)
+    * and the user total is read off the checkpointed cumsum's max,
+    * never a single-partition window.
     */
   def q266RfmSegments(spark: SparkSession, dir: String): DataFrame = {
     def scores(vals: DataFrame, valCol: String, out: String): DataFrame = {
       val h = vals.groupBy(col(valCol).as("v")).agg(count(lit(1)).as("cnt"))
-      val wc = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)
-      val thr = h.withColumn("cum", sum("cnt").over(wc))
-        .withColumn("n", sum("cnt").over(
-          Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      val cum = RangeRank.prefix(h, Seq(col("v").asc), col("cnt"), "cum")
+      val thr = cum
+        .crossJoin(broadcast(cum.agg(max(col("cum")).as("n"))))
         .crossJoin(broadcast(spark.range(1, 6).select(col("id").as("s"))))
         .filter(col("cum") * 5 >= col("n") * col("s"))
         .groupBy("s").agg(min(col("v")).as("thr"))
@@ -3674,7 +3679,10 @@ object EventQueries {
     * value-histogram contraction, q258's discipline — a funnel's
     * "how long does conversion take" companion to q13's "does it happen").
     * Both percentile picks fold into ONE aggregate over the cumulated
-    * histogram — no second pass.
+    * histogram — no second pass. The lag domain is per-user µs
+    * differences — |users|-scale, not a bounded grid — so the cumulation
+    * is [[RangeRank.prefix]] (two-pass range-partitioned, r11) with the
+    * total read off the checkpointed cumsum's max.
     */
   def q278ConvertLag(spark: SparkSession, dir: String): DataFrame = {
     val e = events(spark, dir).withColumn("tsu", tsUs)
@@ -3685,11 +3693,10 @@ object EventQueries {
       .join(s0, "user_id")
       .filter(col("tsu") >= col("s0"))
       .groupBy("user_id").agg(min(col("tsu") - col("s0")).as("lag"))
-    val wc = Window.orderBy(col("lag")).rowsBetween(Window.unboundedPreceding, 0)
-    lags.groupBy("lag").agg(count(lit(1)).as("cnt"))
-      .withColumn("cum", sum("cnt").over(wc))
-      .withColumn("n", sum("cnt").over(
-        Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val h = lags.groupBy("lag").agg(count(lit(1)).as("cnt"))
+    val cum = RangeRank.prefix(h, Seq(col("lag").asc), col("cnt"), "cum")
+    cum
+      .crossJoin(broadcast(cum.agg(max(col("cum")).as("n"))))
       .agg(max(col("n")).as("n_converted"),
         min(when(col("cum") >= expr("(n + 1) div 2"), col("lag"))).as("med_lag_us"),
         min(when(col("cum") * 10 >= col("n") * 9, col("lag"))).as("p90_lag_us"))
@@ -6871,16 +6878,20 @@ object EventQueries {
     * CUPED-adjusted mean micro-cents through one shared floor chain —
     * the adjusted diff is the debiased readout.
     *
-    * Scale shape: ONE user-keyed groupBy (both periods in conditional
-    * aggregates — no second scan), a 1-row moment fold, and a 2-row arm
-    * table; anchors broadcast.
+    * Scale shape: ONE user-keyed groupBy over the event scan (both
+    * periods in conditional aggregates), a 1-row moment fold, and a 2-row
+    * arm table. The pre/post split anchor `d0` is a 1-row column-pruned
+    * `min(day)` aggregate broadcast back — NOT a grand-total window over
+    * the raw event table, which would funnel every event row through one
+    * window task (the r11 plan-shape gate forbids that shape).
     */
   def q372Cuped(spark: SparkSession, dir: String): DataFrame = {
-    val perUser = events(spark, dir)
+    val base = events(spark, dir)
       .select(col("user_id"), tsDay.as("day"),
         col("event_type"),
         floor(col("value") * 100).cast("long").as("cents"))
-      .withColumn("d0", min("day").over(Window.partitionBy()))
+    val perUser = base
+      .crossJoin(broadcast(base.agg(min("day").as("d0"))))
       .groupBy("user_id")
       .agg(sum(when(col("day") < col("d0") + 15, 1L).otherwise(0L)).as("x"),
         // y in whole dollars (cents div 100): keeps n·Σy² inside long at
@@ -7130,8 +7141,102 @@ object EventQueries {
       |         AS ok_calibrated
       |FROM f""".stripMargin
 
+  /** q379: Dunnett-style many-vs-control comparison (Dunnett, "A multiple
+    * comparison procedure for comparing several treatments with a
+    * control", JASA 50, 1955) — the missing multi-armed workhorse next to
+    * q371's paired test and q373's BH family: three treatment arms
+    * (`user_id % 4`, arm 0 = control) compared against the SHARED control
+    * on per-user purchase dollars, using the pooled within-arm variance
+    * (the one-way-ANOVA MSE Dunnett's procedure prescribes — each
+    * contrast borrows strength from ALL arms) and the family-wise
+    * critical value for k=3 simultaneous two-sided contrasts at α=0.05,
+    * df≈∞, equal allocation: d=2.349 (Dunnett 1955, Table 2), pinned as
+    * `t2_milli > 5518` (2.349² = 5.5178). A per-arm z-test at 1.96 would
+    * inflate the family error to ~14 %; the Dunnett cut holds it at 5 %.
+    *
+    * Integer discipline: y in whole dollars (the q372 overflow
+    * convention, `n·Σy²` stays in long at every tested scale); SSE as the
+    * per-arm floor-sum `Σ (1000(n·q − s²)) div n` (each term ≥ 0 by
+    * Cauchy–Schwarz, so Spark's truncating `div` and DuckDB's flooring
+    * `//` agree); the contrast through the harmonic size
+    * `h = n·n_c div (n+n_c)` so `t2_milli = diff_milli²·h div
+    * (1000·s2_milli)` never squares a raw sum (diff_milli² ≤ 10¹⁰ ·
+    * h ≤ 10⁶ — inside long with 100× headroom). `diff_milli` CAN be
+    * negative, where the engines' integer divisions differ — the oracle
+    * spells out truncation-toward-zero as a CASE (the holtFdiv
+    * discipline) so both run identical semantics.
+    *
+    * Scale shape: ONE user-keyed groupBy, a 4-row arm table
+    * (localCheckpoint — it feeds the SSE fold, the control row, and the
+    * treatment rows without re-scanning events), everything downstream
+    * broadcast; the family rollup is a 3-row frame.
+    */
+  def q379Dunnett(spark: SparkSession, dir: String): DataFrame = {
+    val byArm = events(spark, dir)
+      .withColumn("cents", floor(col("value") * 100).cast("long"))
+      .groupBy("user_id")
+      .agg(expr("sum(CASE WHEN event_type = 'purchase' THEN cents ELSE 0L END)" +
+        " div 100L").as("y"))
+      .withColumn("arm", expr("user_id % 4"))
+      .groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum("y").as("s"),
+        sum(expr("y * y")).as("q"))
+      .localCheckpoint()
+    val pooled = byArm.agg(
+        sum(expr("(1000L * (n * q - s * s)) div n")).as("sse_milli"),
+        sum("n").as("n_tot"))
+      .select(expr("sse_milli div (n_tot - 4)").as("s2_milli"))
+    val ctrl = byArm.filter(col("arm") === 0)
+      .select(col("n").as("n_c"), col("s").as("s_c"))
+    byArm.filter(col("arm") =!= 0)
+      .crossJoin(broadcast(ctrl))
+      .crossJoin(broadcast(pooled))
+      .withColumn("diff_milli",
+        expr("(1000L * (s * n_c - s_c * n)) div (n * n_c)"))
+      .withColumn("h", expr("(n * n_c) div (n + n_c)"))
+      .withColumn("t2_milli",
+        expr("(diff_milli * diff_milli * h) div greatest(1000L * s2_milli, 1L)"))
+      .withColumn("is_sig", expr("CASE WHEN t2_milli > 5518L THEN 1L ELSE 0L END"))
+      .select(col("arm"), col("n").as("n_t"), col("n_c"), col("s2_milli"),
+        col("diff_milli"), col("t2_milli"), col("is_sig"))
+      .withColumn("n_sig", expr("sum(is_sig) OVER ()"))
+  }
+
+  private val q379Oracle = {
+    // truncation-toward-zero spelled out (Spark div) — DuckDB // floors
+    def tdiv(x: String, d: String): String =
+      s"(CASE WHEN ($x) >= 0 THEN ($x) // ($d) ELSE -((-($x)) // ($d)) END)"
+    s"""WITH pu AS (SELECT user_id,
+       |        (sum(CASE WHEN event_type = 'purchase'
+       |             THEN floor(value * 100)::BIGINT ELSE 0 END) // 100)
+       |          ::BIGINT AS y
+       |      FROM events GROUP BY 1),
+       |a AS (SELECT user_id % 4 AS arm, count(*)::BIGINT AS n,
+       |        sum(y)::BIGINT AS s, sum(y * y)::BIGINT AS q
+       |      FROM pu GROUP BY 1),
+       |p AS (SELECT (sum((1000 * (n * q - s * s)) // n)
+       |          // (sum(n) - 4))::BIGINT AS s2_milli FROM a),
+       |c AS (SELECT n AS n_c, s AS s_c FROM a WHERE arm = 0),
+       |t AS (SELECT arm::BIGINT AS arm, n, s FROM a WHERE arm <> 0),
+       |x AS (SELECT arm, n AS n_t, n_c, s2_milli,
+       |        ${tdiv("1000 * (s * n_c - s_c * n)", "n * n_c")}::BIGINT
+       |          AS diff_milli,
+       |        ((n * n_c) // (n + n_c))::BIGINT AS h
+       |      FROM t CROSS JOIN c CROSS JOIN p),
+       |z AS (SELECT arm, n_t, n_c, s2_milli, diff_milli,
+       |        ((diff_milli * diff_milli * h)
+       |          // greatest(1000 * s2_milli, 1))::BIGINT AS t2_milli
+       |      FROM x)
+       |SELECT arm, n_t, n_c, s2_milli, diff_milli, t2_milli,
+       |       (CASE WHEN t2_milli > 5518 THEN 1 ELSE 0 END)::BIGINT AS is_sig,
+       |       (sum(CASE WHEN t2_milli > 5518 THEN 1 ELSE 0 END) OVER ())
+       |         ::BIGINT AS n_sig
+       |FROM z""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q376_aa_calibration" -> (q376AaCalibration _),
+    "q379_dunnett" -> (q379Dunnett _),
     "q373_bh_fdr" -> (q373BhFdr _),
     "q370_kruskal_wallis" -> (q370KruskalWallis _),
     "q371_mcnemar" -> (q371McNemar _),
@@ -7304,6 +7409,7 @@ object EventQueries {
     "q324_rate_decomposition" -> q324Oracle,
     "q325_forecast_backtest" -> q325Oracle,
     "q376_aa_calibration" -> q376Oracle,
+    "q379_dunnett" -> q379Oracle,
     "q373_bh_fdr" -> q373Oracle,
     "q370_kruskal_wallis" -> q370Oracle,
     "q371_mcnemar" -> q371Oracle,

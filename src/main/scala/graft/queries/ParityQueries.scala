@@ -2645,18 +2645,19 @@ object ParityQueries {
     * integration can't hash-gate). Complements q240's Gini IMPURITY
     * (categorical) with the economic inequality reading (continuous).
     *
-    * Scale shape: one custkey contraction; the rank window runs over the
-    * |customers| contraction (single-partition by design, q256's
-    * discipline — at 100 TB swap in a two-pass range-partitioned rank);
-    * the statistic is 1 row. Overflow headroom: Σi·xᵢ ≤ n²·max_cents.
+    * Scale shape: one custkey contraction; the global rank over the
+    * |customers| contraction is [[graft.ext.RangeRank.rank]] — two-pass
+    * range-partitioned (sampled boundaries, per-partition local rank,
+    * broadcast offsets), bit-equal to the single-partition window it
+    * replaced (r11); the statistic is 1 row. Overflow headroom:
+    * Σi·xᵢ ≤ n²·max_cents.
     */
   def q288SpendGini(spark: SparkSession, dir: String): DataFrame = {
     val spend = orders(spark, dir)
       .groupBy("o_custkey")
       .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
-    val w = Window.orderBy(col("cents").asc, col("o_custkey").asc)
-    spend
-      .withColumn("i", row_number().over(w).cast("long"))
+    graft.ext.RangeRank.rank(spend,
+        Seq(col("cents").asc, col("o_custkey").asc), "i")
       .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("total_cents"),
         sum(col("i") * col("cents")).as("rank_weighted"))
       .select(col("n_customers"), col("total_cents"),
@@ -2725,18 +2726,34 @@ object ParityQueries {
       |       wd AS (PARTITION BY c_mktsegment
       |              ORDER BY floor(c_acctbal * 100)::BIGINT DESC)""".stripMargin
 
-  /** q290: ntile parity — `ntile(7)` over a UNIQUE total order (cents,
-    * custkey), where the SQL-standard distribution rule (the first
-    * `n mod k` tiles take one extra row) is fully determined — pinning
-    * that both engines implement the same rule. 7 deliberately doesn't
-    * divide the row count. Output is the per-tile contraction (tile,
-    * rows, min/max cents) — the boundary placement IS the check.
+  /** q290: ntile parity — the SQL-standard `ntile(7)` distribution rule
+    * (the first `n mod k` tiles take one extra row) over a UNIQUE total
+    * order (cents, custkey). 7 deliberately doesn't divide the row count.
+    * Output is the per-tile contraction (tile, rows, min/max cents) — the
+    * boundary placement IS the check.
+    *
+    * The rule is computed EXPLICITLY from the global rank (rank i with
+    * n = qk + r: tiles 1..r hold q+1 rows, so i ≤ r(q+1) → tile
+    * ⌈i/(q+1)⌉, else tile r + ⌈(i − r(q+1))/q⌉) and pinned against
+    * DuckDB's builtin `ntile` — formula vs builtin across engines, a
+    * stronger parity than builtin-vs-builtin. The rank itself is
+    * [[graft.ext.RangeRank.rank]] (two-pass range-partitioned, r11) and
+    * `n` a 1-row broadcast, so no |customers|-sized single-partition
+    * window remains (Spark's `ntile` REQUIRES a global window — this is
+    * also how the operator survives 100 TB).
     */
   def q290NtileParity(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("cents").asc, col("c_custkey").asc)
-    customer(spark, dir)
-      .select(col("c_custkey"), floor(col("c_acctbal") * 100).cast("long").as("cents"))
-      .withColumn("tile", ntile(7).over(w).cast("long"))
+    val ranked = graft.ext.RangeRank.rank(
+      customer(spark, dir)
+        .select(col("c_custkey"), floor(col("c_acctbal") * 100).cast("long").as("cents")),
+      Seq(col("cents").asc, col("c_custkey").asc), "i")
+    ranked
+      .crossJoin(broadcast(ranked.agg(count(lit(1)).as("n"))))
+      .withColumn("tile", expr(
+        """CASE WHEN i <= (n % 7) * (n div 7 + 1)
+          |     THEN (i - 1) div (n div 7 + 1) + 1
+          |     ELSE (n % 7) + (i - (n % 7) * (n div 7 + 1) - 1)
+          |            div greatest(n div 7, 1) + 1 END""".stripMargin))
       .groupBy("tile")
       .agg(count(lit(1)).as("n_rows"), min(col("cents")).as("lo_cents"),
         max(col("cents")).as("hi_cents"))

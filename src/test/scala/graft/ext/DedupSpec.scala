@@ -393,4 +393,55 @@ class DedupSpec extends SparkSpec {
       s"edit reshaped too many chunks: ${a.size} before, ${b.size} after, $shared shared")
     assert(a != b, "an insertion must change at least the chunk it lands in")
   }
+
+  test("exactSubstrSpans: a planted cross-doc span is found at the right offset") {
+    import spark.implicits._
+    def words(tag: String, n: Int): String =
+      (0 until n).map(i => s"$tag$i").mkString(" ")
+    val span = words("dup", 20) // 20 shared tokens, unique elsewhere
+    val fixture = Seq(
+      (1L, words("alpha", 10) + " " + span + " " + words("omega", 5)),
+      (2L, words("beta", 3) + " " + span + " " + words("gamma", 12)),
+      (3L, words("solo", 40))).toDF("doc_id", "text")
+    val spans = Dedup.exactSubstrSpans(fixture, k = 8, minSpanTokens = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    // the shared 20-token run starts at token 10 in doc 1, token 3 in doc 2;
+    // doc 3 shares nothing and must emit no span
+    assert(spans.toSeq === Seq((1L, 10L, 20L), (2L, 3L, 20L)))
+  }
+
+  test("exactSubstrSpans: whole-document duplicates yield one full-width span each") {
+    import spark.implicits._
+    val text = (0 until 30).map(i => s"w$i").mkString(" ")
+    val fixture = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+    val spans = Dedup.exactSubstrSpans(fixture, k = 8, minSpanTokens = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(spans.toSeq === Seq((1L, 0L, 30L), (2L, 0L, 30L)))
+  }
+
+  test("exactSubstrSpans: a within-doc self-repeat is duplication (paper semantics)") {
+    import spark.implicits._
+    val run = (0 until 12).map(i => s"r$i").mkString(" ")
+    val doc = run + " " + (0 until 9).map(i => s"mid$i").mkString(" ") + " " + run
+    val spans = Dedup.exactSubstrSpans(
+        Seq((7L, doc)).toDF("doc_id", "text"), k = 8, minSpanTokens = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    // both occurrences of the 12-token run surface: positions 0 and 21
+    assert(spans.toSeq === Seq((7L, 0L, 12L), (7L, 21L, 12L)))
+  }
+
+  test("exactSubstrSpans: sub-minimum runs and short docs are silent") {
+    import spark.implicits._
+    val short = "a b c" // < k tokens: contributes no grams at all
+    val tenRun = (0 until 10).map(i => s"t$i").mkString(" ")
+    val fixture = Seq(
+      (1L, short), (2L, short),
+      (3L, tenRun + " " + words10("x")), (4L, tenRun + " " + words10("y")))
+      .toDF("doc_id", "text")
+    // 10-token shared run < minSpanTokens=16 → filtered; short docs skipped
+    assert(Dedup.exactSubstrSpans(fixture, k = 8, minSpanTokens = 16).count() === 0L)
+  }
+
+  private def words10(tag: String): String =
+    (0 until 10).map(i => s"$tag$i").mkString(" ")
 }
