@@ -1256,11 +1256,13 @@ object Dedup {
     * negligible, and IDENTICAL in the DuckDB replay, so the oracle gate
     * stays hash-exact.
     *
-    * Scale shape: |tokens| gram rows (narrow: id + int + long); one
-    * groupBy on the gram hash with map-side combine (contracts to
-    * |distinct grams|); one equi-join back; a per-DOCUMENT window for the
+    * Scale shape: |tokens| gram rows (narrow: id + int + long), produced
+    * by ONE corpus scan; the ≥2-occurrence mark is a count over the
+    * gram-hash window partition — one shuffle, no second scan and no
+    * join-back (a groupBy + rejoin would recompute the tokenize+explode
+    * lineage once per consumer); then a per-DOCUMENT window for the
     * island merge (partition = one document's marked positions, bounded
-    * by document length); one groupBy per (doc, island). No all-pairs
+    * by document length) and one groupBy per (doc, island). No all-pairs
     * step and no global order anywhere; the hottest key is the most
     * frequent gram, the same skew bound as the MinHash band buckets.
     *
@@ -1275,7 +1277,21 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     require(k >= 2, "gram width k must be >= 2")
     require(minSpanTokens >= k, "minSpanTokens must be >= k (shorter spans are invisible)")
-    val grams = docs
+    val grams = tokenGrams(docs, k, idCol, textCol)
+    val marked = grams
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("gh")))
+      .filter(col("__n") >= 2).select(col(idCol), col("pos"))
+    spansFromMarked(marked, k, minSpanTokens, idCol)
+  }
+
+  /** (idCol, pos, gh): every token position's k-gram 60-bit hash — the
+    * shared gram stage of the batch ([[exactSubstrSpans]]) and incremental
+    * ([[exactSubstrSpansAgainstIndex]]) paths, so the two can never drift.
+    * Docs shorter than k tokens contribute nothing.
+    */
+  private def tokenGrams(
+      docs: DataFrame, k: Int, idCol: String, textCol: String): DataFrame =
+    docs
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
       .filter(size(col("__toks")) >= k)
       .select(col(idCol),
@@ -1283,9 +1299,12 @@ object Dedup {
           sequence(lit(0), size(col("__toks")) - k),
           i => baseHash(array_join(slice(col("__toks"), i + 1, lit(k)), " "))))
           .as(Seq("pos", "gh")))
-    val dupGrams = grams.groupBy("gh").agg(count(lit(1)).as("__n"))
-      .filter(col("__n") >= 2).select("gh")
-    val marked = grams.join(dupGrams, "gh").select(col(idCol), col("pos"))
+
+  /** Gaps-and-islands merge of marked gram START positions into maximal
+    * duplicated spans — the shared tail of both ExactSubstr paths.
+    */
+  private def spansFromMarked(
+      marked: DataFrame, k: Int, minSpanTokens: Int, idCol: String): DataFrame = {
     val w = Window.partitionBy(idCol).orderBy("pos")
     marked
       .withColumn("__isl", col("pos") - row_number().over(w))
@@ -1294,5 +1313,64 @@ object Dedup {
         (max(col("pos")) - min(col("pos")) + k).cast("long").as("span_tokens"))
       .filter(col("span_tokens") >= minSpanTokens)
       .select(col(idCol), col("span_start"), col("span_tokens"))
+  }
+
+  /** Seed (overwrite) the ExactSubstr gram index at `path`: the DISTINCT
+    * k-gram hashes of `docs`. Existence is all the incremental path needs
+    * ("seen at least once before"), so the index is bounded by |distinct
+    * grams|, not corpus occurrences.
+    */
+  def writeGramIndex(
+      docs: DataFrame, path: String, k: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    tokenGrams(docs, k, idCol, textCol).select("gh").distinct()
+      .write.mode("overwrite").parquet(path)
+
+  /** Append a processed batch's distinct gram hashes to the index.
+    * Duplicate gh rows across appends are harmless (the reader is a
+    * semi-join), and a per-append distinct keeps growth bounded without a
+    * full-index rewrite — the same append-only discipline as
+    * [[appendToIndex]].
+    */
+  def appendGramIndex(
+      docs: DataFrame, path: String, k: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    tokenGrams(docs, k, idCol, textCol).select("gh").distinct()
+      .write.mode("append").parquet(path)
+
+  /** Incremental ExactSubstr: duplicated spans of an ARRIVING batch
+    * against everything already ingested — a batch position is marked iff
+    * its gram exists in the index (seen in ANY earlier batch, including
+    * the seed) OR occurs ≥ 2 times inside the batch itself; islands merge
+    * exactly as in the batch path. One-pass semantics by construction:
+    * the FIRST occurrence of a gram later duplicated by a future batch is
+    * not retro-flagged (the paper's streaming approximation — re-running
+    * [[exactSubstrSpans]] over the accumulated corpus is the batch
+    * reconciliation), so results are arrival-order-dependent and the
+    * oracle must replay the same batch split.
+    *
+    * Scale shape: one scan of the BATCH (never the corpus), an in-batch
+    * gram-window count, a semi-join against the index (AQE broadcasts it
+    * while small; at corpus scale it is a shuffle join on gh — still
+    * |batch grams|-bounded work), the per-doc island merge.
+    */
+  def exactSubstrSpansAgainstIndex(
+      batch: DataFrame,
+      indexPath: String,
+      k: Int = 8,
+      minSpanTokens: Int = 16,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(minSpanTokens >= k, "minSpanTokens must be >= k")
+    val spark = batch.sparkSession
+    val grams = tokenGrams(batch, k, idCol, textCol).localCheckpoint()
+    val idx = spark.read.parquet(indexPath)
+    val inIndex = grams.join(idx, Seq("gh"), "left_semi")
+      .select(col(idCol), col("pos"))
+    val inBatch = grams
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("gh")))
+      .filter(col("__n") >= 2).select(col(idCol), col("pos"))
+    val marked = inIndex.unionByName(inBatch).distinct()
+    spansFromMarked(marked, k, minSpanTokens, idCol)
   }
 }

@@ -2748,23 +2748,28 @@ object ExtQueries {
     })
     val work = Scratch.stableDir("q233-work")
     val idx = s"$work/idx"
-    Dedup.writeIndex(fanOut(docs.filter(col("doc_id") < 200)), idx)
     val out = s"$work/accepted"
-    val stream = spark.readStream.schema(docs.schema)
-      .option("maxFilesPerTrigger", 1).parquet(inDir)
-    val query = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val survivors = Dedup.dedupAgainstIndex(fanOut(batch), idx)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          survivors.write.mode("append").parquet(out)
-          Dedup.appendToIndex(survivors, idx)
-        } finally survivors.unpersist(false)
-      }
-      .option("checkpointLocation", s"$work/ckpt")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    // fixture-scale micro-batches: 8 shuffle partitions (the streaming-gate
+    // convention — per-partition task setup dominates 150-doc batches at 32;
+    // partition count never changes WHICH pairs band together)
+    graft.queries.EventQueries.withShufflePartitions(spark, 8) {
+      Dedup.writeIndex(fanOut(docs.filter(col("doc_id") < 200)), idx)
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      val query = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val survivors = Dedup.dedupAgainstIndex(fanOut(batch), idx)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            survivors.write.mode("append").parquet(out)
+            Dedup.appendToIndex(survivors, idx)
+          } finally survivors.unpersist(false)
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
     spark.read.parquet(out).select("doc_id", "lang", "source")
   }
 
@@ -5073,6 +5078,288 @@ object ExtQueries {
        |SELECT doc_id, span_start, span_tokens
        |FROM s WHERE span_tokens >= 16""".stripMargin
 
+  /** q380: ExactSubstr removal audit — what Lee et al.'s span REMOVAL
+    * would actually delete, rolled up per source: q378's spans can
+    * overlap in TOKEN space (adjacent islands closer than k−1 positions
+    * share up to k−2 tail tokens), so the deletable mass is the UNION of
+    * span intervals, not Σ span_tokens. Within a doc spans sorted by
+    * start have strictly increasing ends, so the union is the classic
+    * sorted-interval sweep `Σ (width − max(0, prev_end − start))` — one
+    * lag over the per-DOC partition. Published per source: total tokens,
+    * deletable tokens, dup_ppm, docs affected — the "which source is
+    * feeding the duplication" readout that decides where a crawl gets
+    * re-scoped.
+    *
+    * Scale shape: spans are a tiny contraction of the corpus; the union
+    * window partitions by doc; the rollup joins back to one
+    * token-counting scan and contracts to |sources| rows.
+    */
+  def q380DupCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = fanOut(documents(spark, dir))
+    val spans = Dedup.exactSubstrSpans(docs, k = 8, minSpanTokens = 16)
+    val wd = Window.partitionBy("doc_id").orderBy("span_start")
+    val perDoc = spans
+      .withColumn("span_end", col("span_start") + col("span_tokens"))
+      .withColumn("prev_end", lag(col("span_end"), 1).over(wd))
+      .groupBy("doc_id")
+      .agg(sum(col("span_tokens") -
+          greatest(coalesce(col("prev_end"), lit(0L)) - col("span_start"), lit(0L)))
+        .as("dup_union"))
+    docs.select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"),
+        sum(coalesce(col("dup_union"), lit(0L))).as("dup_tokens"),
+        expr("sum(CASE WHEN dup_union IS NOT NULL THEN 1L ELSE 0L END)")
+          .as("docs_affected"))
+      .withColumn("dup_ppm", expr("(1000000L * dup_tokens) div total_tokens"))
+      .select("source", "n_docs", "total_tokens", "dup_tokens", "dup_ppm",
+        "docs_affected")
+  }
+
+  private val q380Oracle =
+    s"""WITH t AS (SELECT doc_id, string_split($DNorm, ' ') AS toks
+       |           FROM documents),
+       |g0 AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 8 + 2)) AS i
+       |       FROM t WHERE len(toks) >= 8),
+       |g AS (SELECT doc_id, i - 1 AS pos,
+       |        ('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 15))::BIGINT AS gh
+       |      FROM g0),
+       |d AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+       |m AS (SELECT doc_id, pos FROM g JOIN d USING (gh)),
+       |r AS (SELECT doc_id, pos,
+       |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+       |      FROM m),
+       |s AS (SELECT doc_id, min(pos)::BIGINT AS span_start,
+       |        (max(pos) - min(pos) + 8)::BIGINT AS span_tokens
+       |      FROM r GROUP BY doc_id, isl),
+       |f AS (SELECT doc_id, span_start, span_tokens,
+       |        lag(span_start + span_tokens)
+       |          OVER (PARTITION BY doc_id ORDER BY span_start) AS prev_end
+       |      FROM s WHERE span_tokens >= 16),
+       |u AS (SELECT doc_id,
+       |        sum(span_tokens
+       |            - greatest(coalesce(prev_end, 0) - span_start, 0))::BIGINT
+       |          AS dup_union
+       |      FROM f GROUP BY doc_id),
+       |tt AS (SELECT doc_id, source, len(string_split($DNorm, ' '))::BIGINT
+       |         AS n_tokens
+       |       FROM documents)
+       |SELECT source, count(*)::BIGINT AS n_docs,
+       |       sum(n_tokens)::BIGINT AS total_tokens,
+       |       sum(coalesce(dup_union, 0))::BIGINT AS dup_tokens,
+       |       ((1000000 * sum(coalesce(dup_union, 0))) // sum(n_tokens))
+       |         ::BIGINT AS dup_ppm,
+       |       sum(CASE WHEN dup_union IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+       |         AS docs_affected
+       |FROM tt LEFT JOIN u USING (doc_id) GROUP BY source""".stripMargin
+
+  /** q381: epoch-shuffle decorrelation gate — the data-loader ORDER
+    * problem at 100 TB: each training epoch needs a different, fully
+    * deterministic, resumable permutation of the corpus, and a global
+    * `ORDER BY rand()` is both irreproducible and a single-partition
+    * sort. The shuffle here is the keyed-hash order `md5(epoch#doc_id)`
+    * materialized as global ranks by [[RangeRank.rank]] (two-pass
+    * range-partitioned — the shuffle IS the shuffle), and the gate
+    * machine-checks that reseeding actually decorrelates consecutive
+    * epochs: for two independent uniform permutations
+    * `E[Σ|r₁−r₂|] = (n²−1)/3`, so `disp_ppm = 3·10⁶·Σ|Δr| div (n²−1)`
+    * must sit near 10⁶ (pinned ±10 %; a forgotten reseed gives identical
+    * ranks and disp_ppm = 0 — the failure this gate exists to catch).
+    *
+    * Scale shape: one scan, two RangeRank passes over (id, two hash
+    * keys), a 1-row fold. Nothing global-ordered in one task.
+    */
+  def q381EpochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val base = documents(spark, dir).select(col("doc_id"))
+      .withColumn("k1",
+        Dedup.baseHash(concat(lit("1#"), col("doc_id").cast("string"))))
+      .withColumn("k2",
+        Dedup.baseHash(concat(lit("2#"), col("doc_id").cast("string"))))
+    val r1 = RangeRank.rank(base, Seq(col("k1").asc, col("doc_id").asc), "r1")
+    val r2 = RangeRank.rank(r1, Seq(col("k2").asc, col("doc_id").asc), "r2")
+    r2.agg(count(lit(1)).as("n_docs"),
+        sum(abs(col("r1") - col("r2"))).as("sum_disp"))
+      .select(col("n_docs"), col("sum_disp"),
+        expr("(3000000L * sum_disp) div (n_docs * n_docs - 1)").as("disp_ppm"))
+      .withColumn("ok_shuffled",
+        expr("CASE WHEN disp_ppm BETWEEN 900000 AND 1100000 THEN 1L ELSE 0L END"))
+  }
+
+  private val q381Oracle =
+    """WITH d AS (SELECT doc_id,
+      |    ('0x' || substr(md5('1#' || doc_id::VARCHAR), 1, 15))::BIGINT AS k1,
+      |    ('0x' || substr(md5('2#' || doc_id::VARCHAR), 1, 15))::BIGINT AS k2
+      |  FROM documents),
+      |r AS (SELECT doc_id,
+      |    row_number() OVER (ORDER BY k1, doc_id) AS r1,
+      |    row_number() OVER (ORDER BY k2, doc_id) AS r2 FROM d),
+      |a AS (SELECT count(*)::BIGINT AS n_docs,
+      |        sum(abs(r1 - r2))::BIGINT AS sum_disp FROM r)
+      |SELECT n_docs, sum_disp,
+      |       ((3000000 * sum_disp) // (n_docs * n_docs - 1))::BIGINT AS disp_ppm,
+      |       (CASE WHEN (3000000 * sum_disp) // (n_docs * n_docs - 1)
+      |          BETWEEN 900000 AND 1100000 THEN 1 ELSE 0 END)::BIGINT
+      |         AS ok_shuffled
+      |FROM a""".stripMargin
+
+  /** q382: Hamilton (largest-remainder) apportionment of a token budget —
+    * closes the gap q151's floor-share mixture leaves open: flooring each
+    * share under-assigns up to |sources|−1 tokens, and at a 10⁹ budget
+    * "almost the budget" is not a contract a sampler can schedule
+    * against. The classic apportionment fix: base alloc `(B·w) div W`
+    * per source, then the `B − Σbase` deficit goes one unit each to the
+    * LARGEST fractional remainders `(B·w) mod W` (source-name tie-break
+    * for determinism). `exact_total` machine-checks `Σalloc = B` EXACTLY
+    * — the property floor shares cannot give. Weights are per-source
+    * token counts (plain proportional; the temperature variant is
+    * q151's job).
+    *
+    * Scale shape: one token-count scan contracted to |sources| rows
+    * (localCheckpoint — the tiny table feeds the deficit fold and the
+    * rank without re-scanning the corpus); remainder ranking and the
+    * exactness fold ride that tiny axis.
+    */
+  def q382Apportion(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 1000000000L
+    val base = documents(spark, dir)
+      .select(col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("t"))
+      .groupBy("source").agg(sum("t").as("n_tokens"))
+      .crossJoin(broadcast(
+        documents(spark, dir)
+          .select(TextAnalysis.tokenCount(col("text")).cast("long").as("t"))
+          .agg(sum("t").as("w_sum"))))
+      .withColumn("base", expr(s"(${budget}L * n_tokens) div w_sum"))
+      .withColumn("rem", expr(s"(${budget}L * n_tokens) % w_sum"))
+      .localCheckpoint()
+    val wr = Window.orderBy(col("rem").desc, col("source").asc)
+    base
+      .crossJoin(broadcast(
+        base.agg((lit(budget) - sum("base")).as("deficit"))))
+      .withColumn("rr", row_number().over(wr).cast("long"))
+      .withColumn("extra", expr("CASE WHEN rr <= deficit THEN 1L ELSE 0L END"))
+      .withColumn("alloc", col("base") + col("extra"))
+      .withColumn("exact_total",
+        expr(s"CASE WHEN sum(alloc) OVER () = ${budget}L THEN 1L ELSE 0L END"))
+      .select("source", "n_tokens", "base", "rem", "rr", "extra", "alloc",
+        "exact_total")
+  }
+
+  private val q382Oracle =
+    s"""WITH w AS (SELECT source,
+       |        sum(len(string_split($DNorm, ' ')))::BIGINT AS n_tokens
+       |      FROM documents GROUP BY 1),
+       |t AS (SELECT *, sum(n_tokens) OVER ()::BIGINT AS w_sum FROM w),
+       |b AS (SELECT source, n_tokens,
+       |        ((1000000000 * n_tokens) // w_sum)::BIGINT AS base,
+       |        ((1000000000 * n_tokens) % w_sum)::BIGINT AS rem
+       |      FROM t),
+       |x AS (SELECT *, (1000000000 - sum(base) OVER ())::BIGINT AS deficit,
+       |        row_number() OVER (ORDER BY rem DESC, source ASC)::BIGINT AS rr
+       |      FROM b),
+       |y AS (SELECT source, n_tokens, base, rem, rr,
+       |        (CASE WHEN rr <= deficit THEN 1 ELSE 0 END)::BIGINT AS extra,
+       |        (base + CASE WHEN rr <= deficit THEN 1 ELSE 0 END)::BIGINT
+       |          AS alloc
+       |      FROM x)
+       |SELECT source, n_tokens, base, rem, rr, extra, alloc,
+       |       (CASE WHEN sum(alloc) OVER () = 1000000000 THEN 1 ELSE 0 END)
+       |         ::BIGINT AS exact_total
+       |FROM y""".stripMargin
+
+  /** q383: the FIFTEENTH streaming gate — incremental ExactSubstr span
+    * detection against a GROWING gram index ([[Dedup.writeGramIndex]] →
+    * [[Dedup.exactSubstrSpansAgainstIndex]] → [[Dedup.appendGramIndex]]
+    * per batch): the ingest-time form of q378. A crawler lands batches;
+    * each batch's duplicated spans — vs everything already ingested
+    * (seed included) or self-repeated within the batch — surface
+    * immediately, and the batch's distinct grams append to the index.
+    * One-pass semantics by construction: a gram's FIRST occurrence,
+    * duplicated only by a LATER batch, is not retro-flagged — state is
+    * batch-split-dependent, so the oracle replays the IDENTICAL
+    * two-batch fold in SQL (the q369/q233 discipline: "index at batch
+    * time" = all grams of docs below the batch's id floor). Seed =
+    * docs < 200; batch 1 = [200, 350); batch 2 = ≥ 350; arrival order
+    * pinned by mtime with maxFilesPerTrigger = 1.
+    */
+  def q383StreamExactSubstr(spark: SparkSession, dir: String): DataFrame = {
+    import graft.queries.Scratch
+    val docs = documents(spark, dir)
+    val inDir = q383Staged.computeIfAbsent(dir, _ => {
+      val in = Scratch.stableDir("q383-in-" + Scratch.md5Hex(dir))
+      def stage(pred: org.apache.spark.sql.Column, name: String): java.nio.file.Path = {
+        val tmp = Scratch.stableDir("q383-tmp-" + Scratch.md5Hex(s"$dir|$name"))
+        docs.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+        java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(in, name))
+      }
+      val first = stage(col("doc_id") >= 200 && col("doc_id") < 350, "a_batch1.parquet")
+      val second = stage(col("doc_id") >= 350, "b_batch2.parquet")
+      java.nio.file.Files.setLastModifiedTime(second,
+        java.nio.file.attribute.FileTime.fromMillis(
+          java.nio.file.Files.getLastModifiedTime(first).toMillis + 10000))
+      in
+    })
+    val work = Scratch.stableDir("q383-work")
+    val idx = s"$work/gidx"
+    val out = s"$work/spans"
+    // fixture-scale micro-batches: 8 shuffle partitions (the streaming-gate
+    // convention — per-partition task setup dominates 150-doc batches at 32)
+    graft.queries.EventQueries.withShufflePartitions(spark, 8) {
+      Dedup.writeGramIndex(fanOut(docs.filter(col("doc_id") < 200)), idx)
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      val query = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            Dedup.exactSubstrSpansAgainstIndex(fanOut(b), idx)
+              .write.mode("append").parquet(out)
+            Dedup.appendGramIndex(fanOut(b), idx)
+          } finally b.unpersist(false)
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    spark.read.parquet(out)
+  }
+
+  private val q383Staged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val q383Oracle =
+    s"""WITH t AS (SELECT doc_id, string_split($DNorm, ' ') AS toks
+       |           FROM documents),
+       |g0 AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 8 + 2)) AS i
+       |       FROM t WHERE len(toks) >= 8),
+       |g AS (SELECT doc_id, i - 1 AS pos,
+       |        ('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 15))::BIGINT AS gh
+       |      FROM g0),
+       |n AS (SELECT doc_id, pos, gh,
+       |        CASE WHEN doc_id < 350 THEN 200 ELSE 350 END AS lo
+       |      FROM g WHERE doc_id >= 200),
+       |seen AS (SELECT DISTINCT n.doc_id, n.pos FROM n JOIN g o
+       |         ON o.gh = n.gh AND o.doc_id < n.lo),
+       |inb AS (SELECT doc_id, pos FROM (
+       |          SELECT doc_id, pos, count(*) OVER (PARTITION BY gh, lo) AS c
+       |          FROM n) z
+       |        WHERE c >= 2),
+       |m AS (SELECT doc_id, pos FROM seen
+       |      UNION SELECT doc_id, pos FROM inb),
+       |r AS (SELECT doc_id, pos,
+       |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+       |      FROM m),
+       |s AS (SELECT doc_id, min(pos)::BIGINT AS span_start,
+       |        (max(pos) - min(pos) + 8)::BIGINT AS span_tokens
+       |      FROM r GROUP BY doc_id, isl)
+       |SELECT doc_id, span_start, span_tokens
+       |FROM s WHERE span_tokens >= 16""".stripMargin
+
   /** q375: rendezvous (highest-random-weight) resharding — the OTHER
     * minimal-movement assignment scheme beside q315's consistent-hash
     * ring (Thaler & Ravishankar 1996, the scheme memcached/Ceph-style
@@ -5274,6 +5561,10 @@ object ExtQueries {
     "q374_snake_packing" -> (q374SnakePacking _),
     "q375_rendezvous_shard" -> (q375RendezvousShard _),
     "q378_exact_substr" -> (q378ExactSubstr _),
+    "q380_dup_coverage" -> (q380DupCoverage _),
+    "q381_epoch_shuffle" -> (q381EpochShuffle _),
+    "q382_apportion" -> (q382Apportion _),
+    "q383_stream_exact_substr" -> (q383StreamExactSubstr _),
     "q229_pq_ann" -> (q229PqAnn _),
     "q230_ivfpq_ann" -> (q230IvfPqAnn _),
     "q233_stream_dedup_index" -> (q233StreamDedupIndex _),
@@ -5417,6 +5708,10 @@ object ExtQueries {
     "q374_snake_packing" -> q374Oracle,
     "q375_rendezvous_shard" -> q375Oracle,
     "q378_exact_substr" -> q378Oracle,
+    "q380_dup_coverage" -> q380Oracle,
+    "q381_epoch_shuffle" -> q381Oracle,
+    "q382_apportion" -> q382Oracle,
+    "q383_stream_exact_substr" -> q383Oracle,
     "q229_pq_ann" -> annRecallOracle,
     "q230_ivfpq_ann" -> annRecallOracle,
     "q233_stream_dedup_index" -> q233Oracle,

@@ -295,7 +295,7 @@ object EventQueries {
     * to the keyspace — the conf is the knob either way; semantics (and the
     * oracle) are partition-count-invariant.
     */
-  private[queries] def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+  private[graft] def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, n.toString)

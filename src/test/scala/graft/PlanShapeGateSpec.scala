@@ -77,6 +77,7 @@ class PlanShapeGateSpec extends SparkSpec {
       "q353_top_paths" -> "limit-10 top slice")
     val tinyAxis = Seq(
       "q151_mixture_plan" -> "source axis",
+      "q382_apportion" -> "source axis",
       "q182_heaps_curve" -> "10 corpus-growth buckets",
       "q205_layout_shootout" -> "per-file zone axis",
       "q207_decile_gains" -> "10 deciles",

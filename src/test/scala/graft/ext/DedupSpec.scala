@@ -444,4 +444,40 @@ class DedupSpec extends SparkSpec {
 
   private def words10(tag: String): String =
     (0 until 10).map(i => s"$tag$i").mkString(" ")
+
+  test("incremental ExactSubstr: a span flags only once its gram is indexed") {
+    import spark.implicits._
+    def mk(tag: String, n: Int): String = (0 until n).map(i => s"$tag$i").mkString(" ")
+    withTempDir("gidx") { tmp =>
+      val idx = tmp.resolve("idx").toString
+      val span = mk("dup", 20)
+      Dedup.writeGramIndex(Seq((1L, mk("seed", 30))).toDF("doc_id", "text"), idx)
+      // batch 1 carries the span's FIRST occurrence: nothing indexed yet,
+      // nothing self-repeated -> no span (the one-pass blind spot, by design)
+      val b1 = Seq((10L, mk("b1a", 5) + " " + span)).toDF("doc_id", "text")
+      assert(Dedup.exactSubstrSpansAgainstIndex(b1, idx).count() === 0L)
+      Dedup.appendGramIndex(b1, idx)
+      // batch 2 re-carries the span: now indexed -> flagged at offset 0
+      val b2 = Seq((20L, span + " " + mk("b2t", 7))).toDF("doc_id", "text")
+      val s2 = Dedup.exactSubstrSpansAgainstIndex(b2, idx)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(s2 === Seq((20L, 0L, 20L)))
+    }
+  }
+
+  test("incremental ExactSubstr: in-batch self-duplication flags both occurrences") {
+    import spark.implicits._
+    def mk(tag: String, n: Int): String = (0 until n).map(i => s"$tag$i").mkString(" ")
+    withTempDir("gidx2") { tmp =>
+      val idx = tmp.resolve("idx").toString
+      Dedup.writeGramIndex(Seq((1L, mk("seed", 30))).toDF("doc_id", "text"), idx)
+      val span = mk("twin", 16)
+      val batch = Seq(
+        (10L, span + " " + mk("xa", 9)),
+        (11L, mk("yb", 4) + " " + span)).toDF("doc_id", "text")
+      val spans = Dedup.exactSubstrSpansAgainstIndex(batch, idx)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(spans === Seq((10L, 0L, 16L), (11L, 4L, 16L)))
+    }
+  }
 }
