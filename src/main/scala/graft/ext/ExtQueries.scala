@@ -5360,6 +5360,104 @@ object ExtQueries {
        |SELECT doc_id, span_start, span_tokens
        |FROM s WHERE span_tokens >= 16""".stripMargin
 
+  /** q384: Bloom-gated ingest dedup with machine-checked error accounting
+    * — the Dolma-pipeline dedup discipline (a Bloom filter of everything
+    * ingested gates each arriving document) in its RELATIONAL form: the
+    * filter's set bits are ROWS (`bit = md5(j#fingerprint) mod m`,
+    * j = 1..k), never a materialized bitmap, so "query the filter" is a
+    * semi-join on bit ids and the same shape holds whether m is 2¹¹ or
+    * 2⁴⁰. Two theorems gate the run: `no_false_neg` (a Bloom filter
+    * NEVER misses — flagged ⊇ exact, structural) and `ok_bound`
+    * (observed FP rate ≤ 2× the EXACT occupancy bound `(bits_set/m)^k`,
+    * computed integer-ppm from the run's own bit count, not the
+    * asymptotic `(1−e^{−kn/m})^k` approximation). m = 2048, k = 3 are
+    * deliberately small so false positives actually occur at fixture
+    * scale and the accounting is exercised, not vacuous.
+    *
+    * Scale shape: the seed side contracts to ≤ min(k·n, m) DISTINCT bit
+    * rows (broadcast); the new side explodes ×k and counts semi-join
+    * hits per doc — map-side against the broadcast; the readout is one
+    * row. At corpus scale the bit table is still ≤ m rows.
+    */
+  def q384BloomDedup(spark: SparkSession, dir: String): DataFrame = {
+    val m = 2048L
+    val k = 3
+    val docs = documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.md5Fingerprint(col("text")).as("f"))
+    val seed = docs.filter(col("doc_id") < 250)
+    val neu = docs.filter(col("doc_id") >= 250)
+    def bits(df: DataFrame): DataFrame = df.select(col("doc_id"), col("f"),
+      explode(array((1 to k).map(j =>
+        pmod(Dedup.baseHash(concat(lit(s"$j#"), col("f"))), lit(m))): _*)).as("bit"))
+    val seedBits = bits(seed).select("bit").distinct().localCheckpoint()
+    val flagged = bits(neu).join(broadcast(seedBits), Seq("bit"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === k)
+      .select(col("doc_id"), lit(1L).as("bloom_flag"))
+    val exact = neu.join(seed.select("f").distinct(), Seq("f"), "left_semi")
+      .select(col("doc_id"), lit(1L).as("exact_flag"))
+    neu
+      .join(flagged, Seq("doc_id"), "left")
+      .join(exact, Seq("doc_id"), "left")
+      .crossJoin(broadcast(seedBits.agg(count(lit(1)).as("bits_set"))))
+      .agg(count(lit(1)).as("n_new"),
+        sum(coalesce(col("exact_flag"), lit(0L))).as("exact_dup"),
+        sum(coalesce(col("bloom_flag"), lit(0L))).as("bloom_flagged"),
+        sum(when(col("bloom_flag").isNotNull && col("exact_flag").isNull, 1L)
+          .otherwise(0L)).as("false_pos"),
+        sum(when(col("exact_flag").isNotNull && col("bloom_flag").isNull, 1L)
+          .otherwise(0L)).as("false_neg"),
+        max(col("bits_set")).as("bits_set"))
+      .withColumn("fp_ppm",
+        expr("(1000000L * false_pos) div greatest(n_new - exact_dup, 1L)"))
+      .withColumn("bound_ppm",
+        expr(s"(1000000L * bits_set * bits_set * bits_set) div (${m}L * ${m}L * ${m}L)"))
+      .withColumn("no_false_neg",
+        expr("CASE WHEN false_neg = 0L THEN 1L ELSE 0L END"))
+      .withColumn("ok_bound",
+        expr("CASE WHEN fp_ppm <= 2L * bound_ppm THEN 1L ELSE 0L END"))
+      .select("n_new", "exact_dup", "bloom_flagged", "false_pos", "bits_set",
+        "fp_ppm", "bound_ppm", "no_false_neg", "ok_bound")
+  }
+
+  private val q384Oracle =
+    s"""WITH d AS (SELECT doc_id, md5($DNorm) AS f FROM documents),
+       |seed AS (SELECT * FROM d WHERE doc_id < 250),
+       |neu AS (SELECT * FROM d WHERE doc_id >= 250),
+       |sb AS (SELECT DISTINCT
+       |         ('0x' || substr(md5(j.j::VARCHAR || '#' || f), 1, 15))::BIGINT
+       |           % 2048 AS bit
+       |       FROM seed CROSS JOIN (SELECT unnest(range(1, 4)) AS j) j),
+       |nb AS (SELECT doc_id, f,
+       |         ('0x' || substr(md5(j.j::VARCHAR || '#' || f), 1, 15))::BIGINT
+       |           % 2048 AS bit
+       |       FROM neu CROSS JOIN (SELECT unnest(range(1, 4)) AS j) j),
+       |fl AS (SELECT doc_id FROM nb JOIN sb USING (bit)
+       |       GROUP BY doc_id, f HAVING count(*) = 3),
+       |ex AS (SELECT doc_id FROM neu WHERE f IN (SELECT f FROM seed)),
+       |agg AS (SELECT
+       |    (SELECT count(*) FROM neu)::BIGINT AS n_new,
+       |    (SELECT count(*) FROM ex)::BIGINT AS exact_dup,
+       |    (SELECT count(*) FROM fl)::BIGINT AS bloom_flagged,
+       |    (SELECT count(*) FROM fl
+       |       WHERE doc_id NOT IN (SELECT doc_id FROM ex))::BIGINT AS false_pos,
+       |    (SELECT count(*) FROM ex
+       |       WHERE doc_id NOT IN (SELECT doc_id FROM fl))::BIGINT AS false_neg,
+       |    (SELECT count(*) FROM sb)::BIGINT AS bits_set),
+       |x AS (SELECT *,
+       |    ((1000000 * false_pos) // greatest(n_new - exact_dup, 1))::BIGINT
+       |      AS fp_ppm,
+       |    ((1000000 * bits_set * bits_set * bits_set)
+       |      // (2048::BIGINT * 2048 * 2048))::BIGINT AS bound_ppm
+       |  FROM agg)
+       |SELECT n_new, exact_dup, bloom_flagged, false_pos, bits_set, fp_ppm,
+       |       bound_ppm,
+       |       (CASE WHEN false_neg = 0 THEN 1 ELSE 0 END)::BIGINT
+       |         AS no_false_neg,
+       |       (CASE WHEN fp_ppm <= 2 * bound_ppm THEN 1 ELSE 0 END)::BIGINT
+       |         AS ok_bound
+       |FROM x""".stripMargin
+
   /** q375: rendezvous (highest-random-weight) resharding — the OTHER
     * minimal-movement assignment scheme beside q315's consistent-hash
     * ring (Thaler & Ravishankar 1996, the scheme memcached/Ceph-style
@@ -5565,6 +5663,7 @@ object ExtQueries {
     "q381_epoch_shuffle" -> (q381EpochShuffle _),
     "q382_apportion" -> (q382Apportion _),
     "q383_stream_exact_substr" -> (q383StreamExactSubstr _),
+    "q384_bloom_dedup" -> (q384BloomDedup _),
     "q229_pq_ann" -> (q229PqAnn _),
     "q230_ivfpq_ann" -> (q230IvfPqAnn _),
     "q233_stream_dedup_index" -> (q233StreamDedupIndex _),
@@ -5712,6 +5811,7 @@ object ExtQueries {
     "q381_epoch_shuffle" -> q381Oracle,
     "q382_apportion" -> q382Oracle,
     "q383_stream_exact_substr" -> q383Oracle,
+    "q384_bloom_dedup" -> q384Oracle,
     "q229_pq_ann" -> annRecallOracle,
     "q230_ivfpq_ann" -> annRecallOracle,
     "q233_stream_dedup_index" -> q233Oracle,

@@ -360,4 +360,27 @@ class AnalyticsInvariantsSpec extends SparkSpec {
       }
     }
   }
+
+  test("q379 Dunnett: statistics are non-negative and the family rollup closes") {
+    val rows = EventQueries.q379Dunnett(spark, Sf0001).collect()
+    assert(rows.map(_.getAs[Long]("arm")).sorted.toSeq === Seq(1L, 2L, 3L))
+    val nSig = rows.map(_.getAs[Long]("is_sig")).sum
+    rows.foreach { r =>
+      assert(r.getAs[Long]("t2_milli") >= 0L, "a squared statistic went negative")
+      assert(r.getAs[Long]("s2_milli") >= 0L, "pooled variance went negative (Cauchy-Schwarz broken)")
+      assert(r.getAs[Long]("n_sig") === nSig, "family rollup disagrees with its own rows")
+      assert((r.getAs[Long]("t2_milli") > 5518L) === (r.getAs[Long]("is_sig") === 1L))
+    }
+  }
+
+  test("q384 Bloom dedup: the no-false-negative THEOREM holds, flags nest") {
+    val r = graft.ext.ExtQueries.q384BloomDedup(spark, Sf0001).collect().head
+    // a Bloom filter can lie only one way: flagged must contain every exact dup
+    assert(r.getAs[Long]("no_false_neg") === 1L, "Bloom filter missed a real duplicate")
+    assert(r.getAs[Long]("bloom_flagged") ===
+      r.getAs[Long]("exact_dup") + r.getAs[Long]("false_pos"))
+    assert(r.getAs[Long]("bits_set") <= 2048L)
+    assert(r.getAs[Long]("fp_ppm") <= 2L * r.getAs[Long]("bound_ppm"),
+      s"observed FP rate ${r.getAs[Long]("fp_ppm")} ppm breaks the occupancy bound")
+  }
 }
