@@ -5360,6 +5360,142 @@ object ExtQueries {
        |SELECT doc_id, span_start, span_tokens
        |FROM s WHERE span_tokens >= 16""".stripMargin
 
+  /** q385: ExactSubstr removal REWRITE — the cleanup ACTION that closes
+    * q378 (detect) and q380 (audit): affected documents are rebuilt with
+    * every token inside a duplicated span cut out, and the gate hashes
+    * the REBUILT TEXT itself (md5 per doc) so a off-by-one at either
+    * span edge, a wrong overlap merge, or a token-order slip cannot
+    * hash-match. Output per affected doc: tokens before/after and the
+    * rebuilt md5.
+    *
+    * Scale shape: spans contract to an intervals array per affected doc
+    * (tiny — spans per doc is bounded by doc length), equi-joined back
+    * to the one affected-docs scan; the cut itself is a per-row
+    * higher-order `filter` over (token, index) against that row's
+    * intervals — no shuffle beyond the spans join, no explode of the
+    * corpus into token rows.
+    */
+  def q385SpanRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val docs = fanOut(documents(spark, dir))
+    val ivs = Dedup.exactSubstrSpans(docs, k = 8, minSpanTokens = 16)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_tokens"))).as("ivs"))
+    docs.join(ivs, "doc_id")
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .withColumn("kept", filter(col("toks"), (t, i) =>
+        !exists(col("ivs"), s =>
+          i.cast("long") >= s.getField("span_start") &&
+            i.cast("long") < s.getField("span_start") + s.getField("span_tokens"))))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_before"),
+        size(col("kept")).cast("long").as("n_after"),
+        md5(array_join(col("kept"), " ")).as("rebuilt_md5"))
+  }
+
+  private val q385Oracle =
+    s"""WITH t AS (SELECT doc_id, string_split($DNorm, ' ') AS toks
+       |           FROM documents),
+       |g0 AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 8 + 2)) AS i
+       |       FROM t WHERE len(toks) >= 8),
+       |g AS (SELECT doc_id, i - 1 AS pos,
+       |        ('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 15))::BIGINT AS gh
+       |      FROM g0),
+       |d AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+       |mm AS (SELECT doc_id, pos FROM g JOIN d USING (gh)),
+       |r AS (SELECT doc_id, pos,
+       |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+       |      FROM mm),
+       |iv AS (SELECT doc_id, min(pos)::BIGINT AS span_start,
+       |        (max(pos) - min(pos) + 8)::BIGINT AS span_tokens
+       |       FROM r GROUP BY doc_id, isl
+       |       HAVING max(pos) - min(pos) + 8 >= 16),
+       |tok AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+       |        FROM t WHERE doc_id IN (SELECT doc_id FROM iv)),
+       |kflag AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok,
+       |        CASE WHEN EXISTS (SELECT 1 FROM iv
+       |               WHERE iv.doc_id = tok0.doc_id
+       |                 AND tok0.i - 1 >= iv.span_start
+       |                 AND tok0.i - 1 < iv.span_start + iv.span_tokens)
+       |          THEN 0 ELSE 1 END AS keep
+       |      FROM tok tok0)
+       |SELECT doc_id, count(*)::BIGINT AS n_before,
+       |       sum(keep)::BIGINT AS n_after,
+       |       md5(coalesce(string_agg(CASE WHEN keep = 1 THEN tok END,
+       |         ' ' ORDER BY pos), '')) AS rebuilt_md5
+       |FROM kflag GROUP BY doc_id""".stripMargin
+
+  /** q386: quality-aware keeper selection — duplicate CLUSTERS (q27's
+    * MinHash connected components) resolved by keeping the HIGHEST
+    * text-quality member instead of the min-id convention: near-dup
+    * members genuinely differ (truncation, boilerplate accretion, OCR
+    * noise), and public pipelines keep the best version, not the first
+    * crawled. Quality is q328's integer score (×10⁴); argmax ties break
+    * to the smaller id, so the pick is a total function of the cluster.
+    * Only clusters with ≥ 2 members are emitted (singletons have no
+    * choice to make).
+    *
+    * Scale shape: q27's bucketed pair generation + log-round CC, one
+    * quality scan equi-joined on doc_id, a per-cluster `max_by` fold —
+    * nothing quadratic, no global order.
+    */
+  def q386QualityKeeper(spark: SparkSession, dir: String): DataFrame = {
+    val docs = fanOut(documents(spark, dir))
+    val clusters = Dedup.duplicateClusters(
+      docs, Dedup.minhashNearDups(docs, threshold = 0.5))
+    val text = col("text")
+    val nTok = TextAnalysis.tokenCount(text)
+    val punct = TextAnalysis.punctCount(text)
+    val stop = TextAnalysis.stopwordHits(
+      TextAnalysis.tokens(text), TextAnalysis.LangStopwords.head._2)
+    val q = docs.select(col("doc_id"),
+      (round(TextAnalysis.qualityScore(nTok, punct, stop, col("n_chars")) * 10000, 0))
+        .cast("long").as("q4"))
+    clusters.join(q, "doc_id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max_by(col("doc_id"), struct(col("q4"), -col("doc_id"))).as("keeper_id"),
+        max(col("q4")).as("keeper_q"))
+      .filter(col("n_members") >= 2)
+  }
+
+  private def q386Oracle: String = {
+    val en = dHits("en")
+    s"""WITH RECURSIVE $minhashPairsCte,
+       |pr AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+       |      UNION ALL SELECT doc_b, doc_a FROM pr),
+       |reach(id, lab) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, reach.lab FROM reach JOIN e ON e.src = reach.id
+       |),
+       |cl AS (SELECT id AS doc_id, min(lab)::BIGINT AS cluster_id
+       |       FROM reach GROUP BY id),
+       |c0 AS (SELECT doc_id,
+       |        len(string_split($DNorm, ' '))::INT AS n_tokens,
+       |        len(regexp_extract_all(text, '[.,!?;:]'))::INT AS punct,
+       |        $en AS stop_hits, n_chars
+       |      FROM documents),
+       |q AS (SELECT doc_id,
+       |        round(10000 * (0.3 * least(1.0, n_tokens::DOUBLE / 100.0)
+       |            + 0.4 * (1.0 - least(1.0, punct::DOUBLE / greatest(n_tokens::DOUBLE, 1.0)))
+       |            + 0.3 * least(1.0, 4.0 * stop_hits::DOUBLE / greatest(n_tokens::DOUBLE, 1.0))
+       |          ))::BIGINT AS q4
+       |      FROM c0),
+       |j AS (SELECT cl.cluster_id, cl.doc_id, q.q4 FROM cl JOIN q USING (doc_id)),
+       |rk AS (SELECT cluster_id, doc_id, q4,
+       |         row_number() OVER (PARTITION BY cluster_id
+       |                            ORDER BY q4 DESC, doc_id ASC) AS rn
+       |       FROM j),
+       |agg AS (SELECT cluster_id, count(*)::BIGINT AS n_members,
+       |          max(q4)::BIGINT AS keeper_q
+       |        FROM j GROUP BY 1)
+       |SELECT a.cluster_id, a.n_members, r.doc_id::BIGINT AS keeper_id,
+       |       a.keeper_q
+       |FROM agg a JOIN rk r ON r.cluster_id = a.cluster_id AND r.rn = 1
+       |WHERE a.n_members >= 2""".stripMargin
+  }
+
   /** q384: Bloom-gated ingest dedup with machine-checked error accounting
     * — the Dolma-pipeline dedup discipline (a Bloom filter of everything
     * ingested gates each arriving document) in its RELATIONAL form: the
@@ -5664,6 +5800,8 @@ object ExtQueries {
     "q382_apportion" -> (q382Apportion _),
     "q383_stream_exact_substr" -> (q383StreamExactSubstr _),
     "q384_bloom_dedup" -> (q384BloomDedup _),
+    "q385_span_rewrite" -> (q385SpanRewrite _),
+    "q386_quality_keeper" -> (q386QualityKeeper _),
     "q229_pq_ann" -> (q229PqAnn _),
     "q230_ivfpq_ann" -> (q230IvfPqAnn _),
     "q233_stream_dedup_index" -> (q233StreamDedupIndex _),
@@ -5812,6 +5950,8 @@ object ExtQueries {
     "q382_apportion" -> q382Oracle,
     "q383_stream_exact_substr" -> q383Oracle,
     "q384_bloom_dedup" -> q384Oracle,
+    "q385_span_rewrite" -> q385Oracle,
+    "q386_quality_keeper" -> q386Oracle,
     "q229_pq_ann" -> annRecallOracle,
     "q230_ivfpq_ann" -> annRecallOracle,
     "q233_stream_dedup_index" -> q233Oracle,
