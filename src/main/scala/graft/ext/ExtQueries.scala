@@ -5360,6 +5360,138 @@ object ExtQueries {
        |SELECT doc_id, span_start, span_tokens
        |FROM s WHERE span_tokens >= 16""".stripMargin
 
+  /** q387: the SIXTEENTH streaming gate — Bloom-gated streaming ingest
+    * (q384's filter run the way Dolma actually runs it: under the
+    * stream, with the bit set GROWING per batch). Each arriving batch is
+    * flagged against the bits of everything ingested BEFORE it (k-hit
+    * semi-join), its exact duplicates are read off a growing fingerprint
+    * index so false positives/negatives are accounted per batch, and
+    * only then do the batch's distinct bits + fingerprints append. The
+    * per-batch stats row carries `bits_before` — the occupancy the FP
+    * rate must be judged against — so the output is the Bloom filter's
+    * own operating curve, batch by batch. State is batch-split-dependent
+    * (bits at batch time = bits of docs below the batch's id floor), so
+    * the oracle replays the identical two-batch fold (the q383/q369
+    * discipline). Seed = docs < 250; batch 1 = [250, 375); batch 2 =
+    * ≥ 375; mtime-pinned arrival, maxFilesPerTrigger = 1.
+    */
+  def q387StreamBloom(spark: SparkSession, dir: String): DataFrame = {
+    import graft.queries.Scratch
+    val m = 2048L
+    val k = 3
+    val docs = documents(spark, dir)
+    val inDir = q387Staged.computeIfAbsent(dir, _ => {
+      val in = Scratch.stableDir("q387-in-" + Scratch.md5Hex(dir))
+      def stage(pred: org.apache.spark.sql.Column, name: String): java.nio.file.Path = {
+        val tmp = Scratch.stableDir("q387-tmp-" + Scratch.md5Hex(s"$dir|$name"))
+        docs.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+        java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(in, name))
+      }
+      val first = stage(col("doc_id") >= 250 && col("doc_id") < 375, "a_batch1.parquet")
+      val second = stage(col("doc_id") >= 375, "b_batch2.parquet")
+      java.nio.file.Files.setLastModifiedTime(second,
+        java.nio.file.attribute.FileTime.fromMillis(
+          java.nio.file.Files.getLastModifiedTime(first).toMillis + 10000))
+      in
+    })
+    def fps(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), TextAnalysis.md5Fingerprint(col("text")).as("f"))
+    def bits(df: DataFrame): DataFrame = fps(df).select(col("doc_id"), col("f"),
+      explode(array((1 to k).map(j =>
+        pmod(Dedup.baseHash(concat(lit(s"$j#"), col("f"))), lit(m))): _*)).as("bit"))
+    val work = Scratch.stableDir("q387-work")
+    val bitIdx = s"$work/bits"
+    val fpIdx = s"$work/fps"
+    val out = s"$work/stats"
+    graft.queries.EventQueries.withShufflePartitions(spark, 8) {
+      val seed = docs.filter(col("doc_id") < 250)
+      bits(seed).select("bit").distinct().write.mode("overwrite").parquet(bitIdx)
+      fps(seed).select("f").distinct().write.mode("overwrite").parquet(fpIdx)
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      val query = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val seen = spark.read.parquet(bitIdx)
+            val known = spark.read.parquet(fpIdx)
+            val flagged = bits(b).join(broadcast(seen), Seq("bit"), "left_semi")
+              .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+              .filter(col("hits") === k)
+              .select(col("doc_id"), lit(1L).as("bloom_flag"))
+            val exact = fps(b).join(known, Seq("f"), "left_semi")
+              .select(col("doc_id"), lit(1L).as("exact_flag"))
+            fps(b)
+              .join(flagged, Seq("doc_id"), "left")
+              .join(exact, Seq("doc_id"), "left")
+              // append-only index: a bit re-set by a later batch is a second
+              // ROW (the semi-join reader doesn't care) — occupancy counts
+              // DISTINCT bits
+              .crossJoin(broadcast(
+                seen.agg(countDistinct(col("bit")).as("bits_before"))))
+              .agg(
+                expr("CASE WHEN min(doc_id) < 375 THEN 250L ELSE 375L END")
+                  .as("batch_lo"),
+                count(lit(1)).as("n_docs"),
+                sum(coalesce(col("exact_flag"), lit(0L))).as("exact_dup"),
+                sum(coalesce(col("bloom_flag"), lit(0L))).as("bloom_flagged"),
+                sum(when(col("bloom_flag").isNotNull && col("exact_flag").isNull, 1L)
+                  .otherwise(0L)).as("false_pos"),
+                sum(when(col("exact_flag").isNotNull && col("bloom_flag").isNull, 1L)
+                  .otherwise(0L)).as("false_neg"),
+                max(col("bits_before")).as("bits_before"))
+              .write.mode("append").parquet(out)
+            bits(b).select("bit").distinct().write.mode("append").parquet(bitIdx)
+            fps(b).select("f").distinct().write.mode("append").parquet(fpIdx)
+          } finally b.unpersist(false)
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    spark.read.parquet(out)
+  }
+
+  private val q387Staged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val q387Oracle =
+    s"""WITH d AS (SELECT doc_id, md5($DNorm) AS f FROM documents),
+       |b AS (SELECT doc_id, f,
+       |        ('0x' || substr(md5(j.j::VARCHAR || '#' || f), 1, 15))::BIGINT
+       |          % 2048 AS bit
+       |      FROM d CROSS JOIN (SELECT unnest(range(1, 4)) AS j) j),
+       |n AS (SELECT doc_id, f, bit,
+       |        CASE WHEN doc_id < 375 THEN 250 ELSE 375 END AS lo
+       |      FROM b WHERE doc_id >= 250),
+       |hit AS (SELECT doc_id, lo, count(*) AS hits FROM n
+       |        WHERE EXISTS (SELECT 1 FROM b o
+       |                      WHERE o.bit = n.bit AND o.doc_id < n.lo)
+       |        GROUP BY 1, 2),
+       |fl AS (SELECT doc_id FROM hit WHERE hits = 3),
+       |nn AS (SELECT doc_id, f,
+       |         CASE WHEN doc_id < 375 THEN 250 ELSE 375 END AS lo
+       |       FROM d WHERE doc_id >= 250),
+       |ex AS (SELECT nn.doc_id FROM nn WHERE EXISTS
+       |        (SELECT 1 FROM d o WHERE o.f = nn.f AND o.doc_id < nn.lo)),
+       |st AS (SELECT nn.lo AS batch_lo, nn.doc_id,
+       |         CASE WHEN nn.doc_id IN (SELECT doc_id FROM fl) THEN 1 ELSE 0 END AS bf,
+       |         CASE WHEN nn.doc_id IN (SELECT doc_id FROM ex) THEN 1 ELSE 0 END AS ef
+       |       FROM nn)
+       |SELECT batch_lo::BIGINT AS batch_lo, count(*)::BIGINT AS n_docs,
+       |       sum(ef)::BIGINT AS exact_dup,
+       |       sum(bf)::BIGINT AS bloom_flagged,
+       |       sum(CASE WHEN bf = 1 AND ef = 0 THEN 1 ELSE 0 END)::BIGINT
+       |         AS false_pos,
+       |       sum(CASE WHEN ef = 1 AND bf = 0 THEN 1 ELSE 0 END)::BIGINT
+       |         AS false_neg,
+       |       (SELECT count(DISTINCT bit) FROM b WHERE doc_id < batch_lo)::BIGINT
+       |         AS bits_before
+       |FROM st GROUP BY batch_lo""".stripMargin
+
   /** q385: ExactSubstr removal REWRITE — the cleanup ACTION that closes
     * q378 (detect) and q380 (audit): affected documents are rebuilt with
     * every token inside a duplicated span cut out, and the gate hashes
@@ -5495,6 +5627,57 @@ object ExtQueries {
        |FROM agg a JOIN rk r ON r.cluster_id = a.cluster_id AND r.rn = 1
        |WHERE a.n_members >= 2""".stripMargin
   }
+
+  /** q389: curriculum-learning schedule construction (Bengio et al.,
+    * ICML 2009) — the corpus ordered easy→hard and cut into FOUR phases
+    * of EQUAL TOKEN MASS (a trainer schedules by tokens, not by doc
+    * count): difficulty = integer mean token length
+    * (`1000·n_chars div n_tokens` — longer words, harder text), the cut
+    * point is each doc's cumulative token START, and `balanced`
+    * machine-checks that every phase's mass sits within one
+    * max-document of total/4 — the tightest bound doc granularity
+    * allows. The cumulative token count over the difficulty order is
+    * [[RangeRank.prefix]] (two-pass range-partitioned), so the schedule
+    * builds with no single-partition window at any size.
+    */
+  def q389Curriculum(spark: SparkSession, dir: String): DataFrame = {
+    val s = documents(spark, dir).select(col("doc_id"), col("n_chars"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("diff_milli", expr("(1000L * n_chars) div n_tokens"))
+    val cum = RangeRank.prefix(s,
+      Seq(col("diff_milli").asc, col("doc_id").asc), col("n_tokens"), "cum")
+    cum
+      .crossJoin(broadcast(cum.agg(max(col("cum")).as("total"),
+        max(col("n_tokens")).as("max_tok"))))
+      .withColumn("phase", expr("((cum - n_tokens) * 4) div total"))
+      .groupBy("phase")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"),
+        min("diff_milli").as("lo_diff"), max("diff_milli").as("hi_diff"),
+        max(col("total")).as("total"), max(col("max_tok")).as("max_tok"))
+      .withColumn("balanced",
+        expr("CASE WHEN abs(4L * tokens - total) <= 4L * max_tok " +
+          "THEN 1L ELSE 0L END"))
+      .select("phase", "n_docs", "tokens", "lo_diff", "hi_diff", "balanced")
+  }
+
+  private val q389Oracle =
+    s"""WITH d AS (SELECT doc_id, n_chars,
+       |        len(string_split($DNorm, ' '))::BIGINT AS n_tokens
+       |      FROM documents),
+       |s AS (SELECT doc_id, n_tokens,
+       |        ((1000 * n_chars) // n_tokens)::BIGINT AS diff_milli FROM d),
+       |c AS (SELECT *,
+       |        sum(n_tokens) OVER (ORDER BY diff_milli, doc_id) AS cum,
+       |        sum(n_tokens) OVER () AS total,
+       |        max(n_tokens) OVER () AS max_tok FROM s),
+       |ph AS (SELECT *, ((cum - n_tokens) * 4) // total AS phase FROM c)
+       |SELECT phase::BIGINT AS phase, count(*)::BIGINT AS n_docs,
+       |       sum(n_tokens)::BIGINT AS tokens,
+       |       min(diff_milli)::BIGINT AS lo_diff,
+       |       max(diff_milli)::BIGINT AS hi_diff,
+       |       (CASE WHEN abs(4 * sum(n_tokens) - max(total)) <= 4 * max(max_tok)
+       |          THEN 1 ELSE 0 END)::BIGINT AS balanced
+       |FROM ph GROUP BY phase""".stripMargin
 
   /** q384: Bloom-gated ingest dedup with machine-checked error accounting
     * — the Dolma-pipeline dedup discipline (a Bloom filter of everything
@@ -5801,6 +5984,8 @@ object ExtQueries {
     "q383_stream_exact_substr" -> (q383StreamExactSubstr _),
     "q384_bloom_dedup" -> (q384BloomDedup _),
     "q385_span_rewrite" -> (q385SpanRewrite _),
+    "q387_stream_bloom" -> (q387StreamBloom _),
+    "q389_curriculum" -> (q389Curriculum _),
     "q386_quality_keeper" -> (q386QualityKeeper _),
     "q229_pq_ann" -> (q229PqAnn _),
     "q230_ivfpq_ann" -> (q230IvfPqAnn _),
@@ -5951,6 +6136,8 @@ object ExtQueries {
     "q383_stream_exact_substr" -> q383Oracle,
     "q384_bloom_dedup" -> q384Oracle,
     "q385_span_rewrite" -> q385Oracle,
+    "q387_stream_bloom" -> q387Oracle,
+    "q389_curriculum" -> q389Oracle,
     "q386_quality_keeper" -> q386Oracle,
     "q229_pq_ann" -> annRecallOracle,
     "q230_ivfpq_ann" -> annRecallOracle,

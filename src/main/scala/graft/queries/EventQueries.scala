@@ -7234,8 +7234,48 @@ object EventQueries {
        |FROM z""".stripMargin
   }
 
+  /** q388: EXACT global quantiles over an unbounded value domain — the
+    * order statistic the histogram-contraction tier (q278/q265/q363)
+    * cannot give when the domain is not a bounded grid: p50/p90/p99 of
+    * purchase cents picked at rank ⌈q·n⌉ of the full total order
+    * (cents, event_id). The global rank is [[RangeRank.rank]] — two-pass
+    * range-partitioned over the |purchases| contraction, never a
+    * single-partition sort — and the quantile picks are conditional
+    * aggregates against a 1-row broadcast count, so the whole statistic
+    * is one extra pass over the ranked checkpoint. Lower-quantile
+    * convention (⌈q·n⌉, q278's discipline): engine-exact, no
+    * interpolation float ever exists.
+    */
+  def q388ExactQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val p = events(spark, dir).filter(col("event_type") === "purchase")
+      .select(col("event_id"), floor(col("value") * 100).cast("long").as("cents"))
+    val ranked = RangeRank.rank(p, Seq(col("cents").asc, col("event_id").asc), "rnk")
+    ranked
+      .crossJoin(broadcast(p.agg(count(lit(1)).as("n"))))
+      .agg(max(col("n")).as("n"),
+        min(when(col("rnk") === expr("(n + 1) div 2"), col("cents")))
+          .as("p50_cents"),
+        min(when(col("rnk") === expr("(9 * n + 9) div 10"), col("cents")))
+          .as("p90_cents"),
+        min(when(col("rnk") === expr("(99 * n + 99) div 100"), col("cents")))
+          .as("p99_cents"))
+  }
+
+  private val q388Oracle =
+    """WITH p AS (SELECT event_id, floor(value * 100)::BIGINT AS cents
+      |           FROM events WHERE event_type = 'purchase'),
+      |r AS (SELECT cents, row_number() OVER (ORDER BY cents, event_id) AS rnk
+      |      FROM p),
+      |n AS (SELECT count(*)::BIGINT AS n FROM p)
+      |SELECT n,
+      |  min(CASE WHEN rnk = (n + 1) // 2 THEN cents END)::BIGINT AS p50_cents,
+      |  min(CASE WHEN rnk = (9 * n + 9) // 10 THEN cents END)::BIGINT AS p90_cents,
+      |  min(CASE WHEN rnk = (99 * n + 99) // 100 THEN cents END)::BIGINT AS p99_cents
+      |FROM r CROSS JOIN n GROUP BY n""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q376_aa_calibration" -> (q376AaCalibration _),
+    "q388_exact_quantiles" -> (q388ExactQuantiles _),
     "q379_dunnett" -> (q379Dunnett _),
     "q373_bh_fdr" -> (q373BhFdr _),
     "q370_kruskal_wallis" -> (q370KruskalWallis _),
@@ -7410,6 +7450,7 @@ object EventQueries {
     "q325_forecast_backtest" -> q325Oracle,
     "q376_aa_calibration" -> q376Oracle,
     "q379_dunnett" -> q379Oracle,
+    "q388_exact_quantiles" -> q388Oracle,
     "q373_bh_fdr" -> q373Oracle,
     "q370_kruskal_wallis" -> q370Oracle,
     "q371_mcnemar" -> q371Oracle,

@@ -47,6 +47,39 @@ class RangeRankSpec extends SparkSpec {
     assert(bad.isEmpty, "RangeRank itself shipped a global window")
   }
 
+  test("property: rank/prefix equal the global window on random shapes") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      n <- Gen.choose(1, 400)
+      mod <- Gen.choose(1, 20) // tie density of the sort key
+      parts <- Gen.choose(2, 9) // deliberately unrelated to data size
+      neg <- Gen.oneOf(true, false)
+    } yield (n, mod, parts, neg)
+    val cases = (1 to 8).flatMap(i => gen.apply(Gen.Parameters.default, Seed(i.toLong)))
+    assert(cases.size === 8)
+    cases.foreach { case (n, mod, parts, neg) =>
+      val df = (1L to n.toLong)
+        .map(i => (i, i % mod, if (neg && i % 3 == 0) -i else i))
+        .toDF("id", "k", "v")
+      val gotR = RangeRank.rank(df, Seq(col("k").asc, col("id").desc), "r", parts)
+        .select("id", "r")
+      val wantR = df.withColumn("r",
+          row_number().over(Window.orderBy(col("k").asc, col("id").desc)).cast("long"))
+        .select("id", "r")
+      assert(gotR.except(wantR).isEmpty && wantR.except(gotR).isEmpty,
+        s"rank mismatch at n=$n mod=$mod parts=$parts")
+      val gotP = RangeRank.prefix(df, Seq(col("k").asc, col("id").asc), col("v"), "c", parts)
+        .select("id", "c")
+      val wantP = df.withColumn("c",
+          sum(col("v")).over(Window.orderBy(col("k").asc, col("id").asc)
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .select("id", "c")
+      assert(gotP.except(wantP).isEmpty && wantP.except(gotP).isEmpty,
+        s"prefix mismatch at n=$n mod=$mod parts=$parts")
+    }
+  }
+
   test("degenerate inputs: empty frame and single row") {
     val empty = Seq.empty[(Long, Long)].toDF("id", "v")
     assert(RangeRank.rank(empty, Seq(col("id")), "r").count() === 0L)
