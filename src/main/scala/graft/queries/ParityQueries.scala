@@ -2234,6 +2234,107 @@ object ParityQueries {
        |SELECT node, lab FROM r2""".stripMargin
   }
 
+  /** q390: Newman modularity of the q255 label-propagation communities
+    * (Newman, PNAS 2006) — the graph family's missing QUALITY number:
+    * q255 assigns communities, this scores them, exactly.
+    * `Q = Σ_c (e_c/m − (d_c/2m)²)` cross-multiplied to
+    * `q_ppm = 10⁶·Σ_c(4m·e_c − d_c²) div 4m²` — all BIGINT, the one
+    * possibly-negative division spelled out truncation-toward-zero on
+    * both engines (the q379 discipline). Two machine-checks:
+    * `beats_bipartite_split` — on this customer↔supplier graph every
+    * edge crosses sides and each side holds exactly half the degree
+    * mass, so the side partition scores EXACTLY −½ (−500000 ppm), and
+    * LPA can only do better by merging across sides; and
+    * `top_share_ppm` — the largest community's node share, quantifying
+    * the known LPA failure mode on dense bipartite graphs (label
+    * collapse into a giant community) instead of hiding it.
+    *
+    * Scale shape: the edge set builds once (localCheckpoint — it feeds
+    * LP, the degree fold and the intra-edge count); modularity is two
+    * equi-joins onto the |nodes| label table, per-community folds, a
+    * 1-row statistic. No all-pairs anywhere.
+    */
+  def q390Modularity(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct().localCheckpoint()
+    val labels = graft.ext.Graph.labelPropagation(e0, rounds = 2).localCheckpoint()
+    val und = e0.select(col("src").as("u"), col("dst").as("v"))
+      .union(e0.select(col("dst").as("u"), col("src").as("v")))
+    val deg = und.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
+    val m = e0.agg(count(lit(1)).as("m"))
+    val dc = labels.join(deg, "node").groupBy("lab").agg(sum("d").as("d_c"))
+    val ec = e0
+      .join(labels.select(col("node").as("src"), col("lab").as("lab_a")), "src")
+      .join(labels.select(col("node").as("dst"), col("lab").as("lab_b")), "dst")
+      .filter(col("lab_a") === col("lab_b"))
+      .groupBy(col("lab_a").as("lab")).agg(count(lit(1)).as("e_c"))
+    val top = labels.groupBy("lab").agg(count(lit(1)).as("sz"))
+      .crossJoin(broadcast(labels.agg(count(lit(1)).as("n_nodes"))))
+      .agg(max(col("n_nodes")).as("n_nodes"),
+        expr("(1000000L * max(sz)) div max(n_nodes)").as("top_share_ppm"))
+    dc.join(ec, Seq("lab"), "left")
+      .crossJoin(broadcast(m))
+      .agg(count(lit(1)).as("n_communities"),
+        max(col("m")).as("n_edges"),
+        sum(expr("4L * m * coalesce(e_c, 0L) - d_c * d_c")).as("num"))
+      .crossJoin(broadcast(top))
+      .select(col("n_nodes"), col("n_edges"), col("n_communities"),
+        expr("(1000000L * num) div (4L * n_edges * n_edges)").as("q_ppm"),
+        col("top_share_ppm"))
+      .withColumn("beats_bipartite_split",
+        expr("CASE WHEN q_ppm >= -500000L THEN 1L ELSE 0L END"))
+  }
+
+  private val q390Oracle = {
+    def round(prev: String, name: String): String =
+      s"""$name AS (
+         |  SELECT u AS node, lab FROM (
+         |    SELECT und.u, l.lab, count(*)::BIGINT AS cnt
+         |    FROM und JOIN $prev l ON und.v = l.node
+         |    GROUP BY 1, 2)
+         |  QUALIFY row_number() OVER (PARTITION BY u
+         |                             ORDER BY cnt DESC, lab ASC) = 1)""".stripMargin
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |und AS (SELECT src AS u, dst AS v FROM e0
+       |        UNION SELECT dst, src FROM e0),
+       |nodes AS (SELECT DISTINCT u AS node FROM und),
+       |l0 AS (SELECT node, node AS lab FROM nodes),
+       |${round("l0", "r1")},
+       |${round("r1", "r2")},
+       |m AS (SELECT count(*)::BIGINT AS m FROM e0),
+       |deg AS (SELECT u AS node, count(*)::BIGINT AS d FROM und GROUP BY 1),
+       |dc AS (SELECT r2.lab, sum(deg.d)::BIGINT AS d_c
+       |       FROM r2 JOIN deg USING (node) GROUP BY 1),
+       |ec AS (SELECT a.lab, count(*)::BIGINT AS e_c
+       |       FROM e0 JOIN r2 a ON e0.src = a.node
+       |              JOIN r2 b ON e0.dst = b.node
+       |       WHERE a.lab = b.lab GROUP BY 1),
+       |tp AS (SELECT (SELECT count(*)::BIGINT FROM nodes) AS n_nodes,
+       |         ((1000000 * max(sz)) // (SELECT count(*) FROM nodes))::BIGINT
+       |           AS top_share_ppm
+       |       FROM (SELECT lab, count(*)::BIGINT AS sz FROM r2 GROUP BY 1) s),
+       |nsum AS (SELECT count(*)::BIGINT AS n_communities, max(m.m) AS n_edges,
+       |           sum(4 * m.m * coalesce(ec.e_c, 0)
+       |               - dc.d_c * dc.d_c)::BIGINT AS num
+       |         FROM dc LEFT JOIN ec USING (lab) CROSS JOIN m)
+       |SELECT tp.n_nodes, nsum.n_edges, nsum.n_communities,
+       |       (CASE WHEN num >= 0
+       |          THEN (1000000 * num) // (4 * n_edges * n_edges)
+       |          ELSE -((1000000 * (-num)) // (4 * n_edges * n_edges)) END)
+       |         ::BIGINT AS q_ppm,
+       |       tp.top_share_ppm,
+       |       (CASE WHEN (CASE WHEN num >= 0
+       |            THEN (1000000 * num) // (4 * n_edges * n_edges)
+       |            ELSE -((1000000 * (-num)) // (4 * n_edges * n_edges)) END)
+       |          >= -500000 THEN 1 ELSE 0 END)::BIGINT AS beats_bipartite_split
+       |FROM nsum CROSS JOIN tp""".stripMargin
+  }
+
   /** q260: TPC-H Q3-shaped shipping-priority top-10 — unshipped revenue
     * (ordered before, shipped after the cut date) for one market segment,
     * top 10 orders by revenue. The canonical filter→join→agg→top-k
@@ -3154,6 +3255,7 @@ object ParityQueries {
     "q263_part_skyline" -> (q263PartSkyline _),
     "q265_histogram_estimate" -> (q265HistogramEstimate _),
     "q255_label_communities" -> (q255LabelCommunities _),
+    "q390_modularity" -> (q390Modularity _),
     "q244_priority_check" -> (q244PriorityCheck _),
     "q245_product_profit" -> (q245ProductProfit _),
     "q246_lateness_by_priority" -> (q246LatenessByPriority _),
@@ -3240,6 +3342,7 @@ object ParityQueries {
     "q263_part_skyline" -> q263Oracle,
     "q265_histogram_estimate" -> q265Oracle,
     "q255_label_communities" -> q255Oracle,
+    "q390_modularity" -> q390Oracle,
     "q244_priority_check" -> q244Oracle,
     "q245_product_profit" -> q245Oracle,
     "q246_lateness_by_priority" -> q246Oracle,
