@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST line of `sbt -batch "runMain graft.Bench"`
+// stdout as JSON. Two pieces of sbt furniture defeated that for three
+// rounds: the logger's "[info] " prefix on forked-process output and the
+// trailing "[success] Total time" banner. StdoutOutput passes the forked
+// JVM's stdout through verbatim; showSuccess kills the banner.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by sbt's command loop, not a task, so the unused-key
+// lint false-positives on it.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -141,6 +141,11 @@ object Bench {
         (name, if (okTimes.nonEmpty) Some(median(okTimes)) else None, err)
       }
     val loadAfter = loadavg
+    // 1-min loadavg at START > 3 ⇒ the box was already busy before the first
+    // trial; timings from such a run are environment, not code (round-11
+    // driver run: loadavg 8.3, uniform ~1.3x inflation, zero code deltas).
+    val hotStart = loadBefore.split("\\s+").headOption
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).exists(_ > 3.0)
     // The driver's record keeps only the LAST 2000 CHARS of stdout, so the
     // layout is truncation-proof by construction: per-query detail lines
     // stream FIRST (losing the earliest of them costs nothing that
@@ -218,14 +223,24 @@ object Bench {
     // regardless of how large the query surface grows, so the driver always
     // has one complete parseable JSON line. The long line above stays for
     // human per-query audits; the named map persists in tools/bench_prev.json.
-    println(s"""{"metric":"total_short","unit":"sec","value":$total,"n_queries":${ok.size},"n_err":${errored.size},"n_flagged":${flagged.size},"sf":${q(sfDir)},"load_after":${q(loadAfter)}}""")
+    println(s"""{"metric":"total_short","unit":"sec","value":$total,"n_queries":${ok.size},"n_err":${errored.size},"n_flagged":${flagged.size},"sf":${q(sfDir)},"baseline":${q(if (hotStart) "hot-diverted" else "idle")},"load_after":${q(loadAfter)}}""")
     // Record this run as the next baseline — only a FULL (unfiltered) run
     // qualifies, and only its own sf's entry is replaced, so a filtered or
-    // small-sf local iteration can never clobber the sf0.1 record.
+    // small-sf local iteration can never clobber the sf0.1 record. A run
+    // started on a BUSY box (1-min loadavg > 3 — round 11's driver run
+    // started at 8.3 and poisoned the committed tripwire baseline with
+    // uniformly-inflated timings) is diverted to a side file instead: the
+    // committed idle map stays honest mechanically, not by hand-reverting.
     if (only.isEmpty && errored.isEmpty) {
-      try writePrev(prevAll + (sfDir -> ok.toMap))
+      val target =
+        if (hotStart) java.nio.file.Paths.get("tools/bench_prev.hot.json")
+        else prevPath
+      if (hotStart)
+        System.err.println(s"[bench] loadavg at start ($loadBefore) > 3: " +
+          "baseline diverted to tools/bench_prev.hot.json; committed idle map untouched")
+      try writePrev(prevAll + (sfDir -> ok.toMap), target)
       catch { case e: Throwable =>
-        System.err.println(s"[bench] could not write ${prevPath}: ${e.getMessage}")
+        System.err.println(s"[bench] could not write ${target}: ${e.getMessage}")
       }
     }
     spark.stop()

@@ -1257,14 +1257,16 @@ object Dedup {
     * stays hash-exact.
     *
     * Scale shape: |tokens| gram rows (narrow: id + int + long), produced
-    * by ONE corpus scan; the ≥2-occurrence mark is a count over the
-    * gram-hash window partition — one shuffle, no second scan and no
-    * join-back (a groupBy + rejoin would recompute the tokenize+explode
-    * lineage once per consumer); then a per-DOCUMENT window for the
-    * island merge (partition = one document's marked positions, bounded
-    * by document length) and one groupBy per (doc, island). No all-pairs
-    * step and no global order anywhere; the hottest key is the most
-    * frequent gram, the same skew bound as the MinHash band buckets.
+    * by ONE corpus scan that is checkpointed so both consumers share it;
+    * the ≥2-occurrence mark is a map-side-combined `groupBy(gh).count ≥ 2`
+    * contracted to distinct gram hashes BEFORE the shuffle, then a
+    * `left_semi` join-back onto the checkpointed grams — the hottest gram
+    * (at crawl scale, exactly the boilerplate gram the operator exists to
+    * find) costs ~1 row per map task, never one reducer task per
+    * occurrence; then a per-DOCUMENT window for the island merge
+    * (partition = one document's marked positions, bounded by document
+    * length) and one groupBy per (doc, island). No all-pairs step and no
+    * global order anywhere.
     *
     * Returns one row per maximal duplicated span:
     * (idCol, span_start — 0-based token position, span_tokens).
@@ -1277,11 +1279,25 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     require(k >= 2, "gram width k must be >= 2")
     require(minSpanTokens >= k, "minSpanTokens must be >= k (shorter spans are invisible)")
-    val grams = tokenGrams(docs, k, idCol, textCol)
-    val marked = grams
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy("gh")))
-      .filter(col("__n") >= 2).select(col(idCol), col("pos"))
-    spansFromMarked(marked, k, minSpanTokens, idCol)
+    val grams = tokenGrams(docs, k, idCol, textCol).localCheckpoint()
+    spansFromMarked(markedDupGrams(grams, idCol), k, minSpanTokens, idCol)
+  }
+
+  /** Positions whose gram hash occurs ≥ 2 times in `grams` (the ExactSubstr
+    * mark). Shape matters more than arithmetic here: a
+    * `count.over(Window.partitionBy("gh"))` would shuffle every OCCURRENCE
+    * row of the most frequent gram through the single reducer task owning
+    * its hash — at 100 TB that gram is a licence header with hundreds of
+    * millions of occurrences. The map-side-combined groupBy contracts each
+    * gram to ~1 row per map task before the shuffle, and the `left_semi`
+    * join-back rides the caller's checkpointed gram stage, so the
+    * tokenize+explode lineage is not recomputed. Marked set is identical
+    * to the window formulation (DedupSpec asserts bit-equality).
+    */
+  private def markedDupGrams(grams: DataFrame, idCol: String): DataFrame = {
+    val dup = grams.groupBy("gh").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2).select("gh")
+    grams.join(dup, Seq("gh"), "left_semi").select(col(idCol), col("pos"))
   }
 
   /** (idCol, pos, gh): every token position's k-gram 60-bit hash — the
@@ -1290,15 +1306,17 @@ object Dedup {
     * Docs shorter than k tokens contribute nothing.
     */
   private def tokenGrams(
-      docs: DataFrame, k: Int, idCol: String, textCol: String): DataFrame =
+      docs: DataFrame, k: Int, idCol: String, textCol: String,
+      carry: Seq[String] = Nil): DataFrame =
     docs
-      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol) +: carry.map(col) :+
+        TextAnalysis.tokens(col(textCol)).as("__toks"): _*)
       .filter(size(col("__toks")) >= k)
-      .select(col(idCol),
+      .select(col(idCol) +: carry.map(col) :+
         posexplode(transform(
           sequence(lit(0), size(col("__toks")) - k),
           i => baseHash(array_join(slice(col("__toks"), i + 1, lit(k)), " "))))
-          .as(Seq("pos", "gh")))
+          .as(Seq("pos", "gh")): _*)
 
   /** Gaps-and-islands merge of marked gram START positions into maximal
     * duplicated spans — the shared tail of both ExactSubstr paths.
@@ -1349,10 +1367,11 @@ object Dedup {
     * reconciliation), so results are arrival-order-dependent and the
     * oracle must replay the same batch split.
     *
-    * Scale shape: one scan of the BATCH (never the corpus), an in-batch
-    * gram-window count, a semi-join against the index (AQE broadcasts it
-    * while small; at corpus scale it is a shuffle join on gh — still
-    * |batch grams|-bounded work), the per-doc island merge.
+    * Scale shape: one scan of the BATCH (never the corpus), the in-batch
+    * ≥2 mark via the same map-side-combined groupBy + semi-join as the
+    * batch path ([[markedDupGrams]]), a semi-join against the index (AQE
+    * broadcasts it while small; at corpus scale it is a shuffle join on
+    * gh — still |batch grams|-bounded work), the per-doc island merge.
     */
   def exactSubstrSpansAgainstIndex(
       batch: DataFrame,
@@ -1367,10 +1386,77 @@ object Dedup {
     val idx = spark.read.parquet(indexPath)
     val inIndex = grams.join(idx, Seq("gh"), "left_semi")
       .select(col(idCol), col("pos"))
-    val inBatch = grams
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy("gh")))
-      .filter(col("__n") >= 2).select(col(idCol), col("pos"))
+    val inBatch = markedDupGrams(grams, idCol)
     val marked = inIndex.unionByName(inBatch).distinct()
     spansFromMarked(marked, k, minSpanTokens, idCol)
+  }
+
+  /** Deterministic batch REPLAY of the incremental ExactSubstr fold: the
+    * spans each batch of [[exactSubstrSpansAgainstIndex]] would emit given
+    * arrival order `batchCol` (0 = the index seed, which emits nothing;
+    * higher = later). A position is marked iff its gram was seen in ANY
+    * strictly-earlier batch (index semantics) OR occurs ≥ 2 times inside
+    * its own batch — exactly the per-batch rule, folded in one pass so an
+    * oracle (or a reconciliation) can replay the stream without running it.
+    *
+    * Scale shape: one corpus scan to grams (checkpointed), one map-side-
+    * combined groupBy to per-(gram, batch) counts, a window over gh whose
+    * partitions hold ≤ |batches| COUNT rows (never occurrences — the
+    * hottest gram is already contracted), a semi-join back on (gh, batch),
+    * the per-doc island merge.
+    */
+  def exactSubstrSpansIncrementalReplay(
+      docs: DataFrame,
+      batchCol: Column,
+      k: Int = 8,
+      minSpanTokens: Int = 16,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(minSpanTokens >= k, "minSpanTokens must be >= k")
+    val grams = tokenGrams(docs.withColumn("__b", batchCol.cast("long")),
+      k, idCol, textCol, carry = Seq("__b")).localCheckpoint()
+    val perBatch = grams.groupBy("gh", "__b").agg(count(lit(1)).as("__n"))
+    val dupKeys = perBatch
+      .withColumn("__minb", min(col("__b")).over(Window.partitionBy("gh")))
+      .filter(col("__b") > col("__minb") || col("__n") >= 2)
+      .select("gh", "__b")
+    val marked = grams.filter(col("__b") > 0)
+      .join(dupKeys, Seq("gh", "__b"), "left_semi")
+      .select(col(idCol), col("pos"))
+    spansFromMarked(marked, k, minSpanTokens, idCol)
+  }
+
+  /** ExactSubstr batch RECONCILIATION — the retro-flagging pass the
+    * incremental tier's one-pass semantics defers (a gram's FIRST
+    * occurrence, duplicated only by a later batch, is never flagged at
+    * ingest): re-runs exact span detection over the ACCUMULATED corpus
+    * ([[exactSubstrSpans]] — so the reconciled set is by construction the
+    * batch-exact answer) and flags each span the incremental fold missed.
+    * `missed_by_stream = 1` means no identical (id, start, tokens) row was
+    * emitted at ingest — this covers both wholly-unseen spans (the first
+    * occurrence) and spans the stream saw SHORTER (later marks extended
+    * the island, so the batch-exact extent differs); downstream removal
+    * must reprocess exactly these rows and no others.
+    *
+    * Scale shape: one full batch detection (its own shapes documented
+    * there) plus a left join of two span tables — both tiny contractions
+    * of the corpus, key = (id, start, tokens).
+    */
+  def exactSubstrReconcile(
+      docs: DataFrame,
+      incremental: DataFrame,
+      k: Int = 8,
+      minSpanTokens: Int = 16,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val full = exactSubstrSpans(docs, k, minSpanTokens, idCol, textCol)
+    val inc = incremental
+      .select(col(idCol), col("span_start"), col("span_tokens"))
+      .distinct()
+      .withColumn("__hit", lit(1L))
+    full.join(inc, Seq(idCol, "span_start", "span_tokens"), "left")
+      .withColumn("missed_by_stream",
+        when(col("__hit").isNull, 1L).otherwise(0L))
+      .drop("__hit")
   }
 }

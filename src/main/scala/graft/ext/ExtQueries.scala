@@ -5167,6 +5167,10 @@ object ExtQueries {
     * `E[Σ|r₁−r₂|] = (n²−1)/3`, so `disp_ppm = 3·10⁶·Σ|Δr| div (n²−1)`
     * must sit near 10⁶ (pinned ±10 %; a forgotten reseed gives identical
     * ranks and disp_ppm = 0 — the failure this gate exists to catch).
+    * BIGINT headroom bound: worst-case Σ|Δr| ≤ n²/2, so the 3·10⁶
+    * numerator needs 1.5·10⁶·n² < 2⁶³ ⇒ n ≲ 2.4·10⁶ docs (Spark wraps
+    * silently past it, DuckDB errors — the q379/q390 documentation
+    * discipline); beyond that, rescale via `sum_disp div (n−1)` first.
     *
     * Scale shape: one scan, two RangeRank passes over (id, two hash
     * keys), a 1-row fold. Nothing global-ordered in one task.
@@ -5555,6 +5559,78 @@ object ExtQueries {
        |       md5(coalesce(string_agg(CASE WHEN keep = 1 THEN tok END,
        |         ' ' ORDER BY pos), '')) AS rebuilt_md5
        |FROM kflag GROUP BY doc_id""".stripMargin
+
+  /** q392: ExactSubstr batch RECONCILIATION — the retro-flagging pass
+    * q383's one-pass streaming semantics defers: a gram's FIRST occurrence,
+    * duplicated only by a LATER batch, is invisible at ingest time (the
+    * index gains the gram only after its batch lands), so the stream's
+    * span set systematically under-covers earlier arrivals. This query
+    * replays q383's exact two-batch fold deterministically
+    * ([[Dedup.exactSubstrSpansIncrementalReplay]] — seed < 200, batch 1 =
+    * [200, 350), batch 2 = ≥ 350), re-runs batch-exact detection over the
+    * accumulated corpus ([[Dedup.exactSubstrReconcile]]), and publishes
+    * every batch-exact span with `missed_by_stream` — the delta downstream
+    * removal must reprocess. Seed-resident spans are ALWAYS missed (the
+    * stream never re-reads the seed); batch spans are missed when the
+    * duplicate arrived later or when late marks extended the island past
+    * the extent the stream saw.
+    *
+    * Scale shape: the replay is one gram scan + a per-(gram, batch)
+    * map-side-combined count + a window over ≤ |batches| count rows per
+    * gram; the reconciliation is the batch detection plus a left join of
+    * two span tables — all tiny contractions of the corpus.
+    */
+  def q392SubstrReconcile(spark: SparkSession, dir: String): DataFrame = {
+    val docs = fanOut(documents(spark, dir))
+    val batch = when(col("doc_id") < 200, 0L)
+      .when(col("doc_id") < 350, 1L).otherwise(2L)
+    val inc = Dedup.exactSubstrSpansIncrementalReplay(docs, batch,
+      k = 8, minSpanTokens = 16)
+    Dedup.exactSubstrReconcile(docs, inc, k = 8, minSpanTokens = 16)
+  }
+
+  private val q392Oracle =
+    s"""WITH t AS (SELECT doc_id, string_split($DNorm, ' ') AS toks
+       |           FROM documents),
+       |g0 AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 8 + 2)) AS i
+       |       FROM t WHERE len(toks) >= 8),
+       |g AS (SELECT doc_id, i - 1 AS pos,
+       |        ('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 15))::BIGINT AS gh
+       |      FROM g0),
+       |d AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+       |m AS (SELECT doc_id, pos FROM g JOIN d USING (gh)),
+       |r AS (SELECT doc_id, pos,
+       |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+       |      FROM m),
+       |fs AS (SELECT doc_id, min(pos)::BIGINT AS span_start,
+       |         (max(pos) - min(pos) + 8)::BIGINT AS span_tokens
+       |       FROM r GROUP BY doc_id, isl
+       |       HAVING max(pos) - min(pos) + 8 >= 16),
+       |n AS (SELECT doc_id, pos, gh,
+       |        CASE WHEN doc_id < 350 THEN 200 ELSE 350 END AS lo
+       |      FROM g WHERE doc_id >= 200),
+       |seen AS (SELECT DISTINCT n.doc_id, n.pos FROM n JOIN g o
+       |         ON o.gh = n.gh AND o.doc_id < n.lo),
+       |inb AS (SELECT doc_id, pos FROM (
+       |          SELECT doc_id, pos, count(*) OVER (PARTITION BY gh, lo) AS c
+       |          FROM n) z
+       |        WHERE c >= 2),
+       |mi AS (SELECT doc_id, pos FROM seen
+       |       UNION SELECT doc_id, pos FROM inb),
+       |ri AS (SELECT doc_id, pos,
+       |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+       |       FROM mi),
+       |si AS (SELECT doc_id, min(pos)::BIGINT AS span_start,
+       |         (max(pos) - min(pos) + 8)::BIGINT AS span_tokens,
+       |         1 AS hit
+       |       FROM ri GROUP BY doc_id, isl
+       |       HAVING max(pos) - min(pos) + 8 >= 16)
+       |SELECT fs.doc_id, fs.span_start, fs.span_tokens,
+       |       (CASE WHEN si.hit IS NULL THEN 1 ELSE 0 END)::BIGINT
+       |         AS missed_by_stream
+       |FROM fs LEFT JOIN si
+       |  ON si.doc_id = fs.doc_id AND si.span_start = fs.span_start
+       | AND si.span_tokens = fs.span_tokens""".stripMargin
 
   /** q386: quality-aware keeper selection — duplicate CLUSTERS (q27's
     * MinHash connected components) resolved by keeping the HIGHEST
@@ -6069,6 +6145,7 @@ object ExtQueries {
     "q387_stream_bloom" -> (q387StreamBloom _),
     "q389_curriculum" -> (q389Curriculum _),
     "q391_filter_redundancy" -> (q391FilterRedundancy _),
+    "q392_substr_reconcile" -> (q392SubstrReconcile _),
     "q386_quality_keeper" -> (q386QualityKeeper _),
     "q229_pq_ann" -> (q229PqAnn _),
     "q230_ivfpq_ann" -> (q230IvfPqAnn _),
@@ -6222,6 +6299,7 @@ object ExtQueries {
     "q387_stream_bloom" -> q387Oracle,
     "q389_curriculum" -> q389Oracle,
     "q391_filter_redundancy" -> q391Oracle,
+    "q392_substr_reconcile" -> q392Oracle,
     "q386_quality_keeper" -> q386Oracle,
     "q229_pq_ann" -> annRecallOracle,
     "q230_ivfpq_ann" -> annRecallOracle,

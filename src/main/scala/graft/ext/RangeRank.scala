@@ -61,7 +61,15 @@ object RangeRank {
     // Bounded driver read: ≤ `parts` (pid, partition total) pairs.
     val totals = staged.groupBy("__rr_pid").agg(sum("__rr_v").as("__rr_t"))
       .collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
+      .map { r =>
+        // a null partition sum means every value in that range partition was
+        // null — the documented non-null precondition is violated; fail with
+        // the contract instead of an opaque NPE out of getLong
+        require(!r.isNullAt(1),
+          s"RangeRank.prefix: range partition ${r.getLong(0)} holds only null " +
+            "values — `value` must be non-null (cast/coalesce it first)")
+        (r.getLong(0), r.getLong(1))
+      }
       .sortBy(_._1)
     var acc = 0L
     val offsets = totals.map { case (pid, t) => val o = acc; acc += t; (pid, o) }

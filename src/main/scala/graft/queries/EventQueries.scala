@@ -7164,7 +7164,9 @@ object EventQueries {
     * h ≤ 10⁶ — inside long with 100× headroom). `diff_milli` CAN be
     * negative, where the engines' integer divisions differ — the oracle
     * spells out truncation-toward-zero as a CASE (the holtFdiv
-    * discipline) so both run identical semantics.
+    * discipline) so both run identical semantics; the per-user `y` fold
+    * and the pooled `s2_milli` division carry the same guard, so even a
+    * fixture with negative event values cannot split the engines.
     *
     * Scale shape: ONE user-keyed groupBy, a 4-row arm table
     * (localCheckpoint — it feeds the SSE fold, the control row, and the
@@ -7207,15 +7209,16 @@ object EventQueries {
     def tdiv(x: String, d: String): String =
       s"(CASE WHEN ($x) >= 0 THEN ($x) // ($d) ELSE -((-($x)) // ($d)) END)"
     s"""WITH pu AS (SELECT user_id,
-       |        (sum(CASE WHEN event_type = 'purchase'
-       |             THEN floor(value * 100)::BIGINT ELSE 0 END) // 100)
+       |        ${tdiv(
+             "sum(CASE WHEN event_type = 'purchase' " +
+               "THEN floor(value * 100)::BIGINT ELSE 0 END)", "100")}
        |          ::BIGINT AS y
        |      FROM events GROUP BY 1),
        |a AS (SELECT user_id % 4 AS arm, count(*)::BIGINT AS n,
        |        sum(y)::BIGINT AS s, sum(y * y)::BIGINT AS q
        |      FROM pu GROUP BY 1),
-       |p AS (SELECT (sum((1000 * (n * q - s * s)) // n)
-       |          // (sum(n) - 4))::BIGINT AS s2_milli FROM a),
+       |p AS (SELECT ${tdiv("sum((1000 * (n * q - s * s)) // n)",
+              "(sum(n) - 4)")}::BIGINT AS s2_milli FROM a),
        |c AS (SELECT n AS n_c, s AS s_c FROM a WHERE arm = 0),
        |t AS (SELECT arm::BIGINT AS arm, n, s FROM a WHERE arm <> 0),
        |x AS (SELECT arm, n AS n_t, n_c, s2_milli,
@@ -7250,8 +7253,10 @@ object EventQueries {
     val p = events(spark, dir).filter(col("event_type") === "purchase")
       .select(col("event_id"), floor(col("value") * 100).cast("long").as("cents"))
     val ranked = RangeRank.rank(p, Seq(col("cents").asc, col("event_id").asc), "rnk")
+    // n from the ranked output itself (RangeRank checkpoints its staged
+    // shuffle), not a second purchase-filter scan of events
     ranked
-      .crossJoin(broadcast(p.agg(count(lit(1)).as("n"))))
+      .crossJoin(broadcast(ranked.agg(count(lit(1)).as("n"))))
       .agg(max(col("n")).as("n"),
         min(when(col("rnk") === expr("(n + 1) div 2"), col("cents")))
           .as("p50_cents"),

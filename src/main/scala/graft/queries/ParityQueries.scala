@@ -2238,9 +2238,14 @@ object ParityQueries {
     * (Newman, PNAS 2006) — the graph family's missing QUALITY number:
     * q255 assigns communities, this scores them, exactly.
     * `Q = Σ_c (e_c/m − (d_c/2m)²)` cross-multiplied to
-    * `q_ppm = 10⁶·Σ_c(4m·e_c − d_c²) div 4m²` — all BIGINT, the one
-    * possibly-negative division spelled out truncation-toward-zero on
-    * both engines (the q379 discipline). Two machine-checks:
+    * `q_ppm = 10⁶·Σ_c(4m·e_c − d_c²) div 4m²` — all BIGINT with a
+    * headroom BOUND, not unconditional safety: |num| ≤ 4m², so the
+    * 10⁶·num numerator needs 4·10⁶·m² < 2⁶³ ⇒ m ≲ 1.5·10⁶ distinct
+    * cust–supp edges (~sf1; Spark wraps silently past it while DuckDB
+    * errors — the q379 headroom-documentation discipline). Beyond that,
+    * divide num by 4m BEFORE the ppm multiply. The one
+    * possibly-negative division is spelled out truncation-toward-zero on
+    * both engines. Two machine-checks:
     * `beats_bipartite_split` — on this customer↔supplier graph every
     * edge crosses sides and each side holds exactly half the degree
     * mass, so the side partition scores EXACTLY −½ (−500000 ppm), and

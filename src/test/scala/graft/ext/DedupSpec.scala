@@ -465,6 +465,86 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("exactSubstrSpans equals the window-count formulation (shape-only change)") {
+    // the ≥2-occurrence mark moved from count().over(Window.partitionBy(gh))
+    // to a map-side-combined groupBy + left_semi (round-12); the marked set —
+    // and therefore every span — must be bit-identical on real data
+    val k = 8
+    val grams = docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), size(col("toks")) - k),
+          i => Dedup.baseHash(array_join(slice(col("toks"), i + 1, lit(k)), " "))))
+          .as(Seq("pos", "gh")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("gh")
+    val marked = grams.withColumn("n", count(lit(1)).over(w))
+      .filter(col("n") >= 2)
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val viaWindow = marked
+      .withColumn("isl", col("pos") - row_number().over(wd))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) - min(col("pos")) + k).cast("long").as("span_tokens"))
+      .filter(col("span_tokens") >= 16)
+      .select("doc_id", "span_start", "span_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val viaGroupBy = Dedup.exactSubstrSpans(docs, k = k, minSpanTokens = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(viaGroupBy === viaWindow)
+    assert(viaGroupBy.nonEmpty, "fixture must exercise the span path")
+  }
+
+  test("exactSubstrSpans plan: no window partitioned by the gram hash") {
+    // the hottest gram at crawl scale is exactly the boilerplate the operator
+    // exists to find — a gh-partitioned window would route all its
+    // occurrences through one reducer task; only the per-DOC island window
+    // (bounded by document length) is allowed
+    val plan = Dedup.exactSubstrSpans(docs, k = 8, minSpanTokens = 16)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("windowspecdefinition(gh"),
+      s"gram-hash window reintroduced:\n$plan")
+  }
+
+  test("incremental replay with everything in one batch equals the batch path") {
+    // batchCol = 1 for all docs (no seed): in-batch ≥2 is then the global
+    // ≥2 rule, so the replay must reproduce exactSubstrSpans exactly
+    def spans(df: DataFrame): Seq[(Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val replay = spans(Dedup.exactSubstrSpansIncrementalReplay(
+      docs, lit(1), k = 8, minSpanTokens = 16))
+    val batch = spans(Dedup.exactSubstrSpans(docs, k = 8, minSpanTokens = 16))
+    assert(replay === batch)
+  }
+
+  test("reconcile: reconciled set equals the batch path; one-pass blind spot flagged") {
+    import spark.implicits._
+    def mk(tag: String, n: Int): String = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val span = mk("dup", 20)
+    val fixture = Seq(
+      (5L, mk("seed", 30)),                      // batch 0 (index seed)
+      (10L, mk("pre", 5) + " " + span),          // batch 1: FIRST occurrence
+      (20L, span + " " + mk("post", 7))          // batch 2: the duplicate
+    ).toDF("doc_id", "text")
+    val batchOf = when(col("doc_id") < 10, 0L)
+      .when(col("doc_id") < 20, 1L).otherwise(2L)
+    val inc = Dedup.exactSubstrSpansIncrementalReplay(
+      fixture, batchOf, k = 8, minSpanTokens = 16)
+    // the stream sees only batch 2's side (batch 1's gram wasn't indexed yet)
+    assert(inc.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq === Seq((20L, 0L, 20L)))
+    val rec = Dedup.exactSubstrReconcile(fixture, inc, k = 8, minSpanTokens = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    // reconciled set = batch-exact spans; the first occurrence is the miss
+    assert(rec === Seq((10L, 5L, 20L, 1L), (20L, 0L, 20L, 0L)))
+    val full = Dedup.exactSubstrSpans(fixture, k = 8, minSpanTokens = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(rec.map(t => (t._1, t._2, t._3)) === full)
+  }
+
   test("incremental ExactSubstr: in-batch self-duplication flags both occurrences") {
     import spark.implicits._
     def mk(tag: String, n: Int): String = (0 until n).map(i => s"$tag$i").mkString(" ")
