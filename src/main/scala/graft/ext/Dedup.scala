@@ -336,17 +336,20 @@ object Dedup {
         val cand = bucketPairs(bandRowsOfSig(sig, bands, rowsPerBand))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          val nCand = cand.count()
-          val sampled = cand.filter(expr(
-            s"cast(conv(substring(md5(concat(doc_a, ':', doc_b)), 1, 15), 16, 10) AS bigint) % $sampleMod = 0"))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          try {
-            val nSampled = sampled.count()
-            val nTrue = verifyJaccard(sampled, shingled)
-              .filter(col("jaccard") >= threshold).count()
-            val ppm = if (nSampled == 0) 0L else (1000000L * nTrue) / nSampled
-            (bands, rowsPerBand, nCand, nSampled, nTrue, ppm)
-          } finally sampled.unpersist(false)
+          val gate = expr(
+            s"cast(conv(substring(md5(concat(doc_a, ':', doc_b)), 1, 15), 16, 10) AS bigint) % $sampleMod = 0")
+          // candidate + sample counts fold in ONE pass over the cached pair
+          // table (they were two count jobs); the Jaccard verify then runs
+          // on the sampled slice only — two jobs per config, not three
+          val counts = cand
+            .agg(count(lit(1)).as("nc"),
+              coalesce(sum(when(gate, 1L).otherwise(0L)), lit(0L)).as("ns"))
+            .head()
+          val (nCand, nSampled) = (counts.getLong(0), counts.getLong(1))
+          val nTrue = verifyJaccard(cand.filter(gate), shingled)
+            .filter(col("jaccard") >= threshold).count()
+          val ppm = if (nSampled == 0) 0L else (1000000L * nTrue) / nSampled
+          (bands, rowsPerBand, nCand, nSampled, nTrue, ppm)
         } finally cand.unpersist(false)
       }
       import spark.implicits._
@@ -694,6 +697,71 @@ object Dedup {
       spark.read.parquet(s"$indexPath/bands"),
       spark.read.parquet(s"$indexPath/shingles"),
       idCol, textCol, k, bands, rowsPerBand, threshold)
+  }
+
+  /** One streaming ingest step against a [[writeIndex]] corpus index:
+    * probe (identical decisions to [[dedupAgainstIndex]] — same tiers,
+    * same relations) AND append the survivors to the index
+    * ([[appendToIndex]] semantics), fused so the batch is shingled ONCE
+    * and the meta sidecar is read once — the probe's tier-2 shingle stage
+    * IS the appended shingle/band source, where the two-call form pays
+    * the whole shingling pipeline a second time inside appendToIndex.
+    *
+    * Ordering discipline: the survivors and their shingles are
+    * localCheckpoint-severed BEFORE the first append (the
+    * [[appendToIndex]] lineage hazard — an un-severed plan re-derives
+    * against the half-updated index and admits a batch against its own
+    * fingerprints). The returned frame is the checkpointed survivor
+    * snapshot, safe to write after the appends.
+    */
+  def ingestAgainstIndex(
+      newDocs: DataFrame,
+      indexPath: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      threshold: Double = 0.5): DataFrame = {
+    val spark = newDocs.sparkSession
+    val meta = spark.read.json(s"$indexPath/meta").collect().head
+    val (k, bands, rowsPerBand) = (
+      meta.getAs[Long]("k").toInt,
+      meta.getAs[Long]("bands").toInt,
+      meta.getAs[Long]("rows_per_band").toInt)
+    val params = hashParams(bands * rowsPerBand)
+    // tier 1 — keep __fp: the fingerprint append below reuses it instead of
+    // re-hashing the accepted texts
+    val exactSurvivors = newDocs
+      .withColumn("__fp", TextAnalysis.md5Fingerprint(col(textCol)))
+      .join(spark.read.parquet(s"$indexPath/fingerprints"),
+        Seq("__fp"), "left_anti")
+    // the ONE shingling of the batch: probe candidates, Jaccard verify, and
+    // both appended relations all ride this snapshot
+    val shNew = shingleHashes(exactSurvivors, idCol, textCol, k).localCheckpoint()
+    val candidates = minhashBandRows(shNew, params, bands, rowsPerBand)
+      .withColumnRenamed("doc_id", "new_id")
+      .join(spark.read.parquet(s"$indexPath/bands")
+        .withColumnRenamed("doc_id", "old_id"), Seq("band", "bucket"))
+      .select("new_id", "old_id")
+      .dropDuplicates("new_id", "old_id")
+    val dropped = candidates
+      .join(shNew.select(col("doc_id").as("new_id"), col("hs").as("hs_new")), Seq("new_id"))
+      .join(spark.read.parquet(s"$indexPath/shingles")
+        .select(col("doc_id").as("old_id"), col("hs").as("hs_old")), Seq("old_id"))
+      .withColumn("jaccard",
+        round(size(array_intersect(col("hs_new"), col("hs_old"))).cast("double")
+          / size(array_union(col("hs_new"), col("hs_old"))).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id").as(idCol)).distinct()
+    val survivors = exactSurvivors.join(dropped, Seq(idCol), "left_anti")
+      .localCheckpoint()
+    val shAcc = shNew
+      .join(survivors.select(col(idCol).as("doc_id")), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    survivors.select(col("__fp")).distinct()
+      .write.mode("append").parquet(s"$indexPath/fingerprints")
+    shAcc.write.mode("append").parquet(s"$indexPath/shingles")
+    minhashBandRows(shAcc, params, bands, rowsPerBand)
+      .write.mode("append").parquet(s"$indexPath/bands")
+    survivors.drop("__fp")
   }
 
   /** Shared core of [[dedupAgainst]] / [[dedupAgainstIndex]]: tier-1 exact
@@ -1391,6 +1459,35 @@ object Dedup {
     spansFromMarked(marked, k, minSpanTokens, idCol)
   }
 
+  /** One streaming ingest step for ExactSubstr: detect the arriving
+    * batch's duplicated spans against the index
+    * ([[exactSubstrSpansAgainstIndex]] semantics, decision-for-decision)
+    * AND append the batch's distinct grams ([[appendGramIndex]]), fused so
+    * the tokenize+explode+hash gram stage runs ONCE per batch — the
+    * two-call form pays it twice. The spans are localCheckpoint-pinned
+    * BEFORE the index append: the detection semi-join must see the
+    * pre-batch index state (un-pinned, the lazy plan would re-read the
+    * grown index and flag the batch against its own grams).
+    */
+  def exactSubstrIngestBatch(
+      batch: DataFrame,
+      indexPath: String,
+      k: Int = 8,
+      minSpanTokens: Int = 16,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(minSpanTokens >= k, "minSpanTokens must be >= k")
+    val spark = batch.sparkSession
+    val grams = tokenGrams(batch, k, idCol, textCol).localCheckpoint()
+    val inIndex = grams
+      .join(spark.read.parquet(indexPath), Seq("gh"), "left_semi")
+      .select(col(idCol), col("pos"))
+    val marked = inIndex.unionByName(markedDupGrams(grams, idCol)).distinct()
+    val spans = spansFromMarked(marked, k, minSpanTokens, idCol).localCheckpoint()
+    grams.select("gh").distinct().write.mode("append").parquet(indexPath)
+    spans
+  }
+
   /** Deterministic batch REPLAY of the incremental ExactSubstr fold: the
     * spans each batch of [[exactSubstrSpansAgainstIndex]] would emit given
     * arrival order `batchCol` (0 = the index seed, which emits nothing;
@@ -1424,6 +1521,50 @@ object Dedup {
       .join(dupKeys, Seq("gh", "__b"), "left_semi")
       .select(col(idCol), col("pos"))
     spansFromMarked(marked, k, minSpanTokens, idCol)
+  }
+
+  /** [[exactSubstrReconcile]] against the REPLAYED incremental fold, fused
+    * onto ONE gram scan: the generic reconcile recomputes grams once for
+    * the batch detection and once inside the replay, but when the
+    * incremental side is itself a deterministic replay both marks derive
+    * from the same per-(gram, batch) count table — the full-corpus ≥2 rule
+    * is `Σ_b count ≥ 2` (a second map-side-combined fold over COUNTS, never
+    * a second corpus scan) and the incremental rule is the min-batch /
+    * in-batch test. Output and flag semantics identical to
+    * `exactSubstrReconcile(docs, exactSubstrSpansIncrementalReplay(docs,
+    * batchCol))` — DedupSpec asserts the equivalence.
+    */
+  def exactSubstrReconcileReplay(
+      docs: DataFrame,
+      batchCol: Column,
+      k: Int = 8,
+      minSpanTokens: Int = 16,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(minSpanTokens >= k, "minSpanTokens must be >= k")
+    val grams = tokenGrams(docs.withColumn("__b", batchCol.cast("long")),
+      k, idCol, textCol, carry = Seq("__b")).localCheckpoint()
+    val perBatch = grams.groupBy("gh", "__b").agg(count(lit(1)).as("__n"))
+      .localCheckpoint()
+    val dupAll = perBatch.groupBy("gh").agg(sum("__n").as("__t"))
+      .filter(col("__t") >= 2).select("gh")
+    val full = spansFromMarked(
+      grams.join(dupAll, Seq("gh"), "left_semi").select(col(idCol), col("pos")),
+      k, minSpanTokens, idCol)
+    val dupKeys = perBatch
+      .withColumn("__minb", min(col("__b")).over(Window.partitionBy("gh")))
+      .filter(col("__b") > col("__minb") || col("__n") >= 2)
+      .select("gh", "__b")
+    val inc = spansFromMarked(
+      grams.filter(col("__b") > 0)
+        .join(dupKeys, Seq("gh", "__b"), "left_semi")
+        .select(col(idCol), col("pos")),
+      k, minSpanTokens, idCol)
+      .withColumn("__hit", lit(1L))
+    full.join(inc, Seq(idCol, "span_start", "span_tokens"), "left")
+      .withColumn("missed_by_stream",
+        when(col("__hit").isNull, 1L).otherwise(0L))
+      .drop("__hit")
   }
 
   /** ExactSubstr batch RECONCILIATION — the retro-flagging pass the

@@ -465,6 +465,59 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("ingestAgainstIndex equals dedupAgainstIndex + appendToIndex exactly") {
+    // the fused form shingles the batch once; admissions AND the resulting
+    // index state must be identical to the two-call form
+    withTempDir("ingest-eq") { tmp =>
+      val idxA = tmp.resolve("two-call").toString
+      val idxB = tmp.resolve("fused").toString
+      val seed = docs.filter(col("doc_id") < 40)
+      val batch = docs.filter(col("doc_id") >= 40 && col("doc_id") < 120)
+      Dedup.writeIndex(seed, idxA)
+      Dedup.writeIndex(seed, idxB)
+      val survA = Dedup.dedupAgainstIndex(batch, idxA).localCheckpoint()
+      Dedup.appendToIndex(survA, idxA)
+      val survB = Dedup.ingestAgainstIndex(batch, idxB)
+      def ids(df: DataFrame): Seq[Long] =
+        df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids(survB) === ids(survA))
+      assert(survB.columns.toSeq === survA.columns.toSeq)
+      def fpSet(p: String): Set[String] =
+        spark.read.parquet(s"$p/fingerprints").collect().map(_.getString(0)).toSet
+      def bandSet(p: String): Set[(Long, Int, Long)] =
+        spark.read.parquet(s"$p/bands").collect()
+          .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("band"),
+            r.getAs[Long]("bucket"))).toSet
+      def shingleDocs(p: String): Set[Long] =
+        spark.read.parquet(s"$p/shingles").collect()
+          .map(_.getAs[Long]("doc_id")).toSet
+      assert(fpSet(idxB) === fpSet(idxA))
+      assert(bandSet(idxB) === bandSet(idxA))
+      assert(shingleDocs(idxB) === shingleDocs(idxA))
+      assert(ids(survB).nonEmpty, "fixture must admit something")
+    }
+  }
+
+  test("exactSubstrIngestBatch equals spansAgainstIndex + appendGramIndex exactly") {
+    withTempDir("gidx-fused") { tmp =>
+      val idxA = tmp.resolve("two-call").toString
+      val idxB = tmp.resolve("fused").toString
+      val seed = docs.filter(col("doc_id") < 40)
+      val batch = docs.filter(col("doc_id") >= 40 && col("doc_id") < 120)
+      Dedup.writeGramIndex(seed, idxA)
+      Dedup.writeGramIndex(seed, idxB)
+      val spansA = Dedup.exactSubstrSpansAgainstIndex(batch, idxA).localCheckpoint()
+      Dedup.appendGramIndex(batch, idxA)
+      val spansB = Dedup.exactSubstrIngestBatch(batch, idxB)
+      def spans(df: DataFrame): Seq[(Long, Long, Long)] =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(spans(spansB) === spans(spansA))
+      def ghSet(p: String): Set[Long] =
+        spark.read.parquet(p).collect().map(_.getAs[Long]("gh")).toSet
+      assert(ghSet(idxB) === ghSet(idxA))
+    }
+  }
+
   test("exactSubstrSpans equals the window-count formulation (shape-only change)") {
     // the ≥2-occurrence mark moved from count().over(Window.partitionBy(gh))
     // to a map-side-combined groupBy + left_semi (round-12); the marked set —
@@ -543,6 +596,20 @@ class DedupSpec extends SparkSpec {
     val full = Dedup.exactSubstrSpans(fixture, k = 8, minSpanTokens = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
     assert(rec.map(t => (t._1, t._2, t._3)) === full)
+  }
+
+  test("fused reconcile-replay equals the generic reconcile over the replay") {
+    val batchOf = when(col("doc_id") < 100, 0L)
+      .when(col("doc_id") < 250, 1L).otherwise(2L)
+    def rows(df: DataFrame): Seq[(Long, Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sorted.toSeq
+    val generic = Dedup.exactSubstrReconcile(docs,
+      Dedup.exactSubstrSpansIncrementalReplay(docs, batchOf, k = 8, minSpanTokens = 16),
+      k = 8, minSpanTokens = 16)
+    val fused = Dedup.exactSubstrReconcileReplay(docs, batchOf, k = 8, minSpanTokens = 16)
+    assert(rows(fused) === rows(generic))
+    assert(rows(fused).nonEmpty, "fixture must exercise the reconcile path")
   }
 
   test("incremental ExactSubstr: in-batch self-duplication flags both occurrences") {
