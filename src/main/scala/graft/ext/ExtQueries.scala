@@ -5644,6 +5644,75 @@ object ExtQueries {
        |  ON si.doc_id = fs.doc_id AND si.span_start = fs.span_start
        | AND si.span_tokens = fs.span_tokens""".stripMargin
 
+  /** q393: pairwise source token-distribution TVD matrix — the
+    * source-redundancy readout a mixture designer wants NEXT to the
+    * overlap tiers: q293-family dedup finds shared DOCUMENTS, this finds
+    * sources whose unigram DISTRIBUTIONS are near-identical even with
+    * zero shared documents (two crawls of the same register), where a
+    * mixture weight split between them buys no diversity. Exact integer
+    * total variation distance per unordered source pair:
+    * `tvd = Σ_tok |c_a/T_a − c_b/T_b| / 2`, cross-multiplied to
+    * `tvd_ppm = 10⁶·Σ|c_a·T_b − c_b·T_a| div (2·T_a·T_b)` with the
+    * unmatched-token mass folded in via the totals identity
+    * `Σ_{a-only} c_a = T_a − Σ_matched c_a` — so the pair join only ever
+    * carries tokens present in BOTH sources, never a full outer vocab
+    * frame. BIGINT headroom: 2·10⁶·T_a·T_b < 2⁶³ ⇒ T ≲ 2.1·10⁶ tokens
+    * per source (the q390/q381 documented-bound discipline); past that,
+    * fold per-mille shares instead.
+    *
+    * Scale shape: one corpus scan contracts to (source, token, count) —
+    * the token-keyed pair join then carries ≤ |sources| rows per token
+    * (counts, never occurrences), the totals are a broadcast |sources|
+    * axis, and the output is the C(|sources|, 2) matrix.
+    */
+  def q393SourceTvd(spark: SparkSession, dir: String): DataFrame = {
+    val c = documents(spark, dir)
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds the totals axis AND both pair-join sides
+    val t = c.groupBy("source").agg(sum("c").as("tt")).localCheckpoint()
+    val m = c.select(col("source").as("sa"), col("tok"), col("c").as("ca"))
+      .join(c.select(col("source").as("sb"), col("tok"), col("c").as("cb")),
+        Seq("tok"))
+      .filter(col("sa") < col("sb"))
+      .join(broadcast(t.select(col("source").as("sa"), col("tt").as("ta"))), Seq("sa"))
+      .join(broadcast(t.select(col("source").as("sb"), col("tt").as("tb"))), Seq("sb"))
+      .groupBy("sa", "sb")
+      .agg(sum(abs(col("ca") * col("tb") - col("cb") * col("ta"))).as("mnum"),
+        sum("ca").as("sa_sum"), sum("cb").as("sb_sum"))
+    t.select(col("source").as("source_a"), col("tt").as("tokens_a"))
+      .join(broadcast(t.select(col("source").as("source_b"), col("tt").as("tokens_b"))),
+        col("source_a") < col("source_b"))
+      .join(m, col("source_a") === col("sa") && col("source_b") === col("sb"),
+        "left")
+      .select(col("source_a"), col("source_b"), col("tokens_a"), col("tokens_b"),
+        expr("""(1000000L * (coalesce(mnum, 0L)
+                 + (tokens_a - coalesce(sa_sum, 0L)) * tokens_b
+                 + (tokens_b - coalesce(sb_sum, 0L)) * tokens_a))
+                div (2L * tokens_a * tokens_b)""").as("tvd_ppm"))
+  }
+
+  private val q393Oracle =
+    s"""WITH tk AS (SELECT source, unnest(string_split($DNorm, ' ')) AS tok
+       |            FROM documents),
+       |c AS (SELECT source, tok, count(*)::BIGINT AS c FROM tk GROUP BY 1, 2),
+       |t AS (SELECT source, sum(c)::BIGINT AS tt FROM c GROUP BY 1),
+       |m AS (SELECT a.source AS sa, b.source AS sb,
+       |        sum(abs(a.c * tb.tt - b.c * ta.tt))::BIGINT AS mnum,
+       |        sum(a.c)::BIGINT AS sa_sum, sum(b.c)::BIGINT AS sb_sum
+       |      FROM c a JOIN c b ON a.tok = b.tok AND a.source < b.source
+       |      JOIN t ta ON ta.source = a.source
+       |      JOIN t tb ON tb.source = b.source
+       |      GROUP BY 1, 2)
+       |SELECT ta.source AS source_a, tb.source AS source_b,
+       |       ta.tt AS tokens_a, tb.tt AS tokens_b,
+       |       ((1000000 * (coalesce(mnum, 0)
+       |          + (ta.tt - coalesce(sa_sum, 0)) * tb.tt
+       |          + (tb.tt - coalesce(sb_sum, 0)) * ta.tt))
+       |        // (2 * ta.tt * tb.tt))::BIGINT AS tvd_ppm
+       |FROM t ta JOIN t tb ON ta.source < tb.source
+       |LEFT JOIN m ON m.sa = ta.source AND m.sb = tb.source""".stripMargin
+
   /** q386: quality-aware keeper selection — duplicate CLUSTERS (q27's
     * MinHash connected components) resolved by keeping the HIGHEST
     * text-quality member instead of the min-id convention: near-dup
@@ -6158,6 +6227,7 @@ object ExtQueries {
     "q389_curriculum" -> (q389Curriculum _),
     "q391_filter_redundancy" -> (q391FilterRedundancy _),
     "q392_substr_reconcile" -> (q392SubstrReconcile _),
+    "q393_source_tvd" -> (q393SourceTvd _),
     "q386_quality_keeper" -> (q386QualityKeeper _),
     "q229_pq_ann" -> (q229PqAnn _),
     "q230_ivfpq_ann" -> (q230IvfPqAnn _),
@@ -6312,6 +6382,7 @@ object ExtQueries {
     "q389_curriculum" -> q389Oracle,
     "q391_filter_redundancy" -> q391Oracle,
     "q392_substr_reconcile" -> q392Oracle,
+    "q393_source_tvd" -> q393Oracle,
     "q386_quality_keeper" -> q386Oracle,
     "q229_pq_ann" -> annRecallOracle,
     "q230_ivfpq_ann" -> annRecallOracle,

@@ -7237,6 +7237,66 @@ object EventQueries {
        |FROM z""".stripMargin
   }
 
+  /** q394: chi-squared test of independence — the contingency-table
+    * workhorse missing next to the two-sample tiers (q237 KS, q256
+    * Mann-Whitney compare DISTRIBUTIONS; this tests whether two
+    * CATEGORICALS associate at all): event_type × user cohort
+    * (`user_id % 4`), the "does behavior differ by assignment bucket"
+    * sanity check an experimentation platform runs before trusting its
+    * hash. Pearson's statistic in exact integer milli-units via the
+    * rearranged form `χ² = N·Σ O²/(r·c) − N`: each cell contributes
+    * `(1000·N·O²) div (r·c)` — every term non-negative, so Spark's
+    * truncating `div` and DuckDB's flooring `//` agree with no CASE
+    * guard — and the family gate pins χ²₀.₀₅ at df = (R−1)(C−1) = 12:
+    * 21.026 (milli 21026). Per-cell truncation can undershoot the real
+    * χ² by at most |cells| milli — irrelevant at the 21026 cut and
+    * IDENTICAL in the replay. BIGINT headroom: 1000·N·O² ≤ 1000·N³ ⇒
+    * N ≲ 2·10⁵ events worst-case (balanced margins stretch this to
+    * ~10⁷; the q390/q381 documented-bound discipline) — past that,
+    * drop the milli factor.
+    *
+    * Scale shape: ONE map-side-combined groupBy contracts the corpus to
+    * the R×C cell table (localCheckpoint — it feeds both margins and the
+    * fold); margins broadcast back; the statistic is a 1-row fold.
+    */
+  def q394ChiSquared(spark: SparkSession, dir: String): DataFrame = {
+    val cells = events(spark, dir)
+      .select(col("event_type"), expr("user_id % 4").as("cohort"))
+      .groupBy("event_type", "cohort").agg(count(lit(1)).as("o"))
+      .localCheckpoint()
+    val r = cells.groupBy("event_type").agg(sum("o").as("r"))
+    val c = cells.groupBy("cohort").agg(sum("o").as("c"))
+    val n = cells.agg(sum("o").as("n"),
+      countDistinct("event_type").as("nr"), countDistinct("cohort").as("nc"))
+    cells.join(broadcast(r), "event_type").join(broadcast(c), "cohort")
+      .crossJoin(broadcast(n))
+      .agg(max(col("n")).as("n"),
+        max(expr("(nr - 1) * (nc - 1)")).as("df"),
+        (sum(expr("(1000L * n * o * o) div (r * c)"))
+          - max(expr("1000L * n"))).as("chi2_milli"))
+      .withColumn("is_sig",
+        expr("CASE WHEN chi2_milli > 21026L THEN 1L ELSE 0L END"))
+  }
+
+  private val q394Oracle =
+    """WITH x AS (SELECT event_type, user_id % 4 AS cohort FROM events),
+      |o AS (SELECT event_type, cohort, count(*)::BIGINT AS o
+      |      FROM x GROUP BY 1, 2),
+      |r AS (SELECT event_type, sum(o)::BIGINT AS r FROM o GROUP BY 1),
+      |c AS (SELECT cohort, sum(o)::BIGINT AS c FROM o GROUP BY 1),
+      |n AS (SELECT sum(o)::BIGINT AS n,
+      |        count(DISTINCT event_type)::BIGINT AS nr,
+      |        count(DISTINCT cohort)::BIGINT AS nc FROM o),
+      |f AS (SELECT max(n.n)::BIGINT AS n,
+      |        max((n.nr - 1) * (n.nc - 1))::BIGINT AS df,
+      |        sum((1000 * n.n * o.o * o.o) // (r.r * c.c))::BIGINT AS s
+      |      FROM o JOIN r USING (event_type) JOIN c USING (cohort)
+      |      CROSS JOIN n)
+      |SELECT n, df, (s - 1000 * n)::BIGINT AS chi2_milli,
+      |       (CASE WHEN s - 1000 * n > 21026 THEN 1 ELSE 0 END)::BIGINT
+      |         AS is_sig
+      |FROM f""".stripMargin
+
   /** q388: EXACT global quantiles over an unbounded value domain — the
     * order statistic the histogram-contraction tier (q278/q265/q363)
     * cannot give when the domain is not a bounded grid: p50/p90/p99 of
@@ -7282,6 +7342,7 @@ object EventQueries {
     "q376_aa_calibration" -> (q376AaCalibration _),
     "q388_exact_quantiles" -> (q388ExactQuantiles _),
     "q379_dunnett" -> (q379Dunnett _),
+    "q394_chi_squared" -> (q394ChiSquared _),
     "q373_bh_fdr" -> (q373BhFdr _),
     "q370_kruskal_wallis" -> (q370KruskalWallis _),
     "q371_mcnemar" -> (q371McNemar _),
@@ -7455,6 +7516,7 @@ object EventQueries {
     "q325_forecast_backtest" -> q325Oracle,
     "q376_aa_calibration" -> q376Oracle,
     "q379_dunnett" -> q379Oracle,
+    "q394_chi_squared" -> q394Oracle,
     "q388_exact_quantiles" -> q388Oracle,
     "q373_bh_fdr" -> q373Oracle,
     "q370_kruskal_wallis" -> q370Oracle,
