@@ -544,6 +544,27 @@ object ExtQueries {
       Similarity.bruteForceTopK(e, q, k = 5))
   }
 
+  /** q395: Johnson–Lindenstrauss random-projection ANN under the
+    * [[annRecallGate]] — the training-free dense-projection tier
+    * ([[Similarity.jlTopK]]: md5-parity ±1 matrix, 64 → 32 dims,
+    * projected-space shortlist of 400, exact re-rank). The fourth
+    * compression point next to 1-bit LSH (q31), trained PQ codebooks
+    * (q229) and Matryoshka prefixes (q340): no training pass, no stored
+    * model — the matrix is a pure function of its indices — the variant
+    * an ingest pipeline can apply at write time before any index exists.
+    * Tuning mirrors q31/q32's: the driver's near-uniform synthetic
+    * embeddings are the hardest case for ANY projection (scores
+    * concentrate, so rank survives projection poorly) — 32/400 holds
+    * recall@5 at 87.5 % here (gate at 80); a clustered real corpus
+    * supports the 16-dim default and a far smaller shortlist.
+    */
+  def q395JlAnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = fanOut(embeddings(spark, dir))
+    val q = e.filter(col("vec_id") < 8)
+    annRecallGate(Similarity.jlTopK(e, q, k = 5, outDims = 32, shortlist = 400),
+      Similarity.bruteForceTopK(e, q, k = 5))
+  }
+
   /** IVF index built ONCE per JVM per sf dir — backs the probe-only row so
     * its bench number reads as what an ANN service actually serves.
     */
@@ -6228,6 +6249,7 @@ object ExtQueries {
     "q391_filter_redundancy" -> (q391FilterRedundancy _),
     "q392_substr_reconcile" -> (q392SubstrReconcile _),
     "q393_source_tvd" -> (q393SourceTvd _),
+    "q395_jl_ann" -> (q395JlAnn _),
     "q386_quality_keeper" -> (q386QualityKeeper _),
     "q229_pq_ann" -> (q229PqAnn _),
     "q230_ivfpq_ann" -> (q230IvfPqAnn _),
@@ -6383,6 +6405,7 @@ object ExtQueries {
     "q391_filter_redundancy" -> q391Oracle,
     "q392_substr_reconcile" -> q392Oracle,
     "q393_source_tvd" -> q393Oracle,
+    "q395_jl_ann" -> annRecallOracle,
     "q386_quality_keeper" -> q386Oracle,
     "q229_pq_ann" -> annRecallOracle,
     "q230_ivfpq_ann" -> annRecallOracle,

@@ -356,6 +356,79 @@ object Similarity {
     probeIvf(assigned, queries, centroids, k, nprobe, idCol, vecCol)
   }
 
+  /** Johnson–Lindenstrauss random-projection ANN (Achlioptas 2003's
+    * database-friendly ±1 projections): every vector is projected to
+    * `outDims` dimensions through a DATA-INDEPENDENT sign matrix — entry
+    * (j, i) is the md5 parity of "j#i", so the matrix is a pure function
+    * of its indices: any executor, the oracle, and a future session all
+    * derive the identical matrix with no model to store or ship. A
+    * `shortlist` of nearest candidates is found in projected space and
+    * exact cosine re-ranks it to the final top-k — the JL usage pattern
+    * when the metric must stay exact (the projection only PRUNES).
+    * Distinct from the other compression tiers: LSH (q31) keeps one BIT
+    * per hyperplane, PQ (q229) is data-dependent (trained codebooks),
+    * Matryoshka (q340) truncates learned prefixes; JL is the
+    * training-free dense projection with the distance-preservation
+    * guarantee (distortion ~ √(ln n / outDims)).
+    *
+    * 100 TB shape: projection is one map-side pass (outDims codegen'd
+    * dot products per row — no shuffle, no model broadcast); the
+    * projected shortlist reuses the brute-force bounded-heap shape
+    * ([[graft.functions.GraftFunctions.collectTopK]] — |Q|·shortlist
+    * rows cross the shuffle, never |Q|·|corpus|) but over outDims-wide
+    * vectors (4× fewer multiplies at the 64→16 default); only
+    * `shortlist` raw vectors per query are re-fetched for the exact
+    * re-rank (an id equi-join).
+    */
+  def jlTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      outDims: Int = 16,
+      shortlist: Int = 150,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    val signs: Seq[Seq[Double]] = (0 until outDims).map { j =>
+      (0 until dim).map { i =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$j#$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val hex = md.map("%02x".format(_)).mkString
+        if (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2 == 0) 1.0
+        else -1.0
+      }
+    }
+    def proj(vec: Column): Column =
+      array(signs.map(s => dot(vec, typedLit(s))): _*)
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec"),
+      norm(col(vecCol)).as("c_norm"), proj(col(vecCol)).as("c_p"))
+      .withColumn("c_pn", norm(col("c_p")))
+    val q = broadcast(
+      queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        norm(col(vecCol)).as("q_norm"), proj(col(vecCol)).as("q_p"))
+        .withColumn("q_pn", norm(col("q_p"))))
+    val cand = c.join(q, col("vec_id") =!= col("q_id"))
+      .withColumn("ps",
+        dot(col("q_p"), col("c_p")) / (col("q_pn") * col("c_pn")))
+      .groupBy("q_id")
+      .agg(graft.functions.GraftFunctions.collectTopK(
+        struct(col("ps"), (-col("vec_id")).as("neg_id")), shortlist).as("tk"))
+      .select(col("q_id"), explode(col("tk.neg_id")).as("neg_id"))
+      .select(col("q_id"), (-col("neg_id")).as("vec_id"))
+    cand
+      .join(c.select(col("vec_id"), col("c_vec"), col("c_norm")), Seq("vec_id"))
+      .join(q.select(col("q_id"), col("q_vec"), col("q_norm")), Seq("q_id"))
+      .withColumn("score",
+        dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+      .groupBy("q_id")
+      .agg(graft.functions.GraftFunctions.collectTopK(
+        struct(col("score"), (-col("vec_id")).as("neg_id")), k).as("tk"))
+      .select(col("q_id"), posexplode(sort_array(col("tk"), asc = false)))
+      .select(col("q_id"), (-col("col.neg_id")).as("vec_id"),
+        (col("pos") + 1).as("rank"),
+        round(col("col.score"), 4).as("score_r"))
+  }
+
   /** Product-quantization ANN: split every vector into `subspaces` equal
     * slices, learn a tiny per-subspace codebook (`codes` centroids, the
     * same Lloyd trainer as IVF), encode the corpus as `subspaces` small
