@@ -41,6 +41,31 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, f"IVF recall@$k = $recall%.3f < 0.8 (hit=$hit of $total)")
   }
 
+  test("JL top-k recall@5 >= 0.8 against brute force (q395 parameters)") {
+    val queries = embeds.filter(col("vec_id") < 8)
+    val k = 5
+    val exact = Similarity.bruteForceTopK(embeds, queries, k)
+      .select("q_id", "vec_id")
+    val ann = Similarity.jlTopK(embeds, queries, k, outDims = 32, shortlist = 400)
+      .select("q_id", "vec_id")
+    val total = exact.count()
+    val hit = exact.intersect(ann).count()
+    val recall = hit.toDouble / total
+    assert(recall >= 0.8, f"JL recall@$k = $recall%.3f < 0.8 (hit=$hit of $total)")
+  }
+
+  test("JL projection matrix is a pure function of indices: reruns bit-equal") {
+    // no stored model: two independent calls must emit the identical ranked
+    // output (the property that lets the oracle and any executor re-derive
+    // the matrix from nothing)
+    val queries = embeds.filter(col("vec_id") < 8)
+    def run(): Seq[(Long, Long, Int)] =
+      Similarity.jlTopK(embeds, queries, k = 5, outDims = 16, shortlist = 50)
+        .select("q_id", "vec_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(run() === run())
+  }
+
   test("PQ top-k recall@5 >= 0.8 against brute force (q229 parameters)") {
     val queries = embeds.filter(col("vec_id") < 8)
     val k = 5
