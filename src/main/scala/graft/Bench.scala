@@ -204,10 +204,11 @@ object Bench {
     }
     // Headline budget: stay comfortably under the 2000-char artifact tail.
     // Worst case (loaded box vs idle baseline) every query could flag, so
-    // the in-line flagged map carries only the worst 8 by ratio; the full
-    // set streamed above as individual regression lines and n_flagged keeps
-    // the true count.
-    val worstFlagged = flagged.sortBy { case (k, p, v) => -(v / p) }.take(8)
+    // the in-line flagged map carries only the worst 5 by ratio (8 truncated
+    // mid-JSON inside the r12 tail once 13 flagged); the full set streams
+    // above as individual regression lines and n_flagged keeps the true
+    // count.
+    val worstFlagged = flagged.sortBy { case (k, p, v) => -(v / p) }.take(5)
     val flagMap = worstFlagged
       .map { case (k, p, v) => s"${q(k)}:{${q("prev")}:${s3(p)},${q("cur")}:${s3(v)}}" }
       .mkString("{", ",", "}")

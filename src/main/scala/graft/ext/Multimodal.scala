@@ -10,12 +10,15 @@ import org.apache.spark.sql.functions._
   * GIF / JPEG, the codecs the JDK itself ships; q53 machine-checks a full
   * encode→decode round trip against a closed-form oracle) and so is AUDIO
   * decode ([[decodeAudio]] parses WAV / AIFF / AU containers and extracts
-  * PCM frames via `javax.sound.sampled`; q56 gates it the same way). Only
-  * VIDEO decode remains a clearly-marked STUB (`stubDecode` — no such
-  * codec in the JDK) deriving deterministic fake features from raw bytes;
-  * an unrecognized or corrupt image/audio payload falls back to the same
-  * stub-derived numbers, flagged `decoded=false`. Everything AROUND the
-  * decoders is the real production shape:
+  * PCM frames via `javax.sound.sampled`; q56 gates it the same way), and
+  * so is MULTI-FRAME decode ([[decodeGifFrames]] walks an animated GIF's
+  * stored frames via the `ImageReader` sequence API; q396 gates per-frame
+  * dimensions and pixel means the same way). Only true VIDEO codecs
+  * (MP4/H.26x) remain a clearly-marked STUB (`stubDecode` — no such codec
+  * in the JDK) deriving deterministic fake features from raw bytes; an
+  * unrecognized or corrupt payload falls back to the same stub-derived
+  * numbers, flagged `decoded=false`. Everything AROUND the decoders is
+  * the real production shape:
   *
   *   - media rides a `binary` column + a `media_meta` struct (mime, size),
   *     exactly how Parquet stores blobs — column pruning means relational
@@ -366,6 +369,146 @@ object Multimodal {
             val stub = stubDecode(row.doc_id, row.media, frameSize = 16)
             AudioFeatures(row.doc_id, decoded = false, 0, 0, 0,
               math.floor(stub.mean_byte * 10000).toLong)
+          }
+        }
+      }
+  }
+
+  final case class GifFrame(
+      doc_id: Long,
+      decoded: Boolean,
+      frame_id: Int,
+      width: Int,
+      height: Int,
+      mean_pixel_4: Long // floor(mean-gray-value * 10000): exact cross-engine
+  )
+
+  /** Deterministic multi-frame animated GIF for doc `id`: `id%3+2` frames
+    * of `(id%5+2)×(id%4+2)` pixels, frame f pixel (x,y) =
+    * `(id + 11·f + x + y) % 256` gray — closed-form, so a SQL oracle can
+    * predict what a REAL multi-frame decoder must read back per frame.
+    * Frames are written as palette-indexed rasters over an explicit
+    * 256-gray `IndexColorModel`, so the GIF encode is exact by
+    * construction (no quantizer in the loop) and full-size (the JDK
+    * writer stores each sequence image as given — no inter-frame delta
+    * optimization — so `read(i)` returns the complete raster). Each
+    * frame's metadata pins `interlaceFlag=FALSE`: the writer's DEFAULT is
+    * interlaced, and the JDK's interlace round trip scrambles/drops rows
+    * on small rasters (measured: h=4 came back row-permuted with one row
+    * zeroed) — progressive rendering is wrong for a data fixture anyway.
+    */
+  def encodeTestGif(id: Long): Array[Byte] = {
+    val w = (id % 5 + 2).toInt
+    val h = (id % 4 + 2).toInt
+    val nFrames = (id % 3 + 2).toInt
+    val grays = Array.tabulate(256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < nFrames) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0, ((id + 11 * f + x + y) % 256).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val param = writer.getDefaultWriteParam
+      val md = writer.getDefaultImageMetadata(
+        new javax.imageio.ImageTypeSpecifier(img), param)
+      val fmt = md.getNativeMetadataFormatName // javax_imageio_gif_image_1.0
+      val root = md.getAsTree(fmt).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      val kids = root.getChildNodes
+      var i = 0
+      while (i < kids.getLength) {
+        val node = kids.item(i).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        if (node.getNodeName == "ImageDescriptor")
+          node.setAttribute("interlaceFlag", "FALSE")
+        i += 1
+      }
+      md.setFromTree(fmt, root)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, md), param)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  /** REAL multi-frame decode via `javax.imageio`'s sequence API
+    * (`ImageReader.getNumImages(true)` / `read(i)` — the same zero-new-
+    * dependency JDK move that made image (q53) and audio (q56) decode
+    * real): every stored frame of an animated GIF comes back as its own
+    * raster, per-frame dimensions and floor-scaled mean pixel value (red
+    * channel — identical to gray for the gray-palette fixtures) computed
+    * from the actual decoded pixels. Returns None when no installed codec
+    * recognizes the payload; the NonFatal net covers the malformed-but-
+    * recognized RuntimeExceptions JDK codecs throw (same caveat as
+    * [[decodeImage]]).
+    */
+  def decodeGifFrames(id: Long, bytes: Array[Byte]): Option[Seq[GifFrame]] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            Some((0 until n).map { f =>
+              val im = reader.read(f)
+              val w = im.getWidth
+              val h = im.getHeight
+              var sum = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) { sum += (im.getRGB(x, y) >> 16) & 0xff; x += 1 }
+                y += 1
+              }
+              GifFrame(id, decoded = true, f, w, h,
+                math.floor(sum.toDouble / (w * h) * 10000).toLong)
+            })
+          } finally reader.dispose()
+        }
+      } finally if (iis != null) iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Partition-batched multi-frame extraction with frame sampling (keep
+    * every `stride`-th stored frame) and the undecodable fallback (one
+    * flagged row carrying the stub's byte-derived mean, zero dimensions) —
+    * upgrades [[sampleFrames]]'s byte-slicing to REAL per-frame decode
+    * while keeping its explode-side shape: output is a flat frame table
+    * joinable back on doc_id, payload column pruned unless consumed.
+    */
+  def extractGifFrames(
+      spark: SparkSession, media: DataFrame, stride: Int = 2): Dataset[GifFrame] = {
+    require(stride > 0, "stride must be positive")
+    import spark.implicits._
+    media
+      .select(col("doc_id"), col("media"))
+      .as[MediaRow]
+      .mapPartitions { batch =>
+        batch.flatMap { row =>
+          decodeGifFrames(row.doc_id, row.media) match {
+            case Some(frames) => frames.filter(_.frame_id % stride == 0)
+            case None =>
+              val stub = stubDecode(row.doc_id, row.media, frameSize = 16)
+              Seq(GifFrame(row.doc_id, decoded = false, 0, 0, 0,
+                math.floor(stub.mean_byte * 10000).toLong))
           }
         }
       }

@@ -97,4 +97,50 @@ class MultimodalSpec extends SparkSpec {
     val bad = Multimodal.perceptualHash(1L, "not an image".getBytes("UTF-8"))
     assert(bad.isEmpty)
   }
+
+  test("decodeGifFrames reads back every closed-form frame exactly") {
+    val id = 10L // w = 10%5+2 = 2, h = 10%4+2 = 4, frames = 10%3+2 = 3
+    val frames = Multimodal.decodeGifFrames(id, Multimodal.encodeTestGif(id)).get
+    assert(frames.size === 3)
+    frames.zipWithIndex.foreach { case (fr, f) =>
+      assert(fr.decoded && fr.frame_id === f && fr.width === 2 && fr.height === 4)
+      val vals = for (y <- 0 until 4; x <- 0 until 2) yield (id + 11 * f + x + y) % 256
+      assert(fr.mean_pixel_4 ===
+        math.floor(vals.sum.toDouble / vals.size * 10000).toLong,
+        s"frame $f mean mismatch")
+    }
+  }
+
+  test("decodeGifFrames: frames differ (the 11*f phase shift really decodes per frame)") {
+    val id = 5L // 4 frames of 2x3
+    val frames = Multimodal.decodeGifFrames(id, Multimodal.encodeTestGif(id)).get
+    assert(frames.map(_.mean_pixel_4).distinct.size === frames.size)
+  }
+
+  test("extractGifFrames: stride-2 sampling keeps even frames; garbage falls back flagged") {
+    val media = Seq(
+      Multimodal.MediaRow(4L, Multimodal.encodeTestGif(4L)), // 4%3+2 = 3 frames
+      Multimodal.MediaRow(2L, "not a gif".getBytes("UTF-8"))
+    ).toDF()
+    val out = Multimodal.extractGifFrames(spark, media, stride = 2).collect()
+    val good = out.filter(_.doc_id == 4L)
+    assert(good.map(_.frame_id).sorted.toSeq === Seq(0, 2))
+    assert(good.forall(f => f.decoded && f.width === 6 && f.height === 2))
+    val bad = out.filter(_.doc_id == 2L)
+    assert(bad.length === 1 && !bad.head.decoded && bad.head.width === 0)
+    val bytes = "not a gif".getBytes("UTF-8").map(_ & 0xff)
+    val stubMean = BigDecimal(bytes.sum.toDouble / bytes.length)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(bad.head.mean_pixel_4 === math.floor(stubMean * 10000).toLong)
+  }
+
+  test("q396 query shape: sampled frames only, all decoded, count matches the fixture law") {
+    val got = ExtQueries.q396GifFrames(spark, Sf0001)
+    val perDoc = graft.queries.Tables.documents(spark, Sf0001)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+      // frames f < id%3+2 with f%2=0 -> 1 sampled frame when nf<=2 else 2
+      .map(id => if (id % 3 + 2 >= 3) 2L else 1L).sum
+    assert(got.count() === perDoc)
+    assert(got.filter(col("frame_id") % 2 =!= 0).count() === 0L)
+  }
 }

@@ -314,6 +314,23 @@ class SimilaritySpec extends SparkSpec {
       s"expected 5 on-label neighbors per query: ${perQuery.mkString(",")}")
   }
 
+  test("q397 JL sweep: one exact-ppm row per width, monotone fixture curve, byte law") {
+    val rows = ExtQueries.q397JlSweep(spark, Sf0001).collect()
+      .map(r => r.getInt(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(rows.keySet === Set(2, 8, 16, 32))
+    // float32 projection storage: 4 bytes per kept dimension
+    rows.foreach { case (d, (bytes, ppm)) =>
+      assert(bytes === d * 4)
+      assert(ppm >= 0L && ppm <= 1000000L)
+    }
+    // the curve's point: more projected dimensions cannot hurt THIS fixture
+    // (deterministic md5 matrix + fixed corpus, so the values never move);
+    // d=2 is the equal-bytes-with-PQ point where the projection collapses
+    assert(rows(2)._2 < rows(32)._2,
+      s"expected the 8-byte JL point far below the 128-byte point: $rows")
+    assert(rows(16)._2 <= rows(32)._2)
+  }
+
   test("labelCentroidSeparation: hand-computed centroids and pair cosines") {
     import spark.implicits._
     // label 0: (1,0),(3,0) → centroid (2,0); label 1: (0,2),(0,2) → (0,2);
