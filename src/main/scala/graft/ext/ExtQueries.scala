@@ -518,15 +518,17 @@ object ExtQueries {
   }
 
   /** Staged exact top-5 for the vec_id < 8 query batch over the full corpus
-    * (the [[annRecallOracle]] table). */
-  private def exactTop5(spark: SparkSession, dir: String): DataFrame =
+    * (the [[annRecallOracle]] table). `private[ext]` so SimilaritySpec can
+    * assert the staged rows are bit-equal to a fresh brute-force pass (the
+    * machine-checked form of "the gate is not weakened"). */
+  private[ext] def exactTop5(spark: SparkSession, dir: String): DataFrame =
     stagedExact(spark, dir, "all") {
       val e = fanOut(embeddings(spark, dir))
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8), k = 5)
     }
 
   /** Staged exact top-5 over the label = 3 sub-corpus (q269's gate side). */
-  private def exactTop5Label3(spark: SparkSession, dir: String): DataFrame =
+  private[ext] def exactTop5Label3(spark: SparkSession, dir: String): DataFrame =
     stagedExact(spark, dir, "l3") {
       val e = fanOut(embeddings(spark, dir))
       Similarity.bruteForceTopK(e.filter(col("label") === 3),

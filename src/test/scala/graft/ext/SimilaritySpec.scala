@@ -314,6 +314,26 @@ class SimilaritySpec extends SparkSpec {
       s"expected 5 on-label neighbors per query: ${perQuery.mkString(",")}")
   }
 
+  test("staged exact gate side is bit-equal to a fresh brute-force pass (gate not weakened)") {
+    // the r13 staging (exactTop5: parquet fixture written once per JVM per
+    // corpus) must be indistinguishable from recomputing — same rows, same
+    // ranks, same rounded scores — or the eight recall gates reading it
+    // would be gated against a different exact side than their oracles
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))
+    val staged = ExtQueries.exactTop5(spark, Sf0001)
+      .select("q_id", "vec_id", "rank", "score_r").collect().map(key).sorted.toSeq
+    val fresh = Similarity.bruteForceTopK(embeds, embeds.filter(col("vec_id") < 8), k = 5)
+      .select("q_id", "vec_id", "rank", "score_r").collect().map(key).sorted.toSeq
+    assert(staged === fresh)
+    val stagedL3 = ExtQueries.exactTop5Label3(spark, Sf0001)
+      .select("q_id", "vec_id", "rank", "score_r").collect().map(key).sorted.toSeq
+    val freshL3 = Similarity.bruteForceTopK(embeds.filter(col("label") === 3),
+      embeds.filter(col("vec_id") < 8), k = 5)
+      .select("q_id", "vec_id", "rank", "score_r").collect().map(key).sorted.toSeq
+    assert(stagedL3 === freshL3)
+  }
+
   test("q397 JL sweep: one exact-ppm row per width, monotone fixture curve, byte law") {
     val rows = ExtQueries.q397JlSweep(spark, Sf0001).collect()
       .map(r => r.getInt(0) -> (r.getInt(1), r.getLong(2))).toMap
