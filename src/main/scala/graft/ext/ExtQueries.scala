@@ -2208,6 +2208,128 @@ object ExtQueries {
        |${dims.map(d => s"SELECT * FROM row$d").mkString("\nUNION ALL\n")}""".stripMargin
   }
 
+  /** q399: the IVF nprobe recall/cost curve, EXACTLY measured — the probe
+    * knob's companion to q397's projection-width curve (nprobe is the one
+    * runtime knob an IVF deployment turns per query batch; q32's gate pins
+    * a single point of it). One row per nprobe ∈ {1, 2, 4, 8, 12, 16} over
+    * a cells = 16 index: the candidate rows that probe setting actually
+    * scans (exact integer + ppm of the full |Q|·(N−1) brute-force scan)
+    * and the batch recall@5 against the staged exact top-5 as an exact
+    * integer ppm — not a pinned floor. Replayability is why the quantizer
+    * here is TRAINING-FREE ([[Similarity.ivfCentroids]] at iters = 0: the
+    * centroids are the md5-lowest corpus rows themselves, the same
+    * deterministic seed rule the trained tiers start from): k-means means
+    * are float `avg`s whose summation order no other engine reproduces,
+    * but seed centroids are corpus VECTORS, so DuckDB regenerates the
+    * whole index — seeds, cell assignment, probe ranking, candidate scan,
+    * exact re-rank — from the parquet alone, and recall/candidates agree
+    * EXACTLY across engines at any sf. The curve quantifies what q32's
+    * scaladoc asserts in prose: on the driver's near-uniform synthetic
+    * embeddings (IVF's hardest case) the seed quantizer needs most of the
+    * cells probed before recall clears 0.8 — measured at sf0.1: recall@5
+    * rises 27.5 % (nprobe=1, 5.75 % of the corpus scanned) → 60 % (4) →
+    * 75 % (8) → 95 % (12) → 100 % (16 = exhaustive), the concrete case
+    * for q32's trained 2-iter centroids (0.975 recall at nprobe = 12) and
+    * for per-batch probe tuning over any static default.
+    *
+    * Scale shape: the inverted file is assigned ONCE and localCheckpointed
+    * — six probe settings share one index build, exactly the production
+    * read pattern (an index is built once, probed at many settings) — and
+    * each sweep point inherits [[Similarity.probeIvf]]'s shape: centroid
+    * model broadcast, candidate generation an equi-join on the cell id
+    * with the query side broadcast, vectors never crossing a shuffle. The
+    * exact side is the [[stagedExact]] fixture (|Q|·k rows, computed once
+    * per JVM); the union is six one-row aggregates.
+    */
+  def q399IvfNprobeSweep(spark: SparkSession, dir: String): DataFrame = {
+    val e = fanOut(embeddings(spark, dir))
+    val q = e.filter(col("vec_id") < 8)
+    val exact = exactTop5(spark, dir).select("q_id", "vec_id")
+    val exactN = exact.agg(count(lit(1)).as("exact_pairs"))
+    val denom = e.agg((count(lit(1)) - 1).as("__nm1"))
+      .crossJoin(q.agg(count(lit(1)).as("__nq")))
+      .select((col("__nm1") * col("__nq")).as("denom"))
+    val centroids = Similarity.ivfCentroids(e, cells = 16, iters = 0)
+    val inv = Similarity.withNearestCell(
+      e.select(col("vec_id"), col("embedding").as("c_vec"),
+        Similarity.norm(col("embedding")).as("c_norm")),
+      "c_vec", "c_norm", "vec_id", centroids).localCheckpoint()
+    Seq(1, 2, 4, 8, 12, 16).map { p =>
+      val cand = inv
+        .join(broadcast(Similarity.probedCells(q, centroids, p)
+          .select("q_id", "cell")), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .agg(count(lit(1)).as("candidates"))
+      val hits = exact.intersect(
+          Similarity.probeIvf(inv, q, centroids, k = 5, nprobe = p,
+            idCol = "vec_id", vecCol = "embedding").select("q_id", "vec_id"))
+        .agg(count(lit(1)).as("hits"))
+      hits.crossJoin(exactN).crossJoin(cand).crossJoin(denom)
+        .select(lit(p).as("nprobe"), col("candidates"),
+          expr("(1000000 * candidates) div denom").as("scanned_ppm"),
+          expr("(1000000 * hits) div exact_pairs").as("recall_ppm"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** One sweep point of the [[q399IvfNprobeSweep]] oracle: probe the
+    * nprobe-nearest seed cells per query, count the candidate scan, exact
+    * re-rank to top-5, count hits against the exact CTE — the same float
+    * ops in the same order as the Spark side (seeds/assignment/probe CTEs
+    * are shared across points, mirroring the shared inverted file).
+    */
+  private def q399PointSql(p: Int): String =
+    s"""cand$p AS (SELECT q_id, vec_id
+       |           FROM inv JOIN (SELECT q_id, cell FROM pr WHERE rk <= $p) pp USING (cell)
+       |           WHERE vec_id <> q_id),
+       |n$p AS (SELECT count(*)::BIGINT AS candidates FROM cand$p),
+       |rr$p AS (SELECT q_id, vec_id FROM (
+       |    SELECT c.q_id, c.vec_id,
+       |           row_number() OVER (PARTITION BY c.q_id ORDER BY
+       |             list_dot_product(qv, v)
+       |               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) DESC,
+       |             c.vec_id ASC) AS rk
+       |    FROM cand$p c JOIN e ON e.vec_id = c.vec_id JOIN q ON q.q_id = c.q_id)
+       |  WHERE rk <= 5),
+       |row$p AS (SELECT $p::INT AS nprobe,
+       |    (SELECT candidates FROM n$p) AS candidates,
+       |    ((1000000 * (SELECT candidates FROM n$p)) // (SELECT denom FROM den))::BIGINT AS scanned_ppm,
+       |    ((1000000 * (SELECT count(*) FROM rr$p JOIN ex USING (q_id, vec_id)))
+       |       // (SELECT exact_pairs FROM exn))::BIGINT AS recall_ppm)""".stripMargin
+
+  private def q399Oracle: String = {
+    val probes = Seq(1, 2, 4, 8, 12, 16)
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+       |ex AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, e.vec_id,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY
+       |             list_dot_product(qv, v)
+       |               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) DESC,
+       |             e.vec_id ASC) AS rk
+       |    FROM e JOIN q ON e.vec_id <> q_id)
+       |  WHERE rk <= 5),
+       |exn AS (SELECT count(*)::BIGINT AS exact_pairs FROM ex),
+       |den AS (SELECT ((SELECT count(*) - 1 FROM e) * (SELECT count(*) FROM q))::BIGINT AS denom),
+       |seeds AS (SELECT v AS ctr, row_number() OVER (ORDER BY md5(vec_id::VARCHAR) ASC) - 1 AS cell
+       |          FROM e QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR) ASC) <= 16),
+       |inv AS (SELECT vec_id, v, cell FROM (
+       |    SELECT e.vec_id, e.v, s.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             -(list_dot_product(e.v, s.ctr)
+       |                / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(s.ctr, s.ctr)))) ASC,
+       |             s.cell ASC) AS rk
+       |    FROM e CROSS JOIN seeds s)
+       |  WHERE rk = 1),
+       |pr AS (SELECT q_id, cell,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY
+       |             -(list_dot_product(qv, ctr)
+       |                / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(ctr, ctr)))) ASC,
+       |             cell ASC) AS rk
+       |       FROM q CROSS JOIN seeds),
+       |${probes.map(q399PointSql).mkString(",\n")}
+       |${probes.map(p => s"SELECT * FROM row$p").mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   /** q168: token-frequency DECAY spectrum — how fast the corpus frequency
     * falls when the rank doubles, at ranks 1,2,4,…,512. A Zipfian corpus
     * shows `decay_4 ≈ 5000` (freq halves per rank doubling); a corpus of
@@ -6585,7 +6707,8 @@ object ExtQueries {
     "q56_audio_decode" -> (q56AudioDecode _),
     "q396_gif_frames" -> (q396GifFrames _),
     "q397_jl_sweep" -> (q397JlSweep _),
-    "q398_frame_seq_dedup" -> (q398FrameSeqDedup _)
+    "q398_frame_seq_dedup" -> (q398FrameSeqDedup _),
+    "q399_ivf_nprobe_sweep" -> (q399IvfNprobeSweep _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -6743,6 +6866,7 @@ object ExtQueries {
     "q56_audio_decode" -> q56Oracle,
     "q396_gif_frames" -> q396Oracle,
     "q397_jl_sweep" -> q397Oracle,
-    "q398_frame_seq_dedup" -> q398Oracle
+    "q398_frame_seq_dedup" -> q398Oracle,
+    "q399_ivf_nprobe_sweep" -> q399Oracle
   )
 }

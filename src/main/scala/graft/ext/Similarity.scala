@@ -265,7 +265,7 @@ object Similarity {
     * row×cell); `keyCol` must be unique per row — remaining columns ride
     * through `first(...)`.
     */
-  private def withNearestCell(
+  private[ext] def withNearestCell(
       df: DataFrame,
       vecCol: String,
       normCol: String,
@@ -770,20 +770,21 @@ object Similarity {
   /** Shared probe core of [[ivfTopK]] / [[ivfTopKIndexed]]: `c` is the
     * inverted file (vec_id, c_vec, c_norm, cell), inline or from parquet.
     */
-  private def probeIvf(
-      c: DataFrame,
+  /** Per-query nprobe nearest cells — (q_id, q_vec, q_norm, cell), one row
+    * per probed cell: the (small) query side scores every centroid through
+    * the same broadcast relation, then rank <= nprobe — |Q|×cells
+    * intermediate rows on the broadcast-bound side, never the corpus.
+    * `private[ext]` so the q399 sweep can count the candidate scan each
+    * probe setting induces with the SAME relation the probe itself uses.
+    */
+  private[ext] def probedCells(
       queries: DataFrame,
       centroids: Array[Array[Double]],
-      k: Int,
       nprobe: Int,
-      idCol: String,
-      vecCol: String): DataFrame = {
-    // per-query nprobe nearest cells: the (small) query side scores every
-    // centroid through the same broadcast relation, then rank <= nprobe —
-    // |Q|×cells intermediate rows on the broadcast-bound side, never the
-    // corpus
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
     val pw = Window.partitionBy("q_id").orderBy(col("__d").asc, col("__cell").asc)
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+    queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
         norm(col(vecCol)).as("q_norm"))
       .crossJoin(centroidRelation(queries.sparkSession, centroids))
       .withColumn("__d",
@@ -791,6 +792,17 @@ object Similarity {
       .withColumn("__r", row_number().over(pw))
       .filter(col("__r") <= nprobe)
       .select(col("q_id"), col("q_vec"), col("q_norm"), col("__cell").as("cell"))
+  }
+
+  private[ext] def probeIvf(
+      c: DataFrame,
+      queries: DataFrame,
+      centroids: Array[Array[Double]],
+      k: Int,
+      nprobe: Int,
+      idCol: String,
+      vecCol: String): DataFrame = {
+    val q = probedCells(queries, centroids, nprobe, idCol, vecCol)
     val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
     c.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))

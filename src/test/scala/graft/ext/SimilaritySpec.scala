@@ -351,6 +351,25 @@ class SimilaritySpec extends SparkSpec {
     assert(rows(16)._2 <= rows(32)._2)
   }
 
+  test("q399 IVF nprobe sweep: nested probes give monotone candidates+recall, exhaustive endpoint") {
+    val rows = ExtQueries.q399IvfNprobeSweep(spark, Sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(1, 2, 4, 8, 12, 16))
+    // rank <= p probe sets are NESTED in p, and the re-rank is exact cosine,
+    // so candidates AND recall are monotone non-decreasing by construction —
+    // a non-monotone row means the probe/assignment wiring broke
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 <= b._2 && a._4 <= b._4, s"non-monotone sweep: $a -> $b")
+    }
+    // nprobe = cells = 16 probes everything: the scan is the full
+    // |Q|·(N−1) brute force and recall is exactly 1
+    val n = embeds.count()
+    val (_, cand16, scan16, rec16) = rows.last
+    assert(cand16 === 8L * (n - 1))
+    assert(scan16 === 1000000L && rec16 === 1000000L)
+  }
+
   test("labelCentroidSeparation: hand-computed centroids and pair cosines") {
     import spark.implicits._
     // label 0: (1,0),(3,0) → centroid (2,0); label 1: (0,2),(0,2) → (0,2);
