@@ -44,6 +44,16 @@ object Bench {
     * Shape: {"<sfDir>": {"<query>": seconds, ...}, ...} — flat, numbers
     * only, written by this object; parsed with a two-level regex rather
     * than a JSON dependency (build.sbt's dependency set is pinned).
+    *
+    * The COMMITTED map may be the per-query MEDIAN of several same-day
+    * full idle runs (tools/median_bench_maps.py, same shape): a single
+    * run is the wrong tripwire reference on a box with bursty background
+    * load — a ~10 s contention window inflates ADJACENT sub-second
+    * queries 3-5× (all three in-JVM trials of a 0.2 s query fit inside
+    * one window, so the per-query trial median cannot see it), and two
+    * idle runs cross-flag each other ~25× purely on window placement.
+    * The cross-run median cancels placement; any later full idle run
+    * still overwrites the file normally.
     */
   private val prevPath = java.nio.file.Paths.get("tools/bench_prev.json")
 

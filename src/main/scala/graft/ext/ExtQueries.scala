@@ -2330,6 +2330,129 @@ object ExtQueries {
        |${probes.map(p => s"SELECT * FROM row$p").mkString("\nUNION ALL\n")}""".stripMargin
   }
 
+  /** q400: SEVENTEENTH streaming gate — streaming embedding ingest into a
+    * GROWING IVF inverted file, the vector-index maintenance loop of an
+    * embedding pipeline (documents embed continuously; the index must
+    * absorb arrivals without a rebuild). The centroid model is built once
+    * from the FIRST half of the corpus (the deterministic md5 hash-gate
+    * split, seed quantizer — q399's replayable iters = 0 rule over batch-1
+    * rows only: the production shape, where the initial corpus trains the
+    * index and later arrivals are assigned to EXISTING cells), then the
+    * corpus streams in two mtime-ordered micro-batches and each
+    * `foreachBatch` assigns its rows map-side against the broadcast model
+    * and APPENDS (vector, cell, batch provenance) to the inverted file —
+    * ONE append job per batch, the q387 discipline. The returned rows are
+    * the end-to-end proof: the fixed query batch (vec_id < 8) probed at
+    * nprobe = 12 against the STREAMED index, each neighbor carrying its
+    * cell and arrival batch. The oracle replays the whole thing from the
+    * parquet alone — hash-gate split, batch-1 seeds, full-corpus
+    * assignment, probe ranking, candidate scan, exact re-rank — so a
+    * mis-assigned or dropped arrival flips pairs/cells/provenance and the
+    * driver hash catches it (no pinned flag anywhere).
+    *
+    * Scale shape: assignment is per-row map-side against a broadcast
+    * model (no shuffle in the hot path); the index grows by appending
+    * cell-keyed parquet exactly like [[Similarity.appendToIvfIndex]]; the
+    * probe is [[Similarity.probeIvf]]'s equi-join shape. Streaming-gate
+    * conventions: state starts empty, AvailableNow, one file per trigger,
+    * 8 shuffle partitions at fixture scale (the streaming-gate note on
+    * [[graft.queries.EventQueries.withShufflePartitions]]).
+    */
+  def q400StreamIvfIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.queries.Scratch
+    val emb = embeddings(spark, dir)
+    val gate = Sampling.hashGate(col("vec_id"), fraction = 0.5)
+    val inDir = q400Staged.computeIfAbsent(dir, _ => {
+      val in = Scratch.stableDir("q400-in-" + Scratch.md5Hex(dir))
+      def stage(pred: org.apache.spark.sql.Column, name: String): java.nio.file.Path = {
+        val tmp = Scratch.stableDir("q400-tmp-" + Scratch.md5Hex(s"$dir|$name"))
+        emb.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+        java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(in, name))
+      }
+      val first = stage(gate, "a_batch1.parquet")
+      val second = stage(!gate, "b_batch2.parquet")
+      java.nio.file.Files.setLastModifiedTime(second,
+        java.nio.file.attribute.FileTime.fromMillis(
+          java.nio.file.Files.getLastModifiedTime(first).toMillis + 10000))
+      in
+    })
+    graft.queries.EventQueries.withShufflePartitions(spark, 8) {
+      // index model: q399's training-free seed rule over BATCH-1 rows only
+      val centroids = Similarity.ivfCentroids(emb.filter(gate), cells = 16, iters = 0)
+      val work = Scratch.stableDir("q400-work")
+      val inv = s"$work/inv"
+      val stream = spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      val query = stream.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          Similarity.withNearestCell(
+              batch.select(col("vec_id"), col("embedding").as("c_vec"),
+                Similarity.norm(col("embedding")).as("c_norm")),
+              "c_vec", "c_norm", "vec_id", centroids)
+            .withColumn("arrived_batch", lit(id))
+            .write.mode("append").parquet(inv)
+          ()
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      val streamedInv = spark.read.parquet(inv)
+      Similarity.probeIvf(
+          streamedInv.select("vec_id", "c_vec", "c_norm", "cell"),
+          emb.filter(col("vec_id") < 8), centroids, k = 5, nprobe = 12,
+          idCol = "vec_id", vecCol = "embedding")
+        .select("q_id", "vec_id", "rank")
+        .join(streamedInv.select(col("vec_id"), col("cell"), col("arrived_batch")),
+          Seq("vec_id"))
+        .select(col("q_id"), col("vec_id"), col("rank"), col("cell"),
+          col("arrived_batch"))
+    }
+  }
+
+  private val q400Staged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def q400Oracle: String = {
+    val thr = (0.5 * (1L << 60).toDouble).toLong // hashGate(_, 0.5)'s literal
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+       |b1 AS (SELECT vec_id, v FROM e
+       |       WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT < $thr),
+       |seeds AS (SELECT v AS ctr, row_number() OVER (ORDER BY md5(vec_id::VARCHAR) ASC) - 1 AS cell
+       |          FROM b1 QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR) ASC) <= 16),
+       |inv AS (SELECT vec_id, v, cell,
+       |          CASE WHEN ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT < $thr
+       |               THEN 0 ELSE 1 END::BIGINT AS arrived_batch
+       |        FROM (
+       |    SELECT e.vec_id, e.v, s.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             -(list_dot_product(e.v, s.ctr)
+       |                / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(s.ctr, s.ctr)))) ASC,
+       |             s.cell ASC) AS rk
+       |    FROM e CROSS JOIN seeds s)
+       |  WHERE rk = 1),
+       |pr AS (SELECT q_id, cell,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY
+       |             -(list_dot_product(qv, ctr)
+       |                / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(ctr, ctr)))) ASC,
+       |             cell ASC) AS rk
+       |       FROM q CROSS JOIN seeds),
+       |cand AS (SELECT q_id, vec_id, cell, arrived_batch, v
+       |         FROM inv JOIN (SELECT q_id, cell FROM pr WHERE rk <= 12) pp USING (cell)
+       |         WHERE vec_id <> q_id)
+       |SELECT q_id, vec_id, rank::INT AS rank, cell::INT AS cell, arrived_batch
+       |FROM (SELECT c.q_id, c.vec_id, c.cell, c.arrived_batch,
+       |        row_number() OVER (PARTITION BY c.q_id ORDER BY
+       |          list_dot_product(qv, v)
+       |            / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) DESC,
+       |          c.vec_id ASC) AS rank
+       |      FROM cand c JOIN q ON q.q_id = c.q_id)
+       |WHERE rank <= 5""".stripMargin
+  }
+
   /** q168: token-frequency DECAY spectrum — how fast the corpus frequency
     * falls when the rank doubles, at ranks 1,2,4,…,512. A Zipfian corpus
     * shows `decay_4 ≈ 5000` (freq halves per rank doubling); a corpus of
@@ -6708,7 +6831,8 @@ object ExtQueries {
     "q396_gif_frames" -> (q396GifFrames _),
     "q397_jl_sweep" -> (q397JlSweep _),
     "q398_frame_seq_dedup" -> (q398FrameSeqDedup _),
-    "q399_ivf_nprobe_sweep" -> (q399IvfNprobeSweep _)
+    "q399_ivf_nprobe_sweep" -> (q399IvfNprobeSweep _),
+    "q400_stream_ivf_ingest" -> (q400StreamIvfIngest _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -6867,6 +6991,7 @@ object ExtQueries {
     "q396_gif_frames" -> q396Oracle,
     "q397_jl_sweep" -> q397Oracle,
     "q398_frame_seq_dedup" -> q398Oracle,
-    "q399_ivf_nprobe_sweep" -> q399Oracle
+    "q399_ivf_nprobe_sweep" -> q399Oracle,
+    "q400_stream_ivf_ingest" -> q400Oracle
   )
 }

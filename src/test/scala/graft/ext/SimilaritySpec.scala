@@ -370,6 +370,34 @@ class SimilaritySpec extends SparkSpec {
     assert(scan16 === 1000000L && rec16 === 1000000L)
   }
 
+  test("q400 streamed IVF ingest equals the batch-built index: same pairs, cells, provenance") {
+    val got = ExtQueries.q400StreamIvfIngest(spark, Sf0001).collect()
+      .map(r => (r.getLong(1), r.getLong(0), r.getInt(2), r.getInt(3), r.getLong(4)))
+      .sorted.toSeq
+    // per-query rank sets are contiguous 1..5
+    assert(got.size === 40)
+    assert(got.groupBy(_._2).forall { case (_, rs) => rs.map(_._3).sorted == Seq(1, 2, 3, 4, 5) })
+    // the streamed index must be indistinguishable from building the same
+    // index in one batch pass: batch-1 seed centroids, full-corpus
+    // assignment, identical probe — streaming adds arrival provenance only
+    val gate = Sampling.hashGate(col("vec_id"), 0.5)
+    val centroids = Similarity.ivfCentroids(embeds.filter(gate), cells = 16, iters = 0)
+    val inv = Similarity.withNearestCell(
+      embeds.select(col("vec_id"), col("embedding").as("c_vec"),
+        Similarity.norm(col("embedding")).as("c_norm")),
+      "c_vec", "c_norm", "vec_id", centroids)
+    val batchSide = Similarity.probeIvf(inv, embeds.filter(col("vec_id") < 8),
+        centroids, k = 5, nprobe = 12, idCol = "vec_id", vecCol = "embedding")
+      .select("q_id", "vec_id", "rank")
+      .join(inv.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .join(embeds.select(col("vec_id"),
+        when(gate, 0L).otherwise(1L).as("arrived_batch")), Seq("vec_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+      .sorted.toSeq
+    assert(got === batchSide)
+  }
+
   test("labelCentroidSeparation: hand-computed centroids and pair cosines") {
     import spark.implicits._
     // label 0: (1,0),(3,0) → centroid (2,0); label 1: (0,2),(0,2) → (0,2);
