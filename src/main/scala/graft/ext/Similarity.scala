@@ -240,7 +240,7 @@ object Similarity {
     * are computed HERE with the same [[norm]] expression rows use, so
     * assignment arithmetic is bit-identical to scoring arithmetic.
     */
-  private def centroidRelation(
+  private[ext] def centroidRelation(
       spark: org.apache.spark.sql.SparkSession,
       centroids: Array[Array[Double]]): DataFrame = {
     import spark.implicits._

@@ -398,6 +398,35 @@ class SimilaritySpec extends SparkSpec {
     assert(got === batchSide)
   }
 
+  test("q401 adaptive band: one row per query, band dominates nprobe=1 per query") {
+    val rows = ExtQueries.q401AdaptiveProbe(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet === (0L to 7L).toSet)
+    rows.values.foreach { case (cells, cand, hits) =>
+      assert(cells >= 1L && cells <= 16L) // the best cell is always in band
+      assert(cand >= cells)               // every probed cell holds >= 1 row here
+      assert(hits >= 0L && hits <= 5L)
+    }
+    // the band is a superset of the best cell, and the re-rank is exact, so
+    // per-query hits can never fall below the fixed nprobe=1 policy's hits
+    val centroids = Similarity.ivfCentroids(embeds, cells = 16, iters = 0)
+    val inv = Similarity.withNearestCell(
+      embeds.select(col("vec_id"), col("embedding").as("c_vec"),
+        Similarity.norm(col("embedding")).as("c_norm")),
+      "c_vec", "c_norm", "vec_id", centroids)
+    val exact = ExtQueries.exactTop5(spark, Sf0001).select("q_id", "vec_id")
+    val np1 = exact.intersect(
+        Similarity.probeIvf(inv, embeds.filter(col("vec_id") < 8), centroids,
+          k = 5, nprobe = 1, idCol = "vec_id", vecCol = "embedding")
+          .select("q_id", "vec_id"))
+      .groupBy("q_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 7L).foreach { qid =>
+      assert(rows(qid)._3 >= np1.getOrElse(qid, 0L),
+        s"band hits below nprobe=1 for query $qid")
+    }
+  }
+
   test("labelCentroidSeparation: hand-computed centroids and pair cosines") {
     import spark.implicits._
     // label 0: (1,0),(3,0) → centroid (2,0); label 1: (0,2),(0,2) → (0,2);
