@@ -64,7 +64,10 @@ object Bench {
       val text = new String(java.nio.file.Files.readAllBytes(path),
         java.nio.charset.StandardCharsets.UTF_8)
       val block = """"([^"{}]+)"\s*:\s*\{([^{}]*)\}""".r
-      val entry = """"([^"]+)"\s*:\s*(-?[0-9.eE+]+)""".r
+      // '-' INSIDE the class too: a scientific-notation value with a
+      // negative exponent ("1e-05") would otherwise truncate at the 'e-'
+      // and toDouble would throw, killing the whole baseline load
+      val entry = """"([^"]+)"\s*:\s*(-?[0-9.eE+-]+)""".r
       block.findAllMatchIn(text).map { m =>
         m.group(1) -> entry.findAllMatchIn(m.group(2))
           .map(e => e.group(1) -> e.group(2).toDouble).toMap
@@ -75,7 +78,11 @@ object Bench {
       all: Map[String, Map[String, Double]],
       path: java.nio.file.Path = prevPath): Unit = {
     val body = all.toSeq.sortBy(_._1).map { case (sf, qs) =>
-      val inner = qs.toSeq.sorted.map { case (k, v) => s"${q(k)}:$v" }.mkString(",")
+      // plain decimal, never scientific: a sub-1e-4 double renders as
+      // "1.0E-5" under toString, which older readPrev regexes truncated
+      val inner = qs.toSeq.sorted.map { case (k, v) =>
+        s"${q(k)}:${BigDecimal(v).bigDecimal.toPlainString}"
+      }.mkString(",")
       s"${q(sf)}:{$inner}"
     }.mkString(",")
     java.nio.file.Files.write(path, s"{$body}\n".getBytes(
@@ -243,13 +250,35 @@ object Bench {
     // uniformly-inflated timings) is diverted to a side file instead: the
     // committed idle map stays honest mechanically, not by hand-reverting.
     if (only.isEmpty && errored.isEmpty) {
+      // Median-map protection: the committed baseline may be the per-query
+      // MEDIAN of several idle runs (tools/median_bench_maps.py) — the best
+      // tripwire reference this box produces. A SINGLE idle run whose total
+      // over the shared query set shifts >10% from that map is either a
+      // real perf change (re-record deliberately via >=3 runs through the
+      // median tool, or SPARK_GRAFT_BASELINE_FORCE=1) or an environmental
+      // drift — either way it must not silently clobber the cross-run
+      // median, so it diverts to a candidate side file instead.
+      val newMap = ok.toMap
+      val shared = prev.keySet.intersect(newMap.keySet)
+      val prevShared = shared.toSeq.map(prev).sum
+      val curShared = shared.toSeq.map(newMap).sum
+      val force = sys.env.get("SPARK_GRAFT_BASELINE_FORCE").exists(_.nonEmpty)
+      val shifted = shared.nonEmpty && prevShared > 0 &&
+        math.abs(curShared - prevShared) > 0.10 * prevShared
       val target =
         if (hotStart) java.nio.file.Paths.get("tools/bench_prev.hot.json")
+        else if (shifted && !force)
+          java.nio.file.Paths.get("tools/bench_prev.candidate.json")
         else prevPath
       if (hotStart)
         System.err.println(s"[bench] loadavg at start ($loadBefore) > 3: " +
           "baseline diverted to tools/bench_prev.hot.json; committed idle map untouched")
-      try writePrev(prevAll + (sfDir -> ok.toMap), target)
+      else if (shifted && !force)
+        System.err.println(f"[bench] shared-query total ${curShared}%.1f s vs " +
+          f"committed ${prevShared}%.1f s (>10%% shift): baseline diverted to " +
+          "tools/bench_prev.candidate.json; re-record via tools/median_bench_maps.py " +
+          "over >=3 idle runs, or SPARK_GRAFT_BASELINE_FORCE=1 to overwrite")
+      try writePrev(prevAll + (sfDir -> newMap), target)
       catch { case e: Throwable =>
         System.err.println(s"[bench] could not write ${target}: ${e.getMessage}")
       }

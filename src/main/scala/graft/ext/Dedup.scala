@@ -225,11 +225,28 @@ object Dedup {
     // shared with the incremental path via [[minhashBandRows]])
     val bandRows = minhashBandRows(shingled, params, bands, rowsPerBand)
 
+    nearDupsFromRelations(bandRows, shingled, threshold)
+  }
+
+  /** Near-dup pairs from PRECOMPUTED sketch relations — the candidate +
+    * verify tail of [[minhashNearDups]] (which funnels through here, so
+    * the paths cannot drift), split out for deployments that persist the
+    * (doc_id, band, bucket) band rows and (doc_id, hs) shingle sets once
+    * per corpus version ([[writeIndex]]'s relations) and re-run only the
+    * bucketing + verify stages. `bandRows`/`shingled` must come from the
+    * SAME corpus and sketch knobs (both are per-doc functions, so a
+    * superset corpus restricted by a doc_id semi-join is also exact);
+    * `shingled` may be a superset of `bandRows`' docs — the verify stage
+    * looks up candidate ids only.
+    */
+  def nearDupsFromRelations(
+      bandRows: DataFrame,
+      shingled: DataFrame,
+      threshold: Double = 0.5): DataFrame =
     bucketPairs(bandRows)
       .transform(verifyJaccard(_, shingled))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
-  }
 
   /** Distinct (doc_a, doc_b), doc_a < doc_b, sharing at least one band
     * bucket — the candidate-generation stage of the banded LSH.
@@ -321,16 +338,26 @@ object Dedup {
       docs: DataFrame,
       configs: Seq[(Int, Int, Int)] = Seq((2, 8, 1), (4, 4, 4), (8, 2, 64)),
       k: Int = 5,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      staged: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     val spark = docs.sparkSession
     require(configs.nonEmpty && configs.map(c => c._1 * c._2).distinct.size == 1,
       "all configs must group the same total signature length")
     require(configs.forall(_._3 >= 1), "sample modulus must be >= 1")
     val params = hashParams(configs.head._1 * configs.head._2)
-    val shingled = shingleHashes(docs, "doc_id", "text", k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = minhashSigFrame(shingled, params)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // `staged`: optional precomputed ([[shingleHashes]], [[minhashSigFrame]])
+    // over the same docs/k/params — a persisted corpus sketch skips the
+    // shingle + signature stages and the sweep re-buckets as usual
+    val (shingled, sig) = staged match {
+      case Some((sh, sg)) =>
+        (sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+          sg.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      case None =>
+        val sh = shingleHashes(docs, "doc_id", "text", k)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (sh, minhashSigFrame(sh, params)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
     try {
       val rows = configs.map { case (bands, rowsPerBand, sampleMod) =>
         val cand = bucketPairs(bandRowsOfSig(sig, bands, rowsPerBand))
@@ -522,18 +549,34 @@ object Dedup {
     * context's checkpoint location) additionally switches the keeper
     * snapshot and the fixpoint rounds from executor-local blocks to
     * store-backed parquet for lost-executor replay on a real cluster.
+    *
+    * `staged`: optional PRECOMPUTED (shingled, bandRows) sketch relations
+    * ([[shingleHashes]] / [[minhashBandRows]] at this call's `k`/banding,
+    * over a SUPERSET of `docs` — both are per-doc functions, so a doc_id
+    * semi-join restricts them exactly). A corpus-version pipeline persists
+    * these once ([[writeIndex]]) and every downstream dedup pass skips
+    * re-shingling the corpus; decisions are bit-identical to the inline
+    * derivation (asserted staged-vs-fresh in DedupSpec).
     */
   def dedupCorpus(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
       threshold: Double = 0.5,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      staged: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     val spark = docs.sparkSession
     val exact = exactDedup(docs, idCol, textCol).persist()
     try {
       val snapDir = resolveCheckpointDir(spark, checkpointDir)
-      val pairs = minhashNearDups(exact, idCol, textCol, threshold = threshold)
+      val pairs = staged match {
+        case Some((sh, bandRows)) =>
+          val keepIds = exact.select(col(idCol).as("doc_id"))
+          nearDupsFromRelations(
+            bandRows.join(keepIds, Seq("doc_id"), "left_semi"), sh, threshold)
+        case None =>
+          minhashNearDups(exact, idCol, textCol, threshold = threshold)
+      }
       // the fixpoint rounds go into a PER-INVOCATION subdirectory: the
       // post-materialization sweep below must only ever delete rounds THIS
       // call created — a sibling duplicateClusters/dedupCorpus sharing the
@@ -619,19 +662,32 @@ object Dedup {
       textCol: String = "text",
       k: Int = 5,
       bands: Int = 4,
-      rowsPerBand: Int = 4): Unit = {
+      rowsPerBand: Int = 4,
+      staged: Option[(DataFrame, DataFrame)] = None): Unit = {
     val spark = existing.sparkSession
     import spark.implicits._
     existing
       .select(TextAnalysis.md5Fingerprint(col(textCol)).as("__fp")).distinct()
       .write.mode("overwrite").parquet(s"$path/fingerprints")
-    // shingles feed both their own relation and the band rows — persist so
-    // the shingling pipeline runs once, not per sink
-    val sh = shingleHashes(existing, idCol, textCol, k).persist()
-    sh.write.mode("overwrite").parquet(s"$path/shingles")
-    minhashBandRows(sh, hashParams(bands * rowsPerBand), bands, rowsPerBand)
-      .write.mode("overwrite").parquet(s"$path/bands")
-    sh.unpersist()
+    staged match {
+      // precomputed (shingled, bandRows) at THIS call's k/banding over a
+      // superset of `existing` — per-doc functions, so the doc_id semi-join
+      // restricts them exactly and the index writes skip re-shingling
+      case Some((sh0, bands0)) =>
+        val ids = existing.select(col(idCol).as("doc_id"))
+        sh0.join(ids, Seq("doc_id"), "left_semi")
+          .write.mode("overwrite").parquet(s"$path/shingles")
+        bands0.join(ids, Seq("doc_id"), "left_semi")
+          .write.mode("overwrite").parquet(s"$path/bands")
+      case None =>
+        // shingles feed both their own relation and the band rows — persist
+        // so the shingling pipeline runs once, not per sink
+        val sh = shingleHashes(existing, idCol, textCol, k).persist()
+        sh.write.mode("overwrite").parquet(s"$path/shingles")
+        minhashBandRows(sh, hashParams(bands * rowsPerBand), bands, rowsPerBand)
+          .write.mode("overwrite").parquet(s"$path/bands")
+        sh.unpersist()
+    }
     Seq((k, bands, rowsPerBand)).toDF("k", "bands", "rows_per_band")
       .coalesce(1).write.mode("overwrite").json(s"$path/meta")
   }

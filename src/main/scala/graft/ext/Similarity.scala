@@ -465,8 +465,27 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val (books, subDim, enc) = pqTrainEncode(corpus, subspaces, codes, iters, idCol, vecCol)
-    pqAdcRerank(corpus, queries, enc, books, subDim, k, shortlist, idCol, vecCol)
+    pqTopKFromModel(corpus, queries, books, subDim, enc, k, shortlist, idCol, vecCol)
   }
+
+  /** [[pqTopK]] served from a PRE-TRAINED model — the deployment shape,
+    * where codebooks are trained once per corpus version and every query
+    * batch pays only ADC scoring + the exact re-rank. `books`/`subDim`/
+    * `enc` come from [[pqTrainEncode]] over the SAME corpus (q229 serves
+    * from a per-JVM staged model; equivalence to the train-inline path is
+    * asserted in SimilaritySpec).
+    */
+  def pqTopKFromModel(
+      corpus: DataFrame,
+      queries: DataFrame,
+      books: Array[Array[Array[Double]]],
+      subDim: Int,
+      enc: DataFrame,
+      k: Int,
+      shortlist: Int = 50,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    pqAdcRerank(corpus, queries, enc, books, subDim, k, shortlist, idCol, vecCol)
 
   /** IVF × PQ — the two ANN tiers COMPOSED, the faiss-style production
     * architecture: IVF prunes WHICH vectors are scored (only the
@@ -501,6 +520,34 @@ object Similarity {
         norm(col(vecCol)).as("__vn")),
       "v", "__vn", "vec_id", centroids)
       .select(col("vec_id"), col("cell"))
+    // fine quantizer: PQ codes
+    val (books, subDim, encAll) = pqTrainEncode(corpus, subspaces, codes, iters, idCol, vecCol)
+    ivfPqFromModel(corpus, queries, centroids, corpusCells, books, subDim,
+      encAll, k, nprobe, shortlist, idCol, vecCol)
+  }
+
+  /** [[ivfPqTopK]] served from PRE-BUILT models — the deployment shape:
+    * coarse centroids + the (vec_id, cell) inverted assignment + PQ
+    * codebooks/encoding are authored once per corpus version, and a query
+    * batch pays only the probe, the restricted ADC and the exact re-rank.
+    * All model pieces must come from [[ivfCentroids]]/[[withNearestCell]]/
+    * [[pqTrainEncode]] over the SAME corpus (q230 serves from per-JVM
+    * staged models; equivalence to the train-inline path is asserted in
+    * SimilaritySpec).
+    */
+  def ivfPqFromModel(
+      corpus: DataFrame,
+      queries: DataFrame,
+      centroids: Array[Array[Double]],
+      corpusCells: DataFrame,
+      books: Array[Array[Array[Double]]],
+      subDim: Int,
+      encAll: DataFrame,
+      k: Int,
+      nprobe: Int = 12,
+      shortlist: Int = 150,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
     // each query probes its nprobe nearest cells (model-sized relation)
     val qRows = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
       norm(col(vecCol)).as("q_norm"))
@@ -512,8 +559,7 @@ object Similarity {
       .agg(graft.functions.GraftFunctions.collectTopK(
         struct((-col("__d")).as("s"), col("__cell").as("cell")), nprobe).as("tk"))
       .select(col("q_id"), explode(col("tk.cell")).as("cell")))
-    // fine quantizer: PQ codes, ADC restricted to probed (q, cell) pairs
-    val (books, subDim, encAll) = pqTrainEncode(corpus, subspaces, codes, iters, idCol, vecCol)
+    // ADC restricted to probed (q, cell) pairs
     val enc = encAll
       .join(corpusCells, Seq("vec_id"))
       .join(probed, Seq("cell"))  // expands enc rows per probing query
@@ -532,7 +578,7 @@ object Similarity {
     * localCheckpoint'd (it is id-sized) so the exploded staging persist
     * can be released before returning.
     */
-  private def pqTrainEncode(
+  private[ext] def pqTrainEncode(
       corpus: DataFrame, subspaces: Int, codes: Int, iters: Int,
       idCol: String, vecCol: String): (Array[Array[Array[Double]]], Int, DataFrame) = {
     val spark = corpus.sparkSession
@@ -604,7 +650,7 @@ object Similarity {
     * q_id) rows already limited to each query's candidate set (the IVF
     * prune), in which case the LUT join also keys on q_id.
     */
-  private def pqAdcRerank(
+  private[ext] def pqAdcRerank(
       corpus: DataFrame, queries: DataFrame, enc: DataFrame,
       books: Array[Array[Array[Double]]], subDim: Int, k: Int, shortlist: Int,
       idCol: String, vecCol: String, restricted: Boolean = false): DataFrame = {

@@ -379,7 +379,7 @@ object ParityQueries {
     * version resolution (e.g. reading v2) flips every group's counts.
     */
   def q16SnapshotTravel(spark: SparkSession, dir: String): DataFrame = {
-    val work = Scratch.stableDir("q16")
+    val work = Scratch.stableDir("q16-" + Scratch.md5Hex(dir)) // sf-keyed: q400 rule
     val catalog = VersionedCatalog(s"$work/catalog")
     val table = "main.graft.events_snap"
     val ev = events(spark, dir)
@@ -512,7 +512,7 @@ object ParityQueries {
           java.nio.file.Files.getLastModifiedTime(first).toMillis + 10000))
       in
     })
-    val work = Scratch.stableDir("q99")
+    val work = Scratch.stableDir("q99-" + Scratch.md5Hex(dir)) // sf-keyed: q400 rule
     val schema = catalog.changes(spark, CdcPropsTable, 2L, 3L).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(inDir)
@@ -626,7 +626,7 @@ object ParityQueries {
           java.nio.file.Files.getLastModifiedTime(first).toMillis + 10000))
       in
     })
-    val work = Scratch.stableDir("q130")
+    val work = Scratch.stableDir("q130-" + Scratch.md5Hex(dir)) // sf-keyed: q400 rule
     def cents(df: DataFrame): DataFrame =
       df.withColumn("cents", floor(col("value") * 100).cast("long"))
     val agg0 = cents(catalog.snapshot(spark, Q123Table, 1L))
@@ -682,7 +682,7 @@ object ParityQueries {
           java.nio.file.Files.getLastModifiedTime(first).toMillis + 10000))
       in
     })
-    val work = Scratch.stableDir("q181")
+    val work = Scratch.stableDir("q181-" + Scratch.md5Hex(dir)) // sf-keyed: q400 rule
     val initial = e.filter(col("event_id") % 3 === 0).join(b, Seq("user_id"))
     val stream = spark.readStream.schema(e.schema)
       .option("maxFilesPerTrigger", 1).parquet(inDir)

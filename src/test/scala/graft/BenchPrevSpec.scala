@@ -41,6 +41,22 @@ class BenchPrevSpec extends AnyFunSuite {
     }
   }
 
+  test("sub-1e-4 and negative values survive the round-trip (no sci-notation mangling)") {
+    // Double.toString renders 1e-05 in scientific notation; writePrev must
+    // emit plain decimal (and readPrev's regex must accept a '-') or the
+    // whole baseline load throws on the first tiny median
+    val tmp = java.nio.file.Files.createTempFile("bench-prev-sci", ".json")
+    try {
+      val data = Map("/data/sf0.1" -> Map("q_tiny" -> 1e-05, "q_neg" -> -0.25))
+      Bench.writePrev(data, tmp)
+      val text = new String(java.nio.file.Files.readAllBytes(tmp))
+      // Double.toString's scientific notation uses uppercase 'E';
+      // toPlainString never emits one (names here are lowercase)
+      assert(!text.contains("E"), s"scientific notation leaked: $text")
+      assert(Bench.readPrev(tmp) === data)
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+
   test("missing baseline file reads as empty (first run is flag-free)") {
     val gone = java.nio.file.Paths.get("/tmp/bench-prev-definitely-missing.json")
     assert(Bench.readPrev(gone) === Map.empty)

@@ -627,4 +627,44 @@ class DedupSpec extends SparkSpec {
       assert(spans === Seq((10L, 0L, 16L), (11L, 4L, 16L)))
     }
   }
+
+  test("staged MinHash sketch is row-identical to a fresh derivation (fixture not weakened)") {
+    // the r14 staging (stagedDedupSketch: shingles/sig/bands parquet written
+    // once per JVM per corpus) must be indistinguishable from recomputing —
+    // or every dedup-family query reading it (q21/q27/q28/q29/q102/q224/
+    // q386) would run on a different sketch than its oracle replays
+    val fan = Tables.fanOut(docs)
+    val freshSh = Dedup.shingleHashes(fan, "doc_id", "text", 5)
+    def shRows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).sortBy(_._1).toSeq
+    assert(shRows(ExtQueries.stagedDocShingles(spark, Sf0001)) === shRows(freshSh))
+    val freshSig = Dedup.minhashSigFrame(freshSh, Dedup.hashParams(16))
+    def sigRows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), Option(r.getSeq[Long](1)).map(_.toSeq)))
+      .sortBy(_._1).toSeq
+    assert(sigRows(ExtQueries.stagedDocSig(spark, Sf0001)) === sigRows(freshSig))
+    def bandRows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
+    assert(bandRows(ExtQueries.stagedDocBands(spark, Sf0001))
+      === bandRows(Dedup.bandRowsOfSig(freshSig, 4, 4)))
+  }
+
+  test("staged-sketch consumers equal the inline derivations exactly") {
+    val fan = Tables.fanOut(docs)
+    val sh = ExtQueries.stagedDocShingles(spark, Sf0001)
+    val bands = ExtQueries.stagedDocBands(spark, Sf0001)
+    // pair tier: nearDupsFromRelations over the staged sketch IS
+    // minhashNearDups (same tail, asserted on the full fixture pair set)
+    val viaStaged = Dedup.nearDupsFromRelations(bands, sh, threshold = 0.5)
+    val fresh = Dedup.minhashNearDups(fan, threshold = 0.5)
+    assert(viaStaged.exceptAll(fresh).isEmpty && fresh.exceptAll(viaStaged).isEmpty)
+    assert(fresh.count() > 0, "fixture must exercise the near-dup path")
+    // composed ladder: dedupCorpus with the staged sketch keeps the same
+    // keeper set as the inline form (superset relations + semi-join)
+    val keepStaged = Dedup.dedupCorpus(fan, staged = Some((sh, bands)))
+      .select("doc_id")
+    val keepFresh = Dedup.dedupCorpus(fan).select("doc_id")
+    assert(keepStaged.exceptAll(keepFresh).isEmpty
+      && keepFresh.exceptAll(keepStaged).isEmpty)
+  }
 }

@@ -334,6 +334,49 @@ class SimilaritySpec extends SparkSpec {
     assert(stagedL3 === freshL3)
   }
 
+  test("staged PQ/IVF models equal a fresh training pass (gates not weakened)") {
+    // r14 staging: codebooks + encoding + coarse centroids + assignment are
+    // trained once per JVM per corpus; they must be indistinguishable from
+    // retraining, or q229/q230 would gate a different model than advertised
+    val (books, subDim, enc) = ExtQueries.stagedPqModel(spark, Sf0001)
+    val (fBooks, fSubDim, fEnc) = Similarity.pqTrainEncode(
+      embeds, subspaces = 8, codes = 16, iters = 2,
+      idCol = "vec_id", vecCol = "embedding")
+    assert(subDim === fSubDim)
+    assert(books.map(_.map(_.toSeq).toSeq).toSeq === fBooks.map(_.map(_.toSeq).toSeq).toSeq)
+    def encRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted.toSeq
+    assert(encRows(enc) === encRows(fEnc))
+    val (centroids, cells) = ExtQueries.stagedIvfCoarse(spark, Sf0001)
+    val fCtr = Similarity.ivfCentroids(embeds, cells = 16, iters = 2)
+    assert(centroids.map(_.toSeq).toSeq === fCtr.map(_.toSeq).toSeq)
+    def cellRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    val fCells = Similarity.withNearestCell(
+        embeds.select(col("vec_id"), col("embedding").as("v"),
+          Similarity.norm(col("embedding")).as("__vn")),
+        "v", "__vn", "vec_id", fCtr)
+      .select(col("vec_id"), col("cell"))
+    assert(cellRows(cells) === cellRows(fCells))
+  }
+
+  test("model-served PQ and IVFxPQ equal the train-inline paths exactly") {
+    val queries = embeds.filter(col("vec_id") < 8)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "vec_id", "rank", "score_r").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sorted.toSeq
+    val (books, subDim, enc) = ExtQueries.stagedPqModel(spark, Sf0001)
+    assert(rows(Similarity.pqTopKFromModel(
+        embeds, queries, books, subDim, enc, k = 5, shortlist = 150))
+      === rows(Similarity.pqTopK(embeds, queries, k = 5, shortlist = 150)))
+    val (centroids, cells) = ExtQueries.stagedIvfCoarse(spark, Sf0001)
+    assert(rows(Similarity.ivfPqFromModel(embeds, queries, centroids, cells,
+        books, subDim, enc, k = 5, nprobe = 14, shortlist = 200))
+      === rows(Similarity.ivfPqTopK(embeds, queries, k = 5, nprobe = 14,
+        shortlist = 200)))
+  }
+
   test("q397 JL sweep: one exact-ppm row per width, monotone fixture curve, byte law") {
     val rows = ExtQueries.q397JlSweep(spark, Sf0001).collect()
       .map(r => r.getInt(0) -> (r.getInt(1), r.getLong(2))).toMap

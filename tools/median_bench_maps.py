@@ -41,8 +41,15 @@ def main() -> None:
             f"total {sum(merged[sf].values()):.1f}s "
             f"(median of {len(maps)} runs)"
         )
+    def plain(v: float) -> str:
+        # fixed-point, never scientific: '%s' % 1e-05 -> '1e-05', which
+        # Bench.readPrev's number regex would mangle; trim trailing zeros
+        s = format(v, ".12f").rstrip("0").rstrip(".")
+        return s if s else "0"
+
     body = ",".join(
-        '"%s":{%s}' % (sf, ",".join('"%s":%s' % (q, v) for q, v in sorted(qs.items())))
+        '"%s":{%s}'
+        % (sf, ",".join('"%s":%s' % (q, plain(v)) for q, v in sorted(qs.items())))
         for sf, qs in sorted(merged.items())
     )
     with open(out_path, "w") as f:
