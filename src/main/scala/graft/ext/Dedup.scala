@@ -1437,9 +1437,17 @@ object Dedup {
         TextAnalysis.tokens(col(textCol)).as("__toks"): _*)
       .filter(size(col("__toks")) >= k)
       .select(col(idCol) +: carry.map(col) :+
-        posexplode(transform(
-          sequence(lit(0), size(col("__toks")) - k),
-          i => baseHash(array_join(slice(col("__toks"), i + 1, lit(k)), " "))))
+        // two codegen'd one-pass kernels (positional k-grams, then md5
+        // prefixes) — the per-position `transform(sequence, i =>
+        // baseHash(array_join(slice(...))))` chain this replaces is a
+        // CodegenFallback HOF whose interpreted slice+join+md5 per token
+        // position was the measured hot path of every ExactSubstr query
+        // (r14 q383 profile: the gram scan, not streaming machinery, was
+        // the per-batch cost). Arithmetic is UNCHANGED: wordNgramsAll
+        // shares array_join's skip-null join semantics and md5Longs IS
+        // baseHash per element (parity asserted in DedupSpec)
+        posexplode(GraftFunctions.md5Longs(
+          GraftFunctions.wordNgramsAll(col("__toks"), k), digits = 15))
           .as(Seq("pos", "gh")): _*)
 
   /** Gaps-and-islands merge of marked gram START positions into maximal

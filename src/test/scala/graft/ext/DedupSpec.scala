@@ -628,6 +628,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("ExactSubstr gram kernel equals the HOF slice+join+md5 formulation") {
+    // the r14 codegen'd gram stage (wordNgramsAll ∘ md5Longs) must be
+    // position-for-position identical to the interpreted reference chain
+    // it replaced, or every ExactSubstr oracle replay would drift
+    import graft.functions.GraftFunctions
+    val base = docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 8)
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    val hof = base.select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("toks")) - 8),
+        i => Dedup.baseHash(array_join(slice(col("toks"), i + 1, lit(8)), " "))))
+        .as(Seq("pos", "gh")))
+    val kernel = base.select(col("doc_id"), posexplode(
+        GraftFunctions.md5Longs(GraftFunctions.wordNgramsAll(col("toks"), 8),
+          digits = 15))
+        .as(Seq("pos", "gh")))
+    val k = rows(kernel)
+    assert(k === rows(hof))
+    assert(k.nonEmpty, "fixture must exercise the gram stage")
+  }
+
   test("staged MinHash sketch is row-identical to a fresh derivation (fixture not weakened)") {
     // the r14 staging (stagedDedupSketch: shingles/sig/bands parquet written
     // once per JVM per corpus) must be indistinguishable from recomputing —
