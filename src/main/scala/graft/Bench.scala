@@ -278,7 +278,13 @@ object Bench {
           f"committed ${prevShared}%.1f s (>10%% shift): baseline diverted to " +
           "tools/bench_prev.candidate.json; re-record via tools/median_bench_maps.py " +
           "over >=3 idle runs, or SPARK_GRAFT_BASELINE_FORCE=1 to overwrite")
-      try writePrev(prevAll + (sfDir -> newMap), target)
+      // Diverted writes (hot/candidate side files) MERGE into the target's
+      // existing content: two consecutive diverted runs at DIFFERENT sf dirs
+      // must both survive in the side file — basing the write on the
+      // committed map alone silently discarded the first sf's candidate.
+      // Committed-map entries fill sfs the side file has never seen.
+      val base = if (target == prevPath) prevAll else prevAll ++ readPrev(target)
+      try writePrev(base + (sfDir -> newMap), target)
       catch { case e: Throwable =>
         System.err.println(s"[bench] could not write ${target}: ${e.getMessage}")
       }

@@ -14,8 +14,24 @@ object TimeQuery {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: TimeQuery <query[,query...]> [sfDir] [trials]")
     val names = args(0).split(",").map(_.trim).filter(_.nonEmpty)
-    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val trials = if (args.length > 2) args(2).toInt else 3
+    require(names.nonEmpty, "no query names given")
+    // All argument validation happens BEFORE the SparkSession is built: a
+    // typo'd query name or a zero trial count should fail in milliseconds,
+    // not after a multi-second JVM+session spin-up.
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
+    // explicit arg wins, then the Bench env var, then the box default
+    val sfDir = args.lift(1)
+      .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
+      .getOrElse("/root/testdata/sf0.1")
+    require(new java.io.File(sfDir).isDirectory, s"sfDir not a directory: $sfDir")
+    val trials = args.lift(2).map { s =>
+      val t = try s.toInt catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"trials must be an integer, got '$s'")
+      }
+      require(t >= 1, s"trials must be >= 1, got $t"); t
+    }.getOrElse(3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -23,8 +39,6 @@ object TimeQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val unknown = names.filterNot(SparkEntry.queries.contains)
-    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       (1 to trials).foreach { i =>

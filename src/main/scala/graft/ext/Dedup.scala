@@ -181,6 +181,42 @@ object Dedup {
         .as(Seq("band", "bucket")))
   }
 
+  /** Guard for caller-supplied staged BAND relations: the band frame's
+    * max(band)+1 must equal the banding the call's meta/fresh path assumes —
+    * a sketch persisted at a different grouping would otherwise hash
+    * arrivals into buckets that can never collide with the stored rows,
+    * i.e. silently find nothing. One small aggregate over two pruned int
+    * columns (parquet-backed staged relations never materialize shingle
+    * arrays for this); an empty staged frame is vacuously accepted (there
+    * is nothing to mis-bucket). k and rowsPerBand are NOT derivable from
+    * the band rows (buckets are md5 digests), so they remain the caller's
+    * contract — DedupSpec's staged≡fresh asserts cover the in-repo callers.
+    */
+  private def requireStagedBanding(
+      bandRows: DataFrame, bands: Int, caller: String): Unit = {
+    val r = bandRows.agg(max(col("band"))).head()
+    if (!r.isNullAt(0)) {
+      val got = r.getInt(0) + 1
+      require(got == bands,
+        s"$caller: staged band rows span $got bands but the call expects " +
+          s"$bands — the staged sketch was built at different knobs")
+    }
+  }
+
+  /** Guard for caller-supplied staged SIGNATURE relations: every signature
+    * must have exactly bands×rowsPerBand minhashes, or re-bucketing at the
+    * call's grouping reads past/short of the stored array. Same cost shape
+    * as [[requireStagedBanding]] (one small aggregate, arrays stay columnar).
+    */
+  private def requireStagedSigLen(
+      sig: DataFrame, totalLen: Int, caller: String): Unit = {
+    val r = sig.agg(min(size(col("sig"))), max(size(col("sig")))).head()
+    if (!r.isNullAt(0))
+      require(r.getInt(0) == totalLen && r.getInt(1) == totalLen,
+        s"$caller: staged signatures have ${r.getInt(0)}..${r.getInt(1)} " +
+          s"hashes but the call expects $totalLen (bands x rowsPerBand)")
+  }
+
   /** Banded LSH candidate pairs + Jaccard verification.
     *
     * 100 TB shape (each stage pays its cost exactly once):
@@ -350,6 +386,9 @@ object Dedup {
     // shingle + signature stages and the sweep re-buckets as usual
     val (shingled, sig) = staged match {
       case Some((sh, sg)) =>
+        // loud contract check: a sketch persisted at a different signature
+        // length would re-bucket garbage silently (see the guard's doc)
+        requireStagedSigLen(sg, configs.head._1 * configs.head._2, "lshParameterSweep")
         (sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
           sg.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       case None =>
@@ -571,6 +610,10 @@ object Dedup {
       val snapDir = resolveCheckpointDir(spark, checkpointDir)
       val pairs = staged match {
         case Some((sh, bandRows)) =>
+          // the fresh path below runs minhashNearDups at its defaults
+          // (k=5, 4x4) — a staged sketch at another banding would yield
+          // silently different dedup decisions, so fail loudly instead
+          requireStagedBanding(bandRows, bands = 4, "dedupCorpus")
           val keepIds = exact.select(col(idCol).as("doc_id"))
           nearDupsFromRelations(
             bandRows.join(keepIds, Seq("doc_id"), "left_semi"), sh, threshold)
@@ -674,6 +717,11 @@ object Dedup {
       // superset of `existing` — per-doc functions, so the doc_id semi-join
       // restricts them exactly and the index writes skip re-shingling
       case Some((sh0, bands0)) =>
+        // the meta sidecar below is stamped with THIS call's k/bands/rows —
+        // staged band rows at another banding would write a corrupt index
+        // (probes hash arrivals with meta params that don't match the
+        // stored bands), so validate the derivable half of the contract
+        requireStagedBanding(bands0, bands, "writeIndex")
         val ids = existing.select(col(idCol).as("doc_id"))
         sh0.join(ids, Seq("doc_id"), "left_semi")
           .write.mode("overwrite").parquet(s"$path/shingles")

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.queries.Staging
 import graft.queries.Tables._
 
 /** LLM-data-pipeline extension queries (dedup / similarity / text analysis /
@@ -84,7 +85,7 @@ object ExtQueries {
   private val dedupSketchCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def stagedDedupSketch(spark: SparkSession, dir: String): String =
-    dedupSketchCache.computeIfAbsent(dir, _ => {
+    dedupSketchCache.computeIfAbsent(dir, _ => Staging.timed("dedup-sketch") {
       // stableDir: emptied on (re)build, so a failed write retries clean;
       // md5Hex key, not String.hashCode (a 32-bit collision between two sf
       // dirs would silently cross their sketches)
@@ -101,18 +102,43 @@ object ExtQueries {
       out
     })
 
+  /** Small-fixture sketch: same plans, same once-per-JVM discipline, held
+    * as in-memory localCheckpoints instead of parquet — the [[Staging]]
+    * scale gate's cheap path (the parquet write+footer round-trip is a
+    * fixed cost a ~65 KB fixture never earns back). Keyed by session
+    * identity + dir: localCheckpoint blocks die with their session, so an
+    * entry must never outlive the SparkSession that built it.
+    */
+  private val dedupSketchMem = new java.util.concurrent.ConcurrentHashMap[
+    String, (DataFrame, DataFrame, DataFrame)]()
+  private def dedupSketch(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
+    if (Staging.stageToParquet(s"$dir/documents.parquet")) {
+      val out = stagedDedupSketch(spark, dir)
+      (spark.read.parquet(s"$out/shingles"),
+        spark.read.parquet(s"$out/sig"),
+        spark.read.parquet(s"$out/bands"))
+    } else dedupSketchMem.computeIfAbsent(
+      s"${System.identityHashCode(spark)}:$dir",
+      _ => Staging.timed("dedup-sketch-mem") {
+        val sh = Dedup.shingleHashes(
+          fanOut(documents(spark, dir)), "doc_id", "text", 5).localCheckpoint()
+        val sig = Dedup.minhashSigFrame(sh, Dedup.hashParams(16)).localCheckpoint()
+        (sh, sig, Dedup.bandRowsOfSig(sig, 4, 4).localCheckpoint())
+      })
+
   /** Staged (doc_id, hs) shingle-hash sets of the full documents fixture.
     * `private[ext]` so DedupSpec can assert staged ≡ fresh. */
   private[ext] def stagedDocShingles(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"${stagedDedupSketch(spark, dir)}/shingles")
+    dedupSketch(spark, dir)._1
 
   /** Staged (doc_id, sig) MinHash signatures (hashParams(16)). */
   private[ext] def stagedDocSig(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"${stagedDedupSketch(spark, dir)}/sig")
+    dedupSketch(spark, dir)._2
 
   /** Staged (doc_id, band, bucket) LSH band rows (4 bands × 4 rows). */
   private[ext] def stagedDocBands(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"${stagedDedupSketch(spark, dir)}/bands")
+    dedupSketch(spark, dir)._3
 
   def q21DedupMinhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.nearDupsFromRelations(
@@ -568,7 +594,8 @@ object ExtQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def stagedExact(spark: SparkSession, dir: String, variant: String)(
       build: => DataFrame): DataFrame = {
-    val p = exactTopKCache.computeIfAbsent(s"$variant:$dir", _ => {
+    val p = exactTopKCache.computeIfAbsent(s"$variant:$dir",
+      _ => Staging.timed(s"ann-exact-$variant") {
       // stableDir: emptied on (re)build, so a failed write retries clean
       val out = graft.queries.Scratch.stableDir(
         s"ann-exact-$variant-" + graft.queries.Scratch.md5Hex(dir))
@@ -664,42 +691,71 @@ object ExtQueries {
     */
   private val pqModelCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Array[Array[Array[Double]]], Int, String)]()
+  // small-fixture path: same training plan, enc held as the localCheckpoint
+  // pqTrainEncode already produced (id-sized) instead of parquet; keyed by
+  // session identity + dir because checkpoint blocks die with their session
+  private val pqModelMem = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Array[Array[Double]]], Int, DataFrame)]()
   private[ext] def stagedPqModel(
-      spark: SparkSession, dir: String): (Array[Array[Array[Double]]], Int, DataFrame) = {
-    val (books, subDim, path) = pqModelCache.computeIfAbsent(dir, _ => {
-      val out = graft.queries.Scratch.stableDir(
-        "pq-model-" + graft.queries.Scratch.md5Hex(dir))
-      val (b, sd, enc) = Similarity.pqTrainEncode(
-        fanOut(embeddings(spark, dir)), subspaces = 8, codes = 16, iters = 2,
-        idCol = "vec_id", vecCol = "embedding")
-      enc.write.mode("overwrite").parquet(out)
-      (b, sd, out)
-    })
-    (books, subDim, spark.read.parquet(path))
-  }
+      spark: SparkSession, dir: String): (Array[Array[Array[Double]]], Int, DataFrame) =
+    if (Staging.stageToParquet(s"$dir/embeddings.parquet")) {
+      val (books, subDim, path) = pqModelCache.computeIfAbsent(dir,
+        _ => Staging.timed("pq-model") {
+          val out = graft.queries.Scratch.stableDir(
+            "pq-model-" + graft.queries.Scratch.md5Hex(dir))
+          val (b, sd, enc) = Similarity.pqTrainEncode(
+            fanOut(embeddings(spark, dir)), subspaces = 8, codes = 16, iters = 2,
+            idCol = "vec_id", vecCol = "embedding")
+          enc.write.mode("overwrite").parquet(out)
+          (b, sd, out)
+        })
+      (books, subDim, spark.read.parquet(path))
+    } else pqModelMem.computeIfAbsent(
+      s"${System.identityHashCode(spark)}:$dir",
+      _ => Staging.timed("pq-model-mem") {
+        Similarity.pqTrainEncode(
+          fanOut(embeddings(spark, dir)), subspaces = 8, codes = 16, iters = 2,
+          idCol = "vec_id", vecCol = "embedding")
+      })
 
   /** Coarse IVF model (16 cells, iters = 2 — [[Similarity.ivfPqTopK]]'s
     * defaults) + the (vec_id, cell) inverted assignment, built once per
     * JVM per sf dir for q230's composed tier. */
   private val ivfCoarseCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Array[Array[Double]], String)]()
+  // small-fixture path: see pqModelMem — identical gate and key discipline
+  private val ivfCoarseMem = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Array[Double]], DataFrame)]()
   private[ext] def stagedIvfCoarse(
-      spark: SparkSession, dir: String): (Array[Array[Double]], DataFrame) = {
-    val (centroids, path) = ivfCoarseCache.computeIfAbsent(dir, _ => {
-      val out = graft.queries.Scratch.stableDir(
-        "ivf-coarse-" + graft.queries.Scratch.md5Hex(dir))
-      val e = fanOut(embeddings(spark, dir))
-      val ctr = Similarity.ivfCentroids(e, cells = 16, iters = 2)
-      Similarity.withNearestCell(
-          e.select(col("vec_id"), col("embedding").as("v"),
-            Similarity.norm(col("embedding")).as("__vn")),
-          "v", "__vn", "vec_id", ctr)
-        .select(col("vec_id"), col("cell"))
-        .write.mode("overwrite").parquet(out)
-      (ctr, out)
-    })
-    (centroids, spark.read.parquet(path))
-  }
+      spark: SparkSession, dir: String): (Array[Array[Double]], DataFrame) =
+    if (Staging.stageToParquet(s"$dir/embeddings.parquet")) {
+      val (centroids, path) = ivfCoarseCache.computeIfAbsent(dir,
+        _ => Staging.timed("ivf-coarse") {
+          val out = graft.queries.Scratch.stableDir(
+            "ivf-coarse-" + graft.queries.Scratch.md5Hex(dir))
+          val e = fanOut(embeddings(spark, dir))
+          val ctr = Similarity.ivfCentroids(e, cells = 16, iters = 2)
+          Similarity.withNearestCell(
+              e.select(col("vec_id"), col("embedding").as("v"),
+                Similarity.norm(col("embedding")).as("__vn")),
+              "v", "__vn", "vec_id", ctr)
+            .select(col("vec_id"), col("cell"))
+            .write.mode("overwrite").parquet(out)
+          (ctr, out)
+        })
+      (centroids, spark.read.parquet(path))
+    } else ivfCoarseMem.computeIfAbsent(
+      s"${System.identityHashCode(spark)}:$dir",
+      _ => Staging.timed("ivf-coarse-mem") {
+        val e = fanOut(embeddings(spark, dir))
+        val ctr = Similarity.ivfCentroids(e, cells = 16, iters = 2)
+        (ctr, Similarity.withNearestCell(
+            e.select(col("vec_id"), col("embedding").as("v"),
+              Similarity.norm(col("embedding")).as("__vn")),
+            "v", "__vn", "vec_id", ctr)
+          .select(col("vec_id"), col("cell"))
+          .localCheckpoint())
+      })
 
   /** q230: IVF × PQ composed ANN (the faiss-style architecture) under the
     * [[annRecallGate]] — cell pruning at nprobe=14/16 over the ADC/code
@@ -745,7 +801,7 @@ object ExtQueries {
   private val ivfIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def prebuiltIvfIndex(spark: SparkSession, dir: String): String =
-    ivfIndexCache.computeIfAbsent(dir, _ => {
+    ivfIndexCache.computeIfAbsent(dir, _ => Staging.timed("ivf-prebuilt") {
       // stableDir: emptied on (re)build, so a failed build retries clean;
       // md5Hex key (not String.hashCode — a 32-bit collision between two
       // sf dirs would silently cross their indexes)
@@ -1916,7 +1972,7 @@ object ExtQueries {
   private val bucketedFixture =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
   private def bucketedTables(spark: SparkSession, dir: String): (String, String) =
-    bucketedFixture.computeIfAbsent(dir, _ => {
+    bucketedFixture.computeIfAbsent(dir, _ => Staging.timed("bucketed-fixture") {
       val tag = graft.queries.Scratch.md5Hex(dir)
       val base = graft.queries.Scratch.stableDir("bkt-" + tag)
       val (oTbl, lTbl) = (s"orders_bkt_$tag", s"lineitem_bkt_$tag")
@@ -2486,7 +2542,8 @@ object ExtQueries {
     import graft.queries.Scratch
     val emb = embeddings(spark, dir)
     val gate = Sampling.hashGate(col("vec_id"), fraction = 0.5)
-    val inDir = q400Staged.computeIfAbsent(dir, _ => {
+    val inDir = q400Staged.computeIfAbsent(dir,
+      _ => Staging.timed("q400-stream-input") {
       val in = Scratch.stableDir("q400-in-" + Scratch.md5Hex(dir))
       def stage(pred: org.apache.spark.sql.Column, name: String): java.nio.file.Path = {
         val tmp = Scratch.stableDir("q400-tmp-" + Scratch.md5Hex(s"$dir|$name"))
@@ -3485,7 +3542,8 @@ object ExtQueries {
   def q233StreamDedupIndex(spark: SparkSession, dir: String): DataFrame = {
     import graft.queries.Scratch
     val docs = documents(spark, dir)
-    val inDir = q233Staged.computeIfAbsent(dir, _ => {
+    val inDir = q233Staged.computeIfAbsent(dir,
+      _ => Staging.timed("q233-stream-input") {
       val in = Scratch.stableDir("q233-in-" + Scratch.md5Hex(dir))
       def stage(pred: org.apache.spark.sql.Column, name: String): java.nio.file.Path = {
         val tmp = Scratch.stableDir("q233-tmp-" + Scratch.md5Hex(s"$dir|$name"))
@@ -5553,7 +5611,8 @@ object ExtQueries {
   def q341StreamKmvSketch(spark: SparkSession, dir: String): DataFrame = {
     import graft.queries.Scratch
     val docs = documents(spark, dir)
-    val inDir = q341Staged.computeIfAbsent(dir, _ => {
+    val inDir = q341Staged.computeIfAbsent(dir,
+      _ => Staging.timed("q341-stream-input") {
       val in = Scratch.stableDir("q341-in-" + Scratch.md5Hex(dir))
       def stage(pred: org.apache.spark.sql.Column, name: String): java.nio.file.Path = {
         val tmp = Scratch.stableDir("q341-tmp-" + Scratch.md5Hex(s"$dir|$name"))
@@ -5644,7 +5703,8 @@ object ExtQueries {
   def q369StreamHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     import graft.queries.Scratch
     val docs = documents(spark, dir)
-    val inDir = q369Staged.computeIfAbsent(dir, _ => {
+    val inDir = q369Staged.computeIfAbsent(dir,
+      _ => Staging.timed("q369-stream-input") {
       val in = Scratch.stableDir("q369-in-" + Scratch.md5Hex(dir))
       def stage(pred: org.apache.spark.sql.Column, name: String): java.nio.file.Path = {
         val tmp = Scratch.stableDir("q369-tmp-" + Scratch.md5Hex(s"$dir|$name"))
@@ -6046,7 +6106,8 @@ object ExtQueries {
   def q383StreamExactSubstr(spark: SparkSession, dir: String): DataFrame = {
     import graft.queries.Scratch
     val docs = documents(spark, dir)
-    val inDir = q383Staged.computeIfAbsent(dir, _ => {
+    val inDir = q383Staged.computeIfAbsent(dir,
+      _ => Staging.timed("q383-stream-input") {
       val in = Scratch.stableDir("q383-in-" + Scratch.md5Hex(dir))
       def stage(pred: org.apache.spark.sql.Column, name: String): java.nio.file.Path = {
         val tmp = Scratch.stableDir("q383-tmp-" + Scratch.md5Hex(s"$dir|$name"))
@@ -6138,7 +6199,8 @@ object ExtQueries {
     val m = 2048L
     val k = 3
     val docs = documents(spark, dir)
-    val inDir = q387Staged.computeIfAbsent(dir, _ => {
+    val inDir = q387Staged.computeIfAbsent(dir,
+      _ => Staging.timed("q387-stream-input") {
       val in = Scratch.stableDir("q387-in-" + Scratch.md5Hex(dir))
       def stage(pred: org.apache.spark.sql.Column, name: String): java.nio.file.Path = {
         val tmp = Scratch.stableDir("q387-tmp-" + Scratch.md5Hex(s"$dir|$name"))

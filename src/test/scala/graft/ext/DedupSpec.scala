@@ -690,4 +690,57 @@ class DedupSpec extends SparkSpec {
     assert(keepStaged.exceptAll(keepFresh).isEmpty
       && keepFresh.exceptAll(keepStaged).isEmpty)
   }
+
+  test("staging scale gate: sf0.001 takes the in-memory path; forced-parquet is row-identical") {
+    import graft.queries.Staging
+    // the default gate classifies the tiny fixture as below-threshold, so
+    // the sketch accessors above all served the localCheckpoint'd mem path;
+    // forcing the threshold to 0 flips the SAME accessors onto the parquet
+    // path — both must produce the identical sketch (the gate is a cost
+    // decision, never a semantic one)
+    assert(!Staging.stageToParquet(s"$Sf0001/documents.parquet"))
+    def shRows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).sortBy(_._1).toSeq
+    def bandRows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
+    val memSh = shRows(ExtQueries.stagedDocShingles(spark, Sf0001))
+    val memBands = bandRows(ExtQueries.stagedDocBands(spark, Sf0001))
+    val prev = sys.props.get("graft.staging.minBytes")
+    try {
+      sys.props("graft.staging.minBytes") = "0"
+      assert(Staging.stageToParquet(s"$Sf0001/documents.parquet"))
+      assert(shRows(ExtQueries.stagedDocShingles(spark, Sf0001)) === memSh)
+      assert(bandRows(ExtQueries.stagedDocBands(spark, Sf0001)) === memBands)
+    } finally prev match {
+      case Some(v) => sys.props("graft.staging.minBytes") = v
+      case None => sys.props -= "graft.staging.minBytes"
+    }
+  }
+
+  test("staged-relation contract guards fail loudly on mismatched knobs") {
+    val sh = ExtQueries.stagedDocShingles(spark, Sf0001)
+    val bands = ExtQueries.stagedDocBands(spark, Sf0001) // built at 4 bands
+    val sig = ExtQueries.stagedDocSig(spark, Sf0001)     // 16 minhashes
+    // dedupCorpus's fresh path assumes the 4x4 default banding — a sketch
+    // at another grouping must be rejected, not silently mis-bucketed
+    val threeBanded = Dedup.bandRowsOfSig(sig, 3, 4)
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.dedupCorpus(Tables.fanOut(docs), staged = Some((sh, threeBanded)))
+    }
+    assert(e1.getMessage.contains("dedupCorpus"))
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.writeIndex(docs, graft.queries.Scratch.dir("guard-idx"),
+        staged = Some((sh, threeBanded)))
+    }
+    assert(e2.getMessage.contains("writeIndex"))
+    // sweep: staged signatures must match the configs' total length
+    val e3 = intercept[IllegalArgumentException] {
+      Dedup.lshParameterSweep(docs,
+        configs = Seq((2, 4, 1), (4, 2, 4)), staged = Some((sh, sig)))
+    }
+    assert(e3.getMessage.contains("lshParameterSweep"))
+    // and the matched contracts still pass (no false alarms)
+    assert(Dedup.dedupCorpus(Tables.fanOut(docs),
+      staged = Some((sh, bands))).count() > 0)
+  }
 }

@@ -482,4 +482,35 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
     assert(got === Map((0, 1) -> 0.0, (0, 2) -> 0.7071, (1, 2) -> 0.7071))
   }
+
+  test("staging scale gate: forced-parquet PQ/IVF models equal the in-memory path") {
+    import graft.queries.Staging
+    // sf0.001 sits below the gate, so the model accessors above served the
+    // in-memory (localCheckpoint) path; forcing the threshold to 0 flips
+    // them onto the parquet path — identical models either way
+    assert(!Staging.stageToParquet(s"$Sf0001/embeddings.parquet"))
+    def encRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted.toSeq
+    def cellRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    val (mBooks, mSubDim, mEnc) = ExtQueries.stagedPqModel(spark, Sf0001)
+    val (mCtr, mCells) = ExtQueries.stagedIvfCoarse(spark, Sf0001)
+    val (mEncRows, mCellRows) = (encRows(mEnc), cellRows(mCells))
+    val prev = sys.props.get("graft.staging.minBytes")
+    try {
+      sys.props("graft.staging.minBytes") = "0"
+      assert(Staging.stageToParquet(s"$Sf0001/embeddings.parquet"))
+      val (pBooks, pSubDim, pEnc) = ExtQueries.stagedPqModel(spark, Sf0001)
+      assert(pSubDim === mSubDim)
+      assert(pBooks.map(_.map(_.toSeq).toSeq).toSeq
+        === mBooks.map(_.map(_.toSeq).toSeq).toSeq)
+      assert(encRows(pEnc) === mEncRows)
+      val (pCtr, pCells) = ExtQueries.stagedIvfCoarse(spark, Sf0001)
+      assert(pCtr.map(_.toSeq).toSeq === mCtr.map(_.toSeq).toSeq)
+      assert(cellRows(pCells) === mCellRows)
+    } finally prev match {
+      case Some(v) => sys.props("graft.staging.minBytes") = v
+      case None => sys.props -= "graft.staging.minBytes"
+    }
+  }
 }

@@ -21,6 +21,7 @@ and subsequent full idle runs overwrite it normally.
 import json
 import statistics
 import sys
+from decimal import Decimal
 
 
 def main() -> None:
@@ -43,8 +44,11 @@ def main() -> None:
         )
     def plain(v: float) -> str:
         # fixed-point, never scientific: '%s' % 1e-05 -> '1e-05', which
-        # Bench.readPrev's number regex would mangle; trim trailing zeros
-        s = format(v, ".12f").rstrip("0").rstrip(".")
+        # Bench.readPrev's number regex would mangle. Decimal(repr(v))
+        # keeps the double's full shortest-repr precision (the old .12f
+        # rounded 12 places in and collapsed sub-5e-13 values to "0"),
+        # matching Bench.writePrev's BigDecimal.toPlainString round-trip.
+        s = format(Decimal(repr(v)), "f")
         return s if s else "0"
 
     body = ",".join(
