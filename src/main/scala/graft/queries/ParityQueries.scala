@@ -837,11 +837,8 @@ object ParityQueries {
     * everywhere else.
     */
   def q132PageRank(spark: SparkSession, dir: String): DataFrame = {
-    val edges = orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
-      .join(lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
+    // shared staged edge relation — see GraphFixtures.tradeEdges
+    val edges = GraphFixtures.tradeEdges(spark, dir)
     graft.ext.Graph.pageRankIntFixed(edges, iters = 3)
   }
 
@@ -1432,11 +1429,8 @@ object ParityQueries {
     */
   def q236Eigencentrality(spark: SparkSession, dir: String): DataFrame = {
     val scale = 1L << 20
-    val lp = lineitem(spark, dir).select("l_orderkey", "l_partkey").distinct()
-    val e = lp
-      .join(lp.select(col("l_orderkey"), col("l_partkey").as("p2")), Seq("l_orderkey"))
-      .filter(col("l_partkey") < col("p2"))
-      .select(col("l_partkey").as("u"), col("p2").as("v")).distinct()
+    // shared staged pair relation — see GraphFixtures.coPurchasePairs
+    val e = GraphFixtures.coPurchasePairs(spark, dir)
     // the per-order pair join is the expensive relation and every round
     // reads it — materialize it ONCE (checkpointing only the per-round
     // scores would re-run this join per round as separate jobs)
@@ -1626,11 +1620,8 @@ object ParityQueries {
     * the comparison is exact whether or not the cascade finished.
     */
   def q228KCore(spark: SparkSession, dir: String): DataFrame = {
-    val lp = lineitem(spark, dir).select("l_orderkey", "l_partkey").distinct()
-    val edges = lp
-      .join(lp.select(col("l_orderkey"), col("l_partkey").as("p2")), Seq("l_orderkey"))
-      .filter(col("l_partkey") < col("p2"))
-      .select(col("l_partkey").as("u"), col("p2").as("v")).distinct()
+    // shared staged pair relation — see GraphFixtures.coPurchasePairs
+    val edges = GraphFixtures.coPurchasePairs(spark, dir)
     // the peel's ~8 rounds each shuffle a shrinking node set: at fixture
     // scale per-partition task overhead dominates, so the rounds run at 8
     // partitions (same knob a cluster run sizes to the graph; results are
@@ -2205,11 +2196,8 @@ object ParityQueries {
     * integer tie-break makes the labeling hash-gateable.
     */
   def q255LabelCommunities(spark: SparkSession, dir: String): DataFrame = {
-    val edges = orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
-      .join(lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
+    // shared staged edge relation — see GraphFixtures.tradeEdges
+    val edges = GraphFixtures.tradeEdges(spark, dir)
     graft.ext.Graph.labelPropagation(edges, rounds = 2)
   }
 
@@ -2260,11 +2248,9 @@ object ParityQueries {
     * 1-row statistic. No all-pairs anywhere.
     */
   def q390Modularity(spark: SparkSession, dir: String): DataFrame = {
-    val e0 = orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
-      .join(lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct().localCheckpoint()
+    // shared staged edge relation (already materialized/staged — the
+    // query-local localCheckpoint it replaced is redundant on top)
+    val e0 = GraphFixtures.tradeEdges(spark, dir)
     val labels = graft.ext.Graph.labelPropagation(e0, rounds = 2).localCheckpoint()
     val und = e0.select(col("src").as("u"), col("dst").as("v"))
       .union(e0.select(col("dst").as("u"), col("src").as("v")))
@@ -2667,11 +2653,8 @@ object ParityQueries {
     * checkpointed per round, capping lineage.
     */
   def q274BfsHops(spark: SparkSession, dir: String): DataFrame = {
-    val e0 = orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
-      .join(lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
+    // shared staged edge relation — see GraphFixtures.tradeEdges
+    val e0 = GraphFixtures.tradeEdges(spark, dir)
     val und = e0.select(col("src").as("u"), col("dst").as("v"))
       .union(e0.select(col("dst").as("u"), col("src").as("v")))
       .localCheckpoint()
@@ -3171,11 +3154,8 @@ object ParityQueries {
     * the cut is deterministic.
     */
   def q377Betweenness(spark: SparkSession, dir: String): DataFrame = {
-    val e0 = orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
-      .join(lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
+    // shared staged edge relation — see GraphFixtures.tradeEdges
+    val e0 = GraphFixtures.tradeEdges(spark, dir)
     val und = e0.select(col("src").as("u"), col("dst").as("v"))
       .union(e0.select(col("dst").as("u"), col("src").as("v")))
       .localCheckpoint()
