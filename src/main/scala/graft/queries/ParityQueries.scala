@@ -2700,16 +2700,17 @@ object ParityQueries {
     *
     * Scale shape: the pair fan-out is per-order lines² — bounded by the
     * lines-per-order constant, never |parts|² (the cart-bomb guard q154
-    * notes); pair counts contract on (pa, pb) with map-side partials, and
-    * the rank-3 cut runs inside WindowGroupLimit over the contraction.
+    * notes); the counted contraction is the staged
+    * [[GraphFixtures.coPurchaseCounts]] relation (canonical u < v, so the
+    * directed view is its two-orientation union — counts are symmetric by
+    * construction), and the rank-3 cut runs inside WindowGroupLimit.
     */
   def q285AlsoBought(spark: SparkSession, dir: String): DataFrame = {
-    val li = lineitem(spark, dir).select("l_orderkey", "l_partkey").distinct()
+    // shared staged counted contraction — see GraphFixtures.coPurchaseCounts
+    val c = GraphFixtures.coPurchaseCounts(spark, dir)
     val w = Window.partitionBy("pa").orderBy(col("n_co").desc, col("pb").asc)
-    li.select(col("l_orderkey"), col("l_partkey").as("pa"))
-      .join(li.select(col("l_orderkey"), col("l_partkey").as("pb")), "l_orderkey")
-      .filter(col("pa") =!= col("pb"))
-      .groupBy("pa", "pb").agg(count(lit(1)).as("n_co"))
+    c.select(col("u").as("pa"), col("v").as("pb"), col("n_co"))
+      .unionByName(c.select(col("v").as("pa"), col("u").as("pb"), col("n_co")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
       .select(col("pa"), col("rnk").cast("long").as("rnk"), col("pb"), col("n_co"))
