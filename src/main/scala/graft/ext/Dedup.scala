@@ -603,23 +603,69 @@ object Dedup {
       textCol: String = "text",
       threshold: Double = 0.5,
       checkpointDir: Option[String] = None,
-      staged: Option[(DataFrame, DataFrame)] = None): DataFrame = {
-    val spark = docs.sparkSession
-    val exact = exactDedup(docs, idCol, textCol).persist()
-    try {
-      val snapDir = resolveCheckpointDir(spark, checkpointDir)
-      val pairs = staged match {
+      staged: Option[(DataFrame, DataFrame)] = None): DataFrame =
+    dedupCore(docs, idCol, textCol, checkpointDir) { (exact, keepIds) =>
+      staged match {
         case Some((sh, bandRows)) =>
           // the fresh path below runs minhashNearDups at its defaults
           // (k=5, 4x4) — a staged sketch at another banding would yield
           // silently different dedup decisions, so fail loudly instead
           requireStagedBanding(bandRows, bands = 4, "dedupCorpus")
-          val keepIds = exact.select(col(idCol).as("doc_id"))
           nearDupsFromRelations(
             bandRows.join(keepIds, Seq("doc_id"), "left_semi"), sh, threshold)
         case None =>
           minhashNearDups(exact, idCol, textCol, threshold = threshold)
       }
+    }
+
+  /** [[dedupCorpus]] served from PERSISTED verified pairs — the deepest
+    * tier of the corpus-version staging ladder ([[writeIndex]] persists the
+    * sketch; a pipeline that also persists the verified `(doc_a, doc_b,
+    * jaccard)` pair set per corpus version skips candidate bucketing AND
+    * Jaccard verification on every downstream pass, re-running only the
+    * exact tier and the cluster fixpoint). `pairs` must be the
+    * [[nearDupsFromRelations]] output over a SUPERSET of `docs` at this
+    * call's sketch knobs and at a threshold ≤ `threshold` (pair Jaccards
+    * are per-pair constants, so the superset restricted by the two-sided
+    * keeper semi-join plus the `>= threshold` re-filter is exactly the
+    * inline derivation — asserted staged-vs-fresh in DedupSpec, including
+    * on a filtered-subset corpus, the q102 shape). A pairs relation from
+    * DIFFERENT sketch knobs cannot be detected here (banding is not
+    * recoverable from verified pairs), so the contract is on the caller —
+    * persist pairs next to the sketch that produced them, as
+    * [[writeIndex]] does for its relations.
+    */
+  def dedupCorpusFromPairs(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      threshold: Double = 0.5,
+      checkpointDir: Option[String] = None): DataFrame =
+    dedupCore(docs, idCol, textCol, checkpointDir) { (_, keepIds) =>
+      pairs.filter(col("jaccard") >= threshold)
+        .join(keepIds.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+        .join(keepIds.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+    }
+
+  /** Shared composition core of the corpus-dedup tiers: exact tier →
+    * near-dup pairs over the exact keepers (supplied by the tier) →
+    * cluster fixpoint → minimum-id keeper join. `pairsOf(exact, keepIds)`
+    * receives the persisted exact frame and its one-column id relation
+    * (named `doc_id`) and returns the verified pair relation restricted to
+    * those keepers.
+    */
+  private def dedupCore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      checkpointDir: Option[String])(
+      pairsOf: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val exact = exactDedup(docs, idCol, textCol).persist()
+    try {
+      val snapDir = resolveCheckpointDir(spark, checkpointDir)
+      val pairs = pairsOf(exact, exact.select(col(idCol).as("doc_id")))
       // the fixpoint rounds go into a PER-INVOCATION subdirectory: the
       // post-materialization sweep below must only ever delete rounds THIS
       // call created — a sibling duplicateClusters/dedupCorpus sharing the

@@ -691,6 +691,40 @@ class DedupSpec extends SparkSpec {
       && keepFresh.exceptAll(keepStaged).isEmpty)
   }
 
+  test("staged verified pairs are row-identical to the fresh pair derivation") {
+    // the r15 pair tier: the persisted (doc_a, doc_b, jaccard) set must BE
+    // the minhashNearDups output — q21 serves it verbatim, q27 clusters it
+    val fresh = Dedup.minhashNearDups(Tables.fanOut(docs), threshold = 0.5)
+    val staged = ExtQueries.stagedDocPairs(spark, Sf0001)
+    assert(staged.exceptAll(fresh).isEmpty && fresh.exceptAll(staged).isEmpty)
+    assert(fresh.count() > 0)
+  }
+
+  test("dedupCorpusFromPairs equals dedupCorpus, on the full corpus and a filtered subset") {
+    val fan = Tables.fanOut(docs)
+    val pairs = ExtQueries.stagedDocPairs(spark, Sf0001)
+    // full corpus: the served-pairs tier reproduces the inline ladder
+    val fullServed = Dedup.dedupCorpusFromPairs(fan, pairs).select("doc_id")
+    val fullInline = Dedup.dedupCorpus(fan).select("doc_id")
+    assert(fullServed.exceptAll(fullInline).isEmpty
+      && fullInline.exceptAll(fullServed).isEmpty)
+    // filtered subset (the q102 shape): candidate membership is a per-pair
+    // bucket property, so superset pairs restricted by the keeper semi-join
+    // must equal pairs derived from the subset alone
+    val subset = fan.filter(col("doc_id") % 3 =!= 0)
+    val subServed = Dedup.dedupCorpusFromPairs(subset, pairs).select("doc_id")
+    val subInline = Dedup.dedupCorpus(subset).select("doc_id")
+    assert(subServed.exceptAll(subInline).isEmpty
+      && subInline.exceptAll(subServed).isEmpty)
+    // a tighter call-site threshold re-filters served pairs (pairs staged
+    // at 0.5 serve any threshold >= 0.5)
+    val tightServed = Dedup.dedupCorpusFromPairs(fan, pairs, threshold = 0.9)
+      .select("doc_id")
+    val tightInline = Dedup.dedupCorpus(fan, threshold = 0.9).select("doc_id")
+    assert(tightServed.exceptAll(tightInline).isEmpty
+      && tightInline.exceptAll(tightServed).isEmpty)
+  }
+
   test("staging scale gate: sf0.001 takes the in-memory path; forced-parquet is row-identical") {
     import graft.queries.Staging
     // the default gate classifies the tiny fixture as below-threshold, so
