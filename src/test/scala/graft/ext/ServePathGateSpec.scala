@@ -75,6 +75,38 @@ class ServePathGateSpec extends SparkSpec {
       Dedup.nearDupsFromRelations(bands, sh, threshold = 0.5)) === 0)
   }
 
+  test("served pair tier constructs with zero jobs and a shuffle-free plan") {
+    // the r15 deepest tier: after the sketch is staged, the persisted pair
+    // set must SERVE — constructing the served frame launches no jobs, and
+    // its physical plan has no Exchange and no shingle pipeline (a re-inline
+    // of candidate bucketing or Jaccard verify would add both while the
+    // DedupSpec value-equality asserts kept passing)
+    ExtQueries.stagedDocPairs(spark, Sf0001) // warm the staged sketch
+    assert(jobsDuring(ExtQueries.stagedDocPairs(spark, Sf0001)) === 0)
+    val plan = ExtQueries.stagedDocPairs(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"served pair plan must not shuffle:\n$plan")
+    assert(!plan.toLowerCase.contains("shingle"),
+      s"served pair plan must not re-run the shingle pipeline:\n$plan")
+  }
+
+  test("dedupCorpusFromPairs never re-runs candidate bucketing or verify") {
+    // the serve tier's fixpoint still runs jobs eagerly (that is its
+    // documented cost); the property to pin is that NONE of those jobs
+    // re-derives pairs — the executed stages carry no bucket-enumeration
+    // or jaccard-verify operators. Checked structurally on the restricted
+    // pair relation dedupCore consumes: keeper semi-joins + threshold
+    // filter over the served relation only.
+    val pairs = ExtQueries.stagedDocPairs(spark, Sf0001)
+    val keep = Tables.fanOut(docs).select(col("doc_id"))
+    val restricted = pairs.filter(col("jaccard") >= 0.5)
+      .join(keep.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+      .join(keep.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+    val plan = restricted.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(!plan.contains("shingle") && !plan.contains("collect_list"),
+      s"restriction must consume served pairs, not re-derive them:\n$plan")
+  }
+
   test("dedupAgainstIndex construction runs metadata-only jobs") {
     // the index probe's construction cost is a CONSTANT independent of
     // corpus size: the 1-row meta JSON costs 2 jobs (schema inference +
