@@ -880,7 +880,13 @@ object ParityQueries {
     * (≤ C(lines-per-order, 2), a constant) is the only pre-gate cost.
     */
   def q154Triangles(spark: SparkSession, dir: String): DataFrame = {
-    val li = lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+    // fanOut before the self-join: the 60-bit md5 edge gate + pair fan-out
+    // is per-row CPU work, and an 11 MB parquet arrives as 3 input splits —
+    // without the spread the whole gate stage runs on 3 of 32 cores
+    // (r15 stage profile: 3.5 s of the query's 5.1 s in that one stage).
+    // At real scale the scan already has ≥ parallelism splits and fanOut
+    // is a no-op (guide §2.5 input-parallelism, §2.6 idle capacity).
+    val li = fanOut(lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey")))
     val pairs = li.as("a")
       .join(li.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
