@@ -3591,6 +3591,11 @@ object ExtQueries {
     // convention — per-partition task setup dominates 150-doc batches at 32;
     // partition count never changes WHICH pairs band together)
     graft.queries.EventQueries.withShufflePartitions(spark, 8) {
+      // NOT served from the staged sketch (r15 A/B): restricting the staged
+      // relations to the 200 seed docs costs a full-sketch parquet scan +
+      // semi-join per call — more than shingling 200 docs inline (isolated
+      // 5.9 → 6.4 s); the q29 pattern only pays when the restricted side is
+      // a large fraction of the corpus
       Dedup.writeIndex(fanOut(docs.filter(col("doc_id") < 200)), idx)
       val stream = spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1).parquet(inDir)
@@ -3718,9 +3723,21 @@ object ExtQueries {
           TextAnalysis.tokens(col("text")), 2)).as("bg"))
       .select(split(col("bg"), " ").getItem(0).as("a"),
         split(col("bg"), " ").getItem(1).as("b"))
-    val und = e0.select(col("a").as("src"), col("b").as("dst"))
-      .union(e0.select(col("b").as("src"), col("a").as("dst")))
-      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    // contract BEFORE symmetrizing: the directed groupBy is the only
+    // corpus-scale pass (one explode instead of two — the union's arms each
+    // re-derived e0), and the flip+regroup runs on the vocabulary²-bounded
+    // GROUPED table; Σ of directed counts ≡ count of unioned occurrences,
+    // so the edge relation is row-identical (r15, guide §2.3 "aggregate
+    // before you shuffle"). localCheckpoint because the iteration reads the
+    // edge relation five times (nodes, outw, 3 rounds) — left lazy, each
+    // read re-ran the corpus explode (the triangleCounts shared-subtree
+    // rule; isolated steady-state 3.3-3.7 → 1.4-1.7 s at sf0.1).
+    val dir0 = e0.groupBy(col("a").as("src"), col("b").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val und = dir0
+      .unionByName(dir0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+      .localCheckpoint()
     Graph.pageRankIntWeighted(und, iters = 3,
         scale = 1310720L, dampNum = 17L, dampDen = 20L)
       .orderBy(col("score").desc, col("node").asc).limit(20)
@@ -6564,9 +6581,12 @@ object ExtQueries {
     */
   def q386QualityKeeper(spark: SparkSession, dir: String): DataFrame = {
     val docs = fanOut(documents(spark, dir))
-    val clusters = Dedup.duplicateClusters(
-      docs, Dedup.nearDupsFromRelations(
-        stagedDocBands(spark, dir), stagedDocShingles(spark, dir), threshold = 0.5))
+    // served pair tier (r15): stagedDocPairs IS nearDupsFromRelations(bands,
+    // shingles, 0.5) persisted with the sketch (DedupSpec staged≡fresh), so
+    // clustering reads the pair relation instead of re-running candidate
+    // bucketing + Jaccard verify per trial — q28 keeps that stage benched;
+    // q386's tier is the quality argmax over the clusters.
+    val clusters = Dedup.duplicateClusters(docs, stagedDocPairs(spark, dir))
     val text = col("text")
     val nTok = TextAnalysis.tokenCount(text)
     val punct = TextAnalysis.punctCount(text)
