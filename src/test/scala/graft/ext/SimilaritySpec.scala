@@ -334,6 +334,23 @@ class SimilaritySpec extends SparkSpec {
     assert(stagedL3 === freshL3)
   }
 
+  test("staged leave-one-out kNN predictions are bit-equal to a fresh pass (q306/q307 gates not weakened)") {
+    // r15 staging: the |corpus|² leave-one-out classify pass shared by the
+    // q306 confusion-marginal and q307 calibration reports is computed once
+    // per JVM per corpus; it must be indistinguishable from recomputing
+    // row-content keys (type-rendered), so a parquet round-trip that
+    // changed a value OR a column type would both fail the assert
+    def keys(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val cols = Seq("q_id", "true_label", "pred_label", "votes", "correct")
+      val d = df.select(cols.head, cols.tail: _*)
+      val types = d.schema.fields.map(_.dataType.simpleString).mkString("|")
+      d.collect().map(r => types + "::" + r.toString).sorted.toSeq
+    }
+    val staged = keys(ExtQueries.stagedKnnLoo(spark, Sf0001))
+    val fresh = keys(Similarity.knnClassify(embeds, embeds, k = 5))
+    assert(staged === fresh)
+  }
+
   test("staged PQ/IVF models equal a fresh training pass (gates not weakened)") {
     // r14 staging: codebooks + encoding + coarse centroids + assignment are
     // trained once per JVM per corpus; they must be indistinguishable from
