@@ -87,6 +87,37 @@ object GraphFixtures {
   def tradeEdges(spark: SparkSession, dir: String): DataFrame =
     staged("trade-edges", spark, dir)(freshTradeEdges(spark, dir))
 
+  /** BOTH orientations of [[tradeEdges]] as (u, v) — the undirected view
+    * the round-synchronous consumers iterate (q274 BFS, q377 betweenness,
+    * q390's degree arm). Each previously re-unioned + re-materialized the
+    * symmetrized relation inside its own timed path every trial; staged,
+    * it is authored once per corpus version like the directed set (same
+    * rows as union(e, flip(e)) by construction — GraphFixturesSpec asserts
+    * it). Built FROM the staged directed relation, so the orders⋈lineitem
+    * derivation never re-runs. */
+  def tradeEdgesSym(spark: SparkSession, dir: String): DataFrame = {
+    // resolve the parent BEFORE entering staged(): a cache lookup inside the
+    // build closure would be a computeIfAbsent within a computeIfAbsent on
+    // the same map — ConcurrentHashMap throws "Recursive update" whenever
+    // the two keys land in one bin (bin-dependent, so it bites at one sf
+    // dir and not another)
+    val e = tradeEdges(spark, dir)
+    staged("trade-edges-sym", spark, dir) {
+      e.select(col("src").as("u"), col("dst").as("v"))
+        .unionByName(e.select(col("dst").as("u"), col("src").as("v")))
+    }
+  }
+
+  /** Both orientations of [[coPurchasePairs]] as (u, v) — q236's power-
+    * iteration reads the symmetrized co-purchase graph every round; same
+    * staging rationale as [[tradeEdgesSym]]. */
+  def coPurchasePairsSym(spark: SparkSession, dir: String): DataFrame = {
+    val e = coPurchasePairs(spark, dir) // before staged() — see tradeEdgesSym
+    staged("copurchase-sym", spark, dir) {
+      e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    }
+  }
+
   def coPurchaseCounts(spark: SparkSession, dir: String): DataFrame =
     staged("copurchase-counts", spark, dir)(freshCoPurchaseCounts(spark, dir))
 

@@ -1435,13 +1435,10 @@ object ParityQueries {
     */
   def q236Eigencentrality(spark: SparkSession, dir: String): DataFrame = {
     val scale = 1L << 20
-    // shared staged pair relation — see GraphFixtures.coPurchasePairs
-    val e = GraphFixtures.coPurchasePairs(spark, dir)
-    // the per-order pair join is the expensive relation and every round
-    // reads it — materialize it ONCE (checkpointing only the per-round
-    // scores would re-run this join per round as separate jobs)
-    val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint()
+    // staged symmetrized pair relation (r15) — replaces the per-trial
+    // union + localCheckpoint of the staged pair set with a staged read;
+    // every round reads the materialized relation either way
+    val sym = GraphFixtures.coPurchasePairsSym(spark, dir)
     val nodes = sym.select(col("u").as("node")).distinct()
     // rounds chain LAZILY over the materialized edge relation: `raw` is
     // read twice per round (its own max + the renorm join) but both reads
@@ -2258,9 +2255,10 @@ object ParityQueries {
     // query-local localCheckpoint it replaced is redundant on top)
     val e0 = GraphFixtures.tradeEdges(spark, dir)
     val labels = graft.ext.Graph.labelPropagation(e0, rounds = 2).localCheckpoint()
-    val und = e0.select(col("src").as("u"), col("dst").as("v"))
-      .union(e0.select(col("dst").as("u"), col("src").as("v")))
-    val deg = und.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
+    // degree arm reads the staged symmetrized relation (r15) — same rows
+    // as the per-trial union it replaces
+    val deg = GraphFixtures.tradeEdgesSym(spark, dir)
+      .groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
     val m = e0.agg(count(lit(1)).as("m"))
     val dc = labels.join(deg, "node").groupBy("lab").agg(sum("d").as("d_c"))
     val ec = e0
@@ -2659,11 +2657,9 @@ object ParityQueries {
     * checkpointed per round, capping lineage.
     */
   def q274BfsHops(spark: SparkSession, dir: String): DataFrame = {
-    // shared staged edge relation — see GraphFixtures.tradeEdges
-    val e0 = GraphFixtures.tradeEdges(spark, dir)
-    val und = e0.select(col("src").as("u"), col("dst").as("v"))
-      .union(e0.select(col("dst").as("u"), col("src").as("v")))
-      .localCheckpoint()
+    // staged symmetrized relation (r15) — the per-trial union +
+    // localCheckpoint it replaces built the identical rows
+    val und = GraphFixtures.tradeEdgesSym(spark, dir)
     var visited = und.sparkSession.range(1)
       .select(lit(0L).as("node"), lit(0L).as("dist"))
     (1L to 3L).foreach { r =>
@@ -3161,11 +3157,9 @@ object ParityQueries {
     * the cut is deterministic.
     */
   def q377Betweenness(spark: SparkSession, dir: String): DataFrame = {
-    // shared staged edge relation — see GraphFixtures.tradeEdges
-    val e0 = GraphFixtures.tradeEdges(spark, dir)
-    val und = e0.select(col("src").as("u"), col("dst").as("v"))
-      .union(e0.select(col("dst").as("u"), col("src").as("v")))
-      .localCheckpoint()
+    // staged symmetrized relation (r15) — the per-trial union +
+    // localCheckpoint it replaces built the identical rows
+    val und = GraphFixtures.tradeEdgesSym(spark, dir)
     graft.ext.Graph.betweennessSampled(und, Seq(0L, 2L), depth = 3)
       .orderBy(col("bc").desc, col("node").asc).limit(20)
   }

@@ -35,6 +35,16 @@ class GraphFixturesSpec extends SparkSpec {
     assert(GraphFixtures.coPurchasePairs(spark, Sf0001).count() > 0)
   }
 
+  test("staged symmetrized relations are exactly union(e, flip(e)) of the staged sets") {
+    // r15: the undirected views q274/q377/q390/q236 iterate must never
+    // drift from the directed relations their oracles symmetrize
+    def sym(e: Seq[(Long, Long)]) = (e ++ e.map(_.swap)).sorted
+    assert(edgeRows(GraphFixtures.tradeEdgesSym(spark, Sf0001))
+      === sym(edgeRows(GraphFixtures.tradeEdges(spark, Sf0001))))
+    assert(edgeRows(GraphFixtures.coPurchasePairsSym(spark, Sf0001))
+      === sym(edgeRows(GraphFixtures.coPurchasePairs(spark, Sf0001))))
+  }
+
   test("co-purchase pair set is exactly the counted contraction's key set") {
     // the q228/q236 pair view and the q285 counted view must never drift:
     // the pair set IS the groupBy key set of the counts
