@@ -5696,12 +5696,15 @@ object ExtQueries {
           org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("h",
           org.apache.spark.sql.types.LongType))))
-    val q = graft.streaming.CdcStream
-      .kmvStream(stream, empty, stateDir = s"$work/state", k = 64)
-      .option("checkpointLocation", s"$work/ckpt")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // 8 shuffle partitions at fixture scale — the q233/q383 convention
+    graft.queries.EventQueries.withShufflePartitions(spark, 8) {
+      val q = graft.streaming.CdcStream
+        .kmvStream(stream, empty, stateDir = s"$work/state", k = 64)
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     val maxEst = 63L << 57
     val sk = graft.streaming.CdcStream.currentMaterializedState(spark, s"$work/state")
     val n = fanOut(docs)
@@ -5785,12 +5788,15 @@ object ExtQueries {
           org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("c",
           org.apache.spark.sql.types.LongType))))
-    val q = graft.streaming.CdcStream
-      .mgStream(stream, empty, stateDir = s"$work/state", k = 16)
-      .option("checkpointLocation", s"$work/ckpt")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // 8 shuffle partitions at fixture scale — the q233/q383 convention
+    graft.queries.EventQueries.withShufflePartitions(spark, 8) {
+      val q = graft.streaming.CdcStream
+        .mgStream(stream, empty, stateDir = s"$work/state", k = 16)
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     val mg = graft.streaming.CdcStream
       .currentMaterializedState(spark, s"$work/state")
     val toks = fanOut(docs)

@@ -330,15 +330,20 @@ object EventQueries {
     val stream = spark.readStream.schema(schema).parquet(inDir.toString)
       .select(col("user_id"), tsUs.as("ts_us"))
       .as[graft.streaming.CdcStream.Ev]
-    val query = graft.streaming.CdcStream.sessionize(stream, gapUs = SessionGapUs)
-      .writeStream
-      .format("parquet")
-      .option("path", s"$work/out")
-      .option("checkpointLocation", s"$work/ckpt")
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    // fixture-scale micro-batches: 8 shuffle partitions (the q233/q383
+    // streaming-gate convention — per-partition state-store open/commit
+    // dominates small batches at 32; values are partition-count-invariant)
+    withShufflePartitions(spark, 8) {
+      val query = graft.streaming.CdcStream.sessionize(stream, gapUs = SessionGapUs)
+        .writeStream
+        .format("parquet")
+        .option("path", s"$work/out")
+        .option("checkpointLocation", s"$work/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
     spark.read.parquet(s"$work/out")
       .groupBy("user_id", "session_id")
       .agg(
@@ -397,14 +402,17 @@ object EventQueries {
     val counts = graft.streaming.CdcStream.windowedCounts(
       stream, tsCol = "tsm", typeCol = "event_type",
       windowDuration = "1 hour", watermarkDelay = "30 minutes")
-    val query = counts.writeStream
-      .format("parquet")
-      .option("path", s"$work/out")
-      .option("checkpointLocation", s"$work/ckpt")
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    // 8 shuffle partitions at fixture scale — the q233/q383 convention
+    withShufflePartitions(spark, 8) {
+      val query = counts.writeStream
+        .format("parquet")
+        .option("path", s"$work/out")
+        .option("checkpointLocation", s"$work/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
     spark.read.parquet(s"$work/out")
       .select(
         unix_micros(col("window_start")).as("window_start_us"),
@@ -445,14 +453,17 @@ object EventQueries {
       .withColumn("tsm", timestamp_micros(col("doc_id") + lit(1000000000000L)))
     val deduped = graft.streaming.CdcStream.dedupStream(
       stream, tsCol = "tsm", watermarkDelay = "1 hour")
-    val query = deduped.writeStream
-      .format("parquet")
-      .option("path", s"$work/out")
-      .option("checkpointLocation", s"$work/ckpt")
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    // 8 shuffle partitions at fixture scale — the q233/q383 convention
+    withShufflePartitions(spark, 8) {
+      val query = deduped.writeStream
+        .format("parquet")
+        .option("path", s"$work/out")
+        .option("checkpointLocation", s"$work/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
     spark.read.parquet(s"$work/out")
       .select(graft.ext.TextAnalysis.md5Fingerprint(col("text")).as("fingerprint"))
       .groupBy("fingerprint")
@@ -3961,12 +3972,15 @@ object EventQueries {
     val stream = spark.readStream
       .schema("event_id LONG, user_id LONG, off LONG")
       .option("maxFilesPerTrigger", 1).parquet(inDir)
-    val query = graft.streaming.CdcStream.bitmapStream(
-        stream, initial, stateDir = s"$work/state")
-      .option("checkpointLocation", s"$work/ckpt")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    // 8 shuffle partitions at fixture scale — the q233/q383 convention
+    withShufflePartitions(spark, 8) {
+      val query = graft.streaming.CdcStream.bitmapStream(
+          stream, initial, stateDir = s"$work/state")
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
     graft.streaming.CdcStream.currentMaterializedState(spark, s"$work/state")
       .withColumn("n_active_days", expr("bit_count(mask)").cast("long"))
   }
@@ -4084,15 +4098,18 @@ object EventQueries {
         .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
         .select(col("user_id"), tsUs.as("ts_us"))
         .as[graft.streaming.CdcStream.Ev]
-      val query = graft.streaming.CdcStream.runningTotals(stream)
-        .writeStream
-        .format("parquet")
-        .option("path", s"$work/out")
-        .option("checkpointLocation", s"$work/ckpt")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
+      // 8 shuffle partitions at fixture scale — the q233/q383 convention
+      withShufflePartitions(spark, 8) {
+        val query = graft.streaming.CdcStream.runningTotals(stream)
+          .writeStream
+          .format("parquet")
+          .option("path", s"$work/out")
+          .option("checkpointLocation", s"$work/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+      }
     } finally prevProv match {
       case Some(p) => spark.conf.set(provKey, p)
       case None => spark.conf.unset(provKey)

@@ -516,15 +516,18 @@ object ParityQueries {
     val schema = catalog.changes(spark, CdcPropsTable, 2L, 3L).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(inDir)
-    val query = graft.streaming.CdcStream.materializeStream(
-      stream,
-      initialState = catalog.snapshot(spark, CdcPropsTable, 1L),
-      stateDir = s"$work/state",
-      keyCols = Seq("event_id"))
-      .option("checkpointLocation", s"$work/ckpt")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    // 8 shuffle partitions at fixture scale — the q233/q383 convention
+    graft.queries.EventQueries.withShufflePartitions(spark, 8) {
+      val query = graft.streaming.CdcStream.materializeStream(
+        stream,
+        initialState = catalog.snapshot(spark, CdcPropsTable, 1L),
+        stateDir = s"$work/state",
+        keyCols = Seq("event_id"))
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
     graft.streaming.CdcStream.currentMaterializedState(spark, s"$work/state")
   }
 
@@ -635,16 +638,19 @@ object ParityQueries {
     val schema = catalog.changes(spark, Q123Table, 2L, 3L).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(inDir)
-    val query = graft.streaming.CdcStream.aggregateStream(
-      cents(stream),
-      initialAgg = agg0,
-      stateDir = s"$work/state",
-      groupCols = Seq("event_type"), valueCol = "cents",
-      nCol = "n", sumCol = "sum_cents")
-      .option("checkpointLocation", s"$work/ckpt")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    // 8 shuffle partitions at fixture scale — the q233/q383 convention
+    graft.queries.EventQueries.withShufflePartitions(spark, 8) {
+      val query = graft.streaming.CdcStream.aggregateStream(
+        cents(stream),
+        initialAgg = agg0,
+        stateDir = s"$work/state",
+        groupCols = Seq("event_type"), valueCol = "cents",
+        nCol = "n", sumCol = "sum_cents")
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
     graft.streaming.CdcStream.currentMaterializedState(spark, s"$work/state")
   }
 
@@ -686,13 +692,16 @@ object ParityQueries {
     val initial = e.filter(col("event_id") % 3 === 0).join(b, Seq("user_id"))
     val stream = spark.readStream.schema(e.schema)
       .option("maxFilesPerTrigger", 1).parquet(inDir)
-    val query = graft.streaming.CdcStream.joinStream(
-      stream, staticB = b, initialJ = initial,
-      stateDir = s"$work/state", keys = Seq("user_id"))
-      .option("checkpointLocation", s"$work/ckpt")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    // 8 shuffle partitions at fixture scale — the q233/q383 convention
+    graft.queries.EventQueries.withShufflePartitions(spark, 8) {
+      val query = graft.streaming.CdcStream.joinStream(
+        stream, staticB = b, initialJ = initial,
+        stateDir = s"$work/state", keys = Seq("user_id"))
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
     graft.streaming.CdcStream.currentMaterializedState(spark, s"$work/state")
   }
 
