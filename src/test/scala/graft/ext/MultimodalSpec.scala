@@ -153,6 +153,26 @@ class MultimodalSpec extends SparkSpec {
     assert(got.filter(col("n_frames") < 2 || col("n_frames") > 4).count() === 0L)
   }
 
+  test("staged GIF frame table is bit-equal to a fresh encode+decode pass (q398 gate not weakened)") {
+    // r15 staging: the decoded frames fixture q398 clusters over is built
+    // once per JVM; it must be indistinguishable from re-encoding and
+    // re-decoding every clip — rows, types, and the decoded flag included
+    def keys(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val cols = Seq("doc_id", "frame_id", "width", "height", "mean_pixel_4", "decoded")
+      val d = df.select(cols.head, cols.tail: _*)
+      val types = d.schema.fields.map(_.dataType.simpleString).mkString("|")
+      d.collect().map(r => types + "::" + r.toString).sorted.toSeq
+    }
+    val staged = keys(ExtQueries.stagedGifFrames(spark, Sf0001))
+    val ids = graft.queries.Tables.documents(spark, Sf0001)
+      .select(col("doc_id")).as[Long]
+    val fresh = keys(Multimodal.extractGifFrames(spark,
+      ids.mapPartitions(_.map(id =>
+        Multimodal.MediaRow(id, Multimodal.encodeTestGif(id)))).toDF(),
+      stride = 1).toDF())
+    assert(staged === fresh)
+  }
+
   test("q396 query shape: sampled frames only, all decoded, count matches the fixture law") {
     val got = ExtQueries.q396GifFrames(spark, Sf0001)
     val perDoc = graft.queries.Tables.documents(spark, Sf0001)
